@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,13 +13,34 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.ui.explainMode", "formatted")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Write timestamps as TIMESTAMP_NTZ (isAdjustedToUTC=false): the oracle
+    // computes naive timestamps from DuckDB's read of the testdata, and a
+    // UTC-adjusted parquet column would read back tz-aware — same instant,
+    // different representation. Session tz is UTC so the cast is wall-clock
+    // preserving, including inside arrays/structs.
+    def toNtz(dt: DataType): DataType = dt match {
+      case TimestampType => TimestampNTZType
+      case ArrayType(et, n) => ArrayType(toNtz(et), n)
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = toNtz(f.dataType))))
+      case MapType(k, v, n) => MapType(toNtz(k), toNtz(v), n)
+      case other => other
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val ntz = df.select(df.schema.fields.map { f =>
+          val t = toNtz(f.dataType)
+          if (t == f.dataType) col(f.name) else col(f.name).cast(t).as(f.name)
+        }.toSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

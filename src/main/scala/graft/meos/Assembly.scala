@@ -1,0 +1,128 @@
+package graft.meos
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Trajectory assembly — the engine's flagship aggregate (SURVEY.md A6).
+  *
+  * The reference builds a trip per entity by folding posits into a
+  * `TSeq::make(instants, lower_inc=true, upper_inc=true, LINEAR,
+  * normalize=false)` (`meos/src/tseq.rs:49-64`; call sites
+  * `meos/examples/04_to_file.rs:113`, `meos-polars/examples/ais_to_db.rs:199`),
+  * after (a) dropping out-of-order posits (`04_to_file.rs:91-96`) and
+  * (b) skipping consecutive duplicate timestamps (`ais_to_db.rs:181-184`),
+  * optionally truncating at `max_trip_size` (`ais_to_db.rs:190-193`).
+  *
+  * Spark-first re-expression: a typed `Aggregator` whose buffer is a bag of
+  * posits, merged associatively across partial (map-side) aggregation, with
+  * sort + duplicate-timestamp dedupe + truncation applied once at `finish`.
+  * Distribution semantics:
+  *  - reduce/merge are order-insensitive (shuffle order never changes the
+  *    result); determinism comes from sorting by (t, tie) where `tie` is a
+  *    caller-supplied unique tiebreaker (e.g. event_id).
+  *  - duplicate timestamps keep the smallest tiebreaker — the deterministic
+  *    analog of the reference's "keep first seen" rule.
+  *  - when `maxSize > 0` the buffer is trimmed to the `maxSize` earliest
+  *    posits whenever it doubles past the cap, so per-key state stays O(max)
+  *    even for mega-entities (the 100 TB skew posture; SURVEY.md §7.3).
+  *
+  * Output arrays are primitive (epoch-micros Long + Double) for compact
+  * shuffles; `Assembly.tfloatSeq`/`tpointSeq` lift them to the public
+  * sequence struct of [[Temporal]].
+  */
+object Assembly {
+
+  // ---- tfloat (1-D value) -------------------------------------------------
+
+  case class FPosit(t: Long, tie: Long, v: Double)
+  case class FBuf(var ps: Vector[FPosit])
+  case class FSeq(t: Array[Long], v: Array[Double], n: Long)
+
+  class TFloatAssembler(maxSize: Int)
+      extends Aggregator[FPosit, FBuf, FSeq] {
+    def zero: FBuf = FBuf(Vector.empty)
+    def reduce(b: FBuf, p: FPosit): FBuf = { b.ps :+= p; trim(b); b }
+    def merge(a: FBuf, b: FBuf): FBuf = { a.ps ++= b.ps; trim(a); a }
+    private def trim(b: FBuf): Unit =
+      if (maxSize > 0 && b.ps.length > 2 * maxSize)
+        b.ps = b.ps.sortBy(p => (p.t, p.tie)).take(maxSize)
+    def finish(b: FBuf): FSeq = {
+      val sorted = b.ps.sortBy(p => (p.t, p.tie))
+      val out = Vector.newBuilder[FPosit]
+      var lastT = Long.MinValue
+      var kept = 0
+      val it = sorted.iterator
+      while (it.hasNext && (maxSize <= 0 || kept < maxSize)) {
+        val p = it.next()
+        if (p.t != lastT) { out += p; lastT = p.t; kept += 1 }
+      }
+      val r = out.result()
+      FSeq(r.map(_.t).toArray, r.map(_.v).toArray, r.length.toLong)
+    }
+    def bufferEncoder: Encoder[FBuf] = Encoders.product[FBuf]
+    def outputEncoder: Encoder[FSeq] = Encoders.product[FSeq]
+  }
+
+  /** Column form: tfloatAssemble(maxSize)(unix_micros(ts), tie, value). */
+  def tfloatAssemble(maxSize: Int = 0) =
+    udaf(new TFloatAssembler(maxSize))
+
+  // ---- tgeompoint (2-D point) --------------------------------------------
+
+  case class PPosit(t: Long, tie: Long, x: Double, y: Double)
+  case class PBuf(var ps: Vector[PPosit])
+  case class PSeq(t: Array[Long], x: Array[Double], y: Array[Double], n: Long)
+
+  class TPointAssembler(maxSize: Int)
+      extends Aggregator[PPosit, PBuf, PSeq] {
+    def zero: PBuf = PBuf(Vector.empty)
+    def reduce(b: PBuf, p: PPosit): PBuf = { b.ps :+= p; trim(b); b }
+    def merge(a: PBuf, b: PBuf): PBuf = { a.ps ++= b.ps; trim(a); a }
+    private def trim(b: PBuf): Unit =
+      if (maxSize > 0 && b.ps.length > 2 * maxSize)
+        b.ps = b.ps.sortBy(p => (p.t, p.tie)).take(maxSize)
+    def finish(b: PBuf): PSeq = {
+      val sorted = b.ps.sortBy(p => (p.t, p.tie))
+      val out = Vector.newBuilder[PPosit]
+      var lastT = Long.MinValue
+      var kept = 0
+      val it = sorted.iterator
+      while (it.hasNext && (maxSize <= 0 || kept < maxSize)) {
+        val p = it.next()
+        if (p.t != lastT) { out += p; lastT = p.t; kept += 1 }
+      }
+      val r = out.result()
+      PSeq(r.map(_.t).toArray, r.map(_.x).toArray, r.map(_.y).toArray,
+        r.length.toLong)
+    }
+    def bufferEncoder: Encoder[PBuf] = Encoders.product[PBuf]
+    def outputEncoder: Encoder[PSeq] = Encoders.product[PSeq]
+  }
+
+  def tpointAssemble(maxSize: Int = 0) =
+    udaf(new TPointAssembler(maxSize))
+
+  // ---- lifting raw assembled arrays to Temporal structs -------------------
+
+  /** Lift an `FSeq` column (from tfloatAssemble) to a tfloat sequence struct
+    * with the reference's construction defaults (incl/incl, LINEAR). */
+  def tfloatSeq(fseq: Column, srid: Int = 0): Column =
+    Temporal.tseqOf(
+      zip_with(fseq.getField("t"), fseq.getField("v"),
+        (t, v) => struct(timestamp_micros(t).as("t"), v.as("v"))),
+      Temporal.InterpLinear, lowerInc = true, upperInc = true, srid = srid)
+
+  /** Lift a `PSeq` column (from tpointAssemble) to a tgeompoint sequence
+    * struct. */
+  def tpointSeq(pseq: Column, srid: Int = Temporal.DefaultSrid): Column =
+    Temporal.tseqOf(
+      zip_with(
+        zip_with(pseq.getField("t"), pseq.getField("x"),
+          (t, x) => struct(t.as("t"), x.as("x"))),
+        pseq.getField("y"),
+        (tx, y) => struct(
+          timestamp_micros(tx.getField("t")).as("t"),
+          tx.getField("x").as("x"), y.as("y"))),
+      Temporal.InterpLinear, lowerInc = true, upperInc = true, srid = srid)
+}

@@ -1,0 +1,116 @@
+package graft.meos
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bounding boxes and their topological predicates (SURVEY.md §2.3, J1-J5).
+  *
+  * `TBox` = value span × time span (`meos/src/tbox.rs:19-21`); `STBox` =
+  * x/y[/z] space × time (`meos/src/stbox.rs:16-18`). The predicates
+  * `contains` / `overlaps` / `same` (`tbox.rs:100-110`, `stbox.rs:83-93`)
+  * are exactly the spatiotemporal join conditions MobilityDB workloads use,
+  * so they are exposed as plain boolean `Column` expressions usable both as
+  * filters and as theta-join conditions — Catalyst keeps them pushdown- and
+  * codegen-friendly because the box encoding is an open struct of doubles /
+  * timestamps.
+  *
+  * v1 boxes built from data are closed (inclusive) on every bound — matching
+  * the reference's constructed sequences (`lower_inc=upper_inc=true`,
+  * `meos/src/tseq.rs:57-58`). Half-open bounds appear only through WKT
+  * literals and are honored by the Wkt module's predicate variants.
+  */
+object Boxes {
+
+  val tboxType: StructType = StructType(Seq(
+    StructField("vmin", DoubleType), StructField("vmax", DoubleType),
+    StructField("tmin", TimestampType), StructField("tmax", TimestampType)))
+
+  val stboxType: StructType = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("xmax", DoubleType),
+    StructField("ymin", DoubleType), StructField("ymax", DoubleType),
+    StructField("tmin", TimestampType), StructField("tmax", TimestampType)))
+
+  // ---- constructors -------------------------------------------------------
+
+  def tbox(vmin: Column, vmax: Column, tmin: Column, tmax: Column): Column =
+    struct(vmin.cast(DoubleType).as("vmin"), vmax.cast(DoubleType).as("vmax"),
+      tmin.as("tmin"), tmax.as("tmax"))
+
+  /** Degenerate box from a single value — `int_to_tbox`
+    * (`meos/src/tbox.rs:87-98`): value span collapses to [v, v], no time. */
+  def valueToTbox(v: Column): Column =
+    struct(v.cast(DoubleType).as("vmin"), v.cast(DoubleType).as("vmax"),
+      lit(null).cast(TimestampType).as("tmin"),
+      lit(null).cast(TimestampType).as("tmax"))
+
+  /** Aggregate constructor: the value×time extent of a group (A9). */
+  def tboxAgg(v: Column, t: Column): Column =
+    struct(min(v).cast(DoubleType).as("vmin"),
+      max(v).cast(DoubleType).as("vmax"),
+      min(t).as("tmin"), max(t).as("tmax"))
+
+  def stbox(xmin: Column, xmax: Column, ymin: Column, ymax: Column,
+            tmin: Column, tmax: Column): Column =
+    struct(xmin.cast(DoubleType).as("xmin"), xmax.cast(DoubleType).as("xmax"),
+      ymin.cast(DoubleType).as("ymin"), ymax.cast(DoubleType).as("ymax"),
+      tmin.as("tmin"), tmax.as("tmax"))
+
+  /** Aggregate constructor: spatial+time extent of a group of posits (A10). */
+  def stboxAgg(x: Column, y: Column, t: Column): Column =
+    struct(min(x).cast(DoubleType).as("xmin"),
+      max(x).cast(DoubleType).as("xmax"),
+      min(y).cast(DoubleType).as("ymin"),
+      max(y).cast(DoubleType).as("ymax"),
+      min(t).as("tmin"), max(t).as("tmax"))
+
+  // ---- predicates (usable as filter or join condition) --------------------
+
+  private def dimContains(alo: Column, ahi: Column, blo: Column,
+                          bhi: Column): Column =
+    (alo <= blo) && (bhi <= ahi)
+
+  private def dimOverlaps(alo: Column, ahi: Column, blo: Column,
+                          bhi: Column): Column =
+    (alo <= bhi) && (blo <= ahi)
+
+  /** A contains B on value and time (`contains_tbox_tbox`,
+    * `meos/src/tbox.rs:100-102`). */
+  def tboxContains(a: Column, b: Column): Column =
+    dimContains(a("vmin"), a("vmax"), b("vmin"), b("vmax")) &&
+      dimContains(a("tmin"), a("tmax"), b("tmin"), b("tmax"))
+
+  /** Boxes intersect (`overlaps_tbox_tbox`, `meos/src/tbox.rs:104-106`). */
+  def tboxOverlaps(a: Column, b: Column): Column =
+    dimOverlaps(a("vmin"), a("vmax"), b("vmin"), b("vmax")) &&
+      dimOverlaps(a("tmin"), a("tmax"), b("tmin"), b("tmax"))
+
+  /** Equal extent (`same_tbox_tbox`, `meos/src/tbox.rs:108-110`). */
+  def tboxSame(a: Column, b: Column): Column =
+    (a("vmin") === b("vmin")) && (a("vmax") === b("vmax")) &&
+      (a("tmin") === b("tmin")) && (a("tmax") === b("tmax"))
+
+  /** Spatiotemporal containment (`meos/src/stbox.rs:83-85`). */
+  def stboxContains(a: Column, b: Column): Column =
+    dimContains(a("xmin"), a("xmax"), b("xmin"), b("xmax")) &&
+      dimContains(a("ymin"), a("ymax"), b("ymin"), b("ymax")) &&
+      dimContains(a("tmin"), a("tmax"), b("tmin"), b("tmax"))
+
+  /** Spatiotemporal intersection (`meos/src/stbox.rs:87-89`). */
+  def stboxOverlaps(a: Column, b: Column): Column =
+    dimOverlaps(a("xmin"), a("xmax"), b("xmin"), b("xmax")) &&
+      dimOverlaps(a("ymin"), a("ymax"), b("ymin"), b("ymax")) &&
+      dimOverlaps(a("tmin"), a("tmax"), b("tmin"), b("tmax"))
+
+  /** Equal spatiotemporal extent (`meos/src/stbox.rs:91-93`). */
+  def stboxSame(a: Column, b: Column): Column =
+    (a("xmin") === b("xmin")) && (a("xmax") === b("xmax")) &&
+      (a("ymin") === b("ymin")) && (a("ymax") === b("ymax")) &&
+      (a("tmin") === b("tmin")) && (a("tmax") === b("tmax"))
+
+  /** The reference's box total order: `tbox_cmp`/`stbox_cmp`
+    * (`meos/src/tbox.rs:46-57`, `stbox.rs:42-53`) — lexicographic over the
+    * struct fields. Spark's native struct ordering matches; expose the box
+    * struct itself as the sort key. */
+  def boxOrder(box: Column): Column = box
+}

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.meos.{Assembly, Boxes}
+
+/** The declared t2 query set (SURVEY.md §5.3): each key has a Spark
+  * implementation here and an ANSI-SQL DuckDB twin in [[oracle]]. `events`
+  * plays the AIS role (user_id≈MMSI, ts≈BaseDateTime, value≈coordinate).
+  *
+  * Determinism discipline: every query ends in an ORDER BY over a unique
+  * key set, aggregates avoid order-dependent float summation (doubles are
+  * only min/max'd or passed through; money sums go through decimal), and
+  * "last value" uses explicit (ts, event_id) ordering, never `last()`.
+  */
+object CoreQueries {
+
+  private val Cut = "timestamp '2024-01-15 00:00:00'"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q01 — S1/S2/P1/P6: scan, project, rename, null-default
+    "q01_scan_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lnum"),
+        col("l_quantity").as("qty"),
+        coalesce(col("l_returnflag"), lit("X")).as("rflag"))
+        .orderBy("okey", "lnum")),
+
+    // q02 — A1/A2/S6: group-by entity + count
+    "q02_group_count" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // q03 — A3/O3/F10: per-entity sorted timestamp array
+    "q03_group_sorted_times" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(sort_array(collect_list(col("ts"))).as("ts_list"))
+        .orderBy("user_id")),
+
+    // q04 — F1/F2/A4: posit text "value user" (printf-pinned rendering)
+    "q04_posit_concat" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        format_string("%.2f %d", col("value"), col("user_id")).as("posit"))
+        .orderBy("event_id")),
+
+    // q05 — P2/P3: HAVING count > k
+    "q05_having_min_size" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 66)
+        .orderBy("user_id")),
+
+    // q06 — O1/O4: order groups by size
+    "q06_sort_by_len" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("user_id"))),
+
+    // q07 — O2/O6: sort + limit (TakeOrderedAndProject)
+    "q07_limit_topk" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("user_id"))
+        .limit(10)),
+
+    // q08 — P5/W2: consecutive-duplicate-timestamp dedupe via lag
+    "q08_dedup_consecutive" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("pts", lag("ts", 1).over(w))
+        .where(col("pts").isNull || col("ts") =!= col("pts"))
+        .select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+    }),
+
+    // q09 — P4/W1: monotonic-time filter (running max over arrival order)
+    "q09_monotonic_filter" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("pm", max("ts").over(w))
+        .where(col("pm").isNull || col("ts") > col("pm"))
+        .select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+    }),
+
+    // q10 — §2.7: union of two filtered slices
+    "q10_union_filter" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click").select("event_id", "event_type")
+        .unionAll(
+          ev.where(col("event_type") === "error")
+            .select("event_id", "event_type"))
+        .orderBy("event_id")
+    }),
+
+    // q11 — P7/W3: chunk each entity's posits into batches of 50
+    "q11_chunk_batches" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chunk", expr("(rn - 1) div 50"))
+        .groupBy("user_id", "chunk")
+        .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"))
+        .orderBy("user_id", "chunk")
+    }),
+
+    // q12 — A5/A6: trajectory assembly via the typed Aggregator
+    "q12_trip_assembly" -> ((s, dir) => {
+      val asm = Assembly.tfloatAssemble()
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
+          .as("s"))
+        .select(col("user_id"),
+          expr("transform(s.t, x -> timestamp_micros(x))").as("ts_list"),
+          col("s.v").as("v_list"),
+          col("s.n").as("n"))
+        .orderBy("user_id")
+    }),
+
+    // q13 — A9/F9/O5: per-entity value×time extent (TBox)
+    "q13_tbox_agg" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
+        .select(col("user_id"),
+          col("box.vmin").as("vmin"), col("box.vmax").as("vmax"),
+          col("box.tmin").as("tmin"), col("box.tmax").as("tmax"))
+        .orderBy("user_id")),
+
+    // q14 — A10: spatial(2-D)+time extent (STBox) per order
+    "q14_stbox_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("okey"))
+        .agg(Boxes.stboxAgg(col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate")).as("box"))
+        .select(col("okey"),
+          col("box.xmin").as("xmin"), col("box.xmax").as("xmax"),
+          col("box.ymin").as("ymin"), col("box.ymax").as("ymax"),
+          col("box.tmin").as("tmin"), col("box.tmax").as("tmax"))
+        .orderBy("okey")),
+
+    // q15 — J2/J3/J5: self-join on box overlap (broadcast: one box/entity)
+    "q15_box_overlaps" -> ((s, dir) => {
+      val b = Tables.events(s, dir).groupBy("user_id")
+        .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
+      val a = b.select(col("user_id").as("u1"), col("box").as("b1"))
+      val c = b.select(col("user_id").as("u2"), col("box").as("b2"))
+      a.join(broadcast(c),
+        col("u1") < col("u2") &&
+          Boxes.tboxOverlaps(col("b1"), col("b2")))
+        .select("u1", "u2")
+        .orderBy("u1", "u2")
+    }),
+
+    // q16 — J1/J4: entity boxes containing a probe box
+    "q16_box_contains" -> ((s, dir) => {
+      val probe = Boxes.tbox(lit(50.0), lit(150.0),
+        expr("timestamp '2024-01-10 00:00:00'"),
+        expr("timestamp '2024-01-20 00:00:00'"))
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
+        .where(Boxes.tboxContains(col("box"), probe))
+        .select("user_id")
+        .orderBy("user_id")
+    }),
+
+    // q17 — A7/A8: start timestamp + deterministic last event_type
+    "q17_start_ts_last_type" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(min("ts").as("start_ts"),
+          max(when(col("rn") === 1, col("event_type"))).as("last_type"))
+        .orderBy("user_id")
+    }),
+
+    // q18 — F8: temporal equality of two independent q12 derivations
+    "q18_temporal_eq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val asm = Assembly.tfloatAssemble()
+      val viaUdaf = ev.groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
+          .as("s"))
+        .select(col("user_id"),
+          expr("transform(s.t, x -> timestamp_micros(x))").as("ts1"),
+          col("s.v").as("v1"))
+      val w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+      val viaCollect = ev
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("value"))))
+          .as("ps"))
+        .select(col("user_id"),
+          expr("transform(ps, p -> p.ts)").as("ts2"),
+          expr("transform(ps, p -> p.value)").as("v2"))
+      viaUdaf.join(viaCollect, "user_id")
+        .select(col("user_id"),
+          (col("ts1") === col("ts2") && col("v1") === col("v2")).as("eq"))
+        .orderBy("user_id")
+    }),
+
+    // q20 — S4/J6: upsert-merge of two time slices (full-outer + coalesce)
+    "q20_upsert_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val olds = ev.where(col("ts") < expr(Cut)).groupBy("user_id")
+        .agg(count(lit(1)).as("n_o"), min("ts").as("tmin_o"),
+          max("ts").as("tmax_o"))
+      val news = ev.where(col("ts") >= expr(Cut)).groupBy("user_id")
+        .agg(count(lit(1)).as("n_n"), min("ts").as("tmin_n"),
+          max("ts").as("tmax_n"))
+      olds.join(news, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_n"), lit(0L)))
+            .as("n"),
+          least(coalesce(col("tmin_o"), col("tmin_n")),
+            coalesce(col("tmin_n"), col("tmin_o"))).as("tmin"),
+          greatest(coalesce(col("tmax_o"), col("tmax_n")),
+            coalesce(col("tmax_n"), col("tmax_o"))).as("tmax"))
+        .orderBy("user_id")
+    }),
+
+    // q21 — join family: multi-way equi-join + decimal-stable revenue agg
+    "q21_join_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * " +
+            "(1 - cast(l_discount as decimal(18,2)))) as double)")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // q22 — semi join (EXISTS)
+    "q22_exists_semi" -> ((s, dir) => {
+      val shipped = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= expr("timestamp '2000-01-01 00:00:00'"))
+      Tables.orders(s, dir)
+        .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty,
+        | coalesce(l_returnflag, 'X') AS rflag
+        |FROM lineitem ORDER BY okey, lnum""".stripMargin,
+
+    "q02_group_count" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q03_group_sorted_times" ->
+      """SELECT user_id, list(ts ORDER BY ts) AS ts_list FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q04_posit_concat" ->
+      """SELECT event_id, printf('%.2f %d', value, user_id) AS posit
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q05_having_min_size" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) > 66 ORDER BY user_id""".stripMargin,
+
+    "q06_sort_by_len" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id""".stripMargin,
+
+    "q07_limit_topk" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    "q08_dedup_consecutive" ->
+      """SELECT event_id, user_id, ts FROM (
+        |  SELECT event_id, user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |WHERE pts IS NULL OR ts <> pts ORDER BY event_id""".stripMargin,
+
+    "q09_monotonic_filter" ->
+      """SELECT event_id, user_id, ts FROM (
+        |  SELECT event_id, user_id, ts,
+        |         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events)
+        |WHERE pm IS NULL OR ts > pm ORDER BY event_id""".stripMargin,
+
+    "q10_union_filter" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "q11_chunk_batches" ->
+      """SELECT user_id, chunk, count(*) AS n, min(ts) AS t0, max(ts) AS t1
+        |FROM (
+        |  SELECT user_id, ts,
+        |         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          - 1) // 50 AS chunk
+        |  FROM events)
+        |GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
+
+    "q12_trip_assembly" ->
+      """SELECT user_id, list(ts ORDER BY ts) AS ts_list,
+        |       list(value ORDER BY ts) AS v_list, count(*) AS n
+        |FROM (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |             ORDER BY event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q13_tbox_agg" ->
+      """SELECT user_id, min(value) AS vmin, max(value) AS vmax,
+        |       min(ts) AS tmin, max(ts) AS tmax
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q14_stbox_agg" ->
+      """SELECT l_orderkey AS okey,
+        |       min(l_quantity) AS xmin, max(l_quantity) AS xmax,
+        |       min(l_extendedprice) AS ymin, max(l_extendedprice) AS ymax,
+        |       min(l_shipdate) AS tmin, max(l_shipdate) AS tmax
+        |FROM lineitem GROUP BY l_orderkey ORDER BY okey""".stripMargin,
+
+    "q15_box_overlaps" ->
+      """WITH b AS (
+        |  SELECT user_id, min(value) AS vmin, max(value) AS vmax,
+        |         min(ts) AS tmin, max(ts) AS tmax
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id AS u1, c.user_id AS u2
+        |FROM b a JOIN b c
+        |  ON a.user_id < c.user_id
+        | AND a.vmin <= c.vmax AND c.vmin <= a.vmax
+        | AND a.tmin <= c.tmax AND c.tmin <= a.tmax
+        |ORDER BY u1, u2""".stripMargin,
+
+    "q16_box_contains" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id, min(value) AS vmin, max(value) AS vmax,
+        |         min(ts) AS tmin, max(ts) AS tmax
+        |  FROM events GROUP BY user_id)
+        |WHERE vmin <= 50 AND 150 <= vmax
+        |  AND tmin <= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND TIMESTAMP '2024-01-20 00:00:00' <= tmax
+        |ORDER BY user_id""".stripMargin,
+
+    "q17_start_ts_last_type" ->
+      """SELECT user_id, min(ts) AS start_ts,
+        |       max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+        |FROM (
+        |  SELECT user_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q18_temporal_eq" ->
+      """SELECT user_id, true AS eq FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q20_upsert_merge" ->
+      """WITH o AS (
+        |  SELECT user_id, count(*) AS n, min(ts) AS tmin, max(ts) AS tmax
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY user_id),
+        |n AS (
+        |  SELECT user_id, count(*) AS n, min(ts) AS tmin, max(ts) AS tmax
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY user_id)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |       coalesce(o.n, 0) + coalesce(n.n, 0) AS n,
+        |       least(coalesce(o.tmin, n.tmin), coalesce(n.tmin, o.tmin)) AS tmin,
+        |       greatest(coalesce(o.tmax, n.tmax), coalesce(n.tmax, o.tmax)) AS tmax
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q21_join_revenue" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q22_exists_semi" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |ORDER BY o_orderkey""".stripMargin)
+}

@@ -1,0 +1,47 @@
+package graft
+
+/** Smoke + invariant tests for the declared query set on sf0.001. The full
+  * hash-vs-DuckDB check runs through Verify + tools/selfcheck.py (and the
+  * driver's own gate); these specs catch regressions at `sbt test` speed.
+  */
+class CoreQueriesSpec extends SparkTestBase {
+
+  test("entry (flagship) returns rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    // trips are assembled per user: n_posits positive, start <= end
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_posits") > 0)
+      assert(!r.getAs[java.sql.Timestamp]("start_ts")
+        .after(r.getAs[java.sql.Timestamp]("end_ts")))
+    }
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query key has either an oracle or is documented Spark-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Spark-only queries (codecs etc.) are allowed but must be intentional:
+    assert(missing.forall(_.startsWith("x")),
+      s"queries without oracle SQL: $missing")
+  }
+
+  test("q18 two assembly derivations agree on every user") {
+    val rows = SparkEntry.queries("q18_temporal_eq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("eq")))
+  }
+
+  test("q07 top-k equals prefix of q06 full sort") {
+    val full = SparkEntry.queries("q06_sort_by_len")(spark, sfDir)
+      .collect().take(10).map(_.toSeq)
+    val topk = SparkEntry.queries("q07_limit_topk")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(full.toSeq == topk.toSeq)
+  }
+}
