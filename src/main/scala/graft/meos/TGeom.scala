@@ -1,0 +1,422 @@
+package graft.meos
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+
+/** In-memory model + text/binary codecs for temporal geometry points —
+  * the value algebra the reference exposes through MEOS FFI:
+  * parse `tgeompoint_in` (`meos/src/tinst.rs:24`, `tseq.rs:28`,
+  * `tset.rs:28`), print `tsequence_out` (`tseq.rs:66-72`), MF-JSON
+  * (`temp.rs:17-19,40-47`), extended WKB/HexWKB (`temp.rs:21-38`).
+  *
+  * Pure JVM (no Spark imports) so the same code backs UDFs, tests, and a
+  * future codegen'd Expression. Field names carry snake_case to match the
+  * engine's public struct schema ([[Temporal]]).
+  *
+  * Grammar covered (all six literal forms of
+  * `meos/examples/01_hello_world.rs:8-56` + the ingest form
+  * `SRID=4326;Point(lon lat)@ts+00`, `04_to_file.rs:146-148`):
+  *   [SRID=n;][Interp=Step;] instant | {discrete} | [continuous] |
+  *   {[seq], [seq]}   with ()/[] bounds inclusivity.
+  */
+object TGeom {
+
+  val SubInstant = 1
+  val SubSequence = 2
+  val SubSequenceSet = 3
+
+  case class GInst(t: Instant, x: Double, y: Double)
+  case class GSeq(instants: Seq[GInst], interp: Int,
+                  `lower_inc`: Boolean, `upper_inc`: Boolean)
+  case class Val(subtype: Int, srid: Int, interp: Int, sequences: Seq[GSeq])
+
+  final class ParseError(msg: String) extends IllegalArgumentException(msg)
+  private def fail(msg: String): Nothing = throw new ParseError(msg)
+
+  // ---- timestamp text ------------------------------------------------------
+
+  private val TsRe =
+    """(\d{4}-\d{2}-\d{2})(?:[T ](\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?))?\s*(Z|[+-]\d{2}(?::?\d{2})?)?""".r
+
+  /** Parse MEOS timestamp text: date-only, `T` or space separator, optional
+    * offset (`+00`, `-05`, `+00:00`, `Z`); no offset ⇒ UTC (session tz is
+    * pinned UTC, SURVEY.md §1.2). */
+  def parseTs(s: String): Instant = s.trim match {
+    case TsRe(date, time, off) =>
+      val t = if (time == null) "00:00:00"
+        else if (time.length == 5) time + ":00" else time
+      val offset = off match {
+        case null | "Z" => ZoneOffset.UTC
+        case o if o.length == 3 => ZoneOffset.of(o + ":00")
+        case o => ZoneOffset.of(o)
+      }
+      LocalDateTime.parse(s"${date}T$t").toInstant(offset)
+    case other => fail(s"bad timestamp: '$other'")
+  }
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val TsFmtFrac = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** MEOS renders timestamptz in the session timezone with a short offset —
+    * goldens like `2001-01-01 00:00:00-05` (`tbox.rs:138`); ours pin UTC →
+    * `+00`. Sub-second micros printed only when nonzero. */
+  def fmtTs(t: Instant): String = {
+    val odt = OffsetDateTime.ofInstant(t, ZoneOffset.UTC)
+    val base = if (t.getNano == 0) TsFmt.format(odt)
+      else TsFmtFrac.format(odt).reverse.dropWhile(_ == '0').reverse
+    base + "+00"
+  }
+
+  private val IsoFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+  private val IsoFmtFrac =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** MF-JSON datetimes: ISO 'T' separator, same offset convention. */
+  def fmtTsIso(t: Instant): String = {
+    val odt = OffsetDateTime.ofInstant(t, ZoneOffset.UTC)
+    val base = if (t.getNano == 0) IsoFmt.format(odt)
+      else IsoFmtFrac.format(odt).reverse.dropWhile(_ == '0').reverse
+    base + "+00"
+  }
+
+  // ---- float text (MEOS min-digit printing: 1.0 → "1", tbox.rs:132-133) ---
+
+  def fmtFloat(v: Double, maxdd: Int = 15): String = {
+    if (v.isNaN) return "NaN"
+    if (v.isInfinite) return if (v > 0) "inf" else "-inf"
+    val bd = BigDecimal(v).setScale(maxdd, BigDecimal.RoundingMode.HALF_EVEN)
+    val s = bd.underlying.stripTrailingZeros.toPlainString
+    if (s == "-0") "0" else s
+  }
+
+  // ---- WKT parse -----------------------------------------------------------
+
+  private val PointRe =
+    """(?i)point\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*@\s*(.+)""".r
+
+  private def parseInstant(s: String): GInst = s.trim match {
+    case PointRe(x, y, ts) => GInst(parseTs(ts), x.toDouble, y.toDouble)
+    case other => fail(s"bad instant: '$other'")
+  }
+
+  /** Split on top-level commas (no nesting inside instants, but sequence
+    * sets nest one level of brackets). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' | '(' | '{' => depth += 1
+        case ']' | ')' | '}' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseContinuousSeq(s: String, interp: Int): GSeq = {
+    val lower = s.head match {
+      case '[' => true
+      case '(' => false
+      case c => fail(s"bad sequence open bound '$c'")
+    }
+    val upper = s.last match {
+      case ']' => true
+      case ')' => false
+      case c => fail(s"bad sequence close bound '$c'")
+    }
+    val body = s.substring(1, s.length - 1)
+    // `point(..)` contains parens — splitTop handles them as depth, so
+    // bounds chars were already stripped before the split.
+    val insts = splitTop(body).map(parseInstant)
+    if (insts.isEmpty) fail("empty sequence")
+    GSeq(insts, interp, lower, upper)
+  }
+
+  def parse(wkt: String): Val = {
+    var s = wkt.trim
+    var srid = 0
+    if (s.toUpperCase.startsWith("SRID=")) {
+      val i = s.indexOf(';')
+      if (i < 0) fail("SRID= without ';'")
+      srid = s.substring(5, i).trim.toInt
+      s = s.substring(i + 1).trim
+    }
+    var interpOverride = -1
+    if (s.toLowerCase.startsWith("interp=")) {
+      val i = s.indexOf(';')
+      if (i < 0) fail("Interp= without ';'")
+      interpOverride = s.substring(7, i).trim.toLowerCase match {
+        case "step" => Temporal.InterpStep
+        case "linear" => Temporal.InterpLinear
+        case "discrete" => Temporal.InterpDiscrete
+        case "none" => Temporal.InterpNone
+        case o => fail(s"bad interpolation '$o'")
+      }
+      s = s.substring(i + 1).trim
+    }
+    def interpOr(dflt: Int): Int =
+      if (interpOverride >= 0) interpOverride else dflt
+
+    if (s.startsWith("{")) {
+      val inner = s.substring(1, s.length - 1).trim
+      if (inner.startsWith("[") || inner.startsWith("(")) {
+        // sequence set
+        val interp = interpOr(Temporal.InterpLinear)
+        val seqs = splitTop(inner).map(parseContinuousSeq(_, interp))
+        Val(SubSequenceSet, srid, interp, seqs)
+      } else {
+        // discrete sequence: `{P@t1, P@t2}` (01_hello_world.rs:14)
+        val insts = splitTop(inner).map(parseInstant)
+        val seq = GSeq(insts, Temporal.InterpDiscrete, `lower_inc` = true,
+          `upper_inc` = true)
+        Val(SubSequence, srid, Temporal.InterpDiscrete, Seq(seq))
+      }
+    } else if (s.startsWith("[") || s.startsWith("(")) {
+      val interp = interpOr(Temporal.InterpLinear)
+      Val(SubSequence, srid, interp, Seq(parseContinuousSeq(s, interp)))
+    } else {
+      val inst = parseInstant(s)
+      Val(SubInstant, srid, Temporal.InterpNone,
+        Seq(GSeq(Seq(inst), Temporal.InterpNone, `lower_inc` = true,
+          `upper_inc` = true)))
+    }
+  }
+
+  // ---- WKT print -----------------------------------------------------------
+
+  private def fmtInstant(i: GInst, maxdd: Int): String =
+    s"POINT(${fmtFloat(i.x, maxdd)} ${fmtFloat(i.y, maxdd)})@${fmtTs(i.t)}"
+
+  private def fmtSeqBody(q: GSeq, maxdd: Int): String = {
+    val body = q.instants.map(fmtInstant(_, maxdd)).mkString(", ")
+    if (q.interp == Temporal.InterpDiscrete) s"{$body}"
+    else {
+      val lo = if (q.`lower_inc`) "[" else "("
+      val hi = if (q.`upper_inc`) "]" else ")"
+      s"$lo$body$hi"
+    }
+  }
+
+  /** Print as MEOS WKT (`tsequence_out(maxdd)`, `tseq.rs:66-72`). The
+    * `Interp=Step;` prefix mirrors the parse grammar; SRID prefix emitted
+    * when nonzero (the extended/ingest form). */
+  def print(v: Val, maxdd: Int = 15): String = {
+    val prefix =
+      (if (v.srid != 0) s"SRID=${v.srid};" else "") +
+        (if (v.interp == Temporal.InterpStep) "Interp=Step;" else "")
+    val body = v.subtype match {
+      case SubInstant => fmtInstant(v.sequences.head.instants.head, maxdd)
+      case SubSequence => fmtSeqBody(v.sequences.head, maxdd)
+      case SubSequenceSet =>
+        v.sequences.map(fmtSeqBody(_, maxdd)).mkString("{", ", ", "}")
+      case o => fail(s"bad subtype $o")
+    }
+    prefix + body
+  }
+
+  // ---- MF-JSON (OGC Moving Features JSON; MEOS `temporal_as_mfjson`) ------
+
+  private def interpName(i: Int): String = i match {
+    case Temporal.InterpNone => "None"
+    case Temporal.InterpDiscrete => "Discrete"
+    case Temporal.InterpStep => "Step"
+    case Temporal.InterpLinear => "Linear"
+    case _ => "None"
+  }
+
+  private def jsonStr(s: String): String = "\"" + s + "\""
+
+  private def coordsJson(insts: Seq[GInst], precision: Int): String =
+    insts.map(i =>
+      s"[${fmtFloat(i.x, precision)},${fmtFloat(i.y, precision)}]")
+      .mkString("[", ",", "]")
+
+  private def datetimesJson(insts: Seq[GInst]): String =
+    insts.map(i => jsonStr(fmtTsIso(i.t))).mkString("[", ",", "]")
+
+  /** Emit MF-JSON with the reference's two call shapes: with bbox
+    * (`temp.rs:17-19`: with_bbox=true, variant 0, precision 6) and without
+    * (`temp.rs:40-47`). */
+  def toMfJson(v: Val, withBbox: Boolean = true, precision: Int = 6): String = {
+    val all = v.sequences.flatMap(_.instants)
+    val sb = new StringBuilder
+    sb.append("{\"type\":\"MovingGeomPoint\"")
+    if (v.srid != 0)
+      sb.append(",\"crs\":{\"type\":\"Name\",\"properties\":{\"name\":")
+        .append(jsonStr(s"EPSG:${v.srid}")).append("}}")
+    if (withBbox && all.nonEmpty) {
+      val xs = all.map(_.x); val ys = all.map(_.y)
+      sb.append(",\"bbox\":[[")
+        .append(fmtFloat(xs.min, precision)).append(',')
+        .append(fmtFloat(ys.min, precision)).append("],[")
+        .append(fmtFloat(xs.max, precision)).append(',')
+        .append(fmtFloat(ys.max, precision)).append("]]")
+      sb.append(",\"period\":{\"begin\":")
+        .append(jsonStr(fmtTsIso(all.map(_.t).min)))
+        .append(",\"end\":").append(jsonStr(fmtTsIso(all.map(_.t).max)))
+        .append("}")
+    }
+    v.subtype match {
+      case SubInstant | SubSequence =>
+        val q = v.sequences.head
+        sb.append(",\"coordinates\":").append(coordsJson(q.instants, precision))
+        sb.append(",\"datetimes\":").append(datetimesJson(q.instants))
+        if (v.subtype == SubSequence && v.interp != Temporal.InterpDiscrete) {
+          sb.append(",\"lower_inc\":").append(q.`lower_inc`)
+          sb.append(",\"upper_inc\":").append(q.`upper_inc`)
+        }
+      case SubSequenceSet =>
+        sb.append(",\"sequences\":[")
+        sb.append(v.sequences.map { q =>
+          s"{\"coordinates\":${coordsJson(q.instants, precision)}," +
+            s"\"datetimes\":${datetimesJson(q.instants)}," +
+            s"\"lower_inc\":${q.`lower_inc`},\"upper_inc\":${q.`upper_inc`}}"
+        }.mkString(","))
+        sb.append("]")
+      case _ =>
+    }
+    sb.append(",\"interpolation\":").append(jsonStr(interpName(v.interp)))
+    sb.append("}")
+    sb.toString
+  }
+
+  // ---- extended WKB (temp.rs:21-38; flags WKB_EXTENDED|WKB_NDR|WKB_HEX) ---
+  //
+  // Self-describing little-endian layout (documented here, not a byte-level
+  // clone of MEOS's internal format which is not observable from the
+  // reference's tests):
+  //   u8  0x01                     byte order marker (NDR)
+  //   u8  flags: bits0-1 subtype, bit2 hasSRID, bits4-5 interp
+  //   i32 srid                     (iff hasSRID — the "extended" part)
+  //   subtype payload:
+  //     instant:  f64 x, f64 y, i64 t(us)
+  //     sequence: u8 bounds(lower|upper<<1), i32 n, n×instant
+  //     seqset:   i32 nseq, nseq×sequence
+
+  private def usOf(t: Instant): Long =
+    Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+      (t.getNano / 1000).toLong)
+  private def instOf(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  def toWkb(v: Val): Array[Byte] = {
+    val buf = java.nio.ByteBuffer
+      .allocate(16 + v.sequences.map(q => 8 + q.instants.size * 24).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x01.toByte)
+    val hasSrid = v.srid != 0
+    buf.put(((v.subtype & 0x3) | (if (hasSrid) 0x4 else 0) |
+      ((v.interp & 0x3) << 4)).toByte)
+    if (hasSrid) buf.putInt(v.srid)
+    def putInst(i: GInst): Unit = {
+      buf.putDouble(i.x); buf.putDouble(i.y); buf.putLong(usOf(i.t))
+    }
+    def putSeq(q: GSeq): Unit = {
+      buf.put((((if (q.`lower_inc`) 1 else 0)) |
+        (if (q.`upper_inc`) 2 else 0)).toByte)
+      buf.putInt(q.instants.size)
+      q.instants.foreach(putInst)
+    }
+    v.subtype match {
+      case SubInstant => putInst(v.sequences.head.instants.head)
+      case SubSequence => putSeq(v.sequences.head)
+      case SubSequenceSet =>
+        buf.putInt(v.sequences.size); v.sequences.foreach(putSeq)
+      case o => fail(s"bad subtype $o")
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  def fromWkb(bytes: Array[Byte]): Val = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (buf.get() != 0x01) fail("bad byte-order marker")
+    val flags = buf.get()
+    val subtype = flags & 0x3
+    val srid = if ((flags & 0x4) != 0) buf.getInt() else 0
+    val interp = (flags >> 4) & 0x3
+    def getInst(): GInst = {
+      val x = buf.getDouble(); val y = buf.getDouble()
+      GInst(instOf(buf.getLong()), x, y)
+    }
+    def getSeq(i: Int): GSeq = {
+      val b = buf.get()
+      val n = buf.getInt()
+      GSeq((0 until n).map(_ => getInst()), i, (b & 1) != 0, (b & 2) != 0)
+    }
+    subtype match {
+      case SubInstant =>
+        Val(SubInstant, srid, interp,
+          Seq(GSeq(Seq(getInst()), interp, `lower_inc` = true,
+            `upper_inc` = true)))
+      case SubSequence => Val(SubSequence, srid, interp, Seq(getSeq(interp)))
+      case SubSequenceSet =>
+        val n = buf.getInt()
+        Val(SubSequenceSet, srid, interp, (0 until n).map(_ => getSeq(interp)))
+      case o => fail(s"bad subtype $o")
+    }
+  }
+
+  private val HexChars = "0123456789ABCDEF".toCharArray
+
+  /** HexWKB: uppercase hex of [[toWkb]] (`temporal_as_hexwkb`,
+    * `temp.rs:30-38`). */
+  def toHexWkb(v: Val): String = {
+    val b = toWkb(v)
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach { byte =>
+      sb.append(HexChars((byte >> 4) & 0xf)).append(HexChars(byte & 0xf))
+    }
+    sb.toString
+  }
+
+  def fromHexWkb(hex: String): Val =
+    fromWkb(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+
+  // ---- semantics: value at timestamp (interpolation-aware) ----------------
+
+  /** Value of the temporal point at timestamp `at`, honoring interpolation
+    * mode and bounds inclusivity (the semantics MEOS's `tsequence_make`
+    * parameters declare, `meos/src/tseq.rs:57-60`): Linear interpolates
+    * between bracketing instants, Step holds the previous value, Discrete
+    * matches exact instants only. None outside the (inclusive-respecting)
+    * domain. */
+  def valueAt(v: Val, at: Instant): Option[(Double, Double)] = {
+    val atUs = usOf(at)
+    v.sequences.foreach { q =>
+      val n = q.instants.size
+      val first = usOf(q.instants.head.t)
+      val last = usOf(q.instants.last.t)
+      q.interp match {
+        case Temporal.InterpDiscrete | Temporal.InterpNone =>
+          q.instants.find(i => usOf(i.t) == atUs)
+            .foreach(i => return Some((i.x, i.y)))
+        case _ =>
+          val inLower = if (q.`lower_inc`) atUs >= first else atUs > first
+          val inUpper = if (q.`upper_inc`) atUs <= last else atUs < last
+          if (inLower && inUpper) {
+            var k = 0
+            while (k < n - 1 && usOf(q.instants(k + 1).t) <= atUs) k += 1
+            val a = q.instants(k)
+            if (usOf(a.t) == atUs) return Some((a.x, a.y))
+            else if (k < n - 1) {
+              val b = q.instants(k + 1)
+              if (q.interp == Temporal.InterpStep) return Some((a.x, a.y))
+              else {
+                val f = (atUs - usOf(a.t)).toDouble / (usOf(b.t) - usOf(a.t))
+                return Some((a.x + f * (b.x - a.x), a.y + f * (b.y - a.y)))
+              }
+            }
+          }
+      }
+    }
+    None
+  }
+}

@@ -1,0 +1,237 @@
+package graft
+
+import java.time.Instant
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.meos.{BoxText, TGeom, Temporal}
+import graft.meos.TGeom.{GInst, GSeq, Val}
+
+/** Codec goldens ported from the reference tests, UTC-re-pinned where the
+  * reference renders local time (SURVEY.md §7.3):
+  * WKT grammars `meos/examples/01_hello_world.rs:8-56`, TBox goldens
+  * `meos/src/tbox.rs:131-151`, STBox goldens `meos/src/stbox.rs:113-124`,
+  * predicate truth tables `tbox.rs:153-195`.
+  */
+class CodecSpec extends SparkTestBase {
+
+  private def roundtrip(in: String, expected: String): Unit = {
+    val v = TGeom.parse(in)
+    assert(TGeom.print(v) == expected)
+    // print → parse → print is stable
+    assert(TGeom.print(TGeom.parse(TGeom.print(v))) == expected)
+  }
+
+  test("six WKT literal grammars parse and print canonically") {
+    roundtrip("POINT(1 1)@2000-01-01",
+      "POINT(1 1)@2000-01-01 00:00:00+00")
+    roundtrip("{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}",
+      "{POINT(1 1)@2000-01-01 00:00:00+00, POINT(2 2)@2000-01-02 00:00:00+00}")
+    roundtrip("[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "[POINT(1 1)@2000-01-01 00:00:00+00, POINT(2 2)@2000-01-02 00:00:00+00]")
+    roundtrip("Interp=Step;[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "Interp=Step;[POINT(1 1)@2000-01-01 00:00:00+00, " +
+        "POINT(2 2)@2000-01-02 00:00:00+00]")
+    roundtrip("{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+      "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}",
+      "{[POINT(1 1)@2000-01-01 00:00:00+00, " +
+        "POINT(2 2)@2000-01-02 00:00:00+00], " +
+        "[POINT(3 3)@2000-01-03 00:00:00+00, " +
+        "POINT(3 3)@2000-01-04 00:00:00+00]}")
+    roundtrip("SRID=4326;Point(-90.06 29.95)@2024-01-01T00:00:00+00",
+      "SRID=4326;POINT(-90.06 29.95)@2024-01-01 00:00:00+00")
+  }
+
+  test("subtype tags follow the parse shape (lib.rs:30-34)") {
+    assert(TGeom.parse("POINT(1 1)@2000-01-01").subtype == TGeom.SubInstant)
+    assert(TGeom.parse("{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}")
+      .subtype == TGeom.SubSequence)
+    assert(TGeom.parse("[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]")
+      .subtype == TGeom.SubSequence)
+    assert(TGeom.parse(
+      "{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+        "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}")
+      .subtype == TGeom.SubSequenceSet)
+  }
+
+  test("bounds inclusivity survives parse/print") {
+    val v = TGeom.parse("(POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]")
+    assert(!v.sequences.head.`lower_inc` && v.sequences.head.`upper_inc`)
+    assert(TGeom.print(v).startsWith("(") && TGeom.print(v).endsWith("]"))
+  }
+
+  test("TBox WKT goldens (tbox.rs:131-151, UTC-pinned)") {
+    def go(in: String, out: String): Unit =
+      assert(BoxText.printTBox(BoxText.parseTBox(in)) == out)
+    go("TBOX X([1.1, 4.0))", "TBOXFLOAT X([1.1, 4))")
+    go("TBOX XT((4, 12),[2001-01-01, 2001-10-01])",
+      "TBOXFLOAT XT((4, 12),[2001-01-01 00:00:00+00, 2001-10-01 00:00:00+00])")
+    go("TBOX XT([1.0, 4.0),[2001-01-01, 2001-01-02])",
+      "TBOXFLOAT XT([1, 4),[2001-01-01 00:00:00+00, 2001-01-02 00:00:00+00])")
+    go("TBOX T([2001-01-01, 2001-01-02])",
+      "TBOX T([2001-01-01 00:00:00+00, 2001-01-02 00:00:00+00])")
+  }
+
+  test("STBox WKT goldens (stbox.rs:113-124)") {
+    def go(in: String, out: String): Unit =
+      assert(BoxText.printSTBox(BoxText.parseSTBox(in)) == out)
+    go("STBOX X((1.0, 2.0), (3.0, 4.0))", "STBOX X((1,2),(3,4))")
+    go("STBOX Z((1.0, 2.0, 3.0), (4.0, 5.0, 6.0))", "STBOX Z((1,2,3),(4,5,6))")
+  }
+
+  test("TBox predicate truth tables on parsed boxes (tbox.rs:153-195)") {
+    def tb(s: String) = BoxText.parseTBox(s)
+    val d12 = tb("TBOX T([2001-01-01, 2001-01-02])")
+    val d12b = tb("TBOX T([2001-01-01, 2001-01-02])")
+    val d13 = tb("TBOX T([2001-01-01, 2001-01-03])")
+    val feb = tb("TBOX T([2001-02-01, 2001-02-02])")
+    val y2 = tb("TBOX T([2001-01-01, 2002-01-02])")
+    val d22 = tb("TBOX T([2001-01-02, 2001-01-02])")
+    assert(BoxText.tboxContains(d12, d12b))
+    assert(!BoxText.tboxContains(d12, d13))
+    assert(BoxText.tboxOverlaps(d12, d12b))
+    assert(BoxText.tboxOverlaps(d12, d13))
+    assert(!BoxText.tboxOverlaps(d12, feb))
+    assert(BoxText.tboxSame(d12, d12b))
+    assert(!BoxText.tboxSame(d12, y2))
+    assert(d12 == d12b)
+    assert(d22 != d12)
+  }
+
+  test("half-open span semantics: [1,2) does not contain its open end") {
+    val a = BoxText.parseTBox("TBOX X([1.0, 2.0))")
+    val point2 = BoxText.parseTBox("TBOX X([2.0, 2.0])")
+    val point15 = BoxText.parseTBox("TBOX X([1.5, 1.5])")
+    assert(!BoxText.tboxContains(a, point2))
+    assert(BoxText.tboxContains(a, point15))
+    assert(!BoxText.tboxOverlaps(a, point2))
+  }
+
+  private val genVal: Gen[Val] = {
+    val genInst = for {
+      us <- Gen.choose(0L, 4102444800000000L)
+      x <- Gen.choose(-180.0, 180.0)
+      y <- Gen.choose(-90.0, 90.0)
+    } yield GInst(Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L),
+      x, y)
+    for {
+      subtype <- Gen.oneOf(TGeom.SubInstant, TGeom.SubSequence,
+        TGeom.SubSequenceSet)
+      srid <- Gen.oneOf(0, 4326)
+      interp <- Gen.oneOf(Temporal.InterpStep, Temporal.InterpLinear)
+      nseq <- Gen.choose(1, 3)
+      insts <- Gen.listOfN(4, genInst)
+      li <- Gen.oneOf(true, false)
+      ui <- Gen.oneOf(true, false)
+    } yield subtype match {
+      case TGeom.SubInstant =>
+        Val(subtype, srid, Temporal.InterpNone,
+          Seq(GSeq(insts.take(1), Temporal.InterpNone, `lower_inc` = true,
+            `upper_inc` = true)))
+      case TGeom.SubSequence =>
+        Val(subtype, srid, interp, Seq(GSeq(insts, interp, li, ui)))
+      case _ =>
+        Val(subtype, srid, interp,
+          (0 until nseq).map(_ => GSeq(insts, interp, li, ui)))
+    }
+  }
+
+  test("WKB and HexWKB roundtrip (property)") {
+    (1 to 200).foreach { i =>
+      val v = genVal.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      assert(TGeom.fromWkb(TGeom.toWkb(v)) == v)
+      assert(TGeom.fromHexWkb(TGeom.toHexWkb(v)) == v)
+      assert(TGeom.toHexWkb(v).forall(c => c.isDigit || ('A' to 'F')
+        .contains(c)))
+    }
+  }
+
+  test("WKT print/parse roundtrip preserves value (property)") {
+    (1 to 200).foreach { i =>
+      val v = genVal.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val reparsed = TGeom.parse(TGeom.print(v))
+      assert(reparsed.subtype == v.subtype)
+      assert(reparsed.srid == v.srid)
+      assert(reparsed.sequences.map(_.instants.map(_.t)) ==
+        v.sequences.map(_.instants.map(_.t)))
+    }
+  }
+
+  test("MF-JSON shapes (temp.rs:17-19 with bbox; :40-47 without)") {
+    val inst = TGeom.parse("POINT(1 1)@2000-01-01")
+    val j = TGeom.toMfJson(inst)
+    assert(j.contains("\"type\":\"MovingGeomPoint\""))
+    assert(j.contains("\"coordinates\":[[1,1]]"))
+    assert(j.contains("\"datetimes\":[\"2000-01-01T00:00:00+00\"]"))
+    assert(j.contains("\"interpolation\":\"None\""))
+    assert(j.contains("\"bbox\""))
+    val noBbox = TGeom.toMfJson(inst, withBbox = false)
+    assert(!noBbox.contains("bbox"))
+    val seq = TGeom.parse("[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]")
+    val js = TGeom.toMfJson(seq)
+    assert(js.contains("\"interpolation\":\"Linear\""))
+    assert(js.contains("\"lower_inc\":true"))
+    val set = TGeom.parse("{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+      "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}")
+    assert(TGeom.toMfJson(set).contains("\"sequences\":["))
+    // emitted JSON is machine-valid
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parsed = Seq(j, js).toDF("j")
+      .select(from_json(col("j"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)).as("m"))
+      .collect()
+    assert(parsed.forall(!_.isNullAt(0)))
+  }
+
+  test("valueAt honors interpolation and bounds (tseq.rs:57-60 semantics)") {
+    def at(v: Val, s: String) = TGeom.valueAt(v, TGeom.parseTs(s))
+    val lin = TGeom.parse("[POINT(0 0)@2000-01-01, POINT(10 20)@2000-01-03]")
+    assert(at(lin, "2000-01-02") == Some((5.0, 10.0)))
+    assert(at(lin, "2000-01-01") == Some((0.0, 0.0)))
+    assert(at(lin, "2000-01-03") == Some((10.0, 20.0)))
+    assert(at(lin, "2000-01-04").isEmpty)
+    val step = TGeom.parse(
+      "Interp=Step;[POINT(0 0)@2000-01-01, POINT(10 20)@2000-01-03]")
+    assert(at(step, "2000-01-02") == Some((0.0, 0.0)))
+    assert(at(step, "2000-01-03") == Some((10.0, 20.0)))
+    val openEnd = TGeom.parse("[POINT(0 0)@2000-01-01, POINT(10 20)@2000-01-03)")
+    assert(at(openEnd, "2000-01-03").isEmpty)
+    val disc = TGeom.parse("{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}")
+    assert(at(disc, "2000-01-01") == Some((1.0, 1.0)))
+    assert(at(disc, "2000-01-01 12:00:00").isEmpty)
+  }
+
+  test("spark UDF surface: parse → print → mfjson → wkb roundtrip in SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.meos.MeosFunctions.register(spark)
+    val wkts = Seq(
+      "POINT(1 1)@2000-01-01",
+      "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "SRID=4326;Point(-90.06 29.95)@2024-01-01T00:00:00+00")
+    val df = wkts.toDF("wkt")
+    df.createOrReplaceTempView("wkts")
+    val out = spark.sql(
+      """SELECT wkt,
+        |       tgeompoint_out(tgeompoint_in(wkt), 15) AS printed,
+        |       tgeompoint_as_mfjson(tgeompoint_in(wkt), true, 6) AS mfjson,
+        |       tgeompoint_out(tgeompoint_from_hexwkb(
+        |         tgeompoint_as_hexwkb(tgeompoint_in(wkt))), 15) AS viaWkb
+        |FROM wkts""".stripMargin).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("printed") == r.getAs[String]("viaWkb"))
+      assert(r.getAs[String]("mfjson").contains("MovingGeomPoint"))
+    }
+    // box predicates via SQL
+    val b = spark.sql(
+      """SELECT tbox_contains(tbox_in('TBOX T([2001-01-01, 2001-01-02])'),
+        |                     tbox_in('TBOX T([2001-01-01, 2001-01-02])')) AS c,
+        |       tbox_out(tbox_in('TBOX X([1.1, 4.0))'), 6) AS w""".stripMargin)
+      .collect()(0)
+    assert(b.getAs[Boolean]("c"))
+    assert(b.getAs[String]("w") == "TBOXFLOAT X([1.1, 4))")
+  }
+}
