@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication primitives for LLM-data pipelines —
+  * the [EXT] operator family (SURVEY.md §2, BASELINE.json north star).
+  * No reference counterpart; designed Spark-first:
+  *
+  *  - everything is a codegen-friendly `Column` expression (no UDFs in the
+  *    hot path) so Catalyst prunes/pushes around them and whole-stage
+  *    codegen keeps them in one pass over the data;
+  *  - hash functions are md5-based so the DuckDB oracle can recompute them
+  *    bit-identically (both engines implement standard md5 → lowercase hex;
+  *    lexicographic min over fixed-width hex == numeric min);
+  *  - at 100 TB the shingle/minhash stage is a narrow map (no shuffle);
+  *    only the band-bucket join shuffles, on short hex-string keys.
+  */
+object Text {
+
+  /** Whitespace tokenization — split on single space, mirroring DuckDB's
+    * `string_split(text, ' ')` for oracle parity. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles. Empty array when the doc has fewer than k tokens
+    * (DuckDB `range(n)` with negative n is empty; we guard explicitly). */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** One minhash: lexicographic min of seeded md5 over the shingle set.
+    * Null when the shingle set is empty. */
+  def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Full b×r signature as an array of band keys: band i concatenates r
+    * minhashes (seeds i*r … i*r+r-1). Join docs on a shared band key →
+    * LSH candidate pairs. */
+  def lshBands(sh: Column, bands: Int, rowsPerBand: Int = 1): Column =
+    array((0 until bands).map { b =>
+      concat((0 until rowsPerBand)
+        .map(r => minhash(sh, b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** SimHash-32 over a pre-hashed token array (one md5 per token, reused
+    * across all 32 bit positions): bit p = majority vote of the high bit of
+    * hex digit p. Returned as a 32-char '0'/'1' string — directly
+    * comparable, and hamming distance = count of differing positions. */
+  def simhash32(tokenHashes: Column): Column =
+    concat((1 to 32).map { p =>
+      val highs = aggregate(tokenHashes, lit(0), (acc, h) =>
+        acc + when(instr(lit("89abcdef"), substring(h, p, 1)) > 0, 1)
+          .otherwise(0))
+      when(lit(2) * highs >= size(tokenHashes), lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  def tokenMd5s(toks: Column): Column = transform(toks, t => md5(t))
+
+  /** Jaccard similarity of two shingle arrays (distinct-set semantics —
+    * matches DuckDB `list_intersect`/`list_distinct` lengths). */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val u = (size(array_distinct(a)) + size(array_distinct(b))).cast("double") -
+      size(array_intersect(a, b))
+    i / u
+  }
+
+  /** Exact-dedup fingerprint: md5 of lowercased, whitespace-collapsed text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Bottom-k sketch: the k smallest shingle hashes, sorted — a compact
+    * document fingerprint whose overlap estimates resemblance. */
+  def bottomK(sh: Column, k: Int = 4, seed: Int = 0): Column =
+    slice(array_sort(transform(sh, s => md5(concat(lit(s"$seed:"), s)))),
+      1, k)
+
+  // ---- language ID (deterministic stopword-count heuristic) ---------------
+
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  def stopwordScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t =>
+      words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Predicted language = argmax stopword-occurrence count; ties break to
+    * the alphabetically-first language code (the CASE evaluation order —
+    * mirrored verbatim in the oracle SQL). */
+  def langId(toks: Column): Column = {
+    val scores = StopwordSets.map { case (l, ws) => l -> stopwordScore(toks, ws) }
+    scores.init.foldRight(lit(scores.last._1)) { case ((l, s), elseC) =>
+      val geAll = scores.filter(_._1 != l).map(s2 => s >= s2._2)
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(elseC)
+    }
+  }
+
+  // ---- quality scoring ----------------------------------------------------
+
+  /** Mean token length (integer char counts, one double division). */
+  def avgWordLen(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+
+  def stopwordRatio(toks: Column): Column =
+    StopwordSets.map { case (_, ws) => stopwordScore(toks, ws) }
+      .reduce(_ + _).cast("double") / size(toks).cast("double")
+
+  /** Composite quality score — deterministic arithmetic only (ratios of
+    * integer counts), so the oracle reproduces it bit-for-bit. */
+  def qualityScore(toks: Column, nChars: Column): Column =
+    stopwordRatio(toks) * lit(100.0) +
+      avgWordLen(toks) +
+      nChars.cast("double") / lit(1000.0)
+
+  /** BPE-ish token count: alpha runs, digit runs, or single non-space
+    * symbols (same RE2/Java-compatible pattern in the oracle). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+}

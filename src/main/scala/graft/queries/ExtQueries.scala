@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Multimodal, Similarity, Text}
+
+/** [EXT] LLM-data-pipeline query set (no reference counterpart;
+  * BASELINE.json north star): dedup, similarity search, text analysis,
+  * multimodal metadata — each with a DuckDB oracle twin except the
+  * approximate-ANN path (qe2, Spark-only: rows-only check).
+  *
+  * Oracle-parity rules used throughout: md5 is the only hash (identical
+  * hex in both engines), float math is double with left-to-right folds,
+  * counts are BIGINT, every query ends in a deterministic ORDER BY.
+  */
+object ExtQueries {
+
+  private val CosSql =
+    """list_reduce(list_transform(list_zip(%s, %s),
+      | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"""
+      .stripMargin.replaceAll("\n", "")
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", Text.shingles(col("toks")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content fingerprint groups + canonical keeper
+    "qx1_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        .orderBy("fp")),
+
+    // minhash signatures (4 seeded hashes)
+    "qx2_minhash_sig" -> ((s, dir) =>
+      docsWithShingles(s, dir).select(
+        col("doc_id"),
+        Text.minhash(col("sh"), 0).as("h0"), Text.minhash(col("sh"), 1).as("h1"),
+        Text.minhash(col("sh"), 2).as("h2"), Text.minhash(col("sh"), 3).as("h3"))
+        .orderBy("doc_id")),
+
+    // LSH candidate pairs: 4 bands × 1 row
+    "qx3_lsh_pairs" -> ((s, dir) => {
+      val sig = docsWithShingles(s, dir).select(col("doc_id"),
+        explode(Text.lshBands(col("sh"), bands = 4)).as("band"))
+      val a = sig.select(col("doc_id").as("d1"), col("band"))
+      val b = sig.select(col("doc_id").as("d2"), col("band"))
+      a.join(b, Seq("band")).where(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .orderBy("d1", "d2")
+    }),
+
+    // simhash-32 per document
+    "qx4_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          Text.simhash32(Text.tokenMd5s(col("toks"))).as("simhash"))
+        .orderBy("doc_id")),
+
+    // n-gram Jaccard within (lang, size-bucket) blocks
+    "qx5_ngram_jaccard" -> ((s, dir) => {
+      val d = docsWithShingles(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").as("bucket"),
+        array_distinct(col("sh")).as("shd"))
+      val a = d.select(col("doc_id").as("d1"), col("lang"), col("bucket"),
+        col("shd").as("sh1"))
+      val b = d.select(col("doc_id").as("d2"), col("lang"), col("bucket"),
+        col("shd").as("sh2"))
+      a.join(b, Seq("lang", "bucket")).where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          Text.jaccard(col("sh1"), col("sh2")).as("ji"))
+        .orderBy("d1", "d2")
+    }),
+
+    // language-ID heuristic
+    "qx6_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), Text.langId(col("toks")).as("pred"))
+        .orderBy("doc_id")),
+
+    // quality scoring
+    "qx7_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          Text.avgWordLen(col("toks")).as("avg_wlen"),
+          Text.stopwordRatio(col("toks")).as("stop_ratio"),
+          Text.qualityScore(col("toks"), col("n_chars")).as("score"))
+        .orderBy("doc_id")),
+
+    // token counting: whitespace + BPE-ish regex
+    "qx8_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws"),
+        Text.regexTokenCount(col("text")).cast("long").as("n_re"))
+        .orderBy("doc_id")),
+
+    // bottom-k sketch fingerprint
+    "qx9_bottomk_fingerprint" -> ((s, dir) =>
+      docsWithShingles(s, dir).select(col("doc_id"),
+        Text.bottomK(col("sh"), 4).as("fp"))
+        .orderBy("doc_id")),
+
+    // exact cosine top-5 for the first 20 vectors
+    "qe1_cosine_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 20), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // approximate ANN via random-hyperplane LSH — Spark-only (no SQL twin;
+    // the driver records a rows-only check), recall measured in specs
+    "qe2_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshKnn(emb, emb.where(col("vec_id") < 20), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // multimodal metadata plumbing (binary payload + typed meta struct)
+    "qm1_multimodal_meta" -> ((s, dir) =>
+      Multimodal.synthMedia(s, dir).select(
+        col("doc_id"),
+        col("meta.nbytes").as("nbytes"),
+        md5(col("bytes")).as("sha"))
+        .orderBy("doc_id")))
+
+  private val ShingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         list_transform(range(len(toks) - 2),
+      |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS s
+      |  FROM tok WHERE len(toks) >= 3)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "qx1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "qx2_minhash_sig" -> (ShingleCte +
+      """
+        |SELECT doc_id,
+        |  list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |  list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |  list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |  list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |FROM sh ORDER BY doc_id""".stripMargin),
+
+    "qx3_lsh_pairs" -> (ShingleCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig)
+        |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "qx4_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN 2 * sum(CASE WHEN strpos('89abcdef',
+        |                substr(md5(t), CAST(p AS INTEGER), 1)) > 0
+        |              THEN 1 ELSE 0 END) >= count(*)
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM tok, range(1, 33) AS r(p)
+        |  GROUP BY doc_id, p)
+        |SELECT doc_id, string_agg(b, '' ORDER BY p) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "qx5_ngram_jaccard" -> (ShingleCte +
+      """,
+        |d AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
+        |             list_distinct(s) AS shd FROM sh)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+        |       (CAST(len(a.shd) + len(b.shd) AS DOUBLE)
+        |        - len(list_intersect(a.shd, b.shd))) AS ji
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket
+        |                 AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "qx6_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['的','是','不','了','在'], t))) AS s_zh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "qx7_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS avg_wlen,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x)))
+        |       + len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))
+        |       + len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x)))
+        |       + len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))
+        |       + len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x)))
+        |      AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, avg_wlen, stop_ratio,
+        |       stop_ratio * 100.0 + avg_wlen + CAST(n_chars AS DOUBLE) / 1000.0
+        |         AS score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "qx8_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS n_re
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qx9_bottomk_fingerprint" -> (ShingleCte +
+      """
+        |SELECT doc_id,
+        |  (list_sort(list_transform(s, x -> md5('0:' || x))))[1:4] AS fp
+        |FROM sh ORDER BY doc_id""".stripMargin),
+
+    "qe1_cosine_knn" ->
+      (s"""WITH d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    ${CosSql.format("q.embedding", "c.embedding")} /
+        |    (sqrt(${CosSql.format("q.embedding", "q.embedding")}) *
+        |     sqrt(${CosSql.format("c.embedding", "c.embedding")})) AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank, cos
+        |FROM d WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+
+    "qm1_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |       md5(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

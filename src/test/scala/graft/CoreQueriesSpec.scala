@@ -26,8 +26,8 @@ class CoreQueriesSpec extends SparkTestBase {
 
   test("every query key has either an oracle or is documented Spark-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Spark-only queries (codecs etc.) are allowed but must be intentional:
-    assert(missing.forall(_.startsWith("x")),
+    // Spark-only queries (approximate ops) must be intentional:
+    assert(missing == Set("qe2_ann_lsh"),
       s"queries without oracle SQL: $missing")
   }
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Similarity}
+
+/** Specs for the [EXT] paths without a DuckDB oracle: ANN recall vs the
+  * exact baseline, and the multimodal decode-stub plumbing. */
+class ExtSpec extends SparkTestBase {
+
+  test("qe2 ANN recall vs brute force >= 0.6 at sf0.001") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+    // and the ANN result is far smaller work: candidates ≪ corpus
+    assert(approx.nonEmpty)
+  }
+
+  test("multimodal decode stub: batch mapPartitions preserves rows and " +
+    "emits fixed-width features") {
+    import spark.implicits._
+    val media = Multimodal.synthMedia(spark, sfDir)
+      .select(col("doc_id"), col("bytes"), col("meta.mime").as("mime"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.decodeFeatures(media, batchSize = 16).collect()
+    val n = media.count()
+    assert(feats.length.toLong == n)
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.nbytes > 0))
+    // deterministic: same input → same features
+    val again = Multimodal.decodeFeatures(media, batchSize = 7).collect()
+    assert(feats.sortBy(_.doc_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
+  }
+
+  test("frame sampling slices binary payloads without UDFs") {
+    import spark.implicits._
+    val df = Seq(("a" * 100)).toDF("s")
+      .select(encode(col("s"), "UTF-8").as("bytes"))
+      .select(Multimodal.sampleFrames(col("bytes"), frameLen = 10,
+        stride = 2).as("frames"))
+    val frames = df.collect()(0).getAs[scala.collection.Seq[Array[Byte]]](0)
+    assert(frames.length == 5)
+    assert(frames.forall(_.length == 10))
+  }
+
+  test("simhash of identical docs is identical; near-identical docs are " +
+    "close in hamming distance") {
+    import spark.implicits._
+    import graft.ext.Text
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different words describing some other topic entirely"))
+      .toDF("id", "text")
+      .select(col("id"),
+        Text.simhash32(Text.tokenMd5s(Text.tokens(col("text")))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(docs(1L) == docs(2L))
+    assert(hamming(docs(1L), docs(3L)) < hamming(docs(1L), docs(4L)))
+  }
+}
