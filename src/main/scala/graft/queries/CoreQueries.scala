@@ -207,6 +207,30 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q19 — S4 merge semantics end-to-end: assemble each time slice
+    // independently, merge-append the trajectories (the upsert's
+    // update(stored, excluded) in pure array expressions), and the result
+    // must equal whole-table assembly (q12's oracle)
+    "q19_merge_trips" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val asm = Assembly.tfloatAssemble()
+      def slice(pred: org.apache.spark.sql.Column, n: String) =
+        ev.where(pred).groupBy("user_id")
+          .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
+            .as(n))
+      val stored = slice(col("ts") < expr(Cut), "st")
+      val incoming = slice(col("ts") >= expr(Cut), "inc")
+      stored.join(incoming, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          graft.sources.TripSink.mergeTripArrays(
+            col("st.t"), col("st.v"), col("inc.t"), col("inc.v")).as("m"))
+        .select(col("user_id"),
+          expr("transform(m.t, x -> timestamp_micros(x))").as("ts_list"),
+          col("m.v").as("v_list"),
+          col("m.n").as("n"))
+        .orderBy("user_id")
+    }),
+
     // q20 — S4/J6: upsert-merge of two time slices (full-outer + coalesce)
     "q20_upsert_merge" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -373,6 +397,20 @@ object CoreQueries {
 
     "q18_temporal_eq" ->
       """SELECT user_id, true AS eq FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // identical result to q12: disjoint time slices, merge-append, and
+    // within-slice dedupe compose to whole-table assembly semantics
+    "q19_merge_trips" ->
+      """SELECT user_id, list(ts ORDER BY ts) AS ts_list,
+        |       list(value ORDER BY ts) AS v_list, count(*) AS n
+        |FROM (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |             ORDER BY event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q20_upsert_merge" ->

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sinks for assembled trips (SURVEY.md S3/S4/S5).
+  *
+  * [[envelope]]/[[writeJsonLines]] reproduce the reference's JSON-lines
+  * file sink — one object per trip, `{"id":…,"vt":…,"json":<hexwkb |
+  * mf-json>}` (`meos/examples/04_to_file.rs:131-144`, format line 142) —
+  * as a distributed `text` write (each task writes its partition; no
+  * driver funnel).
+  *
+  * [[mergeTripArrays]] is the engine-side re-expression of the DB upsert's
+  * merge-append (`INSERT … ON CONFLICT … DO UPDATE SET trip =
+  * update(trips.trip, EXCLUDED.trip, true)`,
+  * `meos-polars/examples/ais_to_db.rs:159-161`): two assembled (t, v)
+  * array pairs merge into one time-sorted, duplicate-free trajectory.
+  * Pure array expressions (sort + index-aware filter) — codegen-friendly,
+  * no UDF, no shuffle beyond the join that pairs the rows.
+  */
+object TripSink {
+
+  /** `{"id":…,"vt":…,"json":…}` — field order pinned by struct order. */
+  def envelope(id: Column, vt: Column, payload: Column): Column =
+    to_json(struct(id.as("id"), vt.as("vt"), payload.as("json")))
+
+  def writeJsonLines(df: DataFrame, id: Column, vt: Column, payload: Column,
+                     path: String): Unit =
+    df.select(envelope(id, vt, payload).as("value")).write.mode("overwrite")
+      .text(path)
+
+  /** Merge two sorted trip arrays (epoch-micros + values). On duplicate
+    * timestamps the STORED side wins — the upsert merges new instants into
+    * the stored trajectory, it does not overwrite it. Returns a struct
+    * (t, v, n). */
+  def mergeTripArrays(storedT: Column, storedV: Column,
+                      newT: Column, newV: Column): Column = {
+    def tag(t: Column, v: Column, src: Int) =
+      zip_with(t, v, (tt, vv) =>
+        struct(tt.as("t"), lit(src).as("src"), vv.as("v")))
+    // struct field order (t, src, v): array_sort's lexicographic compare
+    // puts stored (src=0) before incoming at equal timestamps
+    val emptyTagged =
+      array().cast("array<struct<t:bigint,src:int,v:double>>")
+    val all = array_sort(concat(
+      coalesce(tag(storedT, storedV, 0), emptyTagged),
+      coalesce(tag(newT, newV, 1), emptyTagged)))
+    val deduped = expr_filterConsecutive(all)
+    struct(
+      transform(deduped, x => x.getField("t")).as("t"),
+      transform(deduped, x => x.getField("v")).as("v"),
+      size(deduped).cast("long").as("n"))
+  }
+
+  /** Keep the first element of each run of equal timestamps (index-aware
+    * higher-order filter; the lambda may reference the outer array). */
+  private def expr_filterConsecutive(all: Column): Column =
+    filter(all, (x, i) =>
+      (i === 0) || element_at(all, i).getField("t") =!= x.getField("t"))
+}

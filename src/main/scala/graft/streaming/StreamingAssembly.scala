@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming trajectory assembly — the Structured-Streaming re-expression
+  * of the reference's batch-only pipeline (SURVEY.md §2.9). The suggestive
+  * fragments it realizes:
+  *  - the commented-out incremental flush (emit partial trips every
+  *    `batch_size` posits, `meos/examples/04_to_file.rs:97-102`);
+  *  - the sink's merge-on-conflict upsert, which is exactly streaming
+  *    upsert semantics (`update(trips.trip, EXCLUDED.trip, true)`,
+  *    `meos-polars/examples/ais_to_db.rs:160`).
+  *
+  * State per entity = the open trip buffer — the same shape as the batch
+  * UDAF buffer ([[graft.meos.Assembly]]); the monotonic-time rule (P4,
+  * `04_to_file.rs:91-96`) is applied per micro-batch: rows are time-sorted
+  * within the batch, and any posit at or before the last accepted
+  * timestamp is dropped — the reference's own policy for out-of-order
+  * arrivals. Late data beyond the watermark never reaches the operator.
+  *
+  * Scale posture: state is bounded by `maxTripSize` (P7 truncation), keyed
+  * by entity — Spark distributes/checkpoints it per shuffle partition, so
+  * a 100 TB replay is bounded by (entities × maxTripSize), not input size.
+  */
+object StreamingAssembly {
+
+  case class EventIn(user_id: Long, ts: Timestamp, event_id: Long,
+                     value: Double)
+  case class TripState(lastTs: Long, t: Vector[Long], v: Vector[Double])
+  case class TripUpdate(user_id: Long, n_posits: Long, start_ts: Timestamp,
+                        end_ts: Timestamp, last_value: Double)
+
+  /** Update-mode stateful assembly: one [[TripUpdate]] per entity per
+    * micro-batch that touched it. */
+  def assemble(events: Dataset[EventIn], maxTripSize: Int = 0)
+      : Dataset[TripUpdate] = {
+    implicit val stateEnc = Encoders.product[TripState]
+    implicit val outEnc = Encoders.product[TripUpdate]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TripState, TripUpdate](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          TripState(Long.MinValue, Vector.empty, Vector.empty))
+        var lastTs = prev.lastTs
+        var ts = prev.t
+        var vs = prev.v
+        // within-batch time order, deterministic tiebreak — then the
+        // reference's monotonic rule against the running last timestamp
+        def micros(t: Timestamp): Long =
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        sorted.foreach { e =>
+          val us = micros(e.ts)
+          val withinCap = maxTripSize <= 0 || ts.length < maxTripSize
+          if (us > lastTs && withinCap) {
+            lastTs = us
+            ts :+= us
+            vs :+= e.value
+          }
+        }
+        val next = TripState(lastTs, ts, vs)
+        state.update(next)
+        TripUpdate(uid, ts.length.toLong,
+          new Timestamp(ts.headOption.getOrElse(0L) / 1000L),
+          new Timestamp(ts.lastOption.getOrElse(0L) / 1000L),
+          vs.lastOption.getOrElse(Double.NaN))
+      }
+  }
+
+  val outputMode: OutputMode = OutputMode.Update()
+}

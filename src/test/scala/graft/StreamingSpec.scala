@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingAssembly
+import graft.streaming.StreamingAssembly.{EventIn, TripUpdate}
+
+/** Drives the stateful streaming assembly with a MemoryStream across
+  * micro-batches: in-order growth, cross-batch out-of-order drop (the
+  * reference's monotonic rule, `04_to_file.rs:91-96`), and state
+  * truncation (P7). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("incremental assembly across micro-batches with monotonic drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val q = StreamingAssembly.assemble(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("trips")
+      .start()
+    try {
+      // batch 1: two users, in-order
+      input.addData(
+        EventIn(1, ts("2024-01-01 00:00:00"), 1, 1.0),
+        EventIn(1, ts("2024-01-01 00:01:00"), 2, 2.0),
+        EventIn(2, ts("2024-01-01 00:00:30"), 3, 9.0))
+      q.processAllAvailable()
+      val b1 = spark.table("trips").as[TripUpdate].collect()
+        .map(u => u.user_id -> u).toMap
+      assert(b1(1L).n_posits == 2 && b1(2L).n_posits == 1)
+
+      // batch 2: one new posit for user 1, plus an out-of-order one that
+      // must be dropped (its ts <= last accepted)
+      input.addData(
+        EventIn(1, ts("2024-01-01 00:02:00"), 4, 3.0),
+        EventIn(1, ts("2024-01-01 00:00:30"), 5, 99.0))
+      q.processAllAvailable()
+      val b2 = spark.table("trips").as[TripUpdate].collect()
+        .filter(_.user_id == 1L).maxBy(_.n_posits)
+      assert(b2.n_posits == 3) // 2 + 1 accepted, the stale one dropped
+      assert(b2.last_value == 3.0)
+      assert(b2.start_ts == ts("2024-01-01 00:00:00"))
+      assert(b2.end_ts == ts("2024-01-01 00:02:00"))
+    } finally q.stop()
+  }
+
+  test("maxTripSize bounds state growth (P7 truncation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val q = StreamingAssembly.assemble(input.toDS(), maxTripSize = 2)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("trips_capped")
+      .start()
+    try {
+      input.addData((1 to 10).map(i =>
+        EventIn(7, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+      val u = spark.table("trips_capped").as[TripUpdate].collect()
+        .filter(_.user_id == 7L).head
+      assert(u.n_posits == 2)
+      assert(u.end_ts == ts("2024-01-01 00:02:00"))
+    } finally q.stop()
+  }
+
+  test("streaming result converges to the batch UDAF on replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // replay sf0.001 events through the stream in two chunks, in time order
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EventIn].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[EventIn]
+    val q = StreamingAssembly.assemble(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("trips_replay")
+      .start()
+    try {
+      input.addData(first.toSeq: _*); q.processAllAvailable()
+      input.addData(second.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("trips_replay").as[TripUpdate].collect()
+        .groupBy(_.user_id).map { case (u, us) => u -> us.maxBy(_.n_posits) }
+      // batch equivalent (q12 semantics: dedupe + monotonic over global order)
+      val asm = graft.meos.Assembly.tfloatAssemble()
+      val batch = Tables.events(spark, sfDir).groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
+          .as("s"))
+        .select(col("user_id"), col("s.n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      batch.foreach { case (u, n) =>
+        assert(streamed(u).n_posits == n,
+          s"user $u streamed ${streamed(u).n_posits} != batch $n")
+      }
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TripSink
+
+/** JSON-lines trip sink (S3) + merge-append semantics (S4). */
+class TripSinkSpec extends SparkTestBase {
+
+  test("json-lines envelope matches the reference's record shape " +
+    "(04_to_file.rs:142)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tripsink").toString + "/out"
+    val df = Seq((367000001L, 70, "01ABCD"), (367000002L, 0, "01EF00"))
+      .toDF("mmsi", "vtype", "hex")
+    TripSink.writeJsonLines(df, col("mmsi"), col("vtype"), col("hex"), dir)
+    val lines = spark.read.text(dir).as[String].collect().sorted
+    assert(lines.length == 2)
+    assert(lines(0) == """{"id":367000001,"vt":70,"json":"01ABCD"}""")
+    // readable back as structured json
+    val parsed = spark.read.json(spark.createDataset(lines.toSeq)(
+      org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.select("id", "vt", "json").count() == 2)
+  }
+
+  test("mergeTripArrays: interleaves, dedupes (stored wins), handles " +
+    "one-sided nulls") {
+    import spark.implicits._
+    val df = Seq((
+      Seq(100L, 300L), Seq(1.0, 3.0),      // stored
+      Seq(200L, 300L, 400L), Seq(2.0, 9.9, 4.0) // incoming; 300 conflicts
+    )).toDF("st", "sv", "nt", "nv")
+      .select(TripSink.mergeTripArrays(col("st"), col("sv"), col("nt"),
+        col("nv")).as("m"))
+      .select(col("m.t"), col("m.v"), col("m.n"))
+    val r = df.collect()(0)
+    assert(r.getAs[scala.collection.Seq[Long]]("t") == Seq(100L, 200L, 300L, 400L))
+    // at t=300 the stored value 3.0 wins over incoming 9.9
+    assert(r.getAs[scala.collection.Seq[Double]]("v") == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(r.getAs[Long]("n") == 4L)
+
+    // null stored side (fresh key in the upsert)
+    val oneSided = Seq((Option.empty[Seq[Long]], Option.empty[Seq[Double]],
+      Some(Seq(5L)), Some(Seq(0.5))))
+      .toDF("st", "sv", "nt", "nv")
+      .select(TripSink.mergeTripArrays(col("st"), col("sv"), col("nt"),
+        col("nv")).as("m"))
+      .collect()(0).getAs[org.apache.spark.sql.Row]("m")
+    assert(oneSided.getAs[scala.collection.Seq[Long]]("t") == Seq(5L))
+  }
+}
