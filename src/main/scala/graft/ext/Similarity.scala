@@ -82,13 +82,19 @@ object Similarity {
       .select(col("vec_id").as(idCol), col("embedding").as(embCol),
         explode(rhpBands(col("embedding"), dim, bands, bitsPerBand))
           .as("band"))
-    val c = withBands(corpus, "n_id", "n_emb")
-    val q = withBands(queries, "q_id", "q_emb")
+    val c = withBands(corpus, "n_id", "n_emb").select("n_id", "band")
+    val q = withBands(queries, "q_id", "q_emb").select("q_id", "band")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
-    c.join(broadcast(q), Seq("band"))
+    // candidate id pairs first (dedup on ids, not on embedding payloads),
+    // then re-attach vectors: corpus side via join, query side broadcast
+    val candidates = c.join(broadcast(q), Seq("band"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
-      .distinct() // a pair may collide in several bands
+      .select("q_id", "n_id").distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), Seq("n_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))), Seq("q_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -44,6 +44,20 @@ object Text {
         .map(r => minhash(sh, b * rowsPerBand + r)): _*)
     }: _*)
 
+  /** Scale-path minhash: one xxhash64 per shingle per seed — stays numeric
+    * end-to-end (no hex-string allocation), fully codegen'd via Spark's
+    * built-in XxHash64 expression. Not oracle-comparable (DuckDB's hash
+    * differs), so used by the Spark-only scale queries; the md5 variant
+    * above is the cross-engine-checkable twin. */
+  def minhashFast(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => xxhash64(lit(seed), s)))
+
+  def lshBandsFast(sh: Column, bands: Int, rowsPerBand: Int = 1): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|", (0 until rowsPerBand)
+        .map(r => minhashFast(sh, b * rowsPerBand + r)): _*)
+    }: _*)
+
   /** SimHash-32 over a pre-hashed token array (one md5 per token, reused
     * across all 32 bit positions): bit p = majority vote of the high bit of
     * hex digit p. Returned as a 32-char '0'/'1' string — directly

@@ -103,6 +103,71 @@ object Assembly {
   def tpointAssemble(maxSize: Int = 0) =
     udaf(new TPointAssembler(maxSize))
 
+  // ---- skew path: salted two-phase assembly -------------------------------
+
+  /** Two-phase assembly for skewed entities (SURVEY.md §7.3: mega-vessels).
+    * Phase 1 groups by (key, salt) — spreading one hot key over `salts`
+    * reducers — and assembles partial trips; phase 2 merges the partial
+    * (t, v) arrays per key with the same merge-append semantics as the
+    * upsert sink. Identical output to single-phase assembly (spec-checked);
+    * use when a single entity's posits exceed one executor's comfort.
+    *
+    * Mirrors the reference's own batching escape hatch (`batch_size`
+    * chunking, `ais_to_db.rs:176`) — the chunk id is the salt.
+    *
+    * Caveat: with duplicate timestamps per key, phase 2 cannot see the
+    * tiebreaker and keeps an arbitrary (but fixed per merge order) dup —
+    * single-phase assembly keeps the smallest tiebreaker. Identical when
+    * (key, t) is unique, the common case for sensor feeds.
+    */
+  def tfloatAssembleSalted(df: org.apache.spark.sql.DataFrame,
+                           key: Column, t: Column, tie: Column, v: Column,
+                           salts: Int = 16): org.apache.spark.sql.DataFrame = {
+    val asm = tfloatAssemble()
+    df.groupBy(key.as("k"), pmod(tie, lit(salts)).as("salt"))
+      .agg(asm(t, tie, v).as("part"))
+      .groupBy(col("k"))
+      .agg(SeqMerge.merge(col("part.t"), col("part.v"), col("part.n"))
+        .as("s"))
+  }
+
+  // ---- merging assembled sequences (phase-2 / rollup aggregate) -----------
+
+  object SeqMerge {
+    case class MBuf(var t: Vector[Long], var v: Vector[Double])
+
+    /** Merges already-assembled FSeq structs: k-way merge by timestamp,
+      * duplicate timestamps keep the first-merged occurrence — associative
+      * and commutative apart from dup-ts ties, which the salted path makes
+      * deterministic by salting on the tiebreaker. */
+    class SeqMergeAggregator extends Aggregator[FSeq, MBuf, FSeq] {
+      def zero: MBuf = MBuf(Vector.empty, Vector.empty)
+      private def mergeInto(b: MBuf, t: Array[Long], v: Array[Double])
+          : MBuf = {
+        val nt = Vector.newBuilder[Long]
+        val nv = Vector.newBuilder[Double]
+        var i = 0; var j = 0
+        var last = Long.MinValue
+        while (i < b.t.length || j < t.length) {
+          val takeLeft = j >= t.length || (i < b.t.length && b.t(i) <= t(j))
+          val (ct, cv) = if (takeLeft) { val r = (b.t(i), b.v(i)); i += 1; r }
+            else { val r = (t(j), v(j)); j += 1; r }
+          if (ct != last) { nt += ct; nv += cv; last = ct }
+        }
+        b.t = nt.result(); b.v = nv.result(); b
+      }
+      def reduce(b: MBuf, s: FSeq): MBuf = mergeInto(b, s.t, s.v)
+      def merge(a: MBuf, b: MBuf): MBuf =
+        mergeInto(a, b.t.toArray, b.v.toArray)
+      def finish(b: MBuf): FSeq =
+        FSeq(b.t.toArray, b.v.toArray, b.t.length.toLong)
+      def bufferEncoder: Encoder[MBuf] = Encoders.product[MBuf]
+      def outputEncoder: Encoder[FSeq] = Encoders.product[FSeq]
+    }
+
+    val merge = udaf(new SeqMergeAggregator)
+  }
+
   // ---- lifting raw assembled arrays to Temporal structs -------------------
 
   /** Lift an `FSeq` column (from tfloatAssemble) to a tfloat sequence struct
