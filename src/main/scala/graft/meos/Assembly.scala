@@ -178,6 +178,30 @@ object Assembly {
         (t, v) => struct(timestamp_micros(t).as("t"), v.as("v"))),
       Temporal.InterpLinear, lowerInc = true, upperInc = true, srid = srid)
 
+  /** Lift a `PSeq` column (from tpointAssemble) into the codec-compatible
+    * temporal-value shape ([[TGeom.Val]]): a linear, closed-bounds
+    * sequence — exactly `TSeq::make`'s construction defaults
+    * (`meos/src/tseq.rs:57-60`). The result feeds every
+    * [[MeosFunctions]] codec (WKT/MF-JSON/WKB). */
+  def tpointVal(pseq: Column, srid: Int = Temporal.DefaultSrid): Column = {
+    val instants = zip_with(
+      zip_with(pseq.getField("t"), pseq.getField("x"),
+        (t, x) => struct(t.as("t"), x.as("x"))),
+      pseq.getField("y"),
+      (tx, y) => struct(
+        timestamp_micros(tx.getField("t")).as("t"),
+        tx.getField("x").as("x"), y.as("y")))
+    struct(
+      lit(TGeom.SubSequence).as("subtype"),
+      lit(srid).as("srid"),
+      lit(Temporal.InterpLinear).as("interp"),
+      array(struct(
+        instants.as("instants"),
+        lit(Temporal.InterpLinear).as("interp"),
+        lit(true).as("lower_inc"),
+        lit(true).as("upper_inc"))).as("sequences"))
+  }
+
   /** Lift a `PSeq` column (from tpointAssemble) to a tgeompoint sequence
     * struct. */
   def tpointSeq(pseq: Column, srid: Int = Temporal.DefaultSrid): Column =

@@ -251,6 +251,23 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q23 — A6 on the 2-D point path: tgeompoint assembly (x=value,
+    // y=props length) with the same dedupe/sort semantics as q12
+    "q23_tpoint_assembly" -> ((s, dir) => {
+      val asm = Assembly.tpointAssemble()
+      Tables.events(s, dir)
+        .withColumn("y", length(col("props")).cast("double"))
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+          col("y")).as("s"))
+        .select(col("user_id"),
+          expr("transform(s.t, x -> timestamp_micros(x))").as("ts_list"),
+          col("s.x").as("x_list"),
+          col("s.y").as("y_list"),
+          col("s.n").as("n"))
+        .orderBy("user_id")
+    }),
+
     // q21 — join family: multi-way equi-join + decimal-stable revenue agg
     "q21_join_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -428,6 +445,20 @@ object CoreQueries {
         |       greatest(coalesce(o.tmax, n.tmax), coalesce(n.tmax, o.tmax)) AS tmax
         |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q23_tpoint_assembly" ->
+      """SELECT user_id, list(ts ORDER BY ts) AS ts_list,
+        |       list(value ORDER BY ts) AS x_list,
+        |       list(y ORDER BY ts) AS y_list, count(*) AS n
+        |FROM (
+        |  SELECT user_id, ts, value, y FROM (
+        |    SELECT user_id, ts, value,
+        |           CAST(length(props) AS DOUBLE) AS y,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |             ORDER BY event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q21_join_revenue" ->
       """SELECT n_name,

@@ -69,6 +69,53 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert: per-batch assembly merged into a stored table " +
+    "equals whole-input assembly (S4 streaming upsert semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val asm = graft.meos.Assembly.tfloatAssemble()
+    def assembleBatch(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
+          .as("s"))
+        .select(col("user_id"), col("s.t").as("t"), col("s.v").as("v"))
+    var stored: DataFrame = null
+    def upsert(batch: DataFrame): Unit = {
+      val b = assembleBatch(batch)
+      stored = if (stored == null) b
+        else stored.select(col("user_id"), col("t").as("st"), col("v").as("sv"))
+          .join(b.select(col("user_id"), col("t").as("nt"), col("v").as("nv")),
+            Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            graft.sources.TripSink.mergeTripArrays(
+              col("st"), col("sv"), col("nt"), col("nv")).as("m"))
+          .select(col("user_id"), col("m.t").as("t"), col("m.v").as("v"))
+          .localCheckpoint(true) // keep lineage flat across batches
+    }
+    val input = MemoryStream[EventIn]
+    val q = input.toDS().toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch((batch: DataFrame, _: Long) => upsert(batch))
+      .start()
+    try {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[EventIn].collect()
+      val (a, b) = ev.splitAt(ev.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      val merged = stored.collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("t"))
+        .toMap
+      val whole = assembleBatch(Tables.events(spark, sfDir)).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("t"))
+        .toMap
+      assert(merged == whole)
+    } finally q.stop()
+  }
+
   test("streaming result converges to the batch UDAF on replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
