@@ -286,6 +286,28 @@ object CoreQueries {
         .orderBy("n_name")
     }),
 
+    // q24 — hierarchical agg (rollup): not in the reference (§2.4 notes
+    // Spark built-ins cover it); exercised for engine completeness
+    "q24_rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // q25 — as-of semantics composed from windows (no custom strategy
+    // needed): for every event, the latest signup time of the same user
+    // at or before it
+    "q25_asof_last_signup" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("asof_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .select("event_id", "user_id", "ts", "asof_signup")
+        .orderBy("event_id")
+    }),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -471,6 +493,21 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q24_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q25_asof_last_signup" ->
+      """SELECT event_id, user_id, ts,
+        |       max(CASE WHEN event_type = 'signup' THEN ts END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS asof_signup
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB posture, checked in CI:
+  * filters/pruning reach the parquet scan, dimension joins broadcast, the
+  * assembly UDAF does map-side partial aggregation, sort+limit becomes
+  * TakeOrdered. A regression here is a scale bug even when results stay
+  * correct. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("filter pushdown and column pruning reach the scan") {
+    val p = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .where(col("l_quantity") > 40)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("q21 joins broadcast every dimension (single scan of the fact side)") {
+    val p = plan("q21_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q12 assembly runs as ObjectHashAggregate with map-side partial " +
+    "aggregation (one shuffle)") {
+    val p = plan("q12_trip_assembly")
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 2) // partial+final
+  }
+
+  test("q07 sort+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q07_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q15 box-overlap self-join broadcasts the per-entity box side") {
+    val p = plan("q15_box_overlaps")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("events scan prunes to referenced columns only") {
+    val p = plan("q02_group_count")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"))
+  }
+}

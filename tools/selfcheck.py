@@ -44,7 +44,7 @@ for name, sql in sorted(oracle.items()):
         continue
     g = [tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False)]
     w = [tuple(norm(v) for v in row) for row in want[wcols].itertuples(index=False)]
-    g.sort(); w.sort()
+    g.sort(key=repr); w.sort(key=repr)  # repr: None/str mixes stay sortable
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} != {len(w)}")
         fails += 1
