@@ -308,6 +308,15 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // q26 — distinct aggregation (absent from the reference; §2.4 note)
+    "q26_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -508,6 +517,11 @@ object CoreQueries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS asof_signup
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q26_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

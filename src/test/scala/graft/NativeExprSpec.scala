@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meos.{MeosFunctions, NativeExpressions}
+
+/** The native `tgeompoint_parse` expression: result parity with the UDF
+  * path, constant folding of literal WKT, and whole-stage codegen
+  * participation. */
+class NativeExprSpec extends SparkTestBase {
+
+  test("native parse == UDF parse on the six grammars") {
+    import spark.implicits._
+    val wkts = Seq(
+      "POINT(1 1)@2000-01-01",
+      "{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}",
+      "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "Interp=Step;[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+        "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}",
+      "SRID=4326;Point(-90.06 29.95)@2024-01-01T00:00:00+00").toDF("wkt")
+    val both = wkts.select(
+      MeosFunctions.tgeompointOut(
+        NativeExpressions.tgeompointParse(col("wkt"))).as("native"),
+      MeosFunctions.tgeompointOut(
+        MeosFunctions.tgeompointIn(col("wkt"))).as("viaUdf"))
+      .collect()
+    both.foreach(r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("viaUdf")))
+  }
+
+  test("literal WKT constant-folds at plan time (foldable)") {
+    import spark.implicits._
+    val df = Seq(1).toDF("i").select(
+      NativeExpressions.tgeompointParse(
+        lit("POINT(1 1)@2000-01-01")).as("v"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // after ConstantFolding no parse expression remains — only a literal
+    assert(!optimized.contains("tgeompoint_parse"), optimized)
+    assert(df.collect()(0).getAs[org.apache.spark.sql.Row]("v")
+      .getAs[Int]("subtype") == 1)
+  }
+
+  test("native parse runs inside WholeStageCodegen on datasource input") {
+    val df = Tables.documents(spark, sfDir).limit(5)
+      .select(NativeExpressions.tgeompointParse(
+        format_string("POINT(%d 1)@2000-01-01", col("doc_id"))).as("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` marks a WholeStageCodegen stage; the parse projection must
+    // carry it (a CodegenFallback expression would break the star span)
+    assert(plan.contains("*(1) Project [tgeompoint_parse"), plan)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(!_.isNullAt(0)))
+  }
+
+  test("SQL registration as a native function") {
+    NativeExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT tgeompoint_parse('POINT(2 3)@2001-06-01').subtype AS st")
+      .collect()(0)
+    assert(r.getAs[Int]("st") == 1)
+  }
+
+  test("null flows through (null-intolerant)") {
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("wkt")
+      .select(NativeExpressions.tgeompointParse(col("wkt")).as("v"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
