@@ -74,6 +74,51 @@ object Similarity {
     }: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs (a dedup mode): all pairs with
+    * cosine ≥ threshold. Exact O(n²) form — the oracle-checkable baseline;
+    * at scale feed LSH/IVF candidates into the same refine predicate. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .where(col("cos") >= threshold)
+      .select("i", "j", "cos")
+  }
+
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * cell centroid; queries probe the `nprobe` nearest cells only. The
+    * "training" is STUBBED deterministically (centroids := the first
+    * `nlist` corpus vectors) — a k-means fit would slot in unchanged; the
+    * search-side dataflow (assign via broadcast, cell-key shuffle, refine)
+    * is the real 100 TB path: per-query work scales with probed cells,
+    * not corpus size. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+             nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(desc("c_cos"), col("cell"))
+      df.select(col("vec_id").as(idCol), col("embedding").as(embCol))
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_cos", cosine(col(embCol), col("c_emb")))
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= probes)
+        .drop("c_emb", "c_cos", "c_rank")
+    }
+    val c = assign(corpus, "n_id", "n_emb", probes = 1)
+    val q = assign(queries, "q_id", "q_emb", probes = nprobe)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
   /** Approximate top-k: candidates share at least one LSH band with the
     * query; exact cosine refines. Recall tunes with bands/bitsPerBand. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,

@@ -125,6 +125,25 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // embedding-cosine near-duplicate pairs (exact; the dedup mode)
+    "qe3_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .orderBy("i", "j")),
+
+    // IVF ANN — Spark-only scale path (rows-only check); recall in specs
+    "qe4_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 20), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // JSON property extraction from the events props column
+    "qx10_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
     // multimodal metadata plumbing (binary payload + typed meta struct)
     "qm1_multimodal_meta" -> ((s, dir) =>
       Multimodal.synthMedia(s, dir).select(
@@ -265,6 +284,21 @@ object ExtQueries {
         |FROM d WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY q_id, rank""".stripMargin),
+
+    "qe3_cosine_neardup" ->
+      (s"""SELECT a.vec_id AS i, b.vec_id AS j,
+        |  ${CosSql.format("a.embedding", "b.embedding")} /
+        |  (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
+        |   sqrt(${CosSql.format("b.embedding", "b.embedding")})) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ${CosSql.format("a.embedding", "b.embedding")} /
+        |  (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
+        |   sqrt(${CosSql.format("b.embedding", "b.embedding")})) >= 0.4
+        |ORDER BY i, j""".stripMargin),
+
+    "qx10_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "qm1_multimodal_meta" ->
       """SELECT doc_id,

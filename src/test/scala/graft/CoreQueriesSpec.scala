@@ -27,7 +27,7 @@ class CoreQueriesSpec extends SparkTestBase {
   test("every query key has either an oracle or is documented Spark-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Spark-only queries (approximate ops) must be intentional:
-    assert(missing == Set("qe2_ann_lsh"),
+    assert(missing == Set("qe2_ann_lsh", "qe4_ann_ivf"),
       s"queries without oracle SQL: $missing")
   }
 

@@ -23,6 +23,19 @@ class ExtSpec extends SparkTestBase {
     assert(approx.nonEmpty)
   }
 
+  test("qe4 IVF recall vs brute force >= 0.5 at sf0.001 (nprobe=4/16)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("multimodal decode stub: batch mapPartitions preserves rows and " +
     "emits fixed-width features") {
     import spark.implicits._
