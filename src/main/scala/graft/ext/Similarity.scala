@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product in double. The native kernel loops over the float arrays
+    * with zero allocation; [[dotComposed]] is the pure-built-in fallback —
+    * both fold left-to-right from 0.0, so they are bit-identical to each
+    * other and to the DuckDB oracle. */
   def dot(a: Column, b: Column): Column =
+    graft.meos.NativeExpressions.floatDot(a, b)
+
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -78,10 +85,15 @@ object Similarity {
     * cosine ≥ threshold. Exact O(n²) form — the oracle-checkable baseline;
     * at scale feed LSH/IVF candidates into the same refine predicate. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("i"), col("embedding").as("ea"))
-    val b = corpus.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    // norms once per vector, not once per pair — sqrt(fold(x*x)) is the
+    // same double computation as the inline form, so results stay
+    // bit-identical to the oracle's per-pair expression
+    val a = corpus.select(col("vec_id").as("i"), col("embedding").as("ea"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = corpus.select(col("vec_id").as("j"), col("embedding").as("eb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
     a.join(b, col("i") < col("j"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("i", "j", "cos")
   }

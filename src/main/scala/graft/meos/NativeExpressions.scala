@@ -55,6 +55,52 @@ object NativeExpressions {
         : TGeompointParseExpr = copy(child = newChild)
   }
 
+  /** Float-array dot product as a native kernel: a tight loop over the two
+    * `ArrayData` buffers — no intermediate array allocation (the
+    * `zip_with` + `aggregate` composition builds a 64-element array per
+    * row-pair). The fold is the same left-to-right double accumulation
+    * starting at 0.0, so results are bit-identical to the composed form
+    * and to the DuckDB oracle's `list_reduce`. */
+  object DotBridge {
+    def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+  }
+
+  case class FloatDotExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "float_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      DotBridge.dot(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.meos.NativeExpressions.DotBridge.dot($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatDotExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def floatDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(FloatDotExpr(GraftShims.expression(a),
+      GraftShims.expression(b)))
+  }
+
   /** Column-level API. */
   def tgeompointParse(wkt: Column): Column = {
     import org.apache.spark.sql.GraftShims

@@ -62,6 +62,20 @@ class NativeExprSpec extends SparkTestBase {
     assert(r.getAs[Int]("st") == 1)
   }
 
+  test("native float_dot is bit-identical to the composed fold") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val diffs = a.join(b, col("i") < col("j"))
+      .select(
+        Similarity.dot(col("ea"), col("eb")).as("native"),
+        Similarity.dotComposed(col("ea"), col("eb")).as("composed"))
+      .where(col("native") =!= col("composed"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("null flows through (null-intolerant)") {
     import spark.implicits._
     val r = Seq(Option.empty[String]).toDF("wkt")
