@@ -317,6 +317,31 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // q27 — set algebra (§2.7: intersect/except are Spark built-ins)
+    // (every user has every event type in this data, so the slices carry
+    // value predicates to make the set algebra discriminating)
+    "q27_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click" && col("value") > 400)
+        .select("user_id")
+        .intersect(
+          ev.where(col("event_type") === "view").select("user_id"))
+        .except(
+          ev.where(col("event_type") === "error" && col("value") > 400)
+            .select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // q28 — exact interpolated percentiles (median/p90); both engines use
+    // the same linear-interpolation definition over sorted doubles
+    "q28_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -522,6 +547,21 @@ object CoreQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' AND value > 400
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 400
+        |ORDER BY user_id""".stripMargin,
+
+    "q28_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

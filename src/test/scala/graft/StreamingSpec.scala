@@ -116,6 +116,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed streaming aggregation with watermark: tumbling counts " +
+    "match batch window counts, late data beyond watermark dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("winagg").start()
+    try {
+      input.addData(
+        EventIn(1, ts("2024-01-01 00:10:00"), 1, 1.0),
+        EventIn(1, ts("2024-01-01 00:50:00"), 2, 1.0),
+        EventIn(1, ts("2024-01-01 02:30:00"), 3, 1.0)) // advances watermark
+      q.processAllAvailable()
+      // hour-0 window is closed (watermark at 02:20) and emitted
+      input.addData(EventIn(1, ts("2024-01-01 00:55:00"), 4, 9.9)) // too late
+      q.processAllAvailable()
+      input.addData(EventIn(1, ts("2024-01-01 05:00:00"), 5, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("w").toString -> r.getAs[Long]("n"))
+        .toMap
+      assert(rows("2024-01-01 00:00:00.0") == 2L) // late row NOT counted
+      assert(rows("2024-01-01 02:00:00.0") == 1L)
+    } finally q.stop()
+  }
+
   test("streaming result converges to the batch UDAF on replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
