@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.meos.NativeExpressions
+
+/** Deployment entry point: install the engine's native SQL functions via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) — no driver code needed.
+  * UDF-backed codec functions still register per-session through
+  * [[graft.meos.MeosFunctions.register]] (UDFs bind to a session registry,
+  * not the extension function injection point).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("tgeompoint_parse"),
+      info("tgeompoint_parse",
+        "tgeompoint_parse(wkt) - parse MEOS temporal-point WKT to a struct"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.TGeompointParseExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("float_dot"),
+      info("float_dot",
+        "float_dot(a, b) - allocation-free double dot product of float arrays"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.FloatDotExpr(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.meos
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Trajectory analytics over assembled sequences — derived measures a
+  * MobilityDB user computes on `tgeompoint` trips (duration, path length,
+  * speed; MEOS exposes these on the C `Temporal`). Pure array expressions
+  * over the assembly output (epoch-micros + coordinate arrays): left-to-
+  * right double folds, so every measure is oracle-reproducible.
+  */
+object Trajectory {
+
+  /** Trip duration in (fractional) seconds: last t − first t. */
+  def durationSec(t: Column): Column =
+    (element_at(t, -1) - element_at(t, 1)).cast("double") / lit(1e6)
+
+  /** Euclidean path length over consecutive 2-D points (planar — the
+    * haversine variant drops in by swapping the step expression). */
+  def pathLength(x: Column, y: Column): Column =
+    when(size(x) >= 2, // sequence(0, -1) would descend on 1-posit trips
+      aggregate(
+        sequence(lit(0), size(x) - 2),
+        lit(0.0),
+        (acc, i) => {
+          val dx = element_at(x, i + 2) - element_at(x, i + 1)
+          val dy = element_at(y, i + 2) - element_at(y, i + 1)
+          acc + sqrt(dx * dx + dy * dy)
+        })).otherwise(lit(0.0))
+
+  /** 1-D total variation (the tfloat analog of path length). */
+  def totalVariation(v: Column): Column =
+    when(size(v) >= 2,
+      aggregate(
+        sequence(lit(0), size(v) - 2),
+        lit(0.0),
+        (acc, i) => acc + abs(element_at(v, i + 2) - element_at(v, i + 1))))
+      .otherwise(lit(0.0))
+
+  /** Mean speed: path length / duration (null on zero/degenerate trips). */
+  def avgSpeed(x: Column, y: Column, t: Column): Column =
+    when(durationSec(t) > 0, pathLength(x, y) / durationSec(t))
+
+  /** Largest time gap between consecutive posits, seconds — the measure
+    * behind gap-based sequence splitting (a sequence set's raison d'être). */
+  def maxGapSec(t: Column): Column =
+    when(size(t) >= 2,
+      aggregate(
+        sequence(lit(0), size(t) - 2),
+        lit(0L),
+        (acc, i) => greatest(acc,
+          element_at(t, i + 2) - element_at(t, i + 1)))
+        .cast("double") / lit(1e6))
+
+  /** Split one assembled (t, x, y) trip into maximal sub-sequences whose
+    * internal gaps are < gapSec — producing the sequence-set shape
+    * (`TSet`, `meos/src/tset.rs:10-13`: "set of disjoint sequences,
+    * trajectory with gaps") as pure expressions: mark gap starts, prefix-
+    * sum marks into segment ids. Returns array<struct<seg, t, x, y>>. */
+  def gapSegments(t: Column, x: Column, y: Column, gapSec: Double): Column = {
+    val gapUs = (gapSec * 1e6).toLong
+    // seg id of element i = count of gap-starts at or before i
+    transform(sequence(lit(0), size(t) - 1), i =>
+      struct(
+        size(filter(sequence(lit(1), size(t) - 1), j =>
+          (j <= i) &&
+            (element_at(t, j + 1) - element_at(t, j) >= gapUs)))
+          .as("seg"),
+        element_at(t, i + 1).as("t"),
+        element_at(x, i + 1).as("x"),
+        element_at(y, i + 1).as("y")))
+  }
+}

@@ -342,6 +342,26 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // q29 — trajectory analytics over assembled trips: duration, planar
+    // path length, mean speed, max gap (all left-fold doubles → oracle
+    // bit-parity)
+    "q29_trip_stats" -> ((s, dir) => {
+      val asm = Assembly.tpointAssemble()
+      Tables.events(s, dir)
+        .withColumn("y", length(col("props")).cast("double"))
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+          col("y")).as("s"))
+        .select(col("user_id"),
+          graft.meos.Trajectory.durationSec(col("s.t")).as("duration_s"),
+          graft.meos.Trajectory.pathLength(col("s.x"), col("s.y"))
+            .as("path_len"),
+          graft.meos.Trajectory.avgSpeed(col("s.x"), col("s.y"), col("s.t"))
+            .as("avg_speed"),
+          graft.meos.Trajectory.maxGapSec(col("s.t")).as("max_gap_s"))
+        .orderBy("user_id")
+    }),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -562,6 +582,39 @@ object CoreQueries {
         |       quantile_cont(value, 0.9) AS p90,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q29_trip_stats" ->
+      """WITH ded AS (
+        |  SELECT user_id, ts, value, CAST(length(props) AS DOUBLE) AS y
+        |  FROM (
+        |    SELECT user_id, ts, value, props,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |             ORDER BY event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1),
+        |l AS (
+        |  SELECT user_id,
+        |         list(epoch_us(ts) ORDER BY ts) AS t,
+        |         list(value ORDER BY ts) AS xs,
+        |         list(y ORDER BY ts) AS ys
+        |  FROM ded GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(t[-1] - t[1] AS DOUBLE) / 1e6 AS duration_s,
+        |  list_reduce(list_transform(range(len(xs) - 1), i ->
+        |      sqrt((xs[i+2] - xs[i+1]) * (xs[i+2] - xs[i+1])
+        |         + (ys[i+2] - ys[i+1]) * (ys[i+2] - ys[i+1]))),
+        |    (a, b) -> a + b) AS path_len,
+        |  CASE WHEN CAST(t[-1] - t[1] AS DOUBLE) / 1e6 > 0 THEN
+        |    list_reduce(list_transform(range(len(xs) - 1), i ->
+        |        sqrt((xs[i+2] - xs[i+1]) * (xs[i+2] - xs[i+1])
+        |           + (ys[i+2] - ys[i+1]) * (ys[i+2] - ys[i+1]))),
+        |      (a, b) -> a + b) / (CAST(t[-1] - t[1] AS DOUBLE) / 1e6)
+        |  END AS avg_speed,
+        |  CASE WHEN len(t) >= 2 THEN
+        |    CAST(list_max(list_transform(range(len(t) - 1),
+        |      i -> t[i+2] - t[i+1])) AS DOUBLE) / 1e6
+        |  END AS max_gap_s
+        |FROM l ORDER BY user_id""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `GraftExtensions` installs the native functions on a fresh session
+  * (the `spark.sql.extensions` deployment path). */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("withExtensions session resolves the native SQL functions") {
+    spark // force the shared session/context up first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT tgeompoint_parse('POINT(1 2)@2000-01-01').subtype AS st,
+          |       float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+          |         AS d""".stripMargin).collect()(0)
+      assert(r.getAs[Int]("st") == 1)
+      assert(r.getAs[Double]("d") == 11.0)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meos.Trajectory
+
+/** Trajectory measures + gap-based sequence splitting (the TSet shape). */
+class TrajectorySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tripDf = Seq((
+    Seq(0L, 60000000L, 120000000L, 3720000000L), // 0s, 60s, 120s, 62min
+    Seq(0.0, 3.0, 3.0, 10.0),
+    Seq(0.0, 4.0, 4.0, 10.0))).toDF("t", "x", "y")
+
+  test("duration, path length, speed, max gap") {
+    val r = tripDf.select(
+      Trajectory.durationSec(col("t")).as("d"),
+      Trajectory.pathLength(col("x"), col("y")).as("len"),
+      Trajectory.avgSpeed(col("x"), col("y"), col("t")).as("v"),
+      Trajectory.maxGapSec(col("t")).as("gap"),
+      Trajectory.totalVariation(col("x")).as("tv")).collect()(0)
+    assert(r.getAs[Double]("d") == 3720.0)
+    // 3-4-5 triangle (5.0) + zero step + straight diagonal
+    val expectedLen = 5.0 + 0.0 + math.sqrt(49.0 + 36.0)
+    assert(math.abs(r.getAs[Double]("len") - expectedLen) < 1e-12)
+    assert(math.abs(r.getAs[Double]("v") - expectedLen / 3720.0) < 1e-15)
+    assert(r.getAs[Double]("gap") == 3600.0)
+    assert(r.getAs[Double]("tv") == 3.0 + 0.0 + 7.0)
+  }
+
+  test("degenerate one-posit trip: zero length, null speed") {
+    val r = Seq((Seq(5L), Seq(1.0), Seq(2.0))).toDF("t", "x", "y")
+      .select(
+        Trajectory.pathLength(col("x"), col("y")).as("len"),
+        Trajectory.avgSpeed(col("x"), col("y"), col("t")).as("v")).collect()(0)
+    assert(r.getAs[Double]("len") == 0.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("gapSegments splits at gaps >= threshold (sequence-set shape)") {
+    val segs = tripDf.select(
+      Trajectory.gapSegments(col("t"), col("x"), col("y"), gapSec = 600.0)
+        .as("segs")).collect()(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("segs")
+    assert(segs.map(_.getAs[Int]("seg")) == Seq(0, 0, 0, 1))
+    assert(segs.map(_.getAs[Long]("t")) ==
+      Seq(0L, 60000000L, 120000000L, 3720000000L))
+  }
+}
