@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-level deduplication: candidate pairs (from LSH banding or any
+  * similarity join) → connected components → one keeper per cluster.
+  *
+  * The component algorithm is iterative min-label propagation — each
+  * superstep joins current labels across the edge set and keeps the
+  * minimum; converges in O(graph diameter) supersteps (near-dup graphs
+  * are shallow — dup clusters are cliques or near-cliques, so 2-3
+  * rounds). Each superstep is one shuffle on node id; `localCheckpoint`
+  * cuts lineage so plans stay bounded. This is the standard large-scale
+  * CC shape (cf. Hash-to-Min / large-small-star literature).
+  */
+object Dedup {
+
+  /** edges(d1, d2) → (node, cluster) where cluster = min node id reachable.
+    * Nodes = every endpoint. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .union(edges.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = e
+        .join(labels, e("b") === labels("node"))
+        .select(e("a").as("node"), col("cluster"))
+      val next = labels.select(col("node"), col("cluster"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.node") === col("l.node"))
+        .where(col("n.cluster") =!= col("l.cluster"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** Full minhash-dedup: docs → shingles → LSH candidate pairs → connected
+    * components → cluster per doc (docs with no near-dup form their own
+    * cluster). Returns (doc_id, cluster, keeper). */
+  def minhashClusters(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val sig = docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", Text.shingles(col("toks")))
+      .select(col("doc_id"), explode(Text.lshBands(col("sh"), bands))
+        .as("band"))
+    val a = sig.select(col("doc_id").as("d1"), col("band"))
+    val b = sig.select(col("doc_id").as("d2"), col("band"))
+    val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val cc = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("keeper", col("cluster") === col("doc_id"))
+  }
+}

@@ -362,6 +362,30 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q30 — sessionization: gap > 1h starts a new session (the relational
+    // twin of Trajectory.gapSegments), then per-session rollup
+    "q30_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("us") - lag("us", 1).over(w) > 3600000000L ||
+            lag("us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // q31 — CUBE (all grouping-set shapes now covered with q24's ROLLUP)
+    "q31_cube_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -615,6 +639,33 @@ object CoreQueries {
         |      i -> t[i+2] - t[i+1])) AS DOUBLE) / 1e6
         |  END AS max_gap_s
         |FROM l ORDER BY user_id""".stripMargin,
+
+    "q30_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n, min(ts) AS t0,
+        |       max(ts) AS t1
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |         sum(new_sess) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id)
+        |             > 3600000000
+        |           OR lag(epoch_us(ts)) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q31_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Multimodal, Similarity, Text}
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
 
 /** [EXT] LLM-data-pipeline query set (no reference counterpart;
   * BASELINE.json north star): dedup, similarity search, text analysis,
@@ -143,6 +143,11 @@ object ExtQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
+
+    // minhash dedup clusters: LSH pairs -> connected components
+    "qx11_dedup_clusters" -> ((s, dir) =>
+      Dedup.minhashClusters(Tables.documents(s, dir))
+        .orderBy("doc_id")),
 
     // multimodal metadata plumbing (binary payload + typed meta struct)
     "qm1_multimodal_meta" -> ((s, dir) =>
@@ -299,6 +304,35 @@ object ExtQueries {
     "qx10_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "qx11_dedup_clusters" -> (ShingleCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |bnd AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.doc_id < c.doc_id),
+        |reach(node, label) AS (
+        |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
+        |  UNION
+        |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
+        |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster,
+        |       coalesce(cc.cluster, d.doc_id) = d.doc_id AS keeper
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        |ORDER BY d.doc_id""".stripMargin).replace("WITH tok AS",
+      "WITH RECURSIVE tok AS"),
 
     "qm1_multimodal_meta" ->
       """SELECT doc_id,
