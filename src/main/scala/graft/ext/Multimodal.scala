@@ -59,6 +59,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte-level downsample standing in for an
+    * image resize (real impl: decode → scale → re-encode in the batch
+    * decode stage). Keeps payloads binary and the op expression-only:
+    * picks `targetLen` evenly-spaced bytes. */
+  def resizeStub(bytes: org.apache.spark.sql.Column, targetLen: Int)
+      : org.apache.spark.sql.Column = {
+    val n = octet_length(bytes)
+    // === STUB: replace with a real decode→scale→encode ===
+    val hx = hex(bytes)
+    when(n <= targetLen, bytes).otherwise(
+      unhex(array_join(
+        transform(sequence(lit(0), lit(targetLen - 1)),
+          i => substring(hx, (i * n).divide(targetLen).cast("int") * 2 + 1,
+            lit(2))),
+        "")))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th `frameLen`-byte
     * slice, as pure binary expressions (no UDF). */
   def sampleFrames(bytes: org.apache.spark.sql.Column, frameLen: Int,

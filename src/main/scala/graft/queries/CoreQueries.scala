@@ -386,6 +386,17 @@ object CoreQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // q32 — range-frame window: rolling 1-hour event count per user
+    "q32_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .select("event_id", "user_id", "n_1h")
+        .orderBy("event_id")
+    }),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -666,6 +677,13 @@ object CoreQueries {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q32_rolling_window" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |         AS n_1h
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

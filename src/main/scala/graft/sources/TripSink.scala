@@ -30,6 +30,43 @@ object TripSink {
     df.select(envelope(id, vt, payload).as("value")).write.mode("overwrite")
       .text(path)
 
+  /** The upsert statement the reference prepares against MobilityDB
+    * (`meos-polars/examples/ais_to_db.rs:155-162`): insert the WKB-encoded
+    * trip, merging into the stored trajectory on key conflict. */
+  def upsertStatement(table: String, keyCol: String, tripCol: String)
+      : String =
+    s"INSERT INTO $table ($keyCol, $tripCol) " +
+      s"VALUES ($$1, tgeompointFromBinary($$2)) " +
+      s"ON CONFLICT ($keyCol) DO UPDATE SET " +
+      s"$tripCol = update($table.$tripCol, EXCLUDED.$tripCol, true)"
+
+  /** Distributed JDBC upsert (S4): each partition opens one connection and
+    * batches prepared-statement executions — the Spark-native shape of the
+    * reference's pooled per-chunk writes (`ais_to_db.rs:90-98,202-205`).
+    * `connect` is pluggable (driver-specific); rows must be
+    * (key: Long, wkb: Array[Byte]). Untestable here (no DB in the
+    * container) beyond statement-string and batching-shape specs. */
+  def jdbcUpsert(df: DataFrame, table: String, keyCol: String,
+                 tripCol: String, batchSize: Int,
+                 connect: () => java.sql.Connection): Unit = {
+    val sql = upsertStatement(table, keyCol, tripCol)
+      .replace("$1", "?").replace("$2", "?")
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val conn = connect()
+      try {
+        val st = conn.prepareStatement(sql)
+        rows.grouped(batchSize).foreach { chunk =>
+          chunk.foreach { r =>
+            st.setLong(1, r.getLong(0))
+            st.setBytes(2, r.getAs[Array[Byte]](1))
+            st.addBatch()
+          }
+          st.executeBatch()
+        }
+      } finally conn.close()
+    }
+  }
+
   /** Merge two sorted trip arrays (epoch-micros + values). On duplicate
     * timestamps the STORED side wins — the upsert merges new instants into
     * the stored trajectory, it does not overwrite it. Returns a struct

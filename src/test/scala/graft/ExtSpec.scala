@@ -54,6 +54,20 @@ class ExtSpec extends SparkTestBase {
       again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
   }
 
+  test("resize stub downsamples binary payloads deterministically") {
+    import spark.implicits._
+    val df = Seq("abcdefghijklmnopqrstuvwxyz", "short")
+      .toDF("s")
+      .select(col("s"), Multimodal.resizeStub(
+        encode(col("s"), "UTF-8"), targetLen = 8).as("r"))
+      .collect()
+    val big = df(0).getAs[Array[Byte]]("r")
+    assert(big.length == 8)
+    assert(big(0) == 'a'.toByte) // evenly spaced picks start at the head
+    // payloads already under target pass through untouched
+    assert(new String(df(1).getAs[Array[Byte]]("r"), "UTF-8") == "short")
+  }
+
   test("frame sampling slices binary payloads without UDFs") {
     import spark.implicits._
     val df = Seq(("a" * 100)).toDF("s")

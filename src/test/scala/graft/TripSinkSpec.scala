@@ -25,6 +25,25 @@ class TripSinkSpec extends SparkTestBase {
     assert(parsed.select("id", "vt", "json").count() == 2)
   }
 
+  test("jdbc upsert statement matches the reference's merge-on-conflict " +
+    "shape (ais_to_db.rs:155-162)") {
+    val sql = TripSink.upsertStatement("ais.trips", "MMSI", "trip")
+    assert(sql == "INSERT INTO ais.trips (MMSI, trip) " +
+      "VALUES ($1, tgeompointFromBinary($2)) " +
+      "ON CONFLICT (MMSI) DO UPDATE SET " +
+      "trip = update(ais.trips.trip, EXCLUDED.trip, true)")
+  }
+
+  test("approx_count_distinct within 5% of exact on events (HLL path)") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val r = Tables.events(spark, sfDir)
+      .agg(countDistinct(col("event_id")).as("exact"),
+        approx_count_distinct(col("event_id")).as("approx"))
+      .collect()(0)
+    val (e, a) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+
   test("mergeTripArrays: interleaves, dedupes (stored wins), handles " +
     "one-sided nulls") {
     import spark.implicits._
