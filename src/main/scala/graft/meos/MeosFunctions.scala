@@ -127,8 +127,21 @@ object MeosFunctions {
   def stboxOverlapsW(a: Column, b: Column): Column = stboxOverlapsUdf(a, b)
   def stboxSameW(a: Column, b: Column): Column = stboxSameUdf(a, b)
 
+  // temporal accessors over the codec Val struct (SQL-facing; the MEOS
+  // names the reference binds: temporal_start_timestamptz, temp.rs:50-52)
+  private val startTsUdf = udf((v: Row) =>
+    new java.sql.Timestamp(valFromRow(v).sequences.head.instants.head.t
+      .toEpochMilli))
+  private val numInstantsUdf = udf((v: Row) =>
+    valFromRow(v).sequences.map(_.instants.size).sum)
+
+  def tgeompointStartTs(v: Column): Column = startTsUdf(v)
+  def tgeompointNumInstants(v: Column): Column = numInstantsUdf(v)
+
   /** Register the whole surface for SQL use. */
   def register(spark: SparkSession): Unit = {
+    spark.udf.register("tgeompoint_start_timestamptz", startTsUdf)
+    spark.udf.register("tgeompoint_num_instants", numInstantsUdf)
     spark.udf.register("tgeompoint_in", parseUdf)
     spark.udf.register("tgeompoint_out", printUdf)
     spark.udf.register("tgeompoint_as_mfjson", mfJsonUdf)

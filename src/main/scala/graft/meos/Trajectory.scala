@@ -28,6 +28,27 @@ object Trajectory {
           acc + sqrt(dx * dx + dy * dy)
         })).otherwise(lit(0.0))
 
+  /** Geodesic path length in meters over (lon, lat) WGS-84 posits —
+    * haversine per segment (the ingest stamps SRID=4326, so AIS trips are
+    * lon/lat; planar [[pathLength]] is for projected/abstract coords). */
+  def pathLengthMeters(lon: Column, lat: Column): Column = {
+    val R = 6371008.8 // IUGG mean Earth radius
+    when(size(lon) >= 2,
+      aggregate(
+        sequence(lit(0), size(lon) - 2),
+        lit(0.0),
+        (acc, i) => {
+          val lat1 = radians(element_at(lat, i + 1))
+          val lat2 = radians(element_at(lat, i + 2))
+          val dLat = lat2 - lat1
+          val dLon = radians(element_at(lon, i + 2)) -
+            radians(element_at(lon, i + 1))
+          val h = pow(sin(dLat / 2), 2) +
+            cos(lat1) * cos(lat2) * pow(sin(dLon / 2), 2)
+          acc + lit(2 * R) * asin(least(lit(1.0), sqrt(h)))
+        })).otherwise(lit(0.0))
+  }
+
   /** 1-D total variation (the tfloat analog of path length). */
   def totalVariation(v: Column): Column =
     when(size(v) >= 2,

@@ -34,6 +34,25 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed interval join == nested-loop box-overlap join") {
+    import graft.meos.Boxes
+    val boxes = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
+      .select(col("user_id").as("id"), col("box"))
+    val a = boxes.select(col("id").as("u1"), col("box").as("b1"))
+    val c = boxes.select(col("id").as("u2"), col("box").as("b2"))
+    val nested = a.join(c,
+      col("u1") < col("u2") && Boxes.tboxOverlaps(col("b1"), col("b2")))
+      .select(col("u1"), col("u2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Boxes.tboxOverlapJoinBucketed(boxes, boxes,
+      java.time.Duration.ofDays(2))
+      .where(col("idA") < col("idB"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == nested)
+    assert(nested.nonEmpty)
+  }
+
   test("fast xxhash LSH banding finds exact duplicates") {
     import spark.implicits._
     val docs = Seq(

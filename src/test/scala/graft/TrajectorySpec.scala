@@ -30,6 +30,14 @@ class TrajectorySpec extends SparkTestBase {
     assert(r.getAs[Double]("tv") == 3.0 + 0.0 + 7.0)
   }
 
+  test("haversine path length: LA to NYC ≈ 3936 km") {
+    val r = Seq((Seq(-118.2437, -74.0060), Seq(34.0522, 40.7128)))
+      .toDF("lon", "lat")
+      .select(Trajectory.pathLengthMeters(col("lon"), col("lat")).as("m"))
+      .collect()(0).getAs[Double]("m")
+    assert(math.abs(r / 1000.0 - 3936.0) < 10.0, s"got ${r / 1000} km")
+  }
+
   test("degenerate one-posit trip: zero length, null speed") {
     val r = Seq((Seq(5L), Seq(1.0), Seq(2.0))).toDF("t", "x", "y")
       .select(
