@@ -397,6 +397,41 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // q33 — scalar subquery: orders above the mean total, compared
+    // multiplicatively in exact decimal (no float-division divergence)
+    "q33_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val stats = o.agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+        count(lit(1)).as("n"))
+      o.crossJoin(broadcast(stats))
+        .where(col("o_totalprice").cast("decimal(18,2)") * col("n") >
+          col("total"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // q34 — anti join (NOT EXISTS): customers with no high-value orders
+    // (the key space is dense, so the anti side needs a predicate)
+    "q34_not_exists_anti" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    // q35 — string function battery (upper/replace/substr/length/LIKE)
+    "q35_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(col("p_type").like("%ECONOMY%") ||
+          col("p_name").like("%red%"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name5"))
+        .orderBy("p_partkey")),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -684,6 +719,29 @@ object CoreQueries {
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |         AS n_1h
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_scalar_subquery" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders) >
+        |      (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q34_not_exists_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q35_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |       replace(p_type, ' ', '_') AS type_u,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       substr(p_name, 1, 5) AS name5
+        |FROM part
+        |WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE '%red%'
+        |ORDER BY p_partkey""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders
