@@ -44,9 +44,22 @@ object Assembly {
     def zero: FBuf = FBuf(Vector.empty)
     def reduce(b: FBuf, p: FPosit): FBuf = { b.ps :+= p; trim(b); b }
     def merge(a: FBuf, b: FBuf): FBuf = { a.ps ++= b.ps; trim(a); a }
+    // mid-stream trim must apply the SAME dedupe as finish before taking
+    // the cap: keeping maxSize raw rows could let duplicate timestamps
+    // crowd out distinct ones that belong in the final earliest-maxSize
     private def trim(b: FBuf): Unit =
-      if (maxSize > 0 && b.ps.length > 2 * maxSize)
-        b.ps = b.ps.sortBy(p => (p.t, p.tie)).take(maxSize)
+      if (maxSize > 0 && b.ps.length > 2 * maxSize) {
+        val sorted = b.ps.sortBy(p => (p.t, p.tie))
+        val out = Vector.newBuilder[FPosit]
+        var lastT = Long.MinValue
+        var kept = 0
+        val it = sorted.iterator
+        while (it.hasNext && kept < maxSize) {
+          val p = it.next()
+          if (p.t != lastT) { out += p; lastT = p.t; kept += 1 }
+        }
+        b.ps = out.result()
+      }
     def finish(b: FBuf): FSeq = {
       val sorted = b.ps.sortBy(p => (p.t, p.tie))
       val out = Vector.newBuilder[FPosit]
@@ -79,9 +92,20 @@ object Assembly {
     def zero: PBuf = PBuf(Vector.empty)
     def reduce(b: PBuf, p: PPosit): PBuf = { b.ps :+= p; trim(b); b }
     def merge(a: PBuf, b: PBuf): PBuf = { a.ps ++= b.ps; trim(a); a }
+    // see TFloatAssembler.trim: dedupe-then-cap, matching finish
     private def trim(b: PBuf): Unit =
-      if (maxSize > 0 && b.ps.length > 2 * maxSize)
-        b.ps = b.ps.sortBy(p => (p.t, p.tie)).take(maxSize)
+      if (maxSize > 0 && b.ps.length > 2 * maxSize) {
+        val sorted = b.ps.sortBy(p => (p.t, p.tie))
+        val out = Vector.newBuilder[PPosit]
+        var lastT = Long.MinValue
+        var kept = 0
+        val it = sorted.iterator
+        while (it.hasNext && kept < maxSize) {
+          val p = it.next()
+          if (p.t != lastT) { out += p; lastT = p.t; kept += 1 }
+        }
+        b.ps = out.result()
+      }
     def finish(b: PBuf): PSeq = {
       val sorted = b.ps.sortBy(p => (p.t, p.tie))
       val out = Vector.newBuilder[PPosit]

@@ -40,6 +40,17 @@ class AssemblySpec extends SparkTestBase {
     assert(out.t.toSeq == Seq(100L, 200L))
   }
 
+  test("mid-stream trim with duplicate timestamps keeps distinct-ts " +
+    "earliest (regression: raw-row cap crowded out distinct instants)") {
+    // maxSize=2, many duplicate-t=1 rows force trim mid-stream; the final
+    // trip must still be the 2 earliest DISTINCT timestamps [1, 2]
+    val ps = (1 to 6).map(i => FPosit(1L, i.toLong, i.toDouble)) ++
+      Seq(FPosit(2L, 10L, 20.0), FPosit(3L, 11L, 30.0))
+    val out = run(2, ps)
+    assert(out.t.toSeq == Seq(1L, 2L))
+    assert(out.v.toSeq == Seq(1.0, 20.0)) // t=1 keeps tie=1
+  }
+
   test("merge is order-insensitive (partial-agg safety)") {
     val gen = Gen.listOf(for {
       t <- Gen.choose(0L, 50L)
