@@ -149,6 +149,29 @@ object ExtQueries {
       Dedup.minhashClusters(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // codec lifecycle on real data — Spark-only (rows-only check; exact
+    // string goldens live in CodecSpec): assemble tgeompoint trips, print
+    // WKT, roundtrip through hex-WKB, assert stability in-plan
+    "qc1_codec_roundtrip" -> ((s, dir) => {
+      import graft.meos.{Assembly, MeosFunctions}
+      val asm = Assembly.tpointAssemble()
+      Tables.events(s, dir)
+        .withColumn("y", length(col("props")).cast("double"))
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+          col("y")).as("s"))
+        .select(col("user_id"), Assembly.tpointVal(col("s")).as("trip"))
+        .select(col("user_id"),
+          MeosFunctions.tgeompointOut(col("trip")).as("wkt"),
+          MeosFunctions.tgeompointOut(
+            MeosFunctions.tgeompointFromHexWkb(
+              MeosFunctions.tgeompointAsHexWkb(col("trip")))).as("wkt2"),
+          MeosFunctions.tgeompointNumInstants(col("trip")).as("n"))
+        .where(col("wkt") === col("wkt2")) // roundtrip stability is the test
+        .select("user_id", "wkt", "n")
+        .orderBy("user_id")
+    }),
+
     // multimodal metadata plumbing (binary payload + typed meta struct)
     "qm1_multimodal_meta" -> ((s, dir) =>
       Multimodal.synthMedia(s, dir).select(
