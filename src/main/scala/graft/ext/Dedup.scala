@@ -26,8 +26,14 @@ object Dedup {
     var labels = e.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
+    // label sums strictly decrease while any label still shrinks (min-
+    // propagation is monotone), so a checksum equality is a sound and
+    // cheap convergence test — one aggregate instead of a join per round
+    def checksum(df: DataFrame): Long =
+      df.agg(sum("cluster")).collect()(0).getLong(0)
     var converged = false
     var i = 0
+    var prevSum = checksum(labels)
     while (!converged && i < maxIter) {
       val viaNeighbors = e
         .join(labels, e("b") === labels("node"))
@@ -36,12 +42,10 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("node").agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.node") === col("l.node"))
-        .where(col("n.cluster") =!= col("l.cluster"))
-        .limit(1).count() > 0
+      val nextSum = checksum(next)
       labels = next
-      converged = !changed
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     labels
