@@ -62,6 +62,10 @@ object MeosFunctions {
   // ---- UDFs ----------------------------------------------------------------
 
   private val parseUdf = udf((wkt: String) => TGeom.parse(wkt))
+  // dirty-data path: null instead of raising (cf. Spark's try_* family) —
+  // at 100 TB a single malformed literal must not fail the job
+  private val tryParseUdf = udf((wkt: String) =>
+    scala.util.Try(TGeom.parse(wkt)).toOption)
   private val printUdf = udf((v: Row, maxdd: Int) =>
     TGeom.print(valFromRow(v), maxdd))
   private val mfJsonUdf = udf((v: Row, withBbox: Boolean, precision: Int) =>
@@ -99,6 +103,7 @@ object MeosFunctions {
   // ---- Column API ----------------------------------------------------------
 
   def tgeompointIn(wkt: Column): Column = parseUdf(wkt)
+  def tgeompointTryIn(wkt: Column): Column = tryParseUdf(wkt)
   def tgeompointOut(v: Column, maxdd: Int = 15): Column =
     printUdf(v, lit(maxdd))
   def tgeompointAsMfJson(v: Column, withBbox: Boolean = true,
@@ -143,6 +148,7 @@ object MeosFunctions {
     spark.udf.register("tgeompoint_start_timestamptz", startTsUdf)
     spark.udf.register("tgeompoint_num_instants", numInstantsUdf)
     spark.udf.register("tgeompoint_in", parseUdf)
+    spark.udf.register("tgeompoint_try_in", tryParseUdf)
     spark.udf.register("tgeompoint_out", printUdf)
     spark.udf.register("tgeompoint_as_mfjson", mfJsonUdf)
     spark.udf.register("tgeompoint_as_wkb", wkbUdf)

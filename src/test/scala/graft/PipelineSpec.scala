@@ -71,6 +71,29 @@ class PipelineSpec extends SparkTestBase {
     assert(j.contains("\"interpolation\":\"Linear\""))
   }
 
+  test("trip file written by the sink reads back as temporal values " +
+    "(sink→source loop)") {
+    val out = Files.createTempDirectory("loop").toString + "/out"
+    val written = Pipelines.aisToFile(AisCsv.read(spark, writeCsv()), out)
+    val back = graft.sources.TripSource.readJsonLines(spark, out)
+      .select(col("id"),
+        graft.meos.MeosFunctions.tgeompointNumInstants(col("trip")).as("n"),
+        graft.meos.MeosFunctions.tgeompointOut(col("trip")).as("wkt"))
+    val byId = back.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = written.select(col("mmsi"), col("s.n").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.view.mapValues(_.toLong).toMap == orig)
+  }
+
+  test("try-parse tolerates dirty WKT (nulls, not job failure)") {
+    import spark.implicits._
+    val r = Seq("POINT(1 1)@2000-01-01", "GARBAGE", null)
+      .toDF("wkt")
+      .select(graft.meos.MeosFunctions.tgeompointTryIn(col("wkt")).as("v"))
+      .collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0) && r(2).isNullAt(0))
+  }
+
   test("entry flagship still runs after pipeline refactors") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

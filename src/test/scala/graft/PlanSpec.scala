@@ -44,6 +44,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("date-partitioned writes prune partitions at scan (PartitionFilters)") {
+    import org.apache.spark.sql.functions.{to_date, col => c}
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/ev"
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(c("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .where(c("day") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    // and the pruned read returns exactly that day's rows
+    val expected = Tables.events(spark, sfDir)
+      .where(to_date(c("ts")) === "2024-01-05").count()
+    assert(read.count() == expected && expected > 0)
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = plan("q02_group_count")
     assert(p.contains("ReadSchema: struct<user_id:bigint>"))
