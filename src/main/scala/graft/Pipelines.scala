@@ -23,7 +23,10 @@ object Pipelines {
   def assembleTrips(posits: DataFrame, minTripSize: Int = 1,
                     maxTripSize: Int = 0): DataFrame = {
     val asm = Assembly.tpointAssemble(maxTripSize)
-    val tie = monotonically_increasing_id()
+    // content-derived tiebreak: stable across runs and partitionings
+    // (unlike monotonically_increasing_id); rows identical in content sort
+    // identically, so any winner is the same row
+    val tie = xxhash64(col("t"), col("lon"), col("lat"), col("vt"))
     posits
       .withColumn("seq", tie)
       .withColumn("rn2", row_number().over(
