@@ -158,6 +158,38 @@ class CodecSpec extends SparkTestBase {
     }
   }
 
+  test("TBox WKT print∘parse is a fixpoint (property)") {
+    val genBox: Gen[String] = for {
+      v1 <- Gen.choose(-1000.0, 1000.0)
+      v2 <- Gen.choose(-1000.0, 1000.0)
+      loInc <- Gen.oneOf("[", "(")
+      hiInc <- Gen.oneOf("]", ")")
+      d1 <- Gen.choose(1, 28)
+      d2 <- Gen.choose(1, 28)
+      kind <- Gen.oneOf("X", "T", "XT")
+    } yield {
+      val lo = math.min(v1, v2); val hi = math.max(v1, v2)
+      val vspan = f"$loInc$lo%.3f, $hi%.3f$hiInc"
+      val tspan = f"[2001-01-$d1%02d, 2001-02-$d2%02d]"
+      kind match {
+        case "X" => s"TBOX X($vspan)"
+        case "T" => s"TBOX T($tspan)"
+        case _ => s"TBOX XT($vspan,$tspan)"
+      }
+    }
+    (1 to 200).foreach { i =>
+      val wkt = genBox.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val once = BoxText.printTBox(BoxText.parseTBox(wkt))
+      val twice = BoxText.printTBox(BoxText.parseTBox(once))
+      assert(once == twice, s"not a fixpoint: $wkt -> $once -> $twice")
+      // predicates are reflexive on any parsed box
+      val b = BoxText.parseTBox(wkt)
+      assert(BoxText.tboxOverlaps(b, b))
+      assert(BoxText.tboxContains(b, b))
+      assert(BoxText.tboxSame(b, b))
+    }
+  }
+
   test("MF-JSON shapes (temp.rs:17-19 with bbox; :40-47 without)") {
     val inst = TGeom.parse("POINT(1 1)@2000-01-01")
     val j = TGeom.toMfJson(inst)
