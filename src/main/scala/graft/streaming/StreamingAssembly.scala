@@ -73,4 +73,49 @@ object StreamingAssembly {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  // ---- tgeompoint variant (the AIS stream itself: lon/lat posits) --------
+
+  case class PositIn(mmsi: Long, t: Timestamp, seq: Long, lon: Double,
+                     lat: Double)
+  case class PointTripState(lastTs: Long, t: Vector[Long], x: Vector[Double],
+                            y: Vector[Double])
+  case class PointTripUpdate(mmsi: Long, n_posits: Long, start_ts: Timestamp,
+                             end_ts: Timestamp, last_lon: Double,
+                             last_lat: Double)
+
+  /** 2-D analog of [[assemble]]: incremental tgeompoint trip per vessel. */
+  def assemblePoints(posits: Dataset[PositIn], maxTripSize: Int = 0)
+      : Dataset[PointTripUpdate] = {
+    implicit val stateEnc = Encoders.product[PointTripState]
+    implicit val outEnc = Encoders.product[PointTripUpdate]
+    implicit val keyEnc = Encoders.scalaLong
+    posits
+      .groupByKey(_.mmsi)
+      .mapGroupsWithState[PointTripState, PointTripUpdate](
+        GroupStateTimeout.NoTimeout) { (mmsi, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          PointTripState(Long.MinValue, Vector.empty, Vector.empty,
+            Vector.empty))
+        var lastTs = prev.lastTs
+        var ts = prev.t
+        var xs = prev.x
+        var ys = prev.y
+        def micros(t: Timestamp): Long =
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        rows.toSeq.sortBy(p => (micros(p.t), p.seq)).foreach { p =>
+          val us = micros(p.t)
+          if (us > lastTs && (maxTripSize <= 0 || ts.length < maxTripSize)) {
+            lastTs = us
+            ts :+= us; xs :+= p.lon; ys :+= p.lat
+          }
+        }
+        state.update(PointTripState(lastTs, ts, xs, ys))
+        PointTripUpdate(mmsi, ts.length.toLong,
+          new Timestamp(ts.headOption.getOrElse(0L) / 1000L),
+          new Timestamp(ts.lastOption.getOrElse(0L) / 1000L),
+          xs.lastOption.getOrElse(Double.NaN),
+          ys.lastOption.getOrElse(Double.NaN))
+      }
+  }
 }

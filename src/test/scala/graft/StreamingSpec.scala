@@ -50,6 +50,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tgeompoint streaming assembly: incremental lon/lat trips") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAssembly.PositIn]
+    val q = StreamingAssembly.assemblePoints(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("pt_trips").start()
+    try {
+      input.addData(
+        StreamingAssembly.PositIn(367000001L, ts("2024-01-01 00:00:00"), 1,
+          -90.06, 29.95),
+        StreamingAssembly.PositIn(367000001L, ts("2024-01-01 00:01:00"), 2,
+          -90.05, 29.96))
+      q.processAllAvailable()
+      input.addData(
+        StreamingAssembly.PositIn(367000001L, ts("2024-01-01 00:02:00"), 3,
+          -90.04, 29.97),
+        // out-of-order: dropped by the monotonic rule
+        StreamingAssembly.PositIn(367000001L, ts("2024-01-01 00:00:30"), 4,
+          -99.0, 0.0))
+      q.processAllAvailable()
+      val u = spark.table("pt_trips")
+        .as[StreamingAssembly.PointTripUpdate].collect()
+        .filter(_.mmsi == 367000001L).maxBy(_.n_posits)
+      assert(u.n_posits == 3)
+      assert(u.last_lon == -90.04 && u.last_lat == 29.97)
+    } finally q.stop()
+  }
+
   test("maxTripSize bounds state growth (P7 truncation)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
