@@ -265,5 +265,9 @@ class CodecSpec extends SparkTestBase {
       .collect()(0)
     assert(b.getAs[Boolean]("c"))
     assert(b.getAs[String]("w") == "TBOXFLOAT X([1.1, 4))")
+    // int→TBox cast (tbox.rs:87-98): degenerate closed value span
+    val i = spark.sql("SELECT tbox_out(tbox_from_int(5), 6) AS w")
+      .collect()(0)
+    assert(i.getAs[String]("w") == "TBOXFLOAT X([5, 5])")
   }
 }
