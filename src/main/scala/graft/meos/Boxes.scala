@@ -122,7 +122,9 @@ object Boxes {
     * result in specs. */
   def tboxOverlapJoinBucketed(a: org.apache.spark.sql.DataFrame,
                               b: org.apache.spark.sql.DataFrame,
-                              bucket: java.time.Duration)
+                              bucket: java.time.Duration,
+                              pairFilter: (Column, Column) => Column =
+                                (_, _) => lit(true))
       : org.apache.spark.sql.DataFrame = {
     val w = bucket.toNanos / 1000L // micros
     def withBuckets(df: org.apache.spark.sql.DataFrame, side: String) = df
@@ -132,7 +134,10 @@ object Boxes {
           (unix_micros(col("box.tmax")) / w).cast("long")))
           .as("bucket"))
     withBuckets(a, "A").join(withBuckets(b, "B"), Seq("bucket"))
-      .where(tboxOverlaps(col("boxA"), col("boxB")))
+      // pairFilter (e.g. idA < idB for self-joins) cuts the candidate set
+      // BEFORE the exact predicate and the dedup shuffle
+      .where(pairFilter(col("idA"), col("idB")) &&
+        tboxOverlaps(col("boxA"), col("boxB")))
       .select(col("idA"), col("idB"))
       .distinct()
   }

@@ -134,9 +134,11 @@ object MeosFunctions {
 
   // temporal accessors over the codec Val struct (SQL-facing; the MEOS
   // names the reference binds: temporal_start_timestamptz, temp.rs:50-52)
+  // Timestamp.from preserves the full µs precision of the Instant —
+  // toEpochMilli would silently truncate sub-ms start timestamps while the
+  // engine (and MEOS temporal_start_timestamptz) is µs-resolution.
   private val startTsUdf = udf((v: Row) =>
-    new java.sql.Timestamp(valFromRow(v).sequences.head.instants.head.t
-      .toEpochMilli))
+    java.sql.Timestamp.from(valFromRow(v).sequences.head.instants.head.t))
   private val numInstantsUdf = udf((v: Row) =>
     valFromRow(v).sequences.map(_.instants.size).sum)
 

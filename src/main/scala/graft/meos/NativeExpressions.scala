@@ -2,11 +2,57 @@ package graft.meos
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side bridge for [[NativeExpressions.TGeompointParseExpr]]:
+  * parse text → Catalyst InternalRow of the temporal-value struct.
+  *
+  * MUST stay a top-level object: Scala only emits Java-visible static
+  * forwarders (`graft.meos.TGeomBridge.parseToRow(...)`) for top-level
+  * objects. A nested object compiles to `NativeExpressions$TGeomBridge$`,
+  * which janino cannot resolve from generated code — the whole stage then
+  * silently falls back to interpreted execution.
+  *
+  * The serializer is per-thread: `ExpressionEncoder.Serializer` reuses a
+  * mutable UnsafeRow buffer, so sharing one across executor task threads
+  * races (the `.copy()` happens only after the projection).
+  */
+object TGeomBridge {
+  private def enc: ExpressionEncoder[TGeom.Val] =
+    ExpressionEncoder(Encoders.product[TGeom.Val]
+      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[TGeom.Val]])
+  private val serializer =
+    ThreadLocal.withInitial(() => enc.createSerializer())
+  val valDataType: DataType = enc.schema
+
+  def parseToRow(wkt: UTF8String): InternalRow =
+    serializer.get()(TGeom.parse(wkt.toString)).copy()
+}
+
+/** Executor-side bridge for [[NativeExpressions.FloatDotExpr]]: tight loop
+  * over the two `ArrayData` buffers — no intermediate array allocation (the
+  * `zip_with` + `aggregate` composition builds a 64-element array per
+  * row-pair). The fold is the same left-to-right double accumulation
+  * starting at 0.0, so results are bit-identical to the composed form and
+  * to the DuckDB oracle's `list_reduce`. Top-level for janino visibility
+  * (see [[TGeomBridge]]). */
+object DotBridge {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
 
 /** Native Catalyst expressions — the §7.2 "promote hot UDFs" path.
   *
@@ -24,23 +70,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeExpressions {
 
-  /** Executor-side bridge: parse text → Catalyst InternalRow of the
-    * temporal-value struct. One serializer per JVM (thread-safe use via
-    * copy()). */
-  object TGeomBridge {
-    private def enc: ExpressionEncoder[TGeom.Val] =
-      ExpressionEncoder(Encoders.product[TGeom.Val]
-        .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[TGeom.Val]])
-    private lazy val serializer = enc.createSerializer()
-    val valDataType: DataType = enc.schema
-
-    def parseToRow(wkt: UTF8String): InternalRow =
-      serializer(TGeom.parse(wkt.toString)).copy()
-  }
-
   case class TGeompointParseExpr(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = TGeomBridge.valDataType
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def prettyName: String = "tgeompoint_parse"
 
     override def nullSafeEval(input: Any): Any =
@@ -49,35 +82,18 @@ object NativeExpressions {
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.meos.NativeExpressions.TGeomBridge.parseToRow($c);")
+        s"${ev.value} = graft.meos.TGeomBridge.parseToRow($c);")
 
     override protected def withNewChildInternal(newChild: Expression)
         : TGeompointParseExpr = copy(child = newChild)
   }
 
-  /** Float-array dot product as a native kernel: a tight loop over the two
-    * `ArrayData` buffers — no intermediate array allocation (the
-    * `zip_with` + `aggregate` composition builds a 64-element array per
-    * row-pair). The fold is the same left-to-right double accumulation
-    * starting at 0.0, so results are bit-identical to the composed form
-    * and to the DuckDB oracle's `list_reduce`. */
-  object DotBridge {
-    def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
-            b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-      val n = math.min(a.numElements(), b.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-        i += 1
-      }
-      acc
-    }
-  }
-
   case class FloatDotExpr(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def prettyName: String = "float_dot"
 
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -88,7 +104,7 @@ object NativeExpressions {
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.meos.NativeExpressions.DotBridge.dot($a, $b);")
+        s"${ev.value} = graft.meos.DotBridge.dot($a, $b);")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): FloatDotExpr =

@@ -1,7 +1,7 @@
 package graft.meos
 
 import java.time.format.DateTimeFormatter
-import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneId, ZoneOffset}
 
 /** In-memory model + text/binary codecs for temporal geometry points —
   * the value algebra the reference exposes through MEOS FFI:
@@ -55,28 +55,42 @@ object TGeom {
   }
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-  private val TsFmtFrac = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Postgres-style short offset: `+00`, `-05`, `+05:30` (minutes only when
+    * nonzero — matches MEOS goldens `2001-01-01 00:00:00-05`, tbox.rs:138). */
+  private def fmtOffset(o: ZoneOffset): String = {
+    val tot = o.getTotalSeconds
+    val sign = if (tot < 0) "-" else "+"
+    val a = math.abs(tot)
+    val mm = (a % 3600) / 60
+    f"$sign${a / 3600}%02d" + (if (mm != 0) f":$mm%02d" else "")
+  }
+
+  /** Micros-of-second with trailing zeros stripped; "" when zero. Sub-µs
+    * nanos are truncated first — MEOS resolution is µs, and stripping zeros
+    * from a '000000' fraction would otherwise leave a dangling dot. */
+  private def fmtFrac(t: Instant): String = {
+    val us = t.getNano / 1000
+    if (us == 0) "" else "." + f"$us%06d".reverse.dropWhile(_ == '0').reverse
+  }
 
   /** MEOS renders timestamptz in the session timezone with a short offset —
-    * goldens like `2001-01-01 00:00:00-05` (`tbox.rs:138`); ours pin UTC →
-    * `+00`. Sub-second micros printed only when nonzero. */
-  def fmtTs(t: Instant): String = {
-    val odt = OffsetDateTime.ofInstant(t, ZoneOffset.UTC)
-    val base = if (t.getNano == 0) TsFmt.format(odt)
-      else TsFmtFrac.format(odt).reverse.dropWhile(_ == '0').reverse
-    base + "+00"
+    * goldens like `2001-01-01 00:00:00-05` (`tbox.rs:138`). `zone` defaults
+    * to UTC (`+00`); pass the Spark session timezone to reproduce non-UTC
+    * goldens. Sub-second micros printed only when nonzero. */
+  def fmtTs(t: Instant): String = fmtTs(t, ZoneOffset.UTC)
+  def fmtTs(t: Instant, zone: ZoneId): String = {
+    val odt = OffsetDateTime.ofInstant(t, zone)
+    TsFmt.format(odt) + fmtFrac(t) + fmtOffset(odt.getOffset)
   }
 
   private val IsoFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-  private val IsoFmtFrac =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
   /** MF-JSON datetimes: ISO 'T' separator, same offset convention. */
-  def fmtTsIso(t: Instant): String = {
-    val odt = OffsetDateTime.ofInstant(t, ZoneOffset.UTC)
-    val base = if (t.getNano == 0) IsoFmt.format(odt)
-      else IsoFmtFrac.format(odt).reverse.dropWhile(_ == '0').reverse
-    base + "+00"
+  def fmtTsIso(t: Instant): String = fmtTsIso(t, ZoneOffset.UTC)
+  def fmtTsIso(t: Instant, zone: ZoneId): String = {
+    val odt = OffsetDateTime.ofInstant(t, zone)
+    IsoFmt.format(odt) + fmtFrac(t) + fmtOffset(odt.getOffset)
   }
 
   // ---- float text (MEOS min-digit printing: 1.0 → "1", tbox.rs:132-133) ---

@@ -36,10 +36,16 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
-    // q03 — A3/O3/F10: per-entity sorted timestamp array
+    // q03 — A3/O3/F10: per-entity sorted timestamp array. The array is
+    // serialized to a canonical comma-joined epoch-micros string in the
+    // final projection (the driver's pandas compare can't sort raw array
+    // columns); the sorted-collect is still the operator under test.
     "q03_group_sorted_times" -> ((s, dir) =>
       Tables.events(s, dir).groupBy("user_id")
-        .agg(sort_array(collect_list(col("ts"))).as("ts_list"))
+        .agg(sort_array(collect_list(unix_micros(col("ts")))).as("tl"))
+        .select(col("user_id"),
+          expr("array_join(transform(tl, x -> cast(x as string)), ',')")
+            .as("ts_list"))
         .orderBy("user_id")),
 
     // q04 — F1/F2/A4: posit text "value user" (printf-pinned rendering)
@@ -119,8 +125,10 @@ object CoreQueries {
         .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
           .as("s"))
         .select(col("user_id"),
-          expr("transform(s.t, x -> timestamp_micros(x))").as("ts_list"),
-          col("s.v").as("v_list"),
+          expr("array_join(transform(s.t, x -> cast(x as string)), ',')")
+            .as("ts_list"),
+          expr("array_join(transform(s.v, x -> cast(x as string)), ',')")
+            .as("v_list"),
           col("s.n").as("n"))
         .orderBy("user_id")
     }),
@@ -145,16 +153,18 @@ object CoreQueries {
           col("box.tmin").as("tmin"), col("box.tmax").as("tmax"))
         .orderBy("okey")),
 
-    // q15 — J2/J3/J5: self-join on box overlap (broadcast: one box/entity)
+    // q15 — J2/J3/J5: self-join on box overlap, via the scale-safe bucketed
+    // path: explode each box to the time buckets it spans, equi-join on the
+    // bucket id (a shuffle on ints — no BroadcastNestedLoopJoin), exact
+    // predicate + dedup after. Proven equal to the nested-loop join in
+    // SkewSpec; survives 100× entities where the O(|A|×|B|) BNLJ would not.
     "q15_box_overlaps" -> ((s, dir) => {
       val b = Tables.events(s, dir).groupBy("user_id")
         .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
-      val a = b.select(col("user_id").as("u1"), col("box").as("b1"))
-      val c = b.select(col("user_id").as("u2"), col("box").as("b2"))
-      a.join(broadcast(c),
-        col("u1") < col("u2") &&
-          Boxes.tboxOverlaps(col("b1"), col("b2")))
-        .select("u1", "u2")
+        .select(col("user_id").as("id"), col("box"))
+      Boxes.tboxOverlapJoinBucketed(b, b, java.time.Duration.ofDays(7),
+        (a, c) => a < c)
+        .select(col("idA").as("u1"), col("idB").as("u2"))
         .orderBy("u1", "u2")
     }),
 
@@ -225,8 +235,10 @@ object CoreQueries {
           graft.sources.TripSink.mergeTripArrays(
             col("st.t"), col("st.v"), col("inc.t"), col("inc.v")).as("m"))
         .select(col("user_id"),
-          expr("transform(m.t, x -> timestamp_micros(x))").as("ts_list"),
-          col("m.v").as("v_list"),
+          expr("array_join(transform(m.t, x -> cast(x as string)), ',')")
+            .as("ts_list"),
+          expr("array_join(transform(m.v, x -> cast(x as string)), ',')")
+            .as("v_list"),
           col("m.n").as("n"))
         .orderBy("user_id")
     }),
@@ -261,9 +273,12 @@ object CoreQueries {
         .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
           col("y")).as("s"))
         .select(col("user_id"),
-          expr("transform(s.t, x -> timestamp_micros(x))").as("ts_list"),
-          col("s.x").as("x_list"),
-          col("s.y").as("y_list"),
+          expr("array_join(transform(s.t, x -> cast(x as string)), ',')")
+            .as("ts_list"),
+          expr("array_join(transform(s.x, x -> cast(x as string)), ',')")
+            .as("x_list"),
+          expr("array_join(transform(s.y, x -> cast(x as string)), ',')")
+            .as("y_list"),
           col("s.n").as("n"))
         .orderBy("user_id")
     }),
@@ -453,8 +468,9 @@ object CoreQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q03_group_sorted_times" ->
-      """SELECT user_id, list(ts ORDER BY ts) AS ts_list FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |  array_to_string(list(epoch_us(ts) ORDER BY ts), ',') AS ts_list
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q04_posit_concat" ->
       """SELECT event_id, printf('%.2f %d', value, user_id) AS posit
@@ -503,8 +519,10 @@ object CoreQueries {
         |GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
 
     "q12_trip_assembly" ->
-      """SELECT user_id, list(ts ORDER BY ts) AS ts_list,
-        |       list(value ORDER BY ts) AS v_list, count(*) AS n
+      """SELECT user_id,
+        |       array_to_string(list(epoch_us(ts) ORDER BY ts), ',') AS ts_list,
+        |       array_to_string(list(value ORDER BY ts), ',') AS v_list,
+        |       count(*) AS n
         |FROM (
         |  SELECT user_id, ts, value FROM (
         |    SELECT user_id, ts, value,
@@ -565,8 +583,10 @@ object CoreQueries {
     // identical result to q12: disjoint time slices, merge-append, and
     // within-slice dedupe compose to whole-table assembly semantics
     "q19_merge_trips" ->
-      """SELECT user_id, list(ts ORDER BY ts) AS ts_list,
-        |       list(value ORDER BY ts) AS v_list, count(*) AS n
+      """SELECT user_id,
+        |       array_to_string(list(epoch_us(ts) ORDER BY ts), ',') AS ts_list,
+        |       array_to_string(list(value ORDER BY ts), ',') AS v_list,
+        |       count(*) AS n
         |FROM (
         |  SELECT user_id, ts, value FROM (
         |    SELECT user_id, ts, value,
@@ -593,9 +613,11 @@ object CoreQueries {
         |ORDER BY user_id""".stripMargin,
 
     "q23_tpoint_assembly" ->
-      """SELECT user_id, list(ts ORDER BY ts) AS ts_list,
-        |       list(value ORDER BY ts) AS x_list,
-        |       list(y ORDER BY ts) AS y_list, count(*) AS n
+      """SELECT user_id,
+        |       array_to_string(list(epoch_us(ts) ORDER BY ts), ',') AS ts_list,
+        |       array_to_string(list(value ORDER BY ts), ',') AS x_list,
+        |       array_to_string(list(y ORDER BY ts), ',') AS y_list,
+        |       count(*) AS n
         |FROM (
         |  SELECT user_id, ts, value, y FROM (
         |    SELECT user_id, ts, value,
@@ -691,10 +713,10 @@ object CoreQueries {
         |       max(ts) AS t1
         |FROM (
         |  SELECT user_id, ts, event_id,
-        |         sum(new_sess) OVER (PARTITION BY user_id
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id
         |           ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS session_id
+        |           AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, ts, event_id,
         |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -104,10 +104,11 @@ object ExtQueries {
         Text.regexTokenCount(col("text")).cast("long").as("n_re"))
         .orderBy("doc_id")),
 
-    // bottom-k sketch fingerprint
+    // bottom-k sketch fingerprint (comma-joined to a scalar string so the
+    // driver's pandas compare can sort/hash it; the sketch is unchanged)
     "qx9_bottomk_fingerprint" -> ((s, dir) =>
       docsWithShingles(s, dir).select(col("doc_id"),
-        Text.bottomK(col("sh"), 4).as("fp"))
+        array_join(Text.bottomK(col("sh"), 4), ",").as("fp"))
         .orderBy("doc_id")),
 
     // exact cosine top-5 for the first 20 vectors
@@ -297,7 +298,8 @@ object ExtQueries {
     "qx9_bottomk_fingerprint" -> (ShingleCte +
       """
         |SELECT doc_id,
-        |  (list_sort(list_transform(s, x -> md5('0:' || x))))[1:4] AS fp
+        |  array_to_string(
+        |    (list_sort(list_transform(s, x -> md5('0:' || x))))[1:4], ',') AS fp
         |FROM sh ORDER BY doc_id""".stripMargin),
 
     "qe1_cosine_knn" ->

@@ -27,6 +27,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAssembly {
 
+  /** Timestamp from epoch micros with full µs fidelity — `new
+    * Timestamp(us / 1000)` would truncate to ms while the tracked state is
+    * µs-resolution (set seconds via the ctor, then the sub-second part via
+    * setNanos, which replaces the whole nanos field). */
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   case class EventIn(user_id: Long, ts: Timestamp, event_id: Long,
                      value: Double)
   case class TripState(lastTs: Long, t: Vector[Long], v: Vector[Double])
@@ -66,8 +76,8 @@ object StreamingAssembly {
         val next = TripState(lastTs, ts, vs)
         state.update(next)
         TripUpdate(uid, ts.length.toLong,
-          new Timestamp(ts.headOption.getOrElse(0L) / 1000L),
-          new Timestamp(ts.lastOption.getOrElse(0L) / 1000L),
+          tsFromMicros(ts.headOption.getOrElse(0L)),
+          tsFromMicros(ts.lastOption.getOrElse(0L)),
           vs.lastOption.getOrElse(Double.NaN))
       }
   }
@@ -112,8 +122,8 @@ object StreamingAssembly {
         }
         state.update(PointTripState(lastTs, ts, xs, ys))
         PointTripUpdate(mmsi, ts.length.toLong,
-          new Timestamp(ts.headOption.getOrElse(0L) / 1000L),
-          new Timestamp(ts.lastOption.getOrElse(0L) / 1000L),
+          tsFromMicros(ts.headOption.getOrElse(0L)),
+          tsFromMicros(ts.lastOption.getOrElse(0L)),
           xs.lastOption.getOrElse(Double.NaN),
           ys.lastOption.getOrElse(Double.NaN))
       }

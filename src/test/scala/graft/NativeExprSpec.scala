@@ -41,6 +41,14 @@ class NativeExprSpec extends SparkTestBase {
       .getAs[Int]("subtype") == 1)
   }
 
+  /** Run `body` with silent interpreted fallback disabled, so a janino
+    * compile failure of generated code fails the test instead of hiding
+    * (round-1 regression: nested-object bridges weren't valid Java). */
+  private def noCodegenFallback[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("native parse runs inside WholeStageCodegen on datasource input") {
     val df = Tables.documents(spark, sfDir).limit(5)
       .select(NativeExpressions.tgeompointParse(
@@ -49,9 +57,21 @@ class NativeExprSpec extends SparkTestBase {
     // `*(n)` marks a WholeStageCodegen stage; the parse projection must
     // carry it (a CodegenFallback expression would break the star span)
     assert(plan.contains("*(1) Project [tgeompoint_parse"), plan)
-    val rows = df.collect()
+    // and the generated stage must actually COMPILE: with fallback off a
+    // janino error surfaces here instead of silently interpreting
+    val rows = noCodegenFallback(df.collect())
     assert(rows.length == 5)
     assert(rows.forall(!_.isNullAt(0)))
+  }
+
+  test("float_dot compiles inside WholeStageCodegen (no janino fallback)") {
+    val emb = Tables.embeddings(spark, sfDir).limit(8)
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val df = a.join(b, col("i") < col("j"))
+      .select(NativeExpressions.floatDot(col("ea"), col("eb")).as("d"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
   }
 
   test("SQL registration as a native function") {

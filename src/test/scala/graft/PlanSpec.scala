@@ -39,9 +39,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("q15 box-overlap self-join broadcasts the per-entity box side") {
+  test("q15 box-overlap self-join is the bucketed equi-join, not a " +
+    "nested-loop (the O(|A|×|B|) shape would not survive 100× entities)") {
     val p = plan("q15_box_overlaps")
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // bucket explode feeding an equi-join on the bucket id
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
   }
 
   test("date-partitioned writes prune partitions at scan (PartitionFilters)") {

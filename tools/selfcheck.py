@@ -42,6 +42,22 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {gcols} != {wcols}")
         fails += 1
         continue
+    # Mimic the driver: pandas sort_values over all columns (crashes on
+    # array-typed columns — if it crashes here it crashes in the gate too),
+    # and flag dtype-kind mismatches (the driver's hash is dtype-sensitive).
+    try:
+        got = got[gcols].sort_values(by=gcols).reset_index(drop=True)
+        want = want[wcols].sort_values(by=wcols).reset_index(drop=True)
+    except Exception as e:
+        print(f"FAIL {name}: driver-style sort_values crashed: {e}")
+        fails += 1
+        continue
+    gk = [got[c].dtype.kind for c in gcols]
+    wk = [want[c].dtype.kind for c in wcols]
+    if gk != wk:
+        print(f"FAIL {name}: dtype kinds {gk} != {wk} (driver hash diverges)")
+        fails += 1
+        continue
     g = [tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False)]
     w = [tuple(norm(v) for v in row) for row in want[wcols].itertuples(index=False)]
     g.sort(key=repr); w.sort(key=repr)  # repr: None/str mixes stay sortable
