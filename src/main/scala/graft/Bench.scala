@@ -6,10 +6,16 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{…},"sf":…}`.
   *
-  * A short warmup (the cheapest query once) pays JIT/codegen/classload
-  * costs before timing starts, so per-query numbers reflect steady-state
-  * engine cost rather than first-query warmup. Queries run in sorted key
-  * order for run-to-run comparability.
+  * Methodology (changed in round 2 — flagged in the JSON):
+  *  - every query executes through the `noop` sink, not `.count()`:
+  *    count lets Catalyst prune final projections nothing consumes (q04's
+  *    format_string, qx4's simhash fold would be optimized away), so noop
+  *    measures the declared computation;
+  *  - per-query time is the MEDIAN OF 3 runs — first-execution
+  *    planning/codegen dominates at this data size, and the median is
+  *    stable run-to-run where a single shot is ±30%;
+  *  - a short warmup (the cheapest query once) pays JIT/classload costs.
+  * Queries run in sorted key order for run-to-run comparability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,18 +31,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries("q01_scan_project")(spark, sfDir).count()
+
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    try SparkEntry.queries("q01_scan_project")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val times = Seq.fill(3)(runOnce(name)).sorted
+      name -> times(1) // median of 3
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink median-of-3"}""")
     spark.stop()
   }
 }

@@ -14,29 +14,32 @@ object Pipelines {
 
   /** scan → project → group-by-vessel → assemble (dedupe/monotonic inside
     * the UDAF) → HAVING min-trip-size → per-vessel trip struct with
-    * vessel-type last-value (A7: deterministic `max_by`-style) —
+    * vessel-type last-value (A7: deterministic `max_by`) —
     * the shared core of both reference pipelines.
+    *
+    * Assembly goes through the salted two-phase path (SkewSpec-proven
+    * equal to single-phase): the reference's "mega-vessel" case — one MMSI
+    * carrying a huge share of the posits — spreads over `salts` reducers
+    * in phase 1 instead of concentrating one reducer's heap; phase 2
+    * linearly merges the pre-sorted partials. The vessel-type last-value
+    * is a plain `max_by` aggregate (map-side combinable, skew-immune).
     *
     * Input: canonical posit frame (mmsi, t, lat, lon, vt) from
     * [[graft.sources.AisCsv]] or any equivalent projection.
     */
   def assembleTrips(posits: DataFrame, minTripSize: Int = 1,
-                    maxTripSize: Int = 0): DataFrame = {
-    val asm = Assembly.tpointAssemble(maxTripSize)
+                    maxTripSize: Int = 0, salts: Int = 16): DataFrame = {
     // content-derived tiebreak: stable across runs and partitionings
     // (unlike monotonically_increasing_id); rows identical in content sort
     // identically, so any winner is the same row
-    val tie = xxhash64(col("t"), col("lon"), col("lat"), col("vt"))
-    posits
-      .withColumn("seq", tie)
-      .withColumn("rn2", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("mmsi")
-          .orderBy(desc("t"), desc("seq"))))
-      .groupBy("mmsi")
-      .agg(
-        asm(unix_micros(col("t")), col("seq"), col("lon"), col("lat"))
-          .as("s"),
-        max(when(col("rn2") === 1, col("vt"))).as("vt"))
+    val withTie = posits.withColumn("seq",
+      xxhash64(col("t"), col("lon"), col("lat"), col("vt")))
+    val trips = Assembly.tpointAssembleSalted(withTie,
+      col("mmsi"), unix_micros(col("t")), col("seq"),
+      col("lon"), col("lat"), salts = salts, maxSize = maxTripSize)
+    val vtLast = withTie.groupBy("mmsi")
+      .agg(max_by(col("vt"), struct(col("t"), col("seq"))).as("vt"))
+    trips.join(vtLast, trips("k") === vtLast("mmsi"))
       .where(col("s.n") >= minTripSize)
       .select(col("mmsi"), col("vt"), col("s"),
         Assembly.tpointVal(col("s")).as("trip"))

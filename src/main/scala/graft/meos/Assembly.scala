@@ -129,67 +129,205 @@ object Assembly {
 
   // ---- skew path: salted two-phase assembly -------------------------------
 
+  /** Phase-1 output of the salted path: a partial trip that RETAINS the
+    * tiebreaker array, so phase 2 can resolve duplicate timestamps across
+    * salt groups exactly like single-phase assembly (smallest tie wins). */
+  case class FTSeq(t: Array[Long], tie: Array[Long], v: Array[Double],
+                   n: Long)
+  case class PTSeq(t: Array[Long], tie: Array[Long], x: Array[Double],
+                   y: Array[Double], n: Long)
+
+  class TFloatPartialAssembler(maxSize: Int)
+      extends Aggregator[FPosit, FBuf, FTSeq] {
+    private val inner = new TFloatAssembler(maxSize)
+    def zero: FBuf = inner.zero
+    def reduce(b: FBuf, p: FPosit): FBuf = inner.reduce(b, p)
+    def merge(a: FBuf, b: FBuf): FBuf = inner.merge(a, b)
+    def finish(b: FBuf): FTSeq = {
+      val sorted = b.ps.sortBy(p => (p.t, p.tie))
+      val out = Vector.newBuilder[FPosit]
+      var lastT = Long.MinValue
+      var kept = 0
+      val it = sorted.iterator
+      while (it.hasNext && (maxSize <= 0 || kept < maxSize)) {
+        val p = it.next()
+        if (p.t != lastT) { out += p; lastT = p.t; kept += 1 }
+      }
+      val r = out.result()
+      FTSeq(r.map(_.t).toArray, r.map(_.tie).toArray, r.map(_.v).toArray,
+        r.length.toLong)
+    }
+    def bufferEncoder: Encoder[FBuf] = Encoders.product[FBuf]
+    def outputEncoder: Encoder[FTSeq] = Encoders.product[FTSeq]
+  }
+
+  class TPointPartialAssembler(maxSize: Int)
+      extends Aggregator[PPosit, PBuf, PTSeq] {
+    private val inner = new TPointAssembler(maxSize)
+    def zero: PBuf = inner.zero
+    def reduce(b: PBuf, p: PPosit): PBuf = inner.reduce(b, p)
+    def merge(a: PBuf, b: PBuf): PBuf = inner.merge(a, b)
+    def finish(b: PBuf): PTSeq = {
+      val sorted = b.ps.sortBy(p => (p.t, p.tie))
+      val out = Vector.newBuilder[PPosit]
+      var lastT = Long.MinValue
+      var kept = 0
+      val it = sorted.iterator
+      while (it.hasNext && (maxSize <= 0 || kept < maxSize)) {
+        val p = it.next()
+        if (p.t != lastT) { out += p; lastT = p.t; kept += 1 }
+      }
+      val r = out.result()
+      PTSeq(r.map(_.t).toArray, r.map(_.tie).toArray, r.map(_.x).toArray,
+        r.map(_.y).toArray, r.length.toLong)
+    }
+    def bufferEncoder: Encoder[PBuf] = Encoders.product[PBuf]
+    def outputEncoder: Encoder[PTSeq] = Encoders.product[PTSeq]
+  }
+
   /** Two-phase assembly for skewed entities (SURVEY.md §7.3: mega-vessels).
     * Phase 1 groups by (key, salt) — spreading one hot key over `salts`
-    * reducers — and assembles partial trips; phase 2 merges the partial
-    * (t, v) arrays per key with the same merge-append semantics as the
-    * upsert sink. Identical output to single-phase assembly (spec-checked);
-    * use when a single entity's posits exceed one executor's comfort.
+    * reducers — and assembles partial trips; phase 2 linearly merges the
+    * pre-sorted partials per key (no re-sort — the per-posit sort work
+    * happened distributed in phase 1). Identical output to single-phase
+    * assembly on EVERY input (spec-checked, duplicate timestamps included:
+    * the partials carry the tiebreaker, and cross-salt dup-ts collisions
+    * keep the smallest tie exactly like the single-phase dedupe).
     *
     * Mirrors the reference's own batching escape hatch (`batch_size`
     * chunking, `ais_to_db.rs:176`) — the chunk id is the salt.
     *
-    * Caveat: with duplicate timestamps per key, phase 2 cannot see the
-    * tiebreaker and keeps an arbitrary (but fixed per merge order) dup —
-    * single-phase assembly keeps the smallest tiebreaker. Identical when
-    * (key, t) is unique, the common case for sensor feeds.
+    * `maxSize` caps state in BOTH phases: each salt group keeps its
+    * earliest `maxSize` distinct-ts posits (a superset of the global
+    * earliest `maxSize`), and the phase-2 merge re-caps — so per-task peak
+    * memory is O(maxSize), never O(hot-key history).
     */
   def tfloatAssembleSalted(df: org.apache.spark.sql.DataFrame,
                            key: Column, t: Column, tie: Column, v: Column,
-                           salts: Int = 16): org.apache.spark.sql.DataFrame = {
-    val asm = tfloatAssemble()
+                           salts: Int = 16, maxSize: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val part = udaf(new TFloatPartialAssembler(maxSize))
+    val merge = udaf(new SeqMerge.TieMergeAggregator(maxSize))
     df.groupBy(key.as("k"), pmod(tie, lit(salts)).as("salt"))
-      .agg(asm(t, tie, v).as("part"))
+      .agg(part(t, tie, v).as("p"))
       .groupBy(col("k"))
-      .agg(SeqMerge.merge(col("part.t"), col("part.v"), col("part.n"))
-        .as("s"))
+      .agg(merge(col("p.t"), col("p.tie"), col("p.v"), col("p.n")).as("s"))
+  }
+
+  /** 2-D (tgeompoint) variant of [[tfloatAssembleSalted]]. */
+  def tpointAssembleSalted(df: org.apache.spark.sql.DataFrame,
+                           key: Column, t: Column, tie: Column,
+                           x: Column, y: Column,
+                           salts: Int = 16, maxSize: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val part = udaf(new TPointPartialAssembler(maxSize))
+    val merge = udaf(new SeqMerge.PointTieMergeAggregator(maxSize))
+    df.groupBy(key.as("k"), pmod(tie, lit(salts)).as("salt"))
+      .agg(part(t, tie, x, y).as("p"))
+      .groupBy(col("k"))
+      .agg(merge(col("p.t"), col("p.tie"), col("p.x"), col("p.y"),
+        col("p.n")).as("s"))
   }
 
   // ---- merging assembled sequences (phase-2 / rollup aggregate) -----------
 
   object SeqMerge {
-    case class MBuf(var t: Vector[Long], var v: Vector[Double])
+    case class MBufT(var t: Vector[Long], var tie: Vector[Long],
+                     var v: Vector[Double])
+    case class MBufP(var t: Vector[Long], var tie: Vector[Long],
+                     var x: Vector[Double], var y: Vector[Double])
 
-    /** Merges already-assembled FSeq structs: k-way merge by timestamp,
-      * duplicate timestamps keep the first-merged occurrence — associative
-      * and commutative apart from dup-ts ties, which the salted path makes
-      * deterministic by salting on the tiebreaker. */
-    class SeqMergeAggregator extends Aggregator[FSeq, MBuf, FSeq] {
-      def zero: MBuf = MBuf(Vector.empty, Vector.empty)
-      private def mergeInto(b: MBuf, t: Array[Long], v: Array[Double])
-          : MBuf = {
+    /** Tie-aware k-way merge of pre-sorted partial trips: runs are merged
+      * by timestamp; a timestamp present in several runs keeps the posit
+      * with the smallest tiebreaker — exactly the single-phase dedupe rule,
+      * making the two-phase path equal to single-phase on every input.
+      * Associative and commutative, so map-side combine is safe. */
+    class TieMergeAggregator(maxSize: Int)
+        extends Aggregator[FTSeq, MBufT, FSeq] {
+      def zero: MBufT = MBufT(Vector.empty, Vector.empty, Vector.empty)
+      private def mergeInto(b: MBufT, t2: Array[Long], tie2: Array[Long],
+                            v2: Array[Double]): MBufT = {
         val nt = Vector.newBuilder[Long]
+        val ntie = Vector.newBuilder[Long]
         val nv = Vector.newBuilder[Double]
         var i = 0; var j = 0
-        var last = Long.MinValue
-        while (i < b.t.length || j < t.length) {
-          val takeLeft = j >= t.length || (i < b.t.length && b.t(i) <= t(j))
-          val (ct, cv) = if (takeLeft) { val r = (b.t(i), b.v(i)); i += 1; r }
-            else { val r = (t(j), v(j)); j += 1; r }
-          if (ct != last) { nt += ct; nv += cv; last = ct }
+        while (i < b.t.length || j < t2.length) {
+          if (j >= t2.length || (i < b.t.length && b.t(i) < t2(j))) {
+            nt += b.t(i); ntie += b.tie(i); nv += b.v(i); i += 1
+          } else if (i >= b.t.length || t2(j) < b.t(i)) {
+            nt += t2(j); ntie += tie2(j); nv += v2(j); j += 1
+          } else { // duplicate timestamp across runs: smallest tie wins
+            if (b.tie(i) <= tie2(j)) {
+              nt += b.t(i); ntie += b.tie(i); nv += b.v(i)
+            } else { nt += t2(j); ntie += tie2(j); nv += v2(j) }
+            i += 1; j += 1
+          }
         }
-        b.t = nt.result(); b.v = nv.result(); b
+        b.t = nt.result(); b.tie = ntie.result(); b.v = nv.result()
+        capped(b)
       }
-      def reduce(b: MBuf, s: FSeq): MBuf = mergeInto(b, s.t, s.v)
-      def merge(a: MBuf, b: MBuf): MBuf =
-        mergeInto(a, b.t.toArray, b.v.toArray)
-      def finish(b: MBuf): FSeq =
+      private def capped(b: MBufT): MBufT = {
+        if (maxSize > 0 && b.t.length > maxSize) {
+          b.t = b.t.take(maxSize); b.tie = b.tie.take(maxSize)
+          b.v = b.v.take(maxSize)
+        }
+        b
+      }
+      def reduce(b: MBufT, s: FTSeq): MBufT = mergeInto(b, s.t, s.tie, s.v)
+      def merge(a: MBufT, b: MBufT): MBufT =
+        mergeInto(a, b.t.toArray, b.tie.toArray, b.v.toArray)
+      def finish(b: MBufT): FSeq =
         FSeq(b.t.toArray, b.v.toArray, b.t.length.toLong)
-      def bufferEncoder: Encoder[MBuf] = Encoders.product[MBuf]
+      def bufferEncoder: Encoder[MBufT] = Encoders.product[MBufT]
       def outputEncoder: Encoder[FSeq] = Encoders.product[FSeq]
     }
 
-    val merge = udaf(new SeqMergeAggregator)
+    /** 2-D variant of [[TieMergeAggregator]]. */
+    class PointTieMergeAggregator(maxSize: Int)
+        extends Aggregator[PTSeq, MBufP, PSeq] {
+      def zero: MBufP =
+        MBufP(Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+      private def mergeInto(b: MBufP, t2: Array[Long], tie2: Array[Long],
+                            x2: Array[Double], y2: Array[Double]): MBufP = {
+        val nt = Vector.newBuilder[Long]
+        val ntie = Vector.newBuilder[Long]
+        val nx = Vector.newBuilder[Double]
+        val ny = Vector.newBuilder[Double]
+        var i = 0; var j = 0
+        while (i < b.t.length || j < t2.length) {
+          if (j >= t2.length || (i < b.t.length && b.t(i) < t2(j))) {
+            nt += b.t(i); ntie += b.tie(i); nx += b.x(i); ny += b.y(i)
+            i += 1
+          } else if (i >= b.t.length || t2(j) < b.t(i)) {
+            nt += t2(j); ntie += tie2(j); nx += x2(j); ny += y2(j)
+            j += 1
+          } else {
+            if (b.tie(i) <= tie2(j)) {
+              nt += b.t(i); ntie += b.tie(i); nx += b.x(i); ny += b.y(i)
+            } else { nt += t2(j); ntie += tie2(j); nx += x2(j); ny += y2(j) }
+            i += 1; j += 1
+          }
+        }
+        b.t = nt.result(); b.tie = ntie.result()
+        b.x = nx.result(); b.y = ny.result()
+        capped(b)
+      }
+      private def capped(b: MBufP): MBufP = {
+        if (maxSize > 0 && b.t.length > maxSize) {
+          b.t = b.t.take(maxSize); b.tie = b.tie.take(maxSize)
+          b.x = b.x.take(maxSize); b.y = b.y.take(maxSize)
+        }
+        b
+      }
+      def reduce(b: MBufP, s: PTSeq): MBufP =
+        mergeInto(b, s.t, s.tie, s.x, s.y)
+      def merge(a: MBufP, b: MBufP): MBufP =
+        mergeInto(a, b.t.toArray, b.tie.toArray, b.x.toArray, b.y.toArray)
+      def finish(b: MBufP): PSeq =
+        PSeq(b.t.toArray, b.x.toArray, b.y.toArray, b.t.length.toLong)
+      def bufferEncoder: Encoder[MBufP] = Encoders.product[MBufP]
+      def outputEncoder: Encoder[PSeq] = Encoders.product[PSeq]
+    }
   }
 
   // ---- lifting raw assembled arrays to Temporal structs -------------------

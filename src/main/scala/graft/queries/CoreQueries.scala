@@ -117,14 +117,16 @@ object CoreQueries {
         .orderBy("user_id", "chunk")
     }),
 
-    // q12 — A5/A6: trajectory assembly via the typed Aggregator
+    // q12 — A5/A6: trajectory assembly via the typed Aggregator, through
+    // the salted two-phase path (phase 1: (key, salt) partials; phase 2:
+    // tie-aware linear merge) — one mega-entity's history never
+    // concentrates in a single reducer's heap, and the output is proven
+    // equal to single-phase assembly in SkewSpec
     "q12_trip_assembly" -> ((s, dir) => {
-      val asm = Assembly.tfloatAssemble()
-      Tables.events(s, dir)
-        .groupBy("user_id")
-        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
-          .as("s"))
-        .select(col("user_id"),
+      Assembly.tfloatAssembleSalted(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+        .select(col("k").as("user_id"),
           expr("array_join(transform(s.t, x -> cast(x as string)), ',')")
             .as("ts_list"),
           expr("array_join(transform(s.v, x -> cast(x as string)), ',')")
@@ -264,15 +266,15 @@ object CoreQueries {
     }),
 
     // q23 — A6 on the 2-D point path: tgeompoint assembly (x=value,
-    // y=props length) with the same dedupe/sort semantics as q12
+    // y=props length) with the same dedupe/sort semantics as q12, also
+    // through the salted two-phase path
     "q23_tpoint_assembly" -> ((s, dir) => {
-      val asm = Assembly.tpointAssemble()
-      Tables.events(s, dir)
-        .withColumn("y", length(col("props")).cast("double"))
-        .groupBy("user_id")
-        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
-          col("y")).as("s"))
-        .select(col("user_id"),
+      Assembly.tpointAssembleSalted(
+        Tables.events(s, dir)
+          .withColumn("y", length(col("props")).cast("double")),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"), col("y"))
+        .select(col("k").as("user_id"),
           expr("array_join(transform(s.t, x -> cast(x as string)), ',')")
             .as("ts_list"),
           expr("array_join(transform(s.x, x -> cast(x as string)), ',')")

@@ -28,10 +28,11 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q12 assembly runs as ObjectHashAggregate with map-side partial " +
-    "aggregation (one shuffle)") {
+  test("q12 salted assembly: two ObjectHashAggregate stages, each with " +
+    "map-side partial aggregation") {
     val p = plan("q12_trip_assembly")
-    assert("ObjectHashAggregate".r.findAllIn(p).length == 2) // partial+final
+    // phase 1 groupBy(key, salt) + phase 2 groupBy(key), partial+final each
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 4, p)
   }
 
   test("q07 sort+limit plans as TakeOrderedAndProject (no global sort)") {

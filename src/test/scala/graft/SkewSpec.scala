@@ -34,6 +34,52 @@ class SkewSpec extends SparkTestBase {
     }
   }
 
+  test("salted == single-phase under duplicate timestamps and a size cap " +
+    "(tie-aware phase-2 merge keeps the smallest-tie posit)") {
+    import spark.implicits._
+    // duplicate timestamps with DIFFERENT values and ties, spread so dup-ts
+    // twins land in different salt groups; cap at 5 of 8 distinct ts
+    val rows = for {
+      k <- Seq(1L, 2L); t <- 0L until 8L; dup <- 0L until 3L
+    } yield (k, t * 1000000L, t * 100 + dup * 7 + k, (t * 10 + dup).toDouble)
+    val df = rows.toDF("k0", "us", "tie", "v")
+    def collect(res: org.apache.spark.sql.DataFrame, keyCol: String) =
+      res.select(col(keyCol), col("s.t").as("t"), col("s.v").as("v"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[scala.collection.Seq[Long]]("t"),
+            r.getAs[scala.collection.Seq[Double]]("v"))).toMap
+    val asm = Assembly.tfloatAssemble(maxSize = 5)
+    val single = collect(df.groupBy("k0")
+      .agg(asm(col("us"), col("tie"), col("v")).as("s"))
+      .withColumnRenamed("k0", "k"), "k")
+    val salted = collect(Assembly.tfloatAssembleSalted(df,
+      col("k0"), col("us"), col("tie"), col("v"), salts = 4, maxSize = 5),
+      "k")
+    assert(salted == single)
+    assert(single.values.forall(_._1.length == 5))
+  }
+
+  test("mega-key (1e6 posits) assembles through the salted path with " +
+    "bounded per-task state (cap applied in both phases)") {
+    import spark.implicits._
+    val n = 1000000L
+    val df = spark.range(n).select(
+      lit(42L).as("k0"),
+      (col("id") * 1000000L).as("us"),
+      col("id").as("tie"),
+      col("id").cast("double").as("v"))
+    val out = Assembly.tfloatAssembleSalted(df,
+      col("k0"), col("us"), col("tie"), col("v"),
+      salts = 32, maxSize = 10000)
+      .select(col("k"), col("s.n").as("n"), col("s.t").as("t"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 10000L)
+    // the cap keeps the EARLIEST distinct timestamps
+    val ts = out(0).getAs[scala.collection.Seq[Long]]("t")
+    assert(ts.head == 0L && ts.last == 9999L * 1000000L)
+  }
+
   test("bucketed interval join == nested-loop box-overlap join") {
     import graft.meos.Boxes
     val boxes = Tables.events(spark, sfDir).groupBy("user_id")
