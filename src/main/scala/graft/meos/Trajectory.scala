@@ -73,22 +73,38 @@ object Trajectory {
           element_at(t, i + 2) - element_at(t, i + 1)))
         .cast("double") / lit(1e6))
 
+  case class GapSeg(seg: Int, t: Long, x: Double, y: Double)
+
+  private val gapSegUdf =
+    udf((t: Seq[Long], x: Seq[Double], y: Seq[Double], gapUs: Long) => {
+      if (t == null) null
+      else {
+        // copy to arrays first: the Seq Spark hands a UDF is list-like —
+        // indexed access is O(i), so looping t(i) directly is O(n²)
+        val ta = t.toArray; val xa = x.toArray; val ya = y.toArray
+        val out = Array.newBuilder[GapSeg]
+        out.sizeHint(ta.length)
+        var seg = 0
+        var i = 0
+        while (i < ta.length) {
+          if (i > 0 && ta(i) - ta(i - 1) >= gapUs) seg += 1
+          out += GapSeg(seg, ta(i), xa(i), ya(i))
+          i += 1
+        }
+        out.result().toSeq
+      }
+    })
+
   /** Split one assembled (t, x, y) trip into maximal sub-sequences whose
     * internal gaps are < gapSec — producing the sequence-set shape
     * (`TSet`, `meos/src/tset.rs:10-13`: "set of disjoint sequences,
-    * trajectory with gaps") as pure expressions: mark gap starts, prefix-
-    * sum marks into segment ids. Returns array<struct<seg, t, x, y>>. */
-  def gapSegments(t: Column, x: Column, y: Column, gapSec: Double): Column = {
-    val gapUs = (gapSec * 1e6).toLong
-    // seg id of element i = count of gap-starts at or before i
-    transform(sequence(lit(0), size(t) - 1), i =>
-      struct(
-        size(filter(sequence(lit(1), size(t) - 1), j =>
-          (j <= i) &&
-            (element_at(t, j + 1) - element_at(t, j) >= gapUs)))
-          .as("seg"),
-        element_at(t, i + 1).as("t"),
-        element_at(x, i + 1).as("x"),
-        element_at(y, i + 1).as("y")))
-  }
+    * trajectory with gaps"). Returns array<struct<seg, t, x, y>>.
+    *
+    * A single linear pass carrying the running segment id (a UDF — array
+    * expressions cannot carry per-element state without quadratic
+    * recomputation or copying; the previous expression form did O(n²)
+    * comparisons, 10¹⁰ on a 100k-posit mega-trip). Integer/long math only,
+    * so results are exactly oracle-reproducible. */
+  def gapSegments(t: Column, x: Column, y: Column, gapSec: Double): Column =
+    gapSegUdf(t, x, y, lit((gapSec * 1e6).toLong))
 }

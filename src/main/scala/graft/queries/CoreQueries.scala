@@ -449,6 +449,25 @@ object CoreQueries {
           substring(col("p_name"), 1, 5).as("name5"))
         .orderBy("p_partkey")),
 
+    // q36 — TSet production under the oracle: assemble each entity's trip
+    // (salted path), split it at >= 1h gaps into maximal sub-sequences
+    // (Trajectory.gapSegments — the sequence-set shape, tset.rs:10-13),
+    // then roll up per segment
+    "q36_gap_split" -> ((s, dir) =>
+      Assembly.tpointAssembleSalted(
+        Tables.events(s, dir)
+          .withColumn("y", length(col("props")).cast("double")),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"), col("y"))
+        .select(col("k").as("user_id"),
+          explode(graft.meos.Trajectory.gapSegments(
+            col("s.t"), col("s.x"), col("s.y"), 3600.0)).as("g"))
+        .groupBy(col("user_id"), col("g.seg").cast("long").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          min(col("g.t")).as("t0_us"), max(col("g.t")).as("t1_us"),
+          min(col("g.x")).as("xmin"), max(col("g.x")).as("xmax"))
+        .orderBy("user_id", "seg")),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -766,6 +785,33 @@ object CoreQueries {
         |FROM part
         |WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE '%red%'
         |ORDER BY p_partkey""".stripMargin,
+
+    // the relational twin of assemble→gapSegments→rollup: dedupe (user, ts)
+    // keeping the smallest event_id (the assembly rule), mark >= 1h breaks,
+    // running-sum them into segment ids, aggregate per segment
+    "q36_gap_split" ->
+      """WITH ded AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |             ORDER BY event_id) AS rn
+        |    FROM events)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |                PARTITION BY user_id ORDER BY ts) >= 3600000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ded),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS seg
+        |  FROM m)
+        |SELECT user_id, seg, count(*) AS n, min(us) AS t0_us,
+        |       max(us) AS t1_us, min(value) AS xmin, max(value) AS xmax
+        |FROM g GROUP BY user_id, seg ORDER BY user_id, seg""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

@@ -56,4 +56,25 @@ class TrajectorySpec extends SparkTestBase {
     assert(segs.map(_.getAs[Long]("t")) ==
       Seq(0L, 60000000L, 120000000L, 3720000000L))
   }
+
+  test("gapSegments is linear: a 1e5-posit mega-trip splits correctly " +
+    "(the former expression form did O(n²) comparisons here)") {
+    val n = 100000
+    // posits 1 s apart; every 1000th posit jumps 2 h → 100 segments
+    val t = (0 until n).map(i =>
+      i.toLong * 1000000L + (i / 1000).toLong * 7200000000L)
+    val xs = (0 until n).map(_.toDouble)
+    val df = Seq((t, xs, xs)).toDF("t", "x", "y")
+    val t0 = System.nanoTime()
+    val segs = df.select(
+      Trajectory.gapSegments(col("t"), col("x"), col("y"), gapSec = 3600.0)
+        .as("segs")).collect()(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("segs")
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(segs.length == n)
+    val bySeg = segs.groupBy(_.getAs[Int]("seg"))
+    assert(bySeg.size == 100)
+    assert(bySeg.values.forall(_.length == 1000))
+    assert(elapsedSec < 30.0, s"took $elapsedSec s — not linear?")
+  }
 }
