@@ -101,7 +101,11 @@ object BoxText {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  def parseTBox(wkt: String): TBoxV = {
+  def parseTBox(wkt: String): TBoxV = parseTBox(wkt, java.time.ZoneOffset.UTC)
+  /** `zone` resolves offset-less timestamp literals (MEOS session-tz
+    * semantics; the tbox.rs goldens assume America/New_York). */
+  def parseTBox(wkt: String, zone: java.time.ZoneId): TBoxV = {
+    def parseTsZ(s: String) = TGeom.parseTs(s, zone)
     val s = wkt.trim
     val up = s.toUpperCase
     val kindStart = up.indexOf("TBOX")
@@ -121,12 +125,12 @@ object BoxText {
       case "X" =>
         TBoxV(Some(parseSpan(body, (_: String).toDouble)), None)
       case "T" =>
-        TBoxV(None, Some(parseSpan(body, TGeom.parseTs)))
+        TBoxV(None, Some(parseSpan(body, parseTsZ)))
       case "XT" =>
         val ss = splitSpans(body)
         if (ss.length != 2) fail(s"bad TBOX XT body '$body'")
         TBoxV(Some(parseSpan(ss(0), (_: String).toDouble)),
-          Some(parseSpan(ss(1), TGeom.parseTs)))
+          Some(parseSpan(ss(1), parseTsZ)))
       case o => fail(s"bad TBOX dims '$o'")
     }
   }
@@ -135,14 +139,18 @@ object BoxText {
     (if (sp.`lo_inc`) "[" else "(") + fmtA(sp.lo) + ", " + fmtA(sp.hi) +
       (if (sp.`hi_inc`) "]" else ")")
 
-  def printTBox(b: TBoxV, maxdd: Int = 6): String = (b.value, b.time) match {
-    case (Some(v), None) =>
-      s"TBOXFLOAT X(${fmtSpan(v, TGeom.fmtFloat(_: Double, maxdd))})"
-    case (None, Some(t)) => s"TBOX T(${fmtSpan(t, TGeom.fmtTs)})"
-    case (Some(v), Some(t)) =>
-      s"TBOXFLOAT XT(${fmtSpan(v, TGeom.fmtFloat(_: Double, maxdd))}," +
-        s"${fmtSpan(t, TGeom.fmtTs)})"
-    case (None, None) => fail("empty TBOX")
+  def printTBox(b: TBoxV, maxdd: Int = 6,
+                zone: java.time.ZoneId = java.time.ZoneOffset.UTC): String = {
+    def ft(t: java.time.Instant) = TGeom.fmtTs(t, zone)
+    (b.value, b.time) match {
+      case (Some(v), None) =>
+        s"TBOXFLOAT X(${fmtSpan(v, TGeom.fmtFloat(_: Double, maxdd))})"
+      case (None, Some(t)) => s"TBOX T(${fmtSpan(t, ft)})"
+      case (Some(v), Some(t)) =>
+        s"TBOXFLOAT XT(${fmtSpan(v, TGeom.fmtFloat(_: Double, maxdd))}," +
+          s"${fmtSpan(t, ft)})"
+      case (None, None) => fail("empty TBOX")
+    }
   }
 
   /** `int_to_tbox` (`tbox.rs:87-98`): degenerate closed value span. */
@@ -158,7 +166,10 @@ object BoxText {
     t.substring(1, t.length - 1).split(",").map(_.trim.toDouble)
   }
 
-  def parseSTBox(wkt: String): STBoxV = {
+  def parseSTBox(wkt: String): STBoxV =
+    parseSTBox(wkt, java.time.ZoneOffset.UTC)
+  def parseSTBox(wkt: String, zone: java.time.ZoneId): STBoxV = {
+    def parseTsZ(s: String) = TGeom.parseTs(s, zone)
     var s = wkt.trim
     var srid = 0
     if (s.toUpperCase.startsWith("SRID=")) {
@@ -190,13 +201,13 @@ object BoxText {
           hasXY = true, None)
       case "T" =>
         STBoxV(srid, 0, 0, 0, 0, None, None, hasXY = false,
-          Some(parseSpan(body, TGeom.parseTs)))
+          Some(parseSpan(body, parseTsZ)))
       case "XT" | "ZT" =>
         val parts = splitSpans(body)
         if (parts.length != 2) fail(s"bad STBOX $dims body '$body'")
         val region = parts(0).trim
         val (lo, hi) = corners(region.substring(1, region.length - 1))
-        val sp = parseSpan(parts(1), TGeom.parseTs)
+        val sp = parseSpan(parts(1), parseTsZ)
         STBoxV(srid, lo(0), lo(1), hi(0), hi(1),
           if (dims == "ZT") Some(lo(2)) else None,
           if (dims == "ZT") Some(hi(2)) else None,
@@ -205,8 +216,10 @@ object BoxText {
     }
   }
 
-  def printSTBox(b: STBoxV, maxdd: Int = 6): String = {
+  def printSTBox(b: STBoxV, maxdd: Int = 6,
+                 zone: java.time.ZoneId = java.time.ZoneOffset.UTC): String = {
     def f(v: Double) = TGeom.fmtFloat(v, maxdd)
+    def ft(t: java.time.Instant) = TGeom.fmtTs(t, zone)
     val prefix = if (b.srid != 0) s"SRID=${b.srid};" else ""
     def corner(x: Double, y: Double, z: Option[Double]) = z match {
       case Some(zv) => s"(${f(x)},${f(y)},${f(zv)})"
@@ -218,11 +231,11 @@ object BoxText {
         prefix + s"STBOX $d(${corner(b.xmin, b.ymin, b.zmin)}," +
           s"${corner(b.xmax, b.ymax, b.zmax)})"
       case (false, Some(t)) =>
-        prefix + s"STBOX T(${fmtSpan(t, TGeom.fmtTs)})"
+        prefix + s"STBOX T(${fmtSpan(t, ft)})"
       case (true, Some(t)) =>
         val d = if (b.zmin.isDefined) "ZT" else "XT"
         prefix + s"STBOX $d((${corner(b.xmin, b.ymin, b.zmin)}," +
-          s"${corner(b.xmax, b.ymax, b.zmax)}),${fmtSpan(t, TGeom.fmtTs)})"
+          s"${corner(b.xmax, b.ymax, b.zmax)}),${fmtSpan(t, ft)})"
       case (false, None) => fail("empty STBOX")
     }
   }

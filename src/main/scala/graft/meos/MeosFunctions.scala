@@ -66,25 +66,54 @@ object MeosFunctions {
   // at 100 TB a single malformed literal must not fail the job
   private val tryParseUdf = udf((wkt: String) =>
     scala.util.Try(TGeom.parse(wkt)).toOption)
+  // guarded subtype constructors (TInst/TSeq/TSet::from_wkt with the
+  // WrongTemporalType check, tinst.rs:32 / tseq.rs:36 / tset.rs:36)
+  private val parseInstUdf = udf((wkt: String) => TGeom.parseInst(wkt))
+  private val parseSeqUdf = udf((wkt: String) => TGeom.parseSeq(wkt))
+  private val parseSetUdf = udf((wkt: String) => TGeom.parseSet(wkt))
+  /** The Spark session timezone at eval time — MEOS prints timestamptz
+    * session-locally (golden `2001-01-01 00:00:00-05`, tbox.rs:138).
+    * SQLConf.get is propagated to executors with each task, so this is
+    * cluster-correct, not just local-mode. */
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
   private val printUdf = udf((v: Row, maxdd: Int) =>
-    TGeom.print(valFromRow(v), maxdd))
-  private val mfJsonUdf = udf((v: Row, withBbox: Boolean, precision: Int) =>
-    TGeom.toMfJson(valFromRow(v), withBbox, precision))
+    TGeom.print(valFromRow(v), maxdd, sessionZone))
+  // full reference surface: temporal_as_mfjson(temp, with_bbox, variant,
+  // precision, srs) — variant bit0 spaced, bit1 pretty (json-c flags;
+  // the raw test passes 3, tests/01_hello_world.rs:18)
+  private val mfJsonUdf = udf(
+    (v: Row, withBbox: Boolean, variant: Int, precision: Int, srs: String) =>
+      TGeom.toMfJson(valFromRow(v), withBbox, precision, variant, srs,
+        sessionZone))
+  // default binary codec = MobilityDB-layout extended WKB (MobilityWkb);
+  // the round-1 self-described layout stays reachable as *_legacy
   private val wkbUdf = udf((v: Row) => TGeom.toWkb(valFromRow(v)))
   private val hexWkbUdf = udf((v: Row) => TGeom.toHexWkb(valFromRow(v)))
   private val fromWkbUdf = udf((b: Array[Byte]) => TGeom.fromWkb(b))
   private val fromHexWkbUdf = udf((s: String) => TGeom.fromHexWkb(s))
+  private val wkbLegacyUdf = udf((v: Row) => TGeom.toWkbLegacy(valFromRow(v)))
+  private val hexWkbLegacyUdf =
+    udf((v: Row) => TGeom.toHexWkbLegacy(valFromRow(v)))
+  private val fromWkbLegacyUdf =
+    udf((b: Array[Byte]) => TGeom.fromWkbLegacy(b))
+  private val fromHexWkbLegacyUdf =
+    udf((s: String) => TGeom.fromHexWkbLegacy(s))
 
   case class XY(x: Double, y: Double)
   private val valueAtUdf = udf((v: Row, at: java.sql.Timestamp) =>
     TGeom.valueAt(valFromRow(v), at.toInstant).map(p => XY(p._1, p._2)))
 
-  private val tboxInUdf = udf((wkt: String) => BoxText.parseTBox(wkt))
+  private val tboxInUdf =
+    udf((wkt: String) => BoxText.parseTBox(wkt, sessionZone))
   private val tboxOutUdf = udf((b: Row, maxdd: Int) =>
-    BoxText.printTBox(tboxFromRow(b), maxdd))
-  private val stboxInUdf = udf((wkt: String) => BoxText.parseSTBox(wkt))
+    BoxText.printTBox(tboxFromRow(b), maxdd, sessionZone))
+  private val stboxInUdf =
+    udf((wkt: String) => BoxText.parseSTBox(wkt, sessionZone))
   private val stboxOutUdf = udf((b: Row, maxdd: Int) =>
-    BoxText.printSTBox(stboxFromRow(b), maxdd))
+    BoxText.printSTBox(stboxFromRow(b), maxdd, sessionZone))
   private val tboxFromIntUdf = udf((i: Int) => BoxText.tboxFromInt(i))
 
   private val tboxContainsUdf = udf((a: Row, b: Row) =>
@@ -104,15 +133,24 @@ object MeosFunctions {
 
   def tgeompointIn(wkt: Column): Column = parseUdf(wkt)
   def tgeompointTryIn(wkt: Column): Column = tryParseUdf(wkt)
+  def tgeompointInstIn(wkt: Column): Column = parseInstUdf(wkt)
+  def tgeompointSeqIn(wkt: Column): Column = parseSeqUdf(wkt)
+  def tgeompointSeqSetIn(wkt: Column): Column = parseSetUdf(wkt)
   def tgeompointOut(v: Column, maxdd: Int = 15): Column =
     printUdf(v, lit(maxdd))
   def tgeompointAsMfJson(v: Column, withBbox: Boolean = true,
-                         precision: Int = 6): Column =
-    mfJsonUdf(v, lit(withBbox), lit(precision))
+                         precision: Int = 6, variant: Int = 0,
+                         srs: String = null): Column =
+    mfJsonUdf(v, lit(withBbox), lit(variant), lit(precision),
+      lit(srs).cast("string"))
   def tgeompointAsWkb(v: Column): Column = wkbUdf(v)
   def tgeompointAsHexWkb(v: Column): Column = hexWkbUdf(v)
   def tgeompointFromWkb(b: Column): Column = fromWkbUdf(b)
   def tgeompointFromHexWkb(s: Column): Column = fromHexWkbUdf(s)
+  def tgeompointAsWkbLegacy(v: Column): Column = wkbLegacyUdf(v)
+  def tgeompointAsHexWkbLegacy(v: Column): Column = hexWkbLegacyUdf(v)
+  def tgeompointFromWkbLegacy(b: Column): Column = fromWkbLegacyUdf(b)
+  def tgeompointFromHexWkbLegacy(s: Column): Column = fromHexWkbLegacyUdf(s)
   def tgeompointValueAt(v: Column, at: Column): Column = valueAtUdf(v, at)
 
   /** Deep value equality (`temporal_eq`, guarded by same-subtype check in
@@ -151,12 +189,19 @@ object MeosFunctions {
     spark.udf.register("tgeompoint_num_instants", numInstantsUdf)
     spark.udf.register("tgeompoint_in", parseUdf)
     spark.udf.register("tgeompoint_try_in", tryParseUdf)
+    spark.udf.register("tgeompoint_inst_in", parseInstUdf)
+    spark.udf.register("tgeompoint_seq_in", parseSeqUdf)
+    spark.udf.register("tgeompoint_seqset_in", parseSetUdf)
     spark.udf.register("tgeompoint_out", printUdf)
     spark.udf.register("tgeompoint_as_mfjson", mfJsonUdf)
     spark.udf.register("tgeompoint_as_wkb", wkbUdf)
     spark.udf.register("tgeompoint_as_hexwkb", hexWkbUdf)
     spark.udf.register("tgeompoint_from_wkb", fromWkbUdf)
     spark.udf.register("tgeompoint_from_hexwkb", fromHexWkbUdf)
+    spark.udf.register("tgeompoint_as_wkb_legacy", wkbLegacyUdf)
+    spark.udf.register("tgeompoint_as_hexwkb_legacy", hexWkbLegacyUdf)
+    spark.udf.register("tgeompoint_from_wkb_legacy", fromWkbLegacyUdf)
+    spark.udf.register("tgeompoint_from_hexwkb_legacy", fromHexWkbLegacyUdf)
     spark.udf.register("tgeompoint_value_at", valueAtUdf)
     spark.udf.register("tbox_in", tboxInUdf)
     spark.udf.register("tbox_out", tboxOutUdf)

@@ -33,24 +33,56 @@ object TGeom {
   final class ParseError(msg: String) extends IllegalArgumentException(msg)
   private def fail(msg: String): Nothing = throw new ParseError(msg)
 
+  /** Subtype-guard failure — the reference's `Error::WrongTemporalType`
+    * ("expected a different meos type", `meos/src/error.rs:3-13`), raised
+    * when a WKT parses fine but to the wrong temporal shape
+    * (`tinst.rs:32`, `tseq.rs:36`, `tset.rs:36`). */
+  final class WrongTemporalType(expected: Int, got: Int)
+      extends IllegalArgumentException(
+        s"expected a different meos type " +
+          s"(${TGeom.subtypeName(expected)}, got ${TGeom.subtypeName(got)})")
+
+  private def subtypeName(s: Int): String = s match {
+    case SubInstant => "Instant"
+    case SubSequence => "Sequence"
+    case SubSequenceSet => "SequenceSet"
+    case _ => s"?$s"
+  }
+
+  /** Guarded constructors, one per subtype — `TInst::from_wkt` /
+    * `TSeq::from_wkt` / `TSet::from_wkt`: parse with the full grammar,
+    * then reject any result whose shape is not the requested subtype. */
+  private def parseAs(wkt: String, expected: Int): Val = {
+    val v = parse(wkt)
+    if (v.subtype != expected) throw new WrongTemporalType(expected, v.subtype)
+    v
+  }
+  def parseInst(wkt: String): Val = parseAs(wkt, SubInstant)
+  def parseSeq(wkt: String): Val = parseAs(wkt, SubSequence)
+  def parseSet(wkt: String): Val = parseAs(wkt, SubSequenceSet)
+
   // ---- timestamp text ------------------------------------------------------
 
   private val TsRe =
     """(\d{4}-\d{2}-\d{2})(?:[T ](\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?))?\s*(Z|[+-]\d{2}(?::?\d{2})?)?""".r
 
   /** Parse MEOS timestamp text: date-only, `T` or space separator, optional
-    * offset (`+00`, `-05`, `+00:00`, `Z`); no offset ⇒ UTC (session tz is
-    * pinned UTC, SURVEY.md §1.2). */
-  def parseTs(s: String): Instant = s.trim match {
+    * offset (`+00`, `-05`, `+00:00`, `Z`); no offset ⇒ interpreted in
+    * `zone` — MEOS resolves offset-less literals in the session timezone
+    * (the tbox.rs goldens were recorded under America/New_York; our engine
+    * default stays UTC, SURVEY.md §1.2). */
+  def parseTs(s: String): Instant = parseTs(s, ZoneOffset.UTC)
+  def parseTs(s: String, zone: ZoneId): Instant = s.trim match {
     case TsRe(date, time, off) =>
       val t = if (time == null) "00:00:00"
         else if (time.length == 5) time + ":00" else time
-      val offset = off match {
-        case null | "Z" => ZoneOffset.UTC
-        case o if o.length == 3 => ZoneOffset.of(o + ":00")
-        case o => ZoneOffset.of(o)
+      val ldt = LocalDateTime.parse(s"${date}T$t")
+      off match {
+        case null => ldt.atZone(zone).toInstant // zone rules incl. DST
+        case "Z" => ldt.toInstant(ZoneOffset.UTC)
+        case o if o.length == 3 => ldt.toInstant(ZoneOffset.of(o + ":00"))
+        case o => ldt.toInstant(ZoneOffset.of(o))
       }
-      LocalDateTime.parse(s"${date}T$t").toInstant(offset)
     case other => fail(s"bad timestamp: '$other'")
   }
 
@@ -204,11 +236,12 @@ object TGeom {
 
   // ---- WKT print -----------------------------------------------------------
 
-  private def fmtInstant(i: GInst, maxdd: Int): String =
-    s"POINT(${fmtFloat(i.x, maxdd)} ${fmtFloat(i.y, maxdd)})@${fmtTs(i.t)}"
+  private def fmtInstant(i: GInst, maxdd: Int, zone: ZoneId): String =
+    s"POINT(${fmtFloat(i.x, maxdd)} ${fmtFloat(i.y, maxdd)})@" +
+      fmtTs(i.t, zone)
 
-  private def fmtSeqBody(q: GSeq, maxdd: Int): String = {
-    val body = q.instants.map(fmtInstant(_, maxdd)).mkString(", ")
+  private def fmtSeqBody(q: GSeq, maxdd: Int, zone: ZoneId): String = {
+    val body = q.instants.map(fmtInstant(_, maxdd, zone)).mkString(", ")
     if (q.interp == Temporal.InterpDiscrete) s"{$body}"
     else {
       val lo = if (q.`lower_inc`) "[" else "("
@@ -219,16 +252,20 @@ object TGeom {
 
   /** Print as MEOS WKT (`tsequence_out(maxdd)`, `tseq.rs:66-72`). The
     * `Interp=Step;` prefix mirrors the parse grammar; SRID prefix emitted
-    * when nonzero (the extended/ingest form). */
-  def print(v: Val, maxdd: Int = 15): String = {
+    * when nonzero (the extended/ingest form). `zone` renders timestamps in
+    * a session timezone — MEOS prints timestamptz session-locally (golden
+    * `2001-01-01 00:00:00-05`, tbox.rs:138); UTC default. */
+  def print(v: Val, maxdd: Int = 15): String = print(v, maxdd, ZoneOffset.UTC)
+  def print(v: Val, maxdd: Int, zone: ZoneId): String = {
     val prefix =
       (if (v.srid != 0) s"SRID=${v.srid};" else "") +
         (if (v.interp == Temporal.InterpStep) "Interp=Step;" else "")
     val body = v.subtype match {
-      case SubInstant => fmtInstant(v.sequences.head.instants.head, maxdd)
-      case SubSequence => fmtSeqBody(v.sequences.head, maxdd)
+      case SubInstant =>
+        fmtInstant(v.sequences.head.instants.head, maxdd, zone)
+      case SubSequence => fmtSeqBody(v.sequences.head, maxdd, zone)
       case SubSequenceSet =>
-        v.sequences.map(fmtSeqBody(_, maxdd)).mkString("{", ", ", "}")
+        v.sequences.map(fmtSeqBody(_, maxdd, zone)).mkString("{", ", ", "}")
       case o => fail(s"bad subtype $o")
     }
     prefix + body
@@ -244,74 +281,134 @@ object TGeom {
     case _ => "None"
   }
 
+  // Minimal ordered JSON model so one builder serves every print variant.
+  // MEOS renders MF-JSON through json-c's json_object_to_json_string_ext
+  // (json-c is in the reference's link line, meos-sys/build.rs); the
+  // `variant` arg is json-c's flag word: bit0 SPACED, bit1 PRETTY —
+  // the raw test's variant 3 (tests/01_hello_world.rs:18) is both.
+  private sealed trait J
+  private final case class JRaw(s: String) extends J // pre-formatted scalar
+  private final case class JStrV(s: String) extends J
+  private final case class JArr(items: Seq[J]) extends J
+  private final case class JObjV(fields: Seq[(String, J)]) extends J
+
+  private def renderJson(j: J, variant: Int): String = {
+    val spaced = (variant & 1) != 0
+    val pretty = (variant & 2) != 0
+    val colon = if (spaced) ": " else ":"
+    val sb = new StringBuilder
+    def indent(d: Int): Unit = { sb.append('\n'); sb.append("  " * d) }
+    def go(j: J, d: Int): Unit = j match {
+      case JRaw(s) => sb.append(s)
+      case JStrV(s) => sb.append('"').append(s).append('"')
+      case JArr(items) =>
+        if (items.isEmpty) sb.append("[]")
+        else {
+          sb.append('[')
+          items.zipWithIndex.foreach { case (it, k) =>
+            if (k > 0) sb.append(',')
+            if (pretty) indent(d + 1)
+            else if (spaced && k > 0) sb.append(' ')
+            go(it, d + 1)
+          }
+          if (pretty) indent(d)
+          sb.append(']')
+        }
+      case JObjV(fields) =>
+        if (fields.isEmpty) sb.append("{}")
+        else {
+          sb.append('{')
+          fields.zipWithIndex.foreach { case ((k, it), i) =>
+            if (i > 0) sb.append(',')
+            if (pretty) indent(d + 1)
+            else if (spaced) sb.append(' ')
+            sb.append('"').append(k).append('"').append(colon)
+            go(it, d + 1)
+          }
+          if (pretty) indent(d) else if (spaced) sb.append(' ')
+          sb.append('}')
+        }
+    }
+    go(j, 0)
+    sb.toString
+  }
+
   private def jsonStr(s: String): String = "\"" + s + "\""
 
-  private def coordsJson(insts: Seq[GInst], precision: Int): String =
-    insts.map(i =>
-      s"[${fmtFloat(i.x, precision)},${fmtFloat(i.y, precision)}]")
-      .mkString("[", ",", "]")
+  private def coordsJ(insts: Seq[GInst], precision: Int): J =
+    JArr(insts.map(i => JArr(Seq(JRaw(fmtFloat(i.x, precision)),
+      JRaw(fmtFloat(i.y, precision))))))
 
-  private def datetimesJson(insts: Seq[GInst]): String =
-    insts.map(i => jsonStr(fmtTsIso(i.t))).mkString("[", ",", "]")
+  private def datetimesJ(insts: Seq[GInst], zone: ZoneId): J =
+    JArr(insts.map(i => JStrV(fmtTsIso(i.t, zone))))
 
-  /** Emit MF-JSON with the reference's two call shapes: with bbox
-    * (`temp.rs:17-19`: with_bbox=true, variant 0, precision 6) and without
-    * (`temp.rs:40-47`). */
-  def toMfJson(v: Val, withBbox: Boolean = true, precision: Int = 6): String = {
+  /** Emit MF-JSON with the reference's full argument surface
+    * (`temporal_as_mfjson(ptr, with_bbox, variant, precision, srs)`,
+    * `temp.rs:17-19,40-47`): `variant` bit0 = spaced, bit1 = pretty
+    * (json-c flags; the raw test passes 3); `srs` overrides the
+    * `EPSG:<srid>` crs name; `zone` renders datetimes in a session
+    * timezone (UTC default). */
+  def toMfJson(v: Val, withBbox: Boolean = true, precision: Int = 6,
+               variant: Int = 0, srs: String = null,
+               zone: ZoneId = ZoneOffset.UTC): String = {
     val all = v.sequences.flatMap(_.instants)
-    val sb = new StringBuilder
-    sb.append("{\"type\":\"MovingGeomPoint\"")
-    if (v.srid != 0)
-      sb.append(",\"crs\":{\"type\":\"Name\",\"properties\":{\"name\":")
-        .append(jsonStr(s"EPSG:${v.srid}")).append("}}")
+    val fields = Seq.newBuilder[(String, J)]
+    fields += "type" -> JStrV("MovingGeomPoint")
+    val crsName = Option(srs).orElse(
+      if (v.srid != 0) Some(s"EPSG:${v.srid}") else None)
+    crsName.foreach { name =>
+      fields += "crs" -> JObjV(Seq(
+        "type" -> JStrV("Name"),
+        "properties" -> JObjV(Seq("name" -> JStrV(name)))))
+    }
     if (withBbox && all.nonEmpty) {
       val xs = all.map(_.x); val ys = all.map(_.y)
-      sb.append(",\"bbox\":[[")
-        .append(fmtFloat(xs.min, precision)).append(',')
-        .append(fmtFloat(ys.min, precision)).append("],[")
-        .append(fmtFloat(xs.max, precision)).append(',')
-        .append(fmtFloat(ys.max, precision)).append("]]")
-      sb.append(",\"period\":{\"begin\":")
-        .append(jsonStr(fmtTsIso(all.map(_.t).min)))
-        .append(",\"end\":").append(jsonStr(fmtTsIso(all.map(_.t).max)))
-        .append("}")
+      fields += "bbox" -> JArr(Seq(
+        JArr(Seq(JRaw(fmtFloat(xs.min, precision)),
+          JRaw(fmtFloat(ys.min, precision)))),
+        JArr(Seq(JRaw(fmtFloat(xs.max, precision)),
+          JRaw(fmtFloat(ys.max, precision))))))
+      fields += "period" -> JObjV(Seq(
+        "begin" -> JStrV(fmtTsIso(all.map(_.t).min, zone)),
+        "end" -> JStrV(fmtTsIso(all.map(_.t).max, zone))))
     }
     v.subtype match {
       case SubInstant | SubSequence =>
         val q = v.sequences.head
-        sb.append(",\"coordinates\":").append(coordsJson(q.instants, precision))
-        sb.append(",\"datetimes\":").append(datetimesJson(q.instants))
+        fields += "coordinates" -> coordsJ(q.instants, precision)
+        fields += "datetimes" -> datetimesJ(q.instants, zone)
         if (v.subtype == SubSequence && v.interp != Temporal.InterpDiscrete) {
-          sb.append(",\"lower_inc\":").append(q.`lower_inc`)
-          sb.append(",\"upper_inc\":").append(q.`upper_inc`)
+          fields += "lower_inc" -> JRaw(q.`lower_inc`.toString)
+          fields += "upper_inc" -> JRaw(q.`upper_inc`.toString)
         }
       case SubSequenceSet =>
-        sb.append(",\"sequences\":[")
-        sb.append(v.sequences.map { q =>
-          s"{\"coordinates\":${coordsJson(q.instants, precision)}," +
-            s"\"datetimes\":${datetimesJson(q.instants)}," +
-            s"\"lower_inc\":${q.`lower_inc`},\"upper_inc\":${q.`upper_inc`}}"
-        }.mkString(","))
-        sb.append("]")
+        fields += "sequences" -> JArr(v.sequences.map(q => JObjV(Seq(
+          "coordinates" -> coordsJ(q.instants, precision),
+          "datetimes" -> datetimesJ(q.instants, zone),
+          "lower_inc" -> JRaw(q.`lower_inc`.toString),
+          "upper_inc" -> JRaw(q.`upper_inc`.toString)))))
       case _ =>
     }
-    sb.append(",\"interpolation\":").append(jsonStr(interpName(v.interp)))
-    sb.append("}")
-    sb.toString
+    fields += "interpolation" -> JStrV(interpName(v.interp))
+    renderJson(JObjV(fields.result()), variant)
   }
 
   // ---- extended WKB (temp.rs:21-38; flags WKB_EXTENDED|WKB_NDR|WKB_HEX) ---
   //
-  // Self-describing little-endian layout (documented here, not a byte-level
-  // clone of MEOS's internal format which is not observable from the
-  // reference's tests):
+  // The DEFAULT binary codec is the MobilityDB-layout format
+  // ([[MobilityWkb]]) — the bytes the reference's sink feeds to
+  // `tgeompointFromBinary` must parse on a real MobilityDB. The round-1
+  // self-describing layout below remains as the legacy option:
   //   u8  0x01                     byte order marker (NDR)
   //   u8  flags: bits0-1 subtype, bit2 hasSRID, bits4-5 interp
   //   i32 srid                     (iff hasSRID — the "extended" part)
   //   subtype payload:
-  //     instant:  f64 x, f64 y, i64 t(us)
+  //     instant:  f64 x, f64 y, i64 t(us, UNIX epoch)
   //     sequence: u8 bounds(lower|upper<<1), i32 n, n×instant
   //     seqset:   i32 nseq, nseq×sequence
+
+  def toWkb(v: Val): Array[Byte] = MobilityWkb.toWkb(v)
+  def fromWkb(bytes: Array[Byte]): Val = MobilityWkb.fromWkb(bytes)
 
   private def usOf(t: Instant): Long =
     Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
@@ -320,7 +417,7 @@ object TGeom {
     Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
       Math.floorMod(us, 1000000L) * 1000L)
 
-  def toWkb(v: Val): Array[Byte] = {
+  def toWkbLegacy(v: Val): Array[Byte] = {
     val buf = java.nio.ByteBuffer
       .allocate(16 + v.sequences.map(q => 8 + q.instants.size * 24).sum)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -348,7 +445,7 @@ object TGeom {
     java.util.Arrays.copyOf(buf.array(), buf.position())
   }
 
-  def fromWkb(bytes: Array[Byte]): Val = {
+  def fromWkbLegacy(bytes: Array[Byte]): Val = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (buf.get() != 0x01) fail("bad byte-order marker")
@@ -380,10 +477,7 @@ object TGeom {
 
   private val HexChars = "0123456789ABCDEF".toCharArray
 
-  /** HexWKB: uppercase hex of [[toWkb]] (`temporal_as_hexwkb`,
-    * `temp.rs:30-38`). */
-  def toHexWkb(v: Val): String = {
-    val b = toWkb(v)
+  private def toHex(b: Array[Byte]): String = {
     val sb = new StringBuilder(b.length * 2)
     b.foreach { byte =>
       sb.append(HexChars((byte >> 4) & 0xf)).append(HexChars(byte & 0xf))
@@ -391,8 +485,16 @@ object TGeom {
     sb.toString
   }
 
-  def fromHexWkb(hex: String): Val =
-    fromWkb(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+  /** HexWKB: uppercase hex of [[toWkb]] (`temporal_as_hexwkb`,
+    * `temp.rs:30-38`). */
+  def toHexWkb(v: Val): String = toHex(toWkb(v))
+  def toHexWkbLegacy(v: Val): String = toHex(toWkbLegacy(v))
+
+  private def unhex(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  def fromHexWkb(hex: String): Val = fromWkb(unhex(hex))
+  def fromHexWkbLegacy(hex: String): Val = fromWkbLegacy(unhex(hex))
 
   // ---- semantics: value at timestamp (interpolation-aware) ----------------
 

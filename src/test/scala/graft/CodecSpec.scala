@@ -147,6 +147,44 @@ class CodecSpec extends SparkTestBase {
     }
   }
 
+  test("MobilityDB-layout WKB: golden bytes for the instant case " +
+    "(pins field order, temptype code, and the POSTGRES epoch)") {
+    import graft.meos.MobilityWkb
+    // POINT(1 1)@2000-01-01 == the PG epoch → t-field is exactly 0
+    val v = TGeom.parse("POINT(1 1)@2000-01-01")
+    assert(TGeom.toHexWkb(v) ==
+      "01" +                // NDR
+        "3300" +            // temptype 51 (T_TGEOMPOINT) LE
+        "01" +              // subtype: instant
+        "00" +              // flags: no interp bits, no SRID
+        "000000000000F03F" + // x = 1.0
+        "000000000000F03F" + // y = 1.0
+        "0000000000000000")  // t = 0 µs since 2000-01-01
+    // with SRID: flag bit set, int32 4326 after the flags byte
+    val vs = TGeom.parse("SRID=4326;POINT(1 1)@2000-01-01")
+    assert(TGeom.toHexWkb(vs).startsWith("0133000140E6100000"))
+    assert(MobilityWkb.PgEpochUs == 946684800000000L)
+  }
+
+  test("MobilityDB-layout WKB: XDR (big-endian) roundtrips and is " +
+    "byte-reversed per field vs NDR") {
+    import graft.meos.MobilityWkb
+    (1 to 100).foreach { i =>
+      val v = genVal.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val xdr = MobilityWkb.toWkb(v, littleEndian = false)
+      assert(xdr(0) == 0x00)
+      assert(MobilityWkb.fromWkb(xdr) == v)
+    }
+  }
+
+  test("legacy (round-1) WKB layout still roundtrips under *_legacy") {
+    (1 to 100).foreach { i =>
+      val v = genVal.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      assert(TGeom.fromWkbLegacy(TGeom.toWkbLegacy(v)) == v)
+      assert(TGeom.fromHexWkbLegacy(TGeom.toHexWkbLegacy(v)) == v)
+    }
+  }
+
   test("WKT print/parse roundtrip preserves value (property)") {
     (1 to 200).foreach { i =>
       val v = genVal.pureApply(Gen.Parameters.default, Seed(i.toLong))
@@ -218,6 +256,112 @@ class CodecSpec extends SparkTestBase {
     assert(parsed.forall(!_.isNullAt(0)))
   }
 
+  test("MF-JSON variant flags (json-c: bit0 spaced, bit1 pretty — the raw " +
+    "test's variant 3, tests/01_hello_world.rs:18) and srs override") {
+    val inst = TGeom.parse("POINT(1 1)@2000-01-01")
+    val plain = TGeom.toMfJson(inst, withBbox = false)
+    assert(!plain.contains(" ") && !plain.contains("\n"))
+    val spaced = TGeom.toMfJson(inst, withBbox = false, variant = 1)
+    assert(spaced.contains("\"type\": \"MovingGeomPoint\""))
+    assert(!spaced.contains("\n"))
+    val pretty = TGeom.toMfJson(inst, withBbox = false, variant = 2)
+    assert(pretty.contains("\n  \"type\":\"MovingGeomPoint\""))
+    val both = TGeom.toMfJson(inst, withBbox = false, variant = 3)
+    assert(both.contains("\n  \"type\": \"MovingGeomPoint\""))
+    assert(both.endsWith("\n}"))
+    // all variants hold identical content
+    assert(Seq(spaced, pretty, both)
+      .map(_.replaceAll("[\\s\n]", "")).forall(_ == plain))
+    // srs overrides the EPSG:<srid> crs name
+    val withSrs = TGeom.toMfJson(inst, srs = "urn:ogc:def:crs:EPSG::4326")
+    assert(withSrs.contains("\"name\":\"urn:ogc:def:crs:EPSG::4326\""))
+    val sridDefault = TGeom.parse("SRID=4326;POINT(1 1)@2000-01-01")
+    assert(TGeom.toMfJson(sridDefault).contains("\"name\":\"EPSG:4326\""))
+  }
+
+  test("TBox WKT goldens in the reference's ORIGINAL timezone " +
+    "(America/New_York: -05 EST / -04 EDT across DST, tbox.rs:131-151)") {
+    val ny = java.time.ZoneId.of("America/New_York")
+    def rt(in: String) =
+      BoxText.printTBox(BoxText.parseTBox(in, ny), 6, ny)
+    assert(rt("TBOX X([1.1, 4.0))") == "TBOXFLOAT X([1.1, 4))")
+    assert(rt("TBOX XT((4, 12),[2001-01-01, 2001-10-01])") ==
+      "TBOXFLOAT XT((4, 12),[2001-01-01 00:00:00-05, " +
+        "2001-10-01 00:00:00-04])")
+    assert(rt("TBOX XT([1.0, 4.0),[2001-01-01, 2001-01-02])") ==
+      "TBOXFLOAT XT([1, 4),[2001-01-01 00:00:00-05, " +
+        "2001-01-02 00:00:00-05])")
+    assert(rt("TBOX T([2001-01-01, 2001-01-02])") ==
+      "TBOX T([2001-01-01 00:00:00-05, 2001-01-02 00:00:00-05])")
+  }
+
+  test("session-timezone rendering reproduces the reference's non-UTC " +
+    "golden (2001-01-01 00:00:00-05, tbox.rs:138)") {
+    val est = java.time.ZoneId.of("-05:00")
+    val t = TGeom.parseTs("2001-01-01 00:00:00-05")
+    assert(TGeom.fmtTs(t, est) == "2001-01-01 00:00:00-05")
+    assert(TGeom.fmtTs(t) == "2001-01-01 05:00:00+00")
+    // half-hour zones carry minutes (+05:30); WKT print follows the zone
+    assert(TGeom.fmtTs(t, java.time.ZoneId.of("+05:30"))
+      == "2001-01-01 10:30:00+05:30")
+    val v = TGeom.parse("POINT(1 1)@2001-01-01 00:00:00-05")
+    assert(TGeom.print(v, 15, est) == "POINT(1 1)@2001-01-01 00:00:00-05")
+    // the Spark UDF surface follows spark.sql.session.timeZone
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val printed = Seq("POINT(1 1)@2001-01-01 00:00:00-05").toDF("wkt")
+        .select(graft.meos.MeosFunctions.tgeompointOut(
+          graft.meos.MeosFunctions.tgeompointIn(col("wkt"))).as("p"))
+        .collect()(0).getAs[String]("p")
+      assert(printed == "POINT(1 1)@2001-01-01 00:00:00-05")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("sub-µs fraction printing: no dangling dot, trailing zeros " +
+    "stripped") {
+    val t = TGeom.parseTs("2000-01-01 00:00:00.0000005") // 500 ns
+    assert(TGeom.fmtTs(t) == "2000-01-01 00:00:00+00")
+    val t2 = TGeom.parseTs("2000-01-01 00:00:00.123400")
+    assert(TGeom.fmtTs(t2) == "2000-01-01 00:00:00.1234+00")
+  }
+
+  test("guarded subtype constructors reject mismatched shapes " +
+    "(WrongTemporalType, error.rs:3-13; guards at tinst.rs:32, " +
+    "tseq.rs:36, tset.rs:36)") {
+    val inst = "POINT(1 1)@2000-01-01"
+    val seq = "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]"
+    val set = "{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+      "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}"
+    // right shape parses
+    assert(TGeom.parseInst(inst).subtype == TGeom.SubInstant)
+    assert(TGeom.parseSeq(seq).subtype == TGeom.SubSequence)
+    assert(TGeom.parseSet(set).subtype == TGeom.SubSequenceSet)
+    // wrong shape raises WrongTemporalType — every cross pairing
+    for ((parse, ok) <- Seq[(String => TGeom.Val, String)](
+        (TGeom.parseInst _, inst), (TGeom.parseSeq _, seq),
+        (TGeom.parseSet _, set));
+        wkt <- Seq(inst, seq, set) if wkt != ok) {
+      val e = intercept[TGeom.WrongTemporalType](parse(wkt))
+      assert(e.getMessage.contains("expected a different meos type"))
+    }
+    // malformed input still raises ParseError, not the subtype guard
+    intercept[TGeom.ParseError](TGeom.parseInst("not wkt"))
+    // SQL surface
+    graft.meos.MeosFunctions.register(spark)
+    assert(spark.sql(
+      s"SELECT tgeompoint_inst_in('$inst').subtype AS s")
+      .collect()(0).getAs[Int]("s") == TGeom.SubInstant)
+    val thrown = intercept[Exception] {
+      spark.sql(s"SELECT tgeompoint_inst_in('$seq')").collect()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(thrown).exists(_.isInstanceOf[TGeom.WrongTemporalType]))
+  }
+
   test("valueAt honors interpolation and bounds (tseq.rs:57-60 semantics)") {
     def at(v: Val, s: String) = TGeom.valueAt(v, TGeom.parseTs(s))
     val lin = TGeom.parse("[POINT(0 0)@2000-01-01, POINT(10 20)@2000-01-03]")
@@ -249,7 +393,8 @@ class CodecSpec extends SparkTestBase {
     val out = spark.sql(
       """SELECT wkt,
         |       tgeompoint_out(tgeompoint_in(wkt), 15) AS printed,
-        |       tgeompoint_as_mfjson(tgeompoint_in(wkt), true, 6) AS mfjson,
+        |       tgeompoint_as_mfjson(tgeompoint_in(wkt), true, 0, 6,
+        |         cast(null as string)) AS mfjson,
         |       tgeompoint_out(tgeompoint_from_hexwkb(
         |         tgeompoint_as_hexwkb(tgeompoint_in(wkt))), 15) AS viaWkb
         |FROM wkts""".stripMargin).collect()
