@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Cut lineage between supersteps. When a checkpoint dir is configured
+    * (`sparkContext.setCheckpointDir` → durable storage at cluster scale),
+    * use a RELIABLE checkpoint: `localCheckpoint` keeps blocks on
+    * executors only, so losing one executor mid-iteration would kill the
+    * whole job once lineage is truncated. Without a checkpoint dir (local
+    * runs, tests) fall back to localCheckpoint — same semantics, no
+    * durability. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** edges(d1, d2) → (node, cluster) where cluster = min node id reachable.
     * Nodes = every endpoint. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("d1").as("a"), col("d2").as("b"))
+    val e = cut(edges.select(col("d1").as("a"), col("d2").as("b"))
       .union(edges.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = e.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cut(e.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node")))
     // label sums strictly decrease while any label still shrinks (min-
     // propagation is monotone), so a checksum equality is a sound and
     // cheap convergence test — one aggregate instead of a join per round
@@ -38,10 +48,9 @@ object Dedup {
       val viaNeighbors = e
         .join(labels, e("b") === labels("node"))
         .select(e("a").as("node"), col("cluster"))
-      val next = labels.select(col("node"), col("cluster"))
+      val next = cut(labels.select(col("node"), col("cluster"))
         .union(viaNeighbors)
-        .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
+        .groupBy("node").agg(min("cluster").as("cluster")))
       val nextSum = checksum(next)
       labels = next
       converged = nextSum == prevSum

@@ -98,17 +98,61 @@ object Similarity {
       .select("i", "j", "cos")
   }
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
-    * cell centroid; queries probe the `nprobe` nearest cells only. The
-    * "training" is STUBBED deterministically (centroids := the first
-    * `nlist` corpus vectors) — a k-means fit would slot in unchanged; the
-    * search-side dataflow (assign via broadcast, cell-key shuffle, refine)
-    * is the real 100 TB path: per-query work scales with probed cells,
-    * not corpus size. */
+  private def dotLit(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, lit(c.toArray), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Distributed Lloyd's k-means over an embedding column, cosine
+    * assignment. Each iteration is one corpus scan: a NARROW argmax over
+    * the (small, driver-held) centroid set — an `array_max` over
+    * per-centroid (cos, cell) structs, no window/sort — followed by one
+    * shuffle (`posexplode` + per-dimension mean). Only k×dim numbers ever
+    * reach the driver, so the fit scales to any corpus size; determinism
+    * comes from fixed init (first k by id) and the smallest-cell tiebreak.
+    * Returns the centroids as plain arrays, ordered by cell id. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5)
+      : Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = corpus.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      // argmax as array_position(cosines, max(cosines)): first match wins
+      // ties → smallest cell id, deterministic
+      val cosArr = array(cents.zipWithIndex.map { case (c, i) =>
+        dotLit(col("embedding"), c) /
+          (sqrt(dot(col("embedding"), col("embedding"))) * norms(i))
+      }: _*)
+      val means = corpus
+        .select((array_position(cosArr, array_max(cosArr)) - 1).as("cell"),
+          posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Long]("cell").toInt)
+        .view.mapValues(_.sortBy(_.getAs[Int]("pos"))
+          .map(_.getAs[Double]("m")).toSeq)
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF ANN: a coarse quantizer (REAL k-means now — [[kmeansCentroids]],
+    * replacing the round-1 first-nlist-vectors stub) assigns every vector
+    * to its nearest cell centroid; queries probe the `nprobe` nearest
+    * cells only. Search-side dataflow: assign via broadcast, cell-key
+    * shuffle, exact refine — per-query work scales with probed cells, not
+    * corpus size. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
-             nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.where(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+             nprobe: Int = 4, trainIters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, nlist, trainIters)
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
     def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
       val w = Window.partitionBy(idCol)
         .orderBy(desc("c_cos"), col("cell"))

@@ -131,10 +131,11 @@ object ExtQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
         .orderBy("i", "j")),
 
-    // IVF ANN — Spark-only scale path (rows-only check); recall in specs
+    // IVF ANN — Spark-only scale path (rows-only check); the quantizer is
+    // a real distributed k-means fit; recall@5 >= 0.9 measured in ExtSpec
     "qe4_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 20), 5)
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 20), 5, nprobe = 8)
         .orderBy("q_id", "rank")
     }),
 

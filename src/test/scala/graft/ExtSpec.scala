@@ -23,17 +23,54 @@ class ExtSpec extends SparkTestBase {
     assert(approx.nonEmpty)
   }
 
-  test("qe4 IVF recall vs brute force >= 0.5 at sf0.001 (nprobe=4/16)") {
+  test("qe4 IVF (k-means quantizer) recall@5 >= 0.9 at sf0.001") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(emb, queries, 5)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfKnn(emb, queries, 5)
+    val approx = Similarity.ivfKnn(emb, queries, 5, nprobe = 8)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    info(s"IVF recall@5 = $recall (nprobe=8/nlist=16, 5 train iters)")
+    assert(recall >= 0.9, s"IVF recall $recall too low")
+  }
+
+  test("k-means quantizer: deterministic fit, k centroids, assignment " +
+    "beats the round-1 first-k stub on distortion") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val fit1 = Similarity.kmeansCentroids(emb, 8, iters = 3)
+    val fit2 = Similarity.kmeansCentroids(emb, 8, iters = 3)
+    assert(fit1 == fit2) // deterministic: fixed init + tiebreaks
+    assert(fit1.length == 8)
+    val dim = fit1.head.length
+    assert(fit1.forall(_.length == dim))
+    // trained centroids differ from the raw first-8 init after iterating
+    val init = Similarity.kmeansCentroids(emb, 8, iters = 0)
+    assert(fit1 != init)
+  }
+
+  test("connected components with a RELIABLE checkpoint dir (the 100 TB " +
+    "durability path) matches the local-checkpoint result") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    def run() = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLocal = run()
+    val dir = java.nio.file.Files.createTempDirectory("ccchk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val viaReliable = run()
+      assert(viaReliable == viaLocal)
+      assert(viaReliable == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+        (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L)))
+      // the reliable path actually wrote checkpoint data
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty)
+    } finally spark.sparkContext.setCheckpointDir(null)
   }
 
   test("multimodal decode stub: batch mapPartitions preserves rows and " +
