@@ -24,9 +24,17 @@ object MeosFunctions {
 
   // ---- Row → model reconstruction (UDF struct inputs arrive as Rows) ------
 
-  private def instFromRow(r: Row): GInst =
+  private def instFromRow(r: Row): GInst = {
+    // z is optional in the instant struct: columns built by the 2-D
+    // assembly path carry no z field at all, parsed values carry a
+    // nullable one — tolerate both shapes
+    val z =
+      if (r.schema != null && r.schema.fieldNames.contains("z"))
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue)
+      else None
     GInst(r.getAs[java.sql.Timestamp]("t").toInstant,
-      r.getAs[Double]("x"), r.getAs[Double]("y"))
+      r.getAs[Double]("x"), r.getAs[Double]("y"), z)
+  }
 
   private def seqFromRow(r: Row): GSeq =
     GSeq(r.getAs[scala.collection.Seq[Row]]("instants").map(instFromRow).toSeq,
@@ -71,6 +79,8 @@ object MeosFunctions {
   private val parseInstUdf = udf((wkt: String) => TGeom.parseInst(wkt))
   private val parseSeqUdf = udf((wkt: String) => TGeom.parseSeq(wkt))
   private val parseSetUdf = udf((wkt: String) => TGeom.parseSet(wkt))
+  // tsequence_make's normalize=true path as a standalone op
+  private val normalizeUdf = udf((v: Row) => TGeom.normalize(valFromRow(v)))
   /** The Spark session timezone at eval time — MEOS prints timestamptz
     * session-locally (golden `2001-01-01 00:00:00-05`, tbox.rs:138).
     * SQLConf.get is propagated to executors with each task, so this is
@@ -136,6 +146,7 @@ object MeosFunctions {
   def tgeompointInstIn(wkt: Column): Column = parseInstUdf(wkt)
   def tgeompointSeqIn(wkt: Column): Column = parseSeqUdf(wkt)
   def tgeompointSeqSetIn(wkt: Column): Column = parseSetUdf(wkt)
+  def tgeompointNormalize(v: Column): Column = normalizeUdf(v)
   def tgeompointOut(v: Column, maxdd: Int = 15): Column =
     printUdf(v, lit(maxdd))
   def tgeompointAsMfJson(v: Column, withBbox: Boolean = true,
@@ -192,6 +203,7 @@ object MeosFunctions {
     spark.udf.register("tgeompoint_inst_in", parseInstUdf)
     spark.udf.register("tgeompoint_seq_in", parseSeqUdf)
     spark.udf.register("tgeompoint_seqset_in", parseSetUdf)
+    spark.udf.register("tgeompoint_normalize", normalizeUdf)
     spark.udf.register("tgeompoint_out", printUdf)
     spark.udf.register("tgeompoint_as_mfjson", mfJsonUdf)
     spark.udf.register("tgeompoint_as_wkb", wkbUdf)

@@ -83,9 +83,11 @@ object MobilityWkb {
   import TGeom.{GInst, GSeq, Val, SubInstant, SubSequence, SubSequenceSet}
 
   def toWkb(v: Val, littleEndian: Boolean = true): Array[Byte] = {
+    val hasZ = v.sequences.exists(_.instants.exists(_.z.isDefined))
+    val instBytes = if (hasZ) 32 else 24
     val size = 5 + (if (v.srid != 0) 4 else 0) +
       (if (v.subtype == SubSequenceSet) 4 else 0) +
-      v.sequences.map(q => 5 + q.instants.size * 24).sum
+      v.sequences.map(q => 5 + q.instants.size * instBytes).sum
     val buf = ByteBuffer.allocate(size).order(
       if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     buf.put(if (littleEndian) 0x01.toByte else 0x00.toByte)
@@ -96,11 +98,14 @@ object MobilityWkb {
       if (v.interp == Temporal.InterpLinear) flags |= Codes.FlagLinear
       if (v.interp == Temporal.InterpDiscrete) flags |= Codes.FlagDiscrete
     }
+    if (hasZ) flags |= Codes.FlagZ
     if (v.srid != 0) flags |= Codes.FlagSrid
     buf.put(flags.toByte)
     if (v.srid != 0) buf.putInt(v.srid)
     def putInst(i: GInst): Unit = {
-      buf.putDouble(i.x); buf.putDouble(i.y); buf.putLong(toPgUs(i.t))
+      buf.putDouble(i.x); buf.putDouble(i.y)
+      if (hasZ) buf.putDouble(i.z.getOrElse(0.0))
+      buf.putLong(toPgUs(i.t))
     }
     def putSeq(q: GSeq): Unit = {
       buf.putInt(q.instants.size)
@@ -130,8 +135,7 @@ object MobilityWkb {
       throw new TGeom.ParseError(s"unsupported temptype $temptype")
     val subtype = buf.get().toInt
     val flags = buf.get().toInt
-    if ((flags & Codes.FlagZ) != 0)
-      throw new TGeom.ParseError("Z dimension not yet supported")
+    val hasZ = (flags & Codes.FlagZ) != 0
     val srid = if ((flags & Codes.FlagSrid) != 0) buf.getInt() else 0
     val interp =
       if (subtype == SubInstant) Temporal.InterpNone
@@ -140,7 +144,8 @@ object MobilityWkb {
       else Temporal.InterpStep
     def getInst(): GInst = {
       val x = buf.getDouble(); val y = buf.getDouble()
-      GInst(fromPgUs(buf.getLong()), x, y)
+      val z = if (hasZ) Some(buf.getDouble()) else None
+      GInst(fromPgUs(buf.getLong()), x, y, z)
     }
     def getSeq(i: Int): GSeq = {
       val n = buf.getInt()

@@ -25,7 +25,11 @@ object TGeom {
   val SubSequence = 2
   val SubSequenceSet = 3
 
-  case class GInst(t: Instant, x: Double, y: Double)
+  /** One observed position: timestamp + 2-D point, optional Z — MEOS
+    * tgeompoint carries an optional third dimension (the `STBOX Z` golden,
+    * `meos/src/stbox.rs:120`, is its box projection). */
+  case class GInst(t: Instant, x: Double, y: Double,
+                   z: Option[Double] = None)
   case class GSeq(instants: Seq[GInst], interp: Int,
                   `lower_inc`: Boolean, `upper_inc`: Boolean)
   case class Val(subtype: Int, srid: Int, interp: Int, sequences: Seq[GSeq])
@@ -137,11 +141,16 @@ object TGeom {
 
   // ---- WKT parse -----------------------------------------------------------
 
+  // 2-D `POINT(x y)` or 3-D `POINT Z (x y z)` / `POINT(x y z)` — MEOS
+  // accepts both spellings for the optional third dimension
   private val PointRe =
-    """(?i)point\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*@\s*(.+)""".r
+    ("""(?i)point\s*z?\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)""" +
+      """(?:\s+([-+0-9.eE]+))?\s*\)\s*@\s*(.+)""").r
 
   private def parseInstant(s: String): GInst = s.trim match {
-    case PointRe(x, y, ts) => GInst(parseTs(ts), x.toDouble, y.toDouble)
+    case PointRe(x, y, z, ts) =>
+      GInst(parseTs(ts), x.toDouble, y.toDouble,
+        Option(z).map(_.toDouble))
     case other => fail(s"bad instant: '$other'")
   }
 
@@ -237,8 +246,14 @@ object TGeom {
   // ---- WKT print -----------------------------------------------------------
 
   private def fmtInstant(i: GInst, maxdd: Int, zone: ZoneId): String =
-    s"POINT(${fmtFloat(i.x, maxdd)} ${fmtFloat(i.y, maxdd)})@" +
-      fmtTs(i.t, zone)
+    i.z match {
+      case Some(zv) =>
+        s"POINT Z (${fmtFloat(i.x, maxdd)} ${fmtFloat(i.y, maxdd)} " +
+          s"${fmtFloat(zv, maxdd)})@" + fmtTs(i.t, zone)
+      case None =>
+        s"POINT(${fmtFloat(i.x, maxdd)} ${fmtFloat(i.y, maxdd)})@" +
+          fmtTs(i.t, zone)
+    }
 
   private def fmtSeqBody(q: GSeq, maxdd: Int, zone: ZoneId): String = {
     val body = q.instants.map(fmtInstant(_, maxdd, zone)).mkString(", ")
@@ -336,8 +351,9 @@ object TGeom {
   private def jsonStr(s: String): String = "\"" + s + "\""
 
   private def coordsJ(insts: Seq[GInst], precision: Int): J =
-    JArr(insts.map(i => JArr(Seq(JRaw(fmtFloat(i.x, precision)),
-      JRaw(fmtFloat(i.y, precision))))))
+    JArr(insts.map(i => JArr(
+      Seq(JRaw(fmtFloat(i.x, precision)), JRaw(fmtFloat(i.y, precision))) ++
+        i.z.map(zv => JRaw(fmtFloat(zv, precision))))))
 
   private def datetimesJ(insts: Seq[GInst], zone: ZoneId): J =
     JArr(insts.map(i => JStrV(fmtTsIso(i.t, zone))))
@@ -495,6 +511,65 @@ object TGeom {
 
   def fromHexWkb(hex: String): Val = fromWkb(unhex(hex))
   def fromHexWkbLegacy(hex: String): Val = fromWkbLegacy(unhex(hex))
+
+  // ---- normalization (`tsequence_make(..., normalize)`, tseq.rs:60) ------
+
+  private def valuesEq(a: GInst, b: GInst, eps: Double): Boolean =
+    math.abs(a.x - b.x) <= eps && math.abs(a.y - b.y) <= eps &&
+      ((a.z, b.z) match {
+        case (Some(az), Some(bz)) => math.abs(az - bz) <= eps
+        case (None, None) => true
+        case _ => false
+      })
+
+  private def collinear(a: GInst, b: GInst, c: GInst, eps: Double)
+      : Boolean = {
+    val span = usOf(c.t) - usOf(a.t)
+    if (span == 0) return valuesEq(a, b, eps)
+    val f = (usOf(b.t) - usOf(a.t)).toDouble / span
+    def ok(pa: Double, pb: Double, pc: Double) =
+      math.abs(pa + f * (pc - pa) - pb) <= eps
+    ok(a.x, b.x, c.x) && ok(a.y, b.y, c.y) &&
+      ((a.z, b.z, c.z) match {
+        case (Some(az), Some(bz), Some(cz)) =>
+          math.abs(az + f * (cz - az) - bz) <= eps
+        case (None, None, None) => true
+        case _ => false
+      })
+  }
+
+  private def normalizeSeq(q: GSeq, eps: Double): GSeq = {
+    val n = q.instants.size
+    if (n < 3 || q.interp == Temporal.InterpDiscrete) q
+    else {
+      val out = scala.collection.mutable.ArrayBuffer(q.instants.head)
+      var i = 1
+      while (i < n - 1) {
+        val a = out.last; val b = q.instants(i); val c = q.instants(i + 1)
+        val redundant = q.interp match {
+          // linear: B sits exactly on the A→C segment at its timestamp
+          case Temporal.InterpLinear => collinear(a, b, c, eps)
+          // step: B repeats the held value — adds no information
+          case Temporal.InterpStep => valuesEq(a, b, eps)
+          case _ => false
+        }
+        if (!redundant) out += b
+        i += 1
+      }
+      out += q.instants.last
+      GSeq(out.toSeq, q.interp, q.`lower_inc`, q.`upper_inc`)
+    }
+  }
+
+  /** The `normalize=true` path of `tsequence_make`
+    * (`meos/src/tseq.rs:60` — the reference always passes `false`, but the
+    * parameter is part of the MEOS surface): merge redundant instants —
+    * collinear middles under linear interpolation, repeated values under
+    * step. First/last instants always survive (they carry the bounds);
+    * discrete sequences are untouched. `eps` mirrors MEOS's epsilon-based
+    * collinearity test. */
+  def normalize(v: Val, eps: Double = 1e-12): Val =
+    v.copy(sequences = v.sequences.map(normalizeSeq(_, eps)))
 
   // ---- semantics: value at timestamp (interpolation-aware) ----------------
 

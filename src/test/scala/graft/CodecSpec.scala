@@ -328,6 +328,66 @@ class CodecSpec extends SparkTestBase {
     assert(TGeom.fmtTs(t2) == "2000-01-01 00:00:00.1234+00")
   }
 
+  test("3-D (Z) temporal points: parse both spellings, print POINT Z, " +
+    "roundtrip through MF-JSON coords and MobilityDB WKB with the Z flag") {
+    val v = TGeom.parse("POINT Z (1 2 3)@2000-01-01")
+    assert(v.sequences.head.instants.head.z == Some(3.0))
+    assert(TGeom.parse("Point(1 2 3)@2000-01-01") == v) // no-Z spelling
+    assert(TGeom.print(v) == "POINT Z (1 2 3)@2000-01-01 00:00:00+00")
+    // WKT roundtrip keeps z
+    assert(TGeom.parse(TGeom.print(v)) == v)
+    // MF-JSON coordinates become triples
+    assert(TGeom.toMfJson(v, withBbox = false)
+      .contains("\"coordinates\":[[1,2,3]]"))
+    // WKB: Z flag bit set, 8 extra bytes per instant, exact roundtrip
+    assert(TGeom.fromWkb(TGeom.toWkb(v)) == v)
+    val v2d = TGeom.parse("POINT(1 2)@2000-01-01")
+    assert(TGeom.toWkb(v).length == TGeom.toWkb(v2d).length + 8)
+    val seqZ = TGeom.parse(
+      "[POINT Z (0 0 0)@2000-01-01, POINT Z (10 10 10)@2000-01-03]")
+    assert(TGeom.fromWkb(TGeom.toWkb(seqZ)) == seqZ)
+    assert(TGeom.fromHexWkb(TGeom.toHexWkb(seqZ)) == seqZ)
+  }
+
+  test("sequence normalization (tsequence_make normalize=true, " +
+    "tseq.rs:60): collinear middles and repeated step values merge") {
+    // linear: (5 5)@02 sits exactly on the 00→04 segment → dropped
+    val lin = TGeom.parse(
+      "[POINT(0 0)@2000-01-01, POINT(5 5)@2000-01-02, " +
+        "POINT(10 10)@2000-01-03]")
+    val nlin = TGeom.normalize(lin)
+    assert(nlin.sequences.head.instants.map(_.x) == Seq(0.0, 10.0))
+    // non-collinear middle survives
+    val bent = TGeom.parse(
+      "[POINT(0 0)@2000-01-01, POINT(5 6)@2000-01-02, " +
+        "POINT(10 10)@2000-01-03]")
+    assert(TGeom.normalize(bent) == bent)
+    // step: repeated value dropped, changed value kept; last always kept
+    val step = TGeom.parse(
+      "Interp=Step;[POINT(1 1)@2000-01-01, POINT(1 1)@2000-01-02, " +
+        "POINT(2 2)@2000-01-03, POINT(2 2)@2000-01-04]")
+    val nstep = TGeom.normalize(step)
+    assert(nstep.sequences.head.instants.map(i => (i.x, i.t)) ==
+      Seq(step.sequences.head.instants.head,
+        step.sequences.head.instants(2),
+        step.sequences.head.instants(3)).map(i => (i.x, i.t)))
+    // discrete sequences are untouched
+    val disc = TGeom.parse(
+      "{POINT(1 1)@2000-01-01, POINT(1 1)@2000-01-02}")
+    assert(TGeom.normalize(disc) == disc)
+    // normalized value prints/parses/WKBs like any other
+    assert(TGeom.parse(TGeom.print(nlin)) == nlin)
+    assert(TGeom.fromWkb(TGeom.toWkb(nstep)) == nstep)
+    // SQL surface
+    graft.meos.MeosFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT size(tgeompoint_normalize(tgeompoint_in(" +
+        "'[POINT(0 0)@2000-01-01, POINT(5 5)@2000-01-02, " +
+        "POINT(10 10)@2000-01-03]')).sequences[0].instants) AS n")
+      .collect()(0).getAs[Int]("n")
+    assert(n == 2)
+  }
+
   test("guarded subtype constructors reject mismatched shapes " +
     "(WrongTemporalType, error.rs:3-13; guards at tinst.rs:32, " +
     "tseq.rs:36, tset.rs:36)") {
