@@ -98,34 +98,34 @@ object Similarity {
       .select("i", "j", "cos")
   }
 
-  private def dotLit(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, lit(c.toArray), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Distributed Lloyd's k-means over an embedding column, cosine
-    * assignment. Each iteration is one corpus scan: a NARROW argmax over
-    * the (small, driver-held) centroid set — an `array_max` over
-    * per-centroid (cos, cell) structs, no window/sort — followed by one
-    * shuffle (`posexplode` + per-dimension mean). Only k×dim numbers ever
-    * reach the driver, so the fit scales to any corpus size; determinism
-    * comes from fixed init (first k by id) and the smallest-cell tiebreak.
-    * Returns the centroids as plain arrays, ordered by cell id. */
+    * assignment. Each iteration: broadcast the (small) centroid table,
+    * score corpus×k pairs with the codegen'd `float_dot` kernel, pick the
+    * argmax per vector with `max_by` (ties → smallest cell), then one
+    * `posexplode` shuffle for per-dimension means. Only k×dim numbers ever
+    * reach the driver, so the fit scales to any corpus size. (An earlier
+    * form inlined every centroid as a literal array inside one projection —
+    * a k×dim-literal expression tree that took longer to codegen than to
+    * run; the broadcast-join form keeps expressions small and hot.) */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5)
       : Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var cents: Seq[Seq[Double]] = corpus.orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     for (_ <- 0 until iters) {
-      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-      // argmax as array_position(cosines, max(cosines)): first match wins
-      // ties → smallest cell id, deterministic
-      val cosArr = array(cents.zipWithIndex.map { case (c, i) =>
-        dotLit(col("embedding"), c) /
-          (sqrt(dot(col("embedding"), col("embedding"))) * norms(i))
-      }: _*)
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+        .toDF("cell", "c_emb")
       val means = corpus
-        .select((array_position(cosArr, array_max(cosArr)) - 1).as("cell"),
-          posexplode(col("embedding")))
+        .crossJoin(broadcast(centDf))
+        .withColumn("cos", cosine(col("embedding"), col("c_emb")))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"),
+          first("embedding").as("embedding"))
+        .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
         .agg(avg(col("col").cast("double")).as("m"))
         .collect()

@@ -61,13 +61,37 @@ object Text {
   /** SimHash-32 over a pre-hashed token array (one md5 per token, reused
     * across all 32 bit positions): bit p = majority vote of the high bit of
     * hex digit p. Returned as a 32-char '0'/'1' string — directly
-    * comparable, and hamming distance = count of differing positions. */
+    * comparable, and hamming distance = count of differing positions.
+    *
+    * NB: every reference to `tokenHashes` duplicates its expression tree,
+    * and this form references it 33 times — fine for literals/tests, a
+    * 33× recompute if the argument is itself an md5 transform. Hot queries
+    * should stage [[simhashCounts]] → [[simhashFromCounts]] through
+    * aliased projections instead (qx4 does). */
   def simhash32(tokenHashes: Column): Column =
     concat((1 to 32).map { p =>
       val highs = aggregate(tokenHashes, lit(0), (acc, h) =>
         acc + when(instr(lit("89abcdef"), substring(h, p, 1)) > 0, 1)
           .otherwise(0))
       when(lit(2) * highs >= size(tokenHashes), lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Single-pass per-position high-bit counts for SimHash-32: ONE
+    * traversal of the token hashes building a 32-wide counter array
+    * (vs 32 separate aggregate passes). */
+  def simhashCounts(tokenHashes: Column): Column =
+    aggregate(tokenHashes, array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(32)), p =>
+          when(instr(lit("89abcdef"), substring(h, p, lit(1))) > 0, 1)
+            .otherwise(0)),
+        (a, b) => a + b))
+
+  /** Majority vote over pre-computed [[simhashCounts]] — identical output
+    * to [[simhash32]]. */
+  def simhashFromCounts(counts: Column, n: Column): Column =
+    concat((1 to 32).map { p =>
+      when(lit(2) * element_at(counts, p) >= n, lit("1")).otherwise(lit("0"))
     }: _*)
 
   def tokenMd5s(toks: Column): Column = transform(toks, t => md5(t))

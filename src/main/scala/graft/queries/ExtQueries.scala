@@ -55,26 +55,57 @@ object ExtQueries {
         .orderBy("d1", "d2")
     }),
 
-    // simhash-32 per document
+    // simhash-32 per document — staged projections: md5s once, ONE pass
+    // accumulating all 32 bit counters, then the cheap majority vote
+    // (naive inlining recomputes the md5 transform 33 times; CollapseProject
+    // keeps non-cheap multi-use aliases in their own stage)
     "qx4_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), Text.tokenMd5s(col("toks")).as("th"))
+        .select(col("doc_id"), Text.simhashCounts(col("th")).as("cnt"),
+          size(col("th")).as("n"))
         .select(col("doc_id"),
-          Text.simhash32(Text.tokenMd5s(col("toks"))).as("simhash"))
+          Text.simhashFromCounts(col("cnt"), col("n")).as("simhash"))
         .orderBy("doc_id")),
 
-    // n-gram Jaccard within (lang, size-bucket) blocks
+    // n-gram Jaccard within (lang, size-bucket) blocks — inverted-index
+    // shape: |A∩B| comes from an explode + shingle equi-join + count
+    // (work scales with ACTUAL shingle co-occurrence, near-zero for
+    // unrelated docs), not from per-pair array_intersect over the full
+    // quadratic block (which hashes both arrays for every pair — the
+    // round-1 plan's dominant cost). The all-pairs frame itself carries
+    // only sizes; non-overlapping pairs get ji = 0 via the left join.
     "qx5_ngram_jaccard" -> ((s, dir) => {
+      // lazy localCheckpoint: the shingled frame feeds BOTH sides of two
+      // self-joins — without it the tokenize+shingle+distinct pipeline
+      // (the expensive part) executes four times
       val d = docsWithShingles(s, dir).select(col("doc_id"), col("lang"),
         expr("n_chars div 100").as("bucket"),
         array_distinct(col("sh")).as("shd"))
-      val a = d.select(col("doc_id").as("d1"), col("lang"), col("bucket"),
-        col("shd").as("sh1"))
-      val b = d.select(col("doc_id").as("d2"), col("lang"), col("bucket"),
-        col("shd").as("sh2"))
-      a.join(b, Seq("lang", "bucket")).where(col("d1") < col("d2"))
+        .localCheckpoint(false)
+      val sizes = d.select(col("doc_id"), col("lang"), col("bucket"),
+        size(col("shd")).cast("double").as("n"))
+      val pairs = sizes
+        .select(col("doc_id").as("d1"), col("lang"), col("bucket"),
+          col("n").as("na"))
+        .join(sizes.select(col("doc_id").as("d2"), col("lang"),
+          col("bucket"), col("n").as("nb")), Seq("lang", "bucket"))
+        .where(col("d1") < col("d2"))
+      val inv = d.select(col("doc_id"), col("lang"), col("bucket"),
+        explode(col("shd")).as("s"))
+      val common = inv
+        .select(col("doc_id").as("d1"), col("lang"), col("bucket"), col("s"))
+        .join(inv.select(col("doc_id").as("d2"), col("lang"), col("bucket"),
+          col("s")), Seq("lang", "bucket", "s"))
+        .where(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).cast("double").as("ni"))
+      pairs.join(common, Seq("d1", "d2"), "left")
         .select(col("d1"), col("d2"),
-          Text.jaccard(col("sh1"), col("sh2")).as("ji"))
+          (coalesce(col("ni"), lit(0.0)) /
+            (col("na") + col("nb") - coalesce(col("ni"), lit(0.0))))
+            .as("ji"))
         .orderBy("d1", "d2")
     }),
 

@@ -90,9 +90,18 @@ object TripSink {
       size(deduped).cast("long").as("n"))
   }
 
-  /** Keep the first element of each run of equal timestamps (index-aware
-    * higher-order filter; the lambda may reference the outer array). */
-  private def expr_filterConsecutive(all: Column): Column =
-    filter(all, (x, i) =>
-      (i === 0) || element_at(all, i).getField("t") =!= x.getField("t"))
+  /** Keep the first element of each run of equal timestamps. Implemented
+    * as zip-with-shifted-self: referencing `all` from inside a lambda
+    * (`element_at(all, i)`) would re-evaluate the whole sort expression
+    * per ELEMENT — O(n² log n) per row. Here `all` is evaluated a constant
+    * number of times regardless of length. */
+  private def expr_filterConsecutive(all: Column): Column = {
+    val prevs = concat(
+      array(lit(null).cast("struct<t:bigint,src:int,v:double>")),
+      slice(all, lit(1), greatest(size(all) - 1, lit(0))))
+    filter(
+      zip_with(all, prevs, (cur, prev) =>
+        when(prev.isNull || prev.getField("t") =!= cur.getField("t"), cur)),
+      x => x.isNotNull)
+  }
 }
