@@ -175,6 +175,33 @@ object Similarity {
         col("cos"))
   }
 
+  /** Near-duplicate pairs at scale: random-hyperplane LSH proposes
+    * candidate pairs (band-key equi-join — work scales with band
+    * collisions, not |corpus|²), the exact cosine predicate refines. The
+    * same refine threshold as [[cosineNearDupPairs]], which remains the
+    * O(n²) oracle baseline; recall of this path vs that baseline is
+    * measured in ExtSpec. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64,
+                      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    val banded = corpus.select(col("vec_id"),
+      explode(rhpBands(col("embedding"), dim, bands, bitsPerBand))
+        .as("band"))
+    val candidates = banded.select(col("vec_id").as("i"), col("band"))
+      .join(banded.select(col("vec_id").as("j"), col("band")), Seq("band"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    candidates
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select("i", "j", "cos")
+  }
+
   /** Approximate top-k: candidates share at least one LSH band with the
     * query; exact cosine refines. Recall tunes with bands/bitsPerBand. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,

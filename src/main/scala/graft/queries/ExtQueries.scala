@@ -157,9 +157,17 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // embedding-cosine near-duplicate pairs (exact; the dedup mode)
+    // embedding-cosine near-duplicate pairs (exact; the dedup mode).
+    // This O(n²) form IS the oracle baseline — qe5 below is the declared
+    // scale path (LSH candidates into the same refine predicate)
     "qe3_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .orderBy("i", "j")),
+
+    // near-dup pairs at scale: LSH candidate generation + exact refine —
+    // Spark-only (rows-only check); recall vs qe3 measured in ExtSpec
+    "qe5_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)
         .orderBy("i", "j")),
 
     // IVF ANN — Spark-only scale path (rows-only check); the quantizer is

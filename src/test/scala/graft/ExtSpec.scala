@@ -37,6 +37,24 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("qe5 LSH near-dup pairs: subset of the exact result, recall >= " +
+    "0.8 at the 0.4 threshold") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Similarity.lshNearDupPairs(emb, 0.4)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(exact)) // refine predicate is exact → no FPs
+    if (exact.nonEmpty) {
+      val recall = (exact & viaLsh).size.toDouble / exact.size
+      info(s"LSH near-dup recall = $recall (${viaLsh.size}/${exact.size})")
+      assert(recall >= 0.8, s"recall $recall too low")
+    }
+  }
+
   test("k-means quantizer: deterministic fit, k centroids, assignment " +
     "beats the round-1 first-k stub on distortion") {
     val emb = Tables.embeddings(spark, sfDir)
