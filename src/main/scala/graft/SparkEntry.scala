@@ -19,13 +19,15 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val asm = Assembly.tfloatAssemble()
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .groupBy("user_id")
-      .agg(asm(unix_micros(col("ts")), col("event_id"), col("value")).as("s"))
+    // salted two-phase assembly — the skew-immune declared path (one
+    // mega-entity never concentrates a reducer's heap; SkewSpec-proven
+    // equal to single-phase)
+    Assembly.tfloatAssembleSalted(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
       .where(col("s.n") >= 5)
-      .select(col("user_id"), col("s.n").as("n_posits"),
+      .select(col("k").as("user_id"), col("s.n").as("n_posits"),
         timestamp_micros(element_at(col("s.t"), 1)).as("start_ts"),
         timestamp_micros(element_at(col("s.t"), -1)).as("end_ts"),
         Assembly.tfloatSeq(col("s")).as("trip"))

@@ -66,9 +66,18 @@ object Similarity {
     }
 
   /** Random-hyperplane signature as `bands` band-key strings of
-    * `bitsPerBand` sign bits each. */
+    * `bitsPerBand` sign bits each — the native one-pass kernel (the plane
+    * matrix rides as a referenced object instead of bands×bits literal
+    * arrays in the expression tree). */
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,
-               seed: Long = 42L): Column = {
+               seed: Long = 42L): Column =
+    graft.meos.NativeExpressions.rhpBands(v, dim, bands, bitsPerBand, seed)
+
+  /** Pure-built-in composition of [[rhpBands]] — same planes, same
+    * left-to-right folds, bit-identical output (spec-checked); kept as
+    * the readable specification of the kernel. */
+  def rhpBandsComposed(v: Column, dim: Int, bands: Int, bitsPerBand: Int,
+                       seed: Long = 42L): Column = {
     val ps = planes(bands * bitsPerBand, dim, seed)
     array((0 until bands).map { bandIdx =>
       concat((0 until bitsPerBand).map { bit =>

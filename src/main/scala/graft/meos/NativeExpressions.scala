@@ -54,6 +54,48 @@ object DotBridge {
   }
 }
 
+/** Executor-side bridge for [[NativeExpressions.RhpBandsExpr]]: all
+  * random-hyperplane projections of one vector in a single pass, folded
+  * into per-band sign-bit strings. Top-level for janino visibility (see
+  * [[TGeomBridge]]). */
+object RhpBridge {
+  /** Deterministic ±1 hyperplanes, same derivation as the composed
+    * `Similarity.rhpBands` — `bits` planes over `dim` dimensions. */
+  def planes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits) { b =>
+      val rnd = new scala.util.Random(seed * 1315423911L + b)
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  def bands(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            planes: Array[Array[Double]], bandsN: Int, bitsPerBand: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val out = new Array[AnyRef](bandsN)
+    val sb = new java.lang.StringBuilder(bitsPerBand)
+    var band = 0
+    while (band < bandsN) {
+      sb.setLength(0)
+      var bit = 0
+      while (bit < bitsPerBand) {
+        val plane = planes(band * bitsPerBand + bit)
+        var acc = 0.0
+        var i = 0
+        val m = math.min(n, plane.length)
+        while (i < m) {
+          acc += v.getFloat(i).toDouble * plane(i)
+          i += 1
+        }
+        sb.append(if (acc >= 0) '1' else '0')
+        bit += 1
+      }
+      out(band) = UTF8String.fromString(sb.toString)
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native Catalyst expressions — the §7.2 "promote hot UDFs" path.
   *
   * [[TGeompointParseExpr]] is the WKT parser (`tgeompoint_in`,
@@ -109,6 +151,47 @@ object NativeExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): FloatDotExpr =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** All LSH band keys of a float vector in ONE pass — the composed form
+    * inlines bands×bitsPerBand literal ±1 arrays into a single projection
+    * (an expression tree that costs more to codegen than to execute); here
+    * the plane matrix rides along as a referenced object and the loop is
+    * a tight double fold. Bit-identical to the composed `rhpBands`
+    * (same plane derivation, same left-to-right accumulation). */
+  case class RhpBandsExpr(child: Expression, dim: Int, bands: Int,
+                          bitsPerBand: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(StringType, false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def prettyName: String = "rhp_bands"
+
+    @transient private lazy val planeMatrix: Array[Array[Double]] =
+      RhpBridge.planes(bands * bitsPerBand, dim, seed)
+
+    override def nullSafeEval(input: Any): Any =
+      RhpBridge.bands(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        planeMatrix, bands, bitsPerBand)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("rhpPlanes", planeMatrix,
+        "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.RhpBridge.bands($c, $planesRef, " +
+          s"$bands, $bitsPerBand);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : RhpBandsExpr = copy(child = newChild)
+  }
+
+  def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,
+               seed: Long = 42L): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(RhpBandsExpr(GraftShims.expression(v), dim, bands,
+      bitsPerBand, seed))
   }
 
   def floatDot(a: Column, b: Column): Column = {

@@ -64,6 +64,21 @@ class NativeExprSpec extends SparkTestBase {
     assert(rows.forall(!_.isNullAt(0)))
   }
 
+  test("native rhp_bands == composed banding, and compiles in codegen") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir).limit(64)
+    val df = emb.select(
+      Similarity.rhpBands(col("embedding"), 64, 16, 4).as("native"),
+      Similarity.rhpBandsComposed(col("embedding"), 64, 16, 4)
+        .as("composed"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("composed"))
+    }
+  }
+
   test("float_dot compiles inside WholeStageCodegen (no janino fallback)") {
     val emb = Tables.embeddings(spark, sfDir).limit(8)
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
