@@ -25,7 +25,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * by entity — Spark distributes/checkpoints it per shuffle partition, so
   * a 100 TB replay is bounded by (entities × maxTripSize), not input size.
   */
-object StreamingAssembly {
+// Serializable: the flatMapGroupsWithState closures call module-private
+// helpers, which makes them capture the module instance itself
+object StreamingAssembly extends Serializable {
 
   /** Timestamp from epoch micros with full µs fidelity — `new
     * Timestamp(us / 1000)` would truncate to ms while the tracked state is
@@ -83,6 +85,76 @@ object StreamingAssembly {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  // ---- gap-closed trips: watermark + flatMapGroupsWithState --------------
+
+  case class ClosedTrip(user_id: Long, n_posits: Long, start_ts: Timestamp,
+                        end_ts: Timestamp, t: Seq[Long], v: Seq[Double])
+
+  /** Streaming twin of the batch gap-split (q36 /
+    * [[graft.meos.Trajectory.gapSegments]]): a trip CLOSES when its
+    * entity goes quiet for `gapSec` of event time — either observed
+    * directly inside a batch (a posit lands ≥ gap after the previous one)
+    * or via an event-time timeout once the watermark passes lastTs + gap.
+    * Closed trips are emitted exactly once (Append mode); the open tail
+    * stays in state. Late data beyond `lateness` never reaches the
+    * operator. State per key is the open buffer, bounded by
+    * `maxTripSize` — the same posture as [[assemble]].
+    */
+  def assembleGapSessions(events: Dataset[EventIn], gapSec: Long,
+                          lateness: String = "5 minutes",
+                          maxTripSize: Int = 0): Dataset[ClosedTrip] = {
+    implicit val stateEnc = Encoders.product[TripState]
+    implicit val outEnc = Encoders.product[ClosedTrip]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapSec * 1000000L
+    def closed(uid: Long, st: TripState): ClosedTrip =
+      ClosedTrip(uid, st.t.length.toLong,
+        tsFromMicros(st.t.headOption.getOrElse(0L)),
+        tsFromMicros(st.t.lastOption.getOrElse(0L)), st.t, st.v)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TripState, ClosedTrip](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[TripState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new posits: the open
+            // trip is definitively closed
+            val out = state.getOption.filter(_.t.nonEmpty)
+              .map(closed(uid, _)).toIterator
+            state.remove()
+            out
+          } else {
+            val prev = state.getOption.getOrElse(
+              TripState(Long.MinValue, Vector.empty, Vector.empty))
+            var lastTs = prev.lastTs
+            var ts = prev.t
+            var vs = prev.v
+            val emitted = Vector.newBuilder[ClosedTrip]
+            def micros(t: Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              if (us > lastTs) {
+                // in-batch gap: close the current trip before starting anew
+                if (ts.nonEmpty && us - lastTs >= gapUs) {
+                  emitted += closed(uid, TripState(lastTs, ts, vs))
+                  ts = Vector.empty; vs = Vector.empty
+                }
+                if (maxTripSize <= 0 || ts.length < maxTripSize) {
+                  lastTs = us; ts :+= us; vs :+= e.value
+                } // cap reached: drop, same as [[assemble]]'s P7 rule
+              }
+            }
+            state.update(TripState(lastTs, ts, vs))
+            if (lastTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(lastTs, 1000L) + gapSec * 1000L)
+            emitted.result().iterator
+          }
+      }
+  }
 
   // ---- tgeompoint variant (the AIS stream itself: lon/lat posits) --------
 

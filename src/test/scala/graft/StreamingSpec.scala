@@ -177,6 +177,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gap-session trips: in-batch gaps close immediately, quiet " +
+    "entities close via event-time timeout at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventIn]
+    val q = StreamingAssembly
+      .assembleGapSessions(input.toDS(), gapSec = 3600)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_trips").start()
+    try {
+      // user 1: two posits, then a 3 h in-batch jump → first trip closes
+      // inside the batch
+      input.addData(
+        EventIn(1, ts("2024-01-01 00:00:00"), 1, 1.0),
+        EventIn(1, ts("2024-01-01 00:01:00"), 2, 2.0),
+        EventIn(1, ts("2024-01-01 03:00:00"), 3, 7.0))
+      q.processAllAvailable()
+      val b1 = spark.table("gap_trips")
+        .as[StreamingAssembly.ClosedTrip].collect()
+      assert(b1.length == 1)
+      assert(b1(0).user_id == 1L && b1(0).n_posits == 2L)
+      assert(b1(0).end_ts == ts("2024-01-01 00:01:00"))
+
+      // user 2 far in the future advances the watermark past user 1's
+      // open-trip timeout (03:00 + 1 h); the timeout fires on the NEXT
+      // trigger after the watermark update
+      input.addData(EventIn(2, ts("2024-01-01 10:00:00"), 4, 5.0))
+      q.processAllAvailable()
+      input.addData(EventIn(2, ts("2024-01-01 10:01:00"), 5, 6.0))
+      q.processAllAvailable()
+      val all = spark.table("gap_trips")
+        .as[StreamingAssembly.ClosedTrip].collect()
+      val u1Trips = all.filter(_.user_id == 1L).sortBy(_.start_ts.getTime)
+      assert(u1Trips.length == 2, all.mkString(", "))
+      assert(u1Trips(1).n_posits == 1L)
+      assert(u1Trips(1).start_ts == ts("2024-01-01 03:00:00"))
+      // user 2's trip is still open — nothing emitted for it yet
+      assert(!all.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
+
   test("streaming result converges to the batch UDAF on replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
