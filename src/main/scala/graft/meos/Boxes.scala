@@ -64,6 +64,17 @@ object Boxes {
       max(y).cast(DoubleType).as("ymax"),
       min(t).as("tmin"), max(t).as("tmax"))
 
+  /** 3-D variant: the `STBOX Z` extent (`meos/src/stbox.rs:120`) of a
+    * group of (x, y, z, t) posits. */
+  def stboxAggZ(x: Column, y: Column, z: Column, t: Column): Column =
+    struct(min(x).cast(DoubleType).as("xmin"),
+      max(x).cast(DoubleType).as("xmax"),
+      min(y).cast(DoubleType).as("ymin"),
+      max(y).cast(DoubleType).as("ymax"),
+      min(z).cast(DoubleType).as("zmin"),
+      max(z).cast(DoubleType).as("zmax"),
+      min(t).as("tmin"), max(t).as("tmax"))
+
   // ---- predicates (usable as filter or join condition) --------------------
 
   private def dimContains(alo: Column, ahi: Column, blo: Column,
@@ -140,6 +151,27 @@ object Boxes {
         tboxOverlaps(col("boxA"), col("boxB")))
       .select(col("idA"), col("idB"))
       .distinct()
+  }
+
+  /** [[tboxOverlapJoinBucketed]] with the bucket width chosen from the
+    * DATA: the median box duration (one cheap aggregate over the smaller
+    * side). Too-narrow buckets explode long boxes into many rows;
+    * too-wide buckets degrade to per-bucket all-pairs — the median
+    * duration balances rows-per-box against candidates-per-bucket without
+    * hand-tuning per dataset. */
+  def tboxOverlapJoinBucketedAuto(a: org.apache.spark.sql.DataFrame,
+                                  b: org.apache.spark.sql.DataFrame,
+                                  pairFilter: (Column, Column) => Column =
+                                    (_, _) => lit(true))
+      : org.apache.spark.sql.DataFrame = {
+    val medianUs = a.select(
+      percentile_approx(
+        unix_micros(col("box.tmax")) - unix_micros(col("box.tmin")),
+        lit(0.5), lit(1000)).as("m"))
+      .collect()(0).getLong(0)
+    val width = math.max(medianUs, 1000000L) // floor: 1 s buckets
+    tboxOverlapJoinBucketed(a, b, java.time.Duration.ofNanos(width * 1000L),
+      pairFilter)
   }
 
   /** The reference's box total order: `tbox_cmp`/`stbox_cmp`

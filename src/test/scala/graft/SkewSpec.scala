@@ -99,6 +99,37 @@ class SkewSpec extends SparkTestBase {
     assert(nested.nonEmpty)
   }
 
+  test("auto-width bucketed join (median box duration) == nested-loop") {
+    import graft.meos.Boxes
+    val boxes = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
+      .select(col("user_id").as("id"), col("box"))
+    val a = boxes.select(col("id").as("u1"), col("box").as("b1"))
+    val c = boxes.select(col("id").as("u2"), col("box").as("b2"))
+    val nested = a.join(c,
+      col("u1") < col("u2") && Boxes.tboxOverlaps(col("b1"), col("b2")))
+      .select(col("u1"), col("u2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Boxes.tboxOverlapJoinBucketedAuto(boxes, boxes,
+      (x, y) => x < y)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == nested)
+  }
+
+  test("3-D STBox aggregate carries the Z extent (STBOX Z projection)") {
+    import spark.implicits._
+    import graft.meos.Boxes
+    val df = Seq(
+      (1L, 0.0, 10.0, -5.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 4.0, 2.0, 7.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("k", "x", "y", "z", "t")
+    val r = df.groupBy("k")
+      .agg(Boxes.stboxAggZ(col("x"), col("y"), col("z"), col("t")).as("b"))
+      .select("b.zmin", "b.zmax", "b.xmin", "b.ymax").collect()(0)
+    assert(r.getDouble(0) == -5.0 && r.getDouble(1) == 7.0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 10.0)
+  }
+
   test("fast xxhash LSH banding finds exact duplicates") {
     import spark.implicits._
     val docs = Seq(
