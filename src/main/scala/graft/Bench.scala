@@ -50,10 +50,20 @@ object Bench {
       val times = Seq.fill(3)(runOnce(name)).sorted
       name -> times(1) // median of 3
     }
+    // round-1 comparability: one single-shot `.count()` pass per query —
+    // the methodology BENCH_r01 recorded (count lets Catalyst prune unused
+    // final projections, so it undercounts; kept only for the
+    // round-over-round comparison)
+    val r1Total = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink median-of-3"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink median-of-3","r1_method_total_sec":$r1Total}""")
     spark.stop()
   }
 }

@@ -51,6 +51,22 @@ class PlanSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q36 gap-split: salted assembly shape, no cartesian") {
+    val p = plan("q36_gap_split")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 4, p) // 2 phases
+  }
+
+  test("qx5 jaccard and qe5 near-dup: equi-joins only (inverted-index / " +
+    "band-key shapes — no all-pairs nested loop)") {
+    Seq("qx5_ngram_jaccard", "qe5_neardup_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("date-partitioned writes prune partitions at scan (PartitionFilters)") {
     import org.apache.spark.sql.functions.{to_date, col => c}
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/ev"
