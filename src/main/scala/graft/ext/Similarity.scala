@@ -192,11 +192,18 @@ object Similarity {
     * measured in ExtSpec. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    // posexplode: the join key is (band INDEX, bits) — keying on the bit
+    // string alone lets band 3 of one vector collide with band 7 of
+    // another, inflating the candidate set ~bands× with pairs LSH theory
+    // never proposed
     val banded = corpus.select(col("vec_id"),
-      explode(rhpBands(col("embedding"), dim, bands, bitsPerBand))
-        .as("band"))
-    val candidates = banded.select(col("vec_id").as("i"), col("band"))
-      .join(banded.select(col("vec_id").as("j"), col("band")), Seq("band"))
+      posexplode(rhpBands(col("embedding"), dim, bands, bitsPerBand)))
+      .withColumnRenamed("pos", "bandIdx")
+      .withColumnRenamed("col", "band")
+    val candidates = banded
+      .select(col("vec_id").as("i"), col("bandIdx"), col("band"))
+      .join(banded.select(col("vec_id").as("j"), col("bandIdx"),
+        col("band")), Seq("bandIdx", "band"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
     val emb = corpus.select(col("vec_id"), col("embedding"),
@@ -212,19 +219,21 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates share at least one LSH band with the
-    * query; exact cosine refines. Recall tunes with bands/bitsPerBand. */
+    * query; exact cosine refines. Recall tunes with bands/bitsPerBand.
+    * Band keys carry the band index (see [[lshNearDupPairs]]). */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
              bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
-    def withBands(df: DataFrame, idCol: String, embCol: String) = df
-      .select(col("vec_id").as(idCol), col("embedding").as(embCol),
-        explode(rhpBands(col("embedding"), dim, bands, bitsPerBand))
-          .as("band"))
-    val c = withBands(corpus, "n_id", "n_emb").select("n_id", "band")
-    val q = withBands(queries, "q_id", "q_emb").select("q_id", "band")
+    def withBands(df: DataFrame, idCol: String) = df
+      .select(col("vec_id").as(idCol),
+        posexplode(rhpBands(col("embedding"), dim, bands, bitsPerBand)))
+      .withColumnRenamed("pos", "bandIdx")
+      .withColumnRenamed("col", "band")
+    val c = withBands(corpus, "n_id").select("n_id", "bandIdx", "band")
+    val q = withBands(queries, "q_id").select("q_id", "bandIdx", "band")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
     // candidate id pairs first (dedup on ids, not on embedding payloads),
     // then re-attach vectors: corpus side via join, query side broadcast
-    val candidates = c.join(broadcast(q), Seq("band"))
+    val candidates = c.join(broadcast(q), Seq("bandIdx", "band"))
       .where(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
     candidates
