@@ -96,6 +96,74 @@ object RhpBridge {
   }
 }
 
+/** Executor-side bridge for [[NativeExpressions.TGeompointOutExpr]]:
+  * InternalRow of the temporal-value struct → WKT text. The row is read
+  * FIELD-BY-NAME against the input's actual schema (resolved once at
+  * plan time into ordinals), so both the canonical codec shape (with the
+  * optional `z`) and the 2-D assembly shape (no `z` field at all) print
+  * without an encoder round-trip. Top-level for janino visibility (see
+  * [[TGeomBridge]]). */
+object TGeomOutBridge {
+  import org.apache.spark.sql.types.{ArrayType, StructType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Ordinal map resolved from the input struct type at plan time. */
+  case class Layout(subtype: Int, srid: Int, interp: Int, sequences: Int,
+                    seqInstants: Int, seqInterp: Int, seqLo: Int, seqHi: Int,
+                    instT: Int, instX: Int, instY: Int, instZ: Int,
+                    nSeqFields: Int, nInstFields: Int)
+
+  def layoutOf(dt: org.apache.spark.sql.types.DataType): Layout = {
+    val top = dt.asInstanceOf[StructType]
+    val seqT = top("sequences").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val instT = seqT("instants").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    Layout(
+      top.fieldIndex("subtype"), top.fieldIndex("srid"),
+      top.fieldIndex("interp"), top.fieldIndex("sequences"),
+      seqT.fieldIndex("instants"), seqT.fieldIndex("interp"),
+      seqT.fieldIndex("lower_inc"), seqT.fieldIndex("upper_inc"),
+      instT.fieldIndex("t"), instT.fieldIndex("x"), instT.fieldIndex("y"),
+      if (instT.fieldNames.contains("z")) instT.fieldIndex("z") else -1,
+      seqT.size, instT.size)
+  }
+
+  private def instOf(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  def toVal(row: InternalRow, l: Layout): TGeom.Val = {
+    val seqs = row.getArray(l.sequences)
+    val out = Seq.newBuilder[TGeom.GSeq]
+    var i = 0
+    while (i < seqs.numElements()) {
+      val q = seqs.getStruct(i, l.nSeqFields)
+      val insts = q.getArray(l.seqInstants)
+      val ib = Seq.newBuilder[TGeom.GInst]
+      var j = 0
+      while (j < insts.numElements()) {
+        val r = insts.getStruct(j, l.nInstFields)
+        val z = if (l.instZ >= 0 && !r.isNullAt(l.instZ))
+          Some(r.getDouble(l.instZ)) else None
+        ib += TGeom.GInst(instOf(r.getLong(l.instT)), r.getDouble(l.instX),
+          r.getDouble(l.instY), z)
+        j += 1
+      }
+      out += TGeom.GSeq(ib.result(), q.getInt(l.seqInterp),
+        q.getBoolean(l.seqLo), q.getBoolean(l.seqHi))
+      i += 1
+    }
+    TGeom.Val(row.getInt(l.subtype), row.getInt(l.srid), row.getInt(l.interp),
+      out.result())
+  }
+
+  def print(row: InternalRow, l: Layout, maxdd: Int): UTF8String =
+    UTF8String.fromString(TGeom.print(toVal(row, l), maxdd,
+      java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
+}
+
 /** Native Catalyst expressions — the §7.2 "promote hot UDFs" path.
   *
   * [[TGeompointParseExpr]] is the WKT parser (`tgeompoint_in`,
@@ -151,6 +219,41 @@ object NativeExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): FloatDotExpr =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** WKT print as a native expression (`tsequence_out`, tseq.rs:66-72) —
+    * replaces the Row-boxing UDF in hot codec chains. Accepts ANY struct
+    * carrying the temporal-value field names (the ordinal layout is
+    * resolved from the input schema at plan time), so both the canonical
+    * codec shape and the z-less assembly shape print natively. Renders in
+    * the session timezone like the UDF path. */
+  case class TGeompointOutExpr(child: Expression, maxdd: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "tgeompoint_out_native"
+
+    @transient private lazy val layout =
+      TGeomOutBridge.layoutOf(child.dataType)
+
+    override def nullSafeEval(input: Any): Any =
+      TGeomOutBridge.print(input.asInstanceOf[InternalRow], layout, maxdd)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val layoutRef = ctx.addReferenceObj("tgeomOutLayout", layout,
+        classOf[TGeomOutBridge.Layout].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.TGeomOutBridge.print($c, $layoutRef, " +
+          s"$maxdd);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : TGeompointOutExpr = copy(child = newChild)
+  }
+
+  def tgeompointOut(v: Column, maxdd: Int = 15): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TGeompointOutExpr(GraftShims.expression(v), maxdd))
   }
 
   /** All LSH band keys of a float vector in ONE pass — the composed form

@@ -194,7 +194,7 @@ object ExtQueries {
     // string goldens live in CodecSpec): assemble tgeompoint trips, print
     // WKT, roundtrip through hex-WKB, assert stability in-plan
     "qc1_codec_roundtrip" -> ((s, dir) => {
-      import graft.meos.{Assembly, MeosFunctions}
+      import graft.meos.{Assembly, MeosFunctions, NativeExpressions}
       val asm = Assembly.tpointAssemble()
       Tables.events(s, dir)
         .withColumn("y", length(col("props")).cast("double"))
@@ -203,8 +203,9 @@ object ExtQueries {
           col("y")).as("s"))
         .select(col("user_id"), Assembly.tpointVal(col("s")).as("trip"))
         .select(col("user_id"),
-          MeosFunctions.tgeompointOut(col("trip")).as("wkt"),
-          MeosFunctions.tgeompointOut(
+          // native print (no Row boxing); WKB legs stay UDFs for now
+          NativeExpressions.tgeompointOut(col("trip")).as("wkt"),
+          NativeExpressions.tgeompointOut(
             MeosFunctions.tgeompointFromHexWkb(
               MeosFunctions.tgeompointAsHexWkb(col("trip")))).as("wkt2"),
           MeosFunctions.tgeompointNumInstants(col("trip")).as("n"))

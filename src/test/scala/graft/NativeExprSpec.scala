@@ -89,6 +89,41 @@ class NativeExprSpec extends SparkTestBase {
     assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)))
   }
 
+  test("native print == UDF print on the six grammars AND the z-less " +
+    "assembly struct shape; compiles in codegen") {
+    import spark.implicits._
+    val wkts = Seq(
+      "POINT(1 1)@2000-01-01",
+      "POINT Z (1 2 3)@2000-01-01",
+      "{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}",
+      "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "Interp=Step;[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+        "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}",
+      "SRID=4326;Point(-90.06 29.95)@2024-01-01T00:00:00+00").toDF("wkt")
+    val both = wkts.select(
+      NativeExpressions.tgeompointOut(
+        MeosFunctions.tgeompointIn(col("wkt"))).as("native"),
+      MeosFunctions.tgeompointOut(
+        MeosFunctions.tgeompointIn(col("wkt"))).as("viaUdf"))
+    noCodegenFallback(both.collect()).foreach(r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("viaUdf")))
+    // z-less shape: the struct built by the assembly path has no z field
+    import graft.meos.Assembly
+    val asm = Assembly.tpointAssemble()
+    val viaAssembly = Tables.events(spark, sfDir)
+      .withColumn("y", length(col("props")).cast("double"))
+      .groupBy("user_id")
+      .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+        col("y")).as("s"))
+      .select(Assembly.tpointVal(col("s")).as("trip"))
+      .select(
+        NativeExpressions.tgeompointOut(col("trip")).as("native"),
+        MeosFunctions.tgeompointOut(col("trip")).as("viaUdf"))
+    noCodegenFallback(viaAssembly.collect()).foreach(r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("viaUdf")))
+  }
+
   test("SQL registration as a native function") {
     NativeExpressions.register(spark)
     val r = spark.sql(
