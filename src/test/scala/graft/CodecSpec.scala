@@ -388,6 +388,51 @@ class CodecSpec extends SparkTestBase {
     assert(n == 2)
   }
 
+  test("normalize properties: idempotent, endpoint-preserving, drops " +
+    "exactly the injected collinear midpoints, valueAt-invariant") {
+    import java.time.Instant
+    (1 to 50).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // base posits 1..n with random values, strictly increasing ts
+      val base = (0 until 4 + rnd.nextInt(4)).map { i =>
+        GInst(Instant.ofEpochSecond(i * 3600L + rnd.nextInt(600)),
+          rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+      }
+      // inject a collinear midpoint between some consecutive pairs,
+      // computed with the SAME interpolation formula normalize checks
+      def usOf(t: Instant) = t.getEpochSecond * 1000000L + t.getNano / 1000
+      val withMids = base.sliding(2).flatMap { case Seq(a, c) =>
+        if (rnd.nextBoolean()) {
+          val tm = Instant.ofEpochSecond(
+            (a.t.getEpochSecond + c.t.getEpochSecond) / 2)
+          val f = (usOf(tm) - usOf(a.t)).toDouble / (usOf(c.t) - usOf(a.t))
+          Seq(a, GInst(tm, a.x + f * (c.x - a.x), a.y + f * (c.y - a.y)))
+        } else Seq(a)
+      }.toSeq :+ base.last
+      val v = Val(TGeom.SubSequence, 0, Temporal.InterpLinear,
+        Seq(GSeq(withMids, Temporal.InterpLinear, `lower_inc` = true,
+          `upper_inc` = true)))
+      val n = TGeom.normalize(v)
+      assert(TGeom.normalize(n) == n) // idempotent
+      val ni = n.sequences.head.instants
+      assert(ni.head == withMids.head && ni.last == withMids.last)
+      // every injected midpoint dropped (base itself is random → kept)
+      assert(ni.length <= base.length)
+      // linear semantics unchanged at sampled timestamps
+      (0 until 10).foreach { _ =>
+        val t0 = usOf(withMids.head.t)
+        val t1 = usOf(withMids.last.t)
+        val at = Instant.ofEpochSecond(
+          (t0 + rnd.nextLong(t1 - t0 + 1)) / 1000000L)
+        (TGeom.valueAt(v, at), TGeom.valueAt(n, at)) match {
+          case (Some((x1, y1)), Some((x2, y2))) =>
+            assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+          case (a, b) => assert(a == b)
+        }
+      }
+    }
+  }
+
   test("guarded subtype constructors reject mismatched shapes " +
     "(WrongTemporalType, error.rs:3-13; guards at tinst.rs:32, " +
     "tseq.rs:36, tset.rs:36)") {
