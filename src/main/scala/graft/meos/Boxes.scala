@@ -164,11 +164,14 @@ object Boxes {
                                   pairFilter: (Column, Column) => Column =
                                     (_, _) => lit(true))
       : org.apache.spark.sql.DataFrame = {
-    val medianUs = a.select(
+    val medianRow = a.select(
       percentile_approx(
         unix_micros(col("box.tmax")) - unix_micros(col("box.tmin")),
         lit(0.5), lit(1000)).as("m"))
-      .collect()(0).getLong(0)
+      .collect()(0)
+    // empty/all-null input → arbitrary width (join output is empty anyway)
+    val medianUs = if (medianRow.isNullAt(0)) 3600000000L
+      else medianRow.getLong(0)
     val width = math.max(medianUs, 1000000L) // floor: 1 s buckets
     tboxOverlapJoinBucketed(a, b, java.time.Duration.ofNanos(width * 1000L),
       pairFilter)
