@@ -29,19 +29,32 @@ object AisCsv {
     * pinned UTC offset (`{t}+00`, `04_to_file.rs:147`), VesselType
     * null-defaulted to 0 (`04_to_file.rs:21-23`). */
   def read(spark: SparkSession, paths: String*): DataFrame =
-    spark.read
+    project(spark.read
       .option("header", "true")
       .schema(schema)
-      .csv(paths: _*)
-      .select(
-        col("MMSI").as("mmsi"),
-        to_timestamp(concat(col("BaseDateTime"), lit("+00")),
-          "yyyy-MM-dd'T'HH:mm:ssX").as("t"),
-        col("LAT").as("lat"),
-        col("LON").as("lon"),
-        coalesce(col("VesselType"), lit(0)).as("vt"))
+      .csv(paths: _*))
 
   /** `--limit` knob (`04_to_file.rs:81`: `take(limit)` input rows). */
   def readLimited(spark: SparkSession, limit: Int, paths: String*): DataFrame =
     read(spark, paths: _*).limit(limit)
+
+  private def project(df: DataFrame): DataFrame = df.select(
+    col("MMSI").as("mmsi"),
+    to_timestamp(concat(col("BaseDateTime"), lit("+00")),
+      "yyyy-MM-dd'T'HH:mm:ssX").as("t"),
+    col("LAT").as("lat"),
+    col("LON").as("lon"),
+    coalesce(col("VesselType"), lit(0)).as("vt"))
+
+  /** Structured-Streaming file source over the same directory layout: new
+    * CSVs dropped into `dir` become micro-batches — the streaming twin of
+    * the reference's batch directory walk, feeding
+    * [[graft.streaming.StreamingAssembly]] unchanged. */
+  def readStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 10): DataFrame =
+    project(spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .csv(dir))
 }

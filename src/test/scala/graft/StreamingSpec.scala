@@ -218,6 +218,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source streaming ingest: CSVs dropped into a directory " +
+    "flow through the AIS projection into stateful assembly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("aisstream").toString
+    def writeCsv(name: String, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p,
+        ("MMSI,BaseDateTime,LAT,LON,VesselType" +: rows)
+          .mkString("\n").getBytes)
+    }
+    writeCsv("day1.csv", Seq(
+      "367000001,2024-01-01T00:00:00,29.95,-90.06,70",
+      "367000001,2024-01-01T00:01:00,29.96,-90.05,70"))
+    val posits = graft.sources.AisCsv.readStream(spark, dir)
+      .withColumn("seq", xxhash64(col("t"), col("lon"), col("lat")))
+      .select(col("mmsi"), col("t"), col("seq"), col("lon"), col("lat"))
+      .as[StreamingAssembly.PositIn]
+    val q = StreamingAssembly.assemblePoints(posits)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ais_stream").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("ais_stream")
+        .as[StreamingAssembly.PointTripUpdate].collect()
+        .filter(_.mmsi == 367000001L).maxBy(_.n_posits)
+      assert(b1.n_posits == 2)
+      // a new file lands mid-stream → next micro-batch extends the trip
+      writeCsv("day2.csv", Seq(
+        "367000001,2024-01-01T00:02:00,29.97,-90.04,70"))
+      q.processAllAvailable()
+      val b2 = spark.table("ais_stream")
+        .as[StreamingAssembly.PointTripUpdate].collect()
+        .filter(_.mmsi == 367000001L).maxBy(_.n_posits)
+      assert(b2.n_posits == 3)
+      assert(b2.last_lon == -90.04 && b2.last_lat == 29.97)
+    } finally q.stop()
+  }
+
   test("streaming result converges to the batch UDAF on replay") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
