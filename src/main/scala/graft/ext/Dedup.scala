@@ -64,12 +64,15 @@ object Dedup {
     * components → cluster per doc (docs with no near-dup form their own
     * cluster). Returns (doc_id, cluster, keeper). */
   def minhashClusters(docs: DataFrame, bands: Int = 4): DataFrame = {
+    // lazy localCheckpoint: the banded frame feeds both self-join sides —
+    // without it the shingle+minhash pipeline runs twice
     val sig = docs
       .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .withColumn("sh", Text.shingles(col("toks")))
       .select(col("doc_id"), explode(Text.lshBands(col("sh"), bands))
         .as("band"))
+      .localCheckpoint(false)
     val a = sig.select(col("doc_id").as("d1"), col("band"))
     val b = sig.select(col("doc_id").as("d2"), col("band"))
     val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))

@@ -44,10 +44,13 @@ object ExtQueries {
         Text.minhash(col("sh"), 2).as("h2"), Text.minhash(col("sh"), 3).as("h3"))
         .orderBy("doc_id")),
 
-    // LSH candidate pairs: 4 bands × 1 row
+    // LSH candidate pairs: 4 bands × 1 row. Lazy localCheckpoint: both
+    // self-join sides reuse the banded frame instead of re-running the
+    // shingle+minhash pipeline per side
     "qx3_lsh_pairs" -> ((s, dir) => {
       val sig = docsWithShingles(s, dir).select(col("doc_id"),
         explode(Text.lshBands(col("sh"), bands = 4)).as("band"))
+        .localCheckpoint(false)
       val a = sig.select(col("doc_id").as("d1"), col("band"))
       val b = sig.select(col("doc_id").as("d2"), col("band"))
       a.join(b, Seq("band")).where(col("d1") < col("d2"))
