@@ -59,7 +59,7 @@ object Similarity {
 
   /** Deterministic ±1 hyperplanes: `bits` planes over `dim` dimensions,
     * seeded — generated at plan time, embedded as literals. */
-  private def planes(bits: Int, dim: Int, seed: Long): Seq[Array[Double]] =
+  private[graft] def planes(bits: Int, dim: Int, seed: Long): Seq[Array[Double]] =
     (0 until bits).map { b =>
       val rnd = new scala.util.Random(seed * 1315423911L + b)
       Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)

@@ -152,8 +152,9 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // approximate ANN via random-hyperplane LSH — Spark-only (no SQL twin;
-    // the driver records a rows-only check), recall measured in specs
+    // approximate ANN via random-hyperplane LSH — fully deterministic
+    // (fixed plane matrix), so it carries a complete DuckDB oracle twin
+    // generated from the same planes; recall vs exact also in specs
     "qe2_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshKnn(emb, emb.where(col("vec_id") < 20), 5)
@@ -224,6 +225,26 @@ object ExtQueries {
         col("meta.nbytes").as("nbytes"),
         md5(col("bytes")).as("sha"))
         .orderBy("doc_id")))
+
+  /** DuckDB twin of the random-hyperplane banding: generated from the
+    * SAME deterministic plane matrix the Spark kernel uses, with the same
+    * left-to-right double folds — so even the "approximate" LSH path is
+    * exactly oracle-checkable (the approximation is in the algorithm, not
+    * the execution). */
+  private def rhpBandsSql(bands: Int, bitsPerBand: Int, dim: Int): String = {
+    val ps = Similarity.planes(bands * bitsPerBand, dim, 42L)
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def bitSql(p: Array[Double]): String =
+      "(CASE WHEN list_reduce(list_transform(list_zip(embedding, " +
+        s"${planeLit(p)}), x -> CAST(x[1] AS DOUBLE) * x[2]), " +
+        "(a, b) -> a + b) >= 0 THEN '1' ELSE '0' END)"
+    (0 until bands).map { b =>
+      val key = (0 until bitsPerBand)
+        .map(k => bitSql(ps(b * bitsPerBand + k))).mkString(" || ")
+      s"{'i': $b, 'k': $key}"
+    }.mkString("[", ",\n", "]")
+  }
 
   private val ShingleCte =
     """WITH tok AS (
@@ -345,6 +366,34 @@ object ExtQueries {
         |  array_to_string(
         |    (list_sort(list_transform(s, x -> md5('0:' || x))))[1:4], ',') AS fp
         |FROM sh ORDER BY doc_id""".stripMargin),
+
+    // qe2: the full LSH ANN path under the oracle — bands from the same
+    // plane literals, candidate pairs on (band index, key), exact refine,
+    // per-query top-5. Deterministic end to end.
+    "qe2_ann_lsh" ->
+      (s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |${rhpBandsSql(bands = 16, bitsPerBand = 4, dim = 64)} AS bnds
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, unnest(bnds, recursive := true) FROM b),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM e q JOIN e c ON q.i = c.i AND q.k = c.k
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |    ${CosSql.format("qe.embedding", "ce.embedding")} /
+        |    (sqrt(${CosSql.format("qe.embedding", "qe.embedding")}) *
+        |     sqrt(${CosSql.format("ce.embedding", "ce.embedding")})) AS cos
+        |  FROM cand
+        |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+        |  JOIN embeddings ce ON ce.vec_id = cand.n_id)
+        |SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin),
 
     "qe1_cosine_knn" ->
       (s"""WITH d AS (
