@@ -169,7 +169,7 @@ object ExtQueries {
         .orderBy("i", "j")),
 
     // near-dup pairs at scale: LSH candidate generation + exact refine —
-    // Spark-only (rows-only check); recall vs qe3 measured in ExtSpec
+    // deterministic, so oracled like qe2; recall vs qe3 also in ExtSpec
     "qe5_neardup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 0.4)
         .orderBy("i", "j")),
@@ -394,6 +394,31 @@ object ExtQueries {
         |WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY q_id, rank""".stripMargin),
+
+    // qe5: LSH near-dup pairs under the oracle — same generated band CTE,
+    // pairs i<j sharing a band, exact cosine refine at the 0.4 threshold
+    "qe5_neardup_lsh" ->
+      (s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |${rhpBandsSql(bands = 16, bitsPerBand = 4, dim = 64)} AS bnds
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, unnest(bnds, recursive := true) FROM b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
+        |  FROM e a JOIN e c ON a.i = c.i AND a.k = c.k
+        |  WHERE a.vec_id < c.vec_id)
+        |SELECT cand.i, cand.j,
+        |  ${CosSql.format("ae.embedding", "ce.embedding")} /
+        |  (sqrt(${CosSql.format("ae.embedding", "ae.embedding")}) *
+        |   sqrt(${CosSql.format("ce.embedding", "ce.embedding")})) AS cos
+        |FROM cand
+        |JOIN embeddings ae ON ae.vec_id = cand.i
+        |JOIN embeddings ce ON ce.vec_id = cand.j
+        |WHERE ${CosSql.format("ae.embedding", "ce.embedding")} /
+        |  (sqrt(${CosSql.format("ae.embedding", "ae.embedding")}) *
+        |   sqrt(${CosSql.format("ce.embedding", "ce.embedding")})) >= 0.4
+        |ORDER BY i, j""".stripMargin),
 
     "qe1_cosine_knn" ->
       (s"""WITH d AS (

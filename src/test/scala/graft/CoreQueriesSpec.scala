@@ -31,8 +31,7 @@ class CoreQueriesSpec extends SparkTestBase {
   test("every query key has either an oracle or is documented Spark-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Spark-only queries (approximate ops) must be intentional:
-    assert(missing == Set("qe4_ann_ivf", "qe5_neardup_lsh",
-      "qc1_codec_roundtrip"),
+    assert(missing == Set("qe4_ann_ivf", "qc1_codec_roundtrip"),
       s"queries without oracle SQL: $missing")
   }
 
