@@ -164,6 +164,37 @@ object TGeomOutBridge {
         org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
 }
 
+/** Executor-side bridge for [[NativeExpressions.Simhash32Expr]]: one
+  * tight pass over the token-hash strings, folding all 32 per-position
+  * high-bit votes and the majority threshold into the final bit string.
+  * Top-level for janino visibility (see [[TGeomBridge]]). */
+object SimhashBridge {
+  def simhash(hashes: org.apache.spark.sql.catalyst.util.ArrayData)
+      : UTF8String = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getUTF8String(i)
+      var p = 0
+      while (p < 32) {
+        // hex digit with high bit set: '8'..'9', 'a'..'f'
+        val c = h.getByte(p)
+        if ((c >= '8' && c <= '9') || (c >= 'a' && c <= 'f')) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    var p = 0
+    while (p < 32) {
+      sb.append(if (2 * counts(p) >= n) '1' else '0')
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Native Catalyst expressions — the §7.2 "promote hot UDFs" path.
   *
   * [[TGeompointParseExpr]] is the WKT parser (`tgeompoint_in`,
@@ -288,6 +319,33 @@ object NativeExpressions {
 
     override protected def withNewChildInternal(newChild: Expression)
         : RhpBandsExpr = copy(child = newChild)
+  }
+
+  /** SimHash-32 over pre-computed md5 strings in one native pass —
+    * bit-identical to the staged built-in composition (majority vote of
+    * the high bit of hex digit p, p = 1..32). */
+  case class Simhash32Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = StringType
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "simhash32"
+
+    override def nullSafeEval(input: Any): Any =
+      SimhashBridge.simhash(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.SimhashBridge.simhash($c);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : Simhash32Expr = copy(child = newChild)
+  }
+
+  def simhash32(tokenHashes: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(Simhash32Expr(GraftShims.expression(tokenHashes)))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

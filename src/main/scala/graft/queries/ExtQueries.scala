@@ -58,18 +58,16 @@ object ExtQueries {
         .orderBy("d1", "d2")
     }),
 
-    // simhash-32 per document — staged projections: md5s once, ONE pass
-    // accumulating all 32 bit counters, then the cheap majority vote
-    // (naive inlining recomputes the md5 transform 33 times; CollapseProject
-    // keeps non-cheap multi-use aliases in their own stage)
+    // simhash-32 per document — md5s once (staged alias), then the native
+    // one-pass kernel folds all 32 bit votes + majority into the string
+    // (the round-1 form recomputed the md5 transform 33 times; the staged
+    // built-in composition still allocated a 32-int array per token)
     "qx4_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id"), Text.tokenMd5s(col("toks")).as("th"))
-        .select(col("doc_id"), Text.simhashCounts(col("th")).as("cnt"),
-          size(col("th")).as("n"))
         .select(col("doc_id"),
-          Text.simhashFromCounts(col("cnt"), col("n")).as("simhash"))
+          graft.meos.NativeExpressions.simhash32(col("th")).as("simhash"))
         .orderBy("doc_id")),
 
     // n-gram Jaccard within (lang, size-bucket) blocks — inverted-index

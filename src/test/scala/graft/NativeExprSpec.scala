@@ -124,6 +124,21 @@ class NativeExprSpec extends SparkTestBase {
       assert(r.getAs[String]("native") == r.getAs[String]("viaUdf")))
   }
 
+  test("native simhash32 == built-in composition on real docs; compiles " +
+    "in codegen") {
+    import graft.ext.Text
+    val df = Tables.documents(spark, sfDir).limit(100)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(Text.tokenMd5s(col("toks")).as("th"))
+      .select(
+        NativeExpressions.simhash32(col("th")).as("native"),
+        Text.simhash32(col("th")).as("composed"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("composed")))
+  }
+
   test("SQL registration as a native function") {
     NativeExpressions.register(spark)
     val r = spark.sql(
