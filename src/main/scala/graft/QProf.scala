@@ -15,11 +15,20 @@ object QProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (q <- args; r <- 1 to 2) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      println(s"$q run$r ${(System.nanoTime() - t0) / 1e9}s")
+    val explain = args.contains("--explain")
+    for (q <- args.filterNot(_.startsWith("--"))) {
+      if (explain) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        // run once so AQE finalizes the plan (ReusedExchange etc. shows)
+        df.write.format("noop").mode("overwrite").save()
+        println(s"=== $q ===")
+        println(df.queryExecution.executedPlan.toString)
+      } else for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(s"$q run$r ${(System.nanoTime() - t0) / 1e9}s")
+      }
     }
     spark.stop()
   }

@@ -230,13 +230,20 @@ object CoreQueries {
     "q19_merge_trips" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val asm = Assembly.tfloatAssemble()
-      def slice(pred: org.apache.spark.sql.Column, n: String) =
-        ev.where(pred).groupBy("user_id")
-          .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
-            .as(n))
-      val stored = slice(col("ts") < expr(Cut), "st")
-      val incoming = slice(col("ts") >= expr(Cut), "inc")
-      stored.join(incoming, Seq("user_id"), "full_outer")
+      // ONE scan + ONE shuffle: the two slices are the same UDAF with
+      // complementary FILTER clauses (SQL `agg FILTER (WHERE …)`) in a
+      // single groupBy — the old form scanned events once per slice, and
+      // a slice-as-grouping-key form gets its post-agg filters pushed
+      // back down by Catalyst, re-splitting the scan. A side with no
+      // rows finishes as empty arrays, which mergeTripArrays already
+      // treats as the upsert's missing side.
+      val asmArgs = Seq(unix_micros(col("ts")), col("event_id"), col("value"))
+      ev.groupBy("user_id")
+        .agg(
+          org.apache.spark.sql.GraftShims.aggFilter(
+            asm, asmArgs, col("ts") < expr(Cut)).as("st"),
+          org.apache.spark.sql.GraftShims.aggFilter(
+            asm, asmArgs, col("ts") >= expr(Cut)).as("inc"))
         .select(col("user_id"),
           graft.sources.TripSink.mergeTripArrays(
             col("st.t"), col("st.v"), col("inc.t"), col("inc.v")).as("m"))
@@ -252,13 +259,20 @@ object CoreQueries {
     // q20 — S4/J6: upsert-merge of two time slices (full-outer + coalesce)
     "q20_upsert_merge" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val olds = ev.where(col("ts") < expr(Cut)).groupBy("user_id")
-        .agg(count(lit(1)).as("n_o"), min("ts").as("tmin_o"),
-          max("ts").as("tmax_o"))
-      val news = ev.where(col("ts") >= expr(Cut)).groupBy("user_id")
-        .agg(count(lit(1)).as("n_n"), min("ts").as("tmin_n"),
-          max("ts").as("tmax_n"))
-      olds.join(news, Seq("user_id"), "full_outer")
+      // ONE scan + ONE shuffle (was: one scan per slice + full-outer):
+      // per-slice aggregates become null-skipping conditional aggregates
+      // in a single groupBy; the merge itself stays the upsert's
+      // coalesce/least/greatest over stored-vs-incoming columns (a slice
+      // with no rows is null/0 exactly like the old missing join side)
+      val isOld = col("ts") < expr(Cut)
+      ev.groupBy("user_id")
+        .agg(
+          count(when(isOld, 1)).as("n_o"),
+          min(when(isOld, col("ts"))).as("tmin_o"),
+          max(when(isOld, col("ts"))).as("tmax_o"),
+          count(when(!isOld, 1)).as("n_n"),
+          min(when(!isOld, col("ts"))).as("tmin_n"),
+          max(when(!isOld, col("ts"))).as("tmax_n"))
         .select(col("user_id"),
           (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_n"), lit(0L)))
             .as("n"),
