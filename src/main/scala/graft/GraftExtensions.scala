@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "float_dot(a, b) - allocation-free double dot product of float arrays"),
       (exprs: Seq[Expression]) =>
         NativeExpressions.FloatDotExpr(exprs.head, exprs(1))))
+    // interval-overlap theta joins (the SQL spelling of J2) become bucketed
+    // equi-joins instead of nested-loop joins — see OverlapJoinRule
+    e.injectOptimizerRule(_ => graft.plans.OverlapJoinRule)
   }
 }

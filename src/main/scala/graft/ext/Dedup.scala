@@ -10,23 +10,17 @@ import org.apache.spark.sql.functions._
   * superstep joins current labels across the edge set and keeps the
   * minimum; converges in O(graph diameter) supersteps (near-dup graphs
   * are shallow — dup clusters are cliques or near-cliques, so 2-3
-  * rounds). Each superstep is one shuffle on node id; `localCheckpoint`
-  * cuts lineage so plans stay bounded. This is the standard large-scale
-  * CC shape (cf. Hash-to-Min / large-small-star literature).
+  * rounds). Each superstep is one shuffle on node id; a lineage cut
+  * ([[graft.Materialize]]) keeps plans bounded. This is the standard
+  * large-scale CC shape (cf. Hash-to-Min / large-small-star literature).
   */
 object Dedup {
 
-  /** Cut lineage between supersteps. When a checkpoint dir is configured
-    * (`sparkContext.setCheckpointDir` → durable storage at cluster scale),
-    * use a RELIABLE checkpoint: `localCheckpoint` keeps blocks on
-    * executors only, so losing one executor mid-iteration would kill the
-    * whole job once lineage is truncated. Without a checkpoint dir (local
-    * runs, tests) fall back to localCheckpoint — same semantics, no
-    * durability. */
+  /** Cut lineage between supersteps — the shared reliable-when-possible
+    * helper, eager because each superstep's result is consumed
+    * immediately by the convergence checksum. */
   private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    graft.Materialize.cut(df, eager = true)
 
   /** edges(d1, d2) → (node, cluster) where cluster = min node id reachable.
     * Nodes = every endpoint. */
@@ -64,15 +58,15 @@ object Dedup {
     * components → cluster per doc (docs with no near-dup form their own
     * cluster). Returns (doc_id, cluster, keeper). */
   def minhashClusters(docs: DataFrame, bands: Int = 4): DataFrame = {
-    // lazy localCheckpoint: the banded frame feeds both self-join sides —
-    // without it the shingle+minhash pipeline runs twice
-    val sig = docs
+    // lazy cut: the banded frame feeds both self-join sides — without it
+    // the shingle+minhash pipeline runs twice (reliable checkpoint when a
+    // dir is configured; see Materialize)
+    val sig = graft.Materialize.cut(docs
       .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .withColumn("sh", Text.shingles(col("toks")))
       .select(col("doc_id"), explode(Text.lshBands(col("sh"), bands))
-        .as("band"))
-      .localCheckpoint(false)
+        .as("band")))
     val a = sig.select(col("doc_id").as("d1"), col("band"))
     val b = sig.select(col("doc_id").as("d2"), col("band"))
     val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))

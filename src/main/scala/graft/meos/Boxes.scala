@@ -119,14 +119,65 @@ object Boxes {
       (a("ymin") === b("ymin")) && (a("ymax") === b("ymax")) &&
       (a("tmin") === b("tmin")) && (a("tmax") === b("tmax"))
 
+  /** Candidate stage of the bucketed overlap join, shared by the public
+    * variants and unit-testable on its own: each box explodes into every
+    * time bucket its [tmin, tmax] overlaps (and, when `valueWidth` is set,
+    * every value cell its [vmin, vmax] overlaps — 2-D buckets), candidates
+    * meet on bucket-id equality, and a CANONICAL-CELL predicate keeps each
+    * pair exactly once — the cell containing `greatest(lo_A, lo_B)` per
+    * dimension, a point both boxes cover whenever they overlap — so no
+    * dedup pass is needed downstream. */
+  private[graft] def bucketedCandidates(
+      a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+      bucket: java.time.Duration, valueWidth: Option[Double])
+      : org.apache.spark.sql.DataFrame = {
+    val w = bucket.toNanos / 1000L // micros
+    def withBuckets(df: org.apache.spark.sql.DataFrame, side: String) = {
+      val t = df
+        .select(col("id").as(s"id$side"), col("box").as(s"box$side"),
+          explode(sequence(
+            (unix_micros(col("box.tmin")) / w).cast("long"),
+            (unix_micros(col("box.tmax")) / w).cast("long")))
+            .as("bucket"))
+      valueWidth match {
+        case Some(vw) => t.select(col(s"id$side"), col(s"box$side"),
+          col("bucket"),
+          explode(sequence(
+            floor(col(s"box$side.vmin") / vw).cast("long"),
+            floor(col(s"box$side.vmax") / vw).cast("long")))
+            .as("vcell"))
+        case None => t
+      }
+    }
+    val keys = "bucket" +: valueWidth.map(_ => "vcell").toSeq
+    val tCanonical = col("bucket") ===
+      (greatest(unix_micros(col("boxA.tmin")),
+        unix_micros(col("boxB.tmin"))) / w).cast("long")
+    val canonical = valueWidth match {
+      case Some(vw) => tCanonical && (col("vcell") ===
+        floor(greatest(col("boxA.vmin"), col("boxB.vmin")) / vw)
+          .cast("long"))
+      case None => tCanonical
+    }
+    withBuckets(a, "A").join(withBuckets(b, "B"), keys).where(canonical)
+  }
+
   /** Scalable box-overlap join (the SURVEY §4.2 "range-join rule"
     * candidate, solved Spark-first instead of with a custom Strategy):
     * map each box to every time bucket its [tmin, tmax] overlaps
     * (explode — narrow), equi-join on bucket id (shuffle on ints — the
-    * only wide op), then apply the exact overlap predicate and dedupe
-    * pairs that met in several buckets. Work scales with (boxes ×
+    * only wide op), then apply the exact overlap predicate. Pairs meeting
+    * in several buckets are kept once by the canonical-cell predicate (see
+    * [[bucketedCandidates]]) — cheaper than the old distinct pass, which
+    * shuffled the full pre-dedup pair set. Work scales with (boxes ×
     * avg buckets spanned) instead of |A|×|B|; bucketWidth tunes the
     * tradeoff (≈ median box duration is a good default).
+    *
+    * HOT-BUCKET GUARD: one globally popular time window still degrades to
+    * per-bucket all-pairs. `valueWidth` adds a second bucketing dimension
+    * over the value span (2-D cells) so a hot time bucket spreads across
+    * value cells; candidates then also require value-cell equality, which
+    * bounds per-cell pair counts as long as values discriminate.
     *
     * Inputs need columns (id, box) each; output (idA, idB) pairs with
     * idA from `a`, deduped, exact — proven equal to the nested-loop
@@ -135,46 +186,47 @@ object Boxes {
                               b: org.apache.spark.sql.DataFrame,
                               bucket: java.time.Duration,
                               pairFilter: (Column, Column) => Column =
-                                (_, _) => lit(true))
-      : org.apache.spark.sql.DataFrame = {
-    val w = bucket.toNanos / 1000L // micros
-    def withBuckets(df: org.apache.spark.sql.DataFrame, side: String) = df
-      .select(col("id").as(s"id$side"), col("box").as(s"box$side"),
-        explode(sequence(
-          (unix_micros(col("box.tmin")) / w).cast("long"),
-          (unix_micros(col("box.tmax")) / w).cast("long")))
-          .as("bucket"))
-    withBuckets(a, "A").join(withBuckets(b, "B"), Seq("bucket"))
+                                (_, _) => lit(true),
+                              valueWidth: Option[Double] = None)
+      : org.apache.spark.sql.DataFrame =
+    bucketedCandidates(a, b, bucket, valueWidth)
       // pairFilter (e.g. idA < idB for self-joins) cuts the candidate set
-      // BEFORE the exact predicate and the dedup shuffle
+      // BEFORE the exact predicate
       .where(pairFilter(col("idA"), col("idB")) &&
         tboxOverlaps(col("boxA"), col("boxB")))
       .select(col("idA"), col("idB"))
-      .distinct()
-  }
 
-  /** [[tboxOverlapJoinBucketed]] with the bucket width chosen from the
-    * DATA: the median box duration (one cheap aggregate over the smaller
-    * side). Too-narrow buckets explode long boxes into many rows;
-    * too-wide buckets degrade to per-bucket all-pairs — the median
-    * duration balances rows-per-box against candidates-per-bucket without
-    * hand-tuning per dataset. */
+  /** [[tboxOverlapJoinBucketed]] with widths chosen from the DATA in one
+    * aggregate over `a`: time bucket = median box duration, and (when
+    * `twoD`) value cell = median value span. Too-narrow buckets explode
+    * long boxes into many rows; too-wide buckets degrade to per-bucket
+    * all-pairs — the medians balance rows-per-box against
+    * candidates-per-bucket without hand-tuning. Use `twoD = true` when
+    * the time dimension may carry a globally hot window (the guard above);
+    * it costs ~2× exploded rows for bounded per-cell work. */
   def tboxOverlapJoinBucketedAuto(a: org.apache.spark.sql.DataFrame,
                                   b: org.apache.spark.sql.DataFrame,
                                   pairFilter: (Column, Column) => Column =
-                                    (_, _) => lit(true))
+                                    (_, _) => lit(true),
+                                  twoD: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val medianRow = a.select(
       percentile_approx(
         unix_micros(col("box.tmax")) - unix_micros(col("box.tmin")),
-        lit(0.5), lit(1000)).as("m"))
+        lit(0.5), lit(1000)).as("mt"),
+      percentile_approx(col("box.vmax") - col("box.vmin"),
+        lit(0.5), lit(1000)).as("mv"))
       .collect()(0)
     // empty/all-null input → arbitrary width (join output is empty anyway)
     val medianUs = if (medianRow.isNullAt(0)) 3600000000L
       else medianRow.getLong(0)
     val width = math.max(medianUs, 1000000L) // floor: 1 s buckets
+    val vWidth = if (!twoD) None else Some {
+      val mv = if (medianRow.isNullAt(1)) 1.0 else medianRow.getDouble(1)
+      math.max(mv, 1e-9) // floor: degenerate all-point spans
+    }
     tboxOverlapJoinBucketed(a, b, java.time.Duration.ofNanos(width * 1000L),
-      pairFilter)
+      pairFilter, vWidth)
   }
 
   /** The reference's box total order: `tbox_cmp`/`stbox_cmp`

@@ -161,13 +161,14 @@ object CoreQueries {
     // predicate + dedup after. Proven equal to the nested-loop join in
     // SkewSpec; survives 100× entities where the O(|A|×|B|) BNLJ would not.
     "q15_box_overlaps" -> ((s, dir) => {
-      // lazy localCheckpoint: both sides of the self-join reuse the
+      // lazy lineage cut: both sides of the self-join reuse the
       // per-entity box aggregation instead of scanning+aggregating events
-      // twice (one tiny row per entity — cheap to materialize)
-      val b = Tables.events(s, dir).groupBy("user_id")
-        .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
-        .select(col("user_id").as("id"), col("box"))
-        .localCheckpoint(false)
+      // twice (one tiny row per entity — cheap to materialize; reliable
+      // checkpoint when a dir is configured — see Materialize)
+      val b = graft.Materialize.cut(
+        Tables.events(s, dir).groupBy("user_id")
+          .agg(Boxes.tboxAgg(col("value"), col("ts")).as("box"))
+          .select(col("user_id").as("id"), col("box")))
       Boxes.tboxOverlapJoinBucketed(b, b, java.time.Duration.ofDays(7),
         (a, c) => a < c)
         .select(col("idA").as("u1"), col("idB").as("u2"))

