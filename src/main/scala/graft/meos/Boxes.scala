@@ -234,4 +234,132 @@ object Boxes {
     * struct fields. Spark's native struct ordering matches; expose the box
     * struct itself as the sort key. */
   def boxOrder(box: Column): Column = box
+
+  // ---- inclusivity-carrying columnar boxes (SURVEY §1.4's full design) ----
+  //
+  // The closed-bounds structs above stay the fast path for data-built
+  // boxes (aggregated extents are always inclusive, tseq.rs:57-58). WKT
+  // literals carry half-open spans (`TBOX X([1.1, 4.0))`, tbox.rs:132) —
+  // these full structs keep that fidelity columnar, so half-open
+  // predicates run as codegen'd expressions instead of the row-wise
+  // BoxText UDFs.
+
+  /** SURVEY §1.4's TBox mapping: span bounds + 4 inclusivity flags +
+    * dimension-presence flags. */
+  val tboxFullType: StructType = StructType(Seq(
+    StructField("vmin", DoubleType), StructField("vmax", DoubleType),
+    StructField("tmin", TimestampType), StructField("tmax", TimestampType),
+    StructField("vmin_inc", BooleanType), StructField("vmax_inc", BooleanType),
+    StructField("tmin_inc", BooleanType), StructField("tmax_inc", BooleanType),
+    StructField("hasV", BooleanType), StructField("hasT", BooleanType)))
+
+  /** Constructor with the closed-bounds defaults of data-built boxes. */
+  def tboxFull(vmin: Column, vmax: Column, tmin: Column, tmax: Column,
+               vminInc: Column = lit(true), vmaxInc: Column = lit(true),
+               tminInc: Column = lit(true), tmaxInc: Column = lit(true),
+               hasV: Column = lit(true), hasT: Column = lit(true)): Column =
+    struct(vmin.cast(DoubleType).as("vmin"), vmax.cast(DoubleType).as("vmax"),
+      tmin.as("tmin"), tmax.as("tmax"),
+      vminInc.as("vmin_inc"), vmaxInc.as("vmax_inc"),
+      tminInc.as("tmin_inc"), tmaxInc.as("tmax_inc"),
+      hasV.as("hasV"), hasT.as("hasT"))
+
+  /** Lift a WKT-parsed box (`MeosFunctions.tboxIn`'s nested-span shape)
+    * to the flat columnar full struct — the bridge from literal parsing
+    * to columnar predicates. */
+  def tboxFullFromParsed(b: Column): Column =
+    tboxFull(
+      b("value")("lo"), b("value")("hi"), b("time")("lo"), b("time")("hi"),
+      coalesce(b("value")("lo_inc"), lit(true)),
+      coalesce(b("value")("hi_inc"), lit(true)),
+      coalesce(b("time")("lo_inc"), lit(true)),
+      coalesce(b("time")("hi_inc"), lit(true)),
+      b("value").isNotNull, b("time").isNotNull)
+
+  private def dimContainsI(alo: Column, ahi: Column, aloI: Column,
+                           ahiI: Column, blo: Column, bhi: Column,
+                           bloI: Column, bhiI: Column): Column =
+    ((alo < blo) || (alo === blo && (aloI || !bloI))) &&
+      ((ahi > bhi) || (ahi === bhi && (ahiI || !bhiI)))
+
+  private def dimOverlapsI(alo: Column, ahi: Column, aloI: Column,
+                           ahiI: Column, blo: Column, bhi: Column,
+                           bloI: Column, bhiI: Column): Column = {
+    val aMeets = (alo < bhi) || (alo === bhi && aloI && bhiI)
+    val bMeets = (blo < ahi) || (blo === ahi && bloI && ahiI)
+    aMeets && bMeets
+  }
+
+  /** Dimensions absent from either side are ignored (the BoxText
+    * shared-dimension rule, mirroring MEOS's dimensionality handling). */
+  private def sharedDim(aHas: Column, bHas: Column, pred: Column): Column =
+    !(aHas && bHas) || pred
+
+  /** Inclusivity-honoring contains over full structs — the columnar twin
+    * of `BoxText.tboxContains` (truth-table equal, BoxesSpec). */
+  def tboxContainsFull(a: Column, b: Column): Column =
+    sharedDim(a("hasV"), b("hasV"),
+      dimContainsI(a("vmin"), a("vmax"), a("vmin_inc"), a("vmax_inc"),
+        b("vmin"), b("vmax"), b("vmin_inc"), b("vmax_inc"))) &&
+      sharedDim(a("hasT"), b("hasT"),
+        dimContainsI(a("tmin"), a("tmax"), a("tmin_inc"), a("tmax_inc"),
+          b("tmin"), b("tmax"), b("tmin_inc"), b("tmax_inc")))
+
+  /** Inclusivity-honoring overlaps over full structs (J2's half-open
+    * semantics: `[1, 2)` does NOT meet `[2, 3]` at the open edge). */
+  def tboxOverlapsFull(a: Column, b: Column): Column =
+    sharedDim(a("hasV"), b("hasV"),
+      dimOverlapsI(a("vmin"), a("vmax"), a("vmin_inc"), a("vmax_inc"),
+        b("vmin"), b("vmax"), b("vmin_inc"), b("vmax_inc"))) &&
+      sharedDim(a("hasT"), b("hasT"),
+        dimOverlapsI(a("tmin"), a("tmax"), a("tmin_inc"), a("tmax_inc"),
+          b("tmin"), b("tmax"), b("tmin_inc"), b("tmax_inc")))
+
+  /** Same extent including inclusivity flags and dimensionality. */
+  def tboxSameFull(a: Column, b: Column): Column = a === b
+
+  /** STBox full struct: spatial bounds are always closed in MEOS — only
+    * the period carries inclusivity (`stbox.rs` periods). */
+  val stboxFullType: StructType = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("xmax", DoubleType),
+    StructField("ymin", DoubleType), StructField("ymax", DoubleType),
+    StructField("zmin", DoubleType), StructField("zmax", DoubleType),
+    StructField("tmin", TimestampType), StructField("tmax", TimestampType),
+    StructField("tmin_inc", BooleanType), StructField("tmax_inc", BooleanType),
+    StructField("hasXY", BooleanType), StructField("hasZ", BooleanType),
+    StructField("hasT", BooleanType)))
+
+  def stboxFull(xmin: Column, xmax: Column, ymin: Column, ymax: Column,
+                tmin: Column, tmax: Column,
+                zmin: Column = lit(null).cast(DoubleType),
+                zmax: Column = lit(null).cast(DoubleType),
+                tminInc: Column = lit(true), tmaxInc: Column = lit(true),
+                hasXY: Column = lit(true), hasZ: Column = lit(false),
+                hasT: Column = lit(true)): Column =
+    struct(xmin.cast(DoubleType).as("xmin"), xmax.cast(DoubleType).as("xmax"),
+      ymin.cast(DoubleType).as("ymin"), ymax.cast(DoubleType).as("ymax"),
+      zmin.cast(DoubleType).as("zmin"), zmax.cast(DoubleType).as("zmax"),
+      tmin.as("tmin"), tmax.as("tmax"),
+      tminInc.as("tmin_inc"), tmaxInc.as("tmax_inc"),
+      hasXY.as("hasXY"), hasZ.as("hasZ"), hasT.as("hasT"))
+
+  def stboxContainsFull(a: Column, b: Column): Column =
+    sharedDim(a("hasXY"), b("hasXY"),
+      dimContains(a("xmin"), a("xmax"), b("xmin"), b("xmax")) &&
+        dimContains(a("ymin"), a("ymax"), b("ymin"), b("ymax"))) &&
+      sharedDim(a("hasZ"), b("hasZ"),
+        dimContains(a("zmin"), a("zmax"), b("zmin"), b("zmax"))) &&
+      sharedDim(a("hasT"), b("hasT"),
+        dimContainsI(a("tmin"), a("tmax"), a("tmin_inc"), a("tmax_inc"),
+          b("tmin"), b("tmax"), b("tmin_inc"), b("tmax_inc")))
+
+  def stboxOverlapsFull(a: Column, b: Column): Column =
+    sharedDim(a("hasXY"), b("hasXY"),
+      dimOverlaps(a("xmin"), a("xmax"), b("xmin"), b("xmax")) &&
+        dimOverlaps(a("ymin"), a("ymax"), b("ymin"), b("ymax"))) &&
+      sharedDim(a("hasZ"), b("hasZ"),
+        dimOverlaps(a("zmin"), a("zmax"), b("zmin"), b("zmax"))) &&
+      sharedDim(a("hasT"), b("hasT"),
+        dimOverlapsI(a("tmin"), a("tmax"), a("tmin_inc"), a("tmax_inc"),
+          b("tmin"), b("tmax"), b("tmin_inc"), b("tmax_inc")))
 }

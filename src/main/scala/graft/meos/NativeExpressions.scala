@@ -164,6 +164,32 @@ object TGeomOutBridge {
         org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
 }
 
+/** Executor-side bridge for the native WKB codec expressions: encode
+  * reads the temporal-value struct field-by-ordinal via
+  * [[TGeomOutBridge.toVal]] (schema-adaptive, no Row boxing), decode
+  * reuses the per-thread serializer discipline of [[TGeomBridge]].
+  * Top-level for janino visibility (see [[TGeomBridge]]). */
+object WkbBridge {
+  def toWkb(row: InternalRow, l: TGeomOutBridge.Layout): Array[Byte] =
+    TGeom.toWkb(TGeomOutBridge.toVal(row, l))
+
+  def toHexWkb(row: InternalRow, l: TGeomOutBridge.Layout): UTF8String =
+    UTF8String.fromString(TGeom.toHexWkb(TGeomOutBridge.toVal(row, l)))
+
+  private val serializer =
+    ThreadLocal.withInitial(() => {
+      val enc = ExpressionEncoder(Encoders.product[TGeom.Val]
+        .asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[TGeom.Val]])
+      enc.createSerializer()
+    })
+
+  def fromWkb(b: Array[Byte]): InternalRow =
+    serializer.get()(TGeom.fromWkb(b)).copy()
+
+  def fromHexWkb(s: UTF8String): InternalRow =
+    serializer.get()(TGeom.fromHexWkb(s.toString)).copy()
+}
+
 /** Executor-side bridge for [[NativeExpressions.Simhash32Expr]]: one
   * tight pass over the token-hash strings, folding all 32 per-position
   * high-bit votes and the majority threshold into the final bit string.
@@ -285,6 +311,86 @@ object NativeExpressions {
   def tgeompointOut(v: Column, maxdd: Int = 15): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(TGeompointOutExpr(GraftShims.expression(v), maxdd))
+  }
+
+  /** MobilityDB-layout WKB encode as a native expression
+    * (`temporal_as_wkb`, temp.rs:21-28) — same schema-adaptive layout
+    * resolution as [[TGeompointOutExpr]], no Row boxing. */
+  case class TGeompointAsWkbExpr(child: Expression, hex: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      if (hex) StringType else org.apache.spark.sql.types.BinaryType
+    override def prettyName: String =
+      if (hex) "tgeompoint_as_hexwkb_native" else "tgeompoint_as_wkb_native"
+
+    @transient private lazy val layout =
+      TGeomOutBridge.layoutOf(child.dataType)
+
+    override def nullSafeEval(input: Any): Any =
+      if (hex) WkbBridge.toHexWkb(input.asInstanceOf[InternalRow], layout)
+      else WkbBridge.toWkb(input.asInstanceOf[InternalRow], layout)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val layoutRef = ctx.addReferenceObj("wkbLayout", layout,
+        classOf[TGeomOutBridge.Layout].getName)
+      val m = if (hex) "toHexWkb" else "toWkb"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.WkbBridge.$m($c, $layoutRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : TGeompointAsWkbExpr = copy(child = newChild)
+  }
+
+  /** MobilityDB-layout WKB decode as a native expression
+    * (`temporal_from_wkb`/`temporal_from_hexwkb`, temp.rs:30-38). */
+  case class TGeompointFromWkbExpr(child: Expression, hex: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = TGeomBridge.valDataType
+    override def inputTypes: Seq[DataType] =
+      Seq(if (hex) StringType else org.apache.spark.sql.types.BinaryType)
+    override def prettyName: String =
+      if (hex) "tgeompoint_from_hexwkb_native"
+      else "tgeompoint_from_wkb_native"
+
+    override def nullSafeEval(input: Any): Any =
+      if (hex) WkbBridge.fromHexWkb(input.asInstanceOf[UTF8String])
+      else WkbBridge.fromWkb(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val m = if (hex) "fromHexWkb" else "fromWkb"
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.WkbBridge.$m($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : TGeompointFromWkbExpr = copy(child = newChild)
+  }
+
+  def tgeompointAsWkb(v: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TGeompointAsWkbExpr(GraftShims.expression(v),
+      hex = false))
+  }
+
+  def tgeompointAsHexWkb(v: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TGeompointAsWkbExpr(GraftShims.expression(v),
+      hex = true))
+  }
+
+  def tgeompointFromWkb(b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TGeompointFromWkbExpr(GraftShims.expression(b),
+      hex = false))
+  }
+
+  def tgeompointFromHexWkb(s: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TGeompointFromWkbExpr(GraftShims.expression(s),
+      hex = true))
   }
 
   /** All LSH band keys of a float vector in ONE pass — the composed form

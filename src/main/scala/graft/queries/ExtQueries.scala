@@ -217,11 +217,12 @@ object ExtQueries {
           col("y")).as("s"))
         .select(col("user_id"), Assembly.tpointVal(col("s")).as("trip"))
         .select(col("user_id"),
-          // native print (no Row boxing); WKB legs stay UDFs for now
+          // whole codec chain native now: print AND both WKB legs run as
+          // codegen'd expressions (no Row boxing anywhere in the plan)
           NativeExpressions.tgeompointOut(col("trip")).as("wkt"),
           NativeExpressions.tgeompointOut(
-            MeosFunctions.tgeompointFromHexWkb(
-              MeosFunctions.tgeompointAsHexWkb(col("trip")))).as("wkt2"),
+            NativeExpressions.tgeompointFromHexWkb(
+              NativeExpressions.tgeompointAsHexWkb(col("trip")))).as("wkt2"),
           MeosFunctions.tgeompointNumInstants(col("trip")).as("n"))
         .where(col("wkt") === col("wkt2")) // roundtrip stability is the test
         .select("user_id", "wkt", "n")

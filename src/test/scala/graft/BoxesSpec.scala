@@ -79,4 +79,79 @@ class BoxesSpec extends SparkTestBase {
     assert(evalBool(Boxes.stboxSame(box(1, 2, 3, 4), box(1, 2, 3, 4))))
     assert(!evalBool(Boxes.stboxSame(box(1, 2, 3, 4), box(1, 2, 3, 5))))
   }
+
+  // ---- inclusivity-carrying columnar structs (SURVEY §1.4 full design) ----
+
+  /** Columnar half-open predicates vs the row-wise BoxText reference
+    * implementation, exhaustively over touching/overlapping/disjoint value
+    * spans × all 16 inclusivity combinations. */
+  test("columnar full tbox predicates == BoxText over inclusivity grid") {
+    import graft.meos.BoxText
+    val t1 = ts("2001-01-01 00:00:00")
+    val t2 = ts("2001-01-02 00:00:00")
+    val cases = Seq(
+      ((0.0, 2.0), (2.0, 4.0)), // touch at one point
+      ((0.0, 2.0), (1.0, 3.0)), // overlap
+      ((0.0, 1.0), (2.0, 3.0)), // disjoint
+      ((0.0, 4.0), (1.0, 2.0)), // containment
+      ((1.0, 2.0), (1.0, 2.0))) // equal
+    for {
+      ((alo, ahi), (blo, bhi)) <- cases
+      aLoI <- Seq(true, false); aHiI <- Seq(true, false)
+      bLoI <- Seq(true, false); bHiI <- Seq(true, false)
+    } {
+      val aCol = Boxes.tboxFull(lit(alo), lit(ahi), t1, t2,
+        lit(aLoI), lit(aHiI))
+      val bCol = Boxes.tboxFull(lit(blo), lit(bhi), t1, t2,
+        lit(bLoI), lit(bHiI))
+      val aRow = BoxText.Span(alo, ahi, aLoI, aHiI)
+      val bRow = BoxText.Span(blo, bhi, bLoI, bHiI)
+      assert(evalBool(Boxes.tboxOverlapsFull(aCol, bCol)) ==
+        BoxText.spanOverlaps(aRow, bRow),
+        s"overlaps [$alo,$ahi]($aLoI,$aHiI) vs [$blo,$bhi]($bLoI,$bHiI)")
+      assert(evalBool(Boxes.tboxContainsFull(aCol, bCol)) ==
+        BoxText.spanContains(aRow, bRow),
+        s"contains [$alo,$ahi]($aLoI,$aHiI) vs [$blo,$bhi]($bLoI,$bHiI)")
+    }
+  }
+
+  test("half-open WKT literals flow to columnar predicates (the " +
+      "tbox.rs:132 case: [1.1, 4.0) does not meet [4.0, 5.0] at the edge)") {
+    import graft.meos.MeosFunctions
+    def parsed(wkt: String): Column =
+      Boxes.tboxFullFromParsed(MeosFunctions.tboxIn(lit(wkt)))
+    val halfOpen = parsed("TBOXFLOAT X([1.1, 4.0))")
+    val touching = parsed("TBOXFLOAT X([4.0, 5.0])")
+    val inside = parsed("TBOXFLOAT X([2.0, 3.9])")
+    assert(!evalBool(Boxes.tboxOverlapsFull(halfOpen, touching)),
+      "open upper bound must not meet at 4.0")
+    assert(evalBool(Boxes.tboxOverlapsFull(halfOpen, inside)))
+    assert(evalBool(Boxes.tboxContainsFull(halfOpen, inside)))
+    // closed twin DOES meet at the edge — the flags are load-bearing
+    val closed = parsed("TBOXFLOAT X([1.1, 4.0])")
+    assert(evalBool(Boxes.tboxOverlapsFull(closed, touching)))
+  }
+
+  test("columnar full stbox honors period inclusivity and shared dims") {
+    def b(t1s: String, t2s: String, loInc: Boolean, hiInc: Boolean): Column =
+      Boxes.stboxFull(lit(0.0), lit(1.0), lit(0.0), lit(1.0),
+        ts(t1s), ts(t2s), tminInc = lit(loInc), tmaxInc = lit(hiInc))
+    // periods touching at one instant: meet only if both ends inclusive
+    assert(evalBool(Boxes.stboxOverlapsFull(
+      b("2001-01-01 00:00:00", "2001-01-02 00:00:00", true, true),
+      b("2001-01-02 00:00:00", "2001-01-03 00:00:00", true, true))))
+    assert(!evalBool(Boxes.stboxOverlapsFull(
+      b("2001-01-01 00:00:00", "2001-01-02 00:00:00", true, false),
+      b("2001-01-02 00:00:00", "2001-01-03 00:00:00", true, true))))
+    // Z ignored unless both sides carry it
+    val withZ = Boxes.stboxFull(lit(0.0), lit(1.0), lit(0.0), lit(1.0),
+      ts("2001-01-01 00:00:00"), ts("2001-01-02 00:00:00"),
+      zmin = lit(5.0), zmax = lit(6.0), hasZ = lit(true))
+    val noZ = b("2001-01-01 00:00:00", "2001-01-02 00:00:00", true, true)
+    assert(evalBool(Boxes.stboxOverlapsFull(withZ, noZ)))
+    val farZ = Boxes.stboxFull(lit(0.0), lit(1.0), lit(0.0), lit(1.0),
+      ts("2001-01-01 00:00:00"), ts("2001-01-02 00:00:00"),
+      zmin = lit(50.0), zmax = lit(60.0), hasZ = lit(true))
+    assert(!evalBool(Boxes.stboxOverlapsFull(withZ, farZ)))
+  }
 }

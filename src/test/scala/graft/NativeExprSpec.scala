@@ -64,6 +64,63 @@ class NativeExprSpec extends SparkTestBase {
     assert(rows.forall(!_.isNullAt(0)))
   }
 
+  test("native WKB encode/decode == UDF legs, and compiles in codegen") {
+    import spark.implicits._
+    val wkts = Seq(
+      "POINT(1 1)@2000-01-01",
+      "{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}",
+      "Interp=Step;[POINT(1 1)@2000-01-01, POINT(2.5 -3.5)@2000-01-02]",
+      "SRID=4326;[POINT Z(1 1 9)@2000-01-01, POINT Z(2 2 8)@2000-01-02]",
+      "{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+        "[POINT(3 3)@2000-01-03]}").toDF("wkt")
+    val v = wkts.select(
+      NativeExpressions.tgeompointParse(col("wkt")).as("v"))
+    val df = v.select(
+      hex(NativeExpressions.tgeompointAsWkb(col("v"))).as("nat_wkb"),
+      hex(MeosFunctions.tgeompointAsWkb(col("v"))).as("udf_wkb"),
+      NativeExpressions.tgeompointAsHexWkb(col("v")).as("nat_hex"),
+      MeosFunctions.tgeompointAsHexWkb(col("v")).as("udf_hex"),
+      MeosFunctions.tgeompointOut(
+        NativeExpressions.tgeompointFromHexWkb(
+          NativeExpressions.tgeompointAsHexWkb(col("v")))).as("nat_rt"),
+      MeosFunctions.tgeompointOut(
+        MeosFunctions.tgeompointFromHexWkb(
+          MeosFunctions.tgeompointAsHexWkb(col("v")))).as("udf_rt"),
+      MeosFunctions.tgeompointOut(
+        NativeExpressions.tgeompointFromWkb(
+          NativeExpressions.tgeompointAsWkb(col("v")))).as("nat_rt_bin"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("nat_wkb").equalsIgnoreCase(
+        r.getAs[String]("udf_wkb")))
+      assert(r.getAs[String]("nat_hex").equalsIgnoreCase(
+        r.getAs[String]("udf_hex")))
+      assert(r.getAs[String]("nat_rt") == r.getAs[String]("udf_rt"))
+      assert(r.getAs[String]("nat_rt_bin") == r.getAs[String]("udf_rt"))
+    }
+  }
+
+  test("native WKB codec handles the z-less assembly struct shape") {
+    import graft.meos.Assembly
+    val asm = Assembly.tpointAssemble()
+    val df = Tables.events(spark, sfDir).limit(500)
+      .withColumn("y", length(col("props")).cast("double"))
+      .groupBy("user_id")
+      .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+        col("y")).as("s"))
+      .select(Assembly.tpointVal(col("s")).as("trip"))
+      .select(
+        MeosFunctions.tgeompointOut(col("trip")).as("wkt"),
+        MeosFunctions.tgeompointOut(
+          NativeExpressions.tgeompointFromHexWkb(
+            NativeExpressions.tgeompointAsHexWkb(col("trip")))).as("rt"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[String]("wkt") == r.getAs[String]("rt")))
+  }
+
   test("native rhp_bands == composed banding, and compiles in codegen") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, sfDir).limit(64)
