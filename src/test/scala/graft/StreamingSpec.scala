@@ -289,4 +289,73 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("file-replay gap sessions == q36 batch gap-split (oracle-grade " +
+      "stream/batch equivalence on sf0.001)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val gapSec = 3600L
+
+    // time-ordered replay: 3 sequential files (deterministic mod-times +
+    // maxFilesPerTrigger=1 -> 3 micro-batches in event-time order), with
+    // one far-future sentinel per user in the LAST file so every open
+    // tail closes via the in-batch gap rule and gets emitted
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EventIn].collect().sortBy(e => (micros(e.ts), e.event_id))
+    val maxUs = ev.map(e => micros(e.ts)).max
+    val sentinelTs = new Timestamp((maxUs / 1000L) + (gapSec + 7200) * 1000L)
+    val sentinels = ev.map(_.user_id).distinct
+      .map(u => EventIn(u, sentinelTs, Long.MaxValue, 0.0))
+    val k = ev.length / 3
+    val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+      (ev.drop(2 * k) ++ sentinels).toSeq)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("gap-replay-src")
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"gap-replay-w$i")
+      spark.createDataset(c).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir.toFile, f"chunk$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(base + i * 10000L)
+    }
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventIn]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDir.toString)
+      .as[EventIn]
+    val q = StreamingAssembly.assembleGapSessions(stream, gapSec)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_replay").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("gap_replay")
+        .as[StreamingAssembly.ClosedTrip].collect()
+        .filter(_.start_ts.getTime < sentinelTs.getTime) // drop sentinels
+      // q36's output shape: seg = per-user rank of the trip by start time
+      val streamed = closed.groupBy(_.user_id).toSeq
+        .flatMap { case (u, trips) =>
+          trips.sortBy(_.t.head).zipWithIndex.map { case (tr, i) =>
+            (u, i.toLong, tr.n_posits, tr.t.min, tr.t.max, tr.v.min,
+              tr.v.max)
+          }.toSeq
+        }.toSet
+      val batch = SparkEntry.queries("q36_gap_split")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch}, " +
+          s"only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
