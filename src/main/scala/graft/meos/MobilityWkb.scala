@@ -9,37 +9,47 @@ import java.time.Instant
   * `temporal_as_wkb(ptr, WKB_EXTENDED, …)`; used
   * `meos-polars/examples/ais_to_db.rs:160,201`).
   *
-  * Structure follows MobilityDB v1.1.0's temporal WKB writer
-  * (`meos/src/general/temporal_out.c` in the public MobilityDB sources,
-  * the library the reference pins via `mobdb.sh:16`):
+  * Structure audited against MobilityDB v1.1.0's temporal WKB writer
+  * (`meos/src/general/temporal_out.c` + reader `temporal_in.c` in the
+  * public MobilityDB sources — the exact tag `mobdb.sh:16` pins):
   *
   * {{{
   *   u8   byte order        0x01 = NDR little-endian, 0x00 = XDR big
   *   u16  temptype          meosType code of the temporal type
-  *   u8   subtype           tempSubtype: 1 instant, 2 sequence, 3 seq-set
-  *   u8   flags             bit0 LINEAR, bit1 DISCRETE (neither = STEP for
-  *                          sequences; instants carry interp NONE = 0),
-  *                          bit4 Z, bit5 GEODETIC, bit6 SRID present
-  *   [i32 srid]             iff flags.SRID — the WKB_EXTENDED payload
+  *   u8   flags             xSGZIITT (temporal_out.c's documented layout):
+  *                          TT bits 0-1 = tempSubtype (1 instant,
+  *                            2 sequence, 3 sequence set),
+  *                          II bits 2-3 = interpType (0 none, 1 discrete,
+  *                            2 step, 3 linear),
+  *                          Z bit 4, G(eodetic) bit 5, S(RID) bit 6
+  *   [i32 srid]             iff flags.S — the WKB_EXTENDED payload
   *   payload:
-  *     instant:   f64 x, f64 y, [f64 z], i64 t
+  *     instant:   f64 x, f64 y, [f64 z], i64 t   (base value THEN time)
   *     sequence:  i32 count, u8 bounds (0x01 lower_inc | 0x02 upper_inc),
   *                count × instant
-  *     seq-set:   i32 count, count × sequence
+  *     seq-set:   i32 count, count × sequence (header not repeated)
   * }}}
+  *
+  * Round-2 kept a best-effort layout with a SEPARATE subtype byte and
+  * interp in the low flag bits; the v1.1.0 writer has no such byte — the
+  * subtype and the 2-bit interpolation are PACKED into the single flags
+  * byte as above. This round fixes the packing, the interp codes (the
+  * wire field equals v1.1.0's `interpType` enum, which
+  * [[Temporal.InterpNone]]..[[Temporal.InterpLinear]] mirror 1:1), and
+  * the temptype code.
   *
   * Timestamps are int64 **microseconds since 2000-01-01 00:00:00 UTC** —
   * the PostgreSQL `TimestampTz` epoch MEOS stores and writes verbatim
   * (NOT the Unix epoch; off-by-946684800s bugs are invisible to
   * roundtrip tests, so [[PgEpochUs]] is golden-pinned in CodecSpec).
   *
-  * The numeric codes live in [[Codes]] with their provenance; the
-  * writer/reader pair is self-consistent, round-trip-tested in both byte
-  * orders, and structurally faithful to the MobilityDB layout (field
-  * order, value domains, bounds/flag semantics). Byte-for-byte interop
-  * with a live MobilityDB instance should be confirmed against that
-  * deployment's major version before production use — codes are the only
-  * thing that could differ, and they are isolated here on purpose.
+  * Residual interop risk after this audit is confined to ONE constant:
+  * the numeric `meosType` value of tgeompoint ([[Codes.TGeomPoint]] = 40
+  * per v1.1.0's alphabetically-ordered `meos_catalog.h` enum; later
+  * MobilityDB versions renumber it). Everything else — field order,
+  * flag packing, interp/subtype/bounds codes, the PG epoch — is pinned
+  * by byte-level goldens in CodecSpec. Confirm that one code against the
+  * deployed MobilityDB major version before production writes.
   *
   * The round-1 self-describing layout remains available as
   * `TGeom.toWkbLegacy`/`fromWkbLegacy`.
@@ -49,19 +59,23 @@ object MobilityWkb {
   /** Numeric codes from the MobilityDB v1.1.0 public headers/sources;
     * centralized so an interop audit touches exactly one table. */
   object Codes {
-    /** meosType code for tgeompoint (`meos_catalog.h`). */
-    val TGeomPoint = 51
-    /** tempSubtype (`meos.h`): instant/sequence/sequence-set. */
+    /** meosType code for tgeompoint (`meos_catalog.h` v1.1.0: the
+      * alphabetic enum puts T_TGEOMPOINT at 40, T_TGEOGPOINT at 41). */
+    val TGeomPoint = 40
+    /** tempSubtype (`meos.h`): instant/sequence/sequence-set — the TT
+      * bits of the flags byte. */
     val SubInstant = 1
     val SubSequence = 2
     val SubSequenceSet = 3
-    /** flags byte bits (`temporal_out.c` MOBDB_WKB_*). */
-    val FlagLinear = 0x01
-    val FlagDiscrete = 0x02
+    /** Flags byte layout xSGZIITT (`temporal_out.c`
+      * temporal_flags_to_wkb_buf). */
+    val SubtypeMask = 0x03
+    val InterpShift = 2
+    val InterpMask = 0x0C
     val FlagZ = 0x10
     val FlagGeodetic = 0x20
     val FlagSrid = 0x40
-    /** sequence bounds byte (`MOBDB_WKB_LOWER_INC`/`UPPER_INC`). */
+    /** sequence bounds byte (`MEOS_WKB_LOWER_INC`/`UPPER_INC`). */
     val LowerInc = 0x01
     val UpperInc = 0x02
   }
@@ -85,19 +99,18 @@ object MobilityWkb {
   def toWkb(v: Val, littleEndian: Boolean = true): Array[Byte] = {
     val hasZ = v.sequences.exists(_.instants.exists(_.z.isDefined))
     val instBytes = if (hasZ) 32 else 24
-    val size = 5 + (if (v.srid != 0) 4 else 0) +
+    val size = 4 + (if (v.srid != 0) 4 else 0) +
       (if (v.subtype == SubSequenceSet) 4 else 0) +
       v.sequences.map(q => 5 + q.instants.size * instBytes).sum
     val buf = ByteBuffer.allocate(size).order(
       if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     buf.put(if (littleEndian) 0x01.toByte else 0x00.toByte)
     buf.putShort(Codes.TGeomPoint.toShort)
-    buf.put(v.subtype.toByte)
-    var flags = 0
-    if (v.subtype != SubInstant) {
-      if (v.interp == Temporal.InterpLinear) flags |= Codes.FlagLinear
-      if (v.interp == Temporal.InterpDiscrete) flags |= Codes.FlagDiscrete
-    }
+    // xSGZIITT: instants carry interp NONE (0); sequences/sets carry the
+    // value's interpType, which the internal constants mirror 1:1
+    val interp = if (v.subtype == SubInstant) Temporal.InterpNone else v.interp
+    var flags = (v.subtype & Codes.SubtypeMask) |
+      ((interp << Codes.InterpShift) & Codes.InterpMask)
     if (hasZ) flags |= Codes.FlagZ
     if (v.srid != 0) flags |= Codes.FlagSrid
     buf.put(flags.toByte)
@@ -133,15 +146,13 @@ object MobilityWkb {
     val temptype = buf.getShort.toInt
     if (temptype != Codes.TGeomPoint)
       throw new TGeom.ParseError(s"unsupported temptype $temptype")
-    val subtype = buf.get().toInt
     val flags = buf.get().toInt
+    val subtype = flags & Codes.SubtypeMask
+    val wireInterp = (flags & Codes.InterpMask) >> Codes.InterpShift
     val hasZ = (flags & Codes.FlagZ) != 0
     val srid = if ((flags & Codes.FlagSrid) != 0) buf.getInt() else 0
     val interp =
-      if (subtype == SubInstant) Temporal.InterpNone
-      else if ((flags & Codes.FlagLinear) != 0) Temporal.InterpLinear
-      else if ((flags & Codes.FlagDiscrete) != 0) Temporal.InterpDiscrete
-      else Temporal.InterpStep
+      if (subtype == SubInstant) Temporal.InterpNone else wireInterp
     def getInst(): GInst = {
       val x = buf.getDouble(); val y = buf.getDouble()
       val z = if (hasZ) Some(buf.getDouble()) else None

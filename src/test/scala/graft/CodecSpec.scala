@@ -148,22 +148,49 @@ class CodecSpec extends SparkTestBase {
   }
 
   test("MobilityDB-layout WKB: golden bytes for the instant case " +
-    "(pins field order, temptype code, and the POSTGRES epoch)") {
+    "(pins field order, temptype code, flag packing, and the PG epoch)") {
     import graft.meos.MobilityWkb
     // POINT(1 1)@2000-01-01 == the PG epoch → t-field is exactly 0
     val v = TGeom.parse("POINT(1 1)@2000-01-01")
     assert(TGeom.toHexWkb(v) ==
       "01" +                // NDR
-        "3300" +            // temptype 51 (T_TGEOMPOINT) LE
-        "01" +              // subtype: instant
-        "00" +              // flags: no interp bits, no SRID
+        "2800" +            // temptype 40 (T_TGEOMPOINT, v1.1.0 catalog) LE
+        "01" +              // flags xSGZIITT: subtype=1, interp NONE, no SRID
         "000000000000F03F" + // x = 1.0
         "000000000000F03F" + // y = 1.0
         "0000000000000000")  // t = 0 µs since 2000-01-01
-    // with SRID: flag bit set, int32 4326 after the flags byte
+    // with SRID: flag bit 6 set, int32 4326 right after the flags byte
     val vs = TGeom.parse("SRID=4326;POINT(1 1)@2000-01-01")
-    assert(TGeom.toHexWkb(vs).startsWith("0133000140E6100000"))
+    assert(TGeom.toHexWkb(vs).startsWith("01280041E6100000"))
     assert(MobilityWkb.PgEpochUs == 946684800000000L)
+  }
+
+  test("MobilityDB-layout WKB: golden bytes for sequence cases (pins the " +
+    "packed subtype+interp bits, count/bounds order, day-scale epoch µs)") {
+    // linear [P@2000-01-01, P@2000-01-02]: flags = subtype 2 | LINEAR(3)<<2
+    val seq = TGeom.parse("[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]")
+    assert(TGeom.toHexWkb(seq) ==
+      "01" + "2800" +
+        "0E" +               // 0x02 | (3 << 2) = 0x0E
+        "02000000" +         // count = 2
+        "03" +               // bounds: lower_inc | upper_inc
+        "000000000000F03F" + "000000000000F03F" + "0000000000000000" +
+        "0000000000000040" + "0000000000000040" +
+        "0060D71D14000000")  // 86_400_000_000 µs (one day past PG epoch)
+    // discrete {…}: same wire shape, interp DISCRETE(1) in bits 2-3
+    val disc = TGeom.parse("{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}")
+    assert(TGeom.toHexWkb(disc) ==
+      "01" + "2800" + "06" + "02000000" + "03" +
+        "000000000000F03F" + "000000000000F03F" + "0000000000000000" +
+        "0000000000000040" + "0000000000000040" + "0060D71D14000000")
+    // step Interp=Step;[…]: interp STEP(2) → 0x0A
+    val step = TGeom.parse(
+      "Interp=Step;[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]")
+    assert(TGeom.toHexWkb(step).startsWith("0128000A"))
+    // half-open upper bound drops the 0x02 bit
+    val halfOpen = TGeom.parse(
+      "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02)")
+    assert(TGeom.toHexWkb(halfOpen).startsWith("0128000E" + "02000000" + "01"))
   }
 
   test("MobilityDB-layout WKB: XDR (big-endian) roundtrips and is " +
