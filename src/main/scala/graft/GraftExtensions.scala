@@ -32,6 +32,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "float_dot(a, b) - allocation-free double dot product of float arrays"),
       (exprs: Seq[Expression]) =>
         NativeExpressions.FloatDotExpr(exprs.head, exprs(1))))
+    // native WKB codec legs under their MEOS names — extension sessions
+    // get the codegen'd expressions; the per-session UDF registry
+    // (MeosFunctions.register) remains available for the legacy variants
+    e.injectFunction((
+      FunctionIdentifier("tgeompoint_as_wkb"),
+      info("tgeompoint_as_wkb",
+        "tgeompoint_as_wkb(v) - MobilityDB-layout WKB bytes"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.TGeompointAsWkbExpr(exprs.head, hex = false)))
+    e.injectFunction((
+      FunctionIdentifier("tgeompoint_as_hexwkb"),
+      info("tgeompoint_as_hexwkb",
+        "tgeompoint_as_hexwkb(v) - MobilityDB-layout hex WKB"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.TGeompointAsWkbExpr(exprs.head, hex = true)))
+    e.injectFunction((
+      FunctionIdentifier("tgeompoint_from_wkb"),
+      info("tgeompoint_from_wkb",
+        "tgeompoint_from_wkb(b) - decode MobilityDB-layout WKB bytes"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.TGeompointFromWkbExpr(exprs.head, hex = false)))
+    e.injectFunction((
+      FunctionIdentifier("tgeompoint_from_hexwkb"),
+      info("tgeompoint_from_hexwkb",
+        "tgeompoint_from_hexwkb(s) - decode MobilityDB-layout hex WKB"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.TGeompointFromWkbExpr(exprs.head, hex = true)))
     // interval-overlap theta joins (the SQL spelling of J2) become bucketed
     // equi-joins instead of nested-loop joins — see OverlapJoinRule
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRule)

@@ -244,6 +244,77 @@ object Boxes {
   // predicates run as codegen'd expressions instead of the row-wise
   // BoxText UDFs.
 
+  /** Spatial twin of [[tboxOverlapJoinBucketed]] for STBox (J4/J5's scale
+    * path): each box explodes into every (x, y) grid cell its spatial
+    * extent overlaps, candidates meet on cell equality (a shuffle on an
+    * int pair — the only wide op), the canonical-cell predicate keeps
+    * each pair exactly once, and the exact [[stboxOverlaps]] predicate
+    * (time included) refines. Work scales with boxes × cells-per-box
+    * instead of |A|×|B|; cell widths ≈ median extents are a good default.
+    * Inputs need (id, box) with the [[stboxType]] struct. */
+  def stboxOverlapJoinBucketed(a: org.apache.spark.sql.DataFrame,
+                               b: org.apache.spark.sql.DataFrame,
+                               xWidth: Double, yWidth: Double,
+                               pairFilter: (Column, Column) => Column =
+                                 (_, _) => lit(true))
+      : org.apache.spark.sql.DataFrame = {
+    def cells(lo: Column, hi: Column, w: Double): Column =
+      sequence(floor(lo / w).cast("long"), floor(hi / w).cast("long"))
+    def withCells(df: org.apache.spark.sql.DataFrame, side: String) = df
+      .select(col("id").as(s"id$side"), col("box").as(s"box$side"),
+        explode(cells(col("box.xmin"), col("box.xmax"), xWidth)).as("xc"))
+      .select(col(s"id$side"), col(s"box$side"), col("xc"),
+        explode(cells(col(s"box$side.ymin"), col(s"box$side.ymax"), yWidth))
+          .as("yc"))
+    val canonical =
+      (col("xc") === floor(greatest(col("boxA.xmin"), col("boxB.xmin"))
+        / xWidth).cast("long")) &&
+        (col("yc") === floor(greatest(col("boxA.ymin"), col("boxB.ymin"))
+          / yWidth).cast("long"))
+    withCells(a, "A").join(withCells(b, "B"), Seq("xc", "yc"))
+      .where(canonical && pairFilter(col("idA"), col("idB")) &&
+        stboxOverlaps(col("boxA"), col("boxB")))
+      .select(col("idA"), col("idB"))
+  }
+
+  /** Bucketed overlap join over inclusivity-carrying full boxes: the
+    * bucket candidates treat bounds as closed (a superset of the half-open
+    * truth), and [[tboxOverlapsFull]] refines exactly — so half-open WKT
+    * boxes get the same scalable join shape as the closed fast path.
+    * Boxes missing the time dimension (hasT = false) overlap everything
+    * time-wise, so they are routed around the bucket join and cross-joined
+    * against the other side (rare at scale: literal value-only boxes). */
+  def tboxOverlapJoinBucketedFull(a: org.apache.spark.sql.DataFrame,
+                                  b: org.apache.spark.sql.DataFrame,
+                                  bucket: java.time.Duration,
+                                  pairFilter: (Column, Column) => Column =
+                                    (_, _) => lit(true))
+      : org.apache.spark.sql.DataFrame = {
+    val exact = (l: org.apache.spark.sql.DataFrame,
+                 r: org.apache.spark.sql.DataFrame) =>
+      l.join(r, pairFilter(col("idA"), col("idB")) &&
+        tboxOverlapsFull(col("boxA"), col("boxB")))
+        .select(col("idA"), col("idB"))
+    val aT = a.where(col("box.hasT"))
+    val bT = b.where(col("box.hasT"))
+    val bucketed = bucketedCandidates(aT, bT, bucket, None)
+      .where(pairFilter(col("idA"), col("idB")) &&
+        tboxOverlapsFull(col("boxA"), col("boxB")))
+      .select(col("idA"), col("idB"))
+    val aNoT = a.where(!col("box.hasT"))
+      .select(col("id").as("idA"), col("box").as("boxA"))
+    val bNoT = b.where(!col("box.hasT"))
+      .select(col("id").as("idB"), col("box").as("boxB"))
+    val aAll = a.select(col("id").as("idA"), col("box").as("boxA"))
+    val bAll = b.select(col("id").as("idB"), col("box").as("boxB"))
+    // timeless × everything, and timed × timeless (timeless × timeless is
+    // inside the first leg already — exclude it from the second)
+    bucketed
+      .unionByName(exact(aNoT, bAll))
+      .unionByName(exact(
+        aAll.where(col("boxA.hasT")), bNoT))
+  }
+
   /** SURVEY §1.4's TBox mapping: span bounds + 4 inclusivity flags +
     * dimension-presence flags. */
   val tboxFullType: StructType = StructType(Seq(

@@ -132,6 +132,65 @@ class BoxesSpec extends SparkTestBase {
     assert(evalBool(Boxes.tboxOverlapsFull(closed, touching)))
   }
 
+  test("bucketed full-box overlap join == nested loop over a mixed " +
+      "half-open/closed/timeless corpus") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val t0 = base + rnd.nextInt(90 * 24) * 3600L * 1000
+      val t1 = t0 + (1 + rnd.nextInt(72)) * 3600L * 1000
+      val v0 = rnd.nextInt(50).toDouble
+      (i.toLong, v0, v0 + 1 + rnd.nextInt(5),
+        new java.sql.Timestamp(t0), new java.sql.Timestamp(t1),
+        rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean(),
+        rnd.nextBoolean(), i % 17 != 0) // ~6% timeless
+    }.toDF("id", "vlo", "vhi", "tlo", "thi", "vloI", "vhiI", "tloI",
+      "thiI", "hasT")
+    val boxes = rows.select(col("id"), Boxes.tboxFull(
+      col("vlo"), col("vhi"), col("tlo"), col("thi"),
+      col("vloI"), col("vhiI"), col("tloI"), col("thiI"),
+      hasT = col("hasT")).as("box"))
+    val l = boxes.select(col("id").as("idA"), col("box").as("boxA"))
+    val r = boxes.select(col("id").as("idB"), col("box").as("boxB"))
+    val nested = l.join(r, col("idA") < col("idB") &&
+      Boxes.tboxOverlapsFull(col("boxA"), col("boxB")))
+      .select("idA", "idB").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bucketed = Boxes.tboxOverlapJoinBucketedFull(boxes, boxes,
+      java.time.Duration.ofDays(2), (x, y) => x < y)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bucketed == nested)
+    assert(nested.nonEmpty)
+  }
+
+  test("spatial bucketed stbox join == nested loop, sub-quadratic cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 300).map { i =>
+      val x0 = rnd.nextDouble() * 100; val y0 = rnd.nextDouble() * 100
+      val t0 = base + rnd.nextInt(240) * 3600L * 1000
+      (i.toLong, x0, x0 + 1 + rnd.nextDouble() * 4,
+        y0, y0 + 1 + rnd.nextDouble() * 4,
+        new java.sql.Timestamp(t0),
+        new java.sql.Timestamp(t0 + 24 * 3600L * 1000))
+    }.toDF("id", "x1", "x2", "y1", "y2", "t1", "t2")
+    val boxes = rows.select(col("id"), Boxes.stbox(col("x1"), col("x2"),
+      col("y1"), col("y2"), col("t1"), col("t2")).as("box"))
+    val l = boxes.select(col("id").as("idA"), col("box").as("boxA"))
+    val r = boxes.select(col("id").as("idB"), col("box").as("boxB"))
+    val nested = l.join(r, col("idA") < col("idB") &&
+      Boxes.stboxOverlaps(col("boxA"), col("boxB")))
+      .select("idA", "idB").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bucketed = Boxes.stboxOverlapJoinBucketed(boxes, boxes, 5.0, 5.0,
+      (x, y) => x < y)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bucketed == nested)
+    assert(nested.nonEmpty)
+  }
+
   test("columnar full stbox honors period inclusivity and shared dims") {
     def b(t1s: String, t2s: String, loInc: Boolean, hiInc: Boolean): Column =
       Boxes.stboxFull(lit(0.0), lit(1.0), lit(0.0), lit(1.0),

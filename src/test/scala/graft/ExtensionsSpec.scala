@@ -23,6 +23,18 @@ class ExtensionsSpec extends SparkTestBase {
           |         AS d""".stripMargin).collect()(0)
       assert(r.getAs[Int]("st") == 1)
       assert(r.getAs[Double]("d") == 11.0)
+      // native WKB codec functions resolve and roundtrip in pure SQL
+      val w = s2.sql(
+        """SELECT tgeompoint_as_hexwkb(
+          |         tgeompoint_parse('POINT(1 1)@2000-01-01')) AS hex,
+          |       tgeompoint_from_hexwkb(tgeompoint_as_hexwkb(
+          |         tgeompoint_parse('POINT(1 1)@2000-01-01'))).subtype
+          |         AS st,
+          |       tgeompoint_from_wkb(tgeompoint_as_wkb(
+          |         tgeompoint_parse('POINT(1 1)@2000-01-01'))).subtype
+          |         AS st2""".stripMargin).collect()(0)
+      assert(w.getAs[String]("hex").startsWith("01280001"))
+      assert(w.getAs[Int]("st") == 1 && w.getAs[Int]("st2") == 1)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
