@@ -69,6 +69,36 @@ class ExtSpec extends SparkTestBase {
     assert(fit1 != init)
   }
 
+  test("connected components == driver union-find on random graphs " +
+    "(exercises the partition-local contraction across many partitions)") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side oracle: plain union-find, components keyed by min id
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        if (!parent.contains(x)) parent(x) = x
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => (k, find(k))).toSet
+      // distributed result, deliberately fragmented across 8 partitions so
+      // components span partitions and the star edges must relink them
+      val got = Dedup.connectedComponents(
+          edges.toDF("d1", "d2").repartition(8))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("connected components with a RELIABLE checkpoint dir (the 100 TB " +
     "durability path) matches the local-checkpoint result") {
     import spark.implicits._
