@@ -96,6 +96,31 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: for every corpus doc, the number of
+    * DISTINCT word k-shingles it shares with ANY probe/benchmark doc, plus
+    * a contaminated flag. Both frames need (doc_id, text). Scale shape:
+    * the probe side's distinct shingles are benchmark-sized (small) →
+    * broadcast hash join against one narrow corpus-side explode; docs
+    * with zero overlap survive via the left join. */
+  def decontaminate(corpus: DataFrame, probe: DataFrame,
+                    k: Int = 3): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = df
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= k)
+      .withColumn("sh", Text.shingles(col("toks"), k))
+    val probeSh = shingled(probe)
+      .select(explode(col("sh")).as("g")).distinct()
+    val corpusSh = shingled(corpus)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+    val hits = corpusSh.join(broadcast(probeSh), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 1)
+  }
+
   /** Full minhash-dedup: docs → shingles → LSH candidate pairs → connected
     * components → cluster per doc (docs with no near-dup form their own
     * cluster). Returns (doc_id, cluster, keeper). */

@@ -235,7 +235,42 @@ object ExtQueries {
         col("doc_id"),
         col("meta.nbytes").as("nbytes"),
         md5(col("bytes")).as("sha"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // deterministic stratified downsampling — the "rebalance
+    // over-represented languages/sources" pipeline op. The sample
+    // decision is a pure function of the row key (md5 bucket compared
+    // against a per-stratum hex threshold; fixed-width lowercase hex
+    // compares identically in both engines), so it is reproducible
+    // across runs/engines, needs no state, and at 100 TB is a narrow
+    // map a parquet scan filter can absorb — no shuffle, no sampling
+    // coordinator, rows drop at the scan.
+    "qx12_stratified_sample" -> ((s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 8)
+      val keepBelow = when(col("lang") === "en", lit("40000000")) // 25%
+        .when(col("lang") === "zh", lit("80000000")) // 50%
+        .otherwise(lit("c0000000")) // 75%
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .where(col("bucket") < keepBelow)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination — flag training docs sharing any word
+    // n-gram with a probe/benchmark set (here: doc_id % 97 == 0 stands in
+    // for the benchmark corpus). Shape at 100 TB: the probe side's
+    // distinct shingles are small (benchmark suites, not the corpus) →
+    // broadcast hash join against a narrow corpus-side explode; count of
+    // shared DISTINCT shingles per doc, zero-overlap docs kept via left
+    // join — one pass over the corpus, no corpus-side self-join.
+    "qx13_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
     * SAME deterministic plane matrix the Spark kernel uses, with the same
@@ -545,5 +580,32 @@ object ExtQueries {
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
         |       md5(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qx12_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |       substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      CASE WHEN lang = 'en' THEN '40000000'
+        |           WHEN lang = 'zh' THEN '80000000'
+        |           ELSE 'c0000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "qx13_decontam" -> (ShingleCte +
+      """,
+        |probe AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+        |corp AS (
+        |  SELECT doc_id, unnest(list_distinct(s)) AS g
+        |  FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM corp JOIN probe USING (g) GROUP BY corp.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+        |       COALESCE(h.n_shared, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin))
 }

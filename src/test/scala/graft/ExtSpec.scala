@@ -69,6 +69,31 @@ class ExtSpec extends SparkTestBase {
     assert(fit1 != init)
   }
 
+  test("decontaminate flags exactly the docs sharing a shingle with the " +
+    "probe set, with the shared-distinct-shingle count") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "quick brown fox"
+      (2L, "a completely different sentence here"),
+      (3L, "the quick brown fox jumps over lazy dogs and quick brown fox"),
+      (4L, "too short"), // < 3 tokens after split -> no shingles
+      (5L, "benchmark prompt text verbatim copy")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "watch the quick brown fox run"),
+      (101L, "benchmark prompt text verbatim copy")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // doc 1: shares "the quick brown","quick brown fox" = 2 distinct
+    // doc 3: same 2 (duplicated in-doc shingles count once)
+    // doc 5: 3 distinct shingles of the verbatim copy
+    assert(got == Set((1L, 2L, true), (2L, 0L, false), (3L, 2L, true),
+      (4L, 0L, false), (5L, 3L, true)))
+  }
+
   test("connected components == driver union-find on random graphs " +
     "(exercises the partition-local contraction across many partitions)") {
     import spark.implicits._
