@@ -243,8 +243,8 @@ object ExtQueries {
     // against a per-stratum hex threshold; fixed-width lowercase hex
     // compares identically in both engines), so it is reproducible
     // across runs/engines, needs no state, and at 100 TB is a narrow
-    // map a parquet scan filter can absorb — no shuffle, no sampling
-    // coordinator, rows drop at the scan.
+    // filter fused into the scan stage by whole-stage codegen — no
+    // shuffle, no sampling coordinator, rows drop before any exchange.
     "qx12_stratified_sample" -> ((s, dir) => {
       val bucket = substring(md5(col("doc_id").cast("string")), 1, 8)
       val keepBelow = when(col("lang") === "en", lit("40000000")) // 25%
@@ -270,6 +270,40 @@ object ExtQueries {
         docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0))
         .orderBy("doc_id")
+    }),
+
+    // TF-IDF rare-term extraction — top-3 most characteristic terms per
+    // doc. Oracle-parity discipline: NO cross-row float sums and NO
+    // transcendentals (idf is the ratio (N+1)/(df+1), not a log) — every
+    // double op is per-row IEEE arithmetic both engines reproduce
+    // bit-for-bit; ties in tfidf break on the term string. Scale shape:
+    // one exploded-token frame feeds both the per-(doc,term) count and
+    // the document-frequency agg (lineage cut so the scan runs once);
+    // the df join shuffles on term (vocabulary-sized, heavy-hitter-free
+    // because df keys are distinct terms); the corpus count N broadcasts.
+    "qx14_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tc = graft.Materialize.cut(docs
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          explode(col("toks")).as("term")))
+      val cnt = tc.groupBy("doc_id", "n_toks", "term")
+        .agg(count(lit(1)).as("cnt"))
+      val dfreq = tc.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val scored = cnt.join(dfreq, "term").crossJoin(broadcast(nDf))
+        .withColumn("tfidf",
+          (col("cnt").cast("double") / col("n_toks").cast("double")) *
+            ((col("n").cast("double") + lit(1.0)) /
+              (col("df").cast("double") + lit(1.0))))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -607,5 +641,32 @@ object ExtQueries {
         |       COALESCE(h.n_shared, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "qx14_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tc AS (
+        |  SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS term
+        |  FROM tok),
+        |cnt AS (
+        |  SELECT doc_id, n_toks, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tc GROUP BY doc_id, n_toks, term),
+        |df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tc GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT c.doc_id, c.term,
+        |    (CAST(c.cnt AS DOUBLE) / CAST(c.n_toks AS DOUBLE)) *
+        |    ((CAST(n.n AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0))
+        |      AS tfidf
+        |  FROM cnt c JOIN df d USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 }

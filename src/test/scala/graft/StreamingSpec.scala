@@ -358,4 +358,36 @@ class StreamingSpec extends SparkTestBase {
           s"only-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("streaming exact dedup: same-fingerprint docs dropped across " +
+    "micro-batches, state bounded by the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamingDedup
+      .dedupByFingerprint(docs, "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("deduped")
+      .start()
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate (whitespace/
+      // case variants — the fingerprint normalizes both away)
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "hello world"),
+        (ts("2024-01-01 00:00:10"), 2L, "Hello   WORLD"),
+        (ts("2024-01-01 00:00:20"), 3L, "something else"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate within the horizon (dropped) and
+      // one genuinely new doc (kept)
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 4L, "hello world"),
+        (ts("2024-01-01 00:01:30"), 5L, "brand new content"))
+      q.processAllAvailable()
+      val kept = spark.table("deduped").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L),
+        s"expected dups 2/4 dropped, got $kept")
+    } finally q.stop()
+  }
 }
