@@ -87,4 +87,36 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q02_group_count")
     assert(p.contains("ReadSchema: struct<user_id:bigint>"))
   }
+
+  test("qx12 stratified sample: no exchange before the filter — the " +
+    "sampling decision rides the scan stage") {
+    val p = SparkEntry.queries("qx12_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation orderBy
+    val beforeSort = p.split("Sort ").last // deepest fragment: scan side
+    assert(!beforeSort.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("qx13 decontamination: probe side broadcasts (benchmark-sized), " +
+    "no cartesian") {
+    val p = plan("qx13_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qx14 tfidf: corpus-count join broadcasts; token frame is scanned " +
+    "once (lineage cut), no cartesian blowup") {
+    val p = plan("qx14_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row N frame must broadcast (BroadcastExchange or reused),
+    // never a shuffled join against the scored frame
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // the exploded-token frame is materialized: both consumers read the
+    // checkpoint scan, not two parquet scans of documents
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2 ||
+      "Scan parquet".r.findAllIn(p).length <= 2, p)
+  }
 }
