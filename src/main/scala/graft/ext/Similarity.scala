@@ -57,6 +57,25 @@ object Similarity {
         col("cos"))
   }
 
+  /** Cosine range search: every corpus vector within `minCos` of each
+    * query — the radius twin of [[bruteForceKnn]] ("find everything
+    * similar", the retrieval mode dedup and dataset curation want, vs
+    * top-k's fixed fan-out). Same scale shape: broadcast the small query
+    * side across one corpus scan; rows drop at the codegen'd filter, so
+    * output cost tracks actual matches, not corpus size. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+                  minCos: Double): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .where(col("cos") >= lit(minCos))
+      .select(col("q_id"), col("n_id"), col("cos"))
+  }
+
   /** Deterministic ±1 hyperplanes: `bits` planes over `dim` dimensions,
     * seeded — generated at plan time, embedded as literals. */
   private[graft] def planes(bits: Int, dim: Int, seed: Long): Seq[Array[Double]] =

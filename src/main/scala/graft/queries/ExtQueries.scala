@@ -173,6 +173,16 @@ object ExtQueries {
         Tables.embeddings(s, dir).where(col("vec_id") < 1000), 0.4)
         .orderBy("i", "j")),
 
+    // cosine range search — all corpus vectors within the radius of each
+    // query (the retrieval mode curation wants when the answer count is
+    // unknown); completes the similarity family: exact top-k (qe1),
+    // LSH (qe2), IVF (qe4), range (qe6)
+    "qe6_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.rangeSearch(emb, emb.where(col("vec_id") < 20), 0.25)
+        .orderBy("q_id", "n_id")
+    }),
+
     // near-dup pairs at scale: LSH candidate generation + exact refine —
     // deterministic, so oracled like qe2; recall vs qe3 also in ExtSpec
     "qe5_neardup_lsh" -> ((s, dir) =>
@@ -304,6 +314,46 @@ object ExtQueries {
         .where(col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
+    }),
+
+    // Gopher-style repetition filter — flag docs dominated by one term or
+    // one bigram (top-term frequency ratio / top-bigram ratio over
+    // per-doc integer counts; the standard "remove boilerplate/spam"
+    // quality rule). All ratios are exact integer counts with one double
+    // division, so the oracle matches bit-for-bit. Scale shape: two
+    // grouped aggs keyed by doc_id — shuffles carry one row per distinct
+    // (doc, term), partial aggregation absorbs in-doc repetition
+    // map-side; no joins besides the doc_id-aligned assembly.
+    "qx15_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.withColumn("toks", Text.tokens(col("text")))
+      val termTop = tok
+        .select(col("doc_id"), size(col("toks")).as("n_toks"),
+          explode(col("toks")).as("t"))
+        .groupBy("doc_id", "n_toks", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_toks").agg(max("c").as("top_term"))
+        .select(col("doc_id"),
+          (col("top_term").cast("double") / col("n_toks").cast("double"))
+            .as("top_term_ratio"))
+      val biTop = tok
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), (size(col("toks")) - 1).as("n_bi"),
+          explode(Text.shingles(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "n_bi", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_bi").agg(max("c").as("top_bi"))
+        .select(col("doc_id"),
+          (col("top_bi").cast("double") / col("n_bi").cast("double"))
+            .as("top_bigram_ratio"))
+      docs.select("doc_id")
+        .join(termTop, Seq("doc_id"), "left")
+        .join(biTop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top_term_ratio"), lit(0.0)).as("top_term_ratio"),
+          coalesce(col("top_bigram_ratio"), lit(0.0))
+            .as("top_bigram_ratio"))
+        .withColumn("flagged",
+          col("top_term_ratio") > 0.2 || col("top_bigram_ratio") > 0.18)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -668,5 +718,51 @@ object ExtQueries {
         |      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tfidf, rank FROM ranked
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "qe6_range_search" ->
+      (s"""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  ${CosSql.format("q.embedding", "c.embedding")} /
+        |  (sqrt(${CosSql.format("q.embedding", "q.embedding")}) *
+        |   sqrt(${CosSql.format("c.embedding", "c.embedding")})) AS cos
+        |FROM embeddings q JOIN embeddings c
+        |  ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+        |WHERE ${CosSql.format("q.embedding", "c.embedding")} /
+        |  (sqrt(${CosSql.format("q.embedding", "q.embedding")}) *
+        |   sqrt(${CosSql.format("c.embedding", "c.embedding")})) >= 0.25
+        |ORDER BY q_id, n_id""".stripMargin),
+
+    "qx15_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t1 AS (
+        |  SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS t FROM tok),
+        |t2 AS (
+        |  SELECT doc_id, n_toks, t, count(*) AS c
+        |  FROM t1 GROUP BY doc_id, n_toks, t),
+        |tt AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(n_toks AS DOUBLE)
+        |    AS top_term_ratio
+        |  FROM t2 GROUP BY doc_id, n_toks),
+        |b1 AS (
+        |  SELECT doc_id, len(toks) - 1 AS n_bi,
+        |    unnest(list_transform(range(len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM tok WHERE len(toks) >= 2),
+        |b2 AS (
+        |  SELECT doc_id, n_bi, g, count(*) AS c
+        |  FROM b1 GROUP BY doc_id, n_bi, g),
+        |bt AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(n_bi AS DOUBLE)
+        |    AS top_bigram_ratio
+        |  FROM b2 GROUP BY doc_id, n_bi)
+        |SELECT d.doc_id AS doc_id,
+        |  COALESCE(tt.top_term_ratio, 0.0) AS top_term_ratio,
+        |  COALESCE(bt.top_bigram_ratio, 0.0) AS top_bigram_ratio,
+        |  COALESCE(tt.top_term_ratio, 0.0) > 0.2 OR
+        |    COALESCE(bt.top_bigram_ratio, 0.0) > 0.18 AS flagged
+        |FROM documents d
+        |LEFT JOIN tt ON d.doc_id = tt.doc_id
+        |LEFT JOIN bt ON d.doc_id = bt.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }
