@@ -75,8 +75,10 @@ object Dedup {
     // label sums strictly decrease while any label still shrinks (min-
     // propagation is monotone), so a checksum equality is a sound and
     // cheap convergence test — one aggregate instead of a join per round
-    def checksum(df: DataFrame): Long =
-      df.agg(sum("cluster")).collect()(0).getLong(0)
+    def checksum(df: DataFrame): Long = {
+      val r = df.agg(sum("cluster")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: sum is NULL
+    }
     var converged = false
     var i = 0
     var prevSum = checksum(labels)

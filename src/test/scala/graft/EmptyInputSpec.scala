@@ -1,0 +1,38 @@
+package graft
+
+/** Empty-input robustness: at 100 TB an operator routinely sees
+  * zero-row inputs — a partition pruned to nothing, a filter that
+  * matches nothing, a cold-start table. Every declared query must plan
+  * and execute against completely empty tables and return an empty
+  * result, not throw (driver-side `.collect()(0)` on an empty aggregate,
+  * a null median, an empty k-means init are the classic failure modes
+  * this pins down). */
+class EmptyInputSpec extends SparkTestBase {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    // events is stored as timestamp[ns]; read it the way Tables does (as
+    // nanos-long) so the empty copy keeps a `ts div 1000`-compatible type
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every declared query executes on empty tables and returns 0 rows") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val n = fn(spark, emptyDir).count()
+          if (n == 0) None else Some(s"$name: expected 0 rows, got $n")
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
