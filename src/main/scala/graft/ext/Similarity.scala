@@ -192,6 +192,34 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
              nprobe: Int = 4, trainIters: Int = 5,
              cacheKey: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    ivfCandidates(corpus, queries, nlist, nprobe, trainIters, cacheKey)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
+  /** IVF range search — the radius twin of [[ivfKnn]] (all corpus vectors
+    * within `minCos` of each query among the probed cells; the IVF
+    * approximation contract is identical to top-k's: recall bounded by
+    * `nprobe` cell coverage). Completes the approximate × range quadrant
+    * of the similarity family. */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, minCos: Double,
+                     nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 5,
+                     cacheKey: Option[String] = None): DataFrame =
+    ivfCandidates(corpus, queries, nlist, nprobe, trainIters, cacheKey)
+      .where(col("cos") >= lit(minCos))
+      .select(col("q_id"), col("n_id"), col("cos"))
+
+  /** Shared IVF candidate stage: fit (or reuse) the quantizer, assign the
+    * corpus to its argmax-cosine cell, probe the `nprobe` nearest cells
+    * per query, equi-join on cell, exact-refine cosine. Each (q, n) pair
+    * appears at most once — the corpus side is assigned to exactly one
+    * cell. Output: (q_id, n_id, cos) plus the join plumbing columns. */
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                            nlist: Int, nprobe: Int, trainIters: Int,
+                            cacheKey: Option[String]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = cacheKey match {
@@ -217,14 +245,9 @@ object Similarity {
     }
     val c = assign(corpus, "n_id", "n_emb", probes = 1)
     val q = assign(queries, "q_id", "q_emb", probes = nprobe)
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
     c.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
-        col("cos"))
   }
 
   /** Near-duplicate pairs at scale: random-hyperplane LSH proposes

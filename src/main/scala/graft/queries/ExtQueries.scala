@@ -202,6 +202,16 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF range search — the approximate × range quadrant (qe6 is the
+    // exact × range baseline); same fit cache as qe4 (one fit serves
+    // both), oracled the same way via centroid literals
+    "qe7_range_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfRangeSearch(emb, emb.where(col("vec_id") < 20), 0.25,
+        nprobe = 8, cacheKey = Some(s"$dir|nlist=16|iters=5"))
+        .orderBy("q_id", "n_id")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -435,7 +445,9 @@ object ExtQueries {
     * the pre-oracle behavior). */
   def oracle: Map[String, String] = staticOracle ++
     Similarity.lastFittedCentroidsFloat
-      .map(c => Map("qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5)))
+      .map(c => Map(
+        "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
+        "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25)))
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
