@@ -438,6 +438,42 @@ object ExtQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of the IVF range search (qe7): identical cell assignment
+    * and probing as [[qe4Sql]], but the refine keeps everything at or above
+    * the cosine radius instead of ranking top-k. Same centroid literals →
+    * same cells → the approximation is deterministic and hash-checkable. */
+  private def qe7Sql(cents: Seq[Seq[Float]], nprobe: Int,
+                     minCos: Double): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    def cos(a: String, b: String): String =
+      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
+        s"sqrt(${CosSql.format(b, b)}))"
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS q_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= $nprobe)
+       |SELECT qa.q_id, ca.n_id,
+       |  ${cos("qe.embedding", "ne.embedding")} AS cos
+       |FROM qa JOIN ca ON qa.cell = ca.cell AND qa.q_id <> ca.n_id
+       |JOIN embeddings qe ON qe.vec_id = qa.q_id
+       |JOIN embeddings ne ON ne.vec_id = ca.n_id
+       |WHERE ${cos("qe.embedding", "ne.embedding")} >= $minCos
+       |ORDER BY q_id, n_id""".stripMargin
+  }
+
   /** Static twins plus the fit-dependent qe4 twin. Verify materializes
     * every query result BEFORE dumping oracle SQL, so by the time this is
     * read the qe4 fit has run and its centroids are cached; if qe4 never

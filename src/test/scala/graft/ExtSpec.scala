@@ -55,6 +55,24 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("qe7 IVF range search: subset of the exact range result (exact " +
+    "refine => no false positives), recall >= 0.8 at nprobe=8") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.rangeSearch(emb, queries, 0.25)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIvf = Similarity.ivfRangeSearch(emb, queries, 0.25, nprobe = 8)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIvf.subsetOf(exact)) // same cosine predicate on candidates
+    if (exact.nonEmpty) {
+      val recall = (exact & viaIvf).size.toDouble / exact.size
+      info(s"IVF range recall = $recall (${viaIvf.size}/${exact.size})")
+      assert(recall >= 0.8, s"recall $recall too low")
+    }
+  }
+
   test("k-means quantizer: deterministic fit, k centroids, assignment " +
     "beats the round-1 first-k stub on distortion") {
     val emb = Tables.embeddings(spark, sfDir)
