@@ -364,6 +364,39 @@ object ExtQueries {
         .withColumn("flagged",
           col("top_term_ratio") > 0.2 || col("top_bigram_ratio") > 0.18)
         .orderBy("doc_id")
+    }),
+
+    // GPT-3-style span-duplication rate — fraction of each doc's word
+    // 13-grams that also occur in at least one OTHER document (within-doc
+    // repetition is qx15's job; this is the cross-doc contamination/
+    // boilerplate signal train-data curation filters on). Scale shape:
+    // one exploded 13-gram frame (lineage-cut, feeds both legs), a
+    // distinct-doc document-frequency agg keyed by gram (partial aggs
+    // absorb within-doc repeats map-side), a gram-keyed shuffle join back,
+    // and a doc_id-keyed count — no self-join, no pair explosion; cost is
+    // linear in corpus tokens. Counts are exact integers, the one double
+    // division is per-row → oracle matches bit-for-bit.
+    "qx16_span_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val grams = graft.Materialize.cut(docs
+        .select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 13)).as("g")))
+      val dfreq = grams.distinct()
+        .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      val perDoc = grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
+            .as("n_dup"))
+      docs.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            col("n_dup").cast("double") / col("n_grams").cast("double"))
+            .otherwise(lit(0.0)).as("dup_frac"))
+        .orderBy("doc_id")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -812,5 +845,29 @@ object ExtQueries {
         |FROM documents d
         |LEFT JOIN tt ON d.doc_id = tt.doc_id
         |LEFT JOIN bt ON d.doc_id = bt.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "qx16_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 12),
+        |    i -> list_reduce(toks[i+1:i+13], (a, b) -> a || ' ' || b))) AS g
+        |  FROM tok WHERE len(toks) >= 13),
+        |dfreq AS (
+        |  SELECT g, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY g),
+        |pd AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup
+        |  FROM g JOIN dfreq USING (g) GROUP BY g.doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  COALESCE(pd.n_grams, 0) AS n_grams,
+        |  COALESCE(pd.n_dup, 0) AS n_dup,
+        |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+        |    THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM documents d
+        |LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin)
 }
