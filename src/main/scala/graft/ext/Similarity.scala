@@ -250,6 +250,139 @@ object Similarity {
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
   }
 
+  // ---- product quantization (PQ) ------------------------------------------
+
+  /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous
+    * subvectors of `dim/m` dimensions; each subspace gets its own `k`-cell
+    * L2 Lloyd's fit. All `m` fits run together in each distributed pass —
+    * one posexploded subvector frame scores against the broadcast `m*k`
+    * centroid table, argmin per (vec, sub), then per-(sub, cell, pos)
+    * means; only `m*k*subDim` numbers reach the driver per iteration.
+    * Deterministic: init from the first `k` vectors in `vec_id` order,
+    * fixed iterations, ties to the smallest cell — same discipline as
+    * [[kmeansCentroids]] (and the same caveat: the cross-row `avg` is only
+    * within-process stable, so oracle twins must embed the SAME fit). */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 5)
+      : Seq[Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dims = corpus.select(size(col("embedding"))).limit(1).collect()
+    if (dims.isEmpty) return Seq.empty
+    val dim = dims.head.getInt(0)
+    val subDim = dim / m
+    def subs(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * subDim + 1, subDim)): _*)))
+      .toDF("vec_id", "sub", "svec")
+    val init = corpus.orderBy("vec_id").limit(k).select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    if (init.isEmpty) return Seq.empty
+    var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      init.map(v => v.slice(j * subDim, (j + 1) * subDim)
+        .map(_.toDouble).toSeq).toSeq
+    }
+    val sv = subs(corpus)
+    for (_ <- 0 until iters) {
+      val centDf = cb.zipWithIndex.flatMap { case (cells, j) =>
+        cells.zipWithIndex.map { case (c, cell) => (j, cell.toLong, c) }
+      }.toDF("sub", "cell", "c_emb")
+      val means = sv
+        .join(broadcast(centDf), "sub")
+        .withColumn("d2", aggregate(
+          zip_with(col("svec"), col("c_emb"),
+            (x, c) => pow(x.cast("double") - c, 2)),
+          lit(0.0), (acc, v) => acc + v))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+          first("svec").as("svec"))
+        .select(col("sub"), col("cell"), posexplode(col("svec")))
+        .toDF("sub", "cell", "pos", "x")
+        .groupBy("sub", "cell", "pos")
+        .agg(avg(col("x").cast("double")).as("mn"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Long]("cell").toInt))
+        .view.mapValues(_.sortBy(_.getAs[Int]("pos"))
+          .map(_.getAs[Double]("mn")).toSeq)
+        .toMap
+      cb = cb.zipWithIndex.map { case (cells, j) =>
+        cells.zipWithIndex.map { case (c, cell) =>
+          means.getOrElse((j, cell), c)
+        }
+      }
+    }
+    cb
+  }
+
+  /** Fitted-PQ cache — same two jobs as [[lastFittedCentroidsFloat]]'s:
+    * the oracle twin must embed the codebook the plan actually used, and
+    * bench re-runs skip the fit. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+  @volatile private var lastPqKey: Option[String] = None
+
+  def lastFittedPqCodebooks: Option[Seq[Seq[Seq[Double]]]] =
+    lastPqKey.flatMap(pqCache.get).filter(_.nonEmpty)
+
+  private def flatCb(cb: Seq[Seq[Seq[Double]]]): Array[Double] =
+    cb.flatten.flatten.toArray
+
+  /** PQ-ADC top-k with exact re-rank — the compressed-domain scan. Corpus
+    * vectors are quantized to `m` cell codes (a narrow, shuffle-free map
+    * through the native [[graft.meos.NativeExpressions.PqEncodeExpr]]);
+    * each broadcast query scores every corpus row by asymmetric distance
+    * (exact query subvectors vs codebook reconstructions) in one codegen'd
+    * pass; the top-`shortlist` candidates per query are then re-ranked by
+    * EXACT L2² against the original vectors (the standard IVFADC-style
+    * two-stage search — on unstructured embeddings raw ADC ordering is
+    * noisy, re-ranking a fixed shortlist recovers most of the recall).
+    *
+    * The 100 TB story is memory: 64 float32 = 256 B/vec compresses to `m`
+    * small ints (8 B at m=8 — 32×), so the exhaustive stage reads a
+    * fraction of the bytes and only |Q|×shortlist original vectors are
+    * ever fetched (the broadcast-candidates join). The codebook rides as
+    * a referenced flat array, never as expression-tree literals. Output:
+    * (q_id, n_id, rank, d2) — d2 is the exact squared L2, ascending. */
+  def pqAdcKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+               nCells: Int = 16, shortlist: Int = 100, trainIters: Int = 5,
+               cacheKey: Option[String] = None): DataFrame = {
+    import graft.meos.NativeExpressions
+    val cb = cacheKey match {
+      case Some(key) =>
+        val c = pqCache.getOrElseUpdate(key,
+          pqCodebooks(corpus, m, nCells, trainIters))
+        lastPqKey = Some(key)
+        c
+      case None => pqCodebooks(corpus, m, nCells, trainIters)
+    }
+    val cbArr = flatCb(cb)
+    val subDim = if (cb.nonEmpty) cb.head.head.length else 0
+    val kEff = if (cb.nonEmpty) cb.head.length else 0
+    val codes = corpus.select(col("vec_id").as("n_id"),
+      NativeExpressions.pqEncode(col("embedding"), cbArr, m, subDim, kEff)
+        .as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    val cands = codes.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", NativeExpressions.pqAdc(col("q_emb"), col("codes"),
+        cbArr, m, subDim, kEff))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= shortlist)
+      .select("q_id", "q_emb", "n_id")
+    // exact refine on the shortlist only: candidates are |Q|×shortlist —
+    // broadcast them against one pruned pass over the corpus originals
+    val wExact = Window.partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), Seq("n_id"))
+      .withColumn("d2", NativeExpressions.floatL2sq(col("q_emb"),
+        col("n_emb")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("d2"))
+  }
+
   /** Near-duplicate pairs at scale: random-hyperplane LSH proposes
     * candidate pairs (band-key equi-join — work scales with band
     * collisions, not |corpus|²), the exact cosine predicate refines. The

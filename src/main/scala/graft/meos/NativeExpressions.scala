@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -93,6 +93,90 @@ object RhpBridge {
       band += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Executor-side bridge for [[NativeExpressions.FloatL2Expr]]: squared
+  * L2 distance over two float vectors, same zero-alloc tight-loop shape as
+  * [[DotBridge]]. Each term is `(a - b) * (a - b)` on doubles — explicit
+  * multiplication, never `pow` (whose rounding is library-defined) — so
+  * DuckDB's `(x[1]-x[2])*(x[1]-x[2])` fold reproduces it bit-for-bit. */
+object L2Bridge {
+  def l2sq(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Executor-side bridge for the product-quantization expressions
+  * ([[NativeExpressions.PqEncodeExpr]] / [[NativeExpressions.PqAdcExpr]]).
+  * The codebook rides as one flat `double[]` referenced object laid out
+  * `((sub * k) + cell) * subDim + t` — janino sees a primitive array (a
+  * nested Seq-of-Seq would fall out of codegen, see [[TGeomBridge]]), and
+  * the loops are tight zero-alloc double folds.
+  *
+  * Float discipline (oracle parity): every distance is a left-to-right
+  * fold of `(x - c) * (x - c)` with the float element cast to double
+  * first; the ADC total adds per-subspace distances in subspace order.
+  * DuckDB reproduces both folds bit-for-bit (`list_reduce` over
+  * `list_zip`, then `list_reduce(list(d2 ORDER BY sub))`). */
+object PqBridge {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Nearest-cell code per subspace (argmin L2²; ties → smallest cell). */
+  def encode(v: ArrayData, cb: Array[Double], m: Int, subDim: Int,
+             k: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (j * k + c) * subDim
+        var acc = 0.0
+        var t = 0
+        while (t < subDim) {
+          val d = v.getFloat(j * subDim + t).toDouble - cb(base + t)
+          acc += d * d
+          t += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric distance: exact query subvector vs the corpus vector's
+    * reconstructed (codebook-centroid) subvector, summed in sub order. */
+  def adc(q: ArrayData, codes: ArrayData, cb: Array[Double], m: Int,
+          subDim: Int, k: Int): Double = {
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val base = (j * k + codes.getInt(j)) * subDim
+      var acc = 0.0
+      var t = 0
+      while (t < subDim) {
+        val d = q.getFloat(j * subDim + t).toDouble - cb(base + t)
+        acc += d * d
+        t += 1
+      }
+      total += acc
+      j += 1
+    }
+    total
   }
 }
 
@@ -447,6 +531,107 @@ object NativeExpressions {
 
     override protected def withNewChildInternal(newChild: Expression)
         : Simhash32Expr = copy(child = newChild)
+  }
+
+  case class FloatL2Expr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def prettyName: String = "float_l2sq"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      L2Bridge.l2sq(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.meos.L2Bridge.l2sq($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatL2Expr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def floatL2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(FloatL2Expr(GraftShims.expression(a),
+      GraftShims.expression(b)))
+  }
+
+  /** Product-quantization encode: float vector → `m` 4-ish-bit cell codes
+    * (the 100 TB memory story: 64 floats = 256 B down to `m` small ints).
+    * The fitted codebook rides as a flat referenced object, NOT as
+    * m×k×subDim literal arrays (which would blow up the expression tree —
+    * same lesson as [[RhpBandsExpr]]). */
+  case class PqEncodeExpr(child: Expression, cb: Array[Double], m: Int,
+                          subDim: Int, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(IntegerType, false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(input: Any): Any =
+      PqBridge.encode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cb, m, subDim, k)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.PqBridge.encode($c, $cbRef, " +
+          s"$m, $subDim, $k);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : PqEncodeExpr = copy(child = newChild)
+  }
+
+  /** Asymmetric-distance computation against PQ codes: exact query vector
+    * vs codebook reconstruction, one tight pass, no per-row allocation. */
+  case class PqAdcExpr(left: Expression, right: Expression,
+                       cb: Array[Double], m: Int, subDim: Int, k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(IntegerType))
+    override def prettyName: String = "pq_adc"
+
+    override def nullSafeEval(q: Any, codes: Any): Any =
+      PqBridge.adc(
+        q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cb, m, subDim, k)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+      nullSafeCodeGen(ctx, ev, (q, c) =>
+        s"${ev.value} = graft.meos.PqBridge.adc($q, $c, $cbRef, " +
+          s"$m, $subDim, $k);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pqEncode(v: Column, cb: Array[Double], m: Int, subDim: Int,
+               k: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(PqEncodeExpr(GraftShims.expression(v), cb, m, subDim, k))
+  }
+
+  def pqAdc(q: Column, codes: Column, cb: Array[Double], m: Int, subDim: Int,
+            k: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(PqAdcExpr(GraftShims.expression(q),
+      GraftShims.expression(codes), cb, m, subDim, k))
   }
 
   def simhash32(tokenHashes: Column): Column = {

@@ -212,6 +212,20 @@ object ExtQueries {
         .orderBy("q_id", "n_id")
     }),
 
+    // PQ-ADC top-k — the compressed-domain quadrant of the ANN family:
+    // corpus quantized to m=8 cell codes (256 B/vec → 8 B, the way 100 TB
+    // of embeddings actually fits in cluster memory), queries score
+    // against codebook reconstructions in one codegen'd scan, then a
+    // fixed-size shortlist is re-ranked by exact L2 against the original
+    // vectors (IVFADC-style two-stage search). Same fit-memoization/
+    // oracle technique as qe4 (codebook literals in the DuckDB twin)
+    "qe8_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAdcKnn(emb, emb.where(col("vec_id") < 20), 5,
+        cacheKey = Some(s"$dir|pq|m=8|k=16|iters=5"))
+        .orderBy("q_id", "rank")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -438,7 +452,7 @@ object ExtQueries {
     * kernel, so the twin hash-matches. */
   private def qe4Sql(cents: Seq[Seq[Float]], nprobe: Int, k: Int): String = {
     def dlit(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(dlit).mkString(",")}])"
     }.mkString(",\n")
@@ -478,7 +492,7 @@ object ExtQueries {
   private def qe7Sql(cents: Seq[Seq[Float]], nprobe: Int,
                      minCos: Double): String = {
     def dlit(f: Float): String =
-      new java.math.BigDecimal(f.toDouble).toPlainString
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(dlit).mkString(",")}])"
     }.mkString(",\n")
@@ -507,6 +521,74 @@ object ExtQueries {
        |ORDER BY q_id, n_id""".stripMargin
   }
 
+  /** DuckDB twin of the PQ-ADC search (qe8) given the fitted codebooks:
+    * a VALUES table of exact-decimal centroid literals per (sub, cell)
+    * (CAST to DOUBLE[] — the decimal string of a double casts back to the
+    * identical double), corpus subvectors encoded to their argmin-L2²
+    * cell (ties → smallest cell, like the native kernel), asymmetric
+    * distances per (query, corpus, sub) with the same zip/fold double
+    * math, summed in subspace order via `list(d2 ORDER BY sub)` →
+    * `list_reduce` — the exact left-to-right addition the Scala kernel
+    * performs — then top-k. */
+  private def qe8Sql(cb: Seq[Seq[Seq[Double]]], k: Int,
+                     shortlist: Int): String = {
+    val m = cb.length
+    val subDim = cb.head.head.length
+    // E0 suffix: forces DuckDB to parse the exact-decimal string straight
+    // to DOUBLE (correctly rounded). A bare literal types as DECIMAL and
+    // the DECIMAL→DOUBLE cast is off by 1 ulp for some values.
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString + "E0"
+    val values = cb.zipWithIndex.flatMap { case (cells, j) =>
+      cells.zipWithIndex.map { case (c, cell) =>
+        s"($j, $cell, CAST([${c.map(dlit).mkString(",")}] AS DOUBLE[]))"
+      }
+    }.mkString(",\n")
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), " +
+        "(a, b) -> a + b)"
+    s"""WITH cb(sub, cell, c_emb) AS (VALUES
+       |$values),
+       |sv AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS svec
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+       |codes AS (
+       |  SELECT sv.vec_id, sv.sub, cb.cell AS code
+       |  FROM sv JOIN cb ON cb.sub = sv.sub
+       |  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |    ORDER BY ${d2("sv.svec", "cb.c_emb")} ASC, cb.cell) = 1),
+       |d AS (
+       |  SELECT qv.vec_id AS q_id, codes.vec_id AS n_id, qv.sub,
+       |    ${d2("qv.svec", "cb.c_emb")} AS d2
+       |  FROM sv qv
+       |  JOIN codes ON codes.sub = qv.sub AND codes.vec_id <> qv.vec_id
+       |  JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.code
+       |  WHERE qv.vec_id < 20),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(d2 ORDER BY sub), (a, b) -> a + b) AS adc
+       |  FROM d GROUP BY q_id, n_id),
+       |shortl AS (
+       |  SELECT q_id, n_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, n_id) <= $shortlist),
+       |ref AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${d2("qe.embedding", "ne.embedding")} AS d2
+       |  FROM shortl s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ne ON ne.vec_id = s.n_id)
+       |SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank, d2
+       |FROM ref
+       |WINDOW w AS (PARTITION BY q_id ORDER BY d2, n_id)
+       |QUALIFY row_number() OVER w <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Static twins plus the fit-dependent qe4 twin. Verify materializes
     * every query result BEFORE dumping oracle SQL, so by the time this is
     * read the qe4 fit has run and its centroids are cached; if qe4 never
@@ -517,6 +599,9 @@ object ExtQueries {
       .map(c => Map(
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25)))
+      .getOrElse(Map.empty) ++
+    Similarity.lastFittedPqCodebooks
+      .map(cb => Map("qe8_pq_adc" -> qe8Sql(cb, k = 5, shortlist = 100)))
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(

@@ -73,6 +73,44 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("qe8 PQ-ADC+rerank: exact when the shortlist covers the corpus, " +
+    "recall >= 0.5 at shortlist=25, deterministic fit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 20)
+    // exact L2² top-5 baseline (PQ approximates L2, not cosine)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    val exact = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("d2", graft.meos.NativeExpressions.floatL2sq(col("qe"),
+        col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // shortlist >= corpus: the ADC stage keeps everything, so the exact
+    // re-rank must reproduce the exact result including rank order
+    val full = Similarity.pqAdcKnn(emb, queries, 5, shortlist = 1 << 20)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    assert(full == exact)
+    // a real (small) shortlist still recovers most of the recall
+    val approx = Similarity.pqAdcKnn(emb, queries, 5, shortlist = 25)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = (exactPairs & approx).size.toDouble / exactPairs.size
+    info(s"PQ-ADC recall@5 = $recall (m=8, 16 cells, shortlist=25)")
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    val fit1 = Similarity.pqCodebooks(emb, 8, 16, iters = 2)
+    val fit2 = Similarity.pqCodebooks(emb, 8, 16, iters = 2)
+    assert(fit1 == fit2)
+    assert(fit1.length == 8 && fit1.forall(_.length == 16) &&
+      fit1.forall(_.forall(_.length == 8)))
+  }
+
   test("k-means quantizer: deterministic fit, k centroids, assignment " +
     "beats the round-1 first-k stub on distortion") {
     val emb = Tables.embeddings(spark, sfDir)

@@ -136,6 +136,55 @@ class NativeExprSpec extends SparkTestBase {
     }
   }
 
+  test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
+    val m = 8; val subDim = 8; val k = 4
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)
+    // deterministic toy codebook: NOT from a fit, so the expected values
+    // are computable in plain Scala below
+    val cb = Array.tabulate(m * k * subDim) { i =>
+      ((i * 2654435761L % 97).toDouble - 48.0) / 97.0
+    }
+    val rows = noCodegenFallback(
+      emb.select(col("vec_id"), col("embedding"),
+        NativeExpressions.pqEncode(col("embedding"), cb, m, subDim, k)
+          .as("codes"))
+        .withColumn("adc", NativeExpressions.pqAdc(col("embedding"),
+          col("codes"), cb, m, subDim, k))
+        .collect())
+    assert(rows.length == 32)
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      // reference encode: argmin L2², ties to smallest cell
+      val expCodes = (0 until m).map { j =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until k) {
+          var acc = 0.0
+          for (t <- 0 until subDim) {
+            val d = v(j * subDim + t).toDouble - cb((j * k + c) * subDim + t)
+            acc += d * d
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+        }
+        best
+      }
+      assert(codes == expCodes)
+      // reference ADC: per-sub fold then sub-order sum (same vector is
+      // both query and code source here)
+      var total = 0.0
+      for (j <- 0 until m) {
+        var acc = 0.0
+        for (t <- 0 until subDim) {
+          val d = v(j * subDim + t).toDouble -
+            cb((j * k + codes(j)) * subDim + t)
+          acc += d * d
+        }
+        total += acc
+      }
+      assert(r.getAs[Double]("adc") == total)
+    }
+  }
+
   test("float_dot compiles inside WholeStageCodegen (no janino fallback)") {
     val emb = Tables.embeddings(spark, sfDir).limit(8)
     val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
