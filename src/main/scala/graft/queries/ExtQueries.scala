@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.ext.{Dedup, Multimodal, Similarity, Sketch, Text}
 
 /** [EXT] LLM-data-pipeline query set (no reference counterpart;
   * BASELINE.json north star): dedup, similarity search, text analysis,
@@ -411,6 +411,26 @@ object ExtQueries {
             col("n_dup").cast("double") / col("n_grams").cast("double"))
             .otherwise(lit(0.0)).as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    // KMV (bottom-k) distinct-count sketch per language — the
+    // deterministic, oracle-checkable stand-in for HyperLogLog distinct
+    // counting (the two engines' HLLs can never agree; the k smallest
+    // distinct md5s are a pure function of the set). The aggregation
+    // state is BOUNDED at k=32 hashes and merges associatively — at
+    // 100 TB this is a fixed-memory one-shuffle distinct estimate where
+    // collect_set would OOM and count(DISTINCT) needs a full dedup
+    // shuffle of every value. n_exact rides along to exhibit the error.
+    "qx17_kmv_distinct" -> ((s, dir) => {
+      val k = 32
+      Tables.documents(s, dir)
+        .select(col("lang"), Text.fingerprint(col("text")).as("fp"))
+        .groupBy("lang")
+        .agg(countDistinct(col("fp")).as("n_exact"),
+          Sketch.kmv(k)(col("fp")).as("sk"))
+        .select(col("lang"), col("n_exact"),
+          Sketch.kmvEstimate(col("sk"), k).as("est"))
+        .orderBy("lang")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -954,5 +974,28 @@ object ExtQueries {
         |    ELSE 0.0 END AS dup_frac
         |FROM documents d
         |LEFT JOIN pd ON d.doc_id = pd.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "qx17_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, fp,
+        |    row_number() OVER (PARTITION BY lang ORDER BY fp) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h)
+        |SELECT lang, CAST(max(nd) AS BIGINT) AS n_exact,
+        |  CASE WHEN max(nd) < 32 THEN CAST(max(nd) AS DOUBLE)
+        |    ELSE 31.0E0 * 4503599627370496.0E0 / CAST(
+        |      max(CASE WHEN rn = 32 THEN list_reduce(
+        |        list_transform(range(1, 14),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |            substr(fp, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b) END) AS DOUBLE)
+        |  END AS est
+        |FROM r
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
 }

@@ -111,6 +111,39 @@ class ExtSpec extends SparkTestBase {
       fit1.forall(_.forall(_.length == 8)))
   }
 
+  test("KMV sketch: exact below capacity, within 2/sqrt(k-2) relative " +
+    "error above it, and merge == sketch-of-union") {
+    import spark.implicits._
+    import graft.ext.Sketch
+    val k = 32
+    // exact regime: fewer distinct values than k
+    val small = (0 until 20).map(i => s"v$i") ++ (0 until 20).map(i => s"v$i")
+    val smallDf = small.toDF("v").select(md5(col("v")).as("h"))
+    val sk1 = smallDf.agg(Sketch.kmv(k)(col("h")).as("sk"))
+      .select(Sketch.kmvEstimate(col("sk"), k).as("est")).collect()
+    assert(sk1.head.getDouble(0) == 20.0)
+    // estimate regime: 5000 distinct values, repartitioned so merge runs
+    val big = (0 until 5000).map(i => s"item-$i")
+    val bigDf = big.toDF("v").repartition(13)
+      .select(md5(col("v")).as("h"))
+    val est = bigDf.agg(Sketch.kmv(k)(col("h")).as("sk"))
+      .select(Sketch.kmvEstimate(col("sk"), k).as("est")).collect()
+      .head.getDouble(0)
+    info(s"KMV est of 5000 distinct = $est")
+    assert(math.abs(est - 5000.0) / 5000.0 <= 2.0 / math.sqrt(k - 2.0))
+    // merge associativity: sketching two halves and merging (which the
+    // repartitioned agg above already exercises) equals one-shot — pin it
+    // explicitly via the aggregator object
+    val agg = new Sketch.KmvAggregator(k)
+    val hashes = big.map(v => java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val (h1, h2) = hashes.splitAt(2000)
+    val oneShot = hashes.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(h1.foldLeft(agg.zero)(agg.reduce),
+      h2.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(oneShot) == agg.finish(merged))
+  }
+
   test("k-means quantizer: deterministic fit, k centroids, assignment " +
     "beats the round-1 first-k stub on distortion") {
     val emb = Tables.embeddings(spark, sfDir)
