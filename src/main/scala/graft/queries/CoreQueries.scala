@@ -500,6 +500,24 @@ object CoreQueries {
         .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select("o_orderkey")
         .orderBy("o_orderkey")
+    }),
+
+    // q37 — CROSS-TABLE as-of join (q25 is the same-table window form):
+    // every event picks up the payload of the user's latest signup at or
+    // before it. One shuffle (union-tag + window), no range probe; the
+    // oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation
+    // of the same semantics, not a mirror of our plan
+    "q37_asof_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+        .select("event_id", "user_id", "ts")
+      val signups = Tables.events(s, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_id"), col("value").as("signup_value"))
+      graft.plans.AsofJoin.backward(events, signups,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Seq("signup_id", "signup_value"), tieBreak = "signup_id")
+        .orderBy("event_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -842,5 +860,18 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q37_asof_join" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id AS signup_id, value AS signup_value
+        |  FROM events WHERE event_type = 'signup'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       s.signup_id AS asof_signup_id,
+        |       s.signup_value AS asof_signup_value
+        |FROM events e
+        |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin)
 }
