@@ -271,6 +271,46 @@ object ExtQueries {
         md5(col("bytes")).as("sha"))
         .orderBy("doc_id")),
 
+    // frame sampling over "video" payloads — every 4th 16-byte frame as
+    // pure binary expressions (posexplode of substring slices, no UDF);
+    // the decode that would follow each frame is the declared stub. The
+    // oracle mirrors the byte slices via text substrings (the synthetic
+    // corpus is pure ASCII, so char and byte offsets coincide)
+    "qm2_frame_sample" -> ((s, dir) =>
+      Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), posexplode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+        .toDF("doc_id", "frame_no", "frame")
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_no")),
+
+    // histogram-based EXACT quantiles of doc length per language — the
+    // scale-correct way to take exact percentiles over a bounded-domain
+    // integer measure: a (lang, n_chars) histogram (one shuffle of
+    // distinct values, partials absorb repeats), a cumulative window per
+    // lang over the distinct values only, then "smallest value whose
+    // cumulative count covers q·total" (type-1 quantile — all integer
+    // comparisons, no interpolation float). Spark's percentile() holds
+    // every value in the agg state; this holds one row per DISTINCT value.
+    "qx18_length_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, dir)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("total", sum("c").over(Window.partitionBy("lang")))
+      def q(pct: Int) =
+        min(when(col("cum") * 100 >= col("total") * pct, col("n_chars")))
+      cum.groupBy("lang")
+        .agg(q(25).as("p25"), q(50).as("p50"), q(75).as("p75"),
+          q(95).as("p95"))
+        .orderBy("lang")
+    }),
+
     // deterministic stratified downsampling — the "rebalance
     // over-represented languages/sources" pipeline op. The sample
     // decision is a pure function of the row key (md5 bucket compared
@@ -975,6 +1015,34 @@ object ExtQueries {
         |FROM documents d
         |LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "qm2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(greatest(length(text) // 64, 1))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |  md5(substr(text, CAST(i*64 + 1 AS INT), 16)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(i*64 + 1 AS INT), 16)) AS BIGINT)
+        |    AS frame_len
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    "qx18_length_quantiles" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS c
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS total
+        |  FROM hist)
+        |SELECT lang,
+        |  min(CASE WHEN cum * 100 >= total * 25 THEN n_chars END) AS p25,
+        |  min(CASE WHEN cum * 100 >= total * 50 THEN n_chars END) AS p50,
+        |  min(CASE WHEN cum * 100 >= total * 75 THEN n_chars END) AS p75,
+        |  min(CASE WHEN cum * 100 >= total * 95 THEN n_chars END) AS p95
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
 
     "qx17_kmv_distinct" ->
       """WITH h AS (
