@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "tgeompoint_from_hexwkb(s) - decode MobilityDB-layout hex WKB"),
       (exprs: Seq[Expression]) =>
         NativeExpressions.TGeompointFromWkbExpr(exprs.head, hex = true)))
+    e.injectFunction((
+      FunctionIdentifier("float_l2sq"),
+      info("float_l2sq",
+        "float_l2sq(a, b) - allocation-free squared L2 distance of float arrays"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.FloatL2Expr(exprs.head, exprs(1))))
     // interval-overlap theta joins (the SQL spelling of J2) become bucketed
     // equi-joins instead of nested-loop joins — see OverlapJoinRule
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRule)

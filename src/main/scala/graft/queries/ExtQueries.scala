@@ -425,19 +425,32 @@ object ExtQueries {
     // repetition is qx15's job; this is the cross-doc contamination/
     // boilerplate signal train-data curation filters on). Scale shape:
     // one exploded 13-gram frame (lineage-cut, feeds both legs), a
-    // distinct-doc document-frequency agg keyed by gram (partial aggs
-    // absorb within-doc repeats map-side), a gram-keyed shuffle join back,
-    // and a doc_id-keyed count — no self-join, no pair explosion; cost is
-    // linear in corpus tokens. Counts are exact integers, the one double
-    // division is per-row → oracle matches bit-for-bit.
+    // distinct-doc document-frequency agg (partial aggs absorb within-doc
+    // repeats map-side), a keyed shuffle join back, and a doc_id-keyed
+    // count — no self-join, no pair explosion; cost is linear in corpus
+    // tokens. The gram string is hashed to a 60-bit BIGINT (md5 prefix)
+    // IMMEDIATELY after the explode, so every shuffle/join/checkpoint
+    // carries 8-byte keys instead of ~90-char strings (first cut of this
+    // query shuffled raw grams — 6× slower at sf0.1); both engines hash
+    // identically, so even a collision would agree. Counts are exact
+    // integers, the one double division per-row → bit-for-bit oracle.
     "qx16_span_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // stage toks as a real column BEFORE shingling: higher-order
+      // functions run outside whole-stage codegen with no subexpression
+      // elimination, so an inline tokens() child would re-split the text
+      // for every one of the 13 element_at lookups per gram (quadratic
+      // per doc — 6x the whole query's cost when first written)
       val grams = graft.Materialize.cut(docs
+        .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id"),
-          explode(Text.shingles(Text.tokens(col("text")), 13)).as("g")))
+          explode(Text.shingles(col("toks"), 13)).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h")))
       val dfreq = grams.distinct()
-        .groupBy("g").agg(count(lit(1)).as("n_docs"))
-      val perDoc = grams.join(dfreq, "g")
+        .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      val perDoc = grams.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
@@ -999,13 +1012,20 @@ object ExtQueries {
         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 12),
         |    i -> list_reduce(toks[i+1:i+13], (a, b) -> a || ' ' || b))) AS g
         |  FROM tok WHERE len(toks) >= 13),
+        |gm AS (SELECT doc_id, md5(g) AS m FROM g),
+        |gh AS (
+        |  SELECT doc_id, list_reduce(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substr(m, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM gm),
         |dfreq AS (
-        |  SELECT g, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY g),
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM gh GROUP BY h),
         |pd AS (
-        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  SELECT gh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         |    CAST(sum(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_dup
-        |  FROM g JOIN dfreq USING (g) GROUP BY g.doc_id)
+        |  FROM gh JOIN dfreq USING (h) GROUP BY gh.doc_id)
         |SELECT d.doc_id AS doc_id,
         |  COALESCE(pd.n_grams, 0) AS n_grams,
         |  COALESCE(pd.n_dup, 0) AS n_dup,

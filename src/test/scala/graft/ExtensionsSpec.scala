@@ -23,6 +23,11 @@ class ExtensionsSpec extends SparkTestBase {
           |         AS d""".stripMargin).collect()(0)
       assert(r.getAs[Int]("st") == 1)
       assert(r.getAs[Double]("d") == 11.0)
+      val l2 = s2.sql(
+        """SELECT float_l2sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+          |         AS d2""".stripMargin).collect()(0)
+      assert(l2.getAs[Double]("d2") == 8.0)
       // native WKB codec functions resolve and roundtrip in pure SQL
       val w = s2.sql(
         """SELECT tgeompoint_as_hexwkb(
