@@ -119,4 +119,33 @@ class PlanSpec extends SparkTestBase {
     assert("Scan ExistingRDD".r.findAllIn(p).length >= 2 ||
       "Scan parquet".r.findAllIn(p).length <= 2, p)
   }
+
+  test("qe8 PQ: queries broadcast to both stages and the top-k windows " +
+    "push a partial WindowGroupLimit below the q_id shuffle") {
+    val p = plan("qe8_pq_adc")
+    // both the ADC stage and the re-rank join broadcast the small side
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // rank<=k filters become partial group limits map-side — without
+    // this, a hot q_id partition would receive the full corpus at scale
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("qx16 span-dedup: gram frame is lineage-cut (one tokenize pass), " +
+    "all joins are equi-joins on the 60-bit hash / doc_id") {
+    val p = plan("qx16_span_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // both df-agg and join-back legs read the materialized gram frame
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2 ||
+      "Scan parquet".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("qx18 quantiles: agg state is one row per distinct (lang, n_chars)" +
+    " — partial aggregation before the shuffle, no percentile buffers") {
+    val p = plan("qx18_length_quantiles")
+    assert(!p.contains("percentile"), p)
+    // histogram agg runs partial (map-side) + final around one exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
