@@ -390,4 +390,44 @@ class StreamingSpec extends SparkTestBase {
         s"expected dups 2/4 dropped, got $kept")
     } finally q.stop()
   }
+
+  test("KMV sketch aggregates in a watermarked streaming window and " +
+    "matches the batch sketch on the same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    // hour-0 rows: 40 values, 25 distinct, split across two micro-batches
+    val hour0 = (0 until 40).map(i =>
+      (ts(f"2024-01-01 00:${i % 60}%02d:00"), s"val-${i % 25}"))
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDS().toDF("ts", "v")
+      .withColumn("h", md5(col("v")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(Sketch.kmv(k)(col("h")).as("sk"))
+      .select(col("window.start").as("w"),
+        Sketch.kmvEstimate(col("sk"), k).as("est"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kmvwin").start()
+    try {
+      input.addData(hour0.take(20): _*)
+      q.processAllAvailable()
+      input.addData(hour0.drop(20): _*)
+      q.processAllAvailable()
+      // advance the watermark past hour 0 so its sketch is emitted
+      input.addData((ts("2024-01-01 02:30:00"), "closer"))
+      q.processAllAvailable()
+      val streamed = spark.table("kmvwin").collect()
+        .map(r => r.getAs[Timestamp]("w").toString -> r.getAs[Double]("est"))
+        .toMap
+      val batch = hour0.toDF("ts", "v")
+        .agg(Sketch.kmv(k)(md5(col("v"))).as("sk"))
+        .select(Sketch.kmvEstimate(col("sk"), k).as("est"))
+        .collect().head.getDouble(0)
+      assert(streamed("2024-01-01 00:00:00.0") == batch,
+        s"stream ${streamed.mkString(",")} vs batch $batch")
+    } finally q.stop()
+  }
 }
