@@ -35,7 +35,26 @@ object AsofJoin {
     *                 the row with the LARGEST value wins */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String], tieBreak: String): DataFrame = {
+               payload: Seq[String], tieBreak: String): DataFrame =
+    joinImpl(left, right, key, leftTime, rightTime, payload, tieBreak,
+      forward = false)
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * ("the next maintenance slot / the next quote after this event").
+    * Same one-shuffle union-tag plan with the time axis reversed; at
+    * equal timestamps the right row is still visible to the left row,
+    * and same-(key,time) right duplicates resolve to the largest
+    * tieBreak, mirroring [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String], tieBreak: String): DataFrame =
+    joinImpl(left, right, key, leftTime, rightTime, payload, tieBreak,
+      forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       payload: Seq[String], tieBreak: String,
+                       forward: Boolean): DataFrame = {
     val wDedup = Window.partitionBy(col(key), col(rightTime))
       .orderBy(col(tieBreak).desc)
     val r1 = right
@@ -46,7 +65,11 @@ object AsofJoin {
         struct(payload.map(col): _*).as("__p"))
     val l1 = left.select(col(key).as("__k"), col(leftTime).as("__t"),
       lit(1).as("__src"), struct(left.columns.map(col): _*).as("__l"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__src"))
+    // forward flips the time sort; src stays ascending so the right row
+    // at an equal timestamp still precedes the left row in the frame
+    val w = Window.partitionBy("__k")
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l1.unionByName(r1, allowMissingColumns = true)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

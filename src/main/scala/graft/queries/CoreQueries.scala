@@ -518,6 +518,24 @@ object CoreQueries {
         key = "user_id", leftTime = "ts", rightTime = "ts",
         payload = Seq("signup_id", "signup_value"), tieBreak = "signup_id")
         .orderBy("event_id")
+    }),
+
+    // q38 — forward as-of: each event finds the user's NEXT purchase at
+    // or after it (lead-time analysis); same one-shuffle union-tag plan
+    // with the time axis reversed, oracled against DuckDB's native
+    // forward ASOF JOIN (e.ts <= p.ts)
+    "q38_asof_forward" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+        .select("event_id", "user_id", "ts")
+      val purchases = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.plans.AsofJoin.forward(events, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        tieBreak = "purchase_id")
+        .orderBy("event_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -873,5 +891,19 @@ object CoreQueries {
         |       s.signup_value AS asof_signup_value
         |FROM events e
         |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q38_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       p.purchase_id AS asof_purchase_id,
+        |       p.purchase_value AS asof_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin)
 }

@@ -40,6 +40,32 @@ class AsofJoinSpec extends SparkTestBase {
       (5L, null, null)))
   }
 
+  test("forward as-of: earliest right at-or-after, equal-ts inclusive, " +
+    "null when nothing follows") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 5L),  // before 20 -> next right is 20
+      (2L, 100L, 20L), // equal ts -> sees 20
+      (3L, 100L, 25L), // between 20 and 30 -> 30's payload (dup: 2001)
+      (4L, 100L, 55L), // after every right row -> null
+      (5L, 200L, 1L)   // key with no right rows -> null
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (100L, 20L, 1000L),
+      (100L, 30L, 2000L),
+      (100L, 30L, 2001L) // duplicate (key, ts): largest tieBreak wins
+    ).toDF("user_id", "t", "rid")
+    val got = AsofJoin.forward(left, right, key = "user_id",
+      leftTime = "t", rightTime = "t",
+      payload = Seq("rid"), tieBreak = "rid")
+      .orderBy("event_id")
+      .select("event_id", "asof_rid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 1000L), (2L, 1000L), (3L, 2001L), (4L, null), (5L, null)))
+  }
+
   test("the as-of plan is join-free (union + window, one key shuffle)") {
     val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
     val signups = Tables.events(spark, sfDir)
