@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] The end-to-end training-data curation pipeline — the canonical
+  * sequence a 100 TB corpus runs before tokenization, composed from this
+  * engine's own operators into ONE declarative plan:
+  *
+  *   1. benchmark partition   (the held-out eval set is never training data)
+  *   2. quality gate          (composite score, qx7)
+  *   3. repetition gate       (Gopher top-term/top-bigram ratios, qx15)
+  *   4. near-dup dedup        (minhash-LSH connected components, qx11)
+  *   5. decontamination       (shared n-gram with the benchmark set, qx13)
+  *   6. stratified sampling   (deterministic hash threshold per lang, qx12)
+  *
+  * Every stage's flag is computed independently over the corpus (narrow
+  * maps + the already-scaled dedup/decontam shapes), then drops are
+  * ATTRIBUTED by stage priority — how production pipelines report loss
+  * accounting. All math is the oracle-parity arithmetic of the underlying
+  * queries, so the whole pipeline hash-matches its DuckDB twin.
+  */
+object Curation {
+
+  /** (doc_id, top_term_ratio, top_bigram_ratio) — the qx15 ratios. */
+  def repetitionRatios(docs: DataFrame): DataFrame = {
+    val tok = docs.withColumn("toks", Text.tokens(col("text")))
+    val termTop = tok
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("t"))
+      .groupBy("doc_id", "n_toks", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_toks").agg(max("c").as("top_term"))
+      .select(col("doc_id"),
+        (col("top_term").cast("double") / col("n_toks").cast("double"))
+          .as("top_term_ratio"))
+    val biTop = tok
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), (size(col("toks")) - 1).as("n_bi"),
+        explode(Text.shingles(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "n_bi", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_bi").agg(max("c").as("top_bi"))
+      .select(col("doc_id"),
+        (col("top_bi").cast("double") / col("n_bi").cast("double"))
+          .as("top_bigram_ratio"))
+    docs.select("doc_id")
+      .join(termTop, Seq("doc_id"), "left")
+      .join(biTop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_term_ratio"), lit(0.0)).as("top_term_ratio"),
+        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"))
+  }
+
+  /** Full pipeline verdict per document: (doc_id, kept, drop_reason)
+    * with `drop_reason` null for kept docs. All flag frames join back on
+    * doc_id — co-partitioned shuffles AQE coalesces; nothing here is
+    * quadratic or driver-side. */
+  def pipeline(docs: DataFrame, minScore: Double = 6.5,
+               maxTermRatio: Double = 0.2, maxBigramRatio: Double = 0.18)
+      : DataFrame = {
+    val probe = docs.where(col("doc_id") % 97 === 0)
+    val train = docs.where(col("doc_id") % 97 =!= 0)
+    val quality = docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        Text.qualityScore(col("toks"), col("n_chars")).as("score"))
+    val rep = repetitionRatios(docs)
+      .select(col("doc_id"),
+        (col("top_term_ratio") > maxTermRatio ||
+          col("top_bigram_ratio") > maxBigramRatio).as("repetitive"))
+    val clusters = Dedup.minhashClusters(docs)
+      .select(col("doc_id"), col("keeper"))
+    val contam = Dedup.decontaminate(train, probe)
+      .select(col("doc_id"), col("contaminated"))
+    val keepBelow = when(col("lang") === "en", lit("40000000"))
+      .when(col("lang") === "zh", lit("80000000"))
+      .otherwise(lit("c0000000"))
+    docs.select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("bucket"))
+      .join(quality, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("doc_id") % 97 === 0, lit("benchmark"))
+          .when(col("score") < minScore, lit("quality"))
+          .when(col("repetitive"), lit("repetition"))
+          .when(!coalesce(col("keeper"), lit(true)), lit("near_dup"))
+          .when(coalesce(col("contaminated"), lit(false)), lit("contaminated"))
+          .when(col("bucket") >= keepBelow, lit("sampled_out")))
+      .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
+        col("drop_reason"))
+  }
+}

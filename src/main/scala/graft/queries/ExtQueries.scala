@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, Sketch, Text}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, Sketch, Text}
 
 /** [EXT] LLM-data-pipeline query set (no reference counterpart;
   * BASELINE.json north star): dedup, similarity search, text analysis,
@@ -388,37 +388,21 @@ object ExtQueries {
     // grouped aggs keyed by doc_id — shuffles carry one row per distinct
     // (doc, term), partial aggregation absorbs in-doc repetition
     // map-side; no joins besides the doc_id-aligned assembly.
-    "qx15_repetition" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val tok = docs.withColumn("toks", Text.tokens(col("text")))
-      val termTop = tok
-        .select(col("doc_id"), size(col("toks")).as("n_toks"),
-          explode(col("toks")).as("t"))
-        .groupBy("doc_id", "n_toks", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_toks").agg(max("c").as("top_term"))
-        .select(col("doc_id"),
-          (col("top_term").cast("double") / col("n_toks").cast("double"))
-            .as("top_term_ratio"))
-      val biTop = tok
-        .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), (size(col("toks")) - 1).as("n_bi"),
-          explode(Text.shingles(col("toks"), 2)).as("g"))
-        .groupBy("doc_id", "n_bi", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_bi").agg(max("c").as("top_bi"))
-        .select(col("doc_id"),
-          (col("top_bi").cast("double") / col("n_bi").cast("double"))
-            .as("top_bigram_ratio"))
-      docs.select("doc_id")
-        .join(termTop, Seq("doc_id"), "left")
-        .join(biTop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("top_term_ratio"), lit(0.0)).as("top_term_ratio"),
-          coalesce(col("top_bigram_ratio"), lit(0.0))
-            .as("top_bigram_ratio"))
+    "qx15_repetition" -> ((s, dir) =>
+      Curation.repetitionRatios(Tables.documents(s, dir))
         .withColumn("flagged",
           col("top_term_ratio") > 0.2 || col("top_bigram_ratio") > 0.18)
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // the END-TO-END curation pipeline — quality gate, repetition gate,
+    // minhash-LSH near-dup dedup, benchmark decontamination, stratified
+    // sampling, composed into one declarative plan with per-doc loss
+    // accounting (first-failing-stage attribution, the way production
+    // pipelines report drops). Every stage reuses an already-oracled
+    // operator, so the WHOLE pipeline hash-matches one composed DuckDB
+    // twin — including the recursive-CTE connected components.
+    "qp1_curation_pipeline" -> ((s, dir) =>
+      Curation.pipeline(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // GPT-3-style span-duplication rate — fraction of each doc's word
     // 13-grams that also occur in at least one OTHER document (within-doc
@@ -1085,5 +1069,97 @@ object ExtQueries {
         |  END AS est
         |FROM r
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin,
+
+    "qp1_curation_pipeline" -> (ShingleCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |bnd AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.doc_id < c.doc_id),
+        |reach(node, label) AS (
+        |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
+        |  UNION
+        |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
+        |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |qm AS (
+        |  SELECT doc_id,
+        |    stop_ratio * 100.0 + avg_wlen + CAST(n_chars AS DOUBLE) / 1000.0
+        |      AS score
+        |  FROM (
+        |    SELECT doc_id, n_chars,
+        |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) AS avg_wlen,
+        |      CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x)))
+        |         + len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))
+        |         + len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x)))
+        |         + len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))
+        |         + len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x)))
+        |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |    FROM tok)),
+        |t2 AS (
+        |  SELECT doc_id, len(toks) AS n_toks, t, count(*) AS c
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS t FROM tok)
+        |  GROUP BY doc_id, len(toks), t),
+        |tt AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(n_toks AS DOUBLE)
+        |    AS top_term_ratio
+        |  FROM t2 GROUP BY doc_id, n_toks),
+        |b2 AS (
+        |  SELECT doc_id, n_bi, g, count(*) AS c
+        |  FROM (
+        |    SELECT doc_id, len(toks) - 1 AS n_bi,
+        |      unnest(list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2])) AS g
+        |    FROM tok WHERE len(toks) >= 2)
+        |  GROUP BY doc_id, n_bi, g),
+        |bt AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(n_bi AS DOUBLE)
+        |    AS top_bigram_ratio
+        |  FROM b2 GROUP BY doc_id, n_bi),
+        |probe AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+        |corp AS (
+        |  SELECT doc_id, unnest(list_distinct(s)) AS g
+        |  FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM corp JOIN probe USING (g) GROUP BY corp.doc_id),
+        |verdict AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+        |         WHEN qm.score < 6.5 THEN 'quality'
+        |         WHEN COALESCE(tt.top_term_ratio, 0.0) > 0.2 OR
+        |              COALESCE(bt.top_bigram_ratio, 0.0) > 0.18
+        |           THEN 'repetition'
+        |         WHEN NOT (COALESCE(cc.cluster, d.doc_id) = d.doc_id)
+        |           THEN 'near_dup'
+        |         WHEN COALESCE(h.n_shared, 0) >= 1 THEN 'contaminated'
+        |         WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) >=
+        |              CASE WHEN d.lang = 'en' THEN '40000000'
+        |                   WHEN d.lang = 'zh' THEN '80000000'
+        |                   ELSE 'c0000000' END THEN 'sampled_out'
+        |    END AS drop_reason
+        |  FROM documents d
+        |  LEFT JOIN qm ON d.doc_id = qm.doc_id
+        |  LEFT JOIN tt ON d.doc_id = tt.doc_id
+        |  LEFT JOIN bt ON d.doc_id = bt.doc_id
+        |  LEFT JOIN cc ON d.doc_id = cc.node
+        |  LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        |SELECT doc_id, drop_reason IS NULL AS kept, drop_reason
+        |FROM verdict ORDER BY doc_id""".stripMargin).replace(
+      "WITH tok AS", "WITH RECURSIVE tok AS"))
 }
