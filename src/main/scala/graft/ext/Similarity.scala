@@ -220,34 +220,49 @@ object Similarity {
   private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
                             nlist: Int, nprobe: Int, trainIters: Int,
                             cacheKey: Option[String]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = cacheKey match {
-      case Some(key) =>
-        val c = centroidCache.getOrElseUpdate(key,
-          kmeansCentroids(corpus, nlist, trainIters))
-        lastFitKey = Some(key)
-        c
-      case None => kmeansCentroids(corpus, nlist, trainIters)
-    }
-    val centroids = cents.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
-      .toDF("cell", "c_emb")
-    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int) = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(desc("c_cos"), col("cell"))
-      df.select(col("vec_id").as(idCol), col("embedding").as(embCol))
-        .crossJoin(broadcast(centroids))
-        .withColumn("c_cos", cosine(col(embCol), col("c_emb")))
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") <= probes)
-        .drop("c_emb", "c_cos", "c_rank")
-    }
-    val c = assign(corpus, "n_id", "n_emb", probes = 1)
-    val q = assign(queries, "q_id", "q_emb", probes = nprobe)
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKey))
+    val c = assignCells(corpus, "n_id", "n_emb", probes = 1, centroids)
+    val q = assignCells(queries, "q_id", "q_emb", probes = nprobe, centroids)
     c.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+  }
+
+  /** Fit-or-cache the IVF coarse quantizer (records the key for oracle
+    * twin generation — see [[lastFittedCentroidsFloat]]). */
+  private def centroidsFor(corpus: DataFrame, nlist: Int, iters: Int,
+                           cacheKey: Option[String]): Seq[Seq[Double]] =
+    cacheKey match {
+      case Some(key) =>
+        val c = centroidCache.getOrElseUpdate(key,
+          kmeansCentroids(corpus, nlist, iters))
+        lastFitKey = Some(key)
+        c
+      case None => kmeansCentroids(corpus, nlist, iters)
+    }
+
+  private def centroidFrame(corpus: DataFrame,
+                            cents: Seq[Seq[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
+  }
+
+  /** Nearest-`probes` cells per vector by cosine (ties → smallest cell),
+    * via the broadcast centroid table. */
+  private def assignCells(df: DataFrame, idCol: String, embCol: String,
+                          probes: Int, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(desc("c_cos"), col("cell"))
+    df.select(col("vec_id").as(idCol), col("embedding").as(embCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col(embCol), col("c_emb")))
+      .withColumn("c_rank", row_number().over(w))
+      .where(col("c_rank") <= probes)
+      .drop("c_emb", "c_cos", "c_rank")
   }
 
   // ---- product quantization (PQ) ------------------------------------------
@@ -342,18 +357,25 @@ object Similarity {
     * ever fetched (the broadcast-candidates join). The codebook rides as
     * a referenced flat array, never as expression-tree literals. Output:
     * (q_id, n_id, rank, d2) — d2 is the exact squared L2, ascending. */
+  /** Fit-or-cache the PQ codebooks (records the key for oracle twin
+    * generation — see [[lastFittedPqCodebooks]]). */
+  private def codebooksFor(corpus: DataFrame, m: Int, nCells: Int,
+                           iters: Int, cacheKey: Option[String])
+      : Seq[Seq[Seq[Double]]] =
+    cacheKey match {
+      case Some(key) =>
+        val c = pqCache.getOrElseUpdate(key,
+          pqCodebooks(corpus, m, nCells, iters))
+        lastPqKey = Some(key)
+        c
+      case None => pqCodebooks(corpus, m, nCells, iters)
+    }
+
   def pqAdcKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
                nCells: Int = 16, shortlist: Int = 100, trainIters: Int = 5,
                cacheKey: Option[String] = None): DataFrame = {
     import graft.meos.NativeExpressions
-    val cb = cacheKey match {
-      case Some(key) =>
-        val c = pqCache.getOrElseUpdate(key,
-          pqCodebooks(corpus, m, nCells, trainIters))
-        lastPqKey = Some(key)
-        c
-      case None => pqCodebooks(corpus, m, nCells, trainIters)
-    }
+    val cb = codebooksFor(corpus, m, nCells, trainIters, cacheKey)
     val cbArr = flatCb(cb)
     val subDim = if (cb.nonEmpty) cb.head.head.length else 0
     val kEff = if (cb.nonEmpty) cb.head.length else 0
@@ -372,6 +394,54 @@ object Similarity {
       .select("q_id", "q_emb", "n_id")
     // exact refine on the shortlist only: candidates are |Q|×shortlist —
     // broadcast them against one pruned pass over the corpus originals
+    val wExact = Window.partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), Seq("n_id"))
+      .withColumn("d2", NativeExpressions.floatL2sq(col("q_emb"),
+        col("n_emb")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("d2"))
+  }
+
+  /** IVFADC — the composition the big ANN systems actually run: the IVF
+    * coarse quantizer bounds WHICH corpus vectors are scored (nprobe
+    * cells per query, not the whole corpus) and PQ bounds WHAT is read
+    * to score them (8-byte codes, not 256-byte vectors); the ADC
+    * shortlist then re-ranks by exact L2 on just |Q|×shortlist original
+    * vectors. At 100 TB both factors multiply: the scan touches
+    * nprobe/nlist of the corpus, in compressed form. Reuses the qe4
+    * centroid fit and the qe8 codebook fit via their caches (pass the
+    * same cacheKeys), so the composed query adds no training cost and
+    * its DuckDB twin embeds the same fit objects. Output:
+    * (q_id, n_id, rank, d2) — exact squared L2 of the survivors. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 8, m: Int = 8,
+               nCells: Int = 16, shortlist: Int = 100, trainIters: Int = 5,
+               cacheKeyIvf: Option[String] = None,
+               cacheKeyPq: Option[String] = None): DataFrame = {
+    import graft.meos.NativeExpressions
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKeyIvf))
+    val cb = codebooksFor(corpus, m, nCells, trainIters, cacheKeyPq)
+    val cbArr = flatCb(cb)
+    val subDim = if (cb.nonEmpty) cb.head.head.length else 0
+    val kEff = if (cb.nonEmpty) cb.head.length else 0
+    // compressed corpus index: cell + codes, original embedding dropped
+    val c = assignCells(corpus, "n_id", "n_emb", probes = 1, centroids)
+      .withColumn("codes", NativeExpressions.pqEncode(col("n_emb"), cbArr,
+        m, subDim, kEff))
+      .drop("n_emb")
+    val q = assignCells(queries, "q_id", "q_emb", probes = nprobe, centroids)
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    val cands = c.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", NativeExpressions.pqAdc(col("q_emb"), col("codes"),
+        cbArr, m, subDim, kEff))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= shortlist)
+      .select("q_id", "q_emb", "n_id")
     val wExact = Window.partitionBy("q_id").orderBy(col("d2"), col("n_id"))
     corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .join(broadcast(cands), Seq("n_id"))

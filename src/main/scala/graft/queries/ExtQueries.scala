@@ -226,6 +226,19 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVFADC — the composition production ANN systems run: IVF bounds
+    // WHICH vectors get scored (nprobe cells), PQ bounds WHAT is read to
+    // score them (8-byte codes), exact re-rank on the shortlist. Reuses
+    // the qe4 centroid fit and qe8 codebook fit via their caches; the
+    // twin embeds the same fit objects
+    "qe9_ivfadc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqKnn(emb, emb.where(col("vec_id") < 20), 5,
+        cacheKeyIvf = Some(s"$dir|nlist=16|iters=5"),
+        cacheKeyPq = Some(s"$dir|pq|m=8|k=16|iters=5"))
+        .orderBy("q_id", "rank")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -646,6 +659,92 @@ object ExtQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of the IVFADC composition (qe9): the qe4 cell CTEs and
+    * the qe8 codebook CTEs, with the ADC distance computed only for
+    * (query, corpus) pairs meeting in a probed cell, then the same
+    * shortlist → exact re-rank → top-k tail as qe8. Embeds BOTH fit
+    * objects (centroids as float E0 literals, codebooks as double E0
+    * literals). */
+  private def qe9Sql(cents: Seq[Seq[Float]], cb: Seq[Seq[Seq[Double]]],
+                     nprobe: Int, k: Int, shortlist: Int): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString + "E0"
+    val centValues = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    val m = cb.length
+    val subDim = cb.head.head.length
+    val cbValues = cb.zipWithIndex.flatMap { case (cells, j) =>
+      cells.zipWithIndex.map { case (c, cell) =>
+        s"($j, $cell, CAST([${c.map(dlit).mkString(",")}] AS DOUBLE[]))"
+      }
+    }.mkString(",\n")
+    def cos(a: String, b: String): String =
+      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
+        s"sqrt(${CosSql.format(b, b)}))"
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), " +
+        "(a, b) -> a + b)"
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$centValues),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS q_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= $nprobe),
+       |cb(sub, cell, c_emb) AS (VALUES
+       |$cbValues),
+       |sv AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS svec
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+       |codes AS (
+       |  SELECT sv.vec_id, sv.sub, cb.cell AS code
+       |  FROM sv JOIN cb ON cb.sub = sv.sub
+       |  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |    ORDER BY ${d2("sv.svec", "cb.c_emb")} ASC, cb.cell) = 1),
+       |cand AS (
+       |  SELECT qa.q_id, ca.n_id
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.q_id <> ca.n_id),
+       |d AS (
+       |  SELECT cand.q_id, cand.n_id, qv.sub,
+       |    ${d2("qv.svec", "cb.c_emb")} AS d2
+       |  FROM cand
+       |  JOIN sv qv ON qv.vec_id = cand.q_id
+       |  JOIN codes ON codes.vec_id = cand.n_id AND codes.sub = qv.sub
+       |  JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.code),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(d2 ORDER BY sub), (a, b) -> a + b) AS adc
+       |  FROM d GROUP BY q_id, n_id),
+       |shortl AS (
+       |  SELECT q_id, n_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, n_id) <= $shortlist),
+       |ref AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${d2("qe.embedding", "ne.embedding")} AS d2
+       |  FROM shortl s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ne ON ne.vec_id = s.n_id)
+       |SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank, d2
+       |FROM ref
+       |WINDOW w AS (PARTITION BY q_id ORDER BY d2, n_id)
+       |QUALIFY row_number() OVER w <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Static twins plus the fit-dependent qe4 twin. Verify materializes
     * every query result BEFORE dumping oracle SQL, so by the time this is
     * read the qe4 fit has run and its centroids are cached; if qe4 never
@@ -659,6 +758,12 @@ object ExtQueries {
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
       .map(cb => Map("qe8_pq_adc" -> qe8Sql(cb, k = 5, shortlist = 100)))
+      .getOrElse(Map.empty) ++
+    (for {
+      c <- Similarity.lastFittedCentroidsFloat
+      cb <- Similarity.lastFittedPqCodebooks
+    } yield Map("qe9_ivfadc" ->
+      qe9Sql(c, cb, nprobe = 8, k = 5, shortlist = 100)))
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(

@@ -111,6 +111,36 @@ class ExtSpec extends SparkTestBase {
       fit1.forall(_.forall(_.length == 8)))
   }
 
+  test("qe9 IVFADC: candidates restricted to probed cells (subset of the " +
+    "PQ scan's result space), recall@5 vs exact L2 >= 0.5") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    val exact = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe"))))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("d2", graft.meos.NativeExpressions.floatL2sq(col("qe"),
+        col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfadc = Similarity.ivfPqKnn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivfadc).size.toDouble / exact.size
+    info(s"IVFADC recall@5 = $recall (nprobe=8/16, m=8 PQ, shortlist=100)")
+    assert(recall >= 0.5, s"IVFADC recall $recall too low")
+    // with every cell probed and an unbounded shortlist, IVFADC == exact
+    val full = Similarity.ivfPqKnn(emb, queries, 5, nprobe = 16,
+      shortlist = 1 << 20)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("KMV sketch: exact below capacity, within 2/sqrt(k-2) relative " +
     "error above it, and merge == sketch-of-union") {
     import spark.implicits._
