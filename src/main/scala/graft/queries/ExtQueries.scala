@@ -407,6 +407,32 @@ object ExtQueries {
           col("top_term_ratio") > 0.2 || col("top_bigram_ratio") > 0.18)
         .orderBy("doc_id")),
 
+    // cross-source overlap matrix — near-dup candidate pairs (the qx3
+    // LSH bands) rolled up by unordered source pair: the "how much does
+    // dump A duplicate dump B" accounting that decides which crawl
+    // snapshots are worth ingesting. Pair generation is the banded
+    // equi-join (work ∝ band collisions); the rollup shuffles one row
+    // per pair, grouped on a 20×20-bounded key space.
+    "qx19_source_overlap" -> ((s, dir) => {
+      val sig = graft.Materialize.cut(
+        docsWithShingles(s, dir).select(col("doc_id"),
+          explode(Text.lshBands(col("sh"), bands = 4)).as("band")))
+      val a = sig.select(col("doc_id").as("d1"), col("band"))
+      val b = sig.select(col("doc_id").as("d2"), col("band"))
+      val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
+          Seq("d1"))
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")),
+          Seq("d2"))
+        .select(least(col("s1"), col("s2")).as("sa"),
+          greatest(col("s1"), col("s2")).as("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("sa", "sb")
+    }),
+
     // the END-TO-END curation pipeline — quality gate, repetition gate,
     // minhash-LSH near-dup dedup, benchmark decontamination, stratified
     // sampling, composed into one declarative plan with per-doc loss
@@ -798,6 +824,32 @@ object ExtQueries {
         |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
         |FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
         |ORDER BY d1, d2""".stripMargin),
+
+    "qx19_source_overlap" -> (ShingleCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id)
+        |SELECT least(x.source, y.source) AS sa,
+        |       greatest(x.source, y.source) AS sb,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p
+        |JOIN documents x ON x.doc_id = p.d1
+        |JOIN documents y ON y.doc_id = p.d2
+        |GROUP BY 1, 2
+        |ORDER BY sa, sb""".stripMargin),
 
     "qx4_simhash" ->
       """WITH tok AS (

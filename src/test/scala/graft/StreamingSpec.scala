@@ -391,6 +391,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: a streaming frame joins a static " +
+    "dimension per micro-batch (broadcast, no stateful shuffle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = input.toDS().toDF("ts", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:00:01"), 3L, 2.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:00:02"), 2L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) null else r.getString(3))).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic", 3L -> null))
+    } finally q.stop()
+  }
+
   test("KMV sketch aggregates in a watermarked streaming window and " +
     "matches the batch sketch on the same rows") {
     import spark.implicits._
