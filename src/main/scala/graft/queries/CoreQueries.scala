@@ -536,6 +536,41 @@ object CoreQueries {
         payload = Seq("purchase_id", "purchase_value"),
         tieBreak = "purchase_id")
         .orderBy("event_id")
+    }),
+
+    // q39 — six-way star join (TPC-H Q5 shape: "local supplier volume"):
+    // revenue from lineitems where the supplier and the ordering customer
+    // sit in the same nation of one region, within a one-year window.
+    // The scale story is Catalyst's, deliberately: nation/region carry
+    // explicit broadcast hints (true fixed-size dims — 25/5 rows at ANY
+    // scale factor), customer/supplier are left to AQE (they broadcast at
+    // test SFs but legitimately shuffle at SF100k — hardcoding the hint
+    // would lie at scale), the orders date filter pushes to the parquet
+    // scan, and the agg is 25-key. PlanSpec asserts broadcasts fire and
+    // no cartesian appears. Money folds through decimal(18,2)
+    // (order-independent) per the oracle-parity rules.
+    "q39_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * " +
+            "(1 - cast(l_discount as decimal(18,2)))) as double)")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -905,5 +940,23 @@ object CoreQueries {
         |       p.purchase_value AS asof_purchase_value
         |FROM events e
         |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q39_star_join" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN supplier ON l_suppkey  = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

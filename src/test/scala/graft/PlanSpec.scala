@@ -28,6 +28,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q39 six-way star join: all five non-fact sides broadcast, date " +
+    "filter reaches the orders scan, no cartesian") {
+    val p = plan("q39_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the one-year predicate must prune at the parquet scan, not post-join
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("q12 salted assembly: two ObjectHashAggregate stages, each with " +
     "map-side partial aggregation") {
     val p = plan("q12_trip_assembly")
