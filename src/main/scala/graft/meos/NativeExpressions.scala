@@ -305,6 +305,39 @@ object SimhashBridge {
   }
 }
 
+/** Executor-side bridge for [[NativeExpressions.Zorder2Expr]]: equi-depth
+  * bin lookup (binary search over the fitted boundary arrays) + Morton
+  * bit-interleave, one tight pass, zero allocation. Top-level object for
+  * janino visibility (see [[TGeomBridge]]'s note).
+  */
+object ZorderBridge {
+  /** Equi-depth bin id = number of fitted boundaries <= v (upper bound). */
+  def bin(v: Double, bounds: Array[Double]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Morton-interleave the two bin ids: x gets the even bits, y the odd. */
+  def z2(x: Double, y: Double, bx: Array[Double], by: Array[Double],
+         bits: Int): Long = {
+    val xb = bin(x, bx)
+    val yb = bin(y, by)
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((xb >> b) & 1L) << (2 * b)
+      z |= ((yb >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+}
+
 /** Native Catalyst expressions — the §7.2 "promote hot UDFs" path.
   *
   * [[TGeompointParseExpr]] is the WKT parser (`tgeompoint_in`,
@@ -619,6 +652,45 @@ object NativeExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): PqAdcExpr =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Z-order (Morton) clustering key over two equi-depth-binned dims —
+    * the multi-dimensional data-skipping layout: rows close in BOTH dims
+    * land in the same parquet files, so min/max footer stats prune 2-D box
+    * predicates that a single-dim sort can only prune on its lead column.
+    * The fitted boundary arrays ride as referenced objects, not literals
+    * (the [[RhpBandsExpr]] lesson: giant literal trees drown janino). */
+  case class Zorder2Expr(left: Expression, right: Expression,
+                         bx: Array[Double], by: Array[Double], bits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+    override def prettyName: String = "zorder2"
+
+    override def nullSafeEval(x: Any, y: Any): Any =
+      ZorderBridge.z2(x.asInstanceOf[Double], y.asInstanceOf[Double],
+        bx, by, bits)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val bxRef = ctx.addReferenceObj("zorderBx", bx, "double[]")
+      val byRef = ctx.addReferenceObj("zorderBy", by, "double[]")
+      nullSafeCodeGen(ctx, ev, (x, y) =>
+        s"${ev.value} = graft.meos.ZorderBridge.z2($x, $y, $bxRef, " +
+          s"$byRef, $bits);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Zorder2Expr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def zorder2(x: Column, y: Column, bx: Array[Double], by: Array[Double],
+              bits: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(Zorder2Expr(GraftShims.expression(x),
+      GraftShims.expression(y), bx, by, bits))
   }
 
   def pqEncode(v: Column, cb: Array[Double], m: Int, subDim: Int,
