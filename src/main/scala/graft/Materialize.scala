@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared lineage cut for frames that feed several consumers (self-join
   * sides, iterative supersteps): materialize once instead of re-running
@@ -23,4 +23,36 @@ object Materialize {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager)
     else df.localCheckpoint(eager)
+
+  /** Cut + report which persistent-RDD ids the cut pinned, so iterative
+    * callers can free a superseded generation with [[release]] instead of
+    * waiting for the GC-driven ContextCleaner (which, under a long job,
+    * may never run before the block manager fills and starts evicting).
+    * On the reliable-checkpoint path nothing is pinned in the block
+    * manager (blocks live in the checkpoint dir) and the id set is empty.
+    */
+  def cutTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = cut(df, eager = true)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Drop the blocks a [[cutTracked]] call pinned. Only call once every
+    * consumer of that generation has been materialized past it (an eager
+    * cut of the NEXT generation severs the dependence). */
+  def release(spark: SparkSession, ids: Set[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Free every pinned block in the session — scratch-state cleanup
+    * between independent jobs (the bench harness calls this per query so
+    * one query's lineage-cut blocks don't squat in the block manager and
+    * evict the next query's shuffle/broadcast state). All cuts in this
+    * codebase are consumed within their own query, so between queries
+    * everything pinned is garbage. */
+  def releaseAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }

@@ -28,6 +28,7 @@ object QProf {
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(s"$q run$r ${(System.nanoTime() - t0) / 1e9}s")
+        Materialize.releaseAll(spark) // same per-query hygiene as Bench
       }
     }
     spark.stop()

@@ -66,12 +66,15 @@ object Dedup {
   /** edges(d1, d2) → (node, cluster) where cluster = min node id reachable.
     * Nodes = every endpoint. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
     val star = contract(edges)
-    val e = cut(star.select(col("d1").as("a"), col("d2").as("b"))
-      .union(star.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct())
-    var labels = cut(e.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node")))
+    val (e, eBlocks) = graft.Materialize.cutTracked(
+      star.select(col("d1").as("a"), col("d2").as("b"))
+        .union(star.select(col("d2").as("a"), col("d1").as("b")))
+        .distinct())
+    var (labels, labelBlocks) = graft.Materialize.cutTracked(
+      e.select(col("a").as("node")).distinct()
+        .withColumn("cluster", col("node")))
     // label sums strictly decrease while any label still shrinks (min-
     // propagation is monotone), so a checksum equality is a sound and
     // cheap convergence test — one aggregate instead of a join per round
@@ -86,15 +89,22 @@ object Dedup {
       val viaNeighbors = e
         .join(labels, e("b") === labels("node"))
         .select(e("a").as("node"), col("cluster"))
-      val next = cut(labels.select(col("node"), col("cluster"))
-        .union(viaNeighbors)
-        .groupBy("node").agg(min("cluster").as("cluster")))
+      val (next, nextBlocks) = graft.Materialize.cutTracked(
+        labels.select(col("node"), col("cluster"))
+          .union(viaNeighbors)
+          .groupBy("node").agg(min("cluster").as("cluster")))
       val nextSum = checksum(next)
+      // `next` is eagerly materialized → the previous generation's blocks
+      // are dead; free them NOW so an N-superstep run pins 2 generations,
+      // not N (GC-driven cleanup is too lazy for long iterative jobs)
+      graft.Materialize.release(spark, labelBlocks)
       labels = next
+      labelBlocks = nextBlocks
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
     }
+    graft.Materialize.release(spark, eBlocks)
     labels
   }
 
