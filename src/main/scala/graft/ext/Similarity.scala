@@ -487,6 +487,69 @@ object Similarity {
       .select("i", "j", "cos")
   }
 
+  /** SQ8 scalar-quantized ANN with exact re-rank — the third compression
+    * quadrant next to PQ (qe8): each dimension is affinely quantized to
+    * one byte against per-dimension corpus [min,max] bounds (256 B/vec →
+    * 64 B, 4×), queries score dequantized corpus vectors by approximate
+    * cosine, and a fixed shortlist is re-ranked by EXACT cosine against
+    * the originals.
+    *
+    * Unlike the k-means fits (qe4/qe8), the SQ fit is per-dimension
+    * min/max — ORDER-INDEPENDENT, EXACT aggregates — so the DuckDB twin
+    * recomputes the bounds itself and the whole query oracles with no
+    * fit-literal memoization. Scale shape: bounds are one 2×dim row
+    * (broadcast), encode+score is a narrow corpus scan, only
+    * |Q|×shortlist originals are re-fetched. Output:
+    * (q_id, n_id, rank, cos) — exact cosine, descending. */
+  def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 100): DataFrame = {
+    val bounds = corpus
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+    // one row (mns, mxs) sorted by dimension — broadcast, never collected
+    val bRow = bounds
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("ls"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("hs"))
+      .select(transform(col("ls"), s => s.getField("mn")).as("mns"),
+        transform(col("hs"), s => s.getField("mx")).as("hxs"))
+    // dequantized vector: mn + code * ((mx-mn)/255) with
+    // code = floor((x-mn)/(mx-mn)*255 + 0.5); every paren mirrors the
+    // DuckDB twin so the doubles match bit-for-bit
+    val deqExpr = transform(col("embedding"), (x, i) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("hxs"), i + 1)
+      val code = floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)
+        + lit(0.5))
+      when(mx > mn,
+        mn + code.cast("double") * ((mx - mn) / lit(255.0))).otherwise(mn)
+    })
+    val c = corpus.crossJoin(broadcast(bRow))
+      .select(col("vec_id").as("n_id"), deqExpr.as("dv"))
+      .withColumn("dnorm", sqrt(dotComposed(col("dv"), col("dv"))))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val wA = Window.partitionBy("q_id").orderBy(desc("acos"), col("n_id"))
+    val cands = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("acos",
+        dotComposed(col("q_emb"), col("dv")) / (col("qn") * col("dnorm")))
+      .withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= shortlist)
+      .select("q_id", "q_emb", "qn", "n_id")
+    val wE = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), Seq("n_id"))
+      .withColumn("cos", dot(col("q_emb"), col("n_emb")) /
+        (col("qn") * sqrt(dot(col("n_emb"), col("n_emb")))))
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
   /** Approximate top-k: candidates share at least one LSH band with the
     * query; exact cosine refines. Recall tunes with bands/bitsPerBand.
     * Band keys carry the band index (see [[lshNearDupPairs]]). */

@@ -571,6 +571,45 @@ object CoreQueries {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
+    }),
+
+    // q40 — volume shipping between a nation pair (TPC-H Q7 shape), by
+    // year and direction. Scale-honest join order: the 2-row nation
+    // filter broadcasts into supplier and customer FIRST, so the fact
+    // joins only carry rows from the two nations (a semi-join pushdown
+    // Catalyst can't infer from a post-join OR filter); the date range
+    // pushes to the lineitem scan; the residual OR only excludes the
+    // same-nation directions. Money folds through decimal(18,2).
+    "q40_volume_shipping" -> ((s, dir) => {
+      val na = "NATION_3"; val nb = "NATION_7"
+      val n = Tables.nation(s, dir).where(col("n_name").isin(na, nb))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2)) * " +
+            "(1 - cast(l_discount as decimal(18,2)))) as double)")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -958,5 +997,25 @@ object CoreQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q40_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN supplier ON l_suppkey  = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
 }

@@ -239,6 +239,17 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // SQ8 scalar-quantized ANN — the third compression quadrant (PQ is
+    // qe8): per-dimension min/max bounds, byte codes, approximate-cosine
+    // shortlist over dequantized vectors, exact re-rank. The SQ fit is
+    // exact order-independent aggregates, so the twin recomputes it —
+    // the only ANN variant whose oracle needs NO fit-literal memoization
+    "qe10_ann_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8Knn(emb, emb.where(col("vec_id") < 20), 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -431,6 +442,56 @@ object ExtQueries {
           greatest(col("s1"), col("s2")).as("sb"))
         .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
         .orderBy("sa", "sb")
+    }),
+
+    // BM25 ranked retrieval — the lexical-search scorer (Robertson k1/b
+    // form) for a fixed conjunctive query, top-20 docs. Oracle-parity
+    // discipline: the idf is the RATIONAL (N-df+0.5)/(df+0.5) (no log —
+    // transcendentals aren't bit-stable cross-engine), avgdl is an exact
+    // integer sum with one double division, and the per-doc score sums
+    // its ≤|query| term scores through a term-SORTED left-to-right fold
+    // (cross-row float order pinned). Scale shape: one tokenize+explode
+    // narrow pass filtered to query terms BEFORE any shuffle (the
+    // per-(doc,term) agg carries only query-term hits), df and corpus
+    // stats are tiny broadcasts, ranking is a WindowGroupLimit top-k.
+    "qx20_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qterms = Seq("spark", "join", "window", "stream")
+      val docs = Tables.documents(s, dir)
+      val tok = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          col("toks"))
+      val stats = tok.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      val tf = tok
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          ((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+                (col("sdl").cast("double") / col("n").cast("double"))))))
+      val perDoc = scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          array_sort(collect_list(struct(col("term"), col("score"))))
+            .as("ts"))
+        .select(col("doc_id"), col("n_terms"),
+          aggregate(col("ts"), lit(0.0),
+            (a, s) => a + s.getField("score")).as("bm25"))
+      // global top-k as TakeOrdered (per-partition heaps + merge — no
+      // single-partition sort of the full corpus); the rank window then
+      // runs over 20 rows only
+      val w = Window.orderBy(desc("bm25"), col("doc_id"))
+      perDoc.orderBy(desc("bm25"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select("doc_id", "n_terms", "bm25", "rank")
+        .orderBy("rank")
     }),
 
     // the END-TO-END curation pipeline — quality gate, repetition gate,
@@ -793,6 +854,88 @@ object ExtQueries {
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
+    // SQ8: the bounds fit is exact min/max — the twin recomputes it
+    // instead of embedding fit literals (contrast qe4Sql/qe8Sql)
+    "qe10_ann_sq8" ->
+      s"""WITH ux AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |bounds AS (
+        |  SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+        |  FROM ux GROUP BY i),
+        |b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |      FROM bounds),
+        |deq AS (
+        |  SELECT vec_id AS n_id,
+        |    list_transform(list_zip(embedding, mns, mxs),
+        |      p -> CASE WHEN p[3] > p[2]
+        |        THEN p[2] + floor((CAST(p[1] AS DOUBLE) - p[2]) /
+        |          (p[3] - p[2]) * 255E0 + 0.5E0) * ((p[3] - p[2]) / 255E0)
+        |        ELSE p[2] END) AS dv
+        |  FROM embeddings, b),
+        |dn AS (
+        |  SELECT n_id, dv,
+        |    sqrt(list_reduce(list_transform(dv, v -> v * v),
+        |      (a, c) -> a + c)) AS dnorm
+        |  FROM deq),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb,
+        |    sqrt(${CosSql.format("embedding", "embedding")}) AS qn
+        |  FROM embeddings WHERE vec_id < 20),
+        |sl AS (
+        |  SELECT q_id, n_id, q_emb, qn
+        |  FROM dn, q WHERE n_id <> q_id
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY
+        |    (list_reduce(list_transform(list_zip(q_emb, dv),
+        |       p -> CAST(p[1] AS DOUBLE) * p[2]), (a, c) -> a + c)
+        |     / (qn * dnorm)) DESC, n_id) <= 100),
+        |re AS (
+        |  SELECT s.q_id, s.n_id,
+        |    ${CosSql.format("s.q_emb", "e.embedding")} /
+        |    (s.qn * sqrt(${CosSql.format("e.embedding", "e.embedding")}))
+        |      AS cos
+        |  FROM sl s JOIN embeddings e ON e.vec_id = s.n_id)
+        |SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank, cos
+        |FROM re WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "qx20_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+        |      FROM tok),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS BIGINT) AS sdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('spark', 'join', 'window', 'stream')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5E0) /
+        |      (CAST(f.df AS DOUBLE) + 0.5E0)) *
+        |    (CAST(t.tf AS DOUBLE) * 2.2E0) /
+        |    (CAST(t.tf AS DOUBLE) + 1.2E0 *
+        |      (0.25E0 + 0.75E0 * (CAST(t.dl AS DOUBLE) /
+        |        (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS score
+        |  FROM tf t JOIN dfq f USING (term) CROSS JOIN stats s),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |    list_reduce(list_prepend(0.0E0, list(score ORDER BY term)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_terms, bm25,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM perdoc
+        |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
+        |ORDER BY rank""".stripMargin,
+
     "qx1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       count(*) AS n, min(doc_id) AS keeper

@@ -37,6 +37,23 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.9, s"IVF recall $recall too low")
   }
 
+  test("qe10 SQ8 (scalar-quantized) recall@5 >= 0.9 at sf0.001") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sq8Knn(emb, queries, 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"SQ8 recall@5 = $recall (shortlist=100)")
+    // 8-bit per-dim quantization error is tiny relative to cosine gaps —
+    // with a 100-wide shortlist the exact re-rank recovers essentially
+    // everything; require the same bar as IVF
+    assert(recall >= 0.9, s"SQ8 recall $recall too low")
+  }
+
   test("qe5 LSH near-dup pairs: subset of the exact result, recall >= " +
     "0.8 at the 0.4 threshold") {
     import graft.ext.Similarity

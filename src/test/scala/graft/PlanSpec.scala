@@ -158,4 +158,33 @@ class PlanSpec extends SparkTestBase {
     // histogram agg runs partial (map-side) + final around one exchange
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q40 volume shipping: nation filter broadcasts into supplier and " +
+    "customer BEFORE the fact joins; date range reaches the lineitem scan") {
+    val p = plan("q40_volume_shipping")
+    // two 2-row nation broadcasts + (at test SF) AQE may broadcast the
+    // filtered cust/sup sides into the facts too — require at least the
+    // nation pair, forbid cartesians
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("qx20 bm25: query-term filter is applied at the scan side (pushed " +
+    "into the narrow pass, before any shuffle); global top-20 is " +
+    "TakeOrdered, not a full sort") {
+    val p = plan("qx20_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // corpus stats and df join as broadcasts — the only exchanges are the
+    // two aggregations' partial/final pairs
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qe10 SQ8: bounds row and queries broadcast; shortlist and final " +
+    "top-k windows run as group-limits, corpus never sort-merge-joined") {
+    val p = plan("qe10_ann_sq8")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
