@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** (doc_id, top_term_ratio, top_bigram_ratio) — the qx15 ratios. */
-  def repetitionRatios(docs: DataFrame): DataFrame = {
-    val tok = docs.withColumn("toks", Text.tokens(col("text")))
+  def repetitionRatios(docs: DataFrame): DataFrame =
+    repetitionRatiosFromToks(
+      docs.withColumn("toks", Text.tokens(col("text"))))
+
+  /** [[repetitionRatios]] over a pre-tokenized frame (doc_id, toks). */
+  def repetitionRatiosFromToks(tok: DataFrame): DataFrame = {
     val termTop = tok
       .select(col("doc_id"), size(col("toks")).as("n_toks"),
         explode(col("toks")).as("t"))
@@ -42,7 +46,7 @@ object Curation {
       .select(col("doc_id"),
         (col("top_bi").cast("double") / col("n_bi").cast("double"))
           .as("top_bigram_ratio"))
-    docs.select("doc_id")
+    tok.select("doc_id")
       .join(termTop, Seq("doc_id"), "left")
       .join(biTop, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -57,24 +61,30 @@ object Curation {
   def pipeline(docs: DataFrame, minScore: Double = 6.5,
                maxTermRatio: Double = 0.2, maxBigramRatio: Double = 0.18)
       : DataFrame = {
-    val probe = docs.where(col("doc_id") % 97 === 0)
-    val train = docs.where(col("doc_id") % 97 =!= 0)
-    val quality = docs
+    // tokenize ONCE for all five stages — a lineage cut shares the
+    // (doc_id, lang, n_chars, toks) frame across quality, repetition,
+    // minhash-dedup and both decontamination sides (the uncut form
+    // re-scanned and re-split the corpus four times)
+    val tok = graft.Materialize.cut(docs
       .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks")))
+    val probe = tok.where(col("doc_id") % 97 === 0)
+    val train = tok.where(col("doc_id") % 97 =!= 0)
+    val quality = tok
       .select(col("doc_id"),
         Text.qualityScore(col("toks"), col("n_chars")).as("score"))
-    val rep = repetitionRatios(docs)
+    val rep = repetitionRatiosFromToks(tok)
       .select(col("doc_id"),
         (col("top_term_ratio") > maxTermRatio ||
           col("top_bigram_ratio") > maxBigramRatio).as("repetitive"))
-    val clusters = Dedup.minhashClusters(docs)
+    val clusters = Dedup.minhashClustersFromToks(tok)
       .select(col("doc_id"), col("keeper"))
-    val contam = Dedup.decontaminate(train, probe)
+    val contam = Dedup.decontaminateFromToks(train, probe)
       .select(col("doc_id"), col("contaminated"))
     val keepBelow = when(col("lang") === "en", lit("40000000"))
       .when(col("lang") === "zh", lit("80000000"))
       .otherwise(lit("c0000000"))
-    docs.select(col("doc_id"), col("lang"),
+    tok.select(col("doc_id"), col("lang"),
         substring(md5(col("doc_id").cast("string")), 1, 8).as("bucket"))
       .join(quality, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")

@@ -115,9 +115,16 @@ object Dedup {
     * broadcast hash join against one narrow corpus-side explode; docs
     * with zero overlap survive via the left join. */
   def decontaminate(corpus: DataFrame, probe: DataFrame,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3): DataFrame =
+    decontaminateFromToks(
+      corpus.withColumn("toks", Text.tokens(col("text"))),
+      probe.withColumn("toks", Text.tokens(col("text"))), k)
+
+  /** [[decontaminate]] over pre-tokenized frames (doc_id, toks) — lets a
+    * composed pipeline (qp1) tokenize the corpus ONCE for all stages. */
+  def decontaminateFromToks(corpus: DataFrame, probe: DataFrame,
+                            k: Int = 3): DataFrame = {
     def shingled(df: DataFrame): DataFrame = df
-      .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= k)
       .withColumn("sh", Text.shingles(col("toks"), k))
     val probeSh = shingled(probe)
@@ -136,12 +143,16 @@ object Dedup {
   /** Full minhash-dedup: docs → shingles → LSH candidate pairs → connected
     * components → cluster per doc (docs with no near-dup form their own
     * cluster). Returns (doc_id, cluster, keeper). */
-  def minhashClusters(docs: DataFrame, bands: Int = 4): DataFrame = {
+  def minhashClusters(docs: DataFrame, bands: Int = 4): DataFrame =
+    minhashClustersFromToks(
+      docs.withColumn("toks", Text.tokens(col("text"))), bands)
+
+  /** [[minhashClusters]] over a pre-tokenized frame (doc_id, toks). */
+  def minhashClustersFromToks(docs: DataFrame, bands: Int = 4): DataFrame = {
     // lazy cut: the banded frame feeds both self-join sides — without it
     // the shingle+minhash pipeline runs twice (reliable checkpoint when a
     // dir is configured; see Materialize)
     val sig = graft.Materialize.cut(docs
-      .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .withColumn("sh", Text.shingles(col("toks")))
       .select(col("doc_id"), explode(Text.lshBands(col("sh"), bands))
