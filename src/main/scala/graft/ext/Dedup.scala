@@ -154,9 +154,8 @@ object Dedup {
     // dir is configured; see Materialize)
     val sig = graft.Materialize.cut(docs
       .where(size(col("toks")) >= 3)
-      .withColumn("sh", Text.shingles(col("toks")))
-      .select(col("doc_id"), explode(Text.lshBands(col("sh"), bands))
-        .as("band")))
+      .select(col("doc_id"),
+        explode(Text.lshBandsFromToks(col("toks"), bands)).as("band")))
     val a = sig.select(col("doc_id").as("d1"), col("band"))
     val b = sig.select(col("doc_id").as("d2"), col("band"))
     val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))

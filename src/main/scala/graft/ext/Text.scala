@@ -37,8 +37,24 @@ object Text {
 
   /** Full b×r signature as an array of band keys: band i concatenates r
     * minhashes (seeds i*r … i*r+r-1). Join docs on a shared band key →
-    * LSH candidate pairs. */
+    * LSH candidate pairs. The common r=1 shape runs as the one-pass
+    * native kernel (bit-identical — NativeExprSpec; the composed form
+    * re-walks the shingle array per seed through interpreted HOFs). */
   def lshBands(sh: Column, bands: Int, rowsPerBand: Int = 1): Column =
+    if (rowsPerBand == 1)
+      graft.meos.NativeExpressions.minhashBands(sh, bands)
+    else lshBandsComposed(sh, bands, rowsPerBand)
+
+  /** The whole `shingles(toks) |> lshBands` chain fused into one native
+    * pass over the TOKEN array — no shingle strings materialized. Use
+    * when band keys are the ONLY consumer of the shingles (qx2/qx3/qx19
+    * and the dedup-cluster path); bit-identical to the staged form. */
+  def lshBandsFromToks(toks: Column, bands: Int, shingleK: Int = 3): Column =
+    graft.meos.NativeExpressions.minhashShingleBands(toks, shingleK, bands)
+
+  /** Pure-built-in composition of [[lshBands]] — the readable
+    * specification of the kernel; kept for the parity spec. */
+  def lshBandsComposed(sh: Column, bands: Int, rowsPerBand: Int = 1): Column =
     array((0 until bands).map { b =>
       concat((0 until rowsPerBand)
         .map(r => minhash(sh, b * rowsPerBand + r)): _*)

@@ -305,6 +305,121 @@ object SimhashBridge {
   }
 }
 
+/** Executor-side bridge for [[NativeExpressions.MinhashBandsExpr]]: ALL
+  * seeded minhashes of a shingle array in ONE pass. The built-in
+  * composition (`array_min(transform(sh, md5('seed:' || s)))` × seeds)
+  * re-walks the array per seed through interpreted higher-order lambdas,
+  * allocating a 32-char hex string per shingle per seed; here each
+  * shingle is digested per seed with a thread-local MessageDigest, the
+  * per-seed minimum is tracked as raw 16-byte digests (unsigned byte
+  * order == lowercase-hex lexicographic order, so the min is the same),
+  * and only the k winning digests are hex-encoded. Top-level object for
+  * janino visibility (see [[TGeomBridge]]'s note).
+  */
+object MinhashBridge {
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def bands(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+            prefixes: Array[Array[Byte]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = sh.numElements()
+    val k = prefixes.length
+    val mins = new Array[Array[Byte]](k)
+    val md = mdTl.get()
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i).getBytes
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(prefixes(j))
+        md.update(s)
+        val d = md.digest()
+        if (mins(j) == null ||
+          java.util.Arrays.compareUnsigned(d, mins(j)) < 0) mins(j) = d
+        j += 1
+      }
+      i += 1
+    }
+    minsOut(mins)
+  }
+
+  private val SPACE = Array(' '.toByte)
+
+  /** Fused k-shingle + banding: digests each shingle incrementally from
+    * the token byte arrays (`"seed:" tok_i ' ' tok_{i+1} ' ' …`) — the
+    * identical bytes `concat_ws(" ", …)` would produce, with NO shingle
+    * string ever materialized. Fewer than k tokens → all-null bands
+    * (what `array_min` over an empty transform yields). */
+  def shingleBands(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                   shingleK: Int, prefixes: Array[Array[Byte]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val k = prefixes.length
+    val mins = new Array[Array[Byte]](k)
+    if (n >= shingleK) {
+      val tb = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        // concat_ws treats null elements as absent; tokens from split()
+        // are never null, so a plain getBytes matches
+        tb(i) = toks.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = mdTl.get()
+      i = 0
+      while (i <= n - shingleK) {
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(prefixes(j))
+          var t = 0
+          while (t < shingleK) {
+            if (t > 0) md.update(SPACE)
+            md.update(tb(i + t))
+            t += 1
+          }
+          val d = md.digest()
+          if (mins(j) == null ||
+            java.util.Arrays.compareUnsigned(d, mins(j)) < 0) mins(j) = d
+          j += 1
+        }
+        i += 1
+      }
+    }
+    minsOut(mins)
+  }
+
+  private def minsOut(mins: Array[Array[Byte]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Any](mins.length)
+    var j = 0
+    while (j < mins.length) {
+      // empty shingle set -> null per band, matching array_min's null
+      out(j) =
+        if (mins(j) == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(hex(mins(j)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Executor-side bridge for [[NativeExpressions.Zorder2Expr]]: equi-depth
   * bin lookup (binary search over the fitted boundary arrays) + Morton
   * bit-interleave, one tight pass, zero allocation. Top-level object for
@@ -544,6 +659,68 @@ object NativeExpressions {
         : RhpBandsExpr = copy(child = newChild)
   }
 
+  /** All `bands` seeded minhashes of a shingle array in one native pass —
+    * band i is the lexicographic-min md5 of `"i:" || shingle` (seeds are
+    * band indices, rowsPerBand=1), bit-identical to the staged built-in
+    * composition in [[graft.ext.Text.lshBands]] and to the DuckDB twins.
+    * Null array in → null out; empty array in → all-null bands (what
+    * `array_min` over an empty transform yields). */
+  case class MinhashBandsExpr(child: Expression, bands: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(StringType, true)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "minhash_bands"
+
+    @transient private lazy val prefixes: Array[Array[Byte]] =
+      Array.tabulate(bands)(b => s"$b:".getBytes("UTF-8"))
+
+    override def nullSafeEval(input: Any): Any =
+      MinhashBridge.bands(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        prefixes)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val prefRef = ctx.addReferenceObj("mhPrefixes", prefixes, "byte[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.MinhashBridge.bands($c, $prefRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : MinhashBandsExpr = copy(child = newChild)
+  }
+
+  /** Fused k-shingle + seeded-minhash banding over the TOKEN array — the
+    * whole `shingles(toks) |> lshBands` chain in one pass with no shingle
+    * strings materialized (see [[MinhashBridge.shingleBands]]).
+    * Bit-identical to the staged composition (NativeExprSpec). */
+  case class MinhashShingleBandsExpr(child: Expression, shingleK: Int,
+                                     bands: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(StringType, true)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "minhash_shingle_bands"
+
+    @transient private lazy val prefixes: Array[Array[Byte]] =
+      Array.tabulate(bands)(b => s"$b:".getBytes("UTF-8"))
+
+    override def nullSafeEval(input: Any): Any =
+      MinhashBridge.shingleBands(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        shingleK, prefixes)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val prefRef = ctx.addReferenceObj("mhsPrefixes", prefixes, "byte[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.MinhashBridge.shingleBands($c, " +
+          s"$shingleK, $prefRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : MinhashShingleBandsExpr = copy(child = newChild)
+  }
+
   /** SimHash-32 over pre-computed md5 strings in one native pass —
     * bit-identical to the staged built-in composition (majority vote of
     * the high bit of hex digit p, p = 1..32). */
@@ -709,6 +886,17 @@ object NativeExpressions {
   def simhash32(tokenHashes: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(Simhash32Expr(GraftShims.expression(tokenHashes)))
+  }
+
+  def minhashBands(sh: Column, bands: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(MinhashBandsExpr(GraftShims.expression(sh), bands))
+  }
+
+  def minhashShingleBands(toks: Column, shingleK: Int, bands: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(MinhashShingleBandsExpr(GraftShims.expression(toks),
+      shingleK, bands))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

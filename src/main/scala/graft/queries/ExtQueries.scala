@@ -28,6 +28,14 @@ object ExtQueries {
       .where(size(col("toks")) >= 3)
       .withColumn("sh", Text.shingles(col("toks")))
 
+  /** Tokenized-only variant for the band-key consumers (qx2/qx3/qx19):
+    * same row set as [[docsWithShingles]], but the shingle array is never
+    * materialized — banding runs fused over the tokens. */
+  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content fingerprint groups + canonical keeper
     "qx1_dedup_exact" -> ((s, dir) =>
@@ -36,12 +44,17 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
         .orderBy("fp")),
 
-    // minhash signatures (4 seeded hashes)
+    // minhash signatures (4 seeded hashes) — one native pass computes all
+    // four mins (the 4-column composed form walked the shingle array four
+    // times through interpreted HOF lambdas); element_at over the staged
+    // kernel array is CSE'd to a single kernel call under codegen
     "qx2_minhash_sig" -> ((s, dir) =>
-      docsWithShingles(s, dir).select(
-        col("doc_id"),
-        Text.minhash(col("sh"), 0).as("h0"), Text.minhash(col("sh"), 1).as("h1"),
-        Text.minhash(col("sh"), 2).as("h2"), Text.minhash(col("sh"), 3).as("h3"))
+      docsWithToks(s, dir).select(
+        col("doc_id"), Text.lshBandsFromToks(col("toks"), bands = 4).as("mh"))
+        .select(
+          col("doc_id"),
+          element_at(col("mh"), 1).as("h0"), element_at(col("mh"), 2).as("h1"),
+          element_at(col("mh"), 3).as("h2"), element_at(col("mh"), 4).as("h3"))
         .orderBy("doc_id")),
 
     // LSH candidate pairs: 4 bands × 1 row. Lazy lineage cut: both
@@ -50,8 +63,8 @@ object ExtQueries {
     // is configured — see Materialize)
     "qx3_lsh_pairs" -> ((s, dir) => {
       val sig = graft.Materialize.cut(
-        docsWithShingles(s, dir).select(col("doc_id"),
-          explode(Text.lshBands(col("sh"), bands = 4)).as("band")))
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
       val a = sig.select(col("doc_id").as("d1"), col("band"))
       val b = sig.select(col("doc_id").as("d2"), col("band"))
       a.join(b, Seq("band")).where(col("d1") < col("d2"))
@@ -426,8 +439,8 @@ object ExtQueries {
     // per pair, grouped on a 20×20-bounded key space.
     "qx19_source_overlap" -> ((s, dir) => {
       val sig = graft.Materialize.cut(
-        docsWithShingles(s, dir).select(col("doc_id"),
-          explode(Text.lshBands(col("sh"), bands = 4)).as("band")))
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
       val a = sig.select(col("doc_id").as("d1"), col("band"))
       val b = sig.select(col("doc_id").as("d2"), col("band"))
       val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))

@@ -136,6 +136,45 @@ class NativeExprSpec extends SparkTestBase {
     }
   }
 
+  test("native minhash_bands == composed seeded-md5 banding (incl. empty " +
+    "shingle set -> null bands), and compiles in codegen") {
+    import graft.ext.Text
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("sh", Text.shingles(col("toks")))
+    val df = docs.select(
+      Text.lshBands(col("sh"), bands = 4).as("native"),
+      Text.lshBandsComposed(col("sh"), bands = 4).as("composed"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("composed"))
+    }
+    // empty shingle array: every band null, exactly like array_min
+    val empty = Seq(Array.empty[String]).toDF("sh")
+      .select(Text.lshBands(col("sh"), bands = 3).as("b")).collect()
+    assert(empty(0).getAs[scala.collection.Seq[String]]("b") ==
+      Seq(null, null, null))
+
+    // fused token->bands kernel == shingle-then-band staging, including
+    // the under-k case (fewer than 3 tokens -> all-null bands)
+    val fused = docs.select(
+      Text.lshBandsFromToks(col("toks"), bands = 4).as("native"),
+      Text.lshBandsComposed(Text.shingles(col("toks")), bands = 4)
+        .as("composed"))
+    noCodegenFallback(fused.collect()).foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("composed"))
+    }
+    val short = Seq(Array("a", "b")).toDF("toks")
+      .select(Text.lshBandsFromToks(col("toks"), bands = 2).as("b"))
+      .collect()
+    assert(short(0).getAs[scala.collection.Seq[String]]("b") ==
+      Seq(null, null))
+  }
+
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
     val m = 8; val subDim = 8; val k = 4
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)
