@@ -81,13 +81,14 @@ object Bench {
       t
     }.sum
     // The driver snapshots only the LAST 2000 chars of stdout; keep the
-    // line short (3-decimal times) and restate the headline total near the
-    // END of the line so it survives even if the head gets truncated.
-    def f3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // line short (2-decimal per-query times, compact keys) and restate the
+    // headline total near the END of the line so it survives even if the
+    // head gets truncated by the tail window.
+    def f2(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"noop-sink median-of-3","r1_method_total_sec":${f3(r1Total)},"n_queries":${results.size},"total_sec":${f3(total)}}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)}}""")
     spark.stop()
   }
 }

@@ -610,7 +610,23 @@ object CoreQueries {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("supp_nation", "cust_nation", "l_year")
-    }))
+    }),
+
+    // q41 — pivot (wide one-hot aggregation): events per user spread into
+    // one count column per event_type. The value list is EXPLICIT, which
+    // matters twice at scale: Spark skips the plan-time distinct scan it
+    // otherwise runs to discover pivot values, and the whole pivot
+    // compiles to ONE pass of conditional aggregates (map-side partial,
+    // one shuffle on user_id) — never a per-type scan or join. Missing
+    // (user, type) combos are 0, matching the oracle's count FILTER.
+    "q41_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")))
 
   def oracle: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1017,5 +1033,14 @@ object CoreQueries {
         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
         |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q41_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
