@@ -20,7 +20,7 @@ object CoreQueries {
 
   private val Cut = "timestamp '2024-01-15 00:00:00'"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
@@ -628,7 +628,27 @@ object CoreQueries {
         .na.fill(0L)
         .orderBy("user_id")))
 
-  def oracle: Map[String, String] = Map(
+  /** q42 — event-time bucketing (the batch twin of a tumbling window):
+    * events rolled up to the hour with count + distinct users. One
+    * hash-agg pair around one shuffle keyed by the truncated hour; the
+    * distinct rides the same shuffle as a partial-distinct (expand)
+    * stage, never a second scan. */
+  private val q42 = Map[String, (SparkSession, String) => DataFrame](
+    "q42_time_bucket" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("hour")))
+
+  private val q42Oracle = Map(
+    "q42_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin)
+
+  def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty,
         | coalesce(l_returnflag, 'X') AS rflag

@@ -457,6 +457,64 @@ object ExtQueries {
         .orderBy("sa", "sb")
     }),
 
+    // hot-band-capped LSH pairs — the skew guard every production LSH
+    // needs: a band bucket of size n contributes n(n-2+1)/2 pairs, so one
+    // boilerplate-heavy band (every "lorem ipsum" page, every empty doc)
+    // can go quadratic on its own. Buckets over the cap are dropped
+    // BEFORE the self-join (bounded recall loss, standard practice;
+    // pairs inside an over-cap bucket are overwhelmingly caught by the
+    // other bands). Work is now provably ≤ cap × |sig| regardless of the
+    // corpus's duplication structure. The size filter rides the same
+    // band-keyed shuffle as the join — one extra agg, no extra scan.
+    "qx21_lsh_capped" -> ((s, dir) => {
+      val cap = 3
+      val sig = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
+      val small = sig.join(
+        sig.groupBy("band").agg(count(lit(1)).as("n"))
+          .where(col("n") <= cap),
+        Seq("band"))
+      val a = small.select(col("doc_id").as("d1"), col("band"))
+      val b = small.select(col("doc_id").as("d2"), col("band"))
+      a.join(b, Seq("band")).where(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .orderBy("d1", "d2")
+    }),
+
+    // source-mixture rebalancing — the "data mixing" step of corpus
+    // assembly: compute each source's token mass, derive the keep-rate
+    // that would equalize every source's contribution to the token
+    // budget (capped at 1 — undersized sources keep everything), and
+    // apply it with the deterministic md5-bucket coin (the qx12
+    // mechanism, here against a COMPUTED rate: the 32-bit hex prefix as
+    // a uniform in [0,1)). Exact integer token sums, one double division
+    // chain mirrored in the twin. Scale shape: two broadcasts (per-source
+    // masses, corpus totals) over one narrow pass — the decision never
+    // shuffles the corpus.
+    "qx22_mixture_rebalance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      val perSrc = docs.groupBy("source")
+        .agg(sum("n_toks").as("src_tokens"))
+      val tot = docs.agg(sum("n_toks").as("total_tokens"),
+        count_distinct(col("source")).as("n_sources"))
+      docs.join(broadcast(perSrc), "source").crossJoin(broadcast(tot))
+        .withColumn("keep_rate",
+          least(lit(1.0),
+            (col("total_tokens").cast("double") /
+              col("n_sources").cast("double")) /
+              col("src_tokens").cast("double")))
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("kept",
+          col("u").cast("double") / lit(4294967296.0) < col("keep_rate"))
+        .select("doc_id", "source", "keep_rate", "kept")
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval — the lexical-search scorer (Robertson k1/b
     // form) for a fixed conjunctive query, top-20 docs. Oracle-parity
     // discipline: the idf is the RATIONAL (N-df+0.5)/(df+0.5) (no log —
@@ -980,6 +1038,53 @@ object ExtQueries {
         |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
         |FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
         |ORDER BY d1, d2""".stripMargin),
+
+    "qx21_lsh_capped" -> (ShingleCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= 3))
+        |SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |FROM small a JOIN small c ON a.band = c.band AND a.doc_id < c.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "qx22_mixture_rebalance" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens
+        |       FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |      FROM d),
+        |j AS (
+        |  SELECT d.doc_id, d.source,
+        |    least(1.0E0,
+        |      (CAST(t.total_tokens AS DOUBLE) / CAST(t.n_sources AS DOUBLE))
+        |        / CAST(ps.src_tokens AS DOUBLE)) AS keep_rate,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(i AS INT), 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM d JOIN ps USING (source) CROSS JOIN t)
+        |SELECT doc_id, source, keep_rate,
+        |       (CAST(u AS DOUBLE) / 4294967296E0 < keep_rate) AS kept
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "qx19_source_overlap" -> (ShingleCte +
       """,

@@ -54,6 +54,17 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.9, s"SQ8 recall $recall too low")
   }
 
+  test("qx21 hot-band cap: capped LSH pairs are a subset of the uncapped " +
+    "qx3 pairs (the guard only removes work, never invents candidates)") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs("qx21_lsh_capped")
+    val full = pairs("qx3_lsh_pairs")
+    assert(capped.subsetOf(full),
+      s"capped produced pairs outside the uncapped set: ${capped -- full}")
+  }
+
   test("qe5 LSH near-dup pairs: subset of the exact result, recall >= " +
     "0.8 at the 0.4 threshold") {
     import graft.ext.Similarity

@@ -187,4 +187,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("qx22 mixture rebalance: per-source masses and corpus totals " +
+    "broadcast — the keep decision never shuffles the corpus") {
+    val p = plan("qx22_mixture_rebalance")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p) // the 1-row totals cross join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
