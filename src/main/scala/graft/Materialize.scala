@@ -15,14 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
 
+  /** Every persistent-RDD id pinned by a [[cut]] in this JVM — localCheckpoint
+    * registers its RDD in `sc.persistentRdds` at DEFINITION time (even
+    * lazily), so a before/after keyset diff captures the cut's blocks.
+    * Lets [[releaseAll]] free exactly the cut-created scratch state
+    * without evicting caches other code may own. */
+  private val cutIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** `eager = false` defers materialization to first use (right for
     * query-shaped code that only declares the plan); `eager = true` blocks
     * until written (right between iterative supersteps, where the caller
     * immediately consumes the result anyway). */
-  def cut(df: DataFrame, eager: Boolean = false): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+  def cut(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    (sc.getPersistentRDDs.keySet -- before).foreach(cutIds.add)
+    out
+  }
 
   /** Cut + report which persistent-RDD ids the cut pinned, so iterative
     * callers can free a superseded generation with [[release]] instead of
@@ -43,16 +56,25 @@ object Materialize {
     * cut of the NEXT generation severs the dependence). */
   def release(spark: SparkSession, ids: Set[Int]): Unit = {
     val live = spark.sparkContext.getPersistentRDDs
-    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    ids.foreach { id =>
+      live.get(id).foreach(_.unpersist(blocking = false))
+      cutIds.remove(id)
+    }
   }
 
-  /** Free every pinned block in the session — scratch-state cleanup
-    * between independent jobs (the bench harness calls this per query so
-    * one query's lineage-cut blocks don't squat in the block manager and
-    * evict the next query's shuffle/broadcast state). All cuts in this
-    * codebase are consumed within their own query, so between queries
-    * everything pinned is garbage. */
-  def releaseAll(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+  /** Free every block pinned by a [[cut]] — scratch-state cleanup between
+    * independent jobs (the bench harness calls this per query so one
+    * query's lineage-cut blocks don't squat in the block manager and
+    * evict the next query's shuffle/broadcast state). Releases ONLY
+    * cut-created ids, so a suite-level `.cache()` owned by other code
+    * survives (all cuts in this codebase are consumed within their own
+    * query, so between queries every cut block is garbage). */
+  def releaseAll(spark: SparkSession): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    val it = cutIds.iterator()
+    while (it.hasNext) {
+      live.get(it.next()).foreach(_.unpersist(blocking = false))
+      it.remove()
+    }
+  }
 }

@@ -38,8 +38,10 @@ object Text {
   /** Full b×r signature as an array of band keys: band i concatenates r
     * minhashes (seeds i*r … i*r+r-1). Join docs on a shared band key →
     * LSH candidate pairs. The common r=1 shape runs as the one-pass
-    * native kernel (bit-identical — NativeExprSpec; the composed form
-    * re-walks the shingle array per seed through interpreted HOFs). */
+    * native kernel (bit-identical — NativeExprSpec — including null/empty
+    * arrays and null elements, which follow the composed `array_min`
+    * semantics; the composed form re-walks the shingle array per seed
+    * through interpreted HOFs). */
   def lshBands(sh: Column, bands: Int, rowsPerBand: Int = 1): Column =
     if (rowsPerBand == 1)
       graft.meos.NativeExpressions.minhashBands(sh, bands)

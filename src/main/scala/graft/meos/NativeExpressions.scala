@@ -343,21 +343,31 @@ object MinhashBridge {
     val md = mdTl.get()
     var i = 0
     while (i < n) {
-      val s = sh.getUTF8String(i).getBytes
-      var j = 0
-      while (j < k) {
-        md.reset()
-        md.update(prefixes(j))
-        md.update(s)
-        val d = md.digest()
-        if (mins(j) == null ||
-          java.util.Arrays.compareUnsigned(d, mins(j)) < 0) mins(j) = d
-        j += 1
+      // null shingle -> md5(concat('seed:', null)) is null in the composed
+      // form, and array_min skips nulls — so a null element never competes
+      if (!sh.isNullAt(i)) {
+        val s = sh.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(s)
+          val d = md.digest()
+          if (mins(j) == null ||
+            java.util.Arrays.compareUnsigned(d, mins(j)) < 0) mins(j) = d
+          j += 1
+        }
       }
       i += 1
     }
     minsOut(mins)
   }
+
+  /** The composed form's result for a NULL input array: each band is
+    * `array_min(transform(null, …))` = null, wrapped in a non-null
+    * `array(...)` — k null elements, not a null array. */
+  def nullBands(k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    minsOut(new Array[Array[Byte]](k))
 
   private val SPACE = Array(' '.toByte)
 
@@ -376,9 +386,10 @@ object MinhashBridge {
       val tb = new Array[Array[Byte]](n)
       var i = 0
       while (i < n) {
-        // concat_ws treats null elements as absent; tokens from split()
-        // are never null, so a plain getBytes matches
-        tb(i) = toks.getUTF8String(i).getBytes
+        // concat_ws treats null elements as absent (no token, no
+        // separator); tokens from split() are never null, but nullable
+        // callers get the same bytes the composed form would digest
+        tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
         i += 1
       }
       val md = mdTl.get()
@@ -389,9 +400,13 @@ object MinhashBridge {
           md.reset()
           md.update(prefixes(j))
           var t = 0
+          var written = 0
           while (t < shingleK) {
-            if (t > 0) md.update(SPACE)
-            md.update(tb(i + t))
+            if (tb(i + t) != null) {
+              if (written > 0) md.update(SPACE)
+              md.update(tb(i + t))
+              written += 1
+            }
             t += 1
           }
           val d = md.digest()
@@ -662,28 +677,45 @@ object NativeExpressions {
   /** All `bands` seeded minhashes of a shingle array in one native pass —
     * band i is the lexicographic-min md5 of `"i:" || shingle` (seeds are
     * band indices, rowsPerBand=1), bit-identical to the staged built-in
-    * composition in [[graft.ext.Text.lshBands]] and to the DuckDB twins.
-    * Null array in → null out; empty array in → all-null bands (what
-    * `array_min` over an empty transform yields). */
+    * composition in [[graft.ext.Text.lshBands]] and to the DuckDB twins —
+    * including the degenerate inputs: a NULL array yields a non-null array
+    * of all-null bands (each band is `array_min(transform(null, …))` =
+    * null, wrapped by a never-null `array(...)`), an empty array yields
+    * all-null bands, and null ELEMENTS never compete for the min (md5 of
+    * a null concat is null; `array_min` skips nulls). */
   case class MinhashBandsExpr(child: Expression, bands: Int)
       extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = ArrayType(StringType, true)
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "minhash_bands"
+    override def nullable: Boolean = false
 
     @transient private lazy val prefixes: Array[Array[Byte]] =
       Array.tabulate(bands)(b => s"$b:".getBytes("UTF-8"))
 
-    override def nullSafeEval(input: Any): Any =
-      MinhashBridge.bands(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        prefixes)
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => MinhashBridge.nullBands(bands)
+      case arr =>
+        MinhashBridge.bands(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          prefixes)
+    }
 
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val prefRef = ctx.addReferenceObj("mhPrefixes", prefixes, "byte[][]")
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.meos.MinhashBridge.bands($c, $prefRef);")
+      val childGen = child.genCode(ctx)
+      val resultCode =
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${childGen.isNull} ? graft.meos.MinhashBridge.nullBands($bands)
+           |  : graft.meos.MinhashBridge.bands(${childGen.value}, $prefRef);
+         """.stripMargin
+      ev.copy(
+        code = childGen.code +
+          org.apache.spark.sql.catalyst.expressions.codegen.Block
+            .BlockHelper(new StringContext(resultCode)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
 
     override protected def withNewChildInternal(newChild: Expression)
@@ -700,21 +732,35 @@ object NativeExpressions {
     override def dataType: DataType = ArrayType(StringType, true)
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "minhash_shingle_bands"
+    override def nullable: Boolean = false
 
     @transient private lazy val prefixes: Array[Array[Byte]] =
       Array.tabulate(bands)(b => s"$b:".getBytes("UTF-8"))
 
-    override def nullSafeEval(input: Any): Any =
-      MinhashBridge.shingleBands(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        shingleK, prefixes)
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => MinhashBridge.nullBands(bands)
+      case arr =>
+        MinhashBridge.shingleBands(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          shingleK, prefixes)
+    }
 
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val prefRef = ctx.addReferenceObj("mhsPrefixes", prefixes, "byte[][]")
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.meos.MinhashBridge.shingleBands($c, " +
-          s"$shingleK, $prefRef);")
+      val childGen = child.genCode(ctx)
+      val resultCode =
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${childGen.isNull} ? graft.meos.MinhashBridge.nullBands($bands)
+           |  : graft.meos.MinhashBridge.shingleBands(${childGen.value},
+           |      $shingleK, $prefRef);
+         """.stripMargin
+      ev.copy(
+        code = childGen.code +
+          org.apache.spark.sql.catalyst.expressions.codegen.Block
+            .BlockHelper(new StringContext(resultCode)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
 
     override protected def withNewChildInternal(newChild: Expression)

@@ -458,7 +458,7 @@ object ExtQueries {
     }),
 
     // hot-band-capped LSH pairs — the skew guard every production LSH
-    // needs: a band bucket of size n contributes n(n-2+1)/2 pairs, so one
+    // needs: a band bucket of size n contributes n(n-1)/2 pairs, so one
     // boilerplate-heavy band (every "lorem ipsum" page, every empty doc)
     // can go quadratic on its own. Buckets over the cap are dropped
     // BEFORE the self-join (bounded recall loss, standard practice;

@@ -56,10 +56,23 @@ object StreamingAsof extends Serializable {
     t
   }
 
+  /** Largest index i with `buf(i).t <= t`, or -1 — true binary search
+    * (O(log n) probes over the sorted buffer, not a linear scan). */
+  private def floorIdx(buf: Vector[RefRow], t: Long): Int = {
+    var lo = 0
+    var hi = buf.length - 1
+    var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid).t <= t) { res = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    res
+  }
+
   /** Insert keeping the vector sorted by t; at equal t the largest refId
     * wins (replaces), mirroring AsofJoin's right-side dedup. */
   private def insert(buf: Vector[RefRow], r: RefRow): Vector[RefRow] = {
-    val i = buf.lastIndexWhere(_.t <= r.t)
+    val i = floorIdx(buf, r.t)
     if (i >= 0 && buf(i).t == r.t)
       if (r.refId >= buf(i).refId) buf.updated(i, r) else buf
     else (buf.take(i + 1) :+ r) ++ buf.drop(i + 1)
@@ -67,7 +80,7 @@ object StreamingAsof extends Serializable {
 
   /** Latest reference at-or-before `t`, if any survives in the buffer. */
   private def lookup(buf: Vector[RefRow], t: Long): Option[RefRow] = {
-    val i = buf.lastIndexWhere(_.t <= t)
+    val i = floorIdx(buf, t)
     if (i >= 0) Some(buf(i)) else None
   }
 

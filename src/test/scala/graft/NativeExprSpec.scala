@@ -173,6 +173,37 @@ class NativeExprSpec extends SparkTestBase {
       .collect()
     assert(short(0).getAs[scala.collection.Seq[String]]("b") ==
       Seq(null, null))
+
+    // NULL input array and null ELEMENTS follow the composed array_min
+    // semantics: a null array still yields a non-null array of per-band
+    // nulls (each band is array_min(transform(null,…)) = null inside a
+    // never-null array(...)), and null shingles never compete for the min
+    val nullin = Seq(
+      (1, null.asInstanceOf[Array[String]]),
+      (2, Array[String]("a b c", null, "b c d")),
+      (3, Array[String](null, null))).toDF("id", "sh")
+      .select(col("id"),
+        Text.lshBands(col("sh"), bands = 3).as("native"),
+        Text.lshBandsComposed(col("sh"), bands = 3).as("composed"))
+    val nullRows = noCodegenFallback(nullin.collect())
+    assert(nullRows.length == 3)
+    nullRows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("composed"), s"id=${r.get(0)}")
+    }
+    // fused kernel: null token array == shingles(null) (empty -> all-null
+    // bands); a null TOKEN disappears like concat_ws drops it
+    val nulltok = Seq(
+      (1, null.asInstanceOf[Array[String]]),
+      (2, Array[String]("a", null, "b", "c"))).toDF("id", "toks")
+      .select(col("id"),
+        Text.lshBandsFromToks(col("toks"), bands = 3).as("native"),
+        Text.lshBandsComposed(Text.shingles(col("toks")), bands = 3)
+          .as("composed"))
+    noCodegenFallback(nulltok.collect()).foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("composed"), s"id=${r.get(0)}")
+    }
   }
 
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
