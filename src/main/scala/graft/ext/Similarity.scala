@@ -487,6 +487,43 @@ object Similarity {
       .select("i", "j", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * IVF coarse quantizer (same fit/cache as [[ivfKnn]] — one k-means
+    * serves search AND dedup), then within each cell mark a vector as a
+    * duplicate when some SMALLER-id cellmate sits at or above `tau`
+    * cosine. Min-id domination (not connected components) is the
+    * deterministic keeper rule: the survivor set is exactly
+    * "first-seen representative per near-dup neighborhood", the ordering
+    * production dedup uses when ids encode ingestion order.
+    *
+    * Scale shape: the quadratic step is confined to cells — the entire
+    * point of clustering before pairwise cosine (pairs ∝ Σ|cell|², not
+    * |corpus|²; with balanced cells that's |corpus|²/nlist). A hot cell
+    * degrades gracefully the same way qx21 caps hot LSH bands — cap or
+    * re-split oversized cells before the self-join if the embedding
+    * distribution collapses. Output: one row per corpus vector,
+    * (vec_id, cell, kept, dup_of) with dup_of = the smallest dominating
+    * cellmate id (null when kept). */
+  def semDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+               trainIters: Int = 5,
+               cacheKey: Option[String] = None): DataFrame = {
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKey))
+    // one assignment pass feeds both self-join sides and the final
+    // keeper join — cut so the broadcast-scan-window pipeline runs once
+    val a = graft.Materialize.cut(
+      assignCells(corpus, "i", "emb", probes = 1, centroids))
+    val dom = a
+      .join(a.select(col("cell"), col("i").as("j"), col("emb").as("j_emb")),
+        Seq("cell"))
+      .where(col("j") < col("i") &&
+        cosine(col("emb"), col("j_emb")) >= lit(tau))
+      .groupBy("i").agg(min(col("j")).as("dup_of"))
+    a.join(dom, Seq("i"), "left")
+      .select(col("i").as("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
   /** SQ8 scalar-quantized ANN with exact re-rank — the third compression
     * quadrant next to PQ (qe8): each dimension is affinely quantized to
     * one byte against per-dimension corpus [min,max] bounds (256 B/vec →

@@ -639,14 +639,41 @@ object CoreQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"))
-        .orderBy("hour")))
+        .orderBy("hour")),
+
+    // explicit GROUPING SETS — the general form of q24's ROLLUP / q31's
+    // CUBE: a hand-picked lattice (detail, one partial, grand total) in
+    // ONE pass over the fact table (Spark expands sets into a single
+    // Expand + aggregate — no N-scans union), with grouping_id()
+    // disambiguating the all-null rows exactly like the SQL-standard
+    // GROUPING() bit vector DuckDB computes
+    "q43_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)))
 
   private val q42Oracle = Map(
     "q42_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS hour,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY hour ORDER BY hour""".stripMargin)
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+
+    "q43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS qty,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

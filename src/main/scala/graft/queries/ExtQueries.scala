@@ -22,6 +22,12 @@ object ExtQueries {
       | p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"""
       .stripMargin.replaceAll("\n", "")
 
+  /** Full cosine (dot over norm product) in DuckDB SQL — the same
+    * left-to-right double fold as [[graft.ext.Similarity.cosine]]. */
+  private def cosSql(a: String, b: String): String =
+    s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
+      s"sqrt(${CosSql.format(b, b)}))"
+
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", Text.tokens(col("text")))
@@ -262,6 +268,17 @@ object ExtQueries {
       Similarity.sq8Knn(emb, emb.where(col("vec_id") < 20), 5)
         .orderBy("q_id", "rank")
     }),
+
+    // SemDeDup-style semantic dedup — the embedding-space counterpart of
+    // the lexical near-dup family (qx3/qe5): k-means cells bound the
+    // pairwise-cosine work (Σ|cell|², not |corpus|²), min-id domination
+    // picks the keeper deterministically. Reuses the qe4/qe7/qe9 IVF fit
+    // cache — one quantizer serves search and dedup — and oracles the
+    // same way: the fitted centroids become VALUES literals in the twin
+    "qe11_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), 0.4,
+        cacheKey = Some(s"$dir|nlist=16|iters=5"))
+        .orderBy("vec_id")),
 
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
@@ -565,6 +582,116 @@ object ExtQueries {
         .orderBy("rank")
     }),
 
+    // exact substring-span REMOVAL — qx16 measures the cross-doc 13-gram
+    // duplication rate; this actually cuts the duplicated spans out
+    // (Lee et al.'s "Deduplicating Training Data Makes Language Models
+    // Better" exact-substring dedup, at word-token granularity): a token
+    // is removed when ANY duplicated 13-gram covers it. Dataflow: one
+    // gram frame (60-bit keys, qx16's staging) → distinct-doc df → dup
+    // START positions; coverage is a rangeBetween(-12, 0) running-max
+    // window over token positions — interval union as a WINDOW, no
+    // token×gram range join (the naive spelling); per-doc reassembly of
+    // the kept tokens is bounded by the doc itself. Cost stays linear in
+    // corpus tokens at any scale.
+    "qx23_span_removal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), col("toks"))
+      // gram starts: (doc, p) + hashed gram key (qx16's 60-bit staging)
+      val grams = graft.Materialize.cut(toks
+        .select(col("doc_id"), posexplode(Text.shingles(col("toks"), 13)))
+        .select(col("doc_id"), col("pos").as("p"),
+          conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long")
+            .as("h")))
+      val dupStarts = grams
+        .join(grams.select("doc_id", "h").distinct()
+          .groupBy("h").agg(count(lit(1)).as("n_docs")), "h")
+        .where(col("n_docs") >= 2)
+        .select(col("doc_id"), col("p"))
+      val tokPos = toks.select(col("doc_id"),
+        posexplode(col("toks"))).toDF("doc_id", "t", "tok")
+      val cover = Window.partitionBy("doc_id").orderBy("t")
+        .rangeBetween(-12, 0)
+      tokPos
+        .join(dupStarts.select(col("doc_id").as("ds_doc"), col("p"),
+          lit(1).as("flag0")),
+          col("doc_id") === col("ds_doc") && col("t") === col("p"), "left")
+        .select(col("doc_id"), col("t"), col("tok"),
+          coalesce(col("flag0"), lit(0)).as("flag0"))
+        .withColumn("removed", max(col("flag0")).over(cover))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("removed")).cast("long").as("n_removed"),
+          md5(concat_ws(" ", transform(
+            filter(sort_array(collect_list(
+              struct(col("t"), col("removed"), col("tok")))),
+              x => x.getField("removed") === 0),
+            x => x.getField("tok")))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // hybrid retrieval via reciprocal-rank fusion — the standard way
+    // production search combines a sparse (BM25, qx20's scorer) and a
+    // dense (embedding-cosine, qe1's scorer) ranking without score
+    // calibration: rrf = Σ 1/(60 + rank). Both legs produce 50-deep
+    // rankings (sparse over the query terms, dense around the probe
+    // vector = doc 0's embedding — documents and embeddings are 1:1 by
+    // id), full-outer-joined on doc id, top-20 fused. Rank-based → no
+    // cross-engine float drift beyond the two divisions, which are
+    // IEEE-identical. Scale: each leg is its own already-scaled operator;
+    // the fusion join touches ≤ 100 rows.
+    "qx24_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qterms = Seq("spark", "join", "window", "stream")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          col("toks"))
+      val stats = tok.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      val tf = tok
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val sparse = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score",
+          ((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+                (col("sdl").cast("double") / col("n").cast("double"))))))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("term"), col("score"))))
+          .as("ts"))
+        .select(col("doc_id"),
+          aggregate(col("ts"), lit(0.0),
+            (a, s) => a + s.getField("score")).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .withColumn("rank_s",
+          row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
+            .cast("long"))
+        .select("doc_id", "rank_s")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity
+        .bruteForceKnn(emb, emb.where(col("vec_id") === 0), 50)
+        .select(col("n_id").as("doc_id"), col("rank").as("rank_d"))
+      val wF = Window.orderBy(desc("rrf"), col("doc_id"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_s").cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_d").cast("double")),
+              lit(0.0)))
+        .orderBy(desc("rrf"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(wF).cast("long"))
+        .select("doc_id", "rank_s", "rank_d", "rrf", "rank")
+        .orderBy("rank")
+    }),
+
     // the END-TO-END curation pipeline — quality gate, repetition gate,
     // minhash-LSH near-dup dedup, benchmark decontamination, stratified
     // sampling, composed into one declarative plan with per-doc loss
@@ -749,6 +876,38 @@ object ExtQueries {
        |ORDER BY q_id, n_id""".stripMargin
   }
 
+  /** DuckDB twin of the SemDeDup query (qe11): the qe4 cell-assignment
+    * CTE (same centroid literals → same cells), a within-cell min-id
+    * domination join at the cosine threshold, and a left join marking
+    * keepers. The cosine is the shared zip/fold double math, so the
+    * domination set is bit-deterministic across engines. */
+  private def qe11Sql(cents: Seq[Seq[Float]], tau: Double): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    def cos(a: String, b: String): String =
+      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
+        s"sqrt(${CosSql.format(b, b)}))"
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |a AS (
+       |  SELECT e.vec_id AS i, e.embedding AS emb, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |dom AS (
+       |  SELECT x.i, CAST(min(y.i) AS BIGINT) AS dup_of
+       |  FROM a x JOIN a y ON y.cell = x.cell AND y.i < x.i
+       |  WHERE ${cos("x.emb", "y.emb")} >= $tau
+       |  GROUP BY x.i)
+       |SELECT a.i AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  (d.dup_of IS NULL) AS kept, d.dup_of AS dup_of
+       |FROM a LEFT JOIN dom d ON d.i = a.i
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB twin of the PQ-ADC search (qe8) given the fitted codebooks:
     * a VALUES table of exact-decimal centroid literals per (sub, cell)
     * (CAST to DOUBLE[] — the decimal string of a double casts back to the
@@ -912,7 +1071,8 @@ object ExtQueries {
     Similarity.lastFittedCentroidsFloat
       .map(c => Map(
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
-        "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25)))
+        "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
+        "qe11_semdedup" -> qe11Sql(c, tau = 0.4)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
       .map(cb => Map("qe8_pq_adc" -> qe8Sql(cb, k = 5, shortlist = 100)))
@@ -1437,6 +1597,98 @@ object ExtQueries {
         |FROM documents d
         |LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "qx23_span_removal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+        |    list_reduce(toks[p+1:p+13], (a, b) -> a || ' ' || b) AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 12)) AS p
+        |        FROM tok WHERE len(toks) >= 13)),
+        |gh AS (
+        |  SELECT doc_id, p,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(gram), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM g),
+        |dup AS (
+        |  SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |ds AS (SELECT doc_id, p FROM gh WHERE h IN (SELECT h FROM dup)),
+        |t AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS t
+        |  FROM tok),
+        |f AS (
+        |  SELECT t.doc_id, t.t, t.tok,
+        |    CASE WHEN ds.p IS NOT NULL THEN 1 ELSE 0 END AS flag0
+        |  FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.p = t.t),
+        |r AS (
+        |  SELECT doc_id, t, tok,
+        |    max(flag0) OVER (PARTITION BY doc_id ORDER BY t
+        |      RANGE BETWEEN 12 PRECEDING AND CURRENT ROW) AS removed
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(removed) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN removed = 0 THEN tok END, ' '
+        |    ORDER BY t), '')) AS clean_md5
+        |FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "qx24_hybrid_rrf" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+        |      FROM tok),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                 CAST(sum(dl) AS BIGINT) AS sdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('spark', 'join', 'window', 'stream')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ((CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5E0) /
+        |      (CAST(f.df AS DOUBLE) + 0.5E0)) *
+        |    (CAST(t.tf AS DOUBLE) * 2.2E0) /
+        |    (CAST(t.tf AS DOUBLE) + 1.2E0 *
+        |      (0.25E0 + 0.75E0 * (CAST(t.dl AS DOUBLE) /
+        |        (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS score
+        |  FROM tf t JOIN dfq f USING (term) CROSS JOIN stats s),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0E0, list(score ORDER BY term)),
+        |      (a, x) -> a + x) AS bm25
+        |  FROM scored GROUP BY doc_id),
+        |sparse AS (
+        |  SELECT doc_id, CAST(row_number() OVER ws AS BIGINT) AS rank_s
+        |  FROM perdoc WINDOW ws AS (ORDER BY bm25 DESC, doc_id)
+        |  QUALIFY row_number() OVER ws <= 50),
+        |dense AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    CAST(row_number() OVER wd AS BIGINT) AS rank_d
+        |  FROM embeddings e CROSS JOIN
+        |    (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  WINDOW wd AS (ORDER BY ${cosSql("q.q_emb", "e.embedding")} DESC,
+        |    e.vec_id)
+        |  QUALIFY row_number() OVER wd <= 50),
+        |fused AS (
+        |  SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+        |    s.rank_s, de.rank_d,
+        |    COALESCE(1.0E0 / (60.0E0 + CAST(s.rank_s AS DOUBLE)), 0.0E0) +
+        |    COALESCE(1.0E0 / (60.0E0 + CAST(de.rank_d AS DOUBLE)), 0.0E0)
+        |      AS rrf
+        |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
+        |SELECT doc_id, rank_s, rank_d, rrf,
+        |  CAST(row_number() OVER w AS BIGINT) AS rank
+        |FROM fused WINDOW w AS (ORDER BY rrf DESC, doc_id)
+        |QUALIFY row_number() OVER w <= 20
+        |ORDER BY rank""").stripMargin,
 
     "qm2_frame_sample" ->
       """WITH f AS (

@@ -216,6 +216,33 @@ class ExtSpec extends SparkTestBase {
     assert(fit1 != init)
   }
 
+  test("semDedup: planted exact duplicate is removed with a smaller " +
+    "dominating cellmate; keeper/dup invariants hold for every row") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    // plant an exact clone of vec 7 under a LARGER id: same embedding →
+    // same cell, cosine 1.0 to the original → must be dominated
+    val clone = emb.where(col("vec_id") === 7)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(clone)
+    val n = corpus.count()
+    val rows = Similarity.semDedup(corpus, 0.4).collect()
+    assert(rows.length == n) // one verdict per vector
+    val planted = rows.find(_.getAs[Long]("vec_id") == 100000L).get
+    assert(!planted.getAs[Boolean]("kept"))
+    assert(planted.getAs[Long]("dup_of") <= 7L) // 7 dominates; maybe a
+    // smaller cellmate does too — min-id rule picks the smallest
+    rows.foreach { r =>
+      val kept = r.getAs[Boolean]("kept")
+      assert(kept == r.isNullAt(r.fieldIndex("dup_of")))
+      if (!kept)
+        assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+    }
+    // the keeper set is non-trivial in both directions
+    assert(rows.count(_.getAs[Boolean]("kept")) < n)
+    assert(rows.count(_.getAs[Boolean]("kept")) > 0)
+  }
+
   test("decontaminate flags exactly the docs sharing a shingle with the " +
     "probe set, with the shared-distinct-shingle count") {
     import spark.implicits._

@@ -77,6 +77,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("qe11 semDedup: the pairwise stage is a cell equi-join (no " +
+    "all-pairs nested loop); the centroid table broadcasts") {
+    val p = plan("qe11_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the broadcast of the fixed-size
+    // centroid table (a crossJoin of nlist rows), never corpus×corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p) // within-cell join is keyed
+  }
+
+  test("qx23 span removal: equi-joins only, gram frame lineage-cut once, " +
+    "coverage is a window (no token-x-gram range join)") {
+    val p = plan("qx23_span_removal")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("date-partitioned writes prune partitions at scan (PartitionFilters)") {
     import org.apache.spark.sql.functions.{to_date, col => c}
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/ev"
