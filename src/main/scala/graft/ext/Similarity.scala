@@ -474,9 +474,17 @@ object Similarity {
       .join(banded.select(col("vec_id").as("j"), col("bandIdx"),
         col("band")), Seq("bandIdx", "band"))
       .where(col("i") < col("j"))
-      .select("i", "j").distinct()
+      .select("i", "j")
     val emb = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    // refine BEFORE dedup: the exact-cosine filter runs on the candidate
+    // MULTISET inside the same stage as pair generation (band join +
+    // embedding attach + filter all fuse — no exchange of the candidate
+    // set), and only SURVIVORS reach the dedup shuffle. A pair colliding
+    // in k bands pays k kernel cosines instead of one — bounded by
+    // `bands` (and in practice by the qx21-style hot-band cap) — while
+    // the dedup-first form exchanged millions of candidate ids twice
+    // (partial+final dedup) before touching a single vector.
     candidates
       .join(emb.select(col("vec_id").as("i"), col("embedding").as("ea"),
         col("nrm").as("na")), Seq("i"))
@@ -484,7 +492,31 @@ object Similarity {
         col("nrm").as("nb")), Seq("j"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
+      .groupBy("i", "j").agg(min(col("cos")).as("cos")) // identical per dup
       .select("i", "j", "cos")
+  }
+
+  /** Diversified top-k: the best neighbor PER PROBED CELL, ranked by
+    * cosine — cluster-quota diversification (an MMR-lite: results are
+    * forced to come from distinct k-means cells, so a query sitting in a
+    * dense cluster still sees its other nearby clusters instead of k
+    * near-identical hits). Same candidate stage and fit cache as
+    * [[ivfKnn]]; the only change is a per-(query, cell) group-limit
+    * before the final ranking — two WindowGroupLimit-able windows, no
+    * extra shuffle beyond ivfKnn's. Output:
+    * (q_id, n_id, cell, rank, cos), rank ≤ nprobe. */
+  def diverseKnn(corpus: DataFrame, queries: DataFrame, nlist: Int = 16,
+                 nprobe: Int = 4, trainIters: Int = 5,
+                 cacheKey: Option[String] = None): DataFrame = {
+    val wCell = Window.partitionBy("q_id", "cell")
+      .orderBy(desc("cos"), col("n_id"))
+    val wRank = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    ivfCandidates(corpus, queries, nlist, nprobe, trainIters, cacheKey)
+      .withColumn("cr", row_number().over(wCell))
+      .where(col("cr") === 1)
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("q_id"), col("n_id"), col("cell"),
+        col("rank").cast("long").as("rank"), col("cos"))
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with the

@@ -656,7 +656,60 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)))
+          col("l_linestatus").asc_nulls_first)),
+
+    // TPC-H Q21 shape — the hardest correlated-subquery pattern in the
+    // suite: one EXISTS and one NOT EXISTS against the SAME fact table
+    // with different correlations ("suppliers whose returned line was the
+    // ONLY returned line in a multi-supplier F-order"). Spark plans the
+    // semi/anti pair as two shuffled joins on l_orderkey — both
+    // re-partition the same fact scan, no correlated re-execution per
+    // row (the subquery-per-row spelling would be |lineitem|× scans)
+    "q44_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val l1 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val anyOther = li
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val rOther = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      val fOrders = Tables.orders(s, dir)
+        .where(col("o_orderstatus") === "F").select("o_orderkey")
+      l1
+        .join(fOrders, col("ok") === col("o_orderkey"), "left_semi")
+        .join(anyOther,
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(rOther,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .groupBy("sk").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(10)
+    }),
+
+    // ranked-report window family — ntile / percent_rank / cume_dist /
+    // lag in ONE pass over a per-customer aggregate (deciles of "largest
+    // order per customer"). The ranking measure is max(), not sum() —
+    // order-independent, so the doubles are bit-stable across engines.
+    // A global ranked report is inherently one ordered pass; the input
+    // is already one row per customer (the heavy reduction happened in
+    // the groupBy), which is what makes the single-partition window
+    // acceptable at scale
+    "q45_window_family" -> ((s, dir) => {
+      val w = Window.orderBy(desc("maxp"), col("o_custkey"))
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(col("o_totalprice")).as("maxp"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"), col("n_orders"), col("maxp"),
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          (lag(col("maxp"), 1).over(w) - col("maxp")).as("gap_above"))
+        .orderBy("o_custkey")
+    }))
 
   private val q42Oracle = Map(
     "q42_time_bucket" ->
@@ -673,7 +726,39 @@ object CoreQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
-        |         l_linestatus ASC NULLS FIRST""".stripMargin)
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q44_waiting_supplier" ->
+      """SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l1.l_orderkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+
+    "q45_window_family" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, max(o_totalprice) AS maxp,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, maxp,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  lag(maxp, 1) OVER w - maxp AS gap_above
+        |FROM spend
+        |WINDOW w AS (ORDER BY maxp DESC, o_custkey)
+        |ORDER BY o_custkey""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

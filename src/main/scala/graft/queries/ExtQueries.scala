@@ -269,6 +269,18 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // diversified ANN — cluster-quota top-k: one winner per probed IVF
+    // cell, ranked by cosine. The retrieval mode RAG rerankers want when
+    // the corpus is redundant (k hits from k DISTINCT semantic clusters,
+    // not k near-copies of the best hit). Shares the qe4 fit cache;
+    // oracled via the same centroid literals
+    "qe12_diverse_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.diverseKnn(emb, emb.where(col("vec_id") < 20), nprobe = 8,
+        cacheKey = Some(s"$dir|nlist=16|iters=5"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SemDeDup-style semantic dedup — the embedding-space counterpart of
     // the lexical near-dup family (qx3/qe5): k-means cells bound the
     // pairwise-cosine work (Σ|cell|², not |corpus|²), min-id domination
@@ -632,6 +644,39 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // mean-inverse-frequency document scoring — the transcendental-free
+    // stand-in for unigram-LM surprisal (a doc's average "rarity" of its
+    // tokens: Σ tf_doc(t)·(N/tf_corpus(t)) / n_toks). High scores = docs
+    // made of rare vocabulary; the standard cheap signal next to qx7's
+    // rule score and qx15's repetition ratios. All counts integer, the
+    // per-doc sum folds in term order (both engines), one division at
+    // the end — bit-stable cross-engine. Scale: one token explode, two
+    // keyed shuffles (term, doc), vocabulary table never collected.
+    "qx25_mean_inv_freq" -> ((s, dir) => {
+      // term-count frame feeds the vocab rollup, the corpus total AND
+      // the scoring join — cut once (qx5's multi-consumer pattern)
+      val tf = graft.Materialize.cut(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long")
+            .as("n_toks"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "n_toks", "term")
+          .agg(count(lit(1)).as("c")))
+      val gt = tf.groupBy("term").agg(sum(col("c")).as("tfg"))
+      val tot = tf.agg(sum(col("c")).as("nt"))
+      tf.join(gt, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("s", col("c").cast("double") *
+          (col("nt").cast("double") / col("tfg").cast("double")))
+        .groupBy("doc_id", "n_toks")
+        .agg(array_sort(collect_list(struct(col("term"), col("s"))))
+          .as("ts"))
+        .select(col("doc_id"), col("n_toks"),
+          (aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("s")) /
+            col("n_toks").cast("double")).as("mif"))
+        .orderBy("doc_id")
+    }),
+
     // hybrid retrieval via reciprocal-rank fusion — the standard way
     // production search combines a sparse (BM25, qx20's scorer) and a
     // dense (embedding-cosine, qe1's scorer) ranking without score
@@ -876,6 +921,45 @@ object ExtQueries {
        |ORDER BY q_id, n_id""".stripMargin
   }
 
+  /** DuckDB twin of the diversified top-k (qe12): qe4's cell CTEs with
+    * the cell carried through scoring, a per-(query, cell) winner
+    * group-limit, then the final cosine ranking over the winners. */
+  private def qe12Sql(cents: Seq[Seq[Float]], nprobe: Int): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS q_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell)
+       |      <= $nprobe),
+       |scored AS (
+       |  SELECT qa.q_id, ca.n_id, ca.cell,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS cos
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.q_id <> ca.n_id
+       |  JOIN embeddings qe ON qe.vec_id = qa.q_id
+       |  JOIN embeddings ne ON ne.vec_id = ca.n_id),
+       |win AS (
+       |  SELECT q_id, n_id, cell, cos FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY q_id, cell
+       |    ORDER BY cos DESC, n_id) = 1)
+       |SELECT q_id, n_id, CAST(cell AS BIGINT) AS cell,
+       |  CAST(row_number() OVER w AS BIGINT) AS rank, cos
+       |FROM win WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB twin of the SemDeDup query (qe11): the qe4 cell-assignment
     * CTE (same centroid literals → same cells), a within-cell min-id
     * domination join at the cosine threshold, and a left join marking
@@ -1072,7 +1156,8 @@ object ExtQueries {
       .map(c => Map(
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
-        "qe11_semdedup" -> qe11Sql(c, tau = 0.4)))
+        "qe11_semdedup" -> qe11Sql(c, tau = 0.4),
+        "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
       .map(cb => Map("qe8_pq_adc" -> qe8Sql(cb, k = 5, shortlist = 100)))
@@ -1634,6 +1719,29 @@ object ExtQueries {
         |  md5(COALESCE(string_agg(CASE WHEN removed = 0 THEN tok END, ' '
         |    ORDER BY t), '')) AS clean_md5
         |FROM r GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "qx25_mean_inv_freq" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         unnest(toks) AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |tf AS (
+        |  SELECT doc_id, n_toks, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY doc_id, n_toks, term),
+        |gt AS (SELECT term, CAST(sum(c) AS BIGINT) AS tfg
+        |       FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM tf),
+        |sc AS (
+        |  SELECT f.doc_id, f.n_toks, f.term,
+        |    CAST(f.c AS DOUBLE) *
+        |      (CAST(tot.nt AS DOUBLE) / CAST(g.tfg AS DOUBLE)) AS s
+        |  FROM tf f JOIN gt g USING (term) CROSS JOIN tot)
+        |SELECT doc_id, n_toks,
+        |  list_reduce(list_prepend(0.0E0, list(s ORDER BY term)),
+        |    (a, x) -> a + x) / CAST(n_toks AS DOUBLE) AS mif
+        |FROM sc GROUP BY doc_id, n_toks
         |ORDER BY doc_id""".stripMargin,
 
     "qx24_hybrid_rrf" ->
