@@ -369,6 +369,52 @@ object MinhashBridge {
   def nullBands(k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     minsOut(new Array[Array[Byte]](k))
 
+  /** ALL k-gram hashes of a token array in one pass — the 60-bit keys of
+    * `conv(substring(md5(gram), 1, 15), 16, 10)` computed straight from
+    * the digest bytes (15 hex digits = bytes 0..6 plus the high nibble of
+    * byte 7), with the gram digested incrementally from the token bytes
+    * exactly like [[shingleBands]] (no gram string, no hex string, no
+    * string-to-long parse). Position i of the output is the gram starting
+    * at token i — callers posexplode to recover (p, h). Empty array when
+    * fewer than k tokens. */
+  def shingleHashes(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                    shingleK: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n < shingleK)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = mdTl.get()
+    val out = new Array[Long](n - shingleK + 1)
+    i = 0
+    while (i <= n - shingleK) {
+      md.reset()
+      var t = 0
+      var written = 0
+      while (t < shingleK) {
+        if (tb(i + t) != null) {
+          if (written > 0) md.update(SPACE)
+          md.update(tb(i + t))
+          written += 1
+        }
+        t += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val SPACE = Array(' '.toByte)
 
   /** Fused k-shingle + banding: digests each shingle incrementally from
@@ -767,6 +813,34 @@ object NativeExpressions {
         : MinhashShingleBandsExpr = copy(child = newChild)
   }
 
+  /** All k-gram 60-bit hash keys of a token array in one native pass —
+    * bit-identical to `transform(shingles(toks, k), g ->
+    * conv(substring(md5(g), 1, 15), 16, 10))` (NativeExprSpec), with no
+    * gram string, hex string, or string-to-long parse materialized.
+    * Position i = gram starting at token i (posexplode recovers (p, h));
+    * fewer than k tokens → empty array. */
+  case class ShingleHashesExpr(child: Expression, shingleK: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      MinhashBridge.shingleHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        shingleK)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.MinhashBridge.shingleHashes($c, " +
+          s"$shingleK);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : ShingleHashesExpr = copy(child = newChild)
+  }
+
   /** SimHash-32 over pre-computed md5 strings in one native pass —
     * bit-identical to the staged built-in composition (majority vote of
     * the high bit of hex digit p, p = 1..32). */
@@ -943,6 +1017,12 @@ object NativeExpressions {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(MinhashShingleBandsExpr(GraftShims.expression(toks),
       shingleK, bands))
+  }
+
+  def shingleHashes(toks: Column, shingleK: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(ShingleHashesExpr(GraftShims.expression(toks),
+      shingleK))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

@@ -709,6 +709,19 @@ object CoreQueries {
           cume_dist().over(w).as("cdist"),
           (lag(col("maxp"), 1).over(w) - col("maxp")).as("gap_above"))
         .orderBy("o_custkey")
+    }),
+
+    // multiset set ops — q27 covers the DISTINCT variants; INTERSECT ALL
+    // keeps min(multiplicities) and EXCEPT ALL subtracts them, which
+    // Spark plans as count-tagged aggregations + a generate (no distinct
+    // collapse, no join explosion)
+    "q46_multiset_ops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.where(col("l_returnflag") === "R").select("l_partkey")
+        .intersectAll(
+          li.where(col("l_returnflag") === "A").select("l_partkey"))
+        .exceptAll(li.where(col("l_quantity") > 45).select("l_partkey"))
+        .orderBy("l_partkey")
     }))
 
   private val q42Oracle = Map(
@@ -758,7 +771,16 @@ object CoreQueries {
         |  lag(maxp, 1) OVER w - maxp AS gap_above
         |FROM spend
         |WINDOW w AS (ORDER BY maxp DESC, o_custkey)
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q46_multiset_ops" ->
+      """SELECT l_partkey FROM (
+        |  (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |   INTERSECT ALL
+        |   SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+        |) t ORDER BY l_partkey""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

@@ -611,12 +611,14 @@ object ExtQueries {
       val toks = docs
         .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id"), col("toks"))
-      // gram starts: (doc, p) + hashed gram key (qx16's 60-bit staging)
+      // gram starts: (doc, p) + 60-bit gram key — the native one-pass
+      // kernel emits every gram's key straight from the digest bytes
+      // (bit-identical to the conv(substring(md5(g),1,15),16,10) staging,
+      // with no gram/hex strings materialized — NativeExprSpec)
       val grams = graft.Materialize.cut(toks
-        .select(col("doc_id"), posexplode(Text.shingles(col("toks"), 13)))
-        .select(col("doc_id"), col("pos").as("p"),
-          conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long")
-            .as("h")))
+        .select(col("doc_id"), posexplode(
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 13)))
+        .select(col("doc_id"), col("pos").as("p"), col("col").as("h")))
       val dupStarts = grams
         .join(grams.select("doc_id", "h").distinct()
           .groupBy("h").agg(count(lit(1)).as("n_docs")), "h")
@@ -770,11 +772,9 @@ object ExtQueries {
       // per doc — 6x the whole query's cost when first written)
       val grams = graft.Materialize.cut(docs
         .withColumn("toks", Text.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(Text.shingles(col("toks"), 13)).as("g"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-            .as("h")))
+        .select(col("doc_id"), explode(
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 13))
+          .as("h")))
       val dfreq = grams.distinct()
         .groupBy("h").agg(count(lit(1)).as("n_docs"))
       val perDoc = grams.join(dfreq, "h")

@@ -206,6 +206,29 @@ class NativeExprSpec extends SparkTestBase {
     }
   }
 
+  test("native shingle_hashes == conv(substring(md5(gram),1,15),16,10) " +
+    "over composed shingles, incl. under-k docs, and compiles in codegen") {
+    import graft.ext.Text
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+    val df = docs.select(
+      NativeExpressions.shingleHashes(col("toks"), 13).as("native"),
+      transform(Text.shingles(col("toks"), 13), g =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+        .as("composed"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("native") ==
+        r.getAs[scala.collection.Seq[Long]]("composed"))
+    }
+    val short = Seq(Array("a", "b")).toDF("toks")
+      .select(NativeExpressions.shingleHashes(col("toks"), 13).as("h"))
+      .collect()
+    assert(short(0).getAs[scala.collection.Seq[Long]]("h").isEmpty)
+  }
+
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
     val m = 8; val subDim = 8; val k = 4
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)

@@ -97,6 +97,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("q44 Q21-shape: the EXISTS/NOT-EXISTS pair plans as semi + anti " +
+    "joins (no per-row subquery), supplier dim broadcasts, no cartesian") {
+    val p = plan("q44_waiting_supplier")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("date-partitioned writes prune partitions at scan (PartitionFilters)") {
     import org.apache.spark.sql.functions.{to_date, col => c}
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/ev"

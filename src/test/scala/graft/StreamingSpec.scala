@@ -391,6 +391,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: band-colliding docs land in the drop log " +
+    "across micro-batches; a duplicate past the horizon is re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val horizonUs = 10L * 60 * 1000 * 1000 // 10 minutes
+    val q = graft.streaming.StreamingNearDup
+      .dropLog(docs, "ts", "5 minutes", horizonUs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_drops")
+      .start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog tonight"
+      // batch 1: original, an identical twin (all bands collide), and an
+      // unrelated doc
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, base),
+        (ts("2024-01-01 00:00:10"), 2L, base),
+        (ts("2024-01-01 00:00:20"), 3L, "completely different words here"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate inside the horizon -> dropped
+      input.addData((ts("2024-01-01 00:05:00"), 4L, base))
+      q.processAllAvailable()
+      // batch 3: same content but a full horizon after doc 4's sighting —
+      // the band entries age out (in-handler gap check), doc 6 is a fresh
+      // first-seen, and only genuinely new content follows it
+      input.addData((ts("2024-01-01 00:30:00"), 6L, base))
+      q.processAllAvailable()
+      val drops = spark.table("neardup_drops")
+        .select("doc_id", "first_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(drops == Set((2L, 1L), (4L, 1L)),
+        s"expected docs 2 and 4 dropped against 1, got $drops")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: a streaming frame joins a static " +
     "dimension per micro-batch (broadcast, no stateful shuffle)") {
     import spark.implicits._
