@@ -722,7 +722,22 @@ object CoreQueries {
           li.where(col("l_returnflag") === "A").select("l_partkey"))
         .exceptAll(li.where(col("l_quantity") > 45).select("l_partkey"))
         .orderBy("l_partkey")
-    }))
+    }),
+
+    // UNPIVOT — the inverse of q41's pivot: wide per-flag measures fold
+    // into (measure, value) rows via stack() (a Generate — one pass, no
+    // union of N selects). Measures are count/sum-of-integer-valued/max —
+    // all order-independent, so the doubles are bit-stable cross-engine
+    "q47_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n_lines"),
+          sum(col("l_quantity")).as("sum_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+        .select(col("l_returnflag"),
+          expr("stack(3, 'n_lines', n_lines, 'sum_qty', sum_qty, " +
+            "'max_price', max_price) AS (measure, value)"))
+        .orderBy("l_returnflag", "measure")))
 
   private val q42Oracle = Map(
     "q42_time_bucket" ->
@@ -780,7 +795,18 @@ object CoreQueries {
         |   SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
         |  EXCEPT ALL
         |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45
-        |) t ORDER BY l_partkey""".stripMargin)
+        |) t ORDER BY l_partkey""".stripMargin,
+
+    "q47_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n_lines,
+        |         sum(l_quantity) AS sum_qty,
+        |         max(l_extendedprice) AS max_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM wide UNPIVOT (value FOR measure IN (n_lines, sum_qty,
+        |                                         max_price))
+        |ORDER BY l_returnflag, measure""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

@@ -101,11 +101,16 @@ object ExtQueries {
       // lazy lineage cut: the shingled frame feeds BOTH sides of two
       // self-joins — without it the tokenize+shingle+distinct pipeline
       // (the expensive part) executes four times (reliable checkpoint
-      // when a dir is configured — see Materialize)
+      // when a dir is configured — see Materialize). Shingles are the
+      // 60-bit kernel keys, not strings: the inverted-index join
+      // shuffles 8-byte longs, and a (deterministic, md5-based) key
+      // collision would merge the same pair in BOTH engines, so the
+      // oracle stays exact
       val d = graft.Materialize.cut(
-        docsWithShingles(s, dir).select(col("doc_id"), col("lang"),
+        docsWithToks(s, dir).select(col("doc_id"), col("lang"),
           expr("n_chars div 100").as("bucket"),
-          array_distinct(col("sh")).as("shd")))
+          array_distinct(graft.meos.NativeExpressions
+            .shingleHashes(col("toks"), 3)).as("shd")))
       val sizes = d.select(col("doc_id"), col("lang"), col("bucket"),
         size(col("shd")).cast("double").as("n"))
       val pairs = sizes
@@ -1374,7 +1379,12 @@ object ExtQueries {
     "qx5_ngram_jaccard" -> (ShingleCte +
       """,
         |d AS (SELECT doc_id, lang, n_chars // 100 AS bucket,
-        |             list_distinct(s) AS shd FROM sh)
+        |             list_distinct(list_transform(s,
+        |               g -> list_reduce(list_transform(range(1, 16),
+        |                 i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(g), CAST(i AS INT), 1)) - 1
+        |                   AS BIGINT)),
+        |                 (a, b) -> a * 16 + b))) AS shd FROM sh)
         |SELECT a.doc_id AS d1, b.doc_id AS d2,
         |       CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
         |       (CAST(len(a.shd) + len(b.shd) AS DOUBLE)

@@ -289,12 +289,18 @@ class ExtSpec extends SparkTestBase {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(k => (k, find(k))).toSet
-      // distributed result, deliberately fragmented across 8 partitions so
-      // components span partitions and the star edges must relink them
+      // distributed supersteps FORCED (driverFinishEdges = 0),
+      // deliberately fragmented across 8 partitions so components span
+      // partitions and the star edges must relink them
       val got = Dedup.connectedComponents(
-          edges.toDF("d1", "d2").repartition(8))
+          edges.toDF("d1", "d2").repartition(8), driverFinishEdges = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected, s"trial $trial")
+      // the hybrid driver-finish path (default threshold) agrees exactly
+      val viaDriver = Dedup.connectedComponents(
+          edges.toDF("d1", "d2").repartition(8))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDriver == expected, s"trial $trial (driver finish)")
     }
   }
 
