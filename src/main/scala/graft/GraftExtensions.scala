@@ -65,6 +65,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "float_l2sq(a, b) - allocation-free squared L2 distance of float arrays"),
       (exprs: Seq[Expression]) =>
         NativeExpressions.FloatL2Expr(exprs.head, exprs(1))))
+    // text-dedup kernels — the [EXT] family's native expressions under
+    // SQL names, so `spark.sql("SELECT shingle_hashes(toks, 13) ...")`
+    // works in an extensions-configured session with no Scala imports.
+    // Int parameters arrive as foldable literals and are evaluated at
+    // registration (the kernels take them as constructor params).
+    def intArg(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    e.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      info("minhash_bands",
+        "minhash_bands(shingles, bands) - seeded-md5 minhash band keys"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.MinhashBandsExpr(exprs.head, intArg(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_shingle_bands"),
+      info("minhash_shingle_bands",
+        "minhash_shingle_bands(toks, k, bands) - fused k-shingle + minhash bands"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.MinhashShingleBandsExpr(exprs.head,
+          intArg(exprs(1)), intArg(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(toks, k) - 60-bit md5 key of every k-gram"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.ShingleHashesExpr(exprs.head, intArg(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      info("simhash32",
+        "simhash32(token_md5s) - one-pass 32-bit simhash bit string"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.Simhash32Expr(exprs.head)))
     // interval-overlap theta joins (the SQL spelling of J2) become bucketed
     // equi-joins instead of nested-loop joins — see OverlapJoinRule
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRule)

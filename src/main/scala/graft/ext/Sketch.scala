@@ -64,6 +64,26 @@ object Sketch {
   /** Column form: `kmv(k)(hashCol)` → struct(n, kth). */
   def kmv(k: Int) = udaf(new KmvAggregator(k))
 
+  /** Sketch output carrying the FULL bottom-k hash set (ascending) —
+    * what sketch COMPOSITION needs: two sources' sketches intersect /
+    * union into a Jaccard estimate without ever joining the raw data
+    * (qx26). Same bounded state and merge as [[KmvAggregator]]. */
+  case class KmvSet(hs: Seq[String])
+
+  class KmvSetAggregator(k: Int)
+      extends Aggregator[String, KmvBuf, KmvSet] {
+    private val inner = new KmvAggregator(k)
+    def zero: KmvBuf = inner.zero
+    def reduce(b: KmvBuf, h: String): KmvBuf = inner.reduce(b, h)
+    def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+    def finish(b: KmvBuf): KmvSet = KmvSet(b.hs)
+    def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    def outputEncoder: Encoder[KmvSet] = Encoders.product[KmvSet]
+  }
+
+  /** Column form: `kmvSet(k)(hashCol)` → struct(hs: array<string>). */
+  def kmvSet(k: Int) = udaf(new KmvSetAggregator(k))
+
   /** The KMV estimate from the sketch struct: exact `n` below capacity,
     * `(k-1) / frac(kth)` at capacity — where frac is the first 13 hex
     * digits (52 bits, exact in a double) of the k-th smallest hash over

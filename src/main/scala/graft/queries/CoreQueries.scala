@@ -737,7 +737,21 @@ object CoreQueries {
         .select(col("l_returnflag"),
           expr("stack(3, 'n_lines', n_lines, 'sum_qty', sum_qty, " +
             "'max_price', max_price) AS (measure, value)"))
-        .orderBy("l_returnflag", "measure")))
+        .orderBy("l_returnflag", "measure")),
+
+    // the BUILT-IN session_window (q30 hand-rolls the same semantics
+    // with lag + running sum — this pins the two against ONE DuckDB
+    // twin, so the built-in's merge rule is cross-checked too). Spark's
+    // session is [first, last+gap): an event at exactly prev_ts+gap
+    // starts a NEW session, hence the >= in the twin's gap test
+    "q48_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"), col("n_events"))
+        .orderBy("user_id", "s_start")))
 
   private val q42Oracle = Map(
     "q42_time_bucket" ->
@@ -806,7 +820,26 @@ object CoreQueries {
         |SELECT l_returnflag, measure, value
         |FROM wide UNPIVOT (value FOR measure IN (n_lines, sum_qty,
         |                                         max_price))
-        |ORDER BY l_returnflag, measure""".stripMargin)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q48_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS s_start,
+        |       max(ts) + INTERVAL 5 MINUTE AS s_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

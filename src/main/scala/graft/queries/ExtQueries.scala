@@ -684,6 +684,41 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // sketch-composed cross-source Jaccard — "how similar are dump A and
+    // dump B" WITHOUT joining raw data: each source folds its shingle
+    // set into a bottom-64 KMV sketch (bounded state, one shuffle of
+    // 64-row partials — the only thing that moves at 100 TB), then the
+    // Beyer-et-al estimator runs on sketch pairs alone: take the
+    // bottom-k of the union, count how many of those live in BOTH
+    // sketches, divide by min(k, |union|) — exact when the union fits
+    // under k, ~1/sqrt(k) error above. Deterministic (md5 order
+    // statistics), so the twin reproduces it bit-for-bit — unlike any
+    // HLL-based sketch comparison. qx19 answers the same question from
+    // LSH candidate pairs (per-doc granularity); this answers it from
+    // two 64-hash fingerprints.
+    "qx26_sketch_jaccard" -> ((s, dir) => {
+      val k = 64
+      val g = Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 3)
+        .select(col("source"), explode(Text.shingles(col("toks"), 3))
+          .as("gr"))
+        .select(col("source"), md5(col("gr")).as("h"))
+      val sk = g.groupBy("source")
+        .agg(graft.ext.Sketch.kmvSet(k)(col("h")).as("sk"))
+        .select(col("source"), col("sk.hs").as("hs"))
+      val a = sk.select(col("source").as("s1"), col("hs").as("ha"))
+      val b = sk.select(col("source").as("s2"), col("hs").as("hb"))
+      a.join(b, col("s1") < col("s2"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+        .select(col("s1"), col("s2"),
+          (size(array_intersect(array_intersect(col("u"), col("ha")),
+            col("hb"))).cast("double") /
+            least(lit(k), size(col("u"))).cast("double")).as("j_est"))
+        .orderBy("s1", "s2")
+    }),
+
     // hybrid retrieval via reciprocal-rank fusion — the standard way
     // production search combines a sparse (BM25, qx20's scorer) and a
     // dense (embedding-cosine, qe1's scorer) ranking without score
@@ -1730,6 +1765,29 @@ object ExtQueries {
         |    ORDER BY t), '')) AS clean_md5
         |FROM r GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "qx26_sketch_jaccard" ->
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT source, unnest(list_transform(range(len(toks) - 2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gr
+        |  FROM tok WHERE len(toks) >= 3),
+        |h AS (SELECT DISTINCT source, md5(gr) AS h FROM g),
+        |rk AS (SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |       FROM h),
+        |sk AS (SELECT source, list(h ORDER BY h) AS hs
+        |       FROM rk WHERE r <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS s1, b.source AS s2, a.hs AS ha, b.hs AS hb
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (SELECT s1, s2, ha, hb,
+        |        list_sort(list_distinct(ha || hb))[1:64] AS u FROM p)
+        |SELECT s1, s2,
+        |  CAST(len(list_filter(u, x -> list_contains(ha, x)
+        |         AND list_contains(hb, x))) AS DOUBLE)
+        |    / CAST(least(64, len(u)) AS DOUBLE) AS j_est
+        |FROM u ORDER BY s1, s2""".stripMargin,
 
     "qx25_mean_inv_freq" ->
       """WITH t AS (

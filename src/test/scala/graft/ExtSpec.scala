@@ -216,6 +216,35 @@ class ExtSpec extends SparkTestBase {
     assert(fit1 != init)
   }
 
+  test("KMV set sketch: jaccard estimator is EXACT when the union fits " +
+    "under k, and within 3/sqrt(k) of truth on big overlapping sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.Sketch
+    def est(xs: Seq[String], ys: Seq[String], k: Int): Double = {
+      val skA = xs.toDF("h").agg(Sketch.kmvSet(k)(col("h")).as("s"))
+        .select(col("s.hs")).collect()(0).getSeq[String](0)
+      val skB = ys.toDF("h").agg(Sketch.kmvSet(k)(col("h")).as("s"))
+        .select(col("s.hs")).collect()(0).getSeq[String](0)
+      val u = (skA ++ skB).distinct.sorted.take(k)
+      u.count(h => skA.contains(h) && skB.contains(h)).toDouble /
+        math.min(k, u.length)
+    }
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // small sets: union of 30 distinct values < k=64 -> estimator exact
+    val a = (1 to 20).map(i => h(s"x$i"))
+    val b = (11 to 30).map(i => h(s"x$i"))
+    assert(est(a, b, 64) == 10.0 / 30.0)
+    // big sets: 2000 ∪ 2000 with 1000 shared (J = 1/3), k = 256
+    val bigA = (1 to 2000).map(i => h(s"v$i"))
+    val bigB = (1001 to 3000).map(i => h(s"v$i"))
+    val e = est(bigA, bigB, 256)
+    assert(math.abs(e - 1.0 / 3.0) <= 3.0 / math.sqrt(256.0),
+      s"estimate $e too far from ${1.0 / 3.0}")
+  }
+
   test("semDedup: planted exact duplicate is removed with a smaller " +
     "dominating cellmate; keeper/dup invariants hold for every row") {
     import org.apache.spark.sql.functions._

@@ -40,6 +40,18 @@ class ExtensionsSpec extends SparkTestBase {
           |         AS st2""".stripMargin).collect()(0)
       assert(w.getAs[String]("hex").startsWith("01280001"))
       assert(w.getAs[Int]("st") == 1 && w.getAs[Int]("st2") == 1)
+      // text-dedup kernels resolve in pure SQL; values match the Column
+      // API forms (which are parity-pinned in NativeExprSpec)
+      val t = s2.sql(
+        """SELECT size(minhash_bands(array('a b c', 'b c d'), 4)) AS nb,
+          |       shingle_hashes(array('a', 'b', 'c', 'd'), 3) AS sh,
+          |       simhash32(array(md5('x'), md5('y'))) AS sim,
+          |       minhash_shingle_bands(array('a', 'b', 'c', 'd'), 3, 2)
+          |         AS msb""".stripMargin).collect()(0)
+      assert(t.getAs[Int]("nb") == 4)
+      assert(t.getAs[scala.collection.Seq[Long]]("sh").length == 2)
+      assert(t.getAs[String]("sim").length == 32)
+      assert(t.getAs[scala.collection.Seq[String]]("msb").length == 2)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
