@@ -149,14 +149,22 @@ object Text {
   /** Predicted language = argmax stopword-occurrence count; ties break to
     * the alphabetically-first language code (the CASE evaluation order —
     * mirrored verbatim in the oracle SQL). */
-  def langId(toks: Column): Column = {
-    val scores = StopwordSets.map { case (l, ws) => l -> stopwordScore(toks, ws) }
+  def langId(toks: Column): Column =
+    langIdFromScores(
+      StopwordSets.map { case (l, ws) => l -> stopwordScore(toks, ws) })
+
+  /** The argmax CASE over ALREADY-STAGED per-language score columns.
+    * Each score is referenced ~4× by the comparison chain, and
+    * higher-order filters get no subexpression elimination — inlining
+    * `stopwordScore` here re-walks the token array per reference (up to
+    * 25 passes/row); staging the 5 scores through a projection first
+    * makes it 5 (qx6 does). */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column =
     scores.init.foldRight(lit(scores.last._1)) { case ((l, s), elseC) =>
       val geAll = scores.filter(_._1 != l).map(s2 => s >= s2._2)
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(elseC)
     }
-  }
 
   // ---- quality scoring ----------------------------------------------------
 

@@ -369,6 +369,75 @@ object MinhashBridge {
   def nullBands(k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     minsOut(new Array[Array[Byte]](k))
 
+  /** Bottom-kMin seeded shingle digests in one fused pass — the qx9
+    * fingerprint: shingle the tokens, digest `"seed:" + gram` per
+    * shingle, keep the kMin lexicographically-smallest digests, hex them
+    * ascending. Bit-identical to
+    * `slice(array_sort(transform(shingles(toks,k), g ->
+    * md5('seed:' || g))), 1, kMin)` with no gram/hex strings built for
+    * the non-winners. */
+  def shingleBottomK(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                     shingleK: Int, prefix: Array[Byte], kMin: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val out0 = new Array[Any](0)
+    if (n < shingleK)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out0)
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = mdTl.get()
+    val mins = new Array[Array[Byte]](kMin)
+    var count = 0
+    i = 0
+    while (i <= n - shingleK) {
+      md.reset()
+      md.update(prefix)
+      var t = 0
+      var written = 0
+      while (t < shingleK) {
+        if (tb(i + t) != null) {
+          if (written > 0) md.update(SPACE)
+          md.update(tb(i + t))
+          written += 1
+        }
+        t += 1
+      }
+      val d = md.digest()
+      // insertion into the tiny ascending buffer; duplicates KEPT —
+      // array_sort over the multiset keeps them too
+      if (count < kMin) {
+        var p = count
+        while (p > 0 &&
+          java.util.Arrays.compareUnsigned(d, mins(p - 1)) < 0) {
+          mins(p) = mins(p - 1); p -= 1
+        }
+        mins(p) = d
+        count += 1
+      } else if (java.util.Arrays
+          .compareUnsigned(d, mins(kMin - 1)) < 0) {
+        var p = kMin - 1
+        while (p > 0 &&
+          java.util.Arrays.compareUnsigned(d, mins(p - 1)) < 0) {
+          mins(p) = mins(p - 1); p -= 1
+        }
+        mins(p) = d
+      }
+      i += 1
+    }
+    val out = new Array[Any](count)
+    i = 0
+    while (i < count) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(hex(mins(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** ALL k-gram hashes of a token array in one pass — the 60-bit keys of
     * `conv(substring(md5(gram), 1, 15), 16, 10)` computed straight from
     * the digest bytes (15 hex digits = bytes 0..6 plus the high nibble of
@@ -813,6 +882,36 @@ object NativeExpressions {
         : MinhashShingleBandsExpr = copy(child = newChild)
   }
 
+  /** Bottom-kMin seeded shingle digests fused over the token array —
+    * bit-identical to `slice(array_sort(transform(shingles(toks, k),
+    * g -> md5('seed:' || g))), 1, kMin)` (NativeExprSpec). */
+  case class ShingleBottomKExpr(child: Expression, shingleK: Int,
+                                seed: Int, kMin: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(StringType, false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "shingle_bottomk"
+
+    @transient private lazy val prefix: Array[Byte] =
+      s"$seed:".getBytes("UTF-8")
+
+    override def nullSafeEval(input: Any): Any =
+      MinhashBridge.shingleBottomK(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        shingleK, prefix, kMin)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val prefRef = ctx.addReferenceObj("btkPrefix", prefix, "byte[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.MinhashBridge.shingleBottomK($c, " +
+          s"$shingleK, $prefRef, $kMin);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : ShingleBottomKExpr = copy(child = newChild)
+  }
+
   /** All k-gram 60-bit hash keys of a token array in one native pass —
     * bit-identical to `transform(shingles(toks, k), g ->
     * conv(substring(md5(g), 1, 15), 16, 10))` (NativeExprSpec), with no
@@ -1023,6 +1122,13 @@ object NativeExpressions {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(ShingleHashesExpr(GraftShims.expression(toks),
       shingleK))
+  }
+
+  def shingleBottomK(toks: Column, shingleK: Int, seed: Int,
+                     kMin: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(ShingleBottomKExpr(GraftShims.expression(toks),
+      shingleK, seed, kMin))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

@@ -137,10 +137,19 @@ object ExtQueries {
     }),
 
     // language-ID heuristic
+    // language-ID — the 5 stopword scores are staged through a real
+    // projection BEFORE the argmax CASE (each score is referenced ~4× by
+    // the comparison chain; inline they'd re-filter the token array per
+    // reference — see Text.langIdFromScores)
     "qx6_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
-        .select(col("doc_id"), Text.langId(col("toks")).as("pred"))
+        .select(col("doc_id") +: Text.StopwordSets.map { case (l, ws) =>
+          Text.stopwordScore(col("toks"), ws).as(s"s_$l") }: _*)
+        .select(col("doc_id"),
+          Text.langIdFromScores(
+            Text.StopwordSets.map { case (l, _) => l -> col(s"s_$l") })
+            .as("pred"))
         .orderBy("doc_id")),
 
     // quality scoring
@@ -164,9 +173,14 @@ object ExtQueries {
 
     // bottom-k sketch fingerprint (comma-joined to a scalar string so the
     // driver's pandas compare can sort/hash it; the sketch is unchanged)
+    // bottom-k fingerprint — fused native pass (shingle + seeded md5 +
+    // bottom-4 in one traversal; the composed form built every gram
+    // string, md5'd it through an interpreted HOF, and full-sorted the
+    // hash array to keep 4)
     "qx9_bottomk_fingerprint" -> ((s, dir) =>
-      docsWithShingles(s, dir).select(col("doc_id"),
-        array_join(Text.bottomK(col("sh"), 4), ",").as("fp"))
+      docsWithToks(s, dir).select(col("doc_id"),
+        array_join(graft.meos.NativeExpressions
+          .shingleBottomK(col("toks"), 3, 0, 4), ",").as("fp"))
         .orderBy("doc_id")),
 
     // exact cosine top-5 for the first 20 vectors

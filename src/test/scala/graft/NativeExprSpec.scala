@@ -229,6 +229,35 @@ class NativeExprSpec extends SparkTestBase {
     assert(short(0).getAs[scala.collection.Seq[Long]]("h").isEmpty)
   }
 
+  test("native shingle_bottomk == slice(array_sort(transform(shingles, " +
+    "md5)), 1, k), incl. under-k docs, and compiles in codegen") {
+    import graft.ext.Text
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+    val df = docs.select(
+      NativeExpressions.shingleBottomK(col("toks"), 3, 0, 4).as("native"),
+      Text.bottomK(Text.shingles(col("toks"), 3), 4, 0).as("composed"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("native") ==
+        r.getAs[scala.collection.Seq[String]]("composed"))
+    }
+    // fewer shingles than k: all of them, ascending; fewer than shingle
+    // width: empty
+    val tiny = Seq(Array("a", "b", "c", "d")).toDF("toks").select(
+      NativeExpressions.shingleBottomK(col("toks"), 3, 0, 4).as("native"),
+      Text.bottomK(Text.shingles(col("toks"), 3), 4, 0).as("composed"))
+      .collect()(0)
+    assert(tiny.getAs[scala.collection.Seq[String]]("native") ==
+      tiny.getAs[scala.collection.Seq[String]]("composed"))
+    val short = Seq(Array("a")).toDF("toks")
+      .select(NativeExpressions.shingleBottomK(col("toks"), 3, 0, 4)
+        .as("h")).collect()
+    assert(short(0).getAs[scala.collection.Seq[String]]("h").isEmpty)
+  }
+
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
     val m = 8; val subDim = 8; val k = 4
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)
