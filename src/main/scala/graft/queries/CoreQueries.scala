@@ -751,7 +751,27 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("s_start"),
           col("sw.end").as("s_end"), col("n_events"))
-        .orderBy("user_id", "s_start")))
+        .orderBy("user_id", "s_start")),
+
+    // TPC-H Q17 shape — correlated AGGREGATE subquery ("lineitems below
+    // 20% of their part's average quantity"), decorrelated the way
+    // Catalyst itself plans it: the per-part threshold aggregate joined
+    // back on partkey, never a per-row subquery re-execution. Quantities
+    // are integral-valued doubles → the avg's sum is exact in any order;
+    // the money sum goes through DECIMAL (q21's discipline) so the
+    // one-row result is bit-stable
+    "q49_below_avg_qty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val th = li.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * 0.2).as("thresh"))
+      li.join(th, "l_partkey")
+        .where(col("l_quantity") < col("thresh"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+        // zero qualifying rows -> zero result rows, not one null row
+        // (empty-input contract); the twin's HAVING count(*) > 0 matches
+        .where(col("avg_yearly").isNotNull)
+    }))
 
   private val q42Oracle = Map(
     "q42_time_bucket" ->
@@ -839,7 +859,16 @@ object CoreQueries {
         |       max(ts) + INTERVAL 5 MINUTE AS s_end,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin)
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q49_below_avg_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |HAVING count(*) > 0""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

@@ -698,6 +698,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // text normalization scrub — the standard pre-dedup canonicalization
+    // (mask volatile tokens so near-identical pages with different
+    // counters/dates/ids fingerprint identically): digit runs → <num>,
+    // with the replacement count as the volatility signal. Regex kept to
+    // the Java∩RE2 common subset so both engines scrub identically;
+    // narrow map, no shuffle.
+    "qx27_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_nums"),
+        md5(regexp_replace(col("text"), "[0-9]+", "<num>"))
+          .as("norm_md5"))
+        .orderBy("doc_id")),
+
     // sketch-composed cross-source Jaccard — "how similar are dump A and
     // dump B" WITHOUT joining raw data: each source folds its shingle
     // set into a bottom-64 KMV sketch (bounded state, one shuffle of
@@ -1779,6 +1793,13 @@ object ExtQueries {
         |    ORDER BY t), '')) AS clean_md5
         |FROM r GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "qx27_normalize" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |    AS n_nums,
+        |  md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "qx26_sketch_jaccard" ->
       """WITH tok AS (
