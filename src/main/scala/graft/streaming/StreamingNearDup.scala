@@ -85,8 +85,15 @@ object StreamingNearDup extends Serializable {
             }
             st.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(
-                s.lastSeenMicros / 1000 + horizonMicros / 1000)
+              // flatMapGroupsWithState does NOT pre-filter late input
+              // (only aggregations/dropDuplicates do): a very late band
+              // row could put lastSeen+horizon BEHIND the watermark, and
+              // Spark rejects past-watermark timeouts with an exception —
+              // clamp to watermark+1ms so the stale entry still evicts,
+              // just on the next watermark advance
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(
+                s.lastSeenMicros / 1000 + horizonMicros / 1000, wm + 1))
             }
             out.result().iterator
           }
