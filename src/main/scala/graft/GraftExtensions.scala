@@ -69,9 +69,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL names, so `spark.sql("SELECT shingle_hashes(toks, 13) ...")`
     // works in an extensions-configured session with no Scala imports.
     // Int parameters arrive as foldable literals and are evaluated at
-    // registration (the kernels take them as constructor params).
-    def intArg(e: Expression): Int =
-      e.eval(null).asInstanceOf[Number].intValue()
+    // registration (the kernels take them as constructor params) — guard
+    // both properties so SQL like `shingle_hashes(toks, k)` with k a
+    // COLUMN fails with a readable message instead of an NPE deep in eval.
+    def intArg(e: Expression): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"parameter '${e.sql}' must be a literal integer " +
+            "(it configures the kernel at plan time and cannot vary per row)")
+      e.eval(null) match {
+        case n: Number => n.intValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"parameter '${e.sql}' must be a literal integer, " +
+              s"got ${if (other == null) "NULL" else other.toString}")
+      }
+    }
     e.injectFunction((
       FunctionIdentifier("minhash_bands"),
       info("minhash_bands",

@@ -15,13 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
 
-  /** Every persistent-RDD id pinned by a [[cut]] in this JVM — localCheckpoint
-    * registers its RDD in `sc.persistentRdds` at DEFINITION time (even
-    * lazily), so a before/after keyset diff captures the cut's blocks.
-    * Lets [[releaseAll]] free exactly the cut-created scratch state
-    * without evicting caches other code may own. */
+  /** Every persistent-RDD id pinned by a [[cut]] in this JVM. Lets
+    * [[releaseAll]] free exactly the cut-created scratch state without
+    * evicting caches other code may own. */
   private val cutIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** The RDD ids a checkpoint pinned, read straight off the returned
+    * Dataset's plan — `checkpoint`/`localCheckpoint` both hand back a
+    * Dataset over a [[org.apache.spark.sql.execution.LogicalRDD]] leaf
+    * wrapping the (to-be-)persisted RDD. Unlike a before/after
+    * `getPersistentRDDs` keyset diff, this cannot misattribute an RDD a
+    * CONCURRENT thread persisted in the window (which releaseAll would
+    * then wrongly evict). On the reliable-checkpoint path the id names a
+    * non-persistent RDD (blocks live in the checkpoint dir), so release
+    * on it is a harmless no-op. */
+  private def pinnedIds(out: DataFrame): Set[Int] =
+    out.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
 
   /** `eager = false` defers materialization to first use (right for
     * query-shaped code that only declares the plan); `eager = true` blocks
@@ -29,11 +41,10 @@ object Materialize {
     * immediately consumes the result anyway). */
   def cut(df: DataFrame, eager: Boolean = false): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out =
       if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
-    (sc.getPersistentRDDs.keySet -- before).foreach(cutIds.add)
+    pinnedIds(out).foreach(cutIds.add)
     out
   }
 
@@ -41,14 +52,12 @@ object Materialize {
     * callers can free a superseded generation with [[release]] instead of
     * waiting for the GC-driven ContextCleaner (which, under a long job,
     * may never run before the block manager fills and starts evicting).
-    * On the reliable-checkpoint path nothing is pinned in the block
-    * manager (blocks live in the checkpoint dir) and the id set is empty.
+    * On the reliable-checkpoint path the ids name non-persistent RDDs
+    * (blocks live in the checkpoint dir) and release is a no-op.
     */
   def cutTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = cut(df, eager = true)
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    (out, pinnedIds(out))
   }
 
   /** Drop the blocks a [[cutTracked]] call pinned. Only call once every

@@ -369,6 +369,18 @@ object MinhashBridge {
   def nullBands(k: Int): org.apache.spark.sql.catalyst.util.ArrayData =
     minsOut(new Array[Array[Byte]](k))
 
+  /** The composed shingle pipelines' result for a NULL token array:
+    * `Text.shingles` maps null input to an EMPTY shingle array (its
+    * `when(size(toks) >= k)` guard is null → otherwise-branch `array()`),
+    * so every downstream transform/sort/slice yields empty — never null. */
+  def emptyStrings: org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+
+  def emptyLongs: org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Long](0))
+
   /** Bottom-kMin seeded shingle digests in one fused pass — the qx9
     * fingerprint: shingle the tokens, digest `"seed:" + gram` per
     * shingle, keep the kMin lexicographically-smallest digests, hex them
@@ -884,28 +896,44 @@ object NativeExpressions {
 
   /** Bottom-kMin seeded shingle digests fused over the token array —
     * bit-identical to `slice(array_sort(transform(shingles(toks, k),
-    * g -> md5('seed:' || g))), 1, kMin)` (NativeExprSpec). */
+    * g -> md5('seed:' || g))), 1, kMin)` (NativeExprSpec) — including a
+    * NULL token array, which yields the composed form's EMPTY array
+    * (`shingles` maps null to `array()`), not null. */
   case class ShingleBottomKExpr(child: Expression, shingleK: Int,
                                 seed: Int, kMin: Int)
       extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = ArrayType(StringType, false)
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "shingle_bottomk"
+    override def nullable: Boolean = false
 
     @transient private lazy val prefix: Array[Byte] =
       s"$seed:".getBytes("UTF-8")
 
-    override def nullSafeEval(input: Any): Any =
-      MinhashBridge.shingleBottomK(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        shingleK, prefix, kMin)
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => MinhashBridge.emptyStrings
+      case arr =>
+        MinhashBridge.shingleBottomK(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          shingleK, prefix, kMin)
+    }
 
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val prefRef = ctx.addReferenceObj("btkPrefix", prefix, "byte[]")
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.meos.MinhashBridge.shingleBottomK($c, " +
-          s"$shingleK, $prefRef, $kMin);")
+      val childGen = child.genCode(ctx)
+      val resultCode =
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${childGen.isNull} ? graft.meos.MinhashBridge.emptyStrings()
+           |  : graft.meos.MinhashBridge.shingleBottomK(${childGen.value},
+           |      $shingleK, $prefRef, $kMin);
+         """.stripMargin
+      ev.copy(
+        code = childGen.code +
+          org.apache.spark.sql.catalyst.expressions.codegen.Block
+            .BlockHelper(new StringContext(resultCode)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     }
 
     override protected def withNewChildInternal(newChild: Expression)
@@ -917,24 +945,41 @@ object NativeExpressions {
     * conv(substring(md5(g), 1, 15), 16, 10))` (NativeExprSpec), with no
     * gram string, hex string, or string-to-long parse materialized.
     * Position i = gram starting at token i (posexplode recovers (p, h));
-    * fewer than k tokens → empty array. */
+    * fewer than k tokens → empty array; a NULL token array also yields
+    * the composed form's EMPTY array (`shingles` maps null to `array()`),
+    * not null. */
   case class ShingleHashesExpr(child: Expression, shingleK: Int)
       extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType =
       ArrayType(org.apache.spark.sql.types.LongType, false)
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def prettyName: String = "shingle_hashes"
+    override def nullable: Boolean = false
 
-    override def nullSafeEval(input: Any): Any =
-      MinhashBridge.shingleHashes(
-        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-        shingleK)
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => MinhashBridge.emptyLongs
+      case arr =>
+        MinhashBridge.shingleHashes(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          shingleK)
+    }
 
     override protected def doGenCode(ctx: CodegenContext,
-                                     ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.meos.MinhashBridge.shingleHashes($c, " +
-          s"$shingleK);")
+                                     ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val resultCode =
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${childGen.isNull} ? graft.meos.MinhashBridge.emptyLongs()
+           |  : graft.meos.MinhashBridge.shingleHashes(${childGen.value},
+           |      $shingleK);
+         """.stripMargin
+      ev.copy(
+        code = childGen.code +
+          org.apache.spark.sql.catalyst.expressions.codegen.Block
+            .BlockHelper(new StringContext(resultCode)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
 
     override protected def withNewChildInternal(newChild: Expression)
         : ShingleHashesExpr = copy(child = newChild)

@@ -928,9 +928,7 @@ object ExtQueries {
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(dlit).mkString(",")}])"
     }.mkString(",\n")
-    def cos(a: String, b: String): String =
-      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
-        s"sqrt(${CosSql.format(b, b)}))"
+    def cos(a: String, b: String): String = cosSql(a, b)
     s"""WITH cent(cell, c_emb) AS (VALUES
        |$values),
        |ca AS (
@@ -968,9 +966,7 @@ object ExtQueries {
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(dlit).mkString(",")}])"
     }.mkString(",\n")
-    def cos(a: String, b: String): String =
-      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
-        s"sqrt(${CosSql.format(b, b)}))"
+    def cos(a: String, b: String): String = cosSql(a, b)
     s"""WITH cent(cell, c_emb) AS (VALUES
        |$values),
        |ca AS (
@@ -1043,9 +1039,7 @@ object ExtQueries {
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(flit).mkString(",")}])"
     }.mkString(",\n")
-    def cos(a: String, b: String): String =
-      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
-        s"sqrt(${CosSql.format(b, b)}))"
+    def cos(a: String, b: String): String = cosSql(a, b)
     s"""WITH cent(cell, c_emb) AS (VALUES
        |$values),
        |a AS (
@@ -1154,9 +1148,7 @@ object ExtQueries {
         s"($j, $cell, CAST([${c.map(dlit).mkString(",")}] AS DOUBLE[]))"
       }
     }.mkString(",\n")
-    def cos(a: String, b: String): String =
-      s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
-        s"sqrt(${CosSql.format(b, b)}))"
+    def cos(a: String, b: String): String = cosSql(a, b)
     def d2(a: String, b: String): String =
       s"list_reduce(list_transform(list_zip($a, $b), " +
         "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +

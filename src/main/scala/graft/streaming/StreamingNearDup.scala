@@ -76,7 +76,13 @@ object StreamingNearDup extends Serializable {
               st match {
                 case Some(s) if t - s.lastSeenMicros <= horizonMicros =>
                   out += Drop(r.doc_id, band, s.firstDoc)
-                  st = Some(s.copy(lastSeenMicros = t))
+                  // max, not assign: a LATE row (t < lastSeen, possible
+                  // across micro-batches since flatMapGroupsWithState sees
+                  // watermark-late input) must not rewind the sighting
+                  // clock — that would both evict the entry early and let
+                  // a true near-dup inside the horizon re-enter as fresh
+                  st = Some(s.copy(lastSeenMicros =
+                    math.max(s.lastSeenMicros, t)))
                 case _ =>
                   // fresh key, or the previous sighting aged past the
                   // horizon — this doc becomes the new first-seen

@@ -52,6 +52,20 @@ class ExtensionsSpec extends SparkTestBase {
       assert(t.getAs[scala.collection.Seq[Long]]("sh").length == 2)
       assert(t.getAs[String]("sim").length == 32)
       assert(t.getAs[scala.collection.Seq[String]]("msb").length == 2)
+      // kernel-config parameters must be literals: a column reference or
+      // a non-integer literal fails with a readable message, not an NPE
+      val colErr = intercept[Exception] {
+        s2.sql(
+          """SELECT shingle_hashes(array('a'), k)
+            |FROM VALUES (3) AS t(k)""".stripMargin).collect()
+      }
+      assert(colErr.getMessage.contains("literal integer"),
+        s"got: ${colErr.getMessage}")
+      val strErr = intercept[Exception] {
+        s2.sql("SELECT minhash_bands(array('a'), 'four')").collect()
+      }
+      assert(strErr.getMessage.contains("literal integer"),
+        s"got: ${strErr.getMessage}")
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -227,6 +227,19 @@ class NativeExprSpec extends SparkTestBase {
       .select(NativeExpressions.shingleHashes(col("toks"), 13).as("h"))
       .collect()
     assert(short(0).getAs[scala.collection.Seq[Long]]("h").isEmpty)
+    // null toks: the composed form goes through Text.shingles, whose
+    // null-false size() guard yields array() — so native must give EMPTY,
+    // not null
+    val nulltoks = Seq((1, null.asInstanceOf[Array[String]]))
+      .toDF("id", "toks").select(
+        NativeExpressions.shingleHashes(col("toks"), 13).as("native"),
+        transform(Text.shingles(col("toks"), 13), g =>
+          conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+          .as("composed"))
+    val nr = noCodegenFallback(nulltoks.collect())(0)
+    assert(nr.getAs[scala.collection.Seq[Long]]("native") != null)
+    assert(nr.getAs[scala.collection.Seq[Long]]("native") ==
+      nr.getAs[scala.collection.Seq[Long]]("composed"))
   }
 
   test("native shingle_bottomk == slice(array_sort(transform(shingles, " +
@@ -256,6 +269,17 @@ class NativeExprSpec extends SparkTestBase {
       .select(NativeExpressions.shingleBottomK(col("toks"), 3, 0, 4)
         .as("h")).collect()
     assert(short(0).getAs[scala.collection.Seq[String]]("h").isEmpty)
+    // null toks: composed goes through Text.shingles (null → array()) —
+    // native must give EMPTY, not null
+    val nulltoks = Seq((1, null.asInstanceOf[Array[String]]))
+      .toDF("id", "toks").select(
+        NativeExpressions.shingleBottomK(col("toks"), 3, 0, 4)
+          .as("native"),
+        Text.bottomK(Text.shingles(col("toks"), 3), 4, 0).as("composed"))
+    val nr = noCodegenFallback(nulltoks.collect())(0)
+    assert(nr.getAs[scala.collection.Seq[String]]("native") != null)
+    assert(nr.getAs[scala.collection.Seq[String]]("native") ==
+      nr.getAs[scala.collection.Seq[String]]("composed"))
   }
 
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {

@@ -428,6 +428,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: a LATE band row does not rewind the sighting " +
+    "clock — a later true near-dup inside the horizon is still dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val horizonUs = 10L * 60 * 1000 * 1000 // 10 minutes
+    val q = graft.streaming.StreamingNearDup
+      .dropLog(docs, "ts", "5 minutes", horizonUs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_late")
+      .start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog tonight"
+      // batch 1: first sighting at 00:10 (watermark -> 00:05)
+      input.addData((ts("2024-01-01 00:10:00"), 1L, base))
+      q.processAllAvailable()
+      // batch 2: a LATE duplicate at 00:06 — flatMapGroupsWithState does
+      // not pre-filter late input, so the handler sees it; it is a dup
+      // (|t - lastSeen| inside the horizon) but must NOT rewind lastSeen
+      // from 00:10 back to 00:06
+      input.addData((ts("2024-01-01 00:06:00"), 2L, base))
+      q.processAllAvailable()
+      // batch 3: 00:18 is 8 min after the true last sighting (00:10) —
+      // inside the horizon, so it must be dropped. (Under a rewound
+      // clock the gap would read 12 min > horizon and doc 3 would be
+      // wrongly re-admitted as fresh.)
+      input.addData((ts("2024-01-01 00:18:00"), 3L, base))
+      q.processAllAvailable()
+      val drops = spark.table("neardup_late")
+        .select("doc_id", "first_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(drops == Set((2L, 1L), (3L, 1L)),
+        s"expected late doc 2 and in-horizon doc 3 dropped, got $drops")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: a streaming frame joins a static " +
     "dimension per micro-batch (broadcast, no stateful shuffle)") {
     import spark.implicits._
