@@ -771,6 +771,34 @@ object CoreQueries {
         // zero qualifying rows -> zero result rows, not one null row
         // (empty-input contract); the twin's HAVING count(*) > 0 matches
         .where(col("avg_yearly").isNotNull)
+    }),
+
+    // correlated LATERAL subquery with ORDER BY + LIMIT — "top-2
+    // customers by lifetime spend per nation", the per-group top-k shape
+    // SQL users reach for before they learn window functions. Catalyst
+    // decorrelates the lateral into a join + per-partition limit (no
+    // per-nation re-execution), so the plan scales like the window
+    // formulation. Money through DECIMAL (q21's discipline) keeps the
+    // spend — and therefore the top-2 cut — bit-deterministic.
+    "q50_lateral_topk" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("q50_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("q50_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q50_orders")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.spend
+          |FROM q50_nation n
+          |JOIN LATERAL (
+          |  SELECT c.c_name AS c_name,
+          |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+          |           AS DOUBLE) AS spend
+          |  FROM q50_customer c
+          |  JOIN q50_orders o ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  GROUP BY c.c_name
+          |  ORDER BY spend DESC, c_name
+          |  LIMIT 2
+          |) t
+          |ORDER BY n.n_name, t.spend DESC, t.c_name""".stripMargin)
     }))
 
   private val q42Oracle = Map(
@@ -868,7 +896,23 @@ object CoreQueries {
         |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)
-        |HAVING count(*) > 0""".stripMargin)
+        |HAVING count(*) > 0""".stripMargin,
+
+    "q50_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.spend
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT c.c_name AS c_name,
+        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |           AS DOUBLE) AS spend
+        |  FROM customer c
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  GROUP BY c.c_name
+        |  ORDER BY spend DESC, c_name
+        |  LIMIT 2
+        |) t ON true
+        |ORDER BY n.n_name, t.spend DESC, t.c_name""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

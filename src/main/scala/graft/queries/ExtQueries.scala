@@ -716,6 +716,104 @@ object ExtQueries {
           .as("norm_md5"))
         .orderBy("doc_id")),
 
+    // per-doc token-distribution Shannon entropy — the quality signal
+    // that separates natural prose (high entropy) from boilerplate /
+    // keyword-stuffed / repeated-phrase pages (low): H = -Σ p·ln p over
+    // the doc's term frequencies. One narrow explode + one groupBy —
+    // nothing global, scales linearly. Float determinism: fold the
+    // p·ln p terms in term-sorted order (the qx25 discipline), so the
+    // DuckDB twin reproduces the sum bit-for-bit.
+    "qx28_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "n_toks", "term")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_toks")
+        .agg(array_sort(collect_list(struct(col("term"), col("c"))))
+          .as("ts"))
+        .select(col("doc_id"),
+          // round to 9 decimals: ln() is the one non-bit-portable piece
+          // (JVM Math.log vs DuckDB's libm differ in the last ulp), and
+          // 1e-9 is far below any quality-threshold use of entropy
+          round(-aggregate(col("ts"), lit(0.0), (a, x) => {
+            val p = x.getField("c").cast("double") /
+              col("n_toks").cast("double")
+            a + p * log(p)
+          }), 9).as("entropy"))
+        .orderBy("doc_id")),
+
+    // corpus-level collocation mining via pointwise mutual information —
+    // which adjacent token pairs co-occur far above chance: pmi =
+    // ln((c_xy/N2) / ((c_x/N1)·(c_y/N1))), min-support 5, top 100.
+    // Bigram and unigram counts are two narrow explode+groupBy passes;
+    // the scoring joins are vocabulary-sized (dimension tables against
+    // the bigram fact — AQE broadcasts them at any realistic vocab).
+    // All math is per-row on exact BIGINT counts → deterministic.
+    "qx29_pmi_bigrams" -> ((s, dir) => {
+      val d = docsWithToks(s, dir)
+      val uni = d.select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cx"))
+      val n1 = uni.agg(sum(col("cx")).as("n1"))
+      val bi = d.select(explode(Text.shingles(col("toks"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 5)
+      val n2 = bi.agg(sum(col("cxy")).as("n2"))
+      bi.withColumn("x", split(col("bg"), " ").getItem(0))
+        .withColumn("y", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("term").as("x"), col("cx")), "x")
+        .join(uni.select(col("term").as("y"), col("cx").as("cy")), "y")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("bg"),
+          // rounded for ln() ulp portability (see qx28)
+          round(log((col("cxy").cast("double") / col("n2").cast("double")) /
+            ((col("cx").cast("double") / col("n1").cast("double")) *
+              (col("cy").cast("double") / col("n1").cast("double")))), 9)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bg"))
+        .limit(100)
+    }),
+
+    // Zipf rank-frequency slope per source — the distribution-shape
+    // audit for a corpus dump (natural language tracks slope ≈ -1 on
+    // log rank vs log freq; generated/templated text departs): rank
+    // terms within source by frequency, OLS-fit ln(freq) on ln(rank)
+    // over the top 200 ranks. The per-source vocab rollup is the only
+    // shuffle; the 200-element fit runs as four deterministic
+    // rank-ordered folds (closed-form OLS — no order-sensitive
+    // covariance aggregate, so the twin matches bit-for-bit).
+    "qx30_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tc = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text")))
+          .as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val ranked = tc.withColumn("rank", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("c").desc, col("term"))))
+        .where(col("rank") <= 200)
+        .select(col("source"),
+          struct(col("rank"), log(col("rank").cast("double")).as("x"),
+            log(col("c").cast("double")).as("y")).as("pt"))
+        .groupBy("source")
+        .agg(array_sort(collect_list(col("pt"))).as("pts"))
+      def fsum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        aggregate(col("pts"), lit(0.0), (a, p) => a + f(p))
+      ranked.select(col("source"), size(col("pts")).cast("double").as("n"),
+          fsum(_.getField("x")).as("sx"), fsum(_.getField("y")).as("sy"),
+          fsum(p => p.getField("x") * p.getField("y")).as("sxy"),
+          fsum(p => p.getField("x") * p.getField("x")).as("sxx"))
+        .select(col("source"),
+          // rounded for ln() ulp portability (see qx28)
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 9)
+            .as("zipf_slope"))
+        .orderBy("source")
+    }),
+
     // sketch-composed cross-source Jaccard — "how similar are dump A and
     // dump B" WITHOUT joining raw data: each source folds its shingle
     // set into a bottom-64 KMV sketch (bounded state, one shuffle of
@@ -1796,6 +1894,80 @@ object ExtQueries {
         |    AS n_nums,
         |  md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qx28_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         unnest(toks) AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |tf AS (
+        |  SELECT doc_id, n_toks, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY doc_id, n_toks, term),
+        |sc AS (
+        |  SELECT doc_id, n_toks, term,
+        |         (CAST(c AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS p
+        |  FROM tf)
+        |SELECT doc_id,
+        |  round(-list_reduce(list_prepend(0.0E0,
+        |      list(p * ln(p) ORDER BY term)),
+        |    (a, x) -> a + x), 9) AS entropy
+        |FROM sc GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
+
+    "qx29_pmi_bigrams" ->
+      """WITH d AS (
+        |  SELECT toks FROM (SELECT string_split(text, ' ') AS toks
+        |                    FROM documents)
+        |  WHERE len(toks) >= 3),
+        |uni AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cx
+        |  FROM (SELECT unnest(toks) AS term FROM d) GROUP BY term),
+        |n1t AS (SELECT CAST(sum(cx) AS BIGINT) AS n1 FROM uni),
+        |bi AS (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+        |          i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg FROM d)
+        |  GROUP BY bg HAVING count(*) >= 5),
+        |n2t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n2 FROM bi)
+        |SELECT bg,
+        |  round(ln((CAST(cxy AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |     ((CAST(ux.cx AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+        |      (CAST(uy.cx AS DOUBLE) / CAST(n1 AS DOUBLE)))), 9) AS pmi
+        |FROM bi
+        |JOIN uni ux ON ux.term = string_split(bg, ' ')[1]
+        |JOIN uni uy ON uy.term = string_split(bg, ' ')[2]
+        |CROSS JOIN n1t CROSS JOIN n2t
+        |ORDER BY pmi DESC, bg LIMIT 100""".stripMargin,
+
+    "qx30_zipf_slope" ->
+      """WITH tc AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY source, term),
+        |ranked AS (
+        |  SELECT source, c, row_number() OVER (PARTITION BY source
+        |           ORDER BY c DESC, term) AS rank
+        |  FROM tc QUALIFY rank <= 200),
+        |pts AS (
+        |  SELECT source, rank, ln(CAST(rank AS DOUBLE)) AS x,
+        |         ln(CAST(c AS DOUBLE)) AS y
+        |  FROM ranked),
+        |sums AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    list_reduce(list_prepend(0.0E0, list(x ORDER BY rank)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0E0, list(y ORDER BY rank)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0E0, list(x * y ORDER BY rank)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0E0, list(x * x ORDER BY rank)),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM pts GROUP BY source)
+        |SELECT source,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+        |    AS zipf_slope
+        |FROM sums ORDER BY source""".stripMargin,
 
     "qx26_sketch_jaccard" ->
       """WITH tok AS (
