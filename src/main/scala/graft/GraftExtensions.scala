@@ -110,6 +110,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash32(token_md5s) - one-pass 32-bit simhash bit string"),
       (exprs: Seq[Expression]) =>
         NativeExpressions.Simhash32Expr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("token_entropy"),
+      info("token_entropy",
+        "token_entropy(toks) - one-pass Shannon entropy of a token array"),
+      (exprs: Seq[Expression]) =>
+        NativeExpressions.TokenEntropyExpr(exprs.head)))
     // interval-overlap theta joins (the SQL spelling of J2) become bucketed
     // equi-joins instead of nested-loop joins — see OverlapJoinRule
     e.injectOptimizerRule(_ => graft.plans.OverlapJoinRule)

@@ -316,6 +316,36 @@ object SimhashBridge {
   * and only the k winning digests are hex-encoded. Top-level object for
   * janino visibility (see [[TGeomBridge]]'s note).
   */
+/** One-pass Shannon entropy of a token multiset: sort (binary UTF-8
+  * order — Spark's own array_sort collation), run-length the duplicates,
+  * fold -Σ p·ln p in term-ascending order. The per-term arithmetic
+  * (long→double casts, divide, multiply, left fold) mirrors the qx28
+  * DuckDB twin exactly; the only non-bit-portable op is ln itself,
+  * absorbed by the query's round(…, 9). Replaces an explode + two
+  * shuffles with a narrow map. */
+object EntropyBridge {
+  def entropy(toks: org.apache.spark.sql.catalyst.util.ArrayData)
+      : Double = {
+    val n = toks.numElements()
+    if (n == 0) return 0.0
+    val arr = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    val nd = n.toDouble
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && arr(j) == arr(i)) j += 1
+      val p = (j - i).toDouble / nd
+      acc += p * math.log(p)
+      i = j
+    }
+    -acc
+  }
+}
+
 object MinhashBridge {
   private val mdTl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -1007,6 +1037,27 @@ object NativeExpressions {
         : Simhash32Expr = copy(child = newChild)
   }
 
+  /** Per-row token-distribution entropy — see [[EntropyBridge.entropy]].
+    * Null token array → null (callers guard on non-empty toks). */
+  case class TokenEntropyExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "token_entropy"
+
+    override def nullSafeEval(input: Any): Any =
+      EntropyBridge.entropy(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.EntropyBridge.entropy($c);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : TokenEntropyExpr = copy(child = newChild)
+  }
+
   case class FloatL2Expr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
       with ExpectsInputTypes {
@@ -1174,6 +1225,11 @@ object NativeExpressions {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(ShingleBottomKExpr(GraftShims.expression(toks),
       shingleK, seed, kMin))
+  }
+
+  def tokenEntropy(toks: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TokenEntropyExpr(GraftShims.expression(toks)))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

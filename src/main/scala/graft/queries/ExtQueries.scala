@@ -719,30 +719,22 @@ object ExtQueries {
     // per-doc token-distribution Shannon entropy — the quality signal
     // that separates natural prose (high entropy) from boilerplate /
     // keyword-stuffed / repeated-phrase pages (low): H = -Σ p·ln p over
-    // the doc's term frequencies. One narrow explode + one groupBy —
-    // nothing global, scales linearly. Float determinism: fold the
-    // p·ln p terms in term-sorted order (the qx25 discipline), so the
-    // DuckDB twin reproduces the sum bit-for-bit.
+    // the doc's term frequencies. All terms of a doc live in its own
+    // row, so this is a NARROW MAP — the one-pass native kernel
+    // (sort + run-length + term-ordered fold) replaces the naive
+    // explode + two shuffles; nothing global, scales linearly. Rounded
+    // to 9 decimals: ln() is the one non-bit-portable piece (JVM
+    // Math.log vs DuckDB's libm differ in the last ulp), and 1e-9 is
+    // far below any quality-threshold use of entropy.
     "qx28_entropy" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        // empty token sets produce no unnest rows in the twin; split()
+        // never returns an empty array, so this only guards degenerates
+        .where(size(col("toks")) >= 1)
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_toks"),
-          explode(col("toks")).as("term"))
-        .groupBy("doc_id", "n_toks", "term")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_toks")
-        .agg(array_sort(collect_list(struct(col("term"), col("c"))))
-          .as("ts"))
-        .select(col("doc_id"),
-          // round to 9 decimals: ln() is the one non-bit-portable piece
-          // (JVM Math.log vs DuckDB's libm differ in the last ulp), and
-          // 1e-9 is far below any quality-threshold use of entropy
-          round(-aggregate(col("ts"), lit(0.0), (a, x) => {
-            val p = x.getField("c").cast("double") /
-              col("n_toks").cast("double")
-            a + p * log(p)
-          }), 9).as("entropy"))
+          round(graft.meos.NativeExpressions.tokenEntropy(col("toks")), 9)
+            .as("entropy"))
         .orderBy("doc_id")),
 
     // corpus-level collocation mining via pointwise mutual information —

@@ -47,7 +47,10 @@ class ExtensionsSpec extends SparkTestBase {
           |       shingle_hashes(array('a', 'b', 'c', 'd'), 3) AS sh,
           |       simhash32(array(md5('x'), md5('y'))) AS sim,
           |       minhash_shingle_bands(array('a', 'b', 'c', 'd'), 3, 2)
-          |         AS msb""".stripMargin).collect()(0)
+          |         AS msb,
+          |       token_entropy(array('a', 'a', 'b', 'b')) AS ent
+          |""".stripMargin).collect()(0)
+      assert(math.abs(t.getAs[Double]("ent") - math.log(2.0)) < 1e-12)
       assert(t.getAs[Int]("nb") == 4)
       assert(t.getAs[scala.collection.Seq[Long]]("sh").length == 2)
       assert(t.getAs[String]("sim").length == 32)

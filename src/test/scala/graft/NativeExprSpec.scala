@@ -282,6 +282,36 @@ class NativeExprSpec extends SparkTestBase {
       nr.getAs[scala.collection.Seq[String]]("composed"))
   }
 
+  test("native token_entropy == the composed distinct/filter/fold HOF " +
+    "form after round(9), and compiles in codegen") {
+    import graft.ext.Text
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+    // composed per-row twin: p(t) = count(t)/n over the distinct terms in
+    // ascending order — the same math the qx28 DuckDB oracle runs
+    val composed = round(-aggregate(
+      array_sort(array_distinct(col("toks"))), lit(0.0), (a, t) => {
+        val p = size(filter(col("toks"), x => x === t)).cast("double") /
+          size(col("toks")).cast("double")
+        a + p * log(p)
+      }), 9)
+    val rows = noCodegenFallback(docs.select(
+      round(NativeExpressions.tokenEntropy(col("toks")), 9).as("native"),
+      composed.as("composed")).collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"$r")
+    }
+    // degenerates: uniform (ln k), single-token (0), repeated-only (0)
+    import spark.implicits._
+    val tiny = Seq(Array("a", "b", "c", "d"), Array("z"),
+      Array("q", "q", "q")).toDF("toks")
+      .select(NativeExpressions.tokenEntropy(col("toks")).as("h"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(tiny(0) - math.log(4.0)) < 1e-12)
+    assert(tiny(1) == 0.0 && tiny(2) == -0.0 || tiny(2) == 0.0)
+  }
+
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
     val m = 8; val subDim = 8; val k = 4
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)
