@@ -629,7 +629,6 @@ object ExtQueries {
     // the kept tokens is bounded by the doc itself. Cost stays linear in
     // corpus tokens at any scale.
     "qx23_span_removal" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val toks = docs
         .withColumn("toks", Text.tokens(col("text")))
@@ -647,25 +646,23 @@ object ExtQueries {
           .groupBy("h").agg(count(lit(1)).as("n_docs")), "h")
         .where(col("n_docs") >= 2)
         .select(col("doc_id"), col("p"))
-      val tokPos = toks.select(col("doc_id"),
-        posexplode(col("toks"))).toDF("doc_id", "t", "tok")
-      val cover = Window.partitionBy("doc_id").orderBy("t")
-        .rangeBetween(-12, 0)
-      tokPos
-        .join(dupStarts.select(col("doc_id").as("ds_doc"), col("p"),
-          lit(1).as("flag0")),
-          col("doc_id") === col("ds_doc") && col("t") === col("p"), "left")
-        .select(col("doc_id"), col("t"), col("tok"),
-          coalesce(col("flag0"), lit(0)).as("flag0"))
-        .withColumn("removed", max(col("flag0")).over(cover))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          sum(col("removed")).cast("long").as("n_removed"),
-          md5(concat_ws(" ", transform(
-            filter(sort_array(collect_list(
-              struct(col("t"), col("removed"), col("tok")))),
-              x => x.getField("removed") === 0),
-            x => x.getField("tok")))).as("clean_md5"))
+      // per-doc dup-start list (tiny: one int per duplicated gram start),
+      // then the coverage test "∃ start p ∈ [t-12, t]" runs as a per-ROW
+      // indexed filter over the doc's own token array — no token
+      // re-explode, no (doc,t) join shuffle, no window exchange, no
+      // struct-sort collect. Kept tokens rebuild the scrubbed text in
+      // position order for free (filter preserves array order).
+      val starts = dupStarts.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+      toks.join(starts, Seq("doc_id"), "left")
+        .withColumn("ps", coalesce(col("ps"), array().cast("array<int>")))
+        .withColumn("keep", filter(col("toks"), (_, t) =>
+          !exists(col("ps"), p => p <= t && t <= p + lit(12))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          (size(col("toks")) - size(col("keep"))).cast("long")
+            .as("n_removed"),
+          md5(concat_ws(" ", col("keep"))).as("clean_md5"))
         .orderBy("doc_id")
     }),
 

@@ -90,11 +90,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("qx23 span removal: equi-joins only, gram frame lineage-cut once, " +
-    "coverage is a window (no token-x-gram range join)") {
+    "coverage is a per-row indexed filter over the doc's own token array " +
+    "(no token re-explode, no window exchange, no token-x-gram range join)") {
     val p = plan("qx23_span_removal")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    // the dup-start list joins back to docs as a broadcast, and the
+    // coverage test never leaves the row
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q44 Q21-shape: the EXISTS/NOT-EXISTS pair plans as semi + anti " +
