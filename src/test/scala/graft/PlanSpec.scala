@@ -101,6 +101,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q50 correlated LATERAL top-k decorrelates to WindowGroupLimit " +
+    "(map-side partial top-2 per nation, no per-nation re-execution)") {
+    val p = plan("q50_lateral_topk")
+    // the telltale of a NON-decorrelated lateral would be a nested-loop
+    // or cartesian re-execution per outer row
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p) // group-limit prunes BEFORE the shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("qx28 entropy is a narrow map: the kernel runs inside the scan's " +
+    "project, the only exchange is the output ordering") {
+    val p = plan("qx28_entropy")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("token_entropy"), p)
+  }
+
+  test("qx30 zipf fit: one vocab-rollup shuffle feeds the per-source " +
+    "window; the 200-point OLS never leaves the row (no float aggregate)") {
+    val p = plan("qx30_zipf_slope")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p) // rank<=200 prunes map-side
+    // the OLS sums are array folds, not order-sensitive SQL aggregates
+    assert(!p.contains("regr_"), p)
+  }
+
   test("q44 Q21-shape: the EXISTS/NOT-EXISTS pair plans as semi + anti " +
     "joins (no per-row subquery), supplier dim broadcasts, no cartesian") {
     val p = plan("q44_waiting_supplier")
