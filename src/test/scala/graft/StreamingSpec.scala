@@ -465,6 +465,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming top-terms: chained windowed aggregations emit each " +
+    "closed window's top-k (count desc, term asc), late windows evicted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamingTopTerms
+      .topTerms(docs, "ts", "1 minute", "10 minutes", k = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("topterms")
+      .start()
+    try {
+      // window [00:00, 00:10): "spark" ×3, "join" ×2, "scan" ×1
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L, "spark join scan"),
+        (ts("2024-01-01 00:02:00"), 2L, "spark join"),
+        (ts("2024-01-01 00:03:00"), 3L, "spark"))
+      q.processAllAvailable()
+      // nothing emits while the window is open
+      assert(spark.table("topterms").count() == 0)
+      // advance the watermark past 00:10 + 1min delay -> window closes
+      input.addData((ts("2024-01-01 00:12:00"), 4L, "flink flink stream"))
+      q.processAllAvailable()
+      val rows = spark.table("topterms")
+        .select("win_start", "top").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val top = rows(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(1), r.getLong(0)))
+      assert(top == Seq(("spark", 3L), ("join", 2L)), top.toString)
+      // close the second window too; its top-2 is (flink 2, stream 1)
+      input.addData((ts("2024-01-01 00:25:00"), 5L, "tail"))
+      q.processAllAvailable()
+      val all = spark.table("topterms")
+        .select("win_start", "top").collect()
+        .map(r => r.getTimestamp(0).toString ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getString(1), x.getLong(0))).toList).toMap
+      assert(all("2024-01-01 00:10:00.0") ==
+        List(("flink", 2L), ("stream", 1L)), all.toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: a streaming frame joins a static " +
     "dimension per micro-batch (broadcast, no stateful shuffle)") {
     import spark.implicits._
