@@ -99,5 +99,13 @@ object Curation {
           .when(col("bucket") >= keepBelow, lit("sampled_out")))
       .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
         col("drop_reason"))
+      // free data-quality accounting: CollectMetrics rides the existing
+      // pass (no second scan, no action) and surfaces total/kept/dropped
+      // per run through QueryExecutionListener.observedMetrics — at
+      // 100 TB a separate count() audit would cost another full read
+      .observe("curation",
+        count(lit(1)).as("docs_total"),
+        sum(when(col("drop_reason").isNull, 1L).otherwise(0L))
+          .as("docs_kept"))
   }
 }

@@ -799,6 +799,37 @@ object CoreQueries {
           |  LIMIT 2
           |) t
           |ORDER BY n.n_name, t.spend DESC, t.c_name""".stripMargin)
+    }),
+
+    // WITH RECURSIVE calendar spine — the report-hardening shape ("show
+    // every month, including empty ones") that needs row GENERATION, not
+    // just aggregation: recursively unroll month starts across the
+    // OBSERVED date range (HAVING count(*) > 0 keeps the anchor empty on
+    // empty input → empty output, the suite-wide contract), left-join
+    // the monthly order counts. The loop itself is ~n_months rows; the
+    // fact-side rollup is the only distributed work at any scale.
+    "q51_recursive_spine" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q51_orders")
+      s.sql(
+        """WITH RECURSIVE b AS (
+          |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+          |           AS lo,
+          |         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+          |           AS hi
+          |  FROM q51_orders HAVING count(*) > 0),
+          |m(mon, hi) AS (
+          |  SELECT lo, hi FROM b
+          |  UNION ALL
+          |  SELECT add_months(mon, 1), hi FROM m WHERE mon < hi
+          |)
+          |SELECT m.mon AS mon, coalesce(o.n, CAST(0 AS BIGINT))
+          |         AS n_orders
+          |FROM m LEFT JOIN (
+          |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+          |         count(*) AS n
+          |  FROM q51_orders GROUP BY 1) o
+          |ON o.mon = m.mon
+          |ORDER BY m.mon""".stripMargin)
     }))
 
   private val q42Oracle = Map(
@@ -912,7 +943,28 @@ object CoreQueries {
         |  ORDER BY spend DESC, c_name
         |  LIMIT 2
         |) t ON true
-        |ORDER BY n.n_name, t.spend DESC, t.c_name""".stripMargin)
+        |ORDER BY n.n_name, t.spend DESC, t.c_name""".stripMargin,
+
+    "q51_recursive_spine" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+        |           AS lo,
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        |           AS hi
+        |  FROM orders HAVING count(*) > 0),
+        |m(mon, hi) AS (
+        |  SELECT lo, hi FROM b
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), hi FROM m
+        |  WHERE mon < hi
+        |)
+        |SELECT m.mon AS mon, coalesce(o.n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM m LEFT JOIN (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1) o
+        |ON o.mon = m.mon
+        |ORDER BY m.mon""".stripMargin)
 
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->

@@ -415,4 +415,32 @@ class ExtSpec extends SparkTestBase {
     assert(docs(1L) == docs(2L))
     assert(hamming(docs(1L), docs(3L)) < hamming(docs(1L), docs(4L)))
   }
+
+  test("curation pipeline reports observed metrics (docs_total/kept) " +
+    "through the listener — no second counting pass") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("curation")
+          .foreach(r => observed = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.ext.Curation.pipeline(
+        Tables.documents(spark, sfDir)).collect()
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val m = observed.getOrElse(fail("no observed metrics delivered"))
+      assert(m.getAs[Long]("docs_total") == out.length)
+      assert(m.getAs[Long]("docs_kept") ==
+        out.count(_.getAs[Boolean]("kept")))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
