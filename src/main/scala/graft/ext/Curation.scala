@@ -27,31 +27,23 @@ object Curation {
     repetitionRatiosFromToks(
       docs.withColumn("toks", Text.tokens(col("text"))))
 
-  /** [[repetitionRatios]] over a pre-tokenized frame (doc_id, toks). */
+  /** [[repetitionRatios]] over a pre-tokenized frame (doc_id, toks).
+    * A doc's tokens all live in its own row, so both Gopher ratios are a
+    * NARROW MAP over the one-pass max-run kernel (k=1 terms, k=2
+    * bigrams) — the explode + groupBy + max + join formulation this
+    * replaces shuffled every token twice. Counts are exact integers and
+    * the single double division matches the DuckDB twins bit-for-bit. */
   def repetitionRatiosFromToks(tok: DataFrame): DataFrame = {
-    val termTop = tok
-      .select(col("doc_id"), size(col("toks")).as("n_toks"),
-        explode(col("toks")).as("t"))
-      .groupBy("doc_id", "n_toks", "t").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_toks").agg(max("c").as("top_term"))
-      .select(col("doc_id"),
-        (col("top_term").cast("double") / col("n_toks").cast("double"))
-          .as("top_term_ratio"))
-    val biTop = tok
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), (size(col("toks")) - 1).as("n_bi"),
-        explode(Text.shingles(col("toks"), 2)).as("g"))
-      .groupBy("doc_id", "n_bi", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_bi").agg(max("c").as("top_bi"))
-      .select(col("doc_id"),
-        (col("top_bi").cast("double") / col("n_bi").cast("double"))
-          .as("top_bigram_ratio"))
-    tok.select("doc_id")
-      .join(termTop, Seq("doc_id"), "left")
-      .join(biTop, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("top_term_ratio"), lit(0.0)).as("top_term_ratio"),
-        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"))
+    import graft.meos.NativeExpressions.maxRunCount
+    tok.select(col("doc_id"),
+      when(size(col("toks")) >= 1,
+        maxRunCount(col("toks"), 1).cast("double") /
+          size(col("toks")).cast("double"))
+        .otherwise(lit(0.0)).as("top_term_ratio"),
+      when(size(col("toks")) >= 2,
+        maxRunCount(col("toks"), 2).cast("double") /
+          (size(col("toks")) - 1).cast("double"))
+        .otherwise(lit(0.0)).as("top_bigram_ratio"))
   }
 
   /** Full pipeline verdict per document: (doc_id, kept, drop_reason)

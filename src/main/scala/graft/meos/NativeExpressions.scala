@@ -346,6 +346,65 @@ object EntropyBridge {
   }
 }
 
+/** Max multiset-count of a token array's k-grams in one pass: build each
+  * gram's bytes (tokens joined by 0x20 — tokens contain no spaces, so
+  * byte equality == gram equality), sort, return the longest run. k=1
+  * degenerates to plain token counting. Only EQUALITY grouping matters
+  * for the max count, so any total order works — no collation parity to
+  * maintain. Powers the Gopher repetition ratios (qx15 / the curation
+  * pipeline's repetition gate) as a narrow map instead of an explode +
+  * two shuffles per ratio. */
+object MaxRunBridge {
+  def maxRunCount(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                  k: Int): Long = {
+    val n = toks.numElements()
+    if (n < k) return 0L
+    val grams = new Array[Array[Byte]](n - k + 1)
+    if (k == 1) {
+      var i = 0
+      while (i < n) { grams(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    } else {
+      val tb = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+      i = 0
+      while (i <= n - k) {
+        var len = k - 1
+        var t = 0
+        while (t < k) { len += tb(i + t).length; t += 1 }
+        val g = new Array[Byte](len)
+        var off = 0
+        t = 0
+        while (t < k) {
+          if (t > 0) { g(off) = ' '.toByte; off += 1 }
+          val b = tb(i + t)
+          System.arraycopy(b, 0, g, off, b.length)
+          off += b.length
+          t += 1
+        }
+        grams(i) = g
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(grams,
+      new java.util.Comparator[Array[Byte]] {
+        override def compare(a: Array[Byte], b: Array[Byte]): Int =
+          java.util.Arrays.compareUnsigned(a, b)
+      })
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < grams.length) {
+      if (java.util.Arrays.equals(grams(i), grams(i - 1))) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1L
+      i += 1
+    }
+    best
+  }
+}
+
 object MinhashBridge {
   private val mdTl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -1037,6 +1096,29 @@ object NativeExpressions {
         : Simhash32Expr = copy(child = newChild)
   }
 
+  /** Max k-gram multiset count per row — see [[MaxRunBridge.maxRunCount]].
+    * Fewer than k tokens → 0; null token array → null. */
+  case class MaxRunCountExpr(child: Expression, shingleK: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "max_run_count"
+
+    override def nullSafeEval(input: Any): Any =
+      MaxRunBridge.maxRunCount(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        shingleK)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.MaxRunBridge.maxRunCount($c, " +
+          s"$shingleK);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : MaxRunCountExpr = copy(child = newChild)
+  }
+
   /** Per-row token-distribution entropy — see [[EntropyBridge.entropy]].
     * Null token array → null (callers guard on non-empty toks). */
   case class TokenEntropyExpr(child: Expression)
@@ -1230,6 +1312,12 @@ object NativeExpressions {
   def tokenEntropy(toks: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(TokenEntropyExpr(GraftShims.expression(toks)))
+  }
+
+  def maxRunCount(toks: Column, shingleK: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(MaxRunCountExpr(GraftShims.expression(toks),
+      shingleK))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

@@ -312,6 +312,41 @@ class NativeExprSpec extends SparkTestBase {
     assert(tiny(1) == 0.0 && tiny(2) == -0.0 || tiny(2) == 0.0)
   }
 
+  test("native max_run_count == the explode/groupBy/max formulation for " +
+    "k=1 and k=2, and compiles in codegen") {
+    import graft.ext.Text
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+    // composed per-row twin via HOFs: max over distinct grams of each
+    // gram's occurrence count
+    def composed(grams: org.apache.spark.sql.Column) =
+      coalesce(array_max(transform(array_distinct(grams), g =>
+        size(filter(grams, x => x === g)))), lit(0)).cast("long")
+    val rows = noCodegenFallback(docs.select(
+      NativeExpressions.maxRunCount(col("toks"), 1).as("n1"),
+      composed(col("toks")).as("c1"),
+      NativeExpressions.maxRunCount(col("toks"), 2).as("n2"),
+      composed(Text.shingles(col("toks"), 2)).as("c2")).collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"k=1: $r")
+      assert(r.getLong(2) == r.getLong(3), s"k=2: $r")
+    }
+    // degenerates: under-k → 0, all-same, all-distinct
+    val tiny = Seq(
+      (Array("a"), 1L, 0L),
+      (Array("q", "q", "q"), 3L, 2L),
+      (Array("a", "b", "c"), 1L, 1L)).toDF("toks", "e1", "e2")
+      .select(NativeExpressions.maxRunCount(col("toks"), 1).as("n1"),
+        NativeExpressions.maxRunCount(col("toks"), 2).as("n2"),
+        col("e1"), col("e2")).collect()
+    tiny.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3),
+        r.toString)
+    }
+  }
+
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
     val m = 8; val subDim = 8; val k = 4
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)
