@@ -765,6 +765,57 @@ object ExtQueries {
         .limit(100)
     }),
 
+    // Heaps-law gram-novelty audit — per doc (in ingest order), the
+    // fraction of its distinct 3-gram TYPES never seen in any earlier
+    // doc. The curve this traces (novelty decay as the corpus grows) is
+    // the standard "is this dump adding anything" signal next to qx19's
+    // pairwise overlap. Shape: distinct (doc, gram-key) explode, a
+    // first-seen min() rollup per gram, one join back — linear in gram
+    // types, 8-byte keys throughout (the qx16 hashing).
+    "qx31_novelty" -> ((s, dir) => {
+      val dg = graft.Materialize.cut(Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 3))
+          .as("h"))
+        .distinct())
+      val first = dg.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+      dg.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_new"))
+        .select(col("doc_id"), col("n_types"), col("n_new"),
+          (col("n_new").cast("double") / col("n_types").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // exact k-NN label classification — the eval-side consumer of the
+    // similarity family (and the first exerciser of the embeddings
+    // `label` column): 5 nearest neighbors vote, majority wins, smallest
+    // label breaks ties. Probes broadcast across one corpus scan (the
+    // qe1 posture); the vote rollup is probe-sized.
+    "qe13_knn_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val knn = Similarity.bruteForceKnn(
+        emb, emb.where(col("vec_id") % 50 === 0), 5)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("n_label"))
+      knn.join(emb.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), "n_id")
+        .groupBy("q_id", "n_label").agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("q_id"), col("label")), "q_id")
+        .select(col("q_id"), col("label").cast("long").as("label"),
+          col("n_label").cast("long").as("predicted"), col("votes"),
+          (col("n_label") === col("label")).as("correct"))
+        .orderBy("q_id")
+    }),
+
     // Zipf rank-frequency slope per source — the distribution-shape
     // audit for a corpus dump (natural language tracks slope ≈ -1 on
     // log rank vs log freq; generated/templated text departs): rank
@@ -1927,6 +1978,52 @@ object ExtQueries {
         |JOIN uni uy ON uy.term = string_split(bg, ' ')[2]
         |CROSS JOIN n1t CROSS JOIN n2t
         |ORDER BY pmi DESC, bg LIMIT 100""".stripMargin,
+
+    "qx31_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+        |    i -> list_reduce(toks[i+1:i+3], (a, b) -> a || ' ' || b)))
+        |    AS g
+        |  FROM tok WHERE len(toks) >= 3),
+        |gh AS (
+        |  SELECT doc_id, list_reduce(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM g),
+        |dg AS (SELECT DISTINCT doc_id, h FROM gh),
+        |fs AS (SELECT h, min(doc_id) AS first_doc FROM dg GROUP BY h)
+        |SELECT dg.doc_id AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM dg JOIN fs USING (h) GROUP BY dg.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "qe13_knn_classify" ->
+      (s"""WITH d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |k AS (
+        |  SELECT q_id, n_label FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) <= 5),
+        |v AS (SELECT q_id, n_label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM k GROUP BY q_id, n_label),
+        |p AS (SELECT q_id, n_label AS predicted, votes FROM v
+        |      QUALIFY row_number() OVER (PARTITION BY q_id
+        |        ORDER BY votes DESC, n_label) <= 1)
+        |SELECT p.q_id AS q_id, CAST(e.label AS BIGINT) AS label,
+        |       CAST(p.predicted AS BIGINT) AS predicted, p.votes AS votes,
+        |       p.predicted = e.label AS correct
+        |FROM p JOIN embeddings e ON e.vec_id = p.q_id
+        |ORDER BY q_id""".stripMargin),
 
     "qx30_zipf_slope" ->
       """WITH tc AS (
