@@ -305,36 +305,31 @@ object SimhashBridge {
   }
 }
 
-/** Executor-side bridge for [[NativeExpressions.MinhashBandsExpr]]: ALL
-  * seeded minhashes of a shingle array in ONE pass. The built-in
-  * composition (`array_min(transform(sh, md5('seed:' || s)))` × seeds)
-  * re-walks the array per seed through interpreted higher-order lambdas,
-  * allocating a 32-char hex string per shingle per seed; here each
-  * shingle is digested per seed with a thread-local MessageDigest, the
-  * per-seed minimum is tracked as raw 16-byte digests (unsigned byte
-  * order == lowercase-hex lexicographic order, so the min is the same),
-  * and only the k winning digests are hex-encoded. Top-level object for
-  * janino visibility (see [[TGeomBridge]]'s note).
-  */
 /** One-pass Shannon entropy of a token multiset: sort (binary UTF-8
   * order — Spark's own array_sort collation), run-length the duplicates,
   * fold -Σ p·ln p in term-ascending order. The per-term arithmetic
   * (long→double casts, divide, multiply, left fold) mirrors the qx28
   * DuckDB twin exactly; the only non-bit-portable op is ln itself,
-  * absorbed by the query's round(…, 9). Replaces an explode + two
-  * shuffles with a narrow map. */
+  * absorbed by the query's round(…, 9). Null ELEMENTS are skipped
+  * (probabilities are over the non-null tokens — split() output never
+  * contains nulls, this only guards SQL callers against an NPE).
+  * Replaces an explode + two shuffles with a narrow map. */
 object EntropyBridge {
   def entropy(toks: org.apache.spark.sql.catalyst.util.ArrayData)
       : Double = {
-    val n = toks.numElements()
+    val ne = toks.numElements()
+    val arr = new Array[AnyRef](ne)
+    var n = 0
+    var e = 0
+    while (e < ne) {
+      if (!toks.isNullAt(e)) { arr(n) = toks.getUTF8String(e); n += 1 }
+      e += 1
+    }
     if (n == 0) return 0.0
-    val arr = new Array[AnyRef](n)
-    var i = 0
-    while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
-    java.util.Arrays.sort(arr)
+    java.util.Arrays.sort(arr, 0, n)
     val nd = n.toDouble
     var acc = 0.0
-    i = 0
+    var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n && arr(j) == arr(i)) j += 1
@@ -342,7 +337,9 @@ object EntropyBridge {
       acc += p * math.log(p)
       i = j
     }
-    -acc
+    // single-distinct-token docs fold to acc == 0.0; return +0.0, not
+    // -0.0 (the twin normalizes the sign identically — bit-level parity)
+    if (acc == 0.0) 0.0 else -acc
   }
 }
 
@@ -359,27 +356,45 @@ object MaxRunBridge {
                   k: Int): Long = {
     val n = toks.numElements()
     if (n < k) return 0L
+    // null ELEMENTS never occur from split() output; for SQL callers
+    // they drop out of a gram like concat_ws drops them (the fused
+    // minhash kernel's convention) instead of NPE-ing the sort
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
     val grams = new Array[Array[Byte]](n - k + 1)
     if (k == 1) {
-      var i = 0
-      while (i < n) { grams(i) = toks.getUTF8String(i).getBytes; i += 1 }
+      i = 0
+      while (i < n) {
+        grams(i) = if (tb(i) == null) Array.emptyByteArray else tb(i)
+        i += 1
+      }
     } else {
-      val tb = new Array[Array[Byte]](n)
-      var i = 0
-      while (i < n) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
       i = 0
       while (i <= n - k) {
-        var len = k - 1
+        var len = 0
+        var nn = 0
         var t = 0
-        while (t < k) { len += tb(i + t).length; t += 1 }
+        while (t < k) {
+          if (tb(i + t) != null) { len += tb(i + t).length; nn += 1 }
+          t += 1
+        }
+        len += math.max(nn - 1, 0)
         val g = new Array[Byte](len)
         var off = 0
+        var written = 0
         t = 0
         while (t < k) {
-          if (t > 0) { g(off) = ' '.toByte; off += 1 }
-          val b = tb(i + t)
-          System.arraycopy(b, 0, g, off, b.length)
-          off += b.length
+          if (tb(i + t) != null) {
+            if (written > 0) { g(off) = ' '.toByte; off += 1 }
+            val b = tb(i + t)
+            System.arraycopy(b, 0, g, off, b.length)
+            off += b.length
+            written += 1
+          }
           t += 1
         }
         grams(i) = g
@@ -393,7 +408,7 @@ object MaxRunBridge {
       })
     var best = 1L
     var run = 1L
-    var i = 1
+    i = 1
     while (i < grams.length) {
       if (java.util.Arrays.equals(grams(i), grams(i - 1))) {
         run += 1
@@ -405,6 +420,17 @@ object MaxRunBridge {
   }
 }
 
+/** Executor-side bridge for [[NativeExpressions.MinhashBandsExpr]]: ALL
+  * seeded minhashes of a shingle array in ONE pass. The built-in
+  * composition (`array_min(transform(sh, md5('seed:' || s)))` × seeds)
+  * re-walks the array per seed through interpreted higher-order lambdas,
+  * allocating a 32-char hex string per shingle per seed; here each
+  * shingle is digested per seed with a thread-local MessageDigest, the
+  * per-seed minimum is tracked as raw 16-byte digests (unsigned byte
+  * order == lowercase-hex lexicographic order, so the min is the same),
+  * and only the k winning digests are hex-encoded. Top-level object for
+  * janino visibility (see [[TGeomBridge]]'s note).
+  */
 object MinhashBridge {
   private val mdTl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -810,6 +810,10 @@ object CoreQueries {
     // fact-side rollup is the only distributed work at any scale.
     "q51_recursive_spine" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("q51_orders")
+      // the default cteRecursionLevelLimit (100) caps the spine at ~8
+      // years of months — raise it so a century-scale date range still
+      // unrolls (the loop stays ~n_months rows either way)
+      s.sql("SET spark.sql.cteRecursionLevelLimit = 2400")
       s.sql(
         """WITH RECURSIVE b AS (
           |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE)

@@ -1951,7 +1951,7 @@ object ExtQueries {
         |SELECT doc_id,
         |  round(-list_reduce(list_prepend(0.0E0,
         |      list(p * ln(p) ORDER BY term)),
-        |    (a, x) -> a + x), 9) AS entropy
+        |    (a, x) -> a + x), 9) + 0.0E0 AS entropy
         |FROM sc GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
 
     "qx29_pmi_bigrams" ->

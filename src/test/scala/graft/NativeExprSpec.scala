@@ -309,7 +309,20 @@ class NativeExprSpec extends SparkTestBase {
       .select(NativeExpressions.tokenEntropy(col("toks")).as("h"))
       .collect().map(_.getDouble(0))
     assert(math.abs(tiny(0) - math.log(4.0)) < 1e-12)
-    assert(tiny(1) == 0.0 && tiny(2) == -0.0 || tiny(2) == 0.0)
+    assert(tiny(1) == 0.0)
+    // all-repeated docs must give +0.0 (not -0.0 — the twin's round()
+    // keeps the sign, so a negative zero would break bit parity)
+    assert(java.lang.Double.doubleToRawLongBits(tiny(2)) == 0L)
+    // null elements are skipped, not NPE'd (SQL callers can pass them)
+    val withNull = Seq(Array("a", null, "a", "b")).toDF("toks")
+      .select(NativeExpressions.tokenEntropy(col("toks")).as("h"),
+        NativeExpressions.maxRunCount(col("toks"), 1).as("m1"),
+        NativeExpressions.maxRunCount(col("toks"), 2).as("m2"))
+      .collect()(0)
+    // probabilities over the 3 non-null tokens: 2/3, 1/3
+    val exp = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(withNull.getDouble(0) - exp) < 1e-12)
+    assert(withNull.getLong(1) >= 1L && withNull.getLong(2) >= 1L)
   }
 
   test("native max_run_count == the explode/groupBy/max formulation for " +
