@@ -765,6 +765,33 @@ object ExtQueries {
         .limit(100)
     }),
 
+    // corpus summary card — the per-(source, lang) rollup a curation run
+    // publishes next to its drop log: doc/char/token totals (exact
+    // BIGINTs) and mean token entropy. The entropy leg rides the qx28
+    // one-pass kernel (narrow map), so the whole card is one shuffle on
+    // a 20×3-bounded key space; the mean folds the per-doc rounded
+    // entropies in doc_id order (qx25 discipline) for bit parity.
+    "qx32_corpus_card" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"),
+          col("n_chars"), Text.tokens(col("text")).as("toks"))
+        .select(col("source"), col("lang"), col("doc_id"),
+          col("n_chars"), size(col("toks")).cast("long").as("n_toks"),
+          round(graft.meos.NativeExpressions.tokenEntropy(col("toks")), 9)
+            .as("ent"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_toks")).as("total_toks"),
+          array_sort(collect_list(struct(col("doc_id"), col("ent"))))
+            .as("es"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("total_chars"), col("total_toks"),
+          (aggregate(col("es"), lit(0.0), (a, x) =>
+            a + x.getField("ent")) / col("n_docs").cast("double"))
+            .as("mean_entropy"))
+        .orderBy("source", "lang")),
+
     // Heaps-law gram-novelty audit — per doc (in ingest order), the
     // fraction of its distinct 3-gram TYPES never seen in any earlier
     // doc. The curve this traces (novelty decay as the corpus grows) is
@@ -1978,6 +2005,37 @@ object ExtQueries {
         |JOIN uni uy ON uy.term = string_split(bg, ' ')[2]
         |CROSS JOIN n1t CROSS JOIN n2t
         |ORDER BY pmi DESC, bg LIMIT 100""".stripMargin,
+
+    "qx32_corpus_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |         unnest(toks) AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |tf AS (
+        |  SELECT doc_id, n_toks, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY doc_id, n_toks, term),
+        |sc AS (
+        |  SELECT doc_id, n_toks, term,
+        |         (CAST(c AS DOUBLE) / CAST(n_toks AS DOUBLE)) AS p
+        |  FROM tf),
+        |ent AS (
+        |  SELECT doc_id, n_toks,
+        |    round(-list_reduce(list_prepend(0.0E0,
+        |        list(p * ln(p) ORDER BY term)),
+        |      (a, x) -> a + x), 9) + 0.0E0 AS ent
+        |  FROM sc GROUP BY doc_id, n_toks),
+        |agg AS (
+        |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(e.n_toks) AS BIGINT) AS total_toks,
+        |    list_reduce(list_prepend(0.0E0, list(e.ent ORDER BY d.doc_id)),
+        |      (a, x) -> a + x) AS s_ent
+        |  FROM documents d JOIN ent e USING (doc_id)
+        |  GROUP BY d.source, d.lang)
+        |SELECT source, lang, n_docs, total_chars, total_toks,
+        |  s_ent / CAST(n_docs AS DOUBLE) AS mean_entropy
+        |FROM agg ORDER BY source, lang""".stripMargin,
 
     "qx31_novelty" ->
       """WITH tok AS (
