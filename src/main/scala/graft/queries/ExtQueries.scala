@@ -800,22 +800,28 @@ object ExtQueries {
     // first-seen min() rollup per gram, one join back — linear in gram
     // types, 8-byte keys throughout (the qx16 hashing).
     "qx31_novelty" -> ((s, dir) => {
-      val dg = graft.Materialize.cut(Tables.documents(s, dir)
+      // within-doc dedup happens PER ROW (array_distinct on the kernel
+      // output), so nothing fat ever shuffles: n_types is a narrow map,
+      // and n_new is the first-seen rollup grouped twice (gram → min
+      // doc, then min doc → count) — no distinct exchange, no
+      // gram-grain join back
+      val d = graft.Materialize.cut(Tables.documents(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
         .where(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(
+        .select(col("doc_id"), array_distinct(
           graft.meos.NativeExpressions.shingleHashes(col("toks"), 3))
-          .as("h"))
-        .distinct())
-      val first = dg.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
-      dg.join(first, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_types"),
-          sum(when(col("first_doc") === col("doc_id"), 1L)
-            .otherwise(0L)).as("n_new"))
-        .select(col("doc_id"), col("n_types"), col("n_new"),
-          (col("n_new").cast("double") / col("n_types").cast("double"))
-            .as("novelty"))
+          .as("hs")))
+      val types = d.select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_types"))
+      val nnew = d.select(col("doc_id"), explode(col("hs")).as("h"))
+        .groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_new"))
+      types.join(nnew, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_types"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (coalesce(col("n_new"), lit(0L)).cast("double") /
+            col("n_types").cast("double")).as("novelty"))
         .orderBy("doc_id")
     }),
 
