@@ -176,15 +176,48 @@ object Dedup {
       .withColumn("contaminated", col("n_shared") >= 1)
   }
 
+  /** Default hot-band cap for production LSH self-joins: a band bucket of
+    * size n contributes n(n-1)/2 candidate pairs, so a single hot band
+    * (license boilerplate, templated pages — THE common case in a web
+    * crawl) makes the join quadratic on its own. Dropping buckets over the
+    * cap BEFORE the join bounds total work to cap × |sig| rows regardless
+    * of the corpus's duplication structure, at a bounded recall cost:
+    * pairs inside an over-cap bucket are overwhelmingly re-found by the
+    * doc's other bands (standard practice — cf. Spark MLlib's
+    * MinHashLSH guidance and Lee et al. 2022 §4). */
+  val DefaultBandCap = 64
+
+  /** Candidate pairs from a banded signature frame (doc_id, band), with
+    * the hot-band guard applied BEFORE the self-join. The size filter
+    * rides the same band-keyed shuffle as the join — one extra aggregate,
+    * no extra scan of the corpus. `bandCap <= 0` disables the guard
+    * (raw enumeration — only for bounded inputs or diagnostics). */
+  def bandedPairs(sig: DataFrame,
+                  bandCap: Int = DefaultBandCap): DataFrame = {
+    val side =
+      if (bandCap <= 0) sig
+      else sig.join(
+        sig.groupBy("band").agg(count(lit(1)).as("n"))
+          .where(col("n") <= bandCap).drop("n"),
+        Seq("band"))
+    val a = side.select(col("doc_id").as("d1"), col("band"))
+    val b = side.select(col("doc_id").as("d2"), col("band"))
+    a.join(b, Seq("band")).where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
   /** Full minhash-dedup: docs → shingles → LSH candidate pairs → connected
     * components → cluster per doc (docs with no near-dup form their own
     * cluster). Returns (doc_id, cluster, keeper). */
-  def minhashClusters(docs: DataFrame, bands: Int = 4): DataFrame =
+  def minhashClusters(docs: DataFrame, bands: Int = 4,
+                      bandCap: Int = DefaultBandCap): DataFrame =
     minhashClustersFromToks(
-      docs.withColumn("toks", Text.tokens(col("text"))), bands)
+      docs.withColumn("toks", Text.tokens(col("text"))), bands, bandCap)
 
-  /** [[minhashClusters]] over a pre-tokenized frame (doc_id, toks). */
-  def minhashClustersFromToks(docs: DataFrame, bands: Int = 4): DataFrame = {
+  /** [[minhashClusters]] over a pre-tokenized frame (doc_id, toks).
+    * `bandCap` (default on) is the hot-band guard of [[bandedPairs]]. */
+  def minhashClustersFromToks(docs: DataFrame, bands: Int = 4,
+                              bandCap: Int = DefaultBandCap): DataFrame = {
     // lazy cut: the banded frame feeds both self-join sides — without it
     // the shingle+minhash pipeline runs twice (reliable checkpoint when a
     // dir is configured; see Materialize)
@@ -192,10 +225,7 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(Text.lshBandsFromToks(col("toks"), bands)).as("band")))
-    val a = sig.select(col("doc_id").as("d1"), col("band"))
-    val b = sig.select(col("doc_id").as("d2"), col("band"))
-    val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val pairs = bandedPairs(sig, bandCap)
     val cc = connectedComponents(pairs)
     docs.select(col("doc_id"))
       .join(cc, docs("doc_id") === cc("node"), "left")

@@ -66,16 +66,18 @@ object ExtQueries {
     // LSH candidate pairs: 4 bands × 1 row. Lazy lineage cut: both
     // self-join sides reuse the banded frame instead of re-running the
     // shingle+minhash pipeline per side (reliable checkpoint when a dir
-    // is configured — see Materialize)
+    // is configured — see Materialize).
+    // CONTRACT: qx3 is the RAW candidate enumeration — it deliberately
+    // has no hot-band guard because it *defines* the full collision set
+    // (recall studies, band-size diagnostics). Every production consumer
+    // of band pairs (qx11/qp1/qx19 via Dedup.bandedPairs, demonstrated
+    // standalone as qx21) applies the bucket-size cap; qx3 is the one
+    // query where uncapped is the semantics, to be run on bounded inputs.
     "qx3_lsh_pairs" -> ((s, dir) => {
       val sig = graft.Materialize.cut(
         docsWithToks(s, dir).select(col("doc_id"),
           explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
-      val a = sig.select(col("doc_id").as("d1"), col("band"))
-      val b = sig.select(col("doc_id").as("d2"), col("band"))
-      a.join(b, Seq("band")).where(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-        .orderBy("d1", "d2")
+      Dedup.bandedPairs(sig, bandCap = 0).orderBy("d1", "d2")
     }),
 
     // simhash-32 per document — md5s once (staged alias), then the native
@@ -486,17 +488,15 @@ object ExtQueries {
     // cross-source overlap matrix — near-dup candidate pairs (the qx3
     // LSH bands) rolled up by unordered source pair: the "how much does
     // dump A duplicate dump B" accounting that decides which crawl
-    // snapshots are worth ingesting. Pair generation is the banded
-    // equi-join (work ∝ band collisions); the rollup shuffles one row
+    // snapshots are worth ingesting. Pair generation is the PRODUCTION
+    // banded equi-join (Dedup.bandedPairs — hot-band cap on, so one
+    // boilerplate band can't go quadratic); the rollup shuffles one row
     // per pair, grouped on a 20×20-bounded key space.
     "qx19_source_overlap" -> ((s, dir) => {
       val sig = graft.Materialize.cut(
         docsWithToks(s, dir).select(col("doc_id"),
           explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
-      val a = sig.select(col("doc_id").as("d1"), col("band"))
-      val b = sig.select(col("doc_id").as("d2"), col("band"))
-      val pairs = a.join(b, Seq("band")).where(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
+      val pairs = Dedup.bandedPairs(sig)
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
@@ -518,20 +518,14 @@ object ExtQueries {
     // other bands). Work is now provably ≤ cap × |sig| regardless of the
     // corpus's duplication structure. The size filter rides the same
     // band-keyed shuffle as the join — one extra agg, no extra scan.
+    // Since round 7 this guard IS the production path (Dedup.bandedPairs,
+    // default cap 64, feeding qx11/qp1/qx19); this query demonstrates it
+    // with an aggressive cap=3 so the sf0.01 fixture actually trips it.
     "qx21_lsh_capped" -> ((s, dir) => {
-      val cap = 3
       val sig = graft.Materialize.cut(
         docsWithToks(s, dir).select(col("doc_id"),
           explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
-      val small = sig.join(
-        sig.groupBy("band").agg(count(lit(1)).as("n"))
-          .where(col("n") <= cap),
-        Seq("band"))
-      val a = small.select(col("doc_id").as("d1"), col("band"))
-      val b = small.select(col("doc_id").as("d2"), col("band"))
-      a.join(b, Seq("band")).where(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-        .orderBy("d1", "d2")
+      Dedup.bandedPairs(sig, bandCap = 3).orderBy("d1", "d2")
     }),
 
     // source-mixture rebalancing — the "data mixing" step of corpus
@@ -1580,9 +1574,14 @@ object ExtQueries {
         |  UNION ALL SELECT doc_id, h1 FROM sig
         |  UNION ALL SELECT doc_id, h2 FROM sig
         |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= 64)),
         |p AS (
         |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id)
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id)
         |SELECT least(x.source, y.source) AS sa,
         |       greatest(x.source, y.source) AS sb,
         |       CAST(count(*) AS BIGINT) AS n_pairs
@@ -1771,9 +1770,14 @@ object ExtQueries {
         |  UNION ALL SELECT doc_id, h1 FROM sig
         |  UNION ALL SELECT doc_id, h2 FROM sig
         |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM bnd
+        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+        |                 HAVING count(*) <= 64)),
         |e AS (
         |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.doc_id < c.doc_id),
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
         |reach(node, label) AS (
         |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
         |  UNION
@@ -2284,9 +2288,14 @@ object ExtQueries {
         |  UNION ALL SELECT doc_id, h1 FROM sig
         |  UNION ALL SELECT doc_id, h2 FROM sig
         |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM bnd
+        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+        |                 HAVING count(*) <= 64)),
         |e AS (
         |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.doc_id < c.doc_id),
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
         |reach(node, label) AS (
         |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
         |  UNION

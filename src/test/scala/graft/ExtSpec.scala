@@ -65,6 +65,33 @@ class ExtSpec extends SparkTestBase {
       s"capped produced pairs outside the uncapped set: ${capped -- full}")
   }
 
+  test("production band join: a planted 10k-doc hot band yields ≪ n² " +
+    "candidate rows (cap drops the bucket; small buckets still pair)") {
+    import spark.implicits._
+    import graft.ext.{Dedup, Text}
+    // 10 000 identical docs — every band bucket they form has size 10 000,
+    // far over the default cap — plus one genuine near-dup pair in its own
+    // small buckets. Uncapped, this corpus enumerates ≥ n(n-1)/2 ≈ 5·10⁷
+    // pairs from the hot band alone.
+    val hot = (0L until 10000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pairDocs = Seq(
+      (20001L, "completely different content about spark shuffles and joins"),
+      (20002L, "completely different content about spark shuffles and joins"))
+    val docs = (hot ++ pairDocs).toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+    val sig = docs.select(col("doc_id"),
+      explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band"))
+    val got = Dedup.bandedPairs(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot band contributed ZERO join work; the real near-dup survives
+    assert(got == Set((20001L, 20002L)), s"got ${got.size} pairs")
+    // and the capped production path clusters exactly that pair
+    val clusters = Dedup.minhashClustersFromToks(docs)
+      .where(!col("keeper")).collect()
+    assert(clusters.map(_.getLong(0)).toSet == Set(20002L))
+  }
+
   test("qe5 LSH near-dup pairs: subset of the exact result, recall >= " +
     "0.8 at the 0.4 threshold") {
     import graft.ext.Similarity

@@ -259,4 +259,26 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastExchange"), p) // the 1-row totals cross join
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("production LSH band join (qx19 and Dedup.bandedPairs, the " +
+    "qx11/qp1 pair stage): the hot-band size filter aggregates and " +
+    "drops over-cap buckets BEFORE the self-join") {
+    // qx19's whole dataflow is one plan — the guard must sit in it
+    val p19 = plan("qx19_source_overlap")
+    assert(p19.contains("<= 64"), p19) // count-per-band filter at the cap
+    assert(!p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoopJoin"), p19)
+    // the qx11/qp1 candidate stage, asserted directly (their final plans
+    // end after the eager connected-components finish)
+    val sig = Tables.documents(spark, sfDir)
+      .withColumn("toks", graft.ext.Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        graft.ext.Text.lshBandsFromToks(col("toks"), 4)).as("band"))
+    val pp = graft.ext.Dedup.bandedPairs(sig)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("<= 64"), pp)
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp)
+  }
 }
