@@ -420,6 +420,55 @@ object MaxRunBridge {
   }
 }
 
+/** Interval-coverage token filter for the exact-substring span removal
+  * (qx23): given a doc's token array and the start positions of its
+  * duplicated k-grams, keep every token NOT covered by any interval
+  * [p, p+width]. One merged two-pointer sweep — O(L + m·log m) per row
+  * (the sort is a no-op guard; callers pass collect_list output, which
+  * is unordered) — replacing the per-token `exists` scan that made a
+  * fully-duplicated L-token doc O(L·m) ≈ O(L²). Index semantics mirror
+  * the HOF formulation `filter(toks, (_, t) -> !exists(ps, p -> p <= t
+  * AND t <= p + width))` exactly, including null token elements riding
+  * through on their index (NativeExprSpec pins parity). */
+object CoverageBridge {
+  def keepUncovered(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                    starts: org.apache.spark.sql.catalyst.util.ArrayData,
+                    width: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val m = starts.numElements()
+    val ps = new Array[Int](m)
+    var mm = 0
+    var i = 0
+    while (i < m) {
+      // null starts never occur from collect_list; skip them for SQL
+      // callers rather than NPE (same convention as MaxRunBridge)
+      if (!starts.isNullAt(i)) { ps(mm) = starts.getInt(i); mm += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(ps, 0, mm)
+    val kept = new Array[AnyRef](n)
+    var cnt = 0
+    var j = 0
+    var maxEnd = Long.MinValue // max(p + width) over starts p <= t so far
+    var t = 0
+    while (t < n) {
+      while (j < mm && ps(j) <= t) {
+        val e = ps(j).toLong + width
+        if (e > maxEnd) maxEnd = e
+        j += 1
+      }
+      if (maxEnd < t) {
+        kept(cnt) = if (toks.isNullAt(t)) null else toks.getUTF8String(t)
+        cnt += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(kept, cnt))
+  }
+}
+
 /** Executor-side bridge for [[NativeExpressions.MinhashBandsExpr]]: ALL
   * seeded minhashes of a shingle array in ONE pass. The built-in
   * composition (`array_min(transform(sh, md5('seed:' || s)))` × seeds)
@@ -1145,6 +1194,35 @@ object NativeExpressions {
         : MaxRunCountExpr = copy(child = newChild)
   }
 
+  /** Tokens not covered by any duplicated-span interval — see
+    * [[CoverageBridge.keepUncovered]]. Null on either null input (the
+    * qx23 caller coalesces starts to an empty array first). */
+  case class CoverageKeepExpr(left: Expression, right: Expression,
+                              width: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(StringType)
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(IntegerType))
+    override def prettyName: String = "coverage_keep"
+
+    override def nullSafeEval(toks: Any, starts: Any): Any =
+      CoverageBridge.keepUncovered(
+        toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        width)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.meos.CoverageBridge.keepUncovered($a, $b, " +
+          s"$width);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CoverageKeepExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Per-row token-distribution entropy — see [[EntropyBridge.entropy]].
     * Null token array → null (callers guard on non-empty toks). */
   case class TokenEntropyExpr(child: Expression)
@@ -1344,6 +1422,12 @@ object NativeExpressions {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(MaxRunCountExpr(GraftShims.expression(toks),
       shingleK))
+  }
+
+  def coverageKeep(toks: Column, starts: Column, width: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(CoverageKeepExpr(GraftShims.expression(toks),
+      GraftShims.expression(starts), width))
   }
 
   def rhpBands(v: Column, dim: Int, bands: Int, bitsPerBand: Int,

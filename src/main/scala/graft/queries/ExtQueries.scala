@@ -642,16 +642,18 @@ object ExtQueries {
         .select(col("doc_id"), col("p"))
       // per-doc dup-start list (tiny: one int per duplicated gram start),
       // then the coverage test "∃ start p ∈ [t-12, t]" runs as a per-ROW
-      // indexed filter over the doc's own token array — no token
-      // re-explode, no (doc,t) join shuffle, no window exchange, no
-      // struct-sort collect. Kept tokens rebuild the scrubbed text in
-      // position order for free (filter preserves array order).
+      // two-pointer sweep over the doc's own token array (native kernel —
+      // O(L + m·log m), not the O(L·m) per-token exists scan that went
+      // quadratic on fully-duplicated long docs) — no token re-explode,
+      // no (doc,t) join shuffle, no window exchange, no struct-sort
+      // collect. Kept tokens rebuild the scrubbed text in position order
+      // for free (the sweep preserves array order).
       val starts = dupStarts.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .agg(collect_list(col("p")).as("ps")) // kernel sorts internally
       toks.join(starts, Seq("doc_id"), "left")
         .withColumn("ps", coalesce(col("ps"), array().cast("array<int>")))
-        .withColumn("keep", filter(col("toks"), (_, t) =>
-          !exists(col("ps"), p => p <= t && t <= p + lit(12))))
+        .withColumn("keep", graft.meos.NativeExpressions.coverageKeep(
+          col("toks"), col("ps"), 12))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_toks"),
           (size(col("toks")) - size(col("keep"))).cast("long")

@@ -360,6 +360,62 @@ class NativeExprSpec extends SparkTestBase {
     }
   }
 
+  test("native coverage_keep == the filter/exists HOF formulation, " +
+    "compiles in codegen, and handles unsorted/null/empty starts") {
+    import graft.ext.Text
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      // synthetic dup starts derived from the doc itself so every row
+      // exercises a different (L, m) shape: every position whose token
+      // length is even, in REVERSE order (kernel must sort internally —
+      // collect_list order is not a contract)
+      .withColumn("ps", reverse(filter(
+        transform(col("toks"), (x, i) => when(length(x) % 2 === 0, i)),
+        p => p.isNotNull)))
+    val rows = noCodegenFallback(docs.select(
+      NativeExpressions.coverageKeep(col("toks"), col("ps"), 12).as("n"),
+      filter(col("toks"), (_, t) =>
+        !exists(col("ps"), p => p <= t && t <= p + lit(12))).as("c"))
+      .collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r")
+    }
+    // degenerates: empty starts keep all, full cover keeps none, null
+    // start elements are skipped, width 0 covers exactly the start
+    val tiny = Seq(
+      (Array("a", "b", "c"), Array.empty[Integer], Seq("a", "b", "c")),
+      (Array("a", "b", "c"), Array[Integer](0), Seq.empty[String]),
+      (Array("a", "b", "c"), Array[Integer](null, 1), Seq("a")))
+      .toDF("toks", "ps", "want")
+      .select(NativeExpressions.coverageKeep(col("toks"), col("ps"), 12)
+        .as("got"), col("want")).collect()
+    tiny.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    val w0 = Seq((Array("a", "b", "c"), Array(1)))
+      .toDF("toks", "ps")
+      .select(NativeExpressions.coverageKeep(col("toks"), col("ps"), 0))
+      .collect()(0).getSeq[String](0)
+    assert(w0 == Seq("a", "c"))
+  }
+
+  test("coverage_keep long-doc stress: a fully-duplicated 50k-token doc " +
+    "filters in bounded time (the exists scan was O(L^2) here)") {
+    import spark.implicits._
+    val n = 50000
+    val toks = Array.tabulate(n)(i => s"t${i % 37}")
+    val ps = Array.range(0, n - 12) // every 13-gram duplicated
+    val df = Seq((toks, ps)).toDF("toks", "ps")
+      .select(NativeExpressions.coverageKeep(col("toks"), col("ps"), 12)
+        .as("keep"))
+    val t0 = System.nanoTime()
+    val kept = df.collect()(0).getSeq[String](0)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(kept.isEmpty) // every token is covered by some dup span
+    info(f"50k-token full-coverage sweep: $ms%.1f ms")
+    assert(ms < 5000, f"sweep took $ms%.1f ms — not linear")
+  }
+
   test("pq_encode/pq_adc == a driver-side reference, compile in codegen") {
     val m = 8; val subDim = 8; val k = 4
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 32)
