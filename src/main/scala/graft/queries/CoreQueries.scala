@@ -492,6 +492,14 @@ object CoreQueries {
           col("g.xmax").as("xmax"))
         .orderBy("user_id", "seg")),
 
+    // qs1 — the STREAMING engine under the batch hash gate: trigger-once
+    // file replay through watermark + flatMapGroupsWithState gap sessions
+    // (StreamingAssembly), rolled up to q36's exact output shape and
+    // checked against the SAME DuckDB oracle. Proves stream == batch on
+    // real data as a CORRECTNESS row, not just a spec assertion.
+    "qs1_stream_replay" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.gapSessionsReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -970,6 +978,32 @@ object CoreQueries {
         |ON o.mon = m.mon
         |ORDER BY m.mon""".stripMargin)
 
+  /** q36's gap-split ground truth — shared verbatim by the batch query
+    * and the streaming replay (qs1): one oracle, two engines. */
+  private val GapSplitSql =
+    """WITH ded AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |           row_number() OVER (PARTITION BY user_id, ts
+      |             ORDER BY event_id) AS rn
+      |    FROM events)
+      |  WHERE rn = 1),
+      |m AS (
+      |  SELECT user_id, epoch_us(ts) AS us, value,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |                PARTITION BY user_id ORDER BY ts) >= 3600000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM ded),
+      |g AS (
+      |  SELECT user_id, us, value,
+      |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS seg
+      |  FROM m)
+      |SELECT user_id, seg, count(*) AS n, min(us) AS t0_us,
+      |       max(us) AS t1_us, min(value) AS xmin, max(value) AS xmax
+      |FROM g GROUP BY user_id, seg ORDER BY user_id, seg""".stripMargin
+
   def oracle: Map[String, String] = q42Oracle ++ Map(
     "q01_scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty,
@@ -1281,29 +1315,11 @@ object CoreQueries {
     // the relational twin of assemble→gapSegments→rollup: dedupe (user, ts)
     // keeping the smallest event_id (the assembly rule), mark >= 1h breaks,
     // running-sum them into segment ids, aggregate per segment
-    "q36_gap_split" ->
-      """WITH ded AS (
-        |  SELECT user_id, ts, value FROM (
-        |    SELECT user_id, ts, value,
-        |           row_number() OVER (PARTITION BY user_id, ts
-        |             ORDER BY event_id) AS rn
-        |    FROM events)
-        |  WHERE rn = 1),
-        |m AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value,
-        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |                PARTITION BY user_id ORDER BY ts) >= 3600000000
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM ded),
-        |g AS (
-        |  SELECT user_id, us, value,
-        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS BIGINT) AS seg
-        |  FROM m)
-        |SELECT user_id, seg, count(*) AS n, min(us) AS t0_us,
-        |       max(us) AS t1_us, min(value) AS xmin, max(value) AS xmax
-        |FROM g GROUP BY user_id, seg ORDER BY user_id, seg""".stripMargin,
+    "q36_gap_split" -> GapSplitSql,
+
+    // the streaming replay is oracled by the SAME gap-split SQL — the
+    // whole point: stream output must hash-match the batch ground truth
+    "qs1_stream_replay" -> GapSplitSql,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Trigger-once file-source replay of the streaming engine, returning a
+  * BATCH DataFrame — the bridge that puts Structured Streaming under the
+  * same DuckDB hash gate as every batch operator (declared as
+  * `qs1_stream_replay`, oracled by the q36 gap-split SQL).
+  *
+  * Shape: events → 3 sequential parquet chunks (deterministic mod-times +
+  * maxFilesPerTrigger=1 → 3 micro-batches in event-time order) →
+  * [[StreamingAssembly.assembleGapSessions]] (watermark +
+  * flatMapGroupsWithState) → memory sink → q36's per-segment rollup.
+  * A far-future sentinel per user in the last chunk closes every open
+  * tail via the in-batch gap rule, so the emitted set is total.
+  *
+  * The driver-side collect here is the REPLAY HARNESS, not the operator:
+  * chunking a batch table into deterministic micro-batch files needs the
+  * rows in hand (same technique as StreamingSpec). The system under test
+  * — watermarking, keyed state, gap timeouts — runs fully distributed;
+  * a production deployment reads a real file/Kafka source and never
+  * collects anything.
+  */
+object StreamingReplay {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Replay `events(dir)` through the gap-session engine; returns the
+    * closed trips rolled up exactly like q36 (user_id, seg, n, t0_us,
+    * t1_us, xmin, xmax). */
+  def gapSessionsReplay(spark: SparkSession, dir: String,
+                        gapSec: Long = 3600L): DataFrame = {
+    import spark.implicits._
+    import StreamingAssembly.EventIn
+
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EventIn].collect().sortBy(e => (micros(e.ts), e.event_id))
+    require(ev.nonEmpty, s"no events under $dir")
+    val maxUs = micros(ev.last.ts)
+    val sentinelTs = new Timestamp((maxUs / 1000L) + (gapSec + 7200) * 1000L)
+    val sentinels = ev.map(_.user_id).distinct
+      .map(u => EventIn(u, sentinelTs, Long.MaxValue, 0.0))
+    val k = math.max(ev.length / 3, 1)
+    val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+      (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("qs1-replay-src")
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"qs1-replay-w$i")
+      spark.createDataset(c).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir.toFile, f"chunk$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(base + i * 10000L)
+    }
+
+    val table = s"qs1_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventIn]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDir.toString)
+      .as[EventIn]
+    // SCOPED shuffle-partition override (read, set, restore — never leak
+    // session config): streaming locks the state-store partition count at
+    // query start, and 32 stores × 3 micro-batches of per-batch
+    // snapshot/commit overhead dominate this small replay. 8 stores is
+    // ~2× faster here and exactly what a real deployment tunes via
+    // checkpointed state — not a semantics change.
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, "8")
+        StreamingAssembly.assembleGapSessions(stream, gapSec)
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(table).start()
+      } finally spark.conf.set(key, saved)
+    try q.processAllAvailable() finally q.stop()
+
+    // q36's output shape over the closed-trip set: seg = 0-based per-user
+    // rank by start time; segment stats from the trip's own arrays
+    // (t is assembled in ascending time order)
+    val w = Window.partitionBy("user_id").orderBy("start_ts")
+    spark.table(table)
+      .where(col("start_ts") < lit(sentinelTs)) // defensive: no sentinels
+      .withColumn("seg", (row_number().over(w) - 1).cast("long"))
+      .select(col("user_id"), col("seg"),
+        col("n_posits").as("n"),
+        element_at(col("t"), 1).as("t0_us"),
+        element_at(col("t"), -1).as("t1_us"),
+        array_min(col("v")).as("xmin"),
+        array_max(col("v")).as("xmax"))
+      .orderBy("user_id", "seg")
+  }
+}

@@ -570,4 +570,19 @@ class StreamingSpec extends SparkTestBase {
         s"stream ${streamed.mkString(",")} vs batch $batch")
     } finally q.stop()
   }
+
+  test("qs1_stream_replay (the declared query) == q36 batch at sf0.001, " +
+    "and restores spark.sql.shuffle.partitions") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val streamed = SparkEntry.queries("qs1_stream_replay")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(spark.conf.get(key) == before, "session config leaked")
+    val batch = SparkEntry.queries("q36_gap_split")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)}, " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
