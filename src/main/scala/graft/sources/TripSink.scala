@@ -44,28 +44,38 @@ object TripSink {
     * batches prepared-statement executions — the Spark-native shape of the
     * reference's pooled per-chunk writes (`ais_to_db.rs:90-98,202-205`).
     * `connect` is pluggable (driver-specific); rows must be
-    * (key: Long, wkb: Array[Byte]). Untestable here (no DB in the
-    * container) beyond statement-string and batching-shape specs. */
+    * (key: Long, wkb: Array[Byte]). The MobilityDB statement itself can't
+    * execute in-container; the same machinery runs end-to-end against
+    * embedded Derby in TripSinkJdbcSpec (dialect statement + WKB merge
+    * function, identical ON-CONFLICT-merge semantics). */
   def jdbcUpsert(df: DataFrame, table: String, keyCol: String,
                  tripCol: String, batchSize: Int,
-                 connect: () => java.sql.Connection): Unit = {
-    val sql = upsertStatement(table, keyCol, tripCol)
-      .replace("$1", "?").replace("$2", "?")
+                 connect: () => java.sql.Connection): Unit =
+    jdbcBatchWrite(df,
+      upsertStatement(table, keyCol, tripCol)
+        .replace("$1", "?").replace("$2", "?"),
+      batchSize, connect) { (st, r) =>
+      st.setLong(1, r.getLong(0))
+      st.setBytes(2, r.getAs[Array[Byte]](1))
+    }
+
+  /** The engine of [[jdbcUpsert]] with the statement and the row binder
+    * pluggable — lets other SQL dialects (Derby MERGE, ANSI MERGE INTO)
+    * reuse the connection-per-partition batched writer. */
+  def jdbcBatchWrite(df: DataFrame, sql: String, batchSize: Int,
+                     connect: () => java.sql.Connection)(
+      bind: (java.sql.PreparedStatement,
+             org.apache.spark.sql.Row) => Unit): Unit =
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn = connect()
       try {
         val st = conn.prepareStatement(sql)
         rows.grouped(batchSize).foreach { chunk =>
-          chunk.foreach { r =>
-            st.setLong(1, r.getLong(0))
-            st.setBytes(2, r.getAs[Array[Byte]](1))
-            st.addBatch()
-          }
+          chunk.foreach { r => bind(st, r); st.addBatch() }
           st.executeBatch()
         }
       } finally conn.close()
     }
-  }
 
   /** Merge two sorted trip arrays (epoch-micros + values). On duplicate
     * timestamps the STORED side wins — the upsert merges new instants into
