@@ -46,12 +46,20 @@ object Curation {
         .otherwise(lit(0.0)).as("top_bigram_ratio"))
   }
 
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Full pipeline verdict per document: (doc_id, kept, drop_reason)
     * with `drop_reason` null for kept docs. All flag frames join back on
     * doc_id — co-partitioned shuffles AQE coalesces; nothing here is
-    * quadratic or driver-side. */
+    * quadratic or driver-side.
+    *
+    * `observationName` labels the run's CollectMetrics row; the default
+    * is unique per call (`curation-<n>`) so concurrent or interleaved
+    * executions in one session stay attributable — pass an explicit name
+    * when a listener needs to await a SPECIFIC run. */
   def pipeline(docs: DataFrame, minScore: Double = 6.5,
-               maxTermRatio: Double = 0.2, maxBigramRatio: Double = 0.18)
+               maxTermRatio: Double = 0.2, maxBigramRatio: Double = 0.18,
+               observationName: String = s"curation-${obsSeq.incrementAndGet()}")
       : DataFrame = {
     // tokenize ONCE for all five stages — a lineage cut shares the
     // (doc_id, lang, n_chars, toks) frame across quality, repetition,
@@ -95,7 +103,7 @@ object Curation {
       // pass (no second scan, no action) and surfaces total/kept/dropped
       // per run through QueryExecutionListener.observedMetrics — at
       // 100 TB a separate count() audit would cost another full read
-      .observe("curation",
+      .observe(observationName,
         count(lit(1)).as("docs_total"),
         sum(when(col("drop_reason").isNull, 1L).otherwise(0L))
           .as("docs_kept"))

@@ -820,28 +820,41 @@ object CoreQueries {
       Tables.orders(s, dir).createOrReplaceTempView("q51_orders")
       // the default cteRecursionLevelLimit (100) caps the spine at ~8
       // years of months — raise it so a century-scale date range still
-      // unrolls (the loop stays ~n_months rows either way)
-      s.sql("SET spark.sql.cteRecursionLevelLimit = 2400")
-      s.sql(
-        """WITH RECURSIVE b AS (
-          |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE)
-          |           AS lo,
-          |         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
-          |           AS hi
-          |  FROM q51_orders HAVING count(*) > 0),
-          |m(mon, hi) AS (
-          |  SELECT lo, hi FROM b
-          |  UNION ALL
-          |  SELECT add_months(mon, 1), hi FROM m WHERE mon < hi
-          |)
-          |SELECT m.mon AS mon, coalesce(o.n, CAST(0 AS BIGINT))
-          |         AS n_orders
-          |FROM m LEFT JOIN (
-          |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-          |         count(*) AS n
-          |  FROM q51_orders GROUP BY 1) o
-          |ON o.mon = m.mon
-          |ORDER BY m.mon""".stripMargin)
+      // unrolls (the loop stays ~n_months rows either way). SCOPED: the
+      // override must not leak into the shared session (any later
+      // recursive CTE would silently inherit a 24× deeper limit), so
+      // restore the previous value once the plan is materialized below.
+      val key = "spark.sql.cteRecursionLevelLimit"
+      val saved = s.conf.get(key)
+      try {
+        s.conf.set(key, "2400")
+        val df = s.sql(
+          """WITH RECURSIVE b AS (
+            |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+            |           AS lo,
+            |         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+            |           AS hi
+            |  FROM q51_orders HAVING count(*) > 0),
+            |m(mon, hi) AS (
+            |  SELECT lo, hi FROM b
+            |  UNION ALL
+            |  SELECT add_months(mon, 1), hi FROM m WHERE mon < hi
+            |)
+            |SELECT m.mon AS mon, coalesce(o.n, CAST(0 AS BIGINT))
+            |         AS n_orders
+            |FROM m LEFT JOIN (
+            |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+            |         count(*) AS n
+            |  FROM q51_orders GROUP BY 1) o
+            |ON o.mon = m.mon
+            |ORDER BY m.mon""".stripMargin)
+        // the limit is consulted at EXECUTION, not analysis — materialize
+        // inside the scope (the spine is n_months rows at any scale:
+        // a century is 1200 rows) so the restore below can't regress a
+        // deep unroll executed later
+        s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+      } finally s.conf.set(key, saved)
     }))
 
   private val q42Oracle = Map(
@@ -861,21 +874,27 @@ object CoreQueries {
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // grouped on s_suppkey (projecting s_name after), mirroring the Spark
+    // plan's aggregate-on-key-then-join — grouping on s_name would only
+    // agree while supplier names stay unique
     "q44_waiting_supplier" ->
-      """SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
-        |FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-        |WHERE l1.l_returnflag = 'R'
-        |  AND EXISTS (SELECT 1 FROM orders o
-        |              WHERE o.o_orderkey = l1.l_orderkey
-        |                AND o.o_orderstatus = 'F')
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey
-        |                    AND l3.l_returnflag = 'R')
-        |GROUP BY s.s_name
+      """WITH w AS (
+        |  SELECT l1.l_suppkey AS sk, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM lineitem l1
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_orderkey = l1.l_orderkey
+        |                  AND o.o_orderstatus = 'F')
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R')
+        |  GROUP BY l1.l_suppkey)
+        |SELECT s.s_name AS s_name, w.numwait AS numwait
+        |FROM w JOIN supplier s ON s.s_suppkey = w.sk
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
 

@@ -448,10 +448,13 @@ class ExtSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    // explicit per-run name: metric rows stay attributable even if other
+    // pipeline runs interleave in this shared session
+    val obsName = s"curation-extspec-${System.nanoTime()}"
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit =
-        qe.observedMetrics.get("curation")
+        qe.observedMetrics.get(obsName)
           .foreach(r => observed = Some(r))
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
@@ -459,7 +462,8 @@ class ExtSpec extends SparkTestBase {
     spark.listenerManager.register(listener)
     try {
       val out = graft.ext.Curation.pipeline(
-        Tables.documents(spark, sfDir)).collect()
+        Tables.documents(spark, sfDir),
+        observationName = obsName).collect()
       // listener delivery is async — poll briefly
       val deadline = System.currentTimeMillis() + 10000
       while (observed.isEmpty && System.currentTimeMillis() < deadline)
