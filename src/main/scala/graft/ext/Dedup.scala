@@ -194,12 +194,17 @@ object Dedup {
     * (raw enumeration — only for bounded inputs or diagnostics). */
   def bandedPairs(sig: DataFrame,
                   bandCap: Int = DefaultBandCap): DataFrame = {
+    // guard as an ANTI join against the OVER-cap bands: that set is tiny
+    // (≤ |sig|/cap distinct keys, near-empty on healthy corpora), so AQE
+    // broadcasts it and the common case costs one small-side agg — the
+    // inner-join-the-small-bands spelling shuffled the full band
+    // vocabulary back into the probe
     val side =
       if (bandCap <= 0) sig
       else sig.join(
         sig.groupBy("band").agg(count(lit(1)).as("n"))
-          .where(col("n") <= bandCap).drop("n"),
-        Seq("band"))
+          .where(col("n") > bandCap).drop("n"),
+        Seq("band"), "left_anti")
     val a = side.select(col("doc_id").as("d1"), col("band"))
     val b = side.select(col("doc_id").as("d2"), col("band"))
     a.join(b, Seq("band")).where(col("d1") < col("d2"))

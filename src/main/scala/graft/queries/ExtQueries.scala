@@ -449,14 +449,19 @@ object ExtQueries {
     "qx14_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val tc = graft.Materialize.cut(docs
+      // ONE token-grain pass: the (doc, term) aggregate feeds BOTH the
+      // tf side and the document frequency (df = row count per term over
+      // cnt — cnt already has exactly one row per distinct (doc, term),
+      // so the old distinct + second token-grain shuffle was redundant
+      // work on the largest frame in the query). The cut pins the small
+      // aggregated frame, not the exploded tokens.
+      val cnt = graft.Materialize.cut(docs
         .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id"), size(col("toks")).as("n_toks"),
-          explode(col("toks")).as("term")))
-      val cnt = tc.groupBy("doc_id", "n_toks", "term")
-        .agg(count(lit(1)).as("cnt"))
-      val dfreq = tc.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+          explode(col("toks")).as("term"))
+        .groupBy("doc_id", "n_toks", "term")
+        .agg(count(lit(1)).as("cnt")))
+      val dfreq = cnt.groupBy("term").agg(count(lit(1)).as("df"))
       val nDf = docs.agg(count(lit(1)).as("n"))
       val scored = cnt.join(dfreq, "term").crossJoin(broadcast(nDf))
         .withColumn("tfidf",

@@ -261,11 +261,12 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("production LSH band join (qx19 and Dedup.bandedPairs, the " +
-    "qx11/qp1 pair stage): the hot-band size filter aggregates and " +
-    "drops over-cap buckets BEFORE the self-join") {
+    "qx11/qp1 pair stage): the hot-band guard anti-joins the over-cap " +
+    "bucket set BEFORE the self-join") {
     // qx19's whole dataflow is one plan — the guard must sit in it
     val p19 = plan("qx19_source_overlap")
-    assert(p19.contains("<= 64"), p19) // count-per-band filter at the cap
+    assert(p19.contains("> 64"), p19) // over-cap band set for the anti
+    assert(p19.contains("LeftAnti"), p19)
     assert(!p19.contains("CartesianProduct") &&
       !p19.contains("BroadcastNestedLoopJoin"), p19)
     // the qx11/qp1 candidate stage, asserted directly (their final plans
@@ -277,7 +278,8 @@ class PlanSpec extends SparkTestBase {
         graft.ext.Text.lshBandsFromToks(col("toks"), 4)).as("band"))
     val pp = graft.ext.Dedup.bandedPairs(sig)
       .queryExecution.executedPlan.toString
-    assert(pp.contains("<= 64"), pp)
+    assert(pp.contains("> 64"), pp)
+    assert(pp.contains("LeftAnti"), pp)
     assert(!pp.contains("CartesianProduct") &&
       !pp.contains("BroadcastNestedLoopJoin"), pp)
   }
