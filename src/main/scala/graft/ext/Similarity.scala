@@ -458,7 +458,20 @@ object Similarity {
     * collisions, not |corpus|²), the exact cosine predicate refines. The
     * same refine threshold as [[cosineNearDupPairs]], which remains the
     * O(n²) oracle baseline; recall of this path vs that baseline is
-    * measured in ExtSpec. */
+    * measured in ExtSpec.
+    *
+    * SIZE `bitsPerBand` WITH THE CORPUS (round-7 scale probe): unlike
+    * minhash band keys (content-addressed, unbounded key space), an
+    * RHP band takes one of only 2^bitsPerBand values — expected bucket
+    * population is n / 2^bits and candidate work n² / 2^bits PER BAND,
+    * so a FIXED bits setting goes quadratic as n grows. Pick
+    * bits ≈ log2(n / targetBucket) to hold bucket size (and with it
+    * per-band work ∝ n·targetBucket) constant: measured on the 10×
+    * probe slice, bits=4 took 88 s where bits=8 took 8.2 s for the
+    * same threshold. A qx21-style over-cap bucket guard is NOT the
+    * right fix here — with a fixed key space every bucket crosses any
+    * fixed cap at the same corpus size and recall collapses to zero;
+    * growing the key space is. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
     // posexplode: the join key is (band INDEX, bits) — keying on the bit

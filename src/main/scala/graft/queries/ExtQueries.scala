@@ -99,6 +99,12 @@ object ExtQueries {
     // quadratic block (which hashes both arrays for every pair — the
     // round-1 plan's dominant cost). The all-pairs frame itself carries
     // only sizes; non-overlapping pairs get ji = 0 via the left join.
+    // CONTRACT (scale probe, round 7): the OUTPUT is the full within-
+    // block Jaccard matrix INCLUDING ji=0 pairs — quadratic in block
+    // population by definition, for bounded blocks/diagnostics. The
+    // corpus-scale paths are qx33 (overlap-only pairs + hot-gram cap:
+    // output ∝ co-occurrence, per-gram fan-out bounded) and qx26
+    // (sketch-composed source-level Jaccard).
     "qx5_ngram_jaccard" -> ((s, dir) => {
       // lazy lineage cut: the shingled frame feeds BOTH sides of two
       // self-joins — without it the tokenize+shingle+distinct pipeline
@@ -135,6 +141,44 @@ object ExtQueries {
           (coalesce(col("ni"), lit(0.0)) /
             (col("na") + col("nb") - coalesce(col("ni"), lit(0.0))))
             .as("ji"))
+        .orderBy("d1", "d2")
+    }),
+
+    // PRODUCTION n-gram Jaccard — the corpus-scale companion of qx5
+    // (found by the round-7 sf0.1→sf1 scale probe: qx5's full matrix
+    // grew 96× in shuffle bytes on 10× data — as its contract says it
+    // must). Two changes make this one linear-ish in co-occurrence:
+    // (a) OVERLAP-ONLY output — pairs sharing ≥1 surviving gram; the
+    //     ji=0 padding rows are what made the matrix quadratic;
+    // (b) hot-gram cap — grams present in > 64 docs are dropped before
+    //     the posting-list self-join (same anti-join discipline as
+    //     Dedup.bandedPairs: boilerplate grams carry no similarity
+    //     signal and their df² join output IS the quadratic term).
+    // ji is computed over each doc's FULL distinct-gram size, so it is
+    // the standard boilerplate-insensitive lower bound of true Jaccard.
+    "qx33_jaccard_overlap" -> ((s, dir) => {
+      val cap = 64
+      val d = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          array_distinct(graft.meos.NativeExpressions
+            .shingleHashes(col("toks"), 3)).as("shd")))
+      val sizes = d.select(col("doc_id"),
+        size(col("shd")).cast("double").as("n"))
+      val inv = d.select(col("doc_id"), explode(col("shd")).as("s"))
+      val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") > cap).drop("df")
+      val small = inv.join(hot, Seq("s"), "left_anti")
+      val common = small.select(col("doc_id").as("d1"), col("s"))
+        .join(small.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        .where(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).cast("double").as("ni"))
+      common
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")),
+          Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (col("ni") / (col("na") + col("nb") - col("ni"))).as("ji"))
         .orderBy("d1", "d2")
     }),
 
@@ -1627,6 +1671,32 @@ object ExtQueries {
         |        - len(list_intersect(a.shd, b.shd))) AS ji
         |FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket
         |                 AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+
+    "qx33_jaccard_overlap" -> (ShingleCte +
+      """,
+        |d AS (SELECT doc_id,
+        |             list_distinct(list_transform(s,
+        |               g -> list_reduce(list_transform(range(1, 16),
+        |                 i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(g), CAST(i AS INT), 1)) - 1
+        |                   AS BIGINT)),
+        |                 (a, b) -> a * 16 + b))) AS shd FROM sh),
+        |inv AS (SELECT doc_id, unnest(shd) AS s FROM d),
+        |small AS (
+        |  SELECT doc_id, s FROM inv
+        |  WHERE s NOT IN (SELECT s FROM inv GROUP BY s
+        |                  HAVING count(*) > 64)),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(count(*) AS DOUBLE) AS ni
+        |  FROM small a JOIN small b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(shd) AS DOUBLE) AS n FROM d)
+        |SELECT c.d1, c.d2, c.ni / (x.n + y.n - c.ni) AS ji
+        |FROM common c
+        |JOIN sizes x ON x.doc_id = c.d1
+        |JOIN sizes y ON y.doc_id = c.d2
         |ORDER BY d1, d2""".stripMargin),
 
     "qx6_langid" ->
