@@ -44,7 +44,12 @@ object StreamingReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[EventIn].collect().sortBy(e => (micros(e.ts), e.event_id))
-    require(ev.nonEmpty, s"no events under $dir")
+    if (ev.isEmpty) // suite-wide contract: empty input → empty output
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, seg BIGINT, n BIGINT, t0_us BIGINT, " +
+            "t1_us BIGINT, xmin DOUBLE, xmax DOUBLE"))
     val maxUs = micros(ev.last.ts)
     val sentinelTs = new Timestamp((maxUs / 1000L) + (gapSec + 7200) * 1000L)
     val sentinels = ev.map(_.user_id).distinct
