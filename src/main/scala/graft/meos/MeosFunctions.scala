@@ -100,6 +100,9 @@ object MeosFunctions {
         sessionZone))
   // default binary codec = MobilityDB-layout extended WKB (MobilityWkb);
   // the round-1 self-described layout stays reachable as *_legacy
+  // MF-JSON parse leg (no reference counterpart — the reference only
+  // prints, temp.rs:17-19; this closes the codec matrix)
+  private val fromMfJsonUdf = udf((s: String) => TGeom.fromMfJson(s))
   private val wkbUdf = udf((v: Row) => TGeom.toWkb(valFromRow(v)))
   private val hexWkbUdf = udf((v: Row) => TGeom.toHexWkb(valFromRow(v)))
   private val fromWkbUdf = udf((b: Array[Byte]) => TGeom.fromWkb(b))
@@ -154,6 +157,7 @@ object MeosFunctions {
                          srs: String = null): Column =
     mfJsonUdf(v, lit(withBbox), lit(variant), lit(precision),
       lit(srs).cast("string"))
+  def tgeompointFromMfJson(s: Column): Column = fromMfJsonUdf(s)
   def tgeompointAsWkb(v: Column): Column = wkbUdf(v)
   def tgeompointAsHexWkb(v: Column): Column = hexWkbUdf(v)
   def tgeompointFromWkb(b: Column): Column = fromWkbUdf(b)

@@ -409,6 +409,82 @@ object TGeom {
     renderJson(JObjV(fields.result()), variant)
   }
 
+  /** Parse MF-JSON back to a temporal value — the inverse of
+    * [[toMfJson]]. The reference only PRINTS MF-JSON
+    * (`meos/src/temp.rs:17-19`); the parse leg completes this engine's
+    * codec matrix (WKT ⇄, WKB ⇄, MF-JSON ⇄) so MF-JSON interchange files
+    * can be INGESTED, not just produced. Accepts every shape the printer
+    * emits (instant / sequence / sequence set, optional crs/bbox/period,
+    * spaced/pretty variants — whitespace is insignificant in JSON), plus
+    * MovingFloat's x-only coordinate rows are rejected with a clear
+    * error (this is the tgeompoint codec). Subtype inference mirrors the
+    * printer: a `sequences` field ⇒ sequence set; interpolation "None"
+    * with one coordinate ⇒ instant; anything else ⇒ one sequence.
+    * Jackson (on every Spark classpath) does the JSON tree walk. */
+  def fromMfJson(json: String): Val = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch { case e: Exception => fail(s"bad MF-JSON: ${e.getMessage}") }
+    if (root == null || !root.isObject) fail("bad MF-JSON: not an object")
+    val typ = Option(root.get("type")).map(_.asText()).orNull
+    if (typ != "MovingGeomPoint")
+      fail(s"bad MF-JSON: type '$typ' (expected MovingGeomPoint)")
+    val srid = Option(root.path("crs").path("properties").path("name")
+      .asText(null)) match {
+      case Some(n) if n.startsWith("EPSG:") =>
+        try n.stripPrefix("EPSG:").toInt catch { case _: Exception => 0 }
+      case _ => 0
+    }
+    val interp = Option(root.get("interpolation")).map(_.asText())
+      .getOrElse("None") match {
+      case "None" => Temporal.InterpNone
+      case "Discrete" => Temporal.InterpDiscrete
+      case "Step" => Temporal.InterpStep
+      case "Linear" => Temporal.InterpLinear
+      case other => fail(s"bad MF-JSON interpolation: '$other'")
+    }
+    def instants(node: JsonNode): Seq[GInst] = {
+      val coords = Option(node.get("coordinates"))
+        .getOrElse(fail("bad MF-JSON: missing coordinates"))
+      val times = Option(node.get("datetimes"))
+        .getOrElse(fail("bad MF-JSON: missing datetimes"))
+      if (coords.size != times.size)
+        fail(s"bad MF-JSON: ${coords.size} coordinates vs " +
+          s"${times.size} datetimes")
+      coords.elements().asScala.zip(times.elements().asScala).map {
+        case (c, t) =>
+          if (!c.isArray || c.size < 2 || c.size > 3)
+            fail(s"bad MF-JSON coordinate arity ${c.size} (point needs " +
+              "[x, y] or [x, y, z])")
+          GInst(parseTs(t.asText()), c.get(0).asDouble(), c.get(1).asDouble(),
+            if (c.size == 3) Some(c.get(2).asDouble()) else None)
+      }.toSeq
+    }
+    def bound(node: JsonNode, name: String): Boolean =
+      Option(node.get(name)).forall(_.asBoolean(true))
+    Option(root.get("sequences")) match {
+      case Some(seqs) =>
+        val qs = seqs.elements().asScala.map { q =>
+          GSeq(instants(q), interp, bound(q, "lower_inc"),
+            bound(q, "upper_inc"))
+        }.toSeq
+        if (qs.isEmpty) fail("bad MF-JSON: empty sequences")
+        Val(SubSequenceSet, srid, interp, qs)
+      case None =>
+        val is = instants(root)
+        if (is.isEmpty) fail("bad MF-JSON: no instants")
+        if (interp == Temporal.InterpNone && is.size == 1)
+          Val(SubInstant, srid, interp,
+            Seq(GSeq(is, interp, `lower_inc` = true, `upper_inc` = true)))
+        else
+          Val(SubSequence, srid, interp,
+            Seq(GSeq(is, interp, bound(root, "lower_inc"),
+              bound(root, "upper_inc"))))
+    }
+  }
+
   // ---- extended WKB (temp.rs:21-38; flags WKB_EXTENDED|WKB_NDR|WKB_HEX) ---
   //
   // The DEFAULT binary codec is the MobilityDB-layout format

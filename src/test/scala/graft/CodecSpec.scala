@@ -283,6 +283,61 @@ class CodecSpec extends SparkTestBase {
     assert(parsed.forall(!_.isNullAt(0)))
   }
 
+  test("MF-JSON parse (no reference counterpart — the reference only " +
+    "prints): print∘parse is identity across the six grammars and all " +
+    "print variants; malformed inputs fail with clear errors") {
+    val wkts = Seq(
+      "POINT(1 1)@2000-01-01",
+      "{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}",
+      "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "Interp=Step;[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+      "{[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02], " +
+        "[POINT(3 3)@2000-01-03, POINT(3 3)@2000-01-04]}",
+      "SRID=4326;Point(-90.06 29.95)@2024-01-01T00:00:00+00")
+    for (w <- wkts; variant <- Seq(0, 1, 2, 3); bbox <- Seq(true, false)) {
+      val v = TGeom.parse(w)
+      val back = TGeom.fromMfJson(
+        TGeom.toMfJson(v, withBbox = bbox, precision = 15,
+          variant = variant))
+      // roundtrip pinned on the canonical WKT print plus the identity-
+      // bearing fields (bounds conventions ride the print)
+      assert(TGeom.print(back) == TGeom.print(v), s"$w variant=$variant")
+      assert(back.subtype == v.subtype && back.srid == v.srid &&
+        back.interp == v.interp, s"$w variant=$variant")
+    }
+    // z-coordinates survive the roundtrip
+    val z = TGeom.parse("POINT Z (1 2 3)@2000-01-01")
+    assert(TGeom.print(TGeom.fromMfJson(TGeom.toMfJson(z, precision = 15)))
+      == TGeom.print(z))
+    // srs override that is not EPSG:<n> parses with srid 0 (name-only crs)
+    assert(TGeom.fromMfJson(TGeom.toMfJson(TGeom.parse(wkts.head),
+      srs = "urn:ogc:def:crs:EPSG::4326")).srid == 0)
+    // malformed: wrong type, coordinate arity, count mismatch
+    def bad(j: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](TGeom.fromMfJson(j))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"type":"MovingFloat","values":[1]}""", "MovingGeomPoint")
+    bad("""{"type":"MovingGeomPoint","coordinates":[[1]],
+          |"datetimes":["2000-01-01T00:00:00+00"],
+          |"interpolation":"None"}""".stripMargin, "arity")
+    bad("""{"type":"MovingGeomPoint","coordinates":[[1,1],[2,2]],
+          |"datetimes":["2000-01-01T00:00:00+00"],
+          |"interpolation":"Linear"}""".stripMargin, "coordinates vs")
+    bad("not json at all {", "bad MF-JSON")
+    // and the UDF leg runs in-plan
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaUdf = Seq("POINT(1 1)@2000-01-01").toDF("wkt")
+      .select(graft.meos.MeosFunctions.tgeompointOut(
+        graft.meos.MeosFunctions.tgeompointFromMfJson(
+          graft.meos.MeosFunctions.tgeompointAsMfJson(
+            graft.meos.MeosFunctions.tgeompointIn(col("wkt")),
+            precision = 15))).as("out"))
+      .collect()(0).getAs[String]("out")
+    assert(viaUdf == "POINT(1 1)@2000-01-01 00:00:00+00")
+  }
+
   test("MF-JSON variant flags (json-c: bit0 spaced, bit1 pretty — the raw " +
     "test's variant 3, tests/01_hello_world.rs:18) and srs override") {
     val inst = TGeom.parse("POINT(1 1)@2000-01-01")
