@@ -78,6 +78,9 @@ object Bench {
       catch { case _: Throwable => }
       val t = (System.nanoTime() - t0) / 1e9
       Materialize.releaseAll(spark)
+      // per-query breakdown to stderr (diagnosis only — the driver
+      // snapshots stdout, which must stay one short JSON line)
+      System.err.println(f"[bench-r1] $name $t%.2f")
       t
     }.sum
     // The driver snapshots only the LAST 2000 chars of stdout; keep the

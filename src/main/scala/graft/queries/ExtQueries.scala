@@ -870,6 +870,61 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-trained bigram-LM score — the CCNet/Gopher-style perplexity
+    // proxy without an external model: train add-α bigram counts on the
+    // corpus itself, score each doc by its mean negative log-likelihood
+    // -log P(w2|w1) = -log((c(w1w2)+α)/(c(w1·)+α·V)). Low score =
+    // predictable/templated text, high = unusual; both tails are the
+    // standard drop candidates. Shape: everything rides the (doc, bigram)
+    // count frame (the qx14 discipline — the raw explode never shuffles);
+    // bigram/context counts are vocabulary-sized dims AQE broadcasts
+    // against it; V is a one-row broadcast. The only transcendental is
+    // ln(), rounded at 9 per distinct bigram (qx28 discipline); the
+    // per-doc mean folds k·nll in bigram order for bit parity.
+    "qx34_lm_score" -> ((s, dir) => {
+      import graft.meos.NativeExpressions.shingleHashes
+      val d = docsWithToks(s, dir)
+      // 60-bit gram keys (the qx16/qx31 hashing) — nothing downstream of
+      // the explode ever carries a string: bh = bigram hash, xh = hash of
+      // the bigram's FIRST token (position-aligned kernel outputs zipped;
+      // xh is functionally determined by bh, so min() just carries it
+      // through the (doc, bigram) rollup)
+      val occ = graft.Materialize.cut(d.select(col("doc_id"),
+          explode(arrays_zip(
+            shingleHashes(col("toks"), 2).as("bh"),
+            slice(shingleHashes(col("toks"), 1), lit(1),
+              size(col("toks")) - 1).as("xh"))).as("p"))
+        .select(col("doc_id"), col("p.bh").as("bh"), col("p.xh").as("xh"))
+        .groupBy("doc_id", "bh")
+        .agg(min(col("xh")).as("xh"), count(lit(1)).as("k")))
+      val cb = graft.Materialize.cut(occ.groupBy("bh")
+        .agg(min(col("xh")).as("xh"), sum(col("k")).as("cxy")))
+      // context count = Σ bigrams sharing the first token (self-consistent
+      // with the numerator — no doc-final-token edge case)
+      val cxt = cb.groupBy("xh").agg(sum(col("cxy")).as("cx"))
+      val vt = d.select(explode(shingleHashes(col("toks"), 1)).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      val nll = cb.join(cxt, "xh").crossJoin(broadcast(vt))
+        .select(col("bh"), round(-log(
+          (col("cxy").cast("double") + lit(0.5)) /
+            (col("cx").cast("double") + lit(0.5) * col("v").cast("double"))),
+          9).as("nll"))
+      // fold the per-bigram weights in VALUE order — identical doubles
+      // commute, so sorting by w itself is deterministic without carrying
+      // the bigram string through the aggregate (qx32 carries a key only
+      // because entropies are per-doc-unique; weights need no tiebreak)
+      occ.join(nll, "bh")
+        .select(col("doc_id"), col("k"),
+          (col("k").cast("double") * col("nll")).as("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("k")).as("n_bigrams"),
+          array_sort(collect_list(col("w"))).as("ws"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (aggregate(col("ws"), lit(0.0), (a, x) => a + x) /
+            col("n_bigrams").cast("double")).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // exact k-NN label classification — the eval-side consumer of the
     // similarity family (and the first exerciser of the embeddings
     // `label` column): 5 nearest neighbors vote, majority wins, smallest
@@ -2092,6 +2147,56 @@ object ExtQueries {
         |JOIN uni uy ON uy.term = string_split(bg, ' ')[2]
         |CROSS JOIN n1t CROSS JOIN n2t
         |ORDER BY pmi DESC, bg LIMIT 100""".stripMargin,
+
+    "qx34_lm_score" ->
+      // h60(s) = first 15 md5 hex digits as a BIGINT — the same 60-bit
+      // gram key ShingleHashesExpr computes from the digest bytes (qx31
+      // twin precedent); bigram strings are space-joined like the kernel
+      """WITH d AS (
+        |  SELECT doc_id, toks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |bgx AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |    i -> {'g': toks[i + 1] || ' ' || toks[i + 2],
+        |          'x': toks[i + 1]})) AS s
+        |  FROM d),
+        |hx AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(struct_extract(s, 'g')), CAST(i AS INT), 1)) - 1
+        |        AS BIGINT)), (a, b) -> a * 16 + b) AS bh,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(struct_extract(s, 'x')), CAST(i AS INT), 1)) - 1
+        |        AS BIGINT)), (a, b) -> a * 16 + b) AS xh
+        |  FROM bgx),
+        |occ AS (
+        |  SELECT doc_id, bh, min(xh) AS xh, CAST(count(*) AS BIGINT) AS k
+        |  FROM hx GROUP BY doc_id, bh),
+        |cb AS (SELECT bh, min(xh) AS xh, CAST(sum(k) AS BIGINT) AS cxy
+        |       FROM occ GROUP BY bh),
+        |cxt AS (SELECT xh, CAST(sum(cxy) AS BIGINT) AS cx
+        |        FROM cb GROUP BY xh),
+        |vt AS (SELECT CAST(count(DISTINCT list_reduce(
+        |    list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(t), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b)) AS BIGINT) AS v
+        |  FROM (SELECT unnest(toks) AS t FROM d)),
+        |nll AS (
+        |  SELECT bh, round(-ln((CAST(cxy AS DOUBLE) + 0.5) /
+        |      (CAST(cx AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))), 9) AS nll
+        |  FROM cb JOIN cxt USING (xh) CROSS JOIN vt)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  list_reduce(list_prepend(0.0E0,
+        |      list(CAST(k AS DOUBLE) * nll
+        |           ORDER BY CAST(k AS DOUBLE) * nll)),
+        |    (a, x) -> a + x) / CAST(sum(k) AS DOUBLE) AS lm_score
+        |FROM occ JOIN nll USING (bh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "qx32_corpus_card" ->
       """WITH t AS (
