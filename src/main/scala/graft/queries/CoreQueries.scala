@@ -500,6 +500,13 @@ object CoreQueries {
     "qs1_stream_replay" -> ((s, dir) =>
       graft.streaming.StreamingReplay.gapSessionsReplay(s, dir)),
 
+    // qs2 — second streaming path under the hash gate: the streaming
+    // backward as-of join replayed in time order and checked against
+    // DuckDB's NATIVE ASOF JOIN (q37's oracle — an independent
+    // implementation of the semantics, not a mirror of the state logic)
+    "qs2_stream_asof" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.asofReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -997,6 +1004,22 @@ object CoreQueries {
         |ON o.mon = m.mon
         |ORDER BY m.mon""".stripMargin)
 
+  /** q37's backward-as-of ground truth (DuckDB's NATIVE ASOF JOIN) —
+    * shared verbatim by the batch operator and the streaming replay
+    * (qs2): one oracle, two engines. */
+  private val AsofBackwardSql =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id AS signup_id, value AS signup_value
+      |  FROM events WHERE event_type = 'signup'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |    ORDER BY event_id DESC) = 1)
+      |SELECT e.event_id, e.user_id, e.ts,
+      |       s.signup_id AS asof_signup_id,
+      |       s.signup_value AS asof_signup_value
+      |FROM events e
+      |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** q36's gap-split ground truth — shared verbatim by the batch query
     * and the streaming replay (qs1): one oracle, two engines. */
   private val GapSplitSql =
@@ -1347,18 +1370,11 @@ object CoreQueries {
         |                AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q37_asof_join" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, event_id AS signup_id, value AS signup_value
-        |  FROM events WHERE event_type = 'signup'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-        |    ORDER BY event_id DESC) = 1)
-        |SELECT e.event_id, e.user_id, e.ts,
-        |       s.signup_id AS asof_signup_id,
-        |       s.signup_value AS asof_signup_value
-        |FROM events e
-        |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.event_id""".stripMargin,
+    "q37_asof_join" -> AsofBackwardSql,
+
+    // same-oracle discipline as qs1/q36: the streaming as-of replay must
+    // hash-match DuckDB's native ASOF JOIN over the same rows
+    "qs2_stream_asof" -> AsofBackwardSql,
 
     "q38_asof_forward" ->
       """WITH p AS (

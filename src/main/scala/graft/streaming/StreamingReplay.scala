@@ -44,6 +44,40 @@ object StreamingReplay {
   private def micros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Write `chunks` as ONE parquet file each into a fresh temp dir with
+    * strictly increasing mod-times — with maxFilesPerTrigger=1 the file
+    * source replays them as sequential micro-batches in this order. */
+  private def writeChunks[T](spark: SparkSession, chunks: Seq[Seq[T]],
+                             prefix: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): String = {
+    val srcDir = java.nio.file.Files.createTempDirectory(prefix)
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-w$i")
+      spark.createDataset(c).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir.toFile, f"chunk$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(base + i * 10000L)
+    }
+    srcDir.toString
+  }
+
+  /** Scoped state-store-partition override around a streaming start:
+    * streaming locks the partition count at query start, and 32 stores ×
+    * few micro-batches of snapshot/commit overhead dominate small
+    * replays. Read-set-restore — never leaks session config. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)
+                                    (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try { spark.conf.set(key, n.toString); body }
+    finally spark.conf.set(key, saved)
+  }
+
   /** Replay `events(dir)` through the gap-session engine; returns the
     * closed trips rolled up exactly like q36 (user_id, seg, n, t0_us,
     * t1_us, xmin, xmax). */
@@ -71,21 +105,7 @@ object StreamingReplay {
         val k = math.max(ev.length / 3, 1)
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
-
-        val srcDir = java.nio.file.Files.createTempDirectory("qs1-replay-src")
-        val base = System.currentTimeMillis()
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"qs1-replay-w$i")
-          spark.createDataset(c).coalesce(1).write.mode("overwrite")
-            .parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(srcDir.toFile, f"chunk$i%02d.parquet")
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(base + i * 10000L)
-        }
-        val entry = (srcDir.toString, sentTs)
+        val entry = (writeChunks(spark, chunks, "qs1-replay"), sentTs)
         stageCache.putIfAbsent(cacheKey, entry)
         entry
       }
@@ -96,21 +116,13 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
       .as[EventIn]
-    // SCOPED shuffle-partition override (read, set, restore — never leak
-    // session config): streaming locks the state-store partition count at
-    // query start, and 32 stores × 3 micro-batches of per-batch
-    // snapshot/commit overhead dominate this small replay. 8 stores is
-    // ~2× faster here and exactly what a real deployment tunes via
-    // checkpointed state — not a semantics change.
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    val q =
-      try {
-        spark.conf.set(key, "8")
-        StreamingAssembly.assembleGapSessions(stream, gapSec)
-          .writeStream.outputMode(OutputMode.Append())
-          .format("memory").queryName(table).start()
-      } finally spark.conf.set(key, saved)
+    // 8 state stores is ~2× faster for this small replay and exactly what
+    // a real deployment tunes via checkpointed state — not semantics
+    val q = withStatePartitions(spark, 8) {
+      StreamingAssembly.assembleGapSessions(stream, gapSec)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
     try q.processAllAvailable() finally q.stop()
 
     // q36's output shape over the closed-trip set: seg = 0-based per-user
@@ -127,5 +139,74 @@ object StreamingReplay {
         array_min(col("v")).as("xmin"),
         array_max(col("v")).as("xmax"))
       .orderBy("user_id", "seg")
+  }
+
+  // staged input for the as-of replay, keyed by dir
+  private val asofStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay events(dir) ∪ its signup rows (tagged as references) through
+    * the streaming backward as-of join ([[StreamingAsof]]), returning
+    * q37's exact shape — (event_id, user_id, ts, asof_signup_id,
+    * asof_signup_value) ordered by event_id — so DuckDB's NATIVE ASOF
+    * JOIN oracle checks the streaming engine (declared as
+    * `qs2_stream_asof`). Chunking is in global (ts, src) order with
+    * references before events at equal timestamps, so every reference is
+    * visible no later than the first event it enriches — the operator's
+    * documented stream==batch equivalence window. maxBuffer is set above
+    * any user's signup count so no history is pruned (exactness, like
+    * the NoTimeout choice). */
+  def asofReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import StreamingAsof.Tagged
+
+    val srcDirStr = Option(asofStageCache.get(dir)).getOrElse {
+      val rows = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .collect()
+      if (rows.isEmpty) // suite-wide contract: empty input → empty output
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, " +
+              "asof_signup_id BIGINT, asof_signup_value DOUBLE"))
+      val tagged = rows.iterator.flatMap { r =>
+        val eid = r.getLong(0)
+        val uid = r.getLong(1)
+        val t = r.getTimestamp(2)
+        val ev = Tagged(uid, t, 1, eid, -1L, 0.0)
+        if (r.getString(3) == "signup")
+          Seq(Tagged(uid, t, 0, -1L, eid, r.getDouble(4)), ev)
+        else Seq(ev)
+      }.toArray.sortBy(x =>
+        (micros(x.ts), x.src, if (x.src == 0) x.ref_id else x.event_id))
+      val k = math.max(tagged.length / 3, 1)
+      val chunks = Seq(tagged.slice(0, k).toSeq,
+        tagged.slice(k, 2 * k).toSeq, tagged.drop(2 * k).toSeq)
+        .filter(_.nonEmpty)
+      val d = writeChunks(spark, chunks, "qs2-replay")
+      asofStageCache.putIfAbsent(dir, d)
+      d
+    }
+
+    val table = s"qs2_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[Tagged]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .as[Tagged]
+    val q = withStatePartitions(spark, 8) {
+      StreamingAsof.enrich(stream, maxBuffer = 1 << 20)
+        .writeStream.outputMode(StreamingAsof.outputMode)
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(table)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ref_id").as("asof_signup_id"),
+        col("asof_ref_value").as("asof_signup_value"))
+      .orderBy("event_id")
   }
 }

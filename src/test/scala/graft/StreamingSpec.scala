@@ -585,4 +585,19 @@ class StreamingSpec extends SparkTestBase {
       s"only-stream=${(streamed -- batch).take(3)}, " +
         s"only-batch=${(batch -- streamed).take(3)}")
   }
+
+  test("qs2_stream_asof (the declared query) == q37 batch at sf0.001, " +
+    "and restores spark.sql.shuffle.partitions") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val streamed = SparkEntry.queries("qs2_stream_asof")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(spark.conf.get(key) == before, "session config leaked")
+    val batch = SparkEntry.queries("q37_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)}, " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
