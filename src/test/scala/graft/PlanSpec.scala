@@ -283,4 +283,18 @@ class PlanSpec extends SparkTestBase {
     assert(!pp.contains("CartesianProduct") &&
       !pp.contains("BroadcastNestedLoopJoin"), pp)
   }
+
+  test("qx34 bigram LM: the (doc, bigram) frame is cut once and reused " +
+    "(no re-explode per leg), keys are longs, V is a one-row broadcast") {
+    val p = plan("qx34_lm_score")
+    // occ + cb are materialized frames: the fact leg, the bigram-count
+    // leg, and the context leg all read ExistingRDDs...
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 3, p)
+    // ...so the only explode left in the final plan is the vocabulary
+    // count's unigram-hash pass
+    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    // the V cross join is the single one-row nested-loop broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
