@@ -181,10 +181,16 @@ object Dedup {
     * (license boilerplate, templated pages — THE common case in a web
     * crawl) makes the join quadratic on its own. Dropping buckets over the
     * cap BEFORE the join bounds total work to cap × |sig| rows regardless
-    * of the corpus's duplication structure, at a bounded recall cost:
-    * pairs inside an over-cap bucket are overwhelmingly re-found by the
-    * doc's other bands (standard practice — cf. Spark MLlib's
-    * MinHashLSH guidance and Lee et al. 2022 §4). */
+    * of the corpus's duplication structure, at a bounded recall cost for
+    * NEAR-duplicates: a near-dup pair differs in content, so it is
+    * overwhelmingly re-found via one of its colder bands (standard
+    * practice — cf. Spark MLlib's MinHashLSH guidance and Lee et al.
+    * 2022 §4). That argument is structurally false for EXACT duplicates
+    * (every band of every copy is identical, so all are hot together) —
+    * which is why [[minhashClustersFromToks]] collapses exact-content
+    * groups BEFORE banding; callers composing [[bandedPairs]] directly
+    * must either do the same or accept that over-cap exact-dup groups
+    * produce no pairs. */
   val DefaultBandCap = 64
 
   /** Candidate pairs from a banded signature frame (doc_id, band), with
@@ -220,20 +226,50 @@ object Dedup {
       docs.withColumn("toks", Text.tokens(col("text"))), bands, bandCap)
 
   /** [[minhashClusters]] over a pre-tokenized frame (doc_id, toks).
-    * `bandCap` (default on) is the hot-band guard of [[bandedPairs]]. */
+    * `bandCap` (default on) is the hot-band guard of [[bandedPairs]].
+    *
+    * Exact-content PRE-COLLAPSE: identical token streams share ALL their
+    * bands, so an above-cap group of exact duplicates is precisely the
+    * mass the hot-band guard drops — uncollapsed, the most-duplicated
+    * content (license boilerplate at crawl scale) would be the one class
+    * that escapes a capped dedup, because "some other band is colder"
+    * can never hold when every band of every copy is identical. So:
+    * one md5 fingerprint per doc (narrow), one fingerprint-keyed rollup
+    * picks a representative (min doc_id) per distinct content, LSH runs
+    * on representatives only, and the cluster label propagates back
+    * through the fingerprint. Exact duplicates can never escape, the
+    * cap's recall argument only has to hold for genuinely-distinct
+    * near-duplicates, and every added step is linear and hash-keyed. */
   def minhashClustersFromToks(docs: DataFrame, bands: Int = 4,
                               bandCap: Int = DefaultBandCap): DataFrame = {
-    // lazy cut: the banded frame feeds both self-join sides — without it
-    // the shingle+minhash pipeline runs twice (reliable checkpoint when a
-    // dir is configured; see Materialize)
-    val sig = graft.Materialize.cut(docs
+    // fp = xxhash64 over the token ARRAY (native one-pass, no string
+    // rebuild; only the GROUPING matters — the DuckDB twins group by
+    // md5 of the space-joined tokens, an identical partition of the
+    // corpus since tokens cannot contain the separator)
+    val base = graft.Materialize.cut(docs
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        explode(Text.lshBandsFromToks(col("toks"), bands)).as("band")))
+        xxhash64(col("toks")).as("fp"),
+        Text.lshBandsFromToks(col("toks"), bands).as("bands")))
+    // ONE fp-keyed aggregate picks the representative. first(bands) is
+    // deterministic here (every row of a group carries the identical
+    // array) and partial-aggregates map-side — a 10k-copy hot group
+    // ships one row per partition instead of 10k rows into a single
+    // reducer, so the collapse itself cannot skew (the window spelling
+    // would funnel exactly the boilerplate mass this exists to tame)
+    val repSig = graft.Materialize.cut(base.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("bands")).as("bands")))
+    val sig = repSig.select(col("doc_id"), explode(col("bands")).as("band"))
     val pairs = bandedPairs(sig, bandCap)
     val cc = connectedComponents(pairs)
+    val expanded = base.select(col("doc_id"), col("fp"))
+      .join(repSig.select(col("fp"), col("doc_id").as("rep")), Seq("fp"))
+      .join(cc, col("rep") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
     docs.select(col("doc_id"))
-      .join(cc, docs("doc_id") === cc("node"), "left")
+      .join(expanded, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("keeper", col("cluster") === col("doc_id"))

@@ -37,6 +37,11 @@ object ExtQueries {
   /** Tokenized-only variant for the band-key consumers (qx2/qx3/qx19):
     * same row set as [[docsWithShingles]], but the shingle array is never
     * materialized — banding runs fused over the tokens. */
+  /** qx33's hot-gram cap — shared by the Spark plan and its DuckDB twin
+    * so the two can never silently diverge (same discipline as
+    * `Dedup.DefaultBandCap` in the band twins). */
+  private val JaccardGramCap = 64
+
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", Text.tokens(col("text")))
@@ -157,7 +162,7 @@ object ExtQueries {
     // ji is computed over each doc's FULL distinct-gram size, so it is
     // the standard boilerplate-insensitive lower bound of true Jaccard.
     "qx33_jaccard_overlap" -> ((s, dir) => {
-      val cap = 64
+      val cap = JaccardGramCap
       val d = graft.Materialize.cut(
         docsWithToks(s, dir).select(col("doc_id"),
           array_distinct(graft.meos.NativeExpressions
@@ -1667,7 +1672,7 @@ object ExtQueries {
         |FROM j ORDER BY doc_id""".stripMargin,
 
     "qx19_source_overlap" -> (ShingleCte +
-      """,
+      s""",
         |sig AS (
         |  SELECT doc_id,
         |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
@@ -1683,7 +1688,7 @@ object ExtQueries {
         |small AS (
         |  SELECT doc_id, band FROM b
         |  WHERE band IN (SELECT band FROM b GROUP BY band
-        |                 HAVING count(*) <= 64)),
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
         |p AS (
         |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
         |  FROM small a JOIN small c
@@ -1729,7 +1734,7 @@ object ExtQueries {
         |ORDER BY d1, d2""".stripMargin),
 
     "qx33_jaccard_overlap" -> (ShingleCte +
-      """,
+      s""",
         |d AS (SELECT doc_id,
         |             list_distinct(list_transform(s,
         |               g -> list_reduce(list_transform(range(1, 16),
@@ -1741,7 +1746,7 @@ object ExtQueries {
         |small AS (
         |  SELECT doc_id, s FROM inv
         |  WHERE s NOT IN (SELECT s FROM inv GROUP BY s
-        |                  HAVING count(*) > 64)),
+        |                  HAVING count(*) > ${JaccardGramCap})),
         |common AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
         |         CAST(count(*) AS DOUBLE) AS ni
@@ -1889,14 +1894,20 @@ object ExtQueries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "qx11_dedup_clusters" -> (ShingleCte +
-      """,
+      s""",
+        |fpt AS (
+        |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |  FROM tok WHERE len(toks) >= 3),
+        |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+        |docrep AS (
+        |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
         |sig AS (
         |  SELECT doc_id,
         |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
         |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
         |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
         |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
-        |  FROM sh),
+        |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
         |bnd AS (
         |  SELECT doc_id, h0 AS band FROM sig
         |  UNION ALL SELECT doc_id, h1 FROM sig
@@ -1905,7 +1916,7 @@ object ExtQueries {
         |small AS (
         |  SELECT doc_id, band FROM bnd
         |  WHERE band IN (SELECT band FROM bnd GROUP BY band
-        |                 HAVING count(*) <= 64)),
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
         |e AS (
         |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
         |  FROM small a JOIN small c
@@ -1915,10 +1926,13 @@ object ExtQueries {
         |  UNION
         |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
         |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
-        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
-        |SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster,
-        |       coalesce(cc.cluster, d.doc_id) = d.doc_id AS keeper
-        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |expand AS (
+        |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
+        |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node)
+        |SELECT d.doc_id, coalesce(x.cluster, d.doc_id) AS cluster,
+        |       coalesce(x.cluster, d.doc_id) = d.doc_id AS keeper
+        |FROM documents d LEFT JOIN expand x ON d.doc_id = x.doc_id
         |ORDER BY d.doc_id""".stripMargin).replace("WITH tok AS",
       "WITH RECURSIVE tok AS"),
 
@@ -2457,14 +2471,20 @@ object ExtQueries {
         |ORDER BY lang""".stripMargin,
 
     "qp1_curation_pipeline" -> (ShingleCte +
-      """,
+      s""",
+        |fpt AS (
+        |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |  FROM tok WHERE len(toks) >= 3),
+        |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+        |docrep AS (
+        |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
         |sig AS (
         |  SELECT doc_id,
         |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
         |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
         |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
         |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
-        |  FROM sh),
+        |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
         |bnd AS (
         |  SELECT doc_id, h0 AS band FROM sig
         |  UNION ALL SELECT doc_id, h1 FROM sig
@@ -2473,7 +2493,7 @@ object ExtQueries {
         |small AS (
         |  SELECT doc_id, band FROM bnd
         |  WHERE band IN (SELECT band FROM bnd GROUP BY band
-        |                 HAVING count(*) <= 64)),
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
         |e AS (
         |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
         |  FROM small a JOIN small c
@@ -2484,6 +2504,9 @@ object ExtQueries {
         |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
         |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
         |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |expand AS (
+        |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
+        |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node),
         |qm AS (
         |  SELECT doc_id,
         |    stop_ratio * 100.0 + avg_wlen + CAST(n_chars AS DOUBLE) / 1000.0
@@ -2535,7 +2558,7 @@ object ExtQueries {
         |         WHEN COALESCE(tt.top_term_ratio, 0.0) > 0.2 OR
         |              COALESCE(bt.top_bigram_ratio, 0.0) > 0.18
         |           THEN 'repetition'
-        |         WHEN NOT (COALESCE(cc.cluster, d.doc_id) = d.doc_id)
+        |         WHEN NOT (COALESCE(x.cluster, d.doc_id) = d.doc_id)
         |           THEN 'near_dup'
         |         WHEN COALESCE(h.n_shared, 0) >= 1 THEN 'contaminated'
         |         WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) >=
@@ -2547,7 +2570,7 @@ object ExtQueries {
         |  LEFT JOIN qm ON d.doc_id = qm.doc_id
         |  LEFT JOIN tt ON d.doc_id = tt.doc_id
         |  LEFT JOIN bt ON d.doc_id = bt.doc_id
-        |  LEFT JOIN cc ON d.doc_id = cc.node
+        |  LEFT JOIN expand x ON d.doc_id = x.doc_id
         |  LEFT JOIN hits h ON d.doc_id = h.doc_id)
         |SELECT doc_id, drop_reason IS NULL AS kept, drop_reason
         |FROM verdict ORDER BY doc_id""".stripMargin).replace(

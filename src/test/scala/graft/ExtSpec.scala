@@ -86,10 +86,16 @@ class ExtSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // the hot band contributed ZERO join work; the real near-dup survives
     assert(got == Set((20001L, 20002L)), s"got ${got.size} pairs")
-    // and the capped production path clusters exactly that pair
-    val clusters = Dedup.minhashClustersFromToks(docs)
-      .where(!col("keeper")).collect()
-    assert(clusters.map(_.getLong(0)).toSet == Set(20002L))
+    // the capped production path still dedups the EXACT duplicates: the
+    // fingerprint pre-collapse clusters all 10 000 identical docs under
+    // doc 0 WITHOUT any band join touching them (their bands are all
+    // hot), and the near-dup pair clusters under 20001 via LSH
+    val clusters = Dedup.minhashClustersFromToks(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters.filterNot(_._2._2).keySet ==
+      ((1L until 10000L).toSet + 20002L))
+    assert((0L until 10000L).forall(i => clusters(i)._1 == 0L))
+    assert(clusters(20002L)._1 == 20001L && clusters(20001L)._2)
   }
 
   test("qe5 LSH near-dup pairs: subset of the exact result, recall >= " +

@@ -265,7 +265,7 @@ class PlanSpec extends SparkTestBase {
     "bucket set BEFORE the self-join") {
     // qx19's whole dataflow is one plan — the guard must sit in it
     val p19 = plan("qx19_source_overlap")
-    assert(p19.contains("> 64"), p19) // over-cap band set for the anti
+    assert(p19.contains(s"> ${graft.ext.Dedup.DefaultBandCap}"), p19) // over-cap band set
     assert(p19.contains("LeftAnti"), p19)
     assert(!p19.contains("CartesianProduct") &&
       !p19.contains("BroadcastNestedLoopJoin"), p19)
@@ -278,7 +278,7 @@ class PlanSpec extends SparkTestBase {
         graft.ext.Text.lshBandsFromToks(col("toks"), 4)).as("band"))
     val pp = graft.ext.Dedup.bandedPairs(sig)
       .queryExecution.executedPlan.toString
-    assert(pp.contains("> 64"), pp)
+    assert(pp.contains(s"> ${graft.ext.Dedup.DefaultBandCap}"), pp)
     assert(pp.contains("LeftAnti"), pp)
     assert(!pp.contains("CartesianProduct") &&
       !pp.contains("BroadcastNestedLoopJoin"), pp)
