@@ -47,14 +47,9 @@ object StreamingAsof extends Serializable {
                       asof_ref_id: Option[Long],
                       asof_ref_value: Option[Double])
 
-  private def micros(t: Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-  private def tsFromMicros(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  // µs ⇄ Timestamp conversions: [[Times]] (shared package-wide)
+  private def micros(t: Timestamp): Long = Times.micros(t)
+  private def tsFromMicros(us: Long): Timestamp = Times.tsFromMicros(us)
 
   /** Largest index i with `buf(i).t <= t`, or -1 — true binary search
     * (O(log n) probes over the sorted buffer, not a linear scan). */

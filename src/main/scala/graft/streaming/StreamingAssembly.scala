@@ -29,15 +29,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 // helpers, which makes them capture the module instance itself
 object StreamingAssembly extends Serializable {
 
-  /** Timestamp from epoch micros with full µs fidelity — `new
-    * Timestamp(us / 1000)` would truncate to ms while the tracked state is
-    * µs-resolution (set seconds via the ctor, then the sub-second part via
-    * setNanos, which replaces the whole nanos field). */
-  private def tsFromMicros(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  // µs ⇄ Timestamp conversions live in [[Times]] (shared package-wide;
+  // static module access — closures capture nothing)
+  private def tsFromMicros(us: Long): Timestamp = Times.tsFromMicros(us)
 
   case class EventIn(user_id: Long, ts: Timestamp, event_id: Long,
                      value: Double)
@@ -63,8 +57,7 @@ object StreamingAssembly extends Serializable {
         var vs = prev.v
         // within-batch time order, deterministic tiebreak — then the
         // reference's monotonic rule against the running last timestamp
-        def micros(t: Timestamp): Long =
-          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        def micros(t: Timestamp): Long = Times.micros(t)
         val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         sorted.foreach { e =>
           val us = micros(e.ts)
@@ -132,8 +125,7 @@ object StreamingAssembly extends Serializable {
             var ts = prev.t
             var vs = prev.v
             val emitted = Vector.newBuilder[ClosedTrip]
-            def micros(t: Timestamp): Long =
-              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            def micros(t: Timestamp): Long = Times.micros(t)
             rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
               val us = micros(e.ts)
               if (us > lastTs) {
@@ -183,8 +175,7 @@ object StreamingAssembly extends Serializable {
         var ts = prev.t
         var xs = prev.x
         var ys = prev.y
-        def micros(t: Timestamp): Long =
-          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        def micros(t: Timestamp): Long = Times.micros(t)
         rows.toSeq.sortBy(p => (micros(p.t), p.seq)).foreach { p =>
           val us = micros(p.t)
           if (us > lastTs && (maxTripSize <= 0 || ts.length < maxTripSize)) {
