@@ -41,8 +41,7 @@ object StreamingReplay {
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       (String, Timestamp)]()
 
-  private def micros(t: Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def micros(t: Timestamp): Long = Times.micros(t)
 
   /** Write `chunks` as ONE parquet file each into a fresh temp dir with
     * strictly increasing mod-times — with maxFilesPerTrigger=1 the file
@@ -62,6 +61,9 @@ object StreamingReplay {
       val dst = new java.io.File(srcDir.toFile, f"chunk$i%02d.parquet")
       java.nio.file.Files.copy(part.toPath, dst.toPath)
       dst.setLastModified(base + i * 10000L)
+      // the scratch dir (part file, _SUCCESS, .crc) served its purpose
+      tmp.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.delete(tmp)
     }
     srcDir.toString
   }
@@ -124,12 +126,18 @@ object StreamingReplay {
         .format("memory").queryName(table).start()
     }
     try q.processAllAvailable() finally q.stop()
+    // the returned frame holds the resolved memory-sink plan; dropping
+    // the temp view unpins the catalog reference so each run's result
+    // set is GC-able once the caller lets go (repeated bench runs would
+    // otherwise accumulate one full result copy per run for the session)
+    val sunk = spark.table(table)
+    spark.catalog.dropTempView(table)
 
     // q36's output shape over the closed-trip set: seg = 0-based per-user
     // rank by start time; segment stats from the trip's own arrays
     // (t is assembled in ascending time order)
     val w = Window.partitionBy("user_id").orderBy("start_ts")
-    spark.table(table)
+    sunk
       .where(col("start_ts") < lit(sentinelTs)) // defensive: no sentinels
       .withColumn("seg", (row_number().over(w) - 1).cast("long"))
       .select(col("user_id"), col("seg"),
@@ -202,8 +210,10 @@ object StreamingReplay {
         .format("memory").queryName(table).start()
     }
     try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
 
-    spark.table(table)
+    sunk
       .select(col("event_id"), col("user_id"), col("ts"),
         col("asof_ref_id").as("asof_signup_id"),
         col("asof_ref_value").as("asof_signup_value"))
