@@ -421,11 +421,17 @@ object TGeom {
     * printer: a `sequences` field ⇒ sequence set; interpolation "None"
     * with one coordinate ⇒ instant; anything else ⇒ one sequence.
     * Jackson (on every Spark classpath) does the JSON tree walk. */
+  // shared parser: ObjectMapper construction is Jackson's expensive op
+  // (type-factory/serializer caches) and readTree is thread-safe — one
+  // instance serves every row of the UDF leg
+  private lazy val mfJsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper
+
   def fromMfJson(json: String): Val = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import com.fasterxml.jackson.databind.JsonNode
     import scala.jdk.CollectionConverters._
     val root =
-      try new ObjectMapper().readTree(json)
+      try mfJsonMapper.readTree(json)
       catch { case e: Exception => fail(s"bad MF-JSON: ${e.getMessage}") }
     if (root == null || !root.isObject) fail("bad MF-JSON: not an object")
     val typ = Option(root.get("type")).map(_.asText()).orNull
@@ -467,7 +473,9 @@ object TGeom {
     Option(root.get("sequences")) match {
       case Some(seqs) =>
         val qs = seqs.elements().asScala.map { q =>
-          GSeq(instants(q), interp, bound(q, "lower_inc"),
+          val is = instants(q)
+          if (is.isEmpty) fail("bad MF-JSON: sequence with no instants")
+          GSeq(is, interp, bound(q, "lower_inc"),
             bound(q, "upper_inc"))
         }.toSeq
         if (qs.isEmpty) fail("bad MF-JSON: empty sequences")

@@ -325,6 +325,9 @@ class CodecSpec extends SparkTestBase {
           |"datetimes":["2000-01-01T00:00:00+00"],
           |"interpolation":"Linear"}""".stripMargin, "coordinates vs")
     bad("not json at all {", "bad MF-JSON")
+    bad("""{"type":"MovingGeomPoint","interpolation":"Linear",
+          |"sequences":[{"coordinates":[],"datetimes":[]}]}""".stripMargin,
+      "no instants")
     // and the UDF leg runs in-plan
     import spark.implicits._
     import org.apache.spark.sql.functions._
