@@ -263,11 +263,17 @@ object Dedup {
     val sig = repSig.select(col("doc_id"), explode(col("bands")).as("band"))
     val pairs = bandedPairs(sig, bandCap)
     val cc = connectedComponents(pairs)
-    val expanded = base.select(col("doc_id"), col("fp"))
-      .join(repSig.select(col("fp"), col("doc_id").as("rep")), Seq("fp"))
+    // cluster label PER FP first (repSig-sized frame ⋈ the small cc set —
+    // AQE broadcasts cc), then one fp-keyed join carries it to every doc;
+    // joining cc after the doc-grain expansion would run the broadcast
+    // probe over the duplicated rows instead of once per distinct content
+    val fpCluster = repSig.select(col("fp"), col("doc_id").as("rep"))
       .join(cc, col("rep") === cc("node"), "left")
-      .select(col("doc_id"),
+      .select(col("fp"),
         coalesce(col("cluster"), col("rep")).as("cluster"))
+    val expanded = base.select(col("doc_id"), col("fp"))
+      .join(fpCluster, Seq("fp"))
+      .select(col("doc_id"), col("cluster"))
     docs.select(col("doc_id"))
       .join(expanded, Seq("doc_id"), "left")
       .select(col("doc_id"),
