@@ -507,6 +507,14 @@ object CoreQueries {
     "qs2_stream_asof" -> ((s, dir) =>
       graft.streaming.StreamingReplay.asofReplay(s, dir)),
 
+    // qs3 — third streaming path under the hash gate, covering the one
+    // streaming operator family qs1/qs2 don't: the built-in WATERMARKED
+    // TUMBLING-WINDOW aggregation (watermark-driven Append finalization,
+    // not custom state). Day windows × event_type, count + integer-ized
+    // value sum; the oracle is the equivalent date_trunc GROUP BY.
+    "qs3_stream_window" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.windowedAggReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1375,6 +1383,18 @@ object CoreQueries {
     // same-oracle discipline as qs1/q36: the streaming as-of replay must
     // hash-match DuckDB's native ASOF JOIN over the same rows
     "qs2_stream_asof" -> AsofBackwardSql,
+
+    // the streaming windowed agg must hash-match the batch GROUP BY over
+    // day buckets; floor(value*1000) keeps the sum in exact integer
+    // arithmetic so no float-accumulation-order slack exists to hide in
+    "qs3_stream_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |         AS v_milli
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
 
     "q38_asof_forward" ->
       """WITH p AS (

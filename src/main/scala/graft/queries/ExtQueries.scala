@@ -930,6 +930,42 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023): hashed-n-gram
+    // bag-of-words models for a TARGET slice (stand-in for "high-quality
+    // reference corpus": the three highest-volume English sources) and
+    // the full corpus; per-doc weight = Σ_b k_b·log(p̂_t(b)/p̂_s(b)) over
+    // a FIXED 8192-bucket feature space (unigrams + bigrams, 60-bit gram
+    // keys mod B). The fixed bucket space is the scale story: both
+    // models are ≤B-row frames broadcast against the (doc, bucket) fact,
+    // which shuffles once at ≤doc-length grain — corpus size never
+    // enters a join key's cardinality. Fold discipline = qx34 (value
+    // order; ln rounded at 9 per bucket).
+    "qx35_dsir_weights" -> ((s, dir) => {
+      val w = graft.ext.Models.dsirWeights(docsWithToks(s, dir),
+        col("lang") === "en" && col("source").isin("src18", "src6", "src7"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(w, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // multinomial Naive Bayes language classifier over the qx35 hashed
+    // feature space — the trained-classifier curation shape (fastText-
+    // style quality/language gates) with no external model; see
+    // Models.nbClassify for the plan posture. NOTE on the fixture: the
+    // driver's synthetic corpus draws every lang from ONE shared
+    // vocabulary, so the label is (by construction) uninformative and a
+    // correct NB collapses to the prior — the hash gate checks the
+    // MACHINERY (counts, smoothing, folds, argmax), and ExtSpec proves
+    // the same code separates a planted informative fixture.
+    "qx36_nb_langid" -> ((s, dir) =>
+      graft.ext.Models.nbClassify(docsWithToks(s, dir), "lang")
+        .select(col("doc_id"), col("label").as("lang"),
+          col("pred").as("pred_lang"), col("correct"))
+        .orderBy("doc_id")),
+
     // exact k-NN label classification — the eval-side consumer of the
     // similarity family (and the first exerciser of the embeddings
     // `label` column): 5 nearest neighbors vote, majority wins, smallest
@@ -2211,6 +2247,115 @@ object ExtQueries {
         |    (a, x) -> a + x) / CAST(sum(k) AS DOUBLE) AS lm_score
         |FROM occ JOIN nll USING (bh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "qx35_dsir_weights" ->
+      // unigram ∪ bigram grams, the same h60 md5-fold as the kernel,
+      // bucketed mod 8192; target slice = en × {src18, src6, src7}
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, toks
+        |  FROM (SELECT doc_id, lang, source,
+        |          string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang, source, unnest(list_concat(toks,
+        |    list_transform(range(len(toks) - 1),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+        |  FROM d),
+        |hb AS (
+        |  SELECT doc_id, lang, source,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(gram), CAST(i AS INT), 1)) - 1
+        |        AS BIGINT)), (a, b) -> a * 16 + b) % 8192 AS b
+        |  FROM g),
+        |occ AS (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS k
+        |  FROM hb GROUP BY doc_id, b),
+        |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c
+        |       FROM hb GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c
+        |       FROM hb
+        |       WHERE lang = 'en' AND source IN ('src18', 'src6', 'src7')
+        |       GROUP BY b),
+        |ns AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cs),
+        |nt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS m FROM ct),
+        |lam AS (
+        |  SELECT cs.b,
+        |    round(ln((CAST(coalesce(ct.c, 0) AS DOUBLE) + 0.5) /
+        |        (nt.m + 0.5 * 8192)) -
+        |      ln((CAST(cs.c AS DOUBLE) + 0.5) /
+        |        (ns.n + 0.5 * 8192)), 9) AS lam
+        |  FROM cs LEFT JOIN ct USING (b) CROSS JOIN ns CROSS JOIN nt),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
+        |    list_reduce(list_prepend(0.0E0,
+        |        list(CAST(k AS DOUBLE) * lam
+        |             ORDER BY CAST(k AS DOUBLE) * lam)),
+        |      (a, x) -> a + x) AS dsir_weight
+        |  FROM occ JOIN lam USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+        |  coalesce(w.dsir_weight, 0.0E0) AS dsir_weight
+        |FROM documents d LEFT JOIN w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "qx36_nb_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, toks
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_concat(toks,
+        |    list_transform(range(len(toks) - 1),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+        |  FROM d),
+        |hb AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(gram), CAST(i AS INT), 1)) - 1
+        |        AS BIGINT)), (a, b) -> a * 16 + b) % 8192 AS b
+        |  FROM g),
+        |occ AS (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS k
+        |  FROM hb GROUP BY doc_id, b),
+        |clb AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+        |        FROM hb GROUP BY lang, b),
+        |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl
+        |       FROM clb GROUP BY lang),
+        |grid AS (
+        |  SELECT nl.lang, bs.b, nl.nl
+        |  FROM (SELECT DISTINCT b FROM hb) bs CROSS JOIN nl),
+        |plb AS (
+        |  SELECT grid.lang, grid.b,
+        |    round(ln((CAST(coalesce(clb.c, 0) AS DOUBLE) + 0.5) /
+        |      (CAST(grid.nl AS DOUBLE) + 0.5 * 8192)), 9) AS lnp
+        |  FROM grid LEFT JOIN clb USING (lang, b)),
+        |prior AS (
+        |  SELECT lang AS p_lang,
+        |    round(ln(CAST(count(*) AS DOUBLE) /
+        |      (SELECT CAST(count(*) AS DOUBLE) FROM d)), 9) AS lnprior
+        |  FROM d GROUP BY lang),
+        |score AS (
+        |  SELECT occ.doc_id, plb.lang AS p_lang,
+        |    list_reduce(list_prepend(0.0E0,
+        |        list(CAST(occ.k AS DOUBLE) * plb.lnp
+        |             ORDER BY CAST(occ.k AS DOUBLE) * plb.lnp)),
+        |      (a, x) -> a + x) AS s
+        |  FROM occ JOIN plb USING (b) GROUP BY occ.doc_id, plb.lang),
+        |best AS (
+        |  SELECT doc_id, p_lang
+        |  FROM (SELECT score.doc_id, score.p_lang,
+        |          score.s + prior.lnprior AS sc
+        |        FROM score JOIN prior USING (p_lang))
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY sc DESC, p_lang) = 1)
+        |SELECT d.doc_id, d.lang, best.p_lang AS pred_lang,
+        |       best.p_lang = d.lang AS correct
+        |FROM d JOIN best USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "qx32_corpus_card" ->
       """WITH t AS (

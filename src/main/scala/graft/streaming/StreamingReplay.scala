@@ -219,4 +219,85 @@ object StreamingReplay {
         col("asof_ref_value").as("asof_signup_value"))
       .orderBy("event_id")
   }
+
+  // staged input for the windowed-agg replay, keyed by dir; the cached
+  // sentinel timestamp bounds the defensive output filter
+  private val windowStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Timestamp)]()
+
+  private[streaming] case class WEvent(user_id: Long, ts: Timestamp,
+                                       event_id: Long,
+                                       event_type: String, value: Double)
+
+  /** Replay events(dir) through Structured Streaming's WATERMARKED
+    * TUMBLING-WINDOW aggregation — the bread-and-butter streaming
+    * operator (readStream → withWatermark → groupBy(window(...)) → agg →
+    * Append) that qs1/qs2's custom-state paths don't exercise — and
+    * return the finalized windows as a batch frame in the oracle's
+    * `date_trunc('day')` shape (declared as `qs3_stream_window`).
+    *
+    * Determinism: the aggregate itself commutes (counts + an integer sum
+    * — `floor(value*1000)` so no float-order sensitivity), so chunking
+    * only affects WHEN windows finalize, never their content. A single
+    * far-future sentinel row in the last chunk drives the watermark past
+    * every real window's end, so Append emits the total set; the
+    * sentinel's own window stays open in state and is filtered
+    * defensively. Emission relies on Spark running a follow-on
+    * micro-batch when a data batch advances the watermark (the standard
+    * state-eviction batch). */
+  def windowedAggReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, sentinelTs) = Option(windowStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "day TIMESTAMP, event_type STRING, n BIGINT, " +
+                "v_milli BIGINT"))
+        // 3 days past the last event: strictly beyond every real window's
+        // end + the 1h watermark delay, and day-aligned windows mean the
+        // sentinel can never share a window with real data
+        val sentTs =
+          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
+        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs3-replay"), sentTs)
+        windowStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs3_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("v_milli"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("event_type") =!= "__sentinel__" &&
+        col("w.start") < lit(sentinelTs))
+      .select(col("w.start").as("day"), col("event_type"),
+        col("n"), col("v_milli"))
+      .orderBy("day", "event_type")
+  }
 }

@@ -480,4 +480,52 @@ class ExtSpec extends SparkTestBase {
         out.count(_.getAs[Boolean]("kept")))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("qx36 NB classifier separates a planted informative fixture " +
+    "(the declared query's fixture is uninformative BY CONSTRUCTION)") {
+    import spark.implicits._
+    import graft.ext.{Models, Text}
+    // two classes with disjoint vocabularies + shared filler; NB must
+    // recover both, including for the docs where filler dominates
+    val docs = Seq(
+      (1L, "alpha", "apple banana cherry the of and apple banana"),
+      (2L, "alpha", "banana cherry apple apple the and of cherry"),
+      (3L, "alpha", "cherry apple the banana of and banana apple"),
+      (4L, "beta", "stone iron copper the of and stone iron"),
+      (5L, "beta", "iron copper stone stone the and of copper"),
+      (6L, "beta", "copper stone the iron of and iron stone"))
+      .toDF("doc_id", "label", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+    val got = Models.nbClassify(docs, "label").collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(got.size == 6 && got.values.forall(_._2),
+      s"misclassified: ${got.filterNot(_._2._2)}")
+    // and the declared query hash-matches its twin on the uninformative
+    // corpus (CORRECTNESS gate) — here just pin its shape
+    val declared = SparkEntry.queries("qx36_nb_langid")(spark, sfDir)
+    assert(declared.columns.toSeq ==
+      Seq("doc_id", "lang", "pred_lang", "correct"))
+  }
+
+  test("qx35 DSIR weights rank target-vocabulary docs above source-only " +
+    "docs on a planted fixture") {
+    import spark.implicits._
+    import graft.ext.{Models, Text}
+    // target slice speaks {alpha..}, the rest {noise..}; an unlabeled
+    // alpha-speaking doc must outweigh a noise-speaking one
+    val docs = Seq(
+      (1L, true, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, true, "beta alpha delta gamma beta alpha delta gamma"),
+      (3L, false, "noise fuzz static hiss noise fuzz static hiss"),
+      (4L, false, "fuzz noise hiss static fuzz noise hiss static"),
+      (5L, false, "alpha beta gamma delta beta gamma alpha delta"),
+      (6L, false, "noise fuzz hiss static hiss fuzz noise static"))
+      .toDF("doc_id", "tgt", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+    val w = Models.dsirWeights(docs, col("tgt")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(5L) > w(6L),
+      s"target-like doc 5 (${w(5L)}) not above source-only doc 6 (${w(6L)})")
+    assert(w(1L) > w(3L))
+  }
 }

@@ -297,4 +297,26 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("qx35 DSIR: bucketed-gram fact cut once, the two one-row totals " +
+    "are the only nested-loop broadcasts, no cartesian") {
+    val p = plan("qx35_dsir_weights")
+    // hb is a materialized frame feeding occ/cs/ct without re-explode
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Generate explode"), p)
+    // ns and nt are the only nested-loop joins, both one-row broadcasts
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qx36 NB: model dims broadcast against the fact, argmax is a " +
+    "WindowGroupLimit-prunable rank, no cartesian") {
+    val p = plan("qx36_nb_langid")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    // the label-grid cross join broadcasts the (labels, nl) dim; no
+    // unbounded nested loop appears beyond it
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -600,4 +600,25 @@ class StreamingSpec extends SparkTestBase {
       s"only-stream=${(streamed -- batch).take(3)}, " +
         s"only-batch=${(batch -- streamed).take(3)}")
   }
+
+  test("qs3_stream_window (the declared query) == the batch day-bucket " +
+    "GROUP BY at sf0.001, no sentinel rows, and restores " +
+    "spark.sql.shuffle.partitions") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val streamed = SparkEntry.queries("qs3_stream_window")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(spark.conf.get(key) == before, "session config leaked")
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000)).as("v_milli"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(!streamed.exists(_.contains("__sentinel__")))
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)}, " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
