@@ -2282,17 +2282,14 @@ object ExtQueries {
         |nt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS m FROM ct),
         |lam AS (
         |  SELECT cs.b,
-        |    round(ln((CAST(coalesce(ct.c, 0) AS DOUBLE) + 0.5) /
+        |    CAST(round((ln((CAST(coalesce(ct.c, 0) AS DOUBLE) + 0.5) /
         |        (nt.m + 0.5 * 8192)) -
         |      ln((CAST(cs.c AS DOUBLE) + 0.5) /
-        |        (ns.n + 0.5 * 8192)), 9) AS lam
+        |        (ns.n + 0.5 * 8192))) * 1000000000.0) AS BIGINT) AS lam_n
         |  FROM cs LEFT JOIN ct USING (b) CROSS JOIN ns CROSS JOIN nt),
         |w AS (
         |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_grams,
-        |    list_reduce(list_prepend(0.0E0,
-        |        list(CAST(k AS DOUBLE) * lam
-        |             ORDER BY CAST(k AS DOUBLE) * lam)),
-        |      (a, x) -> a + x) AS dsir_weight
+        |    CAST(sum(k * lam_n) AS DOUBLE) / 1000000000.0 AS dsir_weight
         |  FROM occ JOIN lam USING (b) GROUP BY doc_id)
         |SELECT d.doc_id,
         |  CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
@@ -2330,25 +2327,24 @@ object ExtQueries {
         |  FROM (SELECT DISTINCT b FROM hb) bs CROSS JOIN nl),
         |plb AS (
         |  SELECT grid.lang, grid.b,
-        |    round(ln((CAST(coalesce(clb.c, 0) AS DOUBLE) + 0.5) /
-        |      (CAST(grid.nl AS DOUBLE) + 0.5 * 8192)), 9) AS lnp
+        |    CAST(round(ln((CAST(coalesce(clb.c, 0) AS DOUBLE) + 0.5) /
+        |      (CAST(grid.nl AS DOUBLE) + 0.5 * 8192)) * 1000000000.0)
+        |      AS BIGINT) AS lnp_n
         |  FROM grid LEFT JOIN clb USING (lang, b)),
         |prior AS (
         |  SELECT lang AS p_lang,
-        |    round(ln(CAST(count(*) AS DOUBLE) /
-        |      (SELECT CAST(count(*) AS DOUBLE) FROM d)), 9) AS lnprior
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE) /
+        |      (SELECT CAST(count(*) AS DOUBLE) FROM d)) * 1000000000.0)
+        |      AS BIGINT) AS lnprior_n
         |  FROM d GROUP BY lang),
         |score AS (
         |  SELECT occ.doc_id, plb.lang AS p_lang,
-        |    list_reduce(list_prepend(0.0E0,
-        |        list(CAST(occ.k AS DOUBLE) * plb.lnp
-        |             ORDER BY CAST(occ.k AS DOUBLE) * plb.lnp)),
-        |      (a, x) -> a + x) AS s
+        |    CAST(sum(occ.k * plb.lnp_n) AS BIGINT) AS s
         |  FROM occ JOIN plb USING (b) GROUP BY occ.doc_id, plb.lang),
         |best AS (
         |  SELECT doc_id, p_lang
         |  FROM (SELECT score.doc_id, score.p_lang,
-        |          score.s + prior.lnprior AS sc
+        |          score.s + prior.lnprior_n AS sc
         |        FROM score JOIN prior USING (p_lang))
         |  QUALIFY row_number() OVER (PARTITION BY doc_id
         |    ORDER BY sc DESC, p_lang) = 1)

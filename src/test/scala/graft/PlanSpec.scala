@@ -298,25 +298,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("qx35 DSIR: bucketed-gram fact cut once, the two one-row totals " +
-    "are the only nested-loop broadcasts, no cartesian") {
+  test("qx35 DSIR: gram stream uncut (no 10x-corpus materialization), " +
+    "model rollup cut to a tiny frame, the two one-row totals are " +
+    "the only nested-loop broadcasts, no cartesian") {
     val p = plan("qx35_dsir_weights")
-    // hb is a materialized frame feeding occ/cs/ct without re-explode
-    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
-    assert(!p.contains("Generate explode"), p)
+    // occ re-runs the fused explode over the pruned text column; the
+    // (tgt, b) model rollup is cut, so its explode ran at materialization
+    // time and the plan reads the ≤ 2B-row frame (see Models scaladoc)
+    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Scan ExistingRDD"), p)
     // ns and nt are the only nested-loop joins, both one-row broadcasts
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("qx36 NB: model dims broadcast against the fact, argmax is a " +
-    "WindowGroupLimit-prunable rank, no cartesian") {
+  test("qx36 NB: model dims broadcast against the fact, integer " +
+    "log-space (no array fold), argmax is a WindowGroupLimit-prunable " +
+    "rank, no cartesian") {
     val p = plan("qx36_nb_langid")
-    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p)
+    // occ's explode is live; the (label, b) model rollup is cut
+    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Scan ExistingRDD"), p)
     // the label-grid cross join broadcasts the (labels, nl) dim; no
     // unbounded nested loop appears beyond it
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the exact-integer score path leaves no per-doc array machinery
+    assert(!p.contains("array_sort") && !p.contains("collect_list"), p)
   }
 }
