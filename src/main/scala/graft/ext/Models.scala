@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained hashed-feature models for curation gates — the
@@ -25,12 +24,14 @@ import org.apache.spark.sql.functions._
   * Overflow headroom: |ln p| < 25 ⇒ |li| < 2.5e10; k·li < ~5e14 per
   * bucket; ≤ B buckets per doc ⇒ |score| < 5e18 < 2⁶³.
   *
-  * The gram stream is deliberately NOT lineage-cut: its two consumers
-  * (the doc-grain fact rollup and the model rollup) each re-run the
-  * pushed-down scan + fused hash kernel — cheap CPU over a pruned
-  * column — where materializing the exploded stream would write ~10×
-  * the corpus (at 100 TB, a petabyte of scratch) to save that one
-  * re-scan. Measured faster uncut even at sf0.1. */
+  * One-pass fact discipline: the gram stream is exploded ONCE, rolled
+  * straight up to the (doc, bucket) occurrence fact `occ`, and `occ` is
+  * the only materialized frame — the model rollup derives from `occ` by
+  * a second aggregation (Σk per (slice, bucket) ≡ the raw per-bucket
+  * count), never from a second explode. The raw exploded stream itself
+  * is never cut: it is ~10× the corpus (at 100 TB, a petabyte of
+  * scratch), while `occ` is the smallest frame both consumers can share
+  * and is needed for scoring regardless. */
 object Models {
 
   val DefaultBuckets = 8192
@@ -58,13 +59,16 @@ object Models {
                   buckets: Int = DefaultBuckets): DataFrame = {
     val hb = bucketedGrams(docs.withColumn("tgt", isTarget), Seq("tgt"),
       buckets)
-    val occ = hb.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
-    // one (tgt, b) rollup feeds both models and both totals — CUT, so
-    // its four consumers read a ≤ 2B-row materialized frame instead of
-    // each re-running the gram stream (the fact is read exactly twice:
-    // occ + this)
+    // ONE explode: the (doc, bucket) fact is the only materialized frame
+    // (tgt rides along — functionally dependent on doc_id, so the extra
+    // key changes nothing but makes the model rollup derivable below)
+    val occ = graft.Materialize.cut(
+      hb.groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("k")))
+    // the (tgt, b) model rollup DERIVES from occ (Σk ≡ the raw per-bucket
+    // count) — no second gram-stream pass; cut again (≤ 2B rows) so its
+    // four consumers read the tiny frame, not 4× re-agg occ
     val ctb = graft.Materialize.cut(
-      hb.groupBy("tgt", "b").agg(count(lit(1)).as("c")))
+      occ.groupBy("tgt", "b").agg(sum(col("k")).as("c")))
     val cs = ctb.groupBy("b").agg(sum(col("c")).as("c"))
     val ct = ctb.where(col("tgt")).select(col("b"), col("c"))
     val ns = cs.agg(sum(col("c")).cast("double").as("n"))
@@ -98,12 +102,14 @@ object Models {
                  buckets: Int = DefaultBuckets): DataFrame = {
     val hb = bucketedGrams(docs.withColumn("lbl", col(labelCol)),
       Seq("lbl"), buckets)
-    val occ = hb.groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
-    // the (label, b) rollup feeds the likelihood grid, totals, and the
-    // observed-bucket set — CUT (≤ labels×B rows), so the fact stream is
-    // read exactly twice (occ + this)
+    // ONE explode: the (doc, bucket) fact is the only gram-stream pass
+    // (lbl rides along, functionally dependent on doc_id)
+    val occ = graft.Materialize.cut(
+      hb.groupBy("doc_id", "lbl", "b").agg(count(lit(1)).as("k")))
+    // the (label, b) model rollup derives from occ — no second explode;
+    // cut again (≤ labels×B rows) for its three consumers
     val clb = graft.Materialize.cut(
-      hb.groupBy("lbl", "b").agg(count(lit(1)).as("c")))
+      occ.groupBy("lbl", "b").agg(sum(col("k")).as("c")))
     val nl = clb.groupBy("lbl").agg(sum(col("c")).as("nl"))
     val grid = clb.select("b").distinct().crossJoin(broadcast(nl))
     val plb = grid.join(clb, Seq("lbl", "b"), "left")
@@ -111,23 +117,41 @@ object Models {
         (coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)) /
           (col("nl").cast("double") + lit(0.5) * buckets)) * 1e9, 0)
         .cast("long").as("lnp_n"))
-    val labeled = docs.select(col("doc_id"), col(labelCol).as("label"))
-    val nDocs = labeled.count()
-    val prior = labeled.groupBy(col("label").as("lbl"))
-      .agg(round(log(count(lit(1)).cast("double") / nDocs.toDouble) * 1e9,
-        0).cast("long").as("lnprior_n"))
-    val score = occ.join(plb, "b")
+    // (doc, label) derives from the materialized fact — `docs` is a
+    // filtered tokenized frame, so reading it again would re-run the
+    // tokenize+filter scan over the raw corpus once per consumer; occ
+    // covers exactly the same doc set (≥ 3 tokens ⇒ ≥ 1 gram) and the
+    // rollup is a map-side-combining agg over the cut frame
+    val labeled = occ.groupBy("doc_id")
+      .agg(first(col("lbl")).as("label"))
+    // prior fully in-plan: label counts + the one-row total fold into
+    // the same frame (a driver-side count() here would serialize a whole
+    // extra corpus job before the score stage can even be submitted)
+    val lblCnt = occ.groupBy("doc_id").agg(first(col("lbl")).as("lbl"))
+      .groupBy("lbl").agg(count(lit(1)).as("nd"))
+    val prior = lblCnt
+      .crossJoin(broadcast(lblCnt.agg(sum(col("nd")).as("ntot"))))
+      .select(col("lbl"),
+        round(log(col("nd").cast("double") / col("ntot").cast("double")) *
+          1e9, 0).cast("long").as("lnprior_n"))
+    // occ's ride-along lbl is the doc's OWN label — drop it before the
+    // score join, where `lbl` means the candidate label from plb
+    val score = occ.drop("lbl").join(plb, "b")
       .groupBy("doc_id", "lbl")
       .agg(sum(col("k") * col("lnp_n")).as("w_n"))
       .join(broadcast(prior), "lbl")
       .select(col("doc_id"), col("lbl"),
         (col("w_n") + col("lnprior_n")).as("score"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("lbl"))
-    score.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    // argmax as a plain aggregate: min_by over (−score, lbl) picks the
+    // max score with the smallest label breaking exact ties — exact in
+    // integer log-space, partial-aggregable map-side, and needs no sort
+    // exchange or window machinery (scores are bounded ≪ 2⁶³, so the
+    // negation cannot overflow)
+    score.groupBy("doc_id")
+      .agg(min_by(col("lbl"), struct(-col("score"), col("lbl")))
+        .as("pred"))
       .join(labeled, "doc_id")
-      .select(col("doc_id"), col("label"), col("lbl").as("pred"),
-        (col("lbl") === col("label")).as("correct"))
+      .select(col("doc_id"), col("label"), col("pred"),
+        (col("pred") === col("label")).as("correct"))
   }
 }

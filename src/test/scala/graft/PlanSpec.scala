@@ -298,14 +298,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("qx35 DSIR: gram stream uncut (no 10x-corpus materialization), " +
-    "model rollup cut to a tiny frame, the two one-row totals are " +
+  test("qx35 DSIR: one gram-stream pass (occ cut; model rollup derives " +
+    "from occ, never a second explode), the two one-row totals are " +
     "the only nested-loop broadcasts, no cartesian") {
     val p = plan("qx35_dsir_weights")
-    // occ re-runs the fused explode over the pruned text column; the
-    // (tgt, b) model rollup is cut, so its explode ran at materialization
-    // time and the plan reads the ≤ 2B-row frame (see Models scaladoc)
-    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    // the single explode ran at occ's materialization — the final plan
+    // reads the (doc, bucket) fact and the ≤ 2B-row model rollup as
+    // materialized frames and contains NO explode (see Models scaladoc)
+    assert(!p.contains("Generate explode"), p)
     assert(p.contains("Scan ExistingRDD"), p)
     // ns and nt are the only nested-loop joins, both one-row broadcasts
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 2, p)
@@ -313,16 +313,20 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("qx36 NB: model dims broadcast against the fact, integer " +
-    "log-space (no array fold), argmax is a WindowGroupLimit-prunable " +
-    "rank, no cartesian") {
+    "log-space (no array fold), argmax is a plain min_by aggregate " +
+    "(no window/sort machinery), no cartesian") {
     val p = plan("qx36_nb_langid")
-    // occ's explode is live; the (label, b) model rollup is cut
-    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    // single gram pass at occ's materialization; no explode survives
+    assert(!p.contains("Generate explode"), p)
     assert(p.contains("Scan ExistingRDD"), p)
-    // the label-grid cross join broadcasts the (labels, nl) dim; no
-    // unbounded nested loop appears beyond it
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
-    assert(p.contains("WindowGroupLimit"), p)
+    // the label-grid cross join broadcasts the (labels, nl) dim and the
+    // in-plan prior broadcasts its one-row total; no unbounded nested
+    // loop appears beyond those two bounded builds
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+    // argmax is min_by over (−score, lbl) — an aggregate, not a rank:
+    // no window exchange/sort appears anywhere in the plan
+    assert(p.contains("min_by"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the exact-integer score path leaves no per-doc array machinery
     assert(!p.contains("array_sort") && !p.contains("collect_list"), p)
