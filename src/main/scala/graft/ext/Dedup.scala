@@ -144,6 +144,66 @@ object Dedup {
     labels
   }
 
+  /** Delta dedup against an already-ingested corpus — the snapshot-
+    * ingestion posture: a new dump dedups against the EXISTING corpus's
+    * banded LSH index instead of re-clustering everything. The hot-band
+    * cap applies on the INDEX side ([[bandedPairs]] discipline — one
+    * boilerplate band cannot make the probe quadratic); candidates are
+    * refined by exact distinct-3-gram Jaccard ≥ `minJaccard` over 60-bit
+    * keys, so the band stage only bounds work, never decides. Both
+    * frames need (doc_id, toks); docs under 3 tokens never band or gram
+    * (callers re-attach them). Returns (doc_id, dup_of, is_new) for
+    * incoming docs that banded. At 100 TB the index is a materialized
+    * banded table and each dump's probe is index-bounded work, not
+    * corpus². */
+  def deltaDedup(existing: DataFrame, incoming: DataFrame,
+                 bands: Int = 4, bandCap: Int = DefaultBandCap,
+                 minJaccard: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.where(size(col("toks")) >= 3)
+    def bandsOf(df: DataFrame): DataFrame = prep(df)
+      .select(col("doc_id"),
+        explode(Text.lshBandsFromToks(col("toks"), bands)).as("band"))
+    val idx = bandsOf(existing)
+      .select(col("doc_id").as("old_id"), col("band"))
+    val idxCapped =
+      if (bandCap <= 0) idx
+      else idx.join(
+        idx.groupBy("band").agg(count(lit(1)).as("n"))
+          .where(col("n") > bandCap).drop("n"),
+        Seq("band"), "left_anti")
+    val cand = bandsOf(incoming)
+      .select(col("doc_id").as("new_id"), col("band"))
+      .join(idxCapped, "band")
+      .select("new_id", "old_id").distinct()
+    def gramsOf(df: DataFrame): DataFrame = prep(df)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.meos.NativeExpressions.shingleHashes(col("toks"), 3)))
+        .as("g"))
+    val gOld = graft.Materialize.cut(gramsOf(existing))
+    val gNew = graft.Materialize.cut(gramsOf(incoming))
+    val szOld = gOld.groupBy("doc_id").agg(count(lit(1)).as("szo"))
+    val szNew = gNew.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val inter = gNew.withColumnRenamed("doc_id", "new_id")
+      .join(cand, "new_id")
+      .join(gOld.select(col("doc_id").as("old_id"), col("g")),
+        Seq("old_id", "g"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("ninter"))
+    val dups = inter
+      .join(szNew.select(col("doc_id").as("new_id"), col("szn")),
+        "new_id")
+      .join(szOld.select(col("doc_id").as("old_id"), col("szo")),
+        "old_id")
+      .where(col("ninter").cast("double") /
+        (col("szn") + col("szo") - col("ninter")).cast("double")
+        >= minJaccard)
+      .groupBy("new_id").agg(min(col("old_id")).as("dup_of"))
+    prep(incoming).select(col("doc_id"))
+      .join(dups, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   /** Benchmark decontamination: for every corpus doc, the number of
     * DISTINCT word k-shingles it shares with ANY probe/benchmark doc, plus
     * a contaminated flag. Both frames need (doc_id, text). Scale shape:

@@ -1133,6 +1133,146 @@ object ExtQueries {
     "qp1_curation_pipeline" -> ((s, dir) =>
       Curation.pipeline(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // concat-and-cut sequence packing — the GPT-style pretraining batch
+    // layout (documents concatenated in corpus order, cut into fixed
+    // 256-token training examples): per doc, its global token offset
+    // within its source shard and the first/last example ("bin") it
+    // lands in, plus whether it straddles an example boundary (the
+    // attention-masking accounting every packer needs). Pure prefix
+    // arithmetic over a per-source running sum — the window partitions
+    // by source (the shard key), so at 100 TB each shard's prefix sum is
+    // an independent partition and nothing ever funnels through a global
+    // order. All-integer math (div), bit-exact cross-engine.
+    "qx37_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("source"), col("doc_id"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("start_off"),
+          expr("(cum - n_toks) div 256").as("first_bin"),
+          expr("(cum - 1) div 256").as("last_bin"))
+        .withColumn("straddles", col("first_bin") =!= col("last_bin"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // sliding-window chunking with overlap — the RAG/embedding-prep
+    // shape (64-token chunks, stride 48 ⇒ 16-token overlap): one row per
+    // (doc, chunk) with the chunk's token count and content fingerprint.
+    // chunk count = 1 + ceil((n−64)/48) in pure integer math (the
+    // greatest() guard keeps the negative-numerator case away from the
+    // engines' differing div semantics). Narrow map + bounded explode —
+    // no shuffle anywhere except the final presentation sort; at 100 TB
+    // this is embarrassingly parallel and the output is ~n/48 of the
+    // token stream.
+    "qx38_chunk_overlap" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nc",
+          lit(1L) + greatest(lit(0L), expr("(n - 17) div 48")))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), (col("chunk_id") * 48 + 1).cast("int"),
+            lit(64)).as("ch"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ch")).cast("long").as("n_chunk_toks"),
+          md5(concat_ws(" ", col("ch"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // count-min-sketch heavy hitters — the bounded-memory frequency
+    // sketch next to qx17's KMV distinct sketch: a 4×1024 counter grid
+    // (bucket = seeded 60-bit md5 key mod 1024) built from the
+    // vocabulary rollup, read back for the exact top-20 terms so the
+    // one-sided error is exhibited (cms_n ≥ exact_n always; equality
+    // when no collision). Deterministic md5 hashing makes the sketch —
+    // not just the query — oracle-checkable, unlike any randomized CMS.
+    // Scale: the term rollup is the only corpus-proportional shuffle;
+    // the grid is 4096 rows at ANY corpus size (mergeable, map-side
+    // partial), the top-20 is a TakeOrdered, and every join after it is
+    // bounded × bounded.
+    "qx39_cms_heavy_hitters" -> ((s, dir) => {
+      val tf = graft.Materialize.cut(
+        Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c")))
+      val tb = tf.select(col("term"), col("c"),
+          explode(array((0 until 4).map { i =>
+            struct(lit(i).as("i"),
+              (conv(substring(md5(concat(lit(s"$i:"), col("term"))),
+                1, 15), 16, 10).cast("long") % 1024).as("b"))
+          }: _*)).as("rb"))
+        .select(col("term"), col("c"),
+          col("rb.i").as("i"), col("rb.b").as("b"))
+      val counters = tb.groupBy("i", "b").agg(sum(col("c")).as("cnt"))
+      val top = tf.orderBy(desc("c"), col("term")).limit(20)
+        .select(col("term"), col("c").as("exact_n"))
+      tb.join(broadcast(top), "term")
+        .join(broadcast(counters), Seq("i", "b"))
+        .groupBy("term", "exact_n")
+        .agg(min(col("cnt")).as("cms_n"))
+        .orderBy(desc("exact_n"), col("term"))
+    }),
+
+    // deterministic weighted sampling (Efraimidis–Spirakis A-ES) — the
+    // principled "sample long documents proportionally more" primitive
+    // (weight = token count): each doc draws an exponential key
+    // −ln(u)/w from an md5-derived uniform, and the k smallest keys per
+    // language are exactly a weighted sample without replacement. The
+    // key is quantized to integer micro-units before ranking so the two
+    // engines' ln() ulp noise cannot flip an order (doc_id breaks ties).
+    // Scale: narrow map + per-lang top-16 (WindowGroupLimit prunes to
+    // k per partition before any sort exchange); nothing global.
+    "qx40_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("u",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("double") + lit(1.0)) /
+            lit(1.152921504606847e18))
+        .withColumn("key6",
+          round(-log(col("u")) / col("n_toks").cast("double") * 1e6, 0)
+            .cast("long"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("key6"), col("doc_id"))
+      d.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 16)
+        .select(col("lang"), col("rank"), col("doc_id"), col("n_toks"))
+        .orderBy("lang", "rank")
+    }),
+
+    // delta dedup against an existing corpus — the snapshot-ingestion
+    // posture (a new dump dedups against what's already INGESTED, never
+    // re-clustering the whole corpus): existing docs (src0–src9) build a
+    // banded LSH index with the hot-band cap applied on the INDEX side
+    // (bandedPairs discipline — one boilerplate band cannot make the
+    // probe quadratic); incoming docs (src10+) probe it, and candidates
+    // are refined by exact 3-gram Jaccard ≥ 0.5 over 60-bit gram keys.
+    // Per incoming doc: the smallest existing doc it duplicates, or
+    // is_new. At 100 TB the index is a materialized banded table and
+    // each dump's probe is index-size-bounded work, not corpus².
+    "qx41_delta_dedup" -> ((s, dir) => {
+      val oldSrc = (0 to 9).map("src" + _)
+      val base = docsWithToks(s, dir)
+        .select(col("doc_id"), col("source"), col("toks"))
+      val flags = Dedup.deltaDedup(
+        base.where(col("source").isin(oldSrc: _*)),
+        base.where(!col("source").isin(oldSrc: _*)))
+      Tables.documents(s, dir)
+        .where(!col("source").isin(oldSrc: _*))
+        .select(col("doc_id"), col("source"))
+        .join(flags.select(col("doc_id").as("new_id"), col("dup_of")),
+          col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("source"), col("dup_of"),
+          col("dup_of").isNull.as("is_new"))
+        .orderBy("doc_id")
+    }),
+
     // GPT-3-style span-duplication rate — fraction of each doc's word
     // 13-grams that also occur in at least one OTHER document (within-doc
     // repetition is qx15's job; this is the cross-doc contamination/
@@ -2352,6 +2492,154 @@ object ExtQueries {
         |       best.p_lang = d.lang AS correct
         |FROM d JOIN best USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "qx37_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, doc_id, n_toks,
+        |       CAST(cum - n_toks AS BIGINT) AS start_off,
+        |       CAST((cum - n_toks) // 256 AS BIGINT) AS first_bin,
+        |       CAST((cum - 1) // 256 AS BIGINT) AS last_bin,
+        |       ((cum - n_toks) // 256) <> ((cum - 1) // 256) AS straddles
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "qx38_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, toks, len(toks) AS n
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |         unnest(range(0, 1 + greatest(0, (n - 17) // 48)))
+        |           AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(ch) AS BIGINT) AS n_chunk_toks,
+        |       md5(array_to_string(ch, ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, chunk_id,
+        |        list_slice(toks, CAST(chunk_id * 48 + 1 AS BIGINT),
+        |          CAST(least(chunk_id * 48 + 64, n) AS BIGINT)) AS ch
+        |      FROM c)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "qx39_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY term),
+        |tb AS (
+        |  SELECT term, c, i,
+        |    list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(i AS VARCHAR) || ':' || term),
+        |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 1024 AS b
+        |  FROM tf, range(0, 4) AS r(i)),
+        |counters AS (
+        |  SELECT i, b, sum(c) AS cnt FROM tb GROUP BY i, b),
+        |top AS (
+        |  SELECT term, c AS exact_n FROM tf
+        |  ORDER BY c DESC, term LIMIT 20)
+        |SELECT top.term AS term, top.exact_n,
+        |       CAST(min(co.cnt) AS BIGINT) AS cms_n
+        |FROM top
+        |JOIN tb ON tb.term = top.term
+        |JOIN counters co ON co.i = tb.i AND co.b = tb.b
+        |GROUP BY 1, 2
+        |ORDER BY exact_n DESC, term""".stripMargin,
+
+    "qx40_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    (CAST(list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) + 1)
+        |      / 1.152921504606847e18 AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, n_toks,
+        |         CAST(round(-ln(u) / CAST(n_toks AS DOUBLE) * 1e6)
+        |           AS BIGINT) AS key6
+        |  FROM d)
+        |SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY key6, doc_id) AS BIGINT) AS rank,
+        |       doc_id, n_toks
+        |FROM k
+        |QUALIFY rank <= 16
+        |ORDER BY lang, rank""".stripMargin,
+
+    "qx41_delta_dedup" -> (ShingleCte +
+      s""",
+        |src AS (SELECT doc_id, source FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |bs AS (SELECT b.doc_id, b.band, src.source
+        |       FROM b JOIN src USING (doc_id)),
+        |idx AS (
+        |  SELECT doc_id AS old_id, band FROM bs
+        |  WHERE source IN ('src0','src1','src2','src3','src4',
+        |                   'src5','src6','src7','src8','src9')),
+        |idxc AS (
+        |  SELECT old_id, band FROM idx
+        |  WHERE band IN (SELECT band FROM idx GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, idxc.old_id
+        |  FROM bs n JOIN idxc USING (band)
+        |  WHERE n.source NOT IN ('src0','src1','src2','src3','src4',
+        |                         'src5','src6','src7','src8','src9')),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(s,
+        |    x -> list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(x), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)))) AS gk
+        |  FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |       FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT cand.new_id, cand.old_id,
+        |         CAST(count(*) AS BIGINT) AS ninter
+        |  FROM cand
+        |  JOIN g gn ON gn.doc_id = cand.new_id
+        |  JOIN g go ON go.doc_id = cand.old_id AND go.gk = gn.gk
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT new_id, min(old_id) AS dup_of
+        |  FROM inter
+        |  JOIN sz zn ON zn.doc_id = inter.new_id
+        |  JOIN sz zo ON zo.doc_id = inter.old_id
+        |  WHERE CAST(ninter AS DOUBLE)
+        |          / CAST(zn.sz + zo.sz - ninter AS DOUBLE) >= 0.5
+        |  GROUP BY new_id)
+        |SELECT d.doc_id, d.source, dups.dup_of,
+        |       dups.dup_of IS NULL AS is_new
+        |FROM documents d
+        |LEFT JOIN dups ON dups.new_id = d.doc_id
+        |WHERE d.source NOT IN ('src0','src1','src2','src3','src4',
+        |                       'src5','src6','src7','src8','src9')
+        |ORDER BY d.doc_id""".stripMargin),
 
     "qx32_corpus_card" ->
       """WITH t AS (

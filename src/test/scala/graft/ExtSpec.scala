@@ -528,4 +528,99 @@ class ExtSpec extends SparkTestBase {
       s"target-like doc 5 (${w(5L)}) not above source-only doc 6 (${w(6L)})")
     assert(w(1L) > w(3L))
   }
+
+  test("qx37 packing invariants: offsets are contiguous per source, " +
+    "bins are monotone, straddles iff a 256-boundary falls inside") {
+    val rows = SparkEntry.queries("qx37_pack_sequences")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_._2)
+      // each doc starts where the previous ended — concat-and-cut never
+      // skips or overlaps tokens
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 == b._4, s"$a -> $b")
+        case _ =>
+      }
+      inOrder.foreach { case (_, _, n, off, fb, lb, straddles) =>
+        assert(fb == off / 256 && lb == (off + n - 1) / 256)
+        assert(straddles == (fb != lb))
+      }
+    }
+  }
+
+  test("qx38 chunking invariants: full coverage, stride 48, all " +
+    "non-final chunks are 64 tokens, fingerprints match re-sliced text") {
+    import graft.ext.Text
+    val toksByDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = SparkEntry.queries("qx38_chunk_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = toksByDoc(doc).size
+      val inOrder = cs.sortBy(_._2)
+      // ids dense from 0; last chunk reaches the end of the doc
+      assert(inOrder.map(_._2).toSeq == (0L until inOrder.size).toSeq)
+      val (_, lastId, lastLen, _) = inOrder.last
+      assert(lastId * 48 + lastLen == n,
+        s"doc $doc: last chunk ends at ${lastId * 48 + lastLen}, n=$n")
+      inOrder.init.foreach { case (_, _, len, _) => assert(len == 64) }
+      inOrder.foreach { case (_, id, len, _) =>
+        assert(len == math.min(64, n - id * 48)) }
+    }
+  }
+
+  test("qx39 CMS one-sided error: cms_n >= exact_n on every heavy " +
+    "hitter, equal in the no-collision case") {
+    val rows = SparkEntry.queries("qx39_cms_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.size == 20)
+    rows.foreach { case (term, exact, cms) =>
+      assert(cms >= exact, s"$term: cms $cms < exact $exact") }
+  }
+
+  test("qx40 weighted sample: deterministic, per-lang ranks dense " +
+    "from 1, capped at 16") {
+    def run() = SparkEntry.queries("qx40_weighted_sample")(spark, sfDir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq) // md5-derived keys: no RNG, no drift
+    a.groupBy(_._1).foreach { case (lang, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.size).toSeq, s"$lang ranks: $ranks")
+      assert(ranks.size <= 16)
+    }
+  }
+
+  test("qx41 delta dedup: a planted incoming copy of an ingested doc " +
+    "is flagged with dup_of = the existing doc; novel content is new") {
+    import spark.implicits._
+    import graft.ext.{Dedup, Text}
+    val existing = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today and " +
+        "tomorrow again"),
+      (11L, "spark shuffles partition data across the cluster nodes"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+    val incoming = Seq(
+      // near-identical to 10 (one token changed; shares 2 of 4 band
+      // minima and 10 of 14 distinct 3-grams — deterministic md5)
+      (20L, "the quick brown fox jumps over the lazy dog today and " +
+        "tomorrow soon"),
+      // genuinely new
+      (21L, "completely unrelated words about cooking pasta and sauce"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+    val got = Dedup.deltaDedup(existing, incoming).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    assert(got(20L) == (Some(10L), false), s"got ${got(20L)}")
+    assert(got(21L) == (None, true), s"got ${got(21L)}")
+  }
 }

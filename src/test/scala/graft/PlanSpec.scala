@@ -331,4 +331,42 @@ class PlanSpec extends SparkTestBase {
     // the exact-integer score path leaves no per-doc array machinery
     assert(!p.contains("array_sort") && !p.contains("collect_list"), p)
   }
+
+  test("qx37 packing: ONE window, partitioned by the source shard key " +
+    "(prefix sums never funnel through a global order), no cartesian") {
+    val p = plan("qx37_pack_sequences")
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qx38 chunking: narrow map + bounded explode — zero hash " +
+    "exchanges (the presentation sort is the only shuffle)") {
+    val p = plan("qx38_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("qx39 CMS: vocabulary rollup is the only corpus shuffle; top-20 " +
+    "is a TakeOrdered and every later join is a bounded broadcast") {
+    val p = plan("qx39_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qx40 weighted sample: per-lang top-16 prunes via " +
+    "WindowGroupLimit before any sort exchange") {
+    val p = plan("qx40_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qx41 delta dedup: the index-side hot-band cap is a left-anti " +
+    "guard (bandedPairs discipline) ahead of the probe join") {
+    val p = plan("qx41_delta_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains(s"> ${graft.ext.Dedup.DefaultBandCap}"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
