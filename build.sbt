@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // a 112-query suite generates thousands of whole-stage-codegen classes;
+  // the JVM default 240m code cache thrashes late in the run (flushed
+  // compiled methods re-interpret, inflating the suite tail — the
+  // DRIFT_r07.md session-weight effect). Size it so compiled code stays
+  // compiled for the whole suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )
