@@ -277,6 +277,45 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Content-defined chunking (the LBFS/rsync boundary rule): a chunk
+    * boundary falls AFTER 1-based token position i (i < n) when that
+    * token's 60-bit md5 key ≡ 0 (mod boundaryMod) — boundaries are a
+    * function of the CONTENT, so inserting a token early in a doc
+    * re-fingerprints only the chunk it lands in; every chunk after the
+    * next boundary is byte-identical to the original's (the
+    * shift-resistance fixed-stride chunking fundamentally lacks).
+    * Input: (doc_id, toks); output: one row per (doc_id, chunk_id) with
+    * the chunk's 60-bit content key `k`. Boundary detection, chunk
+    * slicing and fingerprinting are all per-row ARRAY ops — a narrow
+    * map plus a bounded explode, no token-grain shuffle — and every
+    * downstream agg/join runs on the 8-byte key. */
+  def cdcChunks(docs: DataFrame, boundaryMod: Int = 16): DataFrame = {
+    val withChunks = docs
+      .withColumn("n", size(col("toks")))
+      .withColumn("bp",
+        // guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where the
+        // oracle's range(1, 1) is empty — single-token docs must
+        // produce no interior boundaries
+        when(col("n") >= 2,
+          filter(sequence(lit(1), col("n") - 1), i =>
+            conv(substring(md5(element_at(col("toks"), i)), 1, 15), 16, 10)
+              .cast("long") % boundaryMod === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bp"), x => x + 1)))
+      .withColumn("ends", concat(col("bp"), array(col("n"))))
+    withChunks
+      .select(col("doc_id"), col("toks"), col("ends"),
+        posexplode(col("starts")).as(Seq("cid", "st")))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        col("st"), element_at(col("ends"), col("cid") + 1).as("en"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("toks"), col("st"), col("en") - col("st") + 1))),
+          1, 15), 16, 10).cast("long").as("k"))
+  }
+
   /** Full minhash-dedup: docs → shingles → LSH candidate pairs → connected
     * components → cluster per doc (docs with no near-dup form their own
     * cluster). Returns (doc_id, cluster, keeper). */

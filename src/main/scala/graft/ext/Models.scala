@@ -154,4 +154,43 @@ object Models {
       .select(col("doc_id"), col("label"), col("pred"),
         (col("pred") === col("label")).as("correct"))
   }
+
+  /** Per-source distribution shift: KL(source ‖ corpus) over a hashed
+    * feature space, from a pre-aggregated (source, b, k) occurrence
+    * fact (b = bucket, k = occurrences). Same exact-integer-log-space
+    * discipline as the classifiers: the one double computation
+    * (p·ln(p/q), add-0.5 smoothing over the OBSERVED corpus buckets) is
+    * rounded to nano-nat BIGINTs per (source, bucket), and each
+    * source's KL is then a plain commutative integer SUM. The corpus
+    * marginals derive from the fact by re-aggregation (no second corpus
+    * pass); everything after the fact is ≤ |sources| × buckets rows,
+    * with the one-row total as a broadcast cross join. KL ≥ 0 holds up
+    * to the ±0.5 nano-nat per-bucket rounding. Returns
+    * (source, n_toks, n_buckets, kl_nn). */
+  def klPerSource(fact: DataFrame, buckets: Int = 4096): DataFrame = {
+    val half = buckets * 0.5
+    val corpus = fact.groupBy("b").agg(sum(col("k")).as("ck"))
+    val ns = fact.groupBy("source").agg(sum(col("k")).as("nsrc"))
+    val ntot = corpus.agg(sum(col("ck")).as("ntot"))
+    ns.crossJoin(corpus)
+      .join(fact, Seq("source", "b"), "left")
+      .crossJoin(ntot)
+      .select(col("source"), col("nsrc"), col("b"),
+        coalesce(col("k"), lit(0L)).as("k"), col("ck"), col("ntot"))
+      .withColumn("p",
+        (col("k").cast("double") + lit(0.5)) /
+          (col("nsrc").cast("double") + lit(half)))
+      .withColumn("q",
+        (col("ck").cast("double") + lit(0.5)) /
+          (col("ntot").cast("double") + lit(half)))
+      .withColumn("c_nn",
+        round(col("p") * log(col("p") / col("q")) * lit(1e9), 0)
+          .cast("long"))
+      .groupBy("source", "nsrc")
+      .agg(sum(when(col("k") > 0, lit(1L)).otherwise(lit(0L)))
+        .as("n_buckets"),
+        sum(col("c_nn")).as("kl_nn"))
+      .select(col("source"), col("nsrc").as("n_toks"),
+        col("n_buckets"), col("kl_nn"))
+  }
 }

@@ -133,6 +133,22 @@ object Text {
     slice(array_sort(transform(sh, s => md5(concat(lit(s"$seed:"), s)))),
       1, k)
 
+  /** Winnowing fingerprint set (Schleimer et al. — the MOSS algorithm):
+    * the distinct minima of every w-window over a positional gram-hash
+    * array; a doc shorter than one window contributes its global min.
+    * GUARANTEE (what bottom-k only gives probabilistically): any token
+    * run of ≥ w+k-1 tokens shared by two docs yields a full window of w
+    * shared gram hashes in both, whose minimum lands in both fingerprint
+    * sets. Set semantics (distinct VALUES, not positions) make the
+    * usual rightmost-min tie-break irrelevant, so both engines agree
+    * exactly. Pure per-row array math — narrow at any scale. */
+  def winnowFps(hs: Column, w: Int = 4): Column =
+    array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(0), size(hs) - w), i =>
+          array_min(slice(hs, i + 1, lit(w)))))
+        .otherwise(array(array_min(hs))))
+
   // ---- language ID (deterministic stopword-count heuristic) ---------------
 
   val StopwordSets: Seq[(String, Seq[String])] = Seq(

@@ -1335,6 +1335,137 @@ object ExtQueries {
         .select(col("lang"), col("n_exact"),
           Sketch.kmvEstimate(col("sk"), k).as("est"))
         .orderBy("lang")
+    }),
+
+    // content-defined chunking (LBFS/rsync-style CDC) — chunk boundaries
+    // fall where the CONTENT says (token's 60-bit md5 key ≡ 0 mod 16,
+    // ~1/16 boundary rate), so an insertion early in a doc shifts only
+    // the chunk it lands in: the sub-document dedup grain fixed-stride
+    // chunking (qx38) can't give. Per doc: chunk count, chunks whose
+    // content recurs in ≥2 docs (cross-doc boilerplate at chunk grain),
+    // dup fraction. Scale shape: boundary positions, chunk slices and
+    // fingerprints are all per-row ARRAY ops (narrow map + bounded
+    // explode — no token-grain shuffle, unlike a window-over-positions
+    // formulation); the only shuffles are the chunk-fingerprint df agg
+    // and join, both on 8-byte keys (md5-prefix longs, qx16 discipline).
+    "qx42_cdc_chunks" -> ((s, dir) => {
+      val chk = graft.Materialize.cut(
+        Dedup.cdcChunks(
+          Tables.documents(s, dir)
+            .withColumn("toks", Text.tokens(col("text"))))
+          .select("doc_id", "k"))
+      val dfre = chk.select("doc_id", "k").distinct()
+        .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      chk.join(dfre, "k")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
+            .as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // winnowing document fingerprints (Schleimer et al., the MOSS
+    // algorithm) — the guaranteed-coverage sampling qx9's bottom-k
+    // can't give: every w=4 consecutive 3-gram hashes contribute their
+    // minimum, so any shared run of ≥ w+2 tokens is CERTAIN to share a
+    // fingerprint (bottom-k shares only probabilistically). The
+    // fingerprint SET per doc = distinct window minima — set semantics
+    // make the tie-break question vanish, so both engines agree exactly.
+    // Scale: window minima are per-row array ops over the native 60-bit
+    // gram-hash kernel (narrow); the df agg + join shuffle 8-byte keys.
+    "qx43_winnow_fingerprint" -> ((s, dir) => {
+      val w = 4
+      val fps = Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 3).as("hs"))
+        .withColumn("fps", Text.winnowFps(col("hs"), w))
+      val fpx = graft.Materialize.cut(
+        fps.select(col("doc_id"), explode(col("fps")).as("v")))
+      val dfre = fpx.groupBy("v").agg(count(lit(1)).as("n_docs"))
+      fpx.join(dfre, "v")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L)))
+            .as("n_shared"))
+        .withColumn("share_frac",
+          col("n_shared").cast("double") / col("n_fp").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source distribution shift — KL(source ‖ corpus) over the
+    // qx35 hashed feature space (unigram 60-bit keys mod 4096): the
+    // "did this crawl/source drift from the mixture" monitor every
+    // ingestion pipeline runs. Exact-integer discipline: the one double
+    // computation (p·ln(p/q), add-0.5 smoothing) happens per (source,
+    // bucket) and is rounded to nano-nat BIGINTs; the per-source KL is
+    // then a plain commutative integer SUM — map-side partial, no float
+    // accumulation order to disagree on. Scale: the (source, bucket)
+    // fact is the only corpus-proportional agg; everything after is
+    // ≤ |sources| × 4096 rows, and the corpus marginals derive from the
+    // fact by re-aggregation (one tokenize pass, qx35 discipline).
+    "qx44_kl_divergence" -> ((s, dir) => {
+      val B = 4096
+      val fact = graft.Materialize.cut(
+        Tables.documents(s, dir)
+          .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+          .select(col("source"),
+            (conv(substring(md5(col("term")), 1, 15), 16, 10)
+              .cast("long") % B).as("b"))
+          .groupBy("source", "b").agg(count(lit(1)).as("k")))
+      graft.ext.Models.klPerSource(fact, B).orderBy("source")
+    }),
+
+    // Bloom-filter decontamination — the MEMBERSHIP sketch completing
+    // the family (qx17 KMV = distinct, qx39 CMS = frequency): the
+    // benchmark's 3-gram set becomes an 8192-slot / 3-hash bit set
+    // (deterministic seeded-md5 positions, so the sketch itself is
+    // oracle-checkable), and every corpus doc's grams probe it. n_bloom
+    // ≥ n_exact always (one-sided error, exhibited next to qx13's exact
+    // inverted index). At 100 TB the filter is a ≤ 3·8192-row broadcast
+    // — each executor tests grams locally, no shuffle of the corpus
+    // gram stream at all; the exact leg is the qx13 benchmark-sized
+    // equi-join for comparison.
+    "qx45_bloom_decontam" -> ((s, dir) => {
+      val m = 8192
+      def pos(seed: Int,
+          g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(s"$seed:"), g)), 1, 15), 16, 10)
+          .cast("long") % m
+      val sh = docsWithShingles(s, dir)
+      val bench = sh.where(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      val bits = bench.select(explode(array((0 until 3).map { i =>
+          struct(lit(i).as("i"), pos(i, col("g")).as("p"))
+        }: _*)).as("ib"))
+        .select(col("ib.i").as("i"), col("ib.p").as("p")).distinct()
+      val corp = graft.Materialize.cut(
+        sh.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
+      val bloomHits = corp.select(col("doc_id"), col("g"),
+          explode(array((0 until 3).map { i =>
+            struct(lit(i).as("i"), pos(i, col("g")).as("p"))
+          }: _*)).as("ib"))
+        .select(col("doc_id"), col("g"),
+          col("ib.i").as("i"), col("ib.p").as("p"))
+        .join(broadcast(bits), Seq("i", "p"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("nb"))
+        .where(col("nb") === 3)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
+      val exactHits = corp.join(bench, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      corp.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(bloomHits, Seq("doc_id"), "left")
+        .join(exactHits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .withColumn("flagged_bloom", col("n_bloom") >= 1)
+        .withColumn("flagged_exact", col("n_exact") >= 1)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -2640,6 +2771,168 @@ object ExtQueries {
         |WHERE d.source NOT IN ('src0','src1','src2','src3','src4',
         |                       'src5','src6','src7','src8','src9')
         |ORDER BY d.doc_id""".stripMargin),
+
+    "qx42_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, n,
+        |    list_filter(range(1, n), i ->
+        |      (list_reduce(list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |          substr(md5(toks[i]), CAST(j AS INT), 1)) - 1
+        |          AS BIGINT)),
+        |        (a, x) -> a * 16 + x) % 16 = 0)) AS bp
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         list_prepend(1, list_transform(bp, x -> x + 1)) AS starts,
+        |         list_append(bp, n) AS ends
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id, toks, starts, ends,
+        |         unnest(range(len(starts))) AS ci
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks,
+        |      starts[ci + 1], ends[ci + 1]), ' ')) AS f
+        |  FROM e),
+        |kk AS (
+        |  SELECT doc_id, list_reduce(list_transform(range(1, 16),
+        |    j -> CAST(strpos('0123456789abcdef',
+        |      substr(f, CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) AS k
+        |  FROM ch),
+        |dfre AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, k FROM kk) GROUP BY k)
+        |SELECT kk.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN dfre.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN dfre.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM kk JOIN dfre USING (k)
+        |GROUP BY kk.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "qx43_winnow_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(range(len(toks) - 2),
+        |    i -> list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |          toks[i+3]), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x)) AS h
+        |  FROM tok WHERE len(toks) >= 3),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(h) >= 4
+        |      THEN list_transform(range(len(h) - 3),
+        |        i -> list_min(h[i+1:i+4]))
+        |      ELSE [list_min(h)] END) AS fps
+        |  FROM hs),
+        |x AS (SELECT doc_id, unnest(fps) AS v FROM fp),
+        |dfre AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS n_docs FROM x GROUP BY v)
+        |SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(sum(CASE WHEN dfre.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared,
+        |  CAST(sum(CASE WHEN dfre.n_docs >= 2 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS share_frac
+        |FROM x JOIN dfre USING (v)
+        |GROUP BY x.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "qx44_kl_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |hb AS (
+        |  SELECT source, list_reduce(list_transform(range(1, 16),
+        |    j -> CAST(strpos('0123456789abcdef',
+        |      substr(md5(term), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, x) -> a * 16 + x) % 4096 AS b
+        |  FROM tok),
+        |fact AS (
+        |  SELECT source, b, CAST(count(*) AS BIGINT) AS k
+        |  FROM hb GROUP BY source, b),
+        |corpus AS (
+        |  SELECT b, CAST(sum(k) AS BIGINT) AS ck FROM fact GROUP BY b),
+        |ns AS (
+        |  SELECT source, CAST(sum(k) AS BIGINT) AS nsrc
+        |  FROM fact GROUP BY source),
+        |nt AS (SELECT CAST(sum(ck) AS BIGINT) AS ntot FROM corpus),
+        |grid AS (
+        |  SELECT ns.source, ns.nsrc, corpus.b, corpus.ck,
+        |         COALESCE(fact.k, 0) AS k, nt.ntot
+        |  FROM ns CROSS JOIN corpus CROSS JOIN nt
+        |  LEFT JOIN fact USING (source, b)),
+        |pc AS (
+        |  SELECT source, nsrc, k,
+        |    (CAST(k AS DOUBLE) + 0.5) /
+        |      (CAST(nsrc AS DOUBLE) + 2048.0) AS p,
+        |    (CAST(ck AS DOUBLE) + 0.5) /
+        |      (CAST(ntot AS DOUBLE) + 2048.0) AS q
+        |  FROM grid),
+        |cn AS (
+        |  SELECT source, nsrc, k,
+        |    CAST(round(p * ln(p / q) * 1000000000.0) AS BIGINT) AS c_nn
+        |  FROM pc)
+        |SELECT source, nsrc AS n_toks,
+        |  CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_buckets,
+        |  CAST(sum(c_nn) AS BIGINT) AS kl_nn
+        |FROM cn GROUP BY source, nsrc
+        |ORDER BY source""".stripMargin,
+
+    "qx45_bloom_decontam" -> (ShingleCte +
+      """,
+        |bench AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |bits AS (
+        |  SELECT DISTINCT i,
+        |    list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(i AS VARCHAR) || ':' || g),
+        |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8192 AS p
+        |  FROM bench, range(0, 3) AS r(i)),
+        |corp AS (
+        |  SELECT doc_id, unnest(list_distinct(s)) AS g
+        |  FROM sh WHERE doc_id % 97 <> 0),
+        |probe AS (
+        |  SELECT doc_id, g, i,
+        |    list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(i AS VARCHAR) || ':' || g),
+        |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8192 AS p
+        |  FROM corp, range(0, 3) AS r(i)),
+        |bh AS (
+        |  SELECT doc_id, g FROM probe JOIN bits USING (i, p)
+        |  GROUP BY doc_id, g HAVING count(*) = 3),
+        |nb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+        |  FROM bh GROUP BY doc_id),
+        |ne AS (
+        |  SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM corp JOIN bench USING (g) GROUP BY corp.doc_id),
+        |ng AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM corp GROUP BY doc_id)
+        |SELECT ng.doc_id, ng.n_grams,
+        |  COALESCE(nb.n_bloom, 0) AS n_bloom,
+        |  COALESCE(ne.n_exact, 0) AS n_exact,
+        |  COALESCE(nb.n_bloom, 0) >= 1 AS flagged_bloom,
+        |  COALESCE(ne.n_exact, 0) >= 1 AS flagged_exact
+        |FROM ng LEFT JOIN nb USING (doc_id) LEFT JOIN ne USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "qx32_corpus_card" ->
       """WITH t AS (

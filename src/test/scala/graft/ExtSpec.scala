@@ -623,4 +623,86 @@ class ExtSpec extends SparkTestBase {
     assert(got(20L) == (Some(10L), false), s"got ${got(20L)}")
     assert(got(21L) == (None, true), s"got ${got(21L)}")
   }
+
+  test("qx42 CDC shift-resistance: a token inserted early re-fingerprints " +
+    "only chunks before the next boundary; suffix chunks are identical") {
+    import spark.implicits._
+    import graft.ext.{Dedup, Text}
+    // find a boundary word the same way the operator does: 60-bit md5
+    // key ≡ 0 (mod 16)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val words = (1 to 400).map(i => s"w$i")
+    val bWord = words.find(w => h60(w) % 16 == 0).get
+    val rest = words.filterNot(_ == bWord)
+    val prefix = rest.take(20)
+    val tail = rest.slice(20, 50)
+    val a = (prefix ++ Seq(bWord) ++ tail).mkString(" ")
+    val b = (Seq("inserted") ++ prefix ++ Seq(bWord) ++ tail).mkString(" ")
+    val ch = Dedup.cdcChunks(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+        .withColumn("toks", Text.tokens(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ka = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val kb = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    // the chunk containing the insertion differs...
+    assert(ka.head != kb.head, "insertion must change its own chunk")
+    // ...but every chunk after the next content boundary is untouched
+    // (fixed-stride chunking would shift-corrupt ALL downstream chunks)
+    assert(ka.last == kb.last, s"suffix chunk must be shift-immune")
+    assert((ka.toSet & kb.toSet).nonEmpty)
+  }
+
+  test("qx43 winnowing guarantee: docs sharing a >= w+k-1 token run " +
+    "share a fingerprint; gram-disjoint docs share none") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "one two three " + shared + " four five six"),
+      (2L, "seven eight nine ten " + shared + " eleven"),
+      (3L, "totally different words with no common run at all here"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.ext.Text.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.meos.NativeExpressions.shingleHashes(col("toks"), 3).as("hs"))
+      .select(col("doc_id"),
+        graft.ext.Text.winnowFps(col("hs"), 4).as("fps"))
+    val m = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((m(1L) & m(2L)).nonEmpty,
+      "a shared 8-token run must be caught by winnowing — that's the " +
+        "coverage guarantee bottom-k lacks")
+    assert((m(1L) & m(3L)).isEmpty)
+  }
+
+  test("qx44 KL: a single-source corpus scores exactly zero (p == q per " +
+    "bucket in integer log-space); skewed sources score positive") {
+    import spark.implicits._
+    val one = Seq(("a", 1L, 5L), ("a", 2L, 3L)).toDF("source", "b", "k")
+    val r1 = graft.ext.Models.klPerSource(one, 4096).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getLong(1) == 8L && r1(0).getLong(2) == 2L)
+    assert(r1(0).getLong(3) == 0L, s"identity KL must be exactly 0")
+    val skew = Seq(("a", 1L, 100L), ("b", 2L, 100L))
+      .toDF("source", "b", "k")
+    val r2 = graft.ext.Models.klPerSource(skew, 4096).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r2("a") > 0L && r2("b") > 0L, s"skewed KL must be positive: $r2")
+  }
+
+  test("qx45 Bloom one-sided error: n_bloom >= n_exact on every doc and " +
+    "exact flags imply bloom flags") {
+    val rows = SparkEntry.queries("qx45_bloom_decontam")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, ne) = (r.getLong(2), r.getLong(3))
+      assert(nb >= ne, s"doc ${r.getLong(0)}: bloom $nb < exact $ne")
+      if (r.getBoolean(5)) assert(r.getBoolean(4),
+        s"doc ${r.getLong(0)}: exact hit must be a bloom hit")
+    }
+  }
 }

@@ -369,4 +369,44 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains(s"> ${graft.ext.Dedup.DefaultBandCap}"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("qx42 CDC chunking kernel is narrow: boundary detection, chunk " +
+    "slicing and fingerprinting are per-row array ops — zero exchanges") {
+    val p = graft.ext.Dedup.cdcChunks(
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", graft.ext.Text.tokens(col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("posexplode"), p)
+  }
+
+  test("qx42 chunk-dedup aggs shuffle the 8-byte chunk key only; no " +
+    "cartesian anywhere") {
+    val p = plan("qx42_cdc_chunks")
+    assert(p.contains("hashpartitioning(k#"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qx43 winnowing: fingerprint df agg and join shuffle 8-byte " +
+    "values; no cartesian") {
+    val p = plan("qx43_winnow_fingerprint")
+    assert(p.contains("hashpartitioning(v#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qx44 KL: everything after the cut fact is bounded — the one-row " +
+    "total and the per-source marginals ride broadcast nested-loop " +
+    "joins, never a cartesian") {
+    val p = plan("qx44_kl_divergence")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qx45 Bloom: the bit-set is a broadcast build side — the corpus " +
+    "gram stream is membership-tested without shuffling for it") {
+    val p = plan("qx45_bloom_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
