@@ -143,6 +143,13 @@ object Text {
     * usual rightmost-min tie-break irrelevant, so both engines agree
     * exactly. Pure per-row array math — narrow at any scale. */
   def winnowFps(hs: Column, w: Int = 4): Column =
+    array_distinct(graft.meos.NativeExpressions.slidingMin(hs, w))
+
+  /** Pure-built-in composition of the [[winnowFps]] window-min pass —
+    * the readable specification of the native kernel, kept for the
+    * parity spec. O(m·w) through interpreted HOF lambdas where the
+    * kernel's monotonic deque is O(m). */
+  def winnowFpsComposed(hs: Column, w: Int = 4): Column =
     array_distinct(
       when(size(hs) >= w,
         transform(sequence(lit(0), size(hs) - w), i =>

@@ -420,6 +420,46 @@ object MaxRunBridge {
   }
 }
 
+/** Sliding-window minimum for winnowing fingerprints (qx43): all
+  * w-window minima of a long array in ONE monotonic-deque pass — O(m)
+  * total, replacing the composed `transform(sequence(...), i ->
+  * array_min(slice(hs, i+1, w)))`, whose interpreted HOF allocates and
+  * scans a w-slice per position (O(m·w) with per-window garbage).
+  * Contract (NativeExprSpec pins parity with the composed form):
+  * m ≥ w → m-w+1 window minima in positional order; 0 < m < w → one
+  * element, the global min (a doc shorter than a window still
+  * fingerprints); m = 0 → empty. */
+object WinnowBridge {
+  def slidingMin(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+                 w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = hs.numElements()
+    if (m == 0) return MinhashBridge.emptyLongs
+    if (m < w) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < m) { val v = hs.getLong(i); if (v < mn) mn = v; i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(mn))
+    }
+    val out = new Array[Long](m - w + 1)
+    val dq = new Array[Int](m) // index deque, window candidates ascending
+    var head = 0
+    var tail = 0 // active range [head, tail)
+    var i = 0
+    while (i < m) {
+      val v = hs.getLong(i)
+      while (tail > head && hs.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = hs.getLong(dq(head))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Interval-coverage token filter for the exact-substring span removal
   * (qx23): given a doc's token array and the start positions of its
   * duplicated k-grams, keep every token NOT covered by any interval
@@ -1194,6 +1234,45 @@ object NativeExpressions {
         : MaxRunCountExpr = copy(child = newChild)
   }
 
+  /** All w-window minima of a long array — see
+    * [[WinnowBridge.slidingMin]]. Null array → empty (matching the
+    * shingle-hash kernel's convention upstream of it). */
+  case class SlidingMinExpr(child: Expression, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, false)
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(org.apache.spark.sql.types.LongType))
+    override def prettyName: String = "sliding_min"
+    override def nullable: Boolean = false
+
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => MinhashBridge.emptyLongs
+      case arr =>
+        WinnowBridge.slidingMin(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val resultCode =
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${childGen.isNull} ? graft.meos.MinhashBridge.emptyLongs()
+           |  : graft.meos.WinnowBridge.slidingMin(${childGen.value}, $w);
+         """.stripMargin
+      ev.copy(
+        code = childGen.code +
+          org.apache.spark.sql.catalyst.expressions.codegen.Block
+            .BlockHelper(new StringContext(resultCode)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : SlidingMinExpr = copy(child = newChild)
+  }
+
   /** Tokens not covered by any duplicated-span interval — see
     * [[CoverageBridge.keepUncovered]]. Null on either null input (the
     * qx23 caller coalesces starts to an empty array first). */
@@ -1404,6 +1483,11 @@ object NativeExpressions {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(ShingleHashesExpr(GraftShims.expression(toks),
       shingleK))
+  }
+
+  def slidingMin(hs: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(SlidingMinExpr(GraftShims.expression(hs), w))
   }
 
   def shingleBottomK(toks: Column, shingleK: Int, seed: Int,

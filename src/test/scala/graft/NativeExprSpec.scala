@@ -554,4 +554,43 @@ class NativeExprSpec extends SparkTestBase {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("native sliding_min == built-in composition on real gram hashes " +
+    "and degenerates (short arrays, duplicates, null) under codegen") {
+    import graft.ext.Text
+    // real data: every doc's positional 3-gram hashes, window 4
+    val real = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(NativeExpressions.shingleHashes(col("toks"), 3).as("hs"))
+      .select(
+        Text.winnowFps(col("hs"), 4).as("native"),
+        Text.winnowFpsComposed(col("hs"), 4).as("composed"))
+    val rows = noCodegenFallback(real.collect())
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // degenerates: shorter than one window (1..3 elems), exact window,
+    // all-equal values (the deque's >= pop path), descending, ascending
+    import spark.implicits._
+    val edge = Seq(
+      Seq(7L), Seq(9L, 2L), Seq(5L, 5L, 5L),
+      Seq(4L, 3L, 2L, 1L), Seq(1L, 2L, 3L, 4L),
+      Seq(8L, 8L, 8L, 8L, 8L), Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L))
+      .toDF("hs")
+      .select(
+        Text.winnowFps(col("hs"), 4).as("native"),
+        Text.winnowFpsComposed(col("hs"), 4).as("composed"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // null / empty arrays: kernel contract is EMPTY out (the composed
+    // otherwise-branch would emit [null]; qx43's ≥3-token filter makes
+    // the case unreachable in the query, so the kernel picks the total
+    // function)
+    val empty = Seq(Option.empty[Seq[Long]], Some(Seq.empty[Long]))
+      .toDF("hs")
+      .select(NativeExpressions.slidingMin(col("hs"), 4).as("native"))
+      .collect()
+    empty.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
 }
