@@ -515,6 +515,17 @@ object CoreQueries {
     "qs3_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.windowedAggReplay(s, dir)),
 
+    // qs4 — fourth streaming path under the hash gate, covering the one
+    // stateful family qs1-qs3 don't: dropDuplicatesWithinWatermark
+    // (bounded keyed dedup state). Horizon > stream span ⇒ the emitted
+    // set is exactly one survivor per distinct content fingerprint, so
+    // a batch SELECT DISTINCT oracles the streaming state machinery
+    // (duplicate emission or state loss across micro-batches would
+    // hash-mismatch). The eviction/re-admission path is StreamingSpec's
+    // planted test — it is chunk-timing-dependent by design.
+    "qs4_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.dedupReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1395,6 +1406,14 @@ object CoreQueries {
         |FROM events
         |GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // the streaming dedup's surviving-fingerprint set must equal the
+    // batch distinct over the same normalization (Text.fingerprint)
+    "qs4_stream_dedup" ->
+      """SELECT DISTINCT
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY fp""".stripMargin,
 
     "q38_asof_forward" ->
       """WITH p AS (

@@ -220,6 +220,68 @@ object StreamingReplay {
       .orderBy("event_id")
   }
 
+  // staged input for the dedup replay, keyed by dir
+  private val dedupStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[streaming] case class DDoc(doc_id: Long, ts: Timestamp,
+                                     text: String)
+
+  /** Replay documents(dir) through the bounded-state streaming exact
+    * dedup ([[StreamingDedup.dedupByFingerprint]],
+    * `dropDuplicatesWithinWatermark`) with a horizon longer than the
+    * replayed stream's span, so the emitted set is exactly one survivor
+    * per distinct content fingerprint — the global-dedup contract a
+    * batch `SELECT DISTINCT md5(…)` oracles (declared as
+    * `qs4_stream_dedup`; the horizon-EVICTION path, which re-admits
+    * duplicates farther apart than the horizon, is pinned by
+    * StreamingSpec's planted test — it is chunk-timing-dependent by
+    * design and has no batch twin). Event time is synthesized
+    * deterministically (doc_id seconds from a fixed epoch); which
+    * duplicate survives a same-batch collision is arbitrary, so the
+    * output projects the fingerprint itself and nothing row-specific —
+    * the emitted SET is deterministic even where the winner isn't. */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(dedupStageCache.get(dir)).getOrElse {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => DDoc(r.getLong(0),
+          new Timestamp(946684800000L + r.getLong(0) * 1000L),
+          r.getString(1)))
+        .sortBy(_.doc_id)
+      if (docs.isEmpty) // suite-wide contract: empty input → empty output
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
+      val k = math.max(docs.length / 3, 1)
+      val chunks = Seq(docs.slice(0, k).toSeq, docs.slice(k, 2 * k).toSeq,
+        docs.drop(2 * k).toSeq).filter(_.nonEmpty)
+      val d = writeChunks(spark, chunks, "qs4-replay")
+      dedupStageCache.putIfAbsent(dir, d)
+      d
+    }
+
+    val table = s"qs4_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[DDoc]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      // 365-day horizon ≫ any replayed table's synthesized span (1 s per
+      // doc_id): nothing evicts, so streaming == global batch dedup
+      StreamingDedup.dedupByFingerprint(stream, "ts", "365 days")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.select(col("fp")).orderBy("fp")
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =

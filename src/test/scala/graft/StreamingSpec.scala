@@ -621,4 +621,50 @@ class StreamingSpec extends SparkTestBase {
       s"only-stream=${(streamed -- batch).take(3)}, " +
         s"only-batch=${(batch -- streamed).take(3)}")
   }
+
+  test("qs4_stream_dedup (the declared query) == batch distinct " +
+    "fingerprints at sf0.001, and restores spark.sql.shuffle.partitions") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val streamed = SparkEntry.queries("qs4_stream_dedup")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(spark.conf.get(key) == before, "session config leaked")
+    val batch = Tables.documents(spark, sfDir)
+      .select(graft.ext.Text.fingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)}, " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming dedup horizon eviction: a duplicate arriving after the " +
+    "watermark passed the original's horizon is RE-ADMITTED (bounded " +
+    "state, the time-bounded dedup contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamingDedup
+      .dedupByFingerprint(docs, "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_evict")
+      .start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L, "hello world"))
+      q.processAllAvailable()
+      // advances the watermark to 00:20 — past the original's
+      // eventTime + horizon (00:10), so its fingerprint state evicts
+      input.addData((ts("2024-01-01 00:30:00"), 2L, "filler content"))
+      q.processAllAvailable()
+      // same fingerprint, farther apart than the horizon → re-admitted
+      input.addData((ts("2024-01-01 00:40:00"), 3L, "hello world"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_evict").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L),
+        s"expected horizon-expired duplicate re-admitted, got $kept")
+    } finally q.stop()
+  }
 }
