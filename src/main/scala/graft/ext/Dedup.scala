@@ -289,7 +289,20 @@ object Dedup {
     * slicing and fingerprinting are all per-row ARRAY ops — a narrow
     * map plus a bounded explode, no token-grain shuffle — and every
     * downstream agg/join runs on the 8-byte key. */
-  def cdcChunks(docs: DataFrame, boundaryMod: Int = 16): DataFrame = {
+  def cdcChunks(docs: DataFrame, boundaryMod: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(
+        graft.meos.NativeExpressions.cdcChunkKeys(col("toks"), boundaryMod))
+        .as(Seq("cid", "k")))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        col("k"))
+
+  /** Pure-built-in composition of [[cdcChunks]] — the readable
+    * specification of the native kernel, kept for the parity spec. Two
+    * md5 passes through interpreted HOFs (per-token boundary test with a
+    * hex parse, then a built chunk string per chunk) where the kernel
+    * digests token bytes once, incrementally. */
+  def cdcChunksComposed(docs: DataFrame, boundaryMod: Int = 16): DataFrame = {
     val withChunks = docs
       .withColumn("n", size(col("toks")))
       .withColumn("bp",

@@ -460,6 +460,78 @@ object WinnowBridge {
   }
 }
 
+/** Content-defined-chunking keys (qx42) in ONE pass over the token
+  * bytes: the composed form md5s every token through an interpreted HOF
+  * filter (hex string + conv parse per token), then builds each chunk
+  * STRING and md5s it again; here each token is digested once for the
+  * boundary test (60-bit key ≡ 0 mod `mod`, straight from the digest
+  * bytes) and the chunk digests grow incrementally with `' '` separators
+  * — the identical bytes `concat_ws(" ", slice(...))` would produce, no
+  * gram/hex/chunk string ever materialized. Null tokens follow the
+  * composed conventions: never a boundary (null predicate → filter
+  * false) and skipped in the chunk bytes (concat_ws drops nulls). */
+object CdcBridge {
+  private val mdTl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SPACE = Array(' '.toByte)
+
+  /** First 15 hex digits of the digest as a long — bytes 0..6 plus the
+    * high nibble of byte 7 (same mapping as MinhashBridge.shingleHashes). */
+  private def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def chunkKeys(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                mod: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return MinhashBridge.emptyLongs
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = mdTl.get()
+    // boundary AFTER 0-based position i (i < n-1): the token's 60-bit key
+    val bounds = new Array[Boolean](n)
+    var nChunks = 1
+    i = 0
+    while (i < n - 1) {
+      if (tb(i) != null) {
+        md.reset()
+        md.update(tb(i))
+        if (h60(md.digest()) % mod == 0) { bounds(i) = true; nChunks += 1 }
+      }
+      i += 1
+    }
+    val out = new Array[Long](nChunks)
+    var c = 0
+    var written = 0
+    md.reset()
+    i = 0
+    while (i < n) {
+      if (tb(i) != null) {
+        if (written > 0) md.update(SPACE)
+        md.update(tb(i))
+        written += 1
+      }
+      if (bounds(i)) {
+        out(c) = h60(md.digest()); c += 1
+        md.reset(); written = 0
+      }
+      i += 1
+    }
+    out(c) = h60(md.digest())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Interval-coverage token filter for the exact-substring span removal
   * (qx23): given a doc's token array and the start positions of its
   * duplicated k-grams, keep every token NOT covered by any interval
@@ -1273,6 +1345,45 @@ object NativeExpressions {
         : SlidingMinExpr = copy(child = newChild)
   }
 
+  /** CDC chunk keys of a token array — see [[CdcBridge.chunkKeys]].
+    * Null array → empty (total function; qx42's tokenizer never emits
+    * null arrays). */
+  case class CdcChunkKeysExpr(child: Expression, mod: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def prettyName: String = "cdc_chunk_keys"
+    override def nullable: Boolean = false
+
+    override def eval(input: InternalRow): Any = child.eval(input) match {
+      case null => MinhashBridge.emptyLongs
+      case arr =>
+        CdcBridge.chunkKeys(
+          arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          mod)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val resultCode =
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  ${childGen.isNull} ? graft.meos.MinhashBridge.emptyLongs()
+           |  : graft.meos.CdcBridge.chunkKeys(${childGen.value}, $mod);
+         """.stripMargin
+      ev.copy(
+        code = childGen.code +
+          org.apache.spark.sql.catalyst.expressions.codegen.Block
+            .BlockHelper(new StringContext(resultCode)).code(),
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : CdcChunkKeysExpr = copy(child = newChild)
+  }
+
   /** Tokens not covered by any duplicated-span interval — see
     * [[CoverageBridge.keepUncovered]]. Null on either null input (the
     * qx23 caller coalesces starts to an empty array first). */
@@ -1488,6 +1599,11 @@ object NativeExpressions {
   def slidingMin(hs: Column, w: Int): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(SlidingMinExpr(GraftShims.expression(hs), w))
+  }
+
+  def cdcChunkKeys(toks: Column, mod: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(CdcChunkKeysExpr(GraftShims.expression(toks), mod))
   }
 
   def shingleBottomK(toks: Column, shingleK: Int, seed: Int,

@@ -593,4 +593,38 @@ class NativeExprSpec extends SparkTestBase {
       .collect()
     empty.foreach(r => assert(r.getSeq[Long](0).isEmpty))
   }
+
+  test("native cdc_chunk_keys == built-in composition on real docs and " +
+    "degenerates (single token, boundary at the tail, empty string)") {
+    import graft.ext.{Dedup, Text}
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val real = Tables.documents(spark, sfDir)
+      .withColumn("toks", Text.tokens(col("text")))
+    val nat = rows(Dedup.cdcChunks(real))
+    assert(nat.nonEmpty && nat == rows(Dedup.cdcChunksComposed(real)))
+    // degenerates: the empty string tokenizes to [""], single tokens,
+    // and a synthetic boundary word in every position incl. the tail
+    // (boundaries only fire at i < n, so a trailing boundary word must
+    // NOT open an empty chunk)
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val bWord = (1 to 400).map(i => s"w$i").find(w => h60(w) % 16 == 0).get
+    val edge = Seq(
+      (1L, ""), (2L, "solo"), (3L, bWord),
+      (4L, s"$bWord trailing words here"),
+      (5L, s"leading words here $bWord"),
+      (6L, s"$bWord $bWord $bWord"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+    val ne = rows(Dedup.cdcChunks(edge))
+    assert(ne == rows(Dedup.cdcChunksComposed(edge)))
+    // trailing-boundary doc: exactly one chunk (no empty tail chunk)
+    assert(ne.count(_._1 == 5L) ==
+      ne.filter(_._1 == 5L).map(_._2).max + 1)
+  }
 }
