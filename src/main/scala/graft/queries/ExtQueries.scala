@@ -1425,37 +1425,51 @@ object ExtQueries {
     // (deterministic seeded-md5 positions, so the sketch itself is
     // oracle-checkable), and every corpus doc's grams probe it. n_bloom
     // ≥ n_exact always (one-sided error, exhibited next to qx13's exact
-    // inverted index). At 100 TB the filter is a ≤ 3·8192-row broadcast
-    // — each executor tests grams locally, no shuffle of the corpus
-    // gram stream at all; the exact leg is the qx13 benchmark-sized
-    // equi-join for comparison.
+    // inverted index). Scale shape: each gram is md5'd ONCE to its
+    // 60-bit key, and the three bit positions derive from that key by
+    // Kirsch–Mitzenmacher double hashing (p_i = (h1 + i·(2·h2+1)) mod m
+    // — pure integer math both engines share; the first cut shuffled
+    // raw gram strings through a ×3 explode, 16× shuffle growth on the
+    // 10× probe, and a seeded-md5-per-position rewrite tripled the
+    // narrow-pass compute instead). Membership is three successive
+    // broadcast SEMI joins against the ≤ 8192-row per-seed position
+    // sets — the corpus gram stream never shuffles for the test; the
+    // only exchanges are doc_id-keyed counts. The exact leg joins
+    // 60-bit gram keys (qx16 discipline — both engines hash
+    // identically, so even a collision agrees).
     "qx45_bloom_decontam" -> ((s, dir) => {
       val m = 8192
-      def pos(seed: Int,
-          g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        conv(substring(md5(concat(lit(s"$seed:"), g)), 1, 15), 16, 10)
-          .cast("long") % m
-      val sh = docsWithShingles(s, dir)
-      val bench = sh.where(col("doc_id") % 97 === 0)
-        .select(explode(col("sh")).as("g")).distinct()
-      val bits = bench.select(explode(array((0 until 3).map { i =>
-          struct(lit(i).as("i"), pos(i, col("g")).as("p"))
-        }: _*)).as("ib"))
-        .select(col("ib.i").as("i"), col("ib.p").as("p")).distinct()
+      // h1 = low 13 bits, h2 = next 13 bits (m = 2^13, so % and >> are
+      // exact long ops — never a double division near 2^60)
+      def pos(i: Int,
+          gk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (gk % m + lit(i.toLong) * (shiftright(gk, 13) % m * 2 + 1)) % m
+      // gram identity = the fused 60-bit shingle-hash kernel over the
+      // token bytes; per-doc distinct runs over LONGS (hash-then-
+      // distinct, mirrored in the twin so even a collision agrees) —
+      // no gram string, hex string, or string parse anywhere
+      val toks = docsWithToks(s, dir)
+      def gramKeys(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        explode(array_distinct(
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 3)))
+          .as("gk"))
+      val benchKeys = gramKeys(toks.where(col("doc_id") % 97 === 0))
+        .select("gk").distinct()
+      def bitsFor(i: Int) =
+        benchKeys.select(pos(i, col("gk")).as(s"p$i")).distinct()
       val corp = graft.Materialize.cut(
-        sh.where(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
-      val bloomHits = corp.select(col("doc_id"), col("g"),
-          explode(array((0 until 3).map { i =>
-            struct(lit(i).as("i"), pos(i, col("g")).as("p"))
-          }: _*)).as("ib"))
-        .select(col("doc_id"), col("g"),
-          col("ib.i").as("i"), col("ib.p").as("p"))
-        .join(broadcast(bits), Seq("i", "p"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("nb"))
-        .where(col("nb") === 3)
+        gramKeys(toks.where(col("doc_id") % 97 =!= 0))
+          .select(col("doc_id"), col("gk"),
+            pos(0, col("gk")).as("p0"), pos(1, col("gk")).as("p1"),
+            pos(2, col("gk")).as("p2")))
+      val bloomHits = corp
+        .join(broadcast(bitsFor(0)), Seq("p0"), "left_semi")
+        .join(broadcast(bitsFor(1)), Seq("p1"), "left_semi")
+        .join(broadcast(bitsFor(2)), Seq("p2"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
-      val exactHits = corp.join(bench, "g")
+      val exactHits = corp
+        .join(broadcast(benchKeys), Seq("gk"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
       corp.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         .join(bloomHits, Seq("doc_id"), "left")
@@ -2893,39 +2907,44 @@ object ExtQueries {
 
     "qx45_bloom_decontam" -> (ShingleCte +
       """,
-        |bench AS (
-        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |bgk AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(s,
+        |    x -> list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(x), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)))) AS gk
+        |  FROM sh WHERE doc_id % 97 = 0),
         |bits AS (
         |  SELECT DISTINCT i,
-        |    list_reduce(list_transform(range(1, 16),
+        |    (gk % 8192 + i * (((gk >> 13) % 8192) * 2 + 1)) % 8192 AS p
+        |  FROM bgk, range(0, 3) AS r(i)),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(s,
+        |    x -> list_reduce(list_transform(range(1, 16),
         |      j -> CAST(strpos('0123456789abcdef',
-        |        substr(md5(CAST(i AS VARCHAR) || ':' || g),
-        |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) % 8192 AS p
-        |  FROM bench, range(0, 3) AS r(i)),
-        |corp AS (
-        |  SELECT doc_id, unnest(list_distinct(s)) AS g
+        |        substr(md5(x), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)))) AS gk
         |  FROM sh WHERE doc_id % 97 <> 0),
-        |probe AS (
-        |  SELECT doc_id, g, i,
-        |    list_reduce(list_transform(range(1, 16),
-        |      j -> CAST(strpos('0123456789abcdef',
-        |        substr(md5(CAST(i AS VARCHAR) || ':' || g),
-        |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
-        |      (a, x) -> a * 16 + x) % 8192 AS p
-        |  FROM corp, range(0, 3) AS r(i)),
-        |bh AS (
-        |  SELECT doc_id, g FROM probe JOIN bits USING (i, p)
-        |  GROUP BY doc_id, g HAVING count(*) = 3),
+        |ck AS (
+        |  SELECT doc_id, gk,
+        |    (gk % 8192 + 0 * (((gk >> 13) % 8192) * 2 + 1)) % 8192 AS p0,
+        |    (gk % 8192 + 1 * (((gk >> 13) % 8192) * 2 + 1)) % 8192 AS p1,
+        |    (gk % 8192 + 2 * (((gk >> 13) % 8192) * 2 + 1)) % 8192 AS p2
+        |  FROM cg),
         |nb AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
-        |  FROM bh GROUP BY doc_id),
+        |  FROM ck
+        |  WHERE p0 IN (SELECT p FROM bits WHERE i = 0)
+        |    AND p1 IN (SELECT p FROM bits WHERE i = 1)
+        |    AND p2 IN (SELECT p FROM bits WHERE i = 2)
+        |  GROUP BY doc_id),
         |ne AS (
-        |  SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_exact
-        |  FROM corp JOIN bench USING (g) GROUP BY corp.doc_id),
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM ck WHERE gk IN (SELECT gk FROM bgk)
+        |  GROUP BY doc_id),
         |ng AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-        |  FROM corp GROUP BY doc_id)
+        |  FROM ck GROUP BY doc_id)
         |SELECT ng.doc_id, ng.n_grams,
         |  COALESCE(nb.n_bloom, 0) AS n_bloom,
         |  COALESCE(ne.n_exact, 0) AS n_exact,
