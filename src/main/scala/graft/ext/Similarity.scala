@@ -265,6 +265,19 @@ object Similarity {
       .drop("c_emb", "c_cos", "c_rank")
   }
 
+  /** Corpus → its argmax-cosine IVF cell, one row per vector — the
+    * building block cluster-balanced sampling (qx46) shares with the
+    * IVF searches: fit (or reuse) the quantizer, assign via the
+    * broadcast centroid table. Returns (vec_id, cell). */
+  def cellAssignments(corpus: DataFrame, nlist: Int = 16,
+                      trainIters: Int = 5,
+                      cacheKey: Option[String] = None): DataFrame = {
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKey))
+    assignCells(corpus, "vec_id", "v_emb", probes = 1, centroids)
+      .select(col("vec_id"), col("cell"))
+  }
+
   // ---- product quantization (PQ) ------------------------------------------
 
   /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous

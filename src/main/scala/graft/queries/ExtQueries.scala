@@ -1325,6 +1325,31 @@ object ExtQueries {
     // 100 TB this is a fixed-memory one-shuffle distinct estimate where
     // collect_set would OOM and count(DISTINCT) needs a full dedup
     // shuffle of every value. n_exact rides along to exhibit the error.
+    // cluster-balanced (diversity-preserving) sampling — the embedding-
+    // space complement of qx12's per-source stratification: every vector
+    // joins its argmax-cosine IVF cell (the qe4 quantizer, same cached
+    // fit), and each cell yields a deterministic quota of 8 (bottom-8 by
+    // md5(vec_id) — a uniform draw both engines replay bit-identically).
+    // This is how curation pipelines keep TOPICAL coverage while
+    // downsampling: a uniform sample keeps duplicates of the dominant
+    // mode; a per-cluster quota guarantees every region of embedding
+    // space survives. Scale: assignment is a broadcast argmax (no
+    // shuffle of the corpus), the quota is a WindowGroupLimit-prunable
+    // per-cell top-k on a 16-key partition space, and the fit ships only
+    // k×dim numbers to the driver.
+    "qx46_cluster_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ca = Similarity.cellAssignments(Tables.embeddings(s, dir),
+        nlist = 16, trainIters = 5,
+        cacheKey = Some(s"$dir|nlist=16|iters=5"))
+      val w = Window.partitionBy("cell")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      ca.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 8)
+        .select(col("cell"), col("rank"), col("vec_id"))
+        .orderBy("cell", "rank")
+    }),
+
     "qx17_kmv_distinct" -> ((s, dir) => {
       val k = 32
       Tables.documents(s, dir)
@@ -1807,6 +1832,31 @@ object ExtQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of the cluster-balanced sample: same centroid-literal
+    * technique as [[qe4Sql]] (the fit the Spark plan actually used),
+    * argmax-cosine assignment, per-cell bottom-`quota` by md5(vec_id). */
+  private def qx46Sql(cents: Seq[Seq[Float]], quota: Int): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |ca AS (
+       |  SELECT e.vec_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) <= 1)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |       CAST(row_number() OVER w AS BIGINT) AS rank, vec_id
+       |FROM ca
+       |WINDOW w AS (PARTITION BY cell
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |QUALIFY row_number() OVER w <= $quota
+       |ORDER BY cell, rank""".stripMargin
+  }
+
   /** Static twins plus the fit-dependent qe4 twin. Verify materializes
     * every query result BEFORE dumping oracle SQL, so by the time this is
     * read the qe4 fit has run and its centroids are cached; if qe4 never
@@ -1818,7 +1868,8 @@ object ExtQueries {
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
         "qe11_semdedup" -> qe11Sql(c, tau = 0.4),
-        "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8)))
+        "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
+        "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
       .map(cb => Map("qe8_pq_adc" -> qe8Sql(cb, k = 5, shortlist = 100)))

@@ -693,6 +693,26 @@ class ExtSpec extends SparkTestBase {
     assert(r2("a") > 0L && r2("b") > 0L, s"skewed KL must be positive: $r2")
   }
 
+  test("qx46 cluster-balanced sample: every non-empty cell represented, " +
+    "ranks dense from 1, per-cell quota = min(8, |cell|)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pop = graft.ext.Similarity.cellAssignments(emb,
+      cacheKey = Some(s"$sfDir|nlist=16|iters=5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    val byCell = SparkEntry.queries("qx46_cluster_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byCell.keySet == pop.keySet,
+      s"cells ${byCell.keySet} != populated ${pop.keySet}")
+    byCell.foreach { case (cell, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.size).toSeq, s"cell $cell: $ranks")
+      assert(ranks.size == math.min(8, pop(cell)),
+        s"cell $cell quota ${ranks.size} != min(8, ${pop(cell)})")
+    }
+  }
+
   test("qx45 Bloom one-sided error: n_bloom >= n_exact on every doc and " +
     "exact flags imply bloom flags") {
     val rows = SparkEntry.queries("qx45_bloom_decontam")(spark, sfDir)

@@ -409,4 +409,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("qx46 cluster sample: centroid assignment broadcasts (no corpus " +
+    "shuffle for the argmax) and the per-cell quota prunes via " +
+    "WindowGroupLimit") {
+    val p = plan("qx46_cluster_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
