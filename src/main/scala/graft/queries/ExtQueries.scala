@@ -47,6 +47,37 @@ object ExtQueries {
       .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 3)
 
+  /** Shared engine of qx33/qx47: overlap-only doc pairs with the
+    * hot-gram cap applied before the posting self-join. Yields one row
+    * per pair sharing ≥ 1 surviving gram — (d1, d2, ni, na, nb) where
+    * ni counts surviving shared grams and na/nb are the docs' FULL
+    * distinct-gram counts. Scale shape: distinct 60-bit gram keys per
+    * doc (narrow native pass), df agg + anti join drop the > cap grams
+    * (their df² join output is the quadratic term), equi-join on 8-byte
+    * longs, then two size joins on doc_id. */
+  private def cappedGramOverlap(s: SparkSession, dir: String): DataFrame = {
+    val cap = JaccardGramCap
+    val d = graft.Materialize.cut(
+      docsWithToks(s, dir).select(col("doc_id"),
+        array_distinct(graft.meos.NativeExpressions
+          .shingleHashes(col("toks"), 3)).as("shd")))
+    val sizes = d.select(col("doc_id"),
+      size(col("shd")).cast("double").as("n"))
+    val inv = d.select(col("doc_id"), explode(col("shd")).as("s"))
+    val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap).drop("df")
+    val small = inv.join(hot, Seq("s"), "left_anti")
+    val common = small.select(col("doc_id").as("d1"), col("s"))
+      .join(small.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).cast("double").as("ni"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")),
+        Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")),
+        Seq("d2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content fingerprint groups + canonical keeper
     "qx1_dedup_exact" -> ((s, dir) =>
@@ -161,31 +192,31 @@ object ExtQueries {
     //     signal and their df² join output IS the quadratic term).
     // ji is computed over each doc's FULL distinct-gram size, so it is
     // the standard boilerplate-insensitive lower bound of true Jaccard.
-    "qx33_jaccard_overlap" -> ((s, dir) => {
-      val cap = JaccardGramCap
-      val d = graft.Materialize.cut(
-        docsWithToks(s, dir).select(col("doc_id"),
-          array_distinct(graft.meos.NativeExpressions
-            .shingleHashes(col("toks"), 3)).as("shd")))
-      val sizes = d.select(col("doc_id"),
-        size(col("shd")).cast("double").as("n"))
-      val inv = d.select(col("doc_id"), explode(col("shd")).as("s"))
-      val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") > cap).drop("df")
-      val small = inv.join(hot, Seq("s"), "left_anti")
-      val common = small.select(col("doc_id").as("d1"), col("s"))
-        .join(small.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-        .where(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).cast("double").as("ni"))
-      common
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")),
-          Seq("d1"))
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")),
-          Seq("d2"))
+    "qx33_jaccard_overlap" -> ((s, dir) =>
+      cappedGramOverlap(s, dir)
         .select(col("d1"), col("d2"),
           (col("ni") / (col("na") + col("nb") - col("ni"))).as("ji"))
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
+
+    // CONTAINMENT near-dup detection — the ASYMMETRIC companion of
+    // qx33's Jaccard (Broder's containment): C(A→B) = |A∩B| / |A|
+    // catches a short doc embedded verbatim inside a longer host
+    // (quote-the-whole-article pages, README-in-every-repo), which
+    // symmetric Jaccard dilutes below any threshold as the host grows
+    // — |A∩B|/(|A|+|B|-|A∩B|) → 0 while |A∩B|/|A| stays 1. Emits both
+    // directions per pair, filtered where either crosses 0.5. Same
+    // machinery and scale posture as qx33 (overlap-only pairs, hot-gram
+    // cap, 8-byte gram keys); the intersection is over SURVIVING grams
+    // while |A| is the doc's full distinct-gram count, so the score is
+    // the boilerplate-insensitive lower bound of true containment —
+    // single double divisions, bit-stable cross-engine.
+    "qx47_containment" -> ((s, dir) =>
+      cappedGramOverlap(s, dir)
+        .select(col("d1"), col("d2"),
+          (col("ni") / col("na")).as("c_fwd"),
+          (col("ni") / col("nb")).as("c_rev"))
+        .where(greatest(col("c_fwd"), col("c_rev")) >= 0.5)
+        .orderBy("d1", "d2")),
 
     // language-ID heuristic
     // language-ID — the 5 stopword scores are staged through a real
@@ -1505,6 +1536,161 @@ object ExtQueries {
         .withColumn("flagged_bloom", col("n_bloom") >= 1)
         .withColumn("flagged_exact", col("n_exact") >= 1)
         .orderBy("doc_id")
+    }),
+
+    // train/val/test SPLIT ASSIGNMENT + cross-split leakage audit — the
+    // bookkeeping every training run needs before it starts: a
+    // DETERMINISTIC hash split (md5(doc_id) → u ∈ [0,1), 80/10/10 —
+    // reproducible across runs/engines, no RNG state, same coin as
+    // qx12/qx22), then an audit for eval contamination ACROSS splits:
+    // a content fingerprint (minhash h0 over 3-gram shingles — the qx2
+    // signature's first component, so near-dups collide, not just
+    // byte-identical copies) seen in ≥ 2 distinct splits marks all its
+    // docs leaked. Output: per (source, split) doc counts + leaked
+    // counts. Scale shape: split assign + fingerprint are one narrow
+    // native pass; the audit is an fp-keyed count-distinct agg (≤ one
+    // row per distinct content) + semi join back; the rollup is a
+    // bounded-key (sources × 3) agg. Docs under 3 tokens carry a null
+    // fingerprint: counted in n_docs, exempt from the audit (both
+    // engines agree on the exemption).
+    "qx48_split_leakage" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val sp = graft.Materialize.cut(
+        Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+              .as("split"),
+            when(size(col("toks")) >= 3,
+              element_at(Text.lshBandsFromToks(col("toks"), bands = 1), 1))
+              .as("fp")))
+      val leaked = sp.where(col("fp").isNotNull)
+        .groupBy("fp").agg(count_distinct(col("split")).as("nsp"))
+        .where(col("nsp") >= 2).select("fp")
+      val leakedDocs = sp.where(col("fp").isNotNull)
+        .join(leaked, Seq("fp"), "left_semi")
+        .groupBy("source", "split").agg(count(lit(1)).as("n_leaked"))
+      sp.groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .join(leakedDocs, Seq("source", "split"), "left")
+        .select(col("source"), col("split"), col("n_docs"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+        .orderBy("source", "split")
+    }),
+
+    // tokenizer VOCABULARY COVERAGE — fit a top-V vocabulary by corpus
+    // frequency (V = 25; deterministic tie-break on the token itself)
+    // and report each source's out-of-vocabulary token rate: the
+    // coverage / fertility signal that decides whether a tokenizer (or
+    // a frequency-truncated embedding table) fits a corpus slice, and
+    // the standard pre-flight before committing a vocab size. Scale
+    // shape: ONE tokenize + explode feeds a (source, term) count with
+    // map-side combine (the only corpus-sized shuffle, term-keyed);
+    // the corpus frequency table derives from that same aggregate
+    // (vocabulary-sized, not corpus-sized), the top-V fit is a
+    // TakeOrdered over it (V rows to the driver's plan, never data
+    // rows), and membership is a broadcast left join. OOV rate is a
+    // single double division — bit-stable cross-engine.
+    "qx49_vocab_coverage" -> ((s, dir) => {
+      val V = 25
+      val st = graft.Materialize.cut(
+        Tables.documents(s, dir)
+          .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("n")))
+      val vocab = st.groupBy("term").agg(sum("n").as("cf"))
+        .orderBy(desc("cf"), col("term")).limit(V)
+        .select(col("term"), lit(true).as("in_vocab"))
+      st.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source").agg(
+          sum("n").as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("n")).otherwise(lit(0L)))
+            .as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy("source")
+    }),
+
+    // sqrt-TEMPERATURE mixture weights — the standard multilingual /
+    // multi-source sampling-rate computation (α = 0.5 temperature:
+    // p_i = c_i^α / Σ c_j^α), which upsamples small sources and
+    // downsamples huge ones less brutally than qx22's uniform
+    // rebalance. α is pinned at 0.5 because sqrt is IEEE-exact in both
+    // engines — an arbitrary pow(c, 0.7) is transcendental and not
+    // bit-portable. The denominator Σ√c_j is the ONE cross-row float
+    // sum, folded left-to-right over source-SORTED weights (qx20
+    // discipline) so both engines add in the same order; everything
+    // downstream is a chain of single double ops on identical inputs.
+    // Scale shape: per-source token totals (bounded-key agg with
+    // map-side combine), a one-row broadcast of (Σc, Σ√c), and a
+    // narrow projection — nothing corpus-sized ever shuffles twice.
+    "qx50_mixture_temperature" -> ((s, dir) => {
+      val perSrc = Tables.documents(s, dir)
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("source").agg(sum("n_toks").as("src_tokens"))
+        .withColumn("w", sqrt(col("src_tokens").cast("double")))
+      val tot = perSrc.agg(
+        sum("src_tokens").as("b"),
+        aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("z"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tokens"),
+          (col("w") / col("z")).as("p"),
+          (col("w") / col("z") * col("b").cast("double"))
+            .as("expected_tokens"),
+          (col("w") / col("z") * col("b").cast("double") /
+            col("src_tokens").cast("double")).as("boost"))
+        .orderBy("source")
+    }),
+
+    // per-label embedding CENTROID QUALITY — the cluster-cohesion audit
+    // for a labeled (or pseudo-labeled) embedding table: per label, the
+    // member count, the mean cosine of members to their own label's
+    // centroid, and the worst member (min cosine — outlier signal).
+    // Low cohesion flags label noise / collapsed embeddings before they
+    // poison contrastive training or ANN ground truth. Float
+    // discipline: centroid components are round-9 per-dimension MEANS
+    // (absorbs cross-row sum-order ulps; both engines then hold
+    // bit-identical centroids), each member cosine is the same
+    // left-to-right fold both engines share, and the MEAN cosine runs
+    // through exact integer milli-arithmetic (floor(cos·1e9) summed as
+    // BIGINT, one final division — qs3 discipline) so no cross-row
+    // float accumulation exists anywhere. min_cos is an exact min of
+    // identical doubles. Scale shape: posexplode to (label, dim) rows
+    // with MAP-SIDE COMBINE — the shuffle carries ≤ partitions × labels
+    // × dim pre-aggregated rows, not n × dim; centroids (labels × dim)
+    // broadcast back over one corpus scan.
+    "qe14_label_centroids" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      val cent = dims.groupBy("label", "pos")
+        .agg(round(avg("v"), 9).as("cv"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+      // composed cosine, not the float-native kernel: the centroid is a
+      // DOUBLE array (round-9 means aren't float-representable) and the
+      // zip_with fold casts each side independently — exactly what the
+      // twin's CAST(p[i] AS DOUBLE) does
+      def ccos(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(a, b) /
+          (sqrt(Similarity.dotComposed(a, a)) *
+            sqrt(Similarity.dotComposed(b, b)))
+      val mem = Tables.embeddings(s, dir)
+        .join(broadcast(cent), Seq("label"))
+        .select(col("label"), ccos(col("embedding"), col("cvec")).as("cos"))
+      mem.groupBy("label").agg(
+          count(lit(1)).as("n_vecs"),
+          sum(floor(col("cos") * lit(1e9)).cast("long")).as("milli"),
+          min(col("cos")).as("min_cos"))
+        .select(col("label"), col("n_vecs"),
+          (col("milli").cast("double") / col("n_vecs").cast("double") /
+            lit(1e9)).as("mean_cos"),
+          col("min_cos"))
+        .orderBy("label")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -1882,6 +2068,124 @@ object ExtQueries {
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
+    // qx33/qx47 share one CTE body (the capped gram-overlap engine);
+    // only the final score projection differs
+    "qx47_containment" -> (ShingleCte +
+      s""",
+        |d AS (SELECT doc_id,
+        |             list_distinct(list_transform(s,
+        |               g -> list_reduce(list_transform(range(1, 16),
+        |                 i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(g), CAST(i AS INT), 1)) - 1
+        |                   AS BIGINT)),
+        |                 (a, b) -> a * 16 + b))) AS shd FROM sh),
+        |inv AS (SELECT doc_id, unnest(shd) AS s FROM d),
+        |small AS (
+        |  SELECT doc_id, s FROM inv
+        |  WHERE s NOT IN (SELECT s FROM inv GROUP BY s
+        |                  HAVING count(*) > ${JaccardGramCap})),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(count(*) AS DOUBLE) AS ni
+        |  FROM small a JOIN small b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(shd) AS DOUBLE) AS n FROM d)
+        |SELECT c.d1, c.d2, c.ni / x.n AS c_fwd, c.ni / y.n AS c_rev
+        |FROM common c
+        |JOIN sizes x ON x.doc_id = c.d1
+        |JOIN sizes y ON y.doc_id = c.d2
+        |WHERE greatest(c.ni / x.n, c.ni / y.n) >= 0.5
+        |ORDER BY d1, d2""".stripMargin),
+
+    "qx48_split_leakage" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST(u AS DOUBLE) / 4294967296E0 < 0.8 THEN 'train'
+        |         WHEN CAST(u AS DOUBLE) / 4294967296E0 < 0.9 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_min(list_transform(
+        |        list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]),
+        |        x -> md5('0:' || x)))
+        |    ELSE NULL END AS fp
+        |  FROM base),
+        |leak AS (
+        |  SELECT fp FROM sp WHERE fp IS NOT NULL
+        |  GROUP BY fp HAVING count(DISTINCT split) >= 2)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM leak)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |FROM sp GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
+
+    "qx49_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        |       FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT term, sum(n) AS cf FROM st GROUP BY term),
+        |vocab AS (SELECT term FROM cf ORDER BY cf DESC, term LIMIT 25)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+        |           THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+        |           THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) AS oov_rate
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    // Σ√c is folded over source-sorted weights with a 0.0 seed —
+    // bit-identical to the Spark plan's sorted aggregate fold
+    "qx50_mixture_temperature" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |pw AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_tokens,
+        |         sqrt(CAST(sum(n_toks) AS DOUBLE)) AS w
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS b,
+        |             list_reduce(list_prepend(0.0E0,
+        |               list(w ORDER BY source)), (a, x) -> a + x) AS z
+        |      FROM pw)
+        |SELECT source, src_tokens, w / z AS p,
+        |       w / z * CAST(b AS DOUBLE) AS expected_tokens,
+        |       w / z * CAST(b AS DOUBLE) / CAST(src_tokens AS DOUBLE)
+        |         AS boost
+        |FROM pw CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // centroids are round-9 per-dimension means (bit-identical inputs
+    // to the cosine in both engines); the mean cosine runs through
+    // exact integer milli-arithmetic (qs3 discipline)
+    "qe14_label_centroids" ->
+      (s"""WITH dims AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos, round(avg(v), 9) + 0.0E0 AS cv
+        |  FROM dims GROUP BY label, pos),
+        |cvec AS (SELECT label, list(cv ORDER BY pos) AS cvec
+        |         FROM cent GROUP BY label),
+        |mem AS (
+        |  SELECT e.label, ${cosSql("e.embedding", "c.cvec")} AS cos
+        |  FROM embeddings e JOIN cvec c USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CAST(floor(cos * 1E9) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1E9 AS mean_cos,
+        |  min(cos) AS min_cos
+        |FROM mem GROUP BY label ORDER BY label""".stripMargin),
+
     // SQ8: the bounds fit is exact min/max — the twin recomputes it
     // instead of embedding fit literals (contrast qe4Sql/qe8Sql)
     "qe10_ann_sq8" ->
