@@ -83,12 +83,19 @@ object Bench {
       System.err.println(f"[bench-r1] $name $t%.2f")
       t
     }.sum
-    // The driver snapshots only the LAST 2000 chars of stdout; keep the
-    // line short (2-decimal per-query times, compact keys) and restate the
-    // headline total near the END of the line so it survives even if the
-    // head gets truncated by the tail window.
+    // The driver snapshots only the LAST 2000 chars of stdout. At 123
+    // queries the full-name breakdown alone is ~3k chars — round 7's line
+    // lost its head (including "metric"/"value") to the tail window and
+    // the driver recorded parsed:null. Keep stdout parseable: per-query
+    // keys shortened to their unique first segment ("qx23_span_removal" →
+    // "qx23"), 2-decimal times, headline total restated at the END of the
+    // line so it survives even if the head gets clipped. The full-name
+    // breakdown goes to stderr for humans.
     def f2(v: Double): String = "%.2f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    results.foreach { case (k, v) =>
+      System.err.println(f"[bench-med3] $k ${v}%.2f") }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)}}""")

@@ -8,24 +8,36 @@ import org.apache.spark.sql.functions._
   * All timestamps are normalized to Spark `TimestampType` (microsecond
   * precision, session timezone pinned UTC) — the same resolution MEOS uses
   * for `timestamptz` (reference: `meos/src/temp.rs:50-52` returns i64 epoch
-  * micros). The `events` table is stored as parquet `timestamp[ns]`, which
-  * Spark 4 refuses to read natively; we read it as nanos-long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
-  * integer division — identical semantics to DuckDB's ns→us read-time
-  * truncation, so the oracle sees the same instants.
+  * micros). The `events` table's stored `ts` type has varied across
+  * driver-generated datasets — `timestamp[ns]` (unreadable natively by
+  * Spark 4; read as nanos-long via `spark.sql.legacy.parquet.nanosAsLong`
+  * and truncated to micros) and `timestamp[us]` naive (read as
+  * TIMESTAMP_NTZ) — so [[events]] adapts to whatever the file holds and
+  * always hands back session-TZ `TimestampType` micros. The session TZ is
+  * pinned UTC everywhere, so the NTZ→TZ cast is wall-clock preserving and
+  * the oracle (DuckDB's naive read of the same file) sees identical
+  * instants in every case.
   */
 object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` as TimestampType (micros, truncated from ns). */
+  /** `events` with `ts` as TimestampType (micros), whatever the file stores. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      // `div` (integer division) — a double division would lose precision at
-      // ~1.7e18 ns magnitudes (doubles carry 53 bits).
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      // timestamp[ns] storage read as nanos-long: `div` (integer division)
+      // — a double division would lose precision at ~1.7e18 ns magnitudes
+      // (doubles carry 53 bits).
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType.type =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
