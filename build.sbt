@@ -29,7 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g, not bigger: Spark's ContextCleaner only reclaims finished
+  // queries' shuffle files/broadcasts when the JVM actually runs GC —
+  // under a 24g heap the 123-query bench suite barely GCs, cleanup
+  // backlogs, and per-query times inflate 2-8× late in the run (round-7
+  // bench vs the same queries isolated). A modest heap keeps collections
+  // frequent enough that each query starts from a clean block manager.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // a 112-query suite generates thousands of whole-stage-codegen classes;
   // the JVM default 240m code cache thrashes late in the run (flushed
   // compiled methods re-interpret, inflating the suite tail — the

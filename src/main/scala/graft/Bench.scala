@@ -28,6 +28,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // ContextCleaner reclaims finished queries' shuffle files and
+      // broadcasts only when GC collects their driver-side handles; force
+      // a periodic GC so a 123-query suite can't backlog cleanup state
+      // (the round-7 suite-tail inflation)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,6 +71,11 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val times = Seq.fill(3)(runOnce(name)).sorted
+      // between queries (outside any timed span): give the cleaner a GC
+      // so this query's shuffle/broadcast state is gone before the next
+      // query is timed — without it the suite tail measures cleanup debt,
+      // not the query
+      System.gc()
       name -> times(1) // median of 3
     }
     // round-1 comparability: one single-shot `.count()` pass per query —

@@ -526,6 +526,16 @@ object CoreQueries {
     "qs4_stream_dedup" -> ((s, dir) =>
       graft.streaming.StreamingReplay.dedupReplay(s, dir)),
 
+    // qs5 — fifth streaming path under the hash gate: CHAINED stateful
+    // aggregations (Spark 3.4+ multi-agg append mode — windowed term
+    // counts feeding a second per-window rollup), the engine path
+    // qs1-qs4's single-operator state doesn't touch. Synthesized
+    // window-aligned event time makes every 2-minute window a fixed
+    // doc_id range, so a batch GROUP BY + row_number twin oracles the
+    // whole two-stage finalization machinery.
+    "qs5_stream_topterms" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.topTermsReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1414,6 +1424,28 @@ object CoreQueries {
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents
         |ORDER BY fp""".stripMargin,
+
+    // the chained streaming aggs must hash-match the batch per-window
+    // top-5: event time is doc_id seconds from the window-aligned epoch,
+    // so window w holds doc_ids [120w, 120w+119] exactly; ties break
+    // count DESC then term ASC in both engines
+    "qs5_stream_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id // 120 AS b, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY b, term),
+        |r AS (
+        |  SELECT b, term, cnt,
+        |         CAST(row_number() OVER (PARTITION BY b
+        |           ORDER BY cnt DESC, term) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT TIMESTAMP '2000-01-01 00:00:00' + b * INTERVAL 120 SECOND
+        |         AS win_start,
+        |       rank, term, cnt
+        |FROM r WHERE rank <= 5
+        |ORDER BY win_start, rank""".stripMargin,
 
     "q38_asof_forward" ->
       """WITH p AS (

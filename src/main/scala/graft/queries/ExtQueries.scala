@@ -1691,6 +1691,221 @@ object ExtQueries {
             lit(1e9)).as("mean_cos"),
           col("min_cos"))
         .orderBy("label")
+    }),
+
+    // tokenizer FERTILITY per (source, lang) — bytes per whitespace
+    // token, the first number a tokenization plan needs per language
+    // (CJK text runs ~3 bytes/char with few spaces; a byte-budgeted
+    // training mix must convert corpus bytes → expected tokens per
+    // slice). Exact BIGINT totals, one double division at the end —
+    // bit-stable. Scale shape: one narrow map (size + octet_length),
+    // one bounded-key agg with map-side combine; nothing else.
+    "qx51_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("total_toks"),
+          sum("n_bytes").as("total_bytes"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("total_toks"), col("total_bytes"),
+          (col("total_bytes").cast("double") /
+            col("total_toks").cast("double")).as("bytes_per_tok"))
+        .orderBy("source", "lang")),
+
+    // bigram COLLOCATIONS by chi-square — the log-free counterpart of
+    // qx29's PMI (Dunning-style association strength from the 2×2
+    // contingency table; chi² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))).
+    // Everything is integer counts; the score is a fixed-shape double
+    // polynomial (products up to ~N⁴ round identically in IEEE as long
+    // as both engines share the operation ORDER, which the twin spells
+    // identically) — no transcendental, no rounding step needed. Scale
+    // shape: the bigram count frame is the only corpus-sized pass; the
+    // margin tables are vocabulary²-keyed rollups of it; top-50 via a
+    // single WindowGroupLimit-prunable rank.
+    "qx53_chi2_colloc" -> ((s, dir) => {
+      val bi = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(explode(Text.shingles(col("toks"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("x"),
+          split(col("bg"), " ").getItem(1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("a"))
+        .where(col("a") >= 5))
+      val cx = bi.groupBy("x").agg(sum("a").as("cx"))
+      val cy = bi.groupBy("y").agg(sum("a").as("cy"))
+      val n = bi.agg(sum("a").as("n"))
+      val aD = col("a").cast("double")
+      val cxD = col("cx").cast("double")
+      val cyD = col("cy").cast("double")
+      val nD = col("n").cast("double")
+      val det = aD * (nD - cxD - cyD + aD) - (cxD - aD) * (cyD - aD)
+      bi.join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+        .select(concat_ws(" ", col("x"), col("y")).as("bg"), col("a"),
+          (nD * det * det /
+            (cxD * (nD - cxD) * cyD * (nD - cyD))).as("chi2"))
+        .orderBy(desc("chi2"), col("bg"))
+        .limit(50)
+    }),
+
+    // near-dup GRAPH degree histogram — the one-line health check on the
+    // dedup graph before clustering: a heavy tail (many high-degree
+    // docs) means boilerplate is flooding the bands and the cap/shingle
+    // parameters need retuning; mass at degree 0 is the genuinely unique
+    // corpus. Pairs come from the PRODUCTION capped band join
+    // (Dedup.bandedPairs), so the histogram describes exactly the graph
+    // qx11 clusters. Scale shape: pair list → doc-keyed degree rollup →
+    // bounded-key histogram; docs too short to band count as degree 0
+    // via the left join.
+    "qx55_dupgraph_degree" -> ((s, dir) => {
+      val sig = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
+      val pairs = Dedup.bandedPairs(sig)
+      val deg = pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      Tables.documents(s, dir).select("doc_id")
+        .join(deg, Seq("doc_id"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
+    // minhash SKETCH-ERROR audit — per production candidate pair, the
+    // 16-hash minhash Jaccard estimate next to the exact distinct-3-gram
+    // Jaccard, with the absolute error: the accuracy report that decides
+    // whether a signature width is safe to cut (run on a bounded sample
+    // at 100 TB; candidates here are the capped band join's, so the pair
+    // set is the production one). One kernel pass emits all 16 minhashes
+    // AND the band keys (the first 4 hashes), so the audit costs one
+    // extra projection over the dedup path it audits. est and exact are
+    // single double divisions of small integers — bit-stable.
+    "qx54_sketch_error" -> ((s, dir) => {
+      val base = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("doc_id"),
+          Text.lshBandsFromToks(col("toks"), bands = 16).as("mh"),
+          array_distinct(graft.meos.NativeExpressions
+            .shingleHashes(col("toks"), 3)).as("shd")))
+      val sig = base.select(col("doc_id"),
+        explode(slice(col("mh"), 1, 4)).as("band"))
+      val pairs = Dedup.bandedPairs(sig)
+      val est = (aggregate(
+        zip_with(col("mh1"), col("mh2"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(16.0)).as("est_ji")
+      val ni = size(array_intersect(col("shd1"), col("shd2"))).cast("double")
+      val exact = (ni /
+        ((size(col("shd1")) + size(col("shd2"))).cast("double") - ni))
+        .as("exact_ji")
+      pairs
+        .join(base.select(col("doc_id").as("d1"), col("mh").as("mh1"),
+          col("shd").as("shd1")), Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("mh").as("mh2"),
+          col("shd").as("shd2")), Seq("d2"))
+        .select(col("d1"), col("d2"), est, exact)
+        .withColumn("abs_err", abs(col("est_ji") - col("exact_ji")))
+        .orderBy("d1", "d2")
+    }),
+
+    // mergeable KMV UNION across sources — the sketch-composition
+    // property that makes bounded-state distinct counting work on a
+    // partitioned 100 TB corpus: per-source bottom-32 vocabulary
+    // sketches merge (union → keep 32 smallest) into the corpus-wide
+    // estimate WITHOUT rescanning any source. Emits one row per source
+    // (estimate + exact for audit) plus the '__union__' row computed
+    // ONLY from the per-source sketches; the oracle recomputes the same
+    // deterministic bottom-k in SQL, proving merge == direct. Scale
+    // shape: sketch state is 32 strings per source; the merge input is
+    // sources × 32 rows — driver-free, shuffle-free in practice.
+    "qx52_union_sketch" -> ((s, dir) => {
+      val k = 32
+      val h = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+        .select(col("source"), md5(col("t")).as("h"))
+      val per = graft.Materialize.cut(h.groupBy("source")
+        .agg(Sketch.kmvSet(k)(col("h")).as("sk"),
+          count_distinct(col("h")).as("exact")))
+      def estOf(hs: org.apache.spark.sql.Column) =
+        Sketch.kmvEstimate(struct(
+          size(hs).cast("long").as("n"),
+          when(size(hs) === k, element_at(hs, k)).as("kth")), k)
+      val perOut = per.select(col("source"),
+        estOf(col("sk.hs")).as("kmv_est"), col("exact"))
+      // grouped on a constant, not a global agg: the suite-wide contract
+      // is empty input → empty output, and a groupBy-less agg emits its
+      // one zero-row even over nothing
+      val union = per.select(explode(col("sk.hs")).as("h"))
+        .groupBy(lit(1).as("g"))
+        .agg(Sketch.kmv(k)(col("h")).as("sk2"))
+        .crossJoin(broadcast(
+          h.agg(count_distinct(col("h")).as("exact"))))
+        .select(lit("__union__").as("source"),
+          Sketch.kmvEstimate(col("sk2"), k).as("kmv_est"), col("exact"))
+      perOut.unionByName(union).orderBy("source")
+    }),
+
+    // media-asset exact dedup — the multimodal counterpart of qx1: crawl
+    // archives carry the same image/video payload under thousands of
+    // URLs, and byte-identical dedup (content hash over the OPAQUE
+    // binary column, no decode) is the first and cheapest curation pass.
+    // Reports the storage the dedup reclaims. Scale shape: one hash per
+    // blob computed in the scan projection, one hash-keyed agg — the
+    // blob bytes themselves never shuffle.
+    "qm3_blob_dedup" -> ((s, dir) =>
+      Multimodal.synthMedia(s, dir)
+        .groupBy(md5(col("bytes")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"),
+          min(col("meta.nbytes")).as("nbytes"))
+        .select(col("fp"), col("n_copies"), col("keeper"), col("nbytes"),
+          ((col("n_copies") - 1) * col("nbytes")).as("wasted_bytes"))
+        .orderBy("fp")),
+
+    // MATRYOSHKA-truncation recall — how much ANN quality survives
+    // cutting the embedding to its first 8 / 16 dimensions (the MRL
+    // deployment question: shorter prefixes = smaller index + faster
+    // scan, paid in recall). Exact top-10 at full dimension vs top-10
+    // under each prefix, recall@10 per query. Probe set is the bounded
+    // qe1 fence (vec_id < 20): corpus × probes work, never corpus².
+    // Cosines are the same composed left-to-right double fold as the
+    // qe-family twins; ties rank by n_id so both engines agree.
+    "qe15_mrl_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 20)
+      def ccos(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(a, b) /
+          (sqrt(Similarity.dotComposed(a, a)) *
+            sqrt(Similarity.dotComposed(b, b)))
+      def topk(dim: Int): DataFrame = {
+        def cut(c: org.apache.spark.sql.Column) =
+          if (dim > 0) slice(c, 1, dim) else c
+        val q = probes.select(col("vec_id").as("q_id"),
+          cut(col("embedding")).as("qe"))
+        val c = emb.select(col("vec_id").as("n_id"),
+          cut(col("embedding")).as("ne"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+        c.crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            ccos(col("qe"), col("ne")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 10)
+          .select("q_id", "n_id")
+      }
+      val full = topk(0)
+      def recallOf(dim: Int, name: String): DataFrame =
+        full.join(topk(dim), Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id")
+          .agg((count(lit(1)).cast("double") / lit(10.0)).as(name))
+      probes.select(col("vec_id").as("q_id"))
+        .join(recallOf(8, "recall_d8"), Seq("q_id"), "left")
+        .join(recallOf(16, "recall_d16"), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("recall_d8"), lit(0.0)).as("recall_d8"),
+          coalesce(col("recall_d16"), lit(0.0)).as("recall_d16"))
+        .orderBy("q_id")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -3542,6 +3757,209 @@ object ExtQueries {
         |  min(CASE WHEN cum * 100 >= total * 75 THEN n_chars END) AS p75,
         |  min(CASE WHEN cum * 100 >= total * 95 THEN n_chars END) AS p95
         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qx51_fertility" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(strlen(text)) AS DOUBLE) /
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |    AS bytes_per_tok
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "qx53_chi2_colloc" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> [toks[i+1], toks[i+2]])) AS p
+        |  FROM tok),
+        |bi AS (
+        |  SELECT p[1] AS x, p[2] AS y, CAST(count(*) AS BIGINT) AS a
+        |  FROM pairs GROUP BY x, y HAVING count(*) >= 5),
+        |cxs AS (SELECT x, CAST(sum(a) AS BIGINT) AS cx FROM bi GROUP BY x),
+        |cys AS (SELECT y, CAST(sum(a) AS BIGINT) AS cy FROM bi GROUP BY y),
+        |ns AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM bi),
+        |j AS (
+        |  SELECT x, y, a, CAST(a AS DOUBLE) AS ad,
+        |         CAST(cx AS DOUBLE) AS cxd, CAST(cy AS DOUBLE) AS cyd,
+        |         CAST(n AS DOUBLE) AS nd
+        |  FROM bi JOIN cxs USING (x) JOIN cys USING (y) CROSS JOIN ns),
+        |k AS (
+        |  SELECT x, y, a, nd, cxd, cyd,
+        |         ad * (nd - cxd - cyd + ad)
+        |           - (cxd - ad) * (cyd - ad) AS det
+        |  FROM j)
+        |SELECT x || ' ' || y AS bg, a,
+        |       nd * det * det /
+        |         (cxd * (nd - cxd) * cyd * (nd - cyd)) AS chi2
+        |FROM k
+        |ORDER BY chi2 DESC, bg
+        |LIMIT 50""".stripMargin,
+
+    "qx55_dupgraph_degree" -> (ShingleCte +
+      s""",
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |deg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT d1 AS doc_id FROM p
+        |        UNION ALL SELECT d2 AS doc_id FROM p) u
+        |  GROUP BY doc_id)
+        |SELECT coalesce(deg.degree, CAST(0 AS BIGINT)) AS degree,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d LEFT JOIN deg USING (doc_id)
+        |GROUP BY 1 ORDER BY degree""".stripMargin),
+
+    "qx54_sketch_error" -> (ShingleCte +
+      s""",
+        |sig AS (
+        |  SELECT doc_id,
+        |    ${(0 until 16).map(i =>
+                s"list_min(list_transform(s, x -> md5('$i:' || x)))")
+                .mkString("[", ",\n        |     ", "]")} AS mh
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, mh[1] AS band FROM sig
+        |  UNION ALL SELECT doc_id, mh[2] FROM sig
+        |  UNION ALL SELECT doc_id, mh[3] FROM sig
+        |  UNION ALL SELECT doc_id, mh[4] FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS d1, c.doc_id AS d2
+        |  FROM small x JOIN small c
+        |    ON x.band = c.band AND x.doc_id < c.doc_id),
+        |d AS (SELECT doc_id,
+        |             list_distinct(list_transform(s,
+        |               g -> list_reduce(list_transform(range(1, 16),
+        |                 i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(g), CAST(i AS INT), 1)) - 1
+        |                   AS BIGINT)),
+        |                 (a, b) -> a * 16 + b))) AS shd FROM sh),
+        |scored AS (
+        |  SELECT p.d1, p.d2,
+        |    CAST((${(1 to 16).map(i =>
+                s"CASE WHEN sa.mh[$i] = sb.mh[$i] THEN 1 ELSE 0 END")
+                .mkString(" +\n        |          ")}) AS DOUBLE) / 16.0E0
+        |      AS est_ji,
+        |    CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE) /
+        |      (CAST(len(da.shd) + len(db.shd) AS DOUBLE)
+        |       - len(list_intersect(da.shd, db.shd))) AS exact_ji
+        |  FROM p
+        |  JOIN sig sa ON sa.doc_id = p.d1
+        |  JOIN sig sb ON sb.doc_id = p.d2
+        |  JOIN d da ON da.doc_id = p.d1
+        |  JOIN d db ON db.doc_id = p.d2)
+        |SELECT d1, d2, est_ji, exact_ji, abs(est_ji - exact_ji) AS abs_err
+        |FROM scored ORDER BY d1, d2""".stripMargin),
+
+    "qx52_union_sketch" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |h AS (SELECT source, md5(t) AS h FROM tok),
+        |per AS (
+        |  SELECT source, list_slice(list_sort(list(DISTINCT h)), 1, 32)
+        |           AS hs,
+        |         CAST(count(DISTINCT h) AS BIGINT) AS exact
+        |  FROM h GROUP BY source),
+        |allh AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact FROM h),
+        |merged AS (
+        |  SELECT list_slice(list_sort(list_distinct(flatten(list(hs)))),
+        |           1, 32) AS hs
+        |  FROM per),
+        |perout AS (
+        |  SELECT source,
+        |    CASE WHEN len(hs) < 32 THEN CAST(len(hs) AS DOUBLE)
+        |      ELSE 31.0E0 * 4503599627370496.0E0 / CAST(list_reduce(
+        |        list_transform(range(1, 14),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |            substr(hs[32], CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b) AS DOUBLE)
+        |    END AS kmv_est, exact
+        |  FROM per),
+        |uout AS (
+        |  SELECT '__union__' AS source,
+        |    CASE WHEN len(m.hs) < 32 THEN CAST(len(m.hs) AS DOUBLE)
+        |      ELSE 31.0E0 * 4503599627370496.0E0 / CAST(list_reduce(
+        |        list_transform(range(1, 14),
+        |          i -> CAST(strpos('0123456789abcdef',
+        |            substr(m.hs[32], CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b) AS DOUBLE)
+        |    END AS kmv_est, allh.exact
+        |  FROM merged m CROSS JOIN allh)
+        |SELECT source, kmv_est, exact FROM perout
+        |UNION ALL SELECT source, kmv_est, exact FROM uout
+        |ORDER BY source""".stripMargin,
+
+    "qm3_blob_dedup" ->
+      """SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |       min(doc_id) AS keeper,
+        |       CAST(min(strlen(text)) AS BIGINT) AS nbytes,
+        |       CAST((count(*) - 1) * min(strlen(text)) AS BIGINT)
+        |         AS wasted_bytes
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "qe15_mrl_recall" -> {
+      def cosP(a: String, b: String) = cosSql(a, b)
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding FROM embeddings
+         |  WHERE vec_id < 20),
+         |full10 AS (
+         |  SELECT q.q_id, e.vec_id AS n_id
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${cosP("q.embedding", "e.embedding")} DESC,
+         |      e.vec_id) <= 10),
+         |d8 AS (
+         |  SELECT q.q_id, e.vec_id AS n_id
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${cosP("q.embedding[1:8]", "e.embedding[1:8]")} DESC,
+         |      e.vec_id) <= 10),
+         |d16 AS (
+         |  SELECT q.q_id, e.vec_id AS n_id
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${cosP("q.embedding[1:16]", "e.embedding[1:16]")} DESC,
+         |      e.vec_id) <= 10),
+         |r8 AS (
+         |  SELECT q_id, CAST(count(*) AS DOUBLE) / 10.0E0 AS r
+         |  FROM full10 JOIN d8 USING (q_id, n_id) GROUP BY q_id),
+         |r16 AS (
+         |  SELECT q_id, CAST(count(*) AS DOUBLE) / 10.0E0 AS r
+         |  FROM full10 JOIN d16 USING (q_id, n_id) GROUP BY q_id)
+         |SELECT p.q_id,
+         |       coalesce(r8.r, 0.0E0) AS recall_d8,
+         |       coalesce(r16.r, 0.0E0) AS recall_d16
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 20) p
+         |LEFT JOIN r8 USING (q_id)
+         |LEFT JOIN r16 USING (q_id)
+         |ORDER BY q_id""".stripMargin
+    },
 
     "qx17_kmv_distinct" ->
       """WITH h AS (

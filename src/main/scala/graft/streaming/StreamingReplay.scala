@@ -282,6 +282,75 @@ object StreamingReplay {
     sunk.select(col("fp")).orderBy("fp")
   }
 
+  // staged input for the top-terms replay, keyed by dir; cached sentinel
+  // bounds the defensive output filter
+  private val topTermsStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Timestamp)]()
+
+  /** Replay documents(dir) through the CHAINED stateful aggregation path
+    * ([[StreamingTopTerms]]: windowed term counts → per-window top-k over
+    * a second stateful agg) and return the closed windows as a batch
+    * frame — (win_start, rank, term, cnt) — so a batch GROUP BY +
+    * row_number twin oracles the multi-agg streaming machinery (declared
+    * as `qs5_stream_topterms`; qs3 covers a SINGLE windowed agg — the
+    * chained form finalizes stage-2 state off stage-1's watermark-driven
+    * emissions, a different engine path). Event time is synthesized
+    * deterministically (doc_id seconds from a fixed, window-aligned
+    * epoch), so each 2-minute window holds a fixed doc range and the
+    * emitted set is a pure function of the table. A far-future sentinel
+    * doc in the last chunk drives the watermark past every real window;
+    * the sentinel's own window stays open in state and is filtered
+    * defensively. */
+  def topTermsReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, sentinelTs) = Option(topTermsStageCache.get(dir))
+      .getOrElse {
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => DDoc(r.getLong(0),
+            new Timestamp(946684800000L + r.getLong(0) * 1000L),
+            r.getString(1)))
+          .sortBy(_.doc_id)
+        if (docs.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "win_start TIMESTAMP, rank BIGINT, term STRING, cnt BIGINT"))
+        val sentTs =
+          new Timestamp(docs.last.ts.getTime + 3L * 86400_000L)
+        val sentinel = DDoc(-1L, sentTs, "__sentinel__")
+        val k = math.max(docs.length / 3, 1)
+        val chunks = Seq(docs.slice(0, k).toSeq, docs.slice(k, 2 * k).toSeq,
+          (docs.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs5-replay"), sentTs)
+        topTermsStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs5_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[DDoc]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      StreamingTopTerms.topTerms(stream, "ts",
+          watermarkDelay = "1 hour", windowDur = "2 minutes", k = 5)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("win_start") < lit(sentinelTs))
+      .select(col("win_start"), posexplode(col("top")))
+      .select(col("win_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.cnt").as("cnt"))
+      .orderBy("win_start", "rank")
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =
