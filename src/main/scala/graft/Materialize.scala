@@ -35,17 +35,54 @@ object Materialize {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }.toSet
 
+  /** Datasets pinned through the [[cut]] persist path (lazy cuts), so
+    * [[releaseAll]] can uncache exactly what cuts created. */
+  private val persistedCuts =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]()
+
+  /** Lazy-cut strategy switch (system property `graft.cut.mode`):
+    * `persist` (default) shares the frame across consumers through the
+    * block-manager cache — no materialization job, no lineage
+    * truncation, spill-to-disk storage level; `checkpoint` forces the
+    * pre-round-8 localCheckpoint/checkpoint behavior. Eager cuts
+    * (iterative supersteps) ALWAYS checkpoint: they exist to truncate
+    * lineage so superstep plans can't grow without bound, which persist
+    * does not do. Measured at sf0.1 (QProf, steady state): the
+    * checkpoint job + block writes cost ~0.5-1 s per cut at bench data
+    * sizes, which dominated every cut-bearing query's runtime (qx36
+    * 4.1 s → 1.5 s under persist). */
+  private def lazyCutsPersist: Boolean =
+    sys.props.getOrElse("graft.cut.mode", "persist") != "checkpoint"
+
   /** `eager = false` defers materialization to first use (right for
     * query-shaped code that only declares the plan); `eager = true` blocks
     * until written (right between iterative supersteps, where the caller
-    * immediately consumes the result anyway). */
-  def cut(df: DataFrame, eager: Boolean = false): DataFrame = {
+    * immediately consumes the result anyway).
+    *
+    * `checkpoint = true` forces the checkpoint path for a lazy cut —
+    * measured per call site: deep DERIVATION CHAINS of cuts (a cut
+    * aggregated into a second cut, re-joined against the first — the
+    * Models facts, the curation pipeline's shared tok frame) lose cache
+    * substitution for one consumer under persist and silently recompute
+    * their producing shuffle, while flat "one frame, N self-join sides"
+    * shapes (gram/band/signature staging) gain ~1-6 s per query by
+    * skipping the checkpoint job. Flat shapes keep the persist default;
+    * chained facts pass `checkpoint = true`. */
+  def cut(df: DataFrame, eager: Boolean = false,
+          checkpoint: Boolean = false): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    val out =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
-      else df.localCheckpoint(eager)
-    pinnedIds(out).foreach(cutIds.add)
-    out
+    if (!eager && !checkpoint && lazyCutsPersist) {
+      val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedCuts.add(out)
+      out
+    } else {
+      val out =
+        if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+        else df.localCheckpoint(eager)
+      pinnedIds(out).foreach(cutIds.add)
+      out
+    }
   }
 
   /** Cut + report which persistent-RDD ids the cut pinned, so iterative
@@ -84,6 +121,14 @@ object Materialize {
     while (it.hasNext) {
       live.get(it.next()).foreach(_.unpersist(blocking = false))
       it.remove()
+    }
+    val pit = persistedCuts.iterator()
+    while (pit.hasNext) {
+      // unpersist through the Dataset so the CacheManager entry (plan-
+      // fragment match) goes with the blocks, not just the RDD storage
+      try pit.next().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      pit.remove()
     }
   }
 }

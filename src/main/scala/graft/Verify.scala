@@ -53,6 +53,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's lineage-cut blocks (checkpoint or persist)
+      // before the next query runs — 131 queries of accumulated scratch
+      // state would otherwise squat in the block manager
+      Materialize.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,7 +67,8 @@ object Curation {
     // re-scanned and re-split the corpus four times)
     val tok = graft.Materialize.cut(docs
       .withColumn("toks", Text.tokens(col("text")))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks")),
+      checkpoint = true)
     val probe = tok.where(col("doc_id") % 97 === 0)
     val train = tok.where(col("doc_id") % 97 =!= 0)
     val quality = tok

@@ -362,7 +362,8 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         xxhash64(col("toks")).as("fp"),
-        Text.lshBandsFromToks(col("toks"), bands).as("bands")))
+        Text.lshBandsFromToks(col("toks"), bands).as("bands")),
+      checkpoint = true)
     // ONE fp-keyed aggregate picks the representative. first(bands) is
     // deterministic here (every row of a group carries the identical
     // array) and partial-aggregates map-side — a 10k-copy hot group
@@ -371,7 +372,8 @@ object Dedup {
     // would funnel exactly the boilerplate mass this exists to tame)
     val repSig = graft.Materialize.cut(base.groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"),
-        first(col("bands")).as("bands")))
+        first(col("bands")).as("bands")),
+      checkpoint = true)
     val sig = repSig.select(col("doc_id"), explode(col("bands")).as("band"))
     val pairs = bandedPairs(sig, bandCap)
     val cc = connectedComponents(pairs)

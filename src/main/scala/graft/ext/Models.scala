@@ -63,12 +63,14 @@ object Models {
     // (tgt rides along — functionally dependent on doc_id, so the extra
     // key changes nothing but makes the model rollup derivable below)
     val occ = graft.Materialize.cut(
-      hb.groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("k")))
+      hb.groupBy("doc_id", "tgt", "b").agg(count(lit(1)).as("k")),
+      checkpoint = true)
     // the (tgt, b) model rollup DERIVES from occ (Σk ≡ the raw per-bucket
     // count) — no second gram-stream pass; cut again (≤ 2B rows) so its
     // four consumers read the tiny frame, not 4× re-agg occ
     val ctb = graft.Materialize.cut(
-      occ.groupBy("tgt", "b").agg(sum(col("k")).as("c")))
+      occ.groupBy("tgt", "b").agg(sum(col("k")).as("c")),
+      checkpoint = true)
     val cs = ctb.groupBy("b").agg(sum(col("c")).as("c"))
     val ct = ctb.where(col("tgt")).select(col("b"), col("c"))
     val ns = cs.agg(sum(col("c")).cast("double").as("n"))
@@ -105,11 +107,13 @@ object Models {
     // ONE explode: the (doc, bucket) fact is the only gram-stream pass
     // (lbl rides along, functionally dependent on doc_id)
     val occ = graft.Materialize.cut(
-      hb.groupBy("doc_id", "lbl", "b").agg(count(lit(1)).as("k")))
+      hb.groupBy("doc_id", "lbl", "b").agg(count(lit(1)).as("k")),
+      checkpoint = true)
     // the (label, b) model rollup derives from occ — no second explode;
     // cut again (≤ labels×B rows) for its three consumers
     val clb = graft.Materialize.cut(
-      occ.groupBy("lbl", "b").agg(sum(col("k")).as("c")))
+      occ.groupBy("lbl", "b").agg(sum(col("k")).as("c")),
+      checkpoint = true)
     val nl = clb.groupBy("lbl").agg(sum(col("c")).as("nl"))
     val grid = clb.select("b").distinct().crossJoin(broadcast(nl))
     val plb = grid.join(clb, Seq("lbl", "b"), "left")

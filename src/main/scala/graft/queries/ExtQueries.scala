@@ -932,9 +932,11 @@ object ExtQueries {
               size(col("toks")) - 1).as("xh"))).as("p"))
         .select(col("doc_id"), col("p.bh").as("bh"), col("p.xh").as("xh"))
         .groupBy("doc_id", "bh")
-        .agg(min(col("xh")).as("xh"), count(lit(1)).as("k")))
+        .agg(min(col("xh")).as("xh"), count(lit(1)).as("k")),
+        checkpoint = true)
       val cb = graft.Materialize.cut(occ.groupBy("bh")
-        .agg(min(col("xh")).as("xh"), sum(col("k")).as("cxy")))
+        .agg(min(col("xh")).as("xh"), sum(col("k")).as("cxy")),
+        checkpoint = true)
       // context count = Σ bigrams sharing the first token (self-consistent
       // with the numerator — no doc-final-token edge case)
       val cxt = cb.groupBy("xh").agg(sum(col("cxy")).as("cx"))

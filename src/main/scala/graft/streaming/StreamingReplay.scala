@@ -71,13 +71,22 @@ object StreamingReplay {
   /** Scoped state-store-partition override around a streaming start:
     * streaming locks the partition count at query start, and 32 stores ×
     * few micro-batches of snapshot/commit overhead dominate small
-    * replays. Read-set-restore — never leaks session config. */
+    * replays. Also caps the state/offset-log retention at the minimum —
+    * a trigger-once replay never restarts from an old batch, and the
+    * default 100-batch retention fsyncs snapshot files the replay will
+    * delete moments later. Read-set-restore — never leaks session
+    * config. */
   private def withStatePartitions[A](spark: SparkSession, n: Int)
                                     (body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    try { spark.conf.set(key, n.toString); body }
-    finally spark.conf.set(key, saved)
+    val keys = Seq("spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.minBatchesToRetain" -> "2")
+    val saved = keys.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try { keys.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Replay `events(dir)` through the gap-session engine; returns the

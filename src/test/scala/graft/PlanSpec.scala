@@ -188,8 +188,10 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
     // the exploded-token frame is materialized: both consumers read the
-    // checkpoint scan, not two parquet scans of documents
+    // cut (checkpoint scan or cached InMemoryTableScan), not two parquet
+    // scans of documents
     assert("Scan ExistingRDD".r.findAllIn(p).length >= 2 ||
+      "InMemoryTableScan".r.findAllIn(p).length >= 2 ||
       "Scan parquet".r.findAllIn(p).length <= 2, p)
   }
 
@@ -210,7 +212,9 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     // both df-agg and join-back legs read the materialized gram frame
+    // (checkpoint scan or cached InMemoryTableScan)
     assert("Scan ExistingRDD".r.findAllIn(p).length >= 2 ||
+      "InMemoryTableScan".r.findAllIn(p).length >= 2 ||
       "Scan parquet".r.findAllIn(p).length <= 2, p)
   }
 
