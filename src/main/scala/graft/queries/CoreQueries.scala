@@ -536,6 +536,14 @@ object CoreQueries {
     "qs5_stream_topterms" -> ((s, dir) =>
       graft.streaming.StreamingReplay.topTermsReplay(s, dir)),
 
+    // qs6 — sixth streaming path under the hash gate: the STREAM-STATIC
+    // join (stateless per-row enrichment of the stream against a batch
+    // frame — the streaming-ingest decontamination gate), the join
+    // family qs1-qs5 don't touch. The emitted set equals batch gram-join
+    // decontamination, so a batch SQL twin oracles it.
+    "qs6_stream_static" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamStaticDecontamReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1429,6 +1437,31 @@ object CoreQueries {
     // top-5: event time is doc_id seconds from the window-aligned epoch,
     // so window w holds doc_ids [120w, 120w+119] exactly; ties break
     // count DESC then term ASC in both engines
+    // the stream-static join's emitted set must equal the batch
+    // benchmark-gram join over the same 60-bit keys (qx33's hex fold =
+    // the kernel's conv(substring(md5, 1, 15), 16, 10))
+    "qs6_stream_static" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_transform(range(len(toks) - 2),
+        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |           AS s
+        |  FROM tok WHERE len(toks) >= 3),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(s,
+        |    g -> list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)))) AS gk
+        |  FROM sh),
+        |probe AS (SELECT DISTINCT gk FROM g WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT doc_id
+        |FROM g JOIN probe USING (gk)
+        |WHERE doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
     "qs5_stream_topterms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

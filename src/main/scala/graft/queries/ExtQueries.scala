@@ -1863,6 +1863,62 @@ object ExtQueries {
           ((col("n_copies") - 1) * col("nbytes")).as("wasted_bytes"))
         .orderBy("fp")),
 
+    // cross-asset FRAME dedup — the multimodal step past qm3's
+    // whole-blob hashing: "video" payloads share SCENES (intro bumpers,
+    // stock b-roll) without being byte-identical as wholes, so dedup at
+    // the sampled-frame grain: qm2's frame sampling, a frame-hash
+    // rollup, and only hashes seen in ≥ 2 distinct docs survive. Scale
+    // shape: frames are fixed-size substrings computed in the scan
+    // projection (blob bytes never shuffle), the rollup is one
+    // hash-keyed agg with map-side combine.
+    "qm4_frame_dedup" -> ((s, dir) =>
+      Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), posexplode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+        .toDF("doc_id", "frame_no", "frame")
+        .groupBy(md5(col("frame")).as("frame_md5"))
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .where(col("n_docs") >= 2)
+        .orderBy("frame_md5")),
+
+    // per-source LENGTH-DISTRIBUTION drift — the Kolmogorov–Smirnov
+    // statistic of each source's doc-length ECDF against the corpus
+    // ECDF: the standard "did this crawl snapshot change shape" monitor
+    // next to qx44's content-space KL. Exact formulation: the KS max is
+    // attained at a jump point, so evaluating |ECDF_src − ECDF_all| at
+    // every DISTINCT corpus length is exact, not an approximation.
+    // Integer cumulative counts, two double divisions per grid point, an
+    // abs and a max — deterministic cross-engine. Scale shape: the grid
+    // is |sources| × |distinct lengths| (bounded-domain measure — the
+    // qx18 argument), never doc-grain; one window per source.
+    "qx56_ks_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val h = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val g = docs.groupBy("n_chars").agg(count(lit(1)).as("ca"))
+      val nSrc = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      val nAll = docs.agg(count(lit(1)).as("na"))
+      val wAll = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gc = g.withColumn("cum_all", sum("ca").over(wAll))
+      val wSrc = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nSrc.crossJoin(gc.select("n_chars", "cum_all"))
+        .join(h, Seq("source", "n_chars"), "left")
+        .withColumn("cum_src",
+          sum(coalesce(col("c"), lit(0L))).over(wSrc))
+        .crossJoin(broadcast(nAll))
+        .groupBy("source", "ns")
+        .agg(max(abs(
+          col("cum_src").cast("double") / col("ns").cast("double") -
+            col("cum_all").cast("double") / col("na").cast("double")))
+          .as("ks"))
+        .select(col("source"), col("ns").as("n_docs"), col("ks"))
+        .orderBy("source")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -3915,6 +3971,51 @@ object ExtQueries {
         |  FROM merged m CROSS JOIN allh)
         |SELECT source, kmv_est, exact FROM perout
         |UNION ALL SELECT source, kmv_est, exact FROM uout
+        |ORDER BY source""".stripMargin,
+
+    "qm4_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, CAST(i*64 + 1 AS INT), 16)) AS frame_md5
+        |  FROM documents,
+        |       unnest(range(greatest(length(text) // 64, 1))) AS t(i))
+        |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_occ,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS keeper
+        |FROM f GROUP BY frame_md5
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY frame_md5""".stripMargin,
+
+    "qx56_ks_drift" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |g AS (
+        |  SELECT n_chars, CAST(count(*) AS BIGINT) AS ca
+        |  FROM documents GROUP BY n_chars),
+        |gc AS (
+        |  SELECT n_chars,
+        |         CAST(sum(ca) OVER (ORDER BY n_chars
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+        |  FROM g),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+        |       FROM documents GROUP BY source),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM documents),
+        |grid AS (
+        |  SELECT ns.source, ns.ns, gc.n_chars, gc.cum_all,
+        |         coalesce(h.c, 0) AS c
+        |  FROM ns CROSS JOIN gc
+        |  LEFT JOIN h ON h.source = ns.source AND h.n_chars = gc.n_chars),
+        |cum AS (
+        |  SELECT source, ns, cum_all,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_src
+        |  FROM grid)
+        |SELECT source, ns AS n_docs,
+        |       max(abs(CAST(cum_src AS DOUBLE) / CAST(ns AS DOUBLE)
+        |         - CAST(cum_all AS DOUBLE) / CAST(na.na AS DOUBLE))) AS ks
+        |FROM cum CROSS JOIN na
+        |GROUP BY source, ns
         |ORDER BY source""".stripMargin,
 
     "qm3_blob_dedup" ->

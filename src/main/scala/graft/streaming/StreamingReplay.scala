@@ -360,6 +360,82 @@ object StreamingReplay {
       .orderBy("win_start", "rank")
   }
 
+  // staged input for the stream-static decontam replay, keyed by dir
+  private val ssStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay the TRAIN slice of documents(dir) through a STREAM-STATIC
+    * join — the streaming-ingest decontamination gate: incoming docs'
+    * distinct 3-gram keys join a STATIC benchmark gram index (built
+    * batch-side from the held-out slice), and contaminated doc ids are
+    * deduped with bounded state. Declared as `qs6_stream_static`; the
+    * stream-static join is the one Structured Streaming join family
+    * qs1–qs5 don't touch (stateless per-row enrichment against a batch
+    * frame — on a real cluster the static side is a broadcast or a
+    * bucketed table, and the stream never shuffles corpus-sized state).
+    * The emitted SET equals qx13-style batch decontamination, so the
+    * batch gram-join SQL oracles it. */
+  def streamStaticDecontamReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.meos.NativeExpressions
+
+    val srcDirStr = Option(ssStageCache.get(dir)).getOrElse {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => DDoc(r.getLong(0),
+          new Timestamp(946684800000L + r.getLong(0) * 1000L),
+          r.getString(1)))
+        .sortBy(_.doc_id)
+      if (docs.isEmpty) // suite-wide contract: empty input → empty output
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+      val k = math.max(docs.length / 3, 1)
+      val chunks = Seq(docs.slice(0, k).toSeq, docs.slice(k, 2 * k).toSeq,
+        docs.drop(2 * k).toSeq).filter(_.nonEmpty)
+      val d = writeChunks(spark, chunks, "qs6-replay")
+      ssStageCache.putIfAbsent(dir, d)
+      d
+    }
+
+    // STATIC side: the benchmark slice's distinct gram keys (batch frame;
+    // benchmark-sized, so AQE broadcasts it under the stream-static join)
+    val probe = graft.Tables.documents(spark, dir)
+      .where(col("doc_id") % 97 === 0)
+      .withColumn("toks", graft.ext.Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(explode(array_distinct(
+        NativeExpressions.shingleHashes(col("toks"), 3))).as("gk"))
+      .distinct()
+
+    val table = s"qs6_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[DDoc]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .where(col("doc_id") % 97 =!= 0)
+        .withColumn("toks", graft.ext.Text.tokens(col("text")))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("ts"), explode(array_distinct(
+          NativeExpressions.shingleHashes(col("toks"), 3))).as("gk"))
+        .join(probe, Seq("gk")) // stream-static inner join, stateless
+        .select(col("doc_id"), col("ts"))
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .select(col("doc_id"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.select(col("doc_id")).orderBy("doc_id")
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =
