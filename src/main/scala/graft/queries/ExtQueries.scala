@@ -1800,6 +1800,17 @@ object ExtQueries {
       val exact = (ni /
         ((size(col("shd1")) + size(col("shd2"))).cast("double") - ni))
         .as("exact_ji")
+      // plain equi-joins, and the est/exact projection directly on top:
+      // AQE broadcasts whichever side is small (at the 10× probe: the
+      // pair list into join 1, the ~50 MB base frame into join 2), the
+      // array-bearing pair-grain rows live only INSIDE the pipelined
+      // join stages, and the one real exchange is the final
+      // rangepartition of (d1, d2, est, exact, err) — the output's own
+      // grain. Probed alternatives both lost: forcing broadcast on the
+      // pair-derived ARRAY-bearing frame OOMs the driver, and two
+      // pair-grain sides joined on (d1, d2) shuffle pairs × ~1 KB (the
+      // 10× probe holds 1.9M candidate pairs — 1.9 GB written vs 54 MB
+      // for this spelling).
       pairs
         .join(base.select(col("doc_id").as("d1"), col("mh").as("mh1"),
           col("shd").as("shd1")), Seq("d1"))
