@@ -1930,6 +1930,57 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // dedup THRESHOLD SWEEP — how much of the corpus each Jaccard
+    // cutoff would remove: duplicate-pair and affected-doc counts at
+    // 0.5 / 0.6 / 0.7 / 0.8, all from ONE cappedGramOverlap pass (the
+    // qx33 engine) — the report that picks a threshold before running
+    // the expensive clustering, instead of re-running dedup per
+    // candidate setting. Conditional aggregation over the pair frame;
+    // no extra scan, no extra shuffle beyond qx33's own.
+    "qx57_threshold_sweep" -> ((s, dir) => {
+      val ji = cappedGramOverlap(s, dir)
+        .select(col("d1"), col("d2"),
+          (col("ni") / (col("na") + col("nb") - col("ni"))).as("ji"))
+      val ts = Seq(0.5, 0.6, 0.7, 0.8)
+      ji.select(explode(array(ts.map(lit): _*)).as("threshold"),
+          col("d1"), col("d2"), col("ji"))
+        .where(col("ji") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("d2")).as("n_docs_removable"))
+        .orderBy("threshold")
+    }),
+
+    // context-PACKING WASTE — for candidate context lengths 512/1024/
+    // 2048: what fraction of token mass a naive one-doc-per-example
+    // layout wastes as padding (docs shorter than the context) or drops
+    // as truncation (tokens past it) — the numbers that justify qx37's
+    // concat-and-cut packing. Integer token arithmetic per doc, one
+    // bounded-key agg; the one division is exact-integer-to-double.
+    "qx58_packing_waste" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(size(Text.tokens(col("text"))).cast("long").as("n"))
+      val ls = Seq(512L, 1024L, 2048L)
+      docs.select(explode(array(ls.map(lit): _*)).as("ctx_len"), col("n"))
+        .select(col("ctx_len"),
+          col("n"),
+          least(col("n"), col("ctx_len")).as("kept"),
+          when(col("n") < col("ctx_len"), col("ctx_len") - col("n"))
+            .otherwise(lit(0L)).as("pad"),
+          when(col("n") > col("ctx_len"), col("n") - col("ctx_len"))
+            .otherwise(lit(0L)).as("trunc"))
+        .groupBy("ctx_len")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_toks"),
+          sum("kept").as("kept_toks"), sum("pad").as("pad_toks"),
+          sum("trunc").as("trunc_toks"))
+        .select(col("ctx_len"), col("n_docs"), col("total_toks"),
+          col("kept_toks"), col("pad_toks"), col("trunc_toks"),
+          (col("pad_toks").cast("double") /
+            (col("kept_toks") + col("pad_toks")).cast("double"))
+            .as("pad_frac"))
+        .orderBy("ctx_len")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -3826,6 +3877,59 @@ object ExtQueries {
         |  min(CASE WHEN cum * 100 >= total * 75 THEN n_chars END) AS p75,
         |  min(CASE WHEN cum * 100 >= total * 95 THEN n_chars END) AS p95
         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "qx57_threshold_sweep" -> (ShingleCte +
+      s""",
+        |d AS (SELECT doc_id,
+        |             list_distinct(list_transform(s,
+        |               g -> list_reduce(list_transform(range(1, 16),
+        |                 i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(g), CAST(i AS INT), 1)) - 1
+        |                   AS BIGINT)),
+        |                 (a, b) -> a * 16 + b))) AS shd FROM sh),
+        |inv AS (SELECT doc_id, unnest(shd) AS s FROM d),
+        |small AS (
+        |  SELECT doc_id, s FROM inv
+        |  WHERE s NOT IN (SELECT s FROM inv GROUP BY s
+        |                  HAVING count(*) > ${JaccardGramCap})),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(count(*) AS DOUBLE) AS ni
+        |  FROM small a JOIN small b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(shd) AS DOUBLE) AS n FROM d),
+        |ji AS (
+        |  SELECT c.d1, c.d2, c.ni / (x.n + y.n - c.ni) AS ji
+        |  FROM common c
+        |  JOIN sizes x ON x.doc_id = c.d1
+        |  JOIN sizes y ON y.doc_id = c.d2)
+        |SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT d2) AS BIGINT) AS n_docs_removable
+        |FROM ji, unnest([0.5E0, 0.6E0, 0.7E0, 0.8E0]) AS t(threshold)
+        |WHERE ji >= threshold
+        |GROUP BY threshold
+        |ORDER BY threshold""".stripMargin),
+
+    "qx58_packing_waste" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (
+        |  SELECT ctx_len, n,
+        |         least(n, ctx_len) AS kept,
+        |         CASE WHEN n < ctx_len THEN ctx_len - n ELSE 0 END AS pad,
+        |         CASE WHEN n > ctx_len THEN n - ctx_len ELSE 0 END
+        |           AS trunc
+        |  FROM d, unnest([CAST(512 AS BIGINT), CAST(1024 AS BIGINT),
+        |                  CAST(2048 AS BIGINT)]) AS t(ctx_len))
+        |SELECT ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS total_toks,
+        |       CAST(sum(kept) AS BIGINT) AS kept_toks,
+        |       CAST(sum(pad) AS BIGINT) AS pad_toks,
+        |       CAST(sum(trunc) AS BIGINT) AS trunc_toks,
+        |       CAST(sum(pad) AS DOUBLE) /
+        |         CAST(sum(kept) + sum(pad) AS DOUBLE) AS pad_frac
+        |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
 
     "qx51_fertility" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
