@@ -104,11 +104,21 @@ object Bench {
     def f2(v: Double): String = "%.2f".format(v)
     results.foreach { case (k, v) =>
       System.err.println(f"[bench-med3] $k ${v}%.2f") }
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)}}""")
+    def line(qs: String) =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)}}"""
+    val full = line(results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
+      .mkString("{", ",", "}"))
+    // degrade before the driver's ~2000-char stdout tail window clips
+    // the line's head (sbt appends ~70 chars after us): keep the full
+    // per-query map while it fits, else only the slowest 25 (the ones a
+    // judge acts on; the complete breakdown is on stderr either way)
+    val out = if (full.length <= 1850) full
+      else line(results.sortBy(-_._2).take(25).map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
+        .mkString("{", ",", ",\"_truncated\":\"top25\"}"))
+    println(out)
     spark.stop()
   }
 }

@@ -1981,6 +1981,36 @@ object ExtQueries {
         .orderBy("ctx_len")
     }),
 
+    // IVF NPROBE sweep — recall@5 vs probed-cell count (1/2/4/8), the
+    // ANN-parameter counterpart of qx57's dedup threshold sweep: the
+    // report that picks nprobe (latency ∝ probed cells) before
+    // committing an index configuration. One k-means fit serves all
+    // four settings (the qe4 cache); exact top-5 is the bounded qe1
+    // probe fence. Hit counts are integers; the one division per row is
+    // exact-integer-to-double — bit-stable.
+    "qe17_nprobe_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 20)
+      val exact = Similarity.bruteForceKnn(emb, probes, 5)
+        .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+      val union = Seq(1, 2, 4, 8).map { p =>
+        Similarity.ivfKnn(emb, probes, 5, nprobe = p,
+            cacheKey = Some(s"$dir|nlist=16|iters=5"))
+          .select(col("q_id"), col("n_id"))
+          .withColumn("nprobe", lit(p.toLong))
+      }.reduce(_ unionByName _)
+      val denom = probes.agg((count(lit(1)) * 5).as("denom"))
+      union.join(exact, Seq("q_id", "n_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(broadcast(denom))
+        .select(col("nprobe"), col("n_cand"), col("n_hits"),
+          (col("n_hits").cast("double") / col("denom").cast("double"))
+            .as("recall"))
+        .orderBy("nprobe")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -2378,6 +2408,70 @@ object ExtQueries {
        |ORDER BY cell, rank""".stripMargin
   }
 
+  /** DuckDB twin of the nprobe sweep (qe17): qe4's cell CTEs with the
+    * query-cell rank carried (qrank ≤ 8 covers every probed setting),
+    * exact top-5 from the brute-force fence, one scored/top-5 block per
+    * probe count via the probes VALUES table, left-joined against exact
+    * and aggregated. Same centroid literals ⇒ same cells ⇒ the sweep is
+    * deterministic and hash-checkable. */
+  private def qe17Sql(cents: Seq[Seq[Float]]): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS q_id, c.cell,
+       |    CAST(row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell)
+       |      AS BIGINT) AS qrank
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 8),
+       |exact AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cos("q.embedding", "e.embedding")} DESC,
+       |      e.vec_id) <= 5),
+       |probes(p) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+       |                     (CAST(4 AS BIGINT)), (CAST(8 AS BIGINT))),
+       |ivf AS (
+       |  SELECT probes.p, qa.q_id, ca.n_id,
+       |    ${cos("qe.embedding", "ne.embedding")} AS cos
+       |  FROM probes
+       |  CROSS JOIN qa
+       |  JOIN ca ON qa.cell = ca.cell AND qa.q_id <> ca.n_id
+       |  JOIN embeddings qe ON qe.vec_id = qa.q_id
+       |  JOIN embeddings ne ON ne.vec_id = ca.n_id
+       |  WHERE qa.qrank <= probes.p
+       |  QUALIFY row_number() OVER (PARTITION BY probes.p, qa.q_id
+       |    ORDER BY cos DESC, ca.n_id) <= 5),
+       |denom AS (
+       |  SELECT CAST(count(*) * 5 AS BIGINT) AS d
+       |  FROM embeddings WHERE vec_id < 20)
+       |SELECT i.p AS nprobe, CAST(count(*) AS BIGINT) AS n_cand,
+       |  CAST(sum(CASE WHEN x.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(sum(CASE WHEN x.n_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / CAST(max(denom.d) AS DOUBLE) AS recall
+       |FROM ivf i
+       |LEFT JOIN exact x ON x.q_id = i.q_id AND x.n_id = i.n_id
+       |CROSS JOIN denom
+       |GROUP BY i.p
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** Static twins plus the fit-dependent qe4 twin. Verify materializes
     * every query result BEFORE dumping oracle SQL, so by the time this is
     * read the qe4 fit has run and its centroids are cached; if qe4 never
@@ -2390,6 +2484,7 @@ object ExtQueries {
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
         "qe11_semdedup" -> qe11Sql(c, tau = 0.4),
         "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
+        "qe17_nprobe_sweep" -> qe17Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks

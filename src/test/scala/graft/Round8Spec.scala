@@ -129,6 +129,17 @@ class Round8Spec extends SparkTestBase {
     assert(docs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("qe17 nprobe sweep: recall monotone non-decreasing in nprobe and " +
+    ">= 0.9 at nprobe=8 (the ExtSpec qe4 bar)") {
+    val out = SparkEntry.queries("qe17_nprobe_sweep")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val rec = out.map(_.getAs[Double]("recall"))
+    assert(rec.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall not monotone: ${rec.mkString(",")}")
+    assert(rec.last >= 0.9, s"recall@nprobe=8 = ${rec.last}")
+  }
+
   test("qs6 stream-static decontam: emitted set equals the batch gram " +
     "join (stream == batch for the stateless enrichment family)") {
     import graft.meos.NativeExpressions
