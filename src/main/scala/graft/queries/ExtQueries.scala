@@ -1981,6 +1981,82 @@ object ExtQueries {
         .orderBy("ctx_len")
     }),
 
+    // LSH BAND-COUNT sweep — candidate precision/recall at 2/4/8 bands
+    // against the exact (capped-gram) Jaccard ≥ 0.5 truth set: the
+    // third member of the tuning-report family (qx57 picks the
+    // threshold, qe17 picks nprobe, this picks the signature width —
+    // more bands = more candidates = higher recall, lower precision,
+    // more join work). One 16-hash kernel pass serves every setting;
+    // candidates come through the production capped band join. Counts
+    // are integers; the two divisions are exact-integer-to-double.
+    "qx59_band_sweep" -> ((s, dir) => {
+      val mh = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("doc_id"),
+          Text.lshBandsFromToks(col("toks"), bands = 16).as("mh")))
+      val truth = graft.Materialize.cut(cappedGramOverlap(s, dir)
+        .where(col("ni") / (col("na") + col("nb") - col("ni")) >= 0.5)
+        .select(col("d1"), col("d2"), lit(1L).as("hit")))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(2, 4, 8).map { b =>
+        val sig = mh.select(col("doc_id"),
+          explode(slice(col("mh"), 1, b)).as("band"))
+        // grouped on the constant band count, not a global agg: a band
+        // setting with zero candidates (and the empty corpus) emits no
+        // row — the twin's HAVING count(*) > 0 states the same contract
+        Dedup.bandedPairs(sig)
+          .join(truth, Seq("d1", "d2"), "left")
+          .groupBy(lit(b.toLong).as("bands"))
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTruth))
+        .select(col("bands"), col("n_cand"), col("n_hits"),
+          col("n_truth"),
+          (col("n_hits").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+        .orderBy("bands")
+    }),
+
+    // HEAPS-LAW sample-size curve — vocabulary and distinct-3-gram-type
+    // growth at deterministic 10/25/50/100% corpus samples: the "is
+    // more data still adding types" report that sizes a crawl before
+    // committing the compute (the corpus-level complement of qx31's
+    // per-doc novelty). The sample decision is qx12's md5-bucket coin
+    // (u is an exact ≤ 2³²-magnitude integer in a double; ×100 stays
+    // exact under 2⁵³, so the comparison is bit-stable cross-engine).
+    // One tokenize pass; conditional distinct aggregation per fraction.
+    "qx60_heaps_curve" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val pcts = array(Seq(10L, 25L, 50L, 100L).map(lit): _*)
+      val base = docsWithToks(s, dir)
+        .select(col("doc_id"), (u * 100).as("u100"), col("toks"))
+      val perDoc = base
+        .select(explode(pcts).as("pct"), col("u100"),
+          size(col("toks")).cast("long").as("n"))
+        .where(col("u100") < col("pct"))
+        .groupBy("pct")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"))
+      val types = base
+        .select(col("u100"), explode(col("toks")).as("term"))
+        .select(explode(pcts).as("pct"), col("u100"), col("term"))
+        .where(col("u100") < col("pct"))
+        .groupBy("pct")
+        .agg(count_distinct(col("term")).as("vocab"))
+      val grams = base
+        .select(col("u100"), explode(array_distinct(
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 3)))
+          .as("g"))
+        .select(explode(pcts).as("pct"), col("u100"), col("g"))
+        .where(col("u100") < col("pct"))
+        .groupBy("pct")
+        .agg(count_distinct(col("g")).as("gram_types"))
+      perDoc.join(types, Seq("pct")).join(grams, Seq("pct"))
+        .orderBy("pct")
+    }),
+
     // IVF NPROBE sweep — recall@5 vs probed-cell count (1/2/4/8), the
     // ANN-parameter counterpart of qx57's dedup threshold sweep: the
     // report that picks nprobe (latency ∝ probed cells) before
@@ -4025,6 +4101,122 @@ object ExtQueries {
         |       CAST(sum(pad) AS DOUBLE) /
         |         CAST(sum(kept) + sum(pad) AS DOUBLE) AS pad_frac
         |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "qx59_band_sweep" -> (ShingleCte + {
+      val mins = (0 until 16).map(i =>
+        s"list_min(list_transform(s, x -> md5('$i:' || x)))")
+        .mkString("[", ",\n        |     ", "]")
+      val perB = Seq(2, 4, 8).map { b =>
+        val bands = (1 to b)
+          .map(i => s"SELECT doc_id, mh[$i] AS band FROM sig")
+          .mkString("\n        |  UNION ALL ")
+        s"""bb$b AS (
+        |  $bands),
+        |sb$b AS (
+        |  SELECT doc_id, band FROM bb$b
+        |  WHERE band IN (SELECT band FROM bb$b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |pb$b AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM sb$b a JOIN sb$b c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |ab$b AS (
+        |  SELECT CAST($b AS BIGINT) AS bands,
+        |         CAST(count(*) AS BIGINT) AS n_cand,
+        |         CAST(sum(CASE WHEN t.d1 IS NULL THEN 0 ELSE 1 END)
+        |           AS BIGINT) AS n_hits
+        |  FROM pb$b p LEFT JOIN truth t
+        |    ON t.d1 = p.d1 AND t.d2 = p.d2
+        |  HAVING count(*) > 0)"""
+      }.mkString(",\n        |")
+      s""",
+        |sig AS (
+        |  SELECT doc_id, $mins AS mh
+        |  FROM sh),
+        |d AS (SELECT doc_id,
+        |             list_distinct(list_transform(s,
+        |               g -> list_reduce(list_transform(range(1, 16),
+        |                 i -> CAST(strpos('0123456789abcdef',
+        |                   substr(md5(g), CAST(i AS INT), 1)) - 1
+        |                   AS BIGINT)),
+        |                 (a, b) -> a * 16 + b))) AS shd FROM sh),
+        |inv AS (SELECT doc_id, unnest(shd) AS s FROM d),
+        |smallg AS (
+        |  SELECT doc_id, s FROM inv
+        |  WHERE s NOT IN (SELECT s FROM inv GROUP BY s
+        |                  HAVING count(*) > ${JaccardGramCap})),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(count(*) AS DOUBLE) AS ni
+        |  FROM smallg a JOIN smallg b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(shd) AS DOUBLE) AS n FROM d),
+        |truth AS (
+        |  SELECT c.d1, c.d2
+        |  FROM common c
+        |  JOIN sizes x ON x.doc_id = c.d1
+        |  JOIN sizes y ON y.doc_id = c.d2
+        |  WHERE c.ni / (x.n + y.n - c.ni) >= 0.5),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |$perB
+        |SELECT u.bands, u.n_cand, u.n_hits, nt.n_truth,
+        |       CAST(u.n_hits AS DOUBLE) / CAST(u.n_cand AS DOUBLE)
+        |         AS precision,
+        |       CAST(u.n_hits AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+        |         AS recall
+        |FROM (SELECT * FROM ab2 UNION ALL SELECT * FROM ab4
+        |      UNION ALL SELECT * FROM ab8) u
+        |CROSS JOIN nt
+        |ORDER BY bands""".stripMargin
+    }),
+
+    "qx60_heaps_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |u AS (
+        |  SELECT doc_id, toks,
+        |    CAST(list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296E0 * 100
+        |      AS u100
+        |  FROM tok),
+        |pcts(pct) AS (VALUES (CAST(10 AS BIGINT)), (CAST(25 AS BIGINT)),
+        |                     (CAST(50 AS BIGINT)), (CAST(100 AS BIGINT))),
+        |perdoc AS (
+        |  SELECT pct, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(toks)) AS BIGINT) AS n_toks
+        |  FROM u JOIN pcts ON u.u100 < pcts.pct
+        |  GROUP BY pct),
+        |typesrc AS (
+        |  SELECT pct, term FROM pcts
+        |  JOIN (SELECT u100, unnest(toks) AS term FROM u) x
+        |    ON x.u100 < pcts.pct),
+        |types AS (
+        |  SELECT pct, CAST(count(DISTINCT term) AS BIGINT) AS vocab
+        |  FROM typesrc GROUP BY pct),
+        |gsrc AS (
+        |  SELECT pct, g FROM pcts
+        |  JOIN (SELECT u.u100, unnest(list_distinct(list_transform(sh.s,
+        |          g -> list_reduce(list_transform(range(1, 16),
+        |            i -> CAST(strpos('0123456789abcdef',
+        |              substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |            (a, b) -> a * 16 + b)))) AS g
+        |        FROM u JOIN (
+        |          SELECT doc_id,
+        |                 list_transform(range(len(toks) - 2),
+        |                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                        toks[i+3]) AS s
+        |          FROM tok) sh ON sh.doc_id = u.doc_id) y
+        |    ON y.u100 < pcts.pct),
+        |grams AS (
+        |  SELECT pct, CAST(count(DISTINCT g) AS BIGINT) AS gram_types
+        |  FROM gsrc GROUP BY pct)
+        |SELECT pct, n_docs, n_toks, vocab, gram_types
+        |FROM perdoc JOIN types USING (pct) JOIN grams USING (pct)
+        |ORDER BY pct""".stripMargin,
 
     "qx51_fertility" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

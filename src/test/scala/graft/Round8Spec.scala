@@ -140,6 +140,34 @@ class Round8Spec extends SparkTestBase {
     assert(rec.last >= 0.9, s"recall@nprobe=8 = ${rec.last}")
   }
 
+  test("qx59 band sweep: candidates and recall monotone non-decreasing " +
+    "in the band count; candidate sets nest (2 ⊆ 4 ⊆ 8 bands)") {
+    val out = SparkEntry.queries("qx59_band_sweep")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val cand = out.map(_.getAs[Long]("n_cand"))
+    val rec = out.map(_.getAs[Double]("recall"))
+    assert(cand.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"candidates not monotone: ${cand.mkString(",")}")
+    assert(rec.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"recall not monotone: ${rec.mkString(",")}")
+  }
+
+  test("qx60 heaps curve: docs, tokens, vocab, gram types all monotone " +
+    "non-decreasing in the sample fraction; the 100% row is the corpus") {
+    val out = SparkEntry.queries("qx60_heaps_curve")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 25L, 50L, 100L))
+    for (c <- Seq("n_docs", "n_toks", "vocab", "gram_types")) {
+      val v = out.map(_.getAs[Long](c))
+      assert(v.sliding(2).forall(p => p(0) <= p(1)),
+        s"$c not monotone: ${v.mkString(",")}")
+    }
+    val full = Tables.documents(spark, sfDir)
+      .withColumn("toks", graft.ext.Text.tokens(col("text")))
+      .where(size(col("toks")) >= 3).count()
+    assert(out.last.getAs[Long]("n_docs") == full)
+  }
+
   test("qs6 stream-static decontam: emitted set equals the batch gram " +
     "join (stream == batch for the stateless enrichment family)") {
     import graft.meos.NativeExpressions
