@@ -1981,6 +1981,51 @@ object ExtQueries {
         .orderBy("ctx_len")
     }),
 
+    // the TRAINING-MIX MANIFEST — the second composed [EXT] pipeline
+    // (qp1 curates; this one decides what a training job actually
+    // consumes): sqrt-temperature mixture weights (qx50) → per-source
+    // keep rate capped at 1 → deterministic md5-coin sampling (qx12) →
+    // packed-example accounting at a 1024-token context (qx37's
+    // arithmetic). One declarative plan: per source, the doc/token
+    // totals, sampling rate, what survived the coin, and how many
+    // packed examples that yields. Float discipline: the one cross-row
+    // float fold (Σ√c) is source-sorted (qx50); the coin compares
+    // exact-integer-derived doubles (qx12); everything else is integer.
+    "qp2_training_mix" -> ((s, dir) => {
+      val perDocTok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      val perSrc = perDocTok.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("src_tokens"))
+        .withColumn("w", sqrt(col("src_tokens").cast("double")))
+      val tot = perSrc.agg(
+        sum("src_tokens").as("b"),
+        aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("z"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          (col("w") / col("z")).as("p"),
+          least(lit(1.0),
+            col("w") / col("z") * col("b").cast("double") /
+              col("src_tokens").cast("double")).as("keep_rate"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+      val sampled = perDocTok.withColumn("u", u)
+        .join(broadcast(rates.select("source", "keep_rate")), Seq("source"))
+        .where(col("u") < col("keep_rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_sampled"),
+          sum("n_toks").as("sampled_tokens"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("p"),
+          col("keep_rate"),
+          coalesce(col("n_docs_sampled"), lit(0L)).as("n_docs_sampled"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"),
+          expr("(coalesce(sampled_tokens, 0) + 1023) div 1024")
+            .as("n_examples_1k"))
+        .orderBy("source")
+    }),
+
     // LSH BAND-COUNT sweep — candidate precision/recall at 2/4/8 bands
     // against the exact (capped-gram) Jaccard ≥ 0.5 truth set: the
     // third member of the tuning-report family (qx57 picks the
@@ -4101,6 +4146,48 @@ object ExtQueries {
         |       CAST(sum(pad) AS DOUBLE) /
         |         CAST(sum(kept) + sum(pad) AS DOUBLE) AS pad_frac
         |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "qp2_training_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |pw AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS src_tokens,
+        |         sqrt(CAST(sum(n_toks) AS DOUBLE)) AS w
+        |  FROM d GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS b,
+        |             list_reduce(list_prepend(0.0E0,
+        |               list(w ORDER BY source)), (a, x) -> a + x) AS z
+        |      FROM pw),
+        |rates AS (
+        |  SELECT source, n_docs, src_tokens, w / z AS p,
+        |         least(1.0E0, w / z * CAST(b AS DOUBLE)
+        |           / CAST(src_tokens AS DOUBLE)) AS keep_rate
+        |  FROM pw CROSS JOIN t),
+        |coin AS (
+        |  SELECT d.source, d.n_toks
+        |  FROM d JOIN rates USING (source)
+        |  WHERE CAST(list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(d.doc_id AS VARCHAR)), CAST(i AS INT), 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296E0
+        |    < rates.keep_rate),
+        |sampled AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_sampled,
+        |         CAST(sum(n_toks) AS BIGINT) AS sampled_tokens
+        |  FROM coin GROUP BY source)
+        |SELECT r.source, r.n_docs, r.src_tokens, r.p, r.keep_rate,
+        |       coalesce(s.n_docs_sampled, CAST(0 AS BIGINT))
+        |         AS n_docs_sampled,
+        |       coalesce(s.sampled_tokens, CAST(0 AS BIGINT))
+        |         AS sampled_tokens,
+        |       (coalesce(s.sampled_tokens, CAST(0 AS BIGINT)) + 1023)
+        |         // 1024 AS n_examples_1k
+        |FROM rates r LEFT JOIN sampled s USING (source)
+        |ORDER BY source""".stripMargin,
 
     "qx59_band_sweep" -> (ShingleCte + {
       val mins = (0 until 16).map(i =>
