@@ -79,15 +79,21 @@ object Bench {
       name -> times(1) // median of 3
     }
     // round-1 comparability: one single-shot `.count()` pass per query —
-    // the methodology BENCH_r01 recorded (count lets Catalyst prune unused
-    // final projections, so it undercounts; kept only for the
-    // round-over-round comparison)
+    // the methodology BENCH_r01 recorded (count lets Catalyst prune
+    // unused final projections, so it undercounts; kept only for the
+    // round-over-round comparison). It stays AFTER the med3 pass (warm
+    // codegen — how every prior round measured it; a fresh-JVM ordering
+    // re-pays first-execution planning per query and reads 1.9× higher
+    // on identical code). The per-query System.gc() matters here: this
+    // pass previously skipped it and its tail drew a cleanup-debt
+    // lottery — 96.8 s vs 154.5 s across two runs of identical code.
     val r1Total = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
       val t = (System.nanoTime() - t0) / 1e9
       Materialize.releaseAll(spark)
+      System.gc() // cleaner hygiene, outside every timed span
       // per-query breakdown to stderr (diagnosis only — the driver
       // snapshots stdout, which must stay one short JSON line)
       System.err.println(f"[bench-r1] $name $t%.2f")

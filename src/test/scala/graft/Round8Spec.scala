@@ -168,6 +168,27 @@ class Round8Spec extends SparkTestBase {
     assert(out.last.getAs[Long]("n_docs") == full)
   }
 
+  test("qp2 training-mix manifest: rates in (0,1], sampled <= totals, " +
+    "packed examples = ceil(sampled/1024), upsampled sources keep " +
+    "everything (rate 1 => sampled == total)") {
+    val out = SparkEntry.queries("qp2_training_mix")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      val nd = r.getAs[Long]("n_docs"); val nds = r.getAs[Long]("n_docs_sampled")
+      val st = r.getAs[Long]("sampled_tokens")
+      assert(nds <= nd && st <= r.getAs[Long]("src_tokens"))
+      assert(r.getAs[Long]("n_examples_1k") == (st + 1023L) / 1024L)
+      if (rate == 1.0) assert(nds == nd, s"${r.getString(0)}: rate 1 " +
+        s"but sampled $nds of $nd")
+    }
+    // probabilities sum to 1 (within float fold tolerance)
+    val psum = out.map(_.getAs[Double]("p")).sum
+    assert(math.abs(psum - 1.0) < 1e-9, s"sum p = $psum")
+  }
+
   test("qs6 stream-static decontam: emitted set equals the batch gram " +
     "join (stream == batch for the stateless enrichment family)") {
     import graft.meos.NativeExpressions
