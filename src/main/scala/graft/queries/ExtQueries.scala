@@ -1981,6 +1981,38 @@ object ExtQueries {
         .orderBy("ctx_len")
     }),
 
+    // SIMHASH near-dup PAIRS — the Manku/Jarvelin web-dedup shape qx4's
+    // per-doc fingerprint feeds: split the 32-bit simhash into 4 8-bit
+    // bands; by pigeonhole, any pair within hamming distance 3 shares
+    // at least one band verbatim, so the band equi-join (with the same
+    // hot-band cap discipline as minhash LSH) enumerates a candidate
+    // superset and the per-pair hamming refine keeps d ≤ 3. Candidates
+    // ∝ band collisions, never corpus²; the refine compares two 32-char
+    // bit strings position-wise — integer arithmetic end-to-end.
+    "qx61_simhash_pairs" -> ((s, dir) => {
+      val sh = graft.Materialize.cut(Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), Text.tokenMd5s(col("toks")).as("th"))
+        .select(col("doc_id"),
+          graft.meos.NativeExpressions.simhash32(col("th")).as("sh")))
+      val sig = sh.select(col("doc_id"), explode(array(
+        (0 until 4).map(b =>
+          concat(lit(s"$b:"), substring(col("sh"), b * 8 + 1, 8))): _*))
+        .as("band"))
+      val hamming = aggregate(
+        zip_with(split(col("sh1"), ""), split(col("sh2"), ""),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+        lit(0), (a, v) => a + v)
+      Dedup.bandedPairs(sig)
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+          Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+          Seq("d2"))
+        .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
+        .where(col("hamming") <= 3)
+        .orderBy("d1", "d2")
+    }),
+
     // the TRAINING-MIX MANIFEST — the second composed [EXT] pipeline
     // (qp1 curates; this one decides what a training job actually
     // consumes): sqrt-temperature mixture weights (qx50) → per-source
@@ -4146,6 +4178,49 @@ object ExtQueries {
         |       CAST(sum(pad) AS DOUBLE) /
         |         CAST(sum(kept) + sum(pad) AS DOUBLE) AS pad_frac
         |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "qx61_simhash_pairs" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN 2 * sum(CASE WHEN strpos('89abcdef',
+        |                substr(md5(t), CAST(p AS INTEGER), 1)) > 0
+        |              THEN 1 ELSE 0 END) >= count(*)
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM tok, range(1, 33) AS r(p)
+        |  GROUP BY doc_id, p),
+        |shs AS (
+        |  SELECT doc_id, string_agg(b, '' ORDER BY p) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |bnd AS (
+        |  SELECT doc_id, '0:' || substr(sh, 1, 8) AS band FROM shs
+        |  UNION ALL SELECT doc_id, '1:' || substr(sh, 9, 8) FROM shs
+        |  UNION ALL SELECT doc_id, '2:' || substr(sh, 17, 8) FROM shs
+        |  UNION ALL SELECT doc_id, '3:' || substr(sh, 25, 8) FROM shs),
+        |small AS (
+        |  SELECT doc_id, band FROM bnd
+        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id)
+        |SELECT p.d1, p.d2,
+        |  CAST(list_reduce(list_transform(range(1, 33),
+        |    i -> CASE WHEN substr(x.sh, CAST(i AS INT), 1)
+        |              <> substr(y.sh, CAST(i AS INT), 1)
+        |         THEN 1 ELSE 0 END), (a, b) -> a + b) AS BIGINT)
+        |    AS hamming
+        |FROM p
+        |JOIN shs x ON x.doc_id = p.d1
+        |JOIN shs y ON y.doc_id = p.d2
+        |WHERE list_reduce(list_transform(range(1, 33),
+        |    i -> CASE WHEN substr(x.sh, CAST(i AS INT), 1)
+        |              <> substr(y.sh, CAST(i AS INT), 1)
+        |         THEN 1 ELSE 0 END), (a, b) -> a + b) <= 3
+        |ORDER BY d1, d2""".stripMargin,
 
     "qp2_training_mix" ->
       """WITH d AS (
