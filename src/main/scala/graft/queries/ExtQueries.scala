@@ -1981,6 +1981,51 @@ object ExtQueries {
         .orderBy("ctx_len")
     }),
 
+    // embedding ANISOTROPY audit — the collapse/cone-effect health
+    // check run before trusting any cosine-based pipeline (an
+    // anisotropic space scores everything similar and ANN/dedup
+    // thresholds stop meaning anything). The expensive quantity — the
+    // ALL-PAIRS mean cosine — falls to ONE corpus pass via the exact
+    // identity Σ_{i≠j} v̂_i·v̂_j = ‖Σv̂‖² − n, so the O(n²) metric costs
+    // O(n·d): per-dimension sums of the normalized vectors, then one
+    // norm². Float discipline: each v̂ component and each per-row norm
+    // quantizes to exact nano-unit BIGINTs (floor(x·1e9) — the qs3/qe14
+    // integer-sum rule), so every cross-row sum is exact integer math
+    // and the two final double expressions are bit-stable cross-engine.
+    "qe18_anisotropy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nrm = sqrt(Similarity.dotComposed(col("embedding"),
+        col("embedding")))
+      val d = emb.select(col("vec_id"), nrm.as("nrm"),
+        posexplode(col("embedding")))
+        .select(col("vec_id"), col("nrm"), col("pos"),
+          (col("col").cast("double") / col("nrm")).as("vhat"))
+      // per-dimension exact integer sums of quantized components
+      val sums = d.groupBy("pos")
+        .agg(sum(floor(col("vhat") * lit(1e9)).cast("long")).as("s_nn"))
+      val s2 = sums.agg(
+        aggregate(array_sort(collect_list(struct(col("pos"), col("s_nn")))),
+          lit(0.0), (acc, x) =>
+            acc + (x.getField("s_nn").cast("double") / lit(1e9)) *
+              (x.getField("s_nn").cast("double") / lit(1e9)))
+          .as("s2"))
+      // constant-key group, not a global agg: empty corpus → empty
+      // output (the suite-wide contract)
+      val normStats = emb.select(col("vec_id"), nrm.as("nrm"))
+        .groupBy(lit(1).as("g"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("nrm") * lit(1e9)).cast("long")).as("norm_nn"))
+        .drop("g")
+      normStats.crossJoin(broadcast(s2))
+        .select(col("n_vecs"),
+          (col("norm_nn").cast("double") / col("n_vecs").cast("double") /
+            lit(1e9)).as("mean_norm"),
+          ((col("s2") - col("n_vecs").cast("double")) /
+            (col("n_vecs").cast("double") *
+              (col("n_vecs").cast("double") - lit(1.0))))
+            .as("mean_pairwise_cos"))
+    }),
+
     // SIMHASH near-dup PAIRS — the Manku/Jarvelin web-dedup shape qx4's
     // per-doc fingerprint feeds: split the 32-bit simhash into 4 8-bit
     // bands; by pigeonhole, any pair within hamming distance 3 shares
@@ -4178,6 +4223,45 @@ object ExtQueries {
         |       CAST(sum(pad) AS DOUBLE) /
         |         CAST(sum(kept) + sum(pad) AS DOUBLE) AS pad_frac
         |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "qe18_anisotropy" -> {
+      val dot = CosSql.format("embedding", "embedding")
+      s"""WITH nr AS (
+        |  SELECT vec_id, sqrt($dot) AS nrm, embedding
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, nrm,
+        |         generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM nr),
+        |d AS (
+        |  SELECT pos, CAST(v AS DOUBLE) / nrm AS vhat FROM comp),
+        |sums AS (
+        |  SELECT pos,
+        |         CAST(sum(CAST(floor(vhat * 1000000000E0) AS BIGINT))
+        |           AS BIGINT) AS s_nn
+        |  FROM d GROUP BY pos),
+        |s2 AS (
+        |  SELECT list_reduce(list_prepend(0.0E0,
+        |    list((CAST(s_nn AS DOUBLE) / 1000000000E0)
+        |         * (CAST(s_nn AS DOUBLE) / 1000000000E0) ORDER BY pos)),
+        |    (a, x) -> a + x) AS s2
+        |  FROM sums),
+        |ns AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(CAST(floor(nrm * 1000000000E0) AS BIGINT))
+        |           AS BIGINT) AS norm_nn
+        |  FROM nr
+        |  HAVING count(*) > 0)
+        |SELECT ns.n_vecs,
+        |       CAST(ns.norm_nn AS DOUBLE) / CAST(ns.n_vecs AS DOUBLE)
+        |         / 1000000000E0 AS mean_norm,
+        |       (s2.s2 - CAST(ns.n_vecs AS DOUBLE))
+        |         / (CAST(ns.n_vecs AS DOUBLE)
+        |            * (CAST(ns.n_vecs AS DOUBLE) - 1.0E0))
+        |         AS mean_pairwise_cos
+        |FROM ns CROSS JOIN s2""".stripMargin
+    },
 
     "qx61_simhash_pairs" ->
       s"""WITH tok AS (
