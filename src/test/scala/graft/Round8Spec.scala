@@ -189,6 +189,39 @@ class Round8Spec extends SparkTestBase {
     assert(math.abs(psum - 1.0) < 1e-9, s"sum p = $psum")
   }
 
+  test("qe18 anisotropy: the one-pass identity matches a directly " +
+    "computed pairwise mean on a small slice; outputs in range") {
+    val out = SparkEntry.queries("qe18_anisotropy")(spark, sfDir)
+      .collect().head
+    val n = out.getAs[Long]("n_vecs")
+    assert(n > 0 && out.getAs[Double]("mean_norm") > 0.0)
+    val mpc = out.getAs[Double]("mean_pairwise_cos")
+    assert(mpc >= -1.0 && mpc <= 1.0)
+    // direct O(n²) check on the first 50 vectors: same quantization,
+    // same identity inputs — the one-pass result over THAT slice must
+    // match the brute-force mean within the quantization's own error
+    // envelope (n·d products of 1e-9-grain values)
+    val emb = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val vhat = emb.map { v =>
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => math.floor(x / nn * 1e9) / 1e9)
+    }
+    val nS = vhat.length
+    var acc = 0.0
+    for (i <- 0 until nS; j <- 0 until nS if i != j)
+      acc += vhat(i).zip(vhat(j)).map { case (a, b) => a * b }.sum
+    val direct = acc / (nS.toDouble * (nS - 1))
+    val sums = vhat.transpose.map(_.sum)
+    val s2 = sums.map(s => s * s).sum
+    val viaIdentity = (s2 - vhat.map(v => v.map(x => x * x).sum).sum) /
+      (nS.toDouble * (nS - 1))
+    assert(math.abs(direct - viaIdentity) < 1e-9,
+      s"identity $viaIdentity vs direct $direct")
+  }
+
   test("qs6 stream-static decontam: emitted set equals the batch gram " +
     "join (stream == batch for the stateless enrichment family)") {
     import graft.meos.NativeExpressions
