@@ -2136,7 +2136,12 @@ object ExtQueries {
           col("n_truth"),
           (col("n_hits").cast("double") / col("n_cand").cast("double"))
             .as("precision"),
-          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          // guarded: the truth set CAN be empty (the 10× probe's 31-word
+          // vocabulary pushes every gram over the hot-gram cap, zeroing
+          // exact overlaps) — recall is undefined there, not an ANSI
+          // divide-by-zero crash; n_cand ≥ 1 by the grouping contract
+          when(col("n_truth") > 0,
+            col("n_hits").cast("double") / col("n_truth").cast("double"))
             .as("recall"))
         .orderBy("bands")
     }),
@@ -4408,8 +4413,10 @@ object ExtQueries {
         |SELECT u.bands, u.n_cand, u.n_hits, nt.n_truth,
         |       CAST(u.n_hits AS DOUBLE) / CAST(u.n_cand AS DOUBLE)
         |         AS precision,
-        |       CAST(u.n_hits AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
-        |         AS recall
+        |       CASE WHEN nt.n_truth > 0
+        |            THEN CAST(u.n_hits AS DOUBLE)
+        |                 / CAST(nt.n_truth AS DOUBLE)
+        |       END AS recall
         |FROM (SELECT * FROM ab2 UNION ALL SELECT * FROM ab4
         |      UNION ALL SELECT * FROM ab8) u
         |CROSS JOIN nt
