@@ -556,24 +556,46 @@ object Similarity {
     *
     * Scale shape: the quadratic step is confined to cells — the entire
     * point of clustering before pairwise cosine (pairs ∝ Σ|cell|², not
-    * |corpus|²; with balanced cells that's |corpus|²/nlist). A hot cell
-    * degrades gracefully the same way qx21 caps hot LSH bands — cap or
-    * re-split oversized cells before the self-join if the embedding
-    * distribution collapses. Output: one row per corpus vector,
-    * (vec_id, cell, kept, dup_of) with dup_of = the smallest dominating
-    * cellmate id (null when kept). */
+    * |corpus|²; with balanced cells that's |corpus|²/nlist). Hot cells
+    * are ENFORCED bounded, the same discipline as the qx21 LSH band cap:
+    * within each cell, vectors are chunked by id-rank into runs of at
+    * most `cellCap`, and the self-join keys on (cell, chunk) — so a cell
+    * of size s costs ceil(s/cellCap)·cellCap² pairs (linear in s at
+    * fixed cap), and a collapsed embedding distribution (the qe18
+    * anisotropy failure) degrades to corpus·cellCap work instead of
+    * corpus². The tradeoff is recall, not correctness: a domination
+    * whose smaller-id witness falls in an earlier chunk is missed, and
+    * each chunk keeps its own min-id representative — conservative
+    * (never drops a non-dup), exactly how the band cap under-merges.
+    *
+    * Sizing rule (mirror of the qe5 bits rule): pick
+    * nlist ≈ corpus / targetCellSize so balanced cells sit well under
+    * `cellCap`, and the cap only fires on pathological skew. At 100 TB
+    * with 1e9 vectors and nlist = 65536, balanced cells are ~15k — set
+    * cellCap a small multiple of the target (default 4096 assumes
+    * nlist is scaled; the cap is the guard rail, not the design point).
+    *
+    * Output: one row per corpus vector, (vec_id, cell, kept, dup_of)
+    * with dup_of = the smallest dominating same-chunk cellmate id (null
+    * when kept). cellCap <= 0 disables chunking (documented escape
+    * hatch for oracle twins of the uncapped formulation). */
   def semDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
-               trainIters: Int = 5,
+               trainIters: Int = 5, cellCap: Int = 4096,
                cacheKey: Option[String] = None): DataFrame = {
     val centroids = centroidFrame(corpus,
       centroidsFor(corpus, nlist, trainIters, cacheKey))
     // one assignment pass feeds both self-join sides and the final
     // keeper join — cut so the broadcast-scan-window pipeline runs once
-    val a = graft.Materialize.cut(
-      assignCells(corpus, "i", "emb", probes = 1, centroids))
+    val assigned = assignCells(corpus, "i", "emb", probes = 1, centroids)
+    val chunked =
+      if (cellCap <= 0) assigned.withColumn("chunk", lit(0L))
+      else assigned.withColumn("chunk",
+        ((row_number().over(Window.partitionBy("cell").orderBy("i"))
+          - 1) / cellCap).cast("long"))
+    val a = graft.Materialize.cut(chunked)
     val dom = a
-      .join(a.select(col("cell"), col("i").as("j"), col("emb").as("j_emb")),
-        Seq("cell"))
+      .join(a.select(col("cell"), col("chunk"), col("i").as("j"),
+        col("emb").as("j_emb")), Seq("cell", "chunk"))
       .where(col("j") < col("i") &&
         cosine(col("emb"), col("j_emb")) >= lit(tau))
       .groupBy("i").agg(min(col("j")).as("dup_of"))

@@ -393,6 +393,16 @@ object ExtQueries {
         cacheKey = Some(s"$dir|nlist=16|iters=5"))
         .orderBy("vec_id")),
 
+    // The semDedup hot-cell guard under the gate: same fit, same tau,
+    // but cellCap=24 — small enough that every fixture cell re-splits
+    // into id-rank chunks, so the capped formulation (the 100 TB skew
+    // path, where a collapsed embedding distribution would otherwise go
+    // quadratic) is itself DuckDB-oracled, not just the balanced path
+    "qz1_semdedup_hotcap" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), 0.4, cellCap = 24,
+        cacheKey = Some(s"$dir|nlist=16|iters=5"))
+        .orderBy("vec_id")),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -2404,28 +2414,39 @@ object ExtQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  /** DuckDB twin of the SemDeDup query (qe11): the qe4 cell-assignment
-    * CTE (same centroid literals → same cells), a within-cell min-id
-    * domination join at the cosine threshold, and a left join marking
-    * keepers. The cosine is the shared zip/fold double math, so the
-    * domination set is bit-deterministic across engines. */
-  private def qe11Sql(cents: Seq[Seq[Float]], tau: Double): String = {
+  /** DuckDB twin of the SemDeDup query (qe11/qz1): the qe4
+    * cell-assignment CTE (same centroid literals → same cells), the
+    * id-rank chunking that enforces the hot-cell cap (row_number within
+    * cell ordered by id, integer-divided by `cellCap` — bit-identical to
+    * the Spark window), a within-(cell, chunk) min-id domination join at
+    * the cosine threshold, and a left join marking keepers. The cosine
+    * is the shared zip/fold double math, so the domination set is
+    * bit-deterministic across engines. */
+  private def qe11Sql(cents: Seq[Seq[Float]], tau: Double,
+                      cellCap: Int): String = {
     def flit(f: Float): String =
       new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
     val values = cents.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(flit).mkString(",")}])"
     }.mkString(",\n")
     def cos(a: String, b: String): String = cosSql(a, b)
+    val chunkExpr =
+      if (cellCap <= 0) "CAST(0 AS BIGINT)"
+      else s"CAST((row_number() OVER (PARTITION BY cell ORDER BY i) - 1)" +
+        s" // $cellCap AS BIGINT)"
     s"""WITH cent(cell, c_emb) AS (VALUES
        |$values),
-       |a AS (
+       |a0 AS (
        |  SELECT e.vec_id AS i, e.embedding AS emb, c.cell
        |  FROM embeddings e CROSS JOIN cent c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |a AS (
+       |  SELECT i, emb, cell, $chunkExpr AS chunk FROM a0),
        |dom AS (
        |  SELECT x.i, CAST(min(y.i) AS BIGINT) AS dup_of
-       |  FROM a x JOIN a y ON y.cell = x.cell AND y.i < x.i
+       |  FROM a x JOIN a y ON y.cell = x.cell AND y.chunk = x.chunk
+       |    AND y.i < x.i
        |  WHERE ${cos("x.emb", "y.emb")} >= $tau
        |  GROUP BY x.i)
        |SELECT a.i AS vec_id, CAST(a.cell AS BIGINT) AS cell,
@@ -2685,7 +2706,8 @@ object ExtQueries {
       .map(c => Map(
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
-        "qe11_semdedup" -> qe11Sql(c, tau = 0.4),
+        "qe11_semdedup" -> qe11Sql(c, tau = 0.4, cellCap = 4096),
+        "qz1_semdedup_hotcap" -> qe11Sql(c, tau = 0.4, cellCap = 24),
         "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
         "qe17_nprobe_sweep" -> qe17Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
