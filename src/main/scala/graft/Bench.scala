@@ -48,7 +48,45 @@ object Bench {
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.FATAL)
 
-    def runOnce(name: String): Double = {
+    // ---- per-query diagnosis channel (stderr only; the round-8 verdict
+    // showed recorded med3 times inflating 2-3.5× over isolated steady
+    // state for SOME queries with no positional pattern — these counters
+    // exist to attribute that to a mechanism instead of a shrug) --------
+    import scala.jdk.CollectionConverters._
+    val spillMem = new java.util.concurrent.atomic.AtomicLong()
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+          spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+        }
+      })
+    val gcBeans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcCumMs: Long = gcBeans.asScala.map(_.getCollectionTime).sum
+    // this JVM's share of the machine during a run: on an otherwise idle
+    // local[32] box a busy query should hold a high double-digit %, so a
+    // run that reads slow WITH a collapsed cpuPct was contended by
+    // something outside this process (the round-8 "tail inflation"
+    // signature), while slow AND high-cpu means the query itself grew
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def procCpuNs: Long = osBean.getProcessCpuTime
+    def codeCacheMb: Long =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains("nmethods"))
+        .map(_.getUsage.getUsed).sum >> 20
+    def cachedState: (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length, infos.map(_.memSize).sum >> 20)
+    }
+
+    def runOnce(name: String): (Double, Double) = {
+      spillMem.set(0L); spillDisk.set(0L)
+      val cpu0 = procCpuNs
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -56,13 +94,15 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
+      val cpuPct = (procCpuNs - cpu0) / 1e9 / math.max(t, 1e-9) /
+        Runtime.getRuntime.availableProcessors * 100.0
       // free lineage-cut blocks the query pinned (outside the timed span —
       // it's harness hygiene, not query work): without this, 70 queries ×
       // 3 runs of leaked localCheckpoint blocks squat in the block manager
       // and evict later queries' shuffle state, inflating the tail of the
       // suite ~2-3× over each query's true steady-state time
       Materialize.releaseAll(spark)
-      t
+      (t, cpuPct)
     }
 
     try SparkEntry.queries("q01_scan_project")(spark, sfDir)
@@ -70,13 +110,29 @@ object Bench {
     catch { case _: Throwable => }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = Seq.fill(3)(runOnce(name)).sorted
+      val runs = (1 to 3).map { i =>
+        val (t, cpuPct) = runOnce(name)
+        // all three runs + spill/cpu attribution, not just the median:
+        // an inflated run with spill bytes is memory pressure, one with
+        // collapsed cpu% is external contention, high-cpu slow is real
+        // query growth (listener lag means a run's last stages may
+        // attribute to the next line — read coarsely)
+        System.err.println(f"[bench-runs] $name r$i $t%.2f " +
+          f"cpu=$cpuPct%.0f%% spillMemMB=${spillMem.get >> 20} " +
+          f"spillDiskMB=${spillDisk.get >> 20}")
+        t
+      }
       // between queries (outside any timed span): give the cleaner a GC
       // so this query's shuffle/broadcast state is gone before the next
       // query is timed — without it the suite tail measures cleanup debt,
       // not the query
       System.gc()
-      name -> times(1) // median of 3
+      val (nCached, cachedMb) = cachedState
+      System.err.println(s"[bench-diag] $name cachedRdds=$nCached " +
+        s"cachedMB=$cachedMb codeCacheMB=$codeCacheMb gcCumMs=$gcCumMs " +
+        s"heapMB=${(Runtime.getRuntime.totalMemory -
+          Runtime.getRuntime.freeMemory) >> 20}")
+      name -> runs.sorted.apply(1) // median of 3
     }
     // round-1 comparability: one single-shot `.count()` pass per query —
     // the methodology BENCH_r01 recorded (count lets Catalyst prune
@@ -111,19 +167,27 @@ object Bench {
     results.foreach { case (k, v) =>
       System.err.println(f"[bench-med3] $k ${v}%.2f") }
     val total = results.map(_._2).sum
+    // short keys ("qx23_span_removal" → "qx23") keep the stdout line
+    // inside the driver's tail window, but only if first segments stay
+    // unique — a colliding pair would silently emit duplicate JSON keys,
+    // so fall back to full names (and rely on the top-25 degrade) the
+    // moment a collision appears
+    val shortUnique = results.map(_._1.takeWhile(_ != '_')).distinct.size ==
+      results.size
+    def key(k: String): String = if (shortUnique) k.takeWhile(_ != '_') else k
     def line(qs: String) =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)}}"""
     val full = line(results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
+      "\"" + key(k) + "\":" + f2(v) }
       .mkString("{", ",", "}"))
     // degrade before the driver's ~2000-char stdout tail window clips
     // the line's head (sbt appends ~70 chars after us): keep the full
     // per-query map while it fits, else only the slowest 25 (the ones a
     // judge acts on; the complete breakdown is on stderr either way)
     val out = if (full.length <= 1850) full
-      else line(results.sortBy(-_._2).take(25).map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
-        .mkString("{", ",", ",\"_truncated\":\"top25\"}"))
+      else line((results.sortBy(-_._2).take(25).map { case (k, v) =>
+        "\"" + key(k) + "\":" + f2(v) } :+ "\"_truncated\":\"top25\"")
+        .mkString("{", ",", "}"))
     println(out)
     spark.stop()
   }

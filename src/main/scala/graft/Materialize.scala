@@ -68,7 +68,17 @@ object Materialize {
     * their producing shuffle, while flat "one frame, N self-join sides"
     * shapes (gram/band/signature staging) gain ~1-6 s per query by
     * skipping the checkpoint job. Flat shapes keep the persist default;
-    * chained facts pass `checkpoint = true`. */
+    * chained facts pass `checkpoint = true`.
+    *
+    * CALLER OBLIGATION: a persist-mode lazy cut holds a strong Dataset
+    * reference in [[persistedCuts]] until [[releaseAll]] runs — Bench,
+    * Verify, and QProf all call it per query, but any long-lived session
+    * that calls cut() without a matching releaseAll accumulates pinned
+    * cache entries (and on a real cluster, a persist cut trades the
+    * reliable checkpoint's durability for recompute-from-lineage on
+    * executor loss — acceptable for scratch frames inside one query,
+    * wrong for state that must survive a superstep boundary, which is
+    * why eager cuts always checkpoint). */
   def cut(df: DataFrame, eager: Boolean = false,
           checkpoint: Boolean = false): DataFrame = {
     val sc = df.sparkSession.sparkContext

@@ -403,6 +403,119 @@ object ExtQueries {
         cacheKey = Some(s"$dir|nlist=16|iters=5"))
         .orderBy("vec_id")),
 
+    // PREFIX-grain duplicate groups — the truncation-dup detector exact
+    // dedup (qx1, whole-doc hash) is blind to: crawl snapshots carry the
+    // same article cut at different lengths, so group on the first 64
+    // chars and report multi-doc groups. Scale shape: the prefix key is
+    // computed in the scan projection (64 chars, not the doc), one
+    // hash-keyed agg with map-side combine — no sort, no pair join;
+    // at 100 TB this is qx1's exact plan at prefix grain
+    "qz2_prefix_groups" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(substring(col("text"), 1, 64).as("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"),
+          sum("n_chars").as("total_chars"))
+        .where(col("n_docs") >= 2)
+        .select(md5(col("prefix")).as("prefix_md5"), col("n_docs"),
+          col("keeper"), col("total_chars"))
+        .orderBy("prefix_md5")),
+
+    // BLOCKED SORTED-NEIGHBORHOOD near-dup pairs — the third candidate
+    // generator next to minhash bands (qx3/qx21) and simhash bands
+    // (qx61): sort docs within a cheap block key (first 8 chars) and
+    // refine only ADJACENT docs by exact token-set Jaccard. Catches the
+    // shared-prefix/truncation family LSH can dilute and costs exactly
+    // one window pass — no pair explosion at all (candidates = rows,
+    // not rows²). The block key bounds the sort the way the band cap
+    // bounds the join: each block sorts independently in parallel
+    // (partitionBy(blk) range-partitions at scale; cross-block
+    // neighbors are the documented recall tradeoff, same spirit as
+    // qz1's chunk boundaries). Token sets are array ops in the scan —
+    // integer set sizes, one double division, deterministic
+    "qz3_sorted_neighbors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          array_distinct(Text.tokens(col("text"))).as("ts"),
+          substring(col("text"), 1, 8).as("blk"))
+      val w = Window.partitionBy("blk").orderBy("text", "doc_id")
+      val ji = {
+        val ni = size(array_intersect(col("ts"), col("ts2"))).cast("double")
+        ni / (size(col("ts")) + size(col("ts2")) -
+          size(array_intersect(col("ts"), col("ts2")))).cast("double")
+      }
+      d.withColumn("d2", lead("doc_id", 1).over(w))
+        .withColumn("ts2", lead("ts", 1).over(w))
+        .where(col("d2").isNotNull)
+        .select(col("doc_id").as("d1"), col("d2"), ji.as("ji"))
+        .where(col("ji") >= 0.5)
+        .orderBy("d1", "d2")
+    }),
+
+    // corpus-composition MUTUAL INFORMATION — how much the source tells
+    // you about the language (and vice versa): the pointwise MI of every
+    // (source, lang) cell of the composition cross-tab, the audit that
+    // catches a crawl whose "French" is all from one domain. Integer
+    // cell/margin counts (exact), one log per emitted row — no
+    // cross-row float accumulation anywhere, so the result hashes
+    // bit-identically cross-engine (qx29's PMI discipline). Scale
+    // shape: |sources|×|langs| cells from one metadata-only groupBy —
+    // the text column is never read
+    "qz4_source_lang_mi" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val ms = cells.groupBy("source").agg(sum("n").as("ns"))
+      val ml = cells.groupBy("lang").agg(sum("n").as("nl"))
+      val tot = cells.agg(sum("n").as("nt"))
+      cells.join(ms, "source").join(ml, "lang").crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n"),
+          (col("n").cast("double") / col("nt").cast("double")).as("p"),
+          // rounded for ln() ulp portability (see qx28/qx29)
+          round(log((col("n").cast("double") * col("nt").cast("double")) /
+            (col("ns").cast("double") * col("nl").cast("double"))), 9)
+            .as("pmi"))
+        .orderBy("source", "lang")
+    }),
+
+    // robust LENGTH-OUTLIER filter stats — median/MAD (not mean/stddev:
+    // one 10 GB pathological doc should not move the filter) per
+    // source: exact discrete median via the qx18 cumulative-histogram
+    // rule, MAD as the median of integer deviations, outliers at
+    // |len − med| > 3·MAD. All compares on exact integers — no float
+    // quantile interpolation to drift cross-engine. Scale shape: two
+    // bounded-domain histogram rollups (|sources|×|distinct lengths|)
+    // plus a metadata-only scan — the filter this parameterizes runs
+    // fused in the ingest scan
+    "qz5_length_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def medOf(df: DataFrame, valCol: String, part: String): DataFrame = {
+        val hist = df.groupBy(part, valCol).agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy(part).orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum("c").over(wc))
+          .withColumn("total", sum("c").over(Window.partitionBy(part)))
+          .groupBy(part)
+          .agg(min(when(col("cum") * 2 >= col("total"), col(valCol)))
+            .as("med"))
+      }
+      val docs = Tables.documents(s, dir).select("source", "n_chars")
+      val med = medOf(docs, "n_chars", "source")
+      val dev = docs.join(med, "source")
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = medOf(dev.select(col("source"), col("dev")), "dev", "source")
+        .withColumnRenamed("med", "mad")
+      docs.join(med, "source").join(mad, "source")
+        .groupBy(col("source"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(abs(col("n_chars") - col("med")) > col("mad") * 3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("source"), col("n_docs"), col("med"), col("mad"),
+          col("n_outliers"),
+          (col("n_outliers").cast("double") / col("n_docs").cast("double"))
+            .as("outlier_frac"))
+        .orderBy("source")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -455,15 +568,16 @@ object ExtQueries {
     // frame sampling over "video" payloads — every 4th 16-byte frame as
     // pure binary expressions (posexplode of substring slices, no UDF);
     // the decode that would follow each frame is the declared stub. The
-    // oracle mirrors the byte slices via text substrings (the synthetic
-    // corpus is pure ASCII, so char and byte offsets coincide)
+    // frame key is its HEX, not a hash (same rationale as qm4): the twin
+    // slices hex(encode(text)) at doubled offsets, which is byte-exact
+    // on any UTF-8 corpus — no ASCII char/byte-offset assumption
     "qm2_frame_sample" -> ((s, dir) =>
       Multimodal.synthMedia(s, dir)
         .select(col("doc_id"), posexplode(
           Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
         .toDF("doc_id", "frame_no", "frame")
         .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-          md5(col("frame")).as("frame_md5"),
+          hex(col("frame")).as("frame_hex"),
           octet_length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_no")),
 
@@ -1738,12 +1852,15 @@ object ExtQueries {
     // margin tables are vocabulary²-keyed rollups of it; top-50 via a
     // single WindowGroupLimit-prunable rank.
     "qx53_chi2_colloc" -> ((s, dir) => {
+      // margins (cx, cy, N) come from the FULL bigram table — the
+      // Dunning 2×2 contingency needs true marginal totals; the a>=5
+      // support filter applies only to which candidate rows are EMITTED
+      // (pruning margins too would bias every score toward the kept set)
       val bi = graft.Materialize.cut(docsWithToks(s, dir)
         .select(explode(Text.shingles(col("toks"), 2)).as("bg"))
         .select(split(col("bg"), " ").getItem(0).as("x"),
           split(col("bg"), " ").getItem(1).as("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("a"))
-        .where(col("a") >= 5))
+        .groupBy("x", "y").agg(count(lit(1)).as("a")))
       val cx = bi.groupBy("x").agg(sum("a").as("cx"))
       val cy = bi.groupBy("y").agg(sum("a").as("cy"))
       val n = bi.agg(sum("a").as("n"))
@@ -1752,7 +1869,8 @@ object ExtQueries {
       val cyD = col("cy").cast("double")
       val nD = col("n").cast("double")
       val det = aD * (nD - cxD - cyD + aD) - (cxD - aD) * (cyD - aD)
-      bi.join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+      bi.where(col("a") >= 5)
+        .join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
         .select(concat_ws(" ", col("x"), col("y")).as("bg"), col("a"),
           (nD * det * det /
             (cxD * (nD - cxD) * cyD * (nD - cyD))).as("chi2"))
@@ -1887,22 +2005,27 @@ object ExtQueries {
     // cross-asset FRAME dedup — the multimodal step past qm3's
     // whole-blob hashing: "video" payloads share SCENES (intro bumpers,
     // stock b-roll) without being byte-identical as wholes, so dedup at
-    // the sampled-frame grain: qm2's frame sampling, a frame-hash
-    // rollup, and only hashes seen in ≥ 2 distinct docs survive. Scale
-    // shape: frames are fixed-size substrings computed in the scan
-    // projection (blob bytes never shuffle), the rollup is one
-    // hash-keyed agg with map-side combine.
+    // the sampled-frame grain: qm2's frame sampling, a frame-key
+    // rollup, and only keys seen in ≥ 2 distinct docs survive. The key
+    // is the frame's HEX (16 bytes → 32 chars, the same width as an md5
+    // hex) rather than a hash: DuckDB 1.0 has no md5(BLOB), but
+    // substr(hex(encode(text)), i*128+1, 32) is the hex of byte slice
+    // [i*64, i*64+16) for ARBITRARY bytes — so the twin is byte-exact
+    // even on multi-byte UTF-8 (CJK) corpora, where a char-based
+    // substr/md5 twin would drift. Scale shape: frames are fixed-size
+    // substrings computed in the scan projection (blob bytes never
+    // shuffle), the rollup is one key-keyed agg with map-side combine.
     "qm4_frame_dedup" -> ((s, dir) =>
       Multimodal.synthMedia(s, dir)
         .select(col("doc_id"), posexplode(
           Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
         .toDF("doc_id", "frame_no", "frame")
-        .groupBy(md5(col("frame")).as("frame_md5"))
+        .groupBy(hex(col("frame")).as("frame_hex"))
         .agg(count(lit(1)).as("n_occ"),
           count_distinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("keeper"))
         .where(col("n_docs") >= 2)
-        .orderBy("frame_md5")),
+        .orderBy("frame_hex")),
 
     // per-source LENGTH-DISTRIBUTION drift — the Kolmogorov–Smirnov
     // statistic of each source's doc-length ECDF against the corpus
@@ -2034,6 +2157,30 @@ object ExtQueries {
             (col("n_vecs").cast("double") *
               (col("n_vecs").cast("double") - lit(1.0))))
             .as("mean_pairwise_cos"))
+    }),
+
+    // IVF CELL-BALANCE audit — the observability hook for the
+    // nlist-sizing rule qz1/qe11 document: per-cell occupancy of the
+    // shared coarse quantizer, each cell's share of the corpus, and its
+    // within-cell pair work n·(n−1)/2 — the EXACT cost predictor for
+    // semDedup's self-join (Σ work_pairs quadratic in the hottest cell
+    // is the signal to raise nlist or trust the qz1 cap). Integer
+    // counts and per-row arithmetic only. Scale shape: one broadcast
+    // centroid scan + one 16-key agg — runs on the same fit cache as
+    // qe4, so auditing costs no second k-means
+    "qe19_cell_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cellAssignments(emb, nlist = 16,
+        cacheKey = Some(s"$dir|nlist=16|iters=5"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          emb.agg(count(lit(1)).as("nt"))))
+        .select(col("cell"), col("n"),
+          (col("n").cast("double") / col("nt").cast("double")).as("frac"),
+          // integer DIV, not `/`: Column `/` is double division, and
+          // n·(n−1) exceeds double's 2^53 integer range at n ~ 1e9
+          expr("n * (n - 1) DIV 2").as("work_pairs"))
+        .orderBy("cell")
     }),
 
     // SIMHASH near-dup PAIRS — the Manku/Jarvelin web-dedup shape qx4's
@@ -2455,6 +2602,35 @@ object ExtQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB twin of the cell-balance audit (qe19): the qe4
+    * cell-assignment CTE over the same centroid literals, an integer
+    * occupancy rollup, and per-row derived share/work columns. */
+  private def qe19Sql(cents: Seq[Seq[Float]]): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |a AS (
+       |  SELECT e.vec_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell)
+       |    <= 1),
+       |g AS (
+       |  SELECT CAST(cell AS BIGINT) AS cell,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM a GROUP BY cell),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM embeddings)
+       |SELECT cell, n,
+       |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS frac,
+       |  CAST(n * (n - 1) // 2 AS BIGINT) AS work_pairs
+       |FROM g CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+  }
+
   /** DuckDB twin of the PQ-ADC search (qe8) given the fitted codebooks:
     * a VALUES table of exact-decimal centroid literals per (sub, cell)
     * (CAST to DOUBLE[] — the decimal string of a double casts back to the
@@ -2710,6 +2886,7 @@ object ExtQueries {
         "qz1_semdedup_hotcap" -> qe11Sql(c, tau = 0.4, cellCap = 24),
         "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
         "qe17_nprobe_sweep" -> qe17Sql(c),
+        "qe19_cell_balance" -> qe19Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
@@ -4170,15 +4347,17 @@ object ExtQueries {
         |QUALIFY row_number() OVER w <= 20
         |ORDER BY rank""").stripMargin,
 
+    // byte-exact twin (see qm4): hex-string slicing at doubled offsets
+    // equals byte slicing of the UTF-8 payload for any corpus
     "qm2_frame_sample" ->
       """WITH f AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(greatest(length(text) // 64, 1))) AS i
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
         |  FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
-        |  md5(substr(text, CAST(i*64 + 1 AS INT), 16)) AS frame_md5,
-        |  CAST(length(substr(text, CAST(i*64 + 1 AS INT), 16)) AS BIGINT)
-        |    AS frame_len
+        |  substr(hx, CAST(i*128 + 1 AS INT), 32) AS frame_hex,
+        |  CAST(length(substr(hx, CAST(i*128 + 1 AS INT), 32)) // 2
+        |    AS BIGINT) AS frame_len
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     "qx18_length_quantiles" ->
@@ -4513,7 +4692,7 @@ object ExtQueries {
         |  FROM tok),
         |bi AS (
         |  SELECT p[1] AS x, p[2] AS y, CAST(count(*) AS BIGINT) AS a
-        |  FROM pairs GROUP BY x, y HAVING count(*) >= 5),
+        |  FROM pairs GROUP BY x, y),
         |cxs AS (SELECT x, CAST(sum(a) AS BIGINT) AS cx FROM bi GROUP BY x),
         |cys AS (SELECT y, CAST(sum(a) AS BIGINT) AS cy FROM bi GROUP BY y),
         |ns AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM bi),
@@ -4521,7 +4700,8 @@ object ExtQueries {
         |  SELECT x, y, a, CAST(a AS DOUBLE) AS ad,
         |         CAST(cx AS DOUBLE) AS cxd, CAST(cy AS DOUBLE) AS cyd,
         |         CAST(n AS DOUBLE) AS nd
-        |  FROM bi JOIN cxs USING (x) JOIN cys USING (y) CROSS JOIN ns),
+        |  FROM bi JOIN cxs USING (x) JOIN cys USING (y) CROSS JOIN ns
+        |  WHERE a >= 5),
         |k AS (
         |  SELECT x, y, a, nd, cxd, cyd,
         |         ad * (nd - cxd - cyd + ad)
@@ -4650,18 +4830,23 @@ object ExtQueries {
         |UNION ALL SELECT source, kmv_est, exact FROM uout
         |ORDER BY source""".stripMargin,
 
+    // byte-exact twin: hex(encode(text)) is 2 chars per BYTE, so the
+    // char-based substr over the hex string slices exact byte ranges no
+    // matter how many bytes each character of `text` occupies, and
+    // strlen (BYTE length) drives the frame count — no ASCII assumption
     "qm4_frame_dedup" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    md5(substr(text, CAST(i*64 + 1 AS INT), 16)) AS frame_md5
+        |    substr(hex(encode(text)), CAST(i*128 + 1 AS INT), 32)
+        |      AS frame_hex
         |  FROM documents,
-        |       unnest(range(greatest(length(text) // 64, 1))) AS t(i))
-        |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_occ,
+        |       unnest(range(greatest(strlen(text) // 64, 1))) AS t(i))
+        |SELECT frame_hex, CAST(count(*) AS BIGINT) AS n_occ,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       min(doc_id) AS keeper
-        |FROM f GROUP BY frame_md5
+        |FROM f GROUP BY frame_hex
         |HAVING count(DISTINCT doc_id) >= 2
-        |ORDER BY frame_md5""".stripMargin,
+        |ORDER BY frame_hex""".stripMargin,
 
     "qx56_ks_drift" ->
       """WITH h AS (
@@ -4695,6 +4880,96 @@ object ExtQueries {
         |GROUP BY source, ns
         |ORDER BY source""".stripMargin,
 
+    "qz2_prefix_groups" ->
+      """SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS keeper,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY substr(text, 1, 64)
+        |HAVING count(*) >= 2
+        |ORDER BY prefix_md5""".stripMargin,
+
+    // only set SIZES feed the math, so list_distinct/list_intersect
+    // element order (which differs from Spark's array_distinct) is
+    // irrelevant; the ji expression repeats in the WHERE because the
+    // filter must bind the same double math that is emitted
+    "qz3_sorted_neighbors" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(string_split(text, ' ')) AS ts,
+        |    substr(text, 1, 8) AS blk
+        |  FROM documents),
+        |adj AS (
+        |  SELECT doc_id AS d1, lead(doc_id) OVER w AS d2,
+        |    ts AS ts1, lead(ts) OVER w AS ts2
+        |  FROM d WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)),
+        |p AS (
+        |  SELECT d1, d2,
+        |    CAST(len(list_intersect(ts1, ts2)) AS DOUBLE) /
+        |      CAST(len(ts1) + len(ts2) - len(list_intersect(ts1, ts2))
+        |        AS DOUBLE) AS ji
+        |  FROM adj WHERE d2 IS NOT NULL)
+        |SELECT d1, d2, ji FROM p WHERE ji >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "qz4_source_lang_mi" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang),
+        |ms AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+        |       FROM cells GROUP BY source),
+        |ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl
+        |       FROM cells GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+        |SELECT source, lang, n,
+        |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS p,
+        |  round(ln((CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)) /
+        |     (CAST(ns AS DOUBLE) * CAST(nl AS DOUBLE))), 9) AS pmi
+        |FROM cells JOIN ms USING (source) JOIN ml USING (lang)
+        |CROSS JOIN tot
+        |ORDER BY source, lang""".stripMargin,
+
+    "qz5_length_outliers" ->
+      """WITH docs AS (SELECT source, n_chars FROM documents),
+        |hist AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |         FROM docs GROUP BY source, n_chars),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS total
+        |  FROM hist),
+        |med AS (SELECT source,
+        |          min(CASE WHEN cum * 2 >= total THEN n_chars END) AS med
+        |        FROM cum GROUP BY source),
+        |dev AS (SELECT d.source, abs(d.n_chars - m.med) AS dev
+        |        FROM docs d JOIN med m USING (source)),
+        |dhist AS (SELECT source, dev, CAST(count(*) AS BIGINT) AS c
+        |          FROM dev GROUP BY source, dev),
+        |dcum AS (
+        |  SELECT source, dev,
+        |    sum(c) OVER (PARTITION BY source ORDER BY dev
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS total
+        |  FROM dhist),
+        |mad AS (SELECT source,
+        |          min(CASE WHEN cum * 2 >= total THEN dev END) AS mad
+        |        FROM dcum GROUP BY source)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  m.med, a.mad,
+        |  CAST(sum(CASE WHEN abs(d.n_chars - m.med) > a.mad * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN abs(d.n_chars - m.med) > a.mad * 3
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS outlier_frac
+        |FROM docs d JOIN med m USING (source) JOIN mad a USING (source)
+        |GROUP BY d.source, m.med, a.mad
+        |ORDER BY source""".stripMargin,
+
+    // byte-exact for any corpus: synthMedia's bytes are UTF-8(text),
+    // DuckDB md5(VARCHAR) hashes the string's UTF-8 bytes, and strlen
+    // is BYTE length — all three agree on multi-byte text, no ASCII
+    // assumption
     "qm3_blob_dedup" ->
       """SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
         |       min(doc_id) AS keeper,

@@ -220,6 +220,27 @@ class Round8Spec extends SparkTestBase {
       (nS.toDouble * (nS - 1))
     assert(math.abs(direct - viaIdentity) < 1e-9,
       s"identity $viaIdentity vs direct $direct")
+    // and the EMITTED value, not just the identity: brute-force the
+    // exact (unquantized) pairwise mean over the WHOLE fixture and
+    // require the query's one-pass answer inside the quantization
+    // envelope — a wrong divisor or a broken s2/norm_nn pipeline now
+    // fails here, not only at the oracle gate
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map { v =>
+        val nn = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nn)
+      }
+    val nAll = all.length
+    assert(n == nAll, s"query n_vecs $n != fixture $nAll")
+    val sumsAll = all.transpose.map(_.sum)
+    val s2All = sumsAll.map(s => s * s).sum
+    val bruteMpc = (s2All - nAll.toDouble) / (nAll.toDouble * (nAll - 1))
+    // floor-to-1e-9 per component: dot error ≤ 2·dim·1e-9 per pair plus
+    // the self-term n vs Σ|q|² slack — 1e-6 dwarfs both at dim ≤ 512
+    assert(math.abs(mpc - bruteMpc) < 1e-6,
+      s"emitted $mpc vs brute-force $bruteMpc")
   }
 
   test("qs6 stream-static decontam: emitted set equals the batch gram " +
