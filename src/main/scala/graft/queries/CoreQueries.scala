@@ -544,6 +544,14 @@ object CoreQueries {
     "qs6_stream_static" -> ((s, dir) =>
       graft.streaming.StreamingReplay.streamStaticDecontamReplay(s, dir)),
 
+    // qs7 — seventh streaming path under the hash gate: the BUILT-IN
+    // session_window aggregation (engine-managed session-merge state),
+    // the sessionization machinery qs1's hand-rolled
+    // flatMapGroupsWithState gap logic deliberately bypasses. The
+    // islands-and-gaps batch SQL oracles the merge rule exactly.
+    "qs7_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.sessionWindowReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1461,6 +1469,30 @@ object CoreQueries {
         |FROM g JOIN probe USING (gk)
         |WHERE doc_id % 97 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    // session_window merge rule, pinned by Round9Spec's boundary test:
+    // the engine merges an event at EXACTLY lastTs+gap (inclusive
+    // session end), so only a STRICTLY larger gap breaks — hence > not
+    // >= (micros-grain fixture data never lands on the exact boundary,
+    // so only the planted test can tell the two rules apart)
+    "qs7_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 21600000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(us) AS t0_us, max(us) AS t1_us,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, t0_us""".stripMargin,
 
     "qs5_stream_topterms" ->
       """WITH tok AS (

@@ -42,6 +42,23 @@ object ExtQueries {
     * `Dedup.DefaultBandCap` in the band twins). */
   private val JaccardGramCap = 64
 
+  /** qc2's fixed case table — one WKT literal per wire-format branch.
+    * The expected outputs live in the qc2 twin as committed goldens;
+    * regenerate them (after an INTENDED format change) by running qc2
+    * through Verify and pasting the new strings. */
+  private val CodecGoldenCases: Seq[(Long, String)] = Seq(
+    1L -> "POINT(1 1)@2000-01-01",
+    2L -> "SRID=4326;POINT(1 1)@2000-01-01",
+    3L -> "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+    4L -> "{POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02}",
+    5L -> "Interp=Step;[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02]",
+    6L -> "[POINT(1 1)@2000-01-01, POINT(2 2)@2000-01-02)",
+    7L -> "POINT Z (1 2 3)@2000-01-01",
+    8L -> "[POINT Z (0 0 0)@2000-01-01, POINT Z (10 10 10)@2000-01-03]",
+    9L -> "SRID=4326;Point(-90.06 29.95)@2024-01-01T00:00:00+00",
+    10L -> ("[POINT(-0.5 0.25)@2020-02-29, " +
+      "POINT(3.125 -2.75)@2020-03-01T12:30:45+00]"))
+
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", Text.tokens(col("text")))
@@ -555,6 +572,29 @@ object ExtQueries {
           NativeExpressions.tgeompointOut(col("trip")).as("wkt"),
           MeosFunctions.tgeompointNumInstants(col("trip")).as("n"))
         .orderBy("user_id")
+    }),
+
+    // codec GOLDEN gate — qc1's missing hash row: a fixed case table of
+    // WKT literals covering every wire-format branch (instant, SRID,
+    // linear/discrete/step sequences, half-open bounds, Z, negative
+    // fractional coords) runs the full native chain — parse → hex-WKB →
+    // re-parse → min-digit print + MF-JSON — and the twin is a VALUES
+    // table of the committed golden strings, so any byte-level codec
+    // regression (field order, flag packing, epoch math, digit
+    // minimization) hash-mismatches in the driver's DuckDB gate instead
+    // of only in CodecSpec. Input-data-independent by design.
+    "qc2_codec_golden" -> ((s, dir) => {
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      import s.implicits._
+      val df = CodecGoldenCases.toDF("case_id", "wkt_in")
+      df.withColumn("hexwkb", NativeExpressions.tgeompointAsHexWkb(
+          NativeExpressions.tgeompointParse(col("wkt_in"))))
+        .withColumn("wkt", NativeExpressions.tgeompointOut(
+          NativeExpressions.tgeompointFromHexWkb(col("hexwkb"))))
+        .withColumn("mfjson", MeosFunctions.tgeompointAsMfJson(
+          NativeExpressions.tgeompointParse(col("wkt_in"))))
+        .select("case_id", "hexwkb", "wkt", "mfjson")
+        .orderBy("case_id")
     }),
 
     // multimodal metadata plumbing (binary payload + typed meta struct)
@@ -4879,6 +4919,44 @@ object ExtQueries {
         |FROM cum CROSS JOIN na
         |GROUP BY source, ns
         |ORDER BY source""".stripMargin,
+
+    // committed goldens for the qc2 codec gate (regenerate via Verify
+    // after an INTENDED wire/print-format change — see CodecGoldenCases)
+    "qc2_codec_golden" ->
+      """SELECT CAST(case_id AS BIGINT) AS case_id, hexwkb, wkt, mfjson
+        |FROM (VALUES
+        |  (1, '01280001000000000000F03F000000000000F03F0000000000000000',
+        |   'POINT(1 1)@2000-01-01 00:00:00+00',
+        |   '{"type":"MovingGeomPoint","bbox":[[1,1],[1,1]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-01T00:00:00+00"},"coordinates":[[1,1]],"datetimes":["2000-01-01T00:00:00+00"],"interpolation":"None"}'),
+        |  (2, '01280041E6100000000000000000F03F000000000000F03F0000000000000000',
+        |   'SRID=4326;POINT(1 1)@2000-01-01 00:00:00+00',
+        |   '{"type":"MovingGeomPoint","crs":{"type":"Name","properties":{"name":"EPSG:4326"}},"bbox":[[1,1],[1,1]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-01T00:00:00+00"},"coordinates":[[1,1]],"datetimes":["2000-01-01T00:00:00+00"],"interpolation":"None"}'),
+        |  (3, '0128000E0200000003000000000000F03F000000000000F03F0000000000000000000000000000004000000000000000400060D71D14000000',
+        |   '[POINT(1 1)@2000-01-01 00:00:00+00, POINT(2 2)@2000-01-02 00:00:00+00]',
+        |   '{"type":"MovingGeomPoint","bbox":[[1,1],[2,2]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-02T00:00:00+00"},"coordinates":[[1,1],[2,2]],"datetimes":["2000-01-01T00:00:00+00","2000-01-02T00:00:00+00"],"lower_inc":true,"upper_inc":true,"interpolation":"Linear"}'),
+        |  (4, '012800060200000003000000000000F03F000000000000F03F0000000000000000000000000000004000000000000000400060D71D14000000',
+        |   '{POINT(1 1)@2000-01-01 00:00:00+00, POINT(2 2)@2000-01-02 00:00:00+00}',
+        |   '{"type":"MovingGeomPoint","bbox":[[1,1],[2,2]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-02T00:00:00+00"},"coordinates":[[1,1],[2,2]],"datetimes":["2000-01-01T00:00:00+00","2000-01-02T00:00:00+00"],"interpolation":"Discrete"}'),
+        |  (5, '0128000A0200000003000000000000F03F000000000000F03F0000000000000000000000000000004000000000000000400060D71D14000000',
+        |   'Interp=Step;[POINT(1 1)@2000-01-01 00:00:00+00, POINT(2 2)@2000-01-02 00:00:00+00]',
+        |   '{"type":"MovingGeomPoint","bbox":[[1,1],[2,2]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-02T00:00:00+00"},"coordinates":[[1,1],[2,2]],"datetimes":["2000-01-01T00:00:00+00","2000-01-02T00:00:00+00"],"lower_inc":true,"upper_inc":true,"interpolation":"Step"}'),
+        |  (6, '0128000E0200000001000000000000F03F000000000000F03F0000000000000000000000000000004000000000000000400060D71D14000000',
+        |   '[POINT(1 1)@2000-01-01 00:00:00+00, POINT(2 2)@2000-01-02 00:00:00+00)',
+        |   '{"type":"MovingGeomPoint","bbox":[[1,1],[2,2]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-02T00:00:00+00"},"coordinates":[[1,1],[2,2]],"datetimes":["2000-01-01T00:00:00+00","2000-01-02T00:00:00+00"],"lower_inc":true,"upper_inc":false,"interpolation":"Linear"}'),
+        |  (7, '01280011000000000000F03F000000000000004000000000000008400000000000000000',
+        |   'POINT Z (1 2 3)@2000-01-01 00:00:00+00',
+        |   '{"type":"MovingGeomPoint","bbox":[[1,2],[1,2]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-01T00:00:00+00"},"coordinates":[[1,2,3]],"datetimes":["2000-01-01T00:00:00+00"],"interpolation":"None"}'),
+        |  (8, '0128001E0200000003000000000000000000000000000000000000000000000000000000000000000000000000000024400000000000002440000000000000244000C0AE3B28000000',
+        |   '[POINT Z (0 0 0)@2000-01-01 00:00:00+00, POINT Z (10 10 10)@2000-01-03 00:00:00+00]',
+        |   '{"type":"MovingGeomPoint","bbox":[[0,0],[10,10]],"period":{"begin":"2000-01-01T00:00:00+00","end":"2000-01-03T00:00:00+00"},"coordinates":[[0,0,0],[10,10,10]],"datetimes":["2000-01-01T00:00:00+00","2000-01-03T00:00:00+00"],"lower_inc":true,"upper_inc":true,"interpolation":"Linear"}'),
+        |  (9, '01280041E6100000A4703D0AD78356C03333333333F33D400040E9D4D5B00200',
+        |   'SRID=4326;POINT(-90.06 29.95)@2024-01-01 00:00:00+00',
+        |   '{"type":"MovingGeomPoint","crs":{"type":"Name","properties":{"name":"EPSG:4326"}},"bbox":[[-90.06,29.95],[-90.06,29.95]],"period":{"begin":"2024-01-01T00:00:00+00","end":"2024-01-01T00:00:00+00"},"coordinates":[[-90.06,29.95]],"datetimes":["2024-01-01T00:00:00+00"],"interpolation":"None"}'),
+        |  (10, '0128000E0200000003000000000000E0BF000000000000D03F00806567AA420200000000000000094000000000000006C040072102C9420200',
+        |   '[POINT(-0.5 0.25)@2020-02-29 00:00:00+00, POINT(3.125 -2.75)@2020-03-01 12:30:45+00]',
+        |   '{"type":"MovingGeomPoint","bbox":[[-0.5,-2.75],[3.125,0.25]],"period":{"begin":"2020-02-29T00:00:00+00","end":"2020-03-01T12:30:45+00"},"coordinates":[[-0.5,0.25],[3.125,-2.75]],"datetimes":["2020-02-29T00:00:00+00","2020-03-01T12:30:45+00"],"lower_inc":true,"upper_inc":true,"interpolation":"Linear"}'))
+        |  AS t(case_id, hexwkb, wkt, mfjson)
+        |ORDER BY case_id""".stripMargin,
 
     "qz2_prefix_groups" ->
       """SELECT md5(substr(text, 1, 64)) AS prefix_md5,

@@ -436,6 +436,79 @@ object StreamingReplay {
     sunk.select(col("doc_id")).orderBy("doc_id")
   }
 
+  // staged input for the session-window replay, keyed by (dir, gap)
+  private val swStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (String, Timestamp)]()
+
+  /** Replay events(dir) through Spark's BUILT-IN `session_window`
+    * aggregation — dynamic-gap session windows merged by the engine's
+    * session-merge state store, the one sessionization path qs1 (custom
+    * flatMapGroupsWithState gap logic) deliberately does not use.
+    * Declared as `qs7_session_window`; the twin is the classic
+    * islands-and-gaps SQL, so the engine's merge rule (INCLUSIVE session
+    * end: an event at exactly lastTs+gap merges, only a strictly larger
+    * gap breaks — pinned by Round9Spec's boundary test, which is the only
+    * thing that can tell the rules apart on micros-grain data) is what
+    * the hash gate checks. Same harness discipline as
+    * qs1: 3 deterministic chunks, one far-future sentinel per user drives
+    * the watermark past every real session's end so the emitted set is
+    * total; sentinel sessions stay open/filtered. Output per closed
+    * session: (user_id, t0_us, t1_us, n) in integer micros. */
+  def sessionWindowReplay(spark: SparkSession, dir: String,
+                          gapSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+    import StreamingAssembly.EventIn
+
+    val cacheKey = (dir, gapSec)
+    val (srcDirStr, sentinelTs) = Option(swStageCache.get(cacheKey))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[EventIn].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, t0_us BIGINT, t1_us BIGINT, n BIGINT"))
+        val maxUs = micros(ev.last.ts)
+        val sentTs = new Timestamp((maxUs / 1000L) + (gapSec + 7200) * 1000L)
+        val sentinels = ev.map(_.user_id).distinct
+          .map(u => EventIn(u, sentTs, Long.MaxValue, 0.0))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs7-replay"), sentTs)
+        swStageCache.putIfAbsent(cacheKey, entry)
+        entry
+      }
+
+    val table = s"qs7_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventIn]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapSec seconds"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("session_window.start") < lit(sentinelTs))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("t0_us"),
+        unix_micros(col("last_ts")).as("t1_us"), col("n"))
+      .orderBy("user_id", "t0_us")
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =

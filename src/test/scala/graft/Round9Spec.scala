@@ -49,6 +49,23 @@ class Round9Spec extends SparkTestBase {
     assert(capped.nonEmpty)
   }
 
+  test("session_window boundary rule: an event at EXACTLY lastTs+gap " +
+    "MERGES (inclusive session end), one tick past the gap opens a new " +
+    "session — the rule the qs7 twin's strict > break encodes") {
+    val gapUs = 10_000_000L // 10 s
+    def sessions(ts: Seq[Long]): Seq[Long] = {
+      val df = ts.map(u => (1L, new java.sql.Timestamp(u / 1000L)))
+        .toDF("user_id", "ts")
+      df.groupBy(col("user_id"), session_window(col("ts"), "10 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n")).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    assert(sessions(Seq(0L, gapUs)) == Seq(2L),
+      "exact-gap event must merge into the session")
+    assert(sessions(Seq(0L, gapUs + 1000L)) == Seq(1L, 1L),
+      "one tick past the gap must open a new session")
+  }
+
   test("semDedup capped run is conservative: every vector it keeps " +
     "includes all vectors the uncapped run keeps (under-merge only)") {
     val emb = Tables.embeddings(spark, sfDir)
