@@ -581,7 +581,37 @@ object Similarity {
     * hatch for oracle twins of the uncapped formulation). */
   def semDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
                trainIters: Int = 5, cellCap: Int = 4096,
-               cacheKey: Option[String] = None): DataFrame = {
+               cacheKey: Option[String] = None): DataFrame =
+    semDedupImpl(corpus, tau, nlist, trainIters, cellCap, cacheKey)
+
+  /** Corpus-proportional IVF list count — the nlist sizing rule the
+    * semDedup scaladoc states, as code: nlist ≈ n / targetCellSize,
+    * floored at 16 (tiny fixtures keep multi-cell plans) and capped at
+    * 2^20 (the centroid broadcast stays bounded). With the default
+    * target of 1024, 1e9 vectors derive ~977k cells of ~1k vectors —
+    * balanced within-cell work is targetCellSize × corpus, never
+    * corpus², without leaning on the cellCap guard rail. */
+  def derivedNlist(n: Long, targetCellSize: Int = 1024): Int =
+    math.min(math.max(16L, n / targetCellSize), 1L << 20).toInt
+
+  /** [[semDedup]] with the quantizer auto-sized by [[derivedNlist]] —
+    * the safe default config: callers who don't reason about nlist get
+    * cells ≈ targetCellSize instead of 16 mega-cells that only the
+    * cellCap chunking saves from quadratic work. One count() pass
+    * (column-pruned scan) buys the sizing; the fit cache key embeds the
+    * derived nlist so fits at different corpus sizes never collide. */
+  def semDedupAuto(corpus: DataFrame, tau: Double,
+                   targetCellSize: Int = 1024, trainIters: Int = 5,
+                   cellCap: Int = 4096,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val nlist = derivedNlist(corpus.count(), targetCellSize)
+    semDedupImpl(corpus, tau, nlist, trainIters, cellCap,
+      cacheKey.map(k => s"$k|autoNlist=$nlist"))
+  }
+
+  private def semDedupImpl(corpus: DataFrame, tau: Double, nlist: Int,
+               trainIters: Int, cellCap: Int,
+               cacheKey: Option[String]): DataFrame = {
     val centroids = centroidFrame(corpus,
       centroidsFor(corpus, nlist, trainIters, cacheKey))
     // one assignment pass feeds both self-join sides and the final
