@@ -394,4 +394,53 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("keeper", col("cluster") === col("doc_id"))
   }
+
+  /** LINE-grain boilerplate removal — the CCNet/RefinedWeb curation pass
+    * at the one standard dedup grain the family lacked (doc: qx1/qx11,
+    * prefix: qz2, span: qx23, chunk: qx42, frame: qm4): hash each line,
+    * roll up document frequency per line hash, strip every line that
+    * appears in >= minDf distinct documents (nav bars, cookie banners,
+    * boilerplate headers/footers), and reassemble the survivors in
+    * original order.
+    *
+    * Scale shape: the line key is computed in the scan projection
+    * (trim+md5 of the line, never the document); the df rollup is one
+    * hash agg with map-side combine over those keys; the hot set
+    * (df >= minDf) is a tiny frame AQE broadcasts back against the
+    * line stream — no sort, no pair join, the qx1 plan at line grain.
+    * The exploded line frame is cut once and feeds both the rollup and
+    * the reassembly. At 100 TB the md5 string key would narrow to a
+    * 64-bit hash; md5 is kept here for oracle parity (the repo's
+    * one-hash rule).
+    *
+    * Whitespace-only lines are never counted and never removed (they
+    * carry document structure, not boilerplate). Output: one row per
+    * input document — (doc_id, n_lines, n_kept, out_text) with out_text
+    * NULL when every line was boilerplate. */
+  def lineDedup(docs: DataFrame, minDf: Long = 5L,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol),
+        "\n", -1)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+      .withColumn("k",
+        when(trim(col("line")) =!= "", md5(trim(col("line")))))
+    val staged = cut(lines)
+    val hot = staged.where(col("k").isNotNull)
+      .groupBy("k").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("k"), lit(true).as("hot"))
+    staged.join(hot, Seq("k"), "left")
+      .withColumn("keep", col("hot").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))).as("ks"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("ks")).cast("long").as("n_kept"),
+        when(size(col("ks")) > 0,
+          array_join(transform(col("ks"), _.getField("line")), "\n"))
+          .as("out_text"))
+  }
 }

@@ -211,4 +211,34 @@ object Text {
     * symbols (same RE2/Java-compatible pattern in the oracle). */
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** PII / volatile-token scrub classes, applied IN THIS ORDER — order
+    * is semantics: URLs are masked before UUIDs and digit runs so a
+    * path-embedded id is counted as part of its URL, not double-counted;
+    * digit runs go last as the catch-all (the qx27 digit pass widened).
+    * Every pattern is in the Java∩RE2 common subset so the DuckDB twin
+    * runs the identical regex. */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("n_email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("n_url", "https?://[^\\s]+", "<URL>"),
+    ("n_uuid", "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<UUID>"),
+    ("n_num", "[0-9]{2,}", "<NUM>"))
+
+  /** Sequential PII scrub: each class counts its matches on the text AS
+    * LEFT BY THE PREVIOUS CLASS, then masks them — the counts are the
+    * per-document audit record production redaction logs. Pure codegen'd
+    * string expressions in one projection (no UDF, no shuffle); returns
+    * struct(n_email, n_url, n_uuid, n_num, text) with `text` fully
+    * scrubbed. */
+  def scrubPii(text: Column): Column = {
+    val (cols, scrubbed) = PiiClasses.foldLeft(
+      (Seq.empty[Column], text)) { case ((acc, t), (name, re, mask)) =>
+      (acc :+ size(regexp_extract_all(t, lit(re), lit(0)))
+        .cast("long").as(name),
+        regexp_replace(t, re, mask))
+    }
+    struct(cols :+ scrubbed.as("text"): _*)
+  }
 }

@@ -533,6 +533,59 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // LINE-grain boilerplate dedup (Dedup.lineDedup) — the synthetic
+    // corpus is single-line, so the gate-visible input is STAGED: a
+    // per-source boilerplate header, an every-third-doc promo line vs a
+    // per-doc ref line, the real body, and a doc_id%13 footer, all glued
+    // with real newlines in BOTH engines (the qc2 golden-staging
+    // discipline). Header/promo/footer cross the df>=5 bar and are
+    // stripped; ref + body survive — so the oracle checks removal,
+    // retention, order-preserving reassembly, and the NULL-on-empty
+    // contract in one hash
+    "qx62_line_dedup" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("subscribe to our newsletter - "), col("source"),
+          lit("\n"),
+          when(col("doc_id") % 3 === 0, lit("limited time offer"))
+            .otherwise(concat(lit("ref "),
+              col("doc_id").cast("string"))),
+          lit("\n"), col("text"), lit("\n"),
+          lit("copyright footer "),
+          (col("doc_id") % 13).cast("string")).as("text"))
+      Dedup.lineDedup(staged, minDf = 5L)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("out_text")).as("out_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // PII/volatile-token scrub (Text.scrubPii) — emails, URLs, UUIDs,
+    // digit runs, masked in that order with per-class counts (the qx27
+    // digit pass widened to the classes production redaction needs).
+    // The corpus carries no PII, so the gate input is staged: a
+    // source-derived email, a doc_id-pathed URL, an md5-derived UUID
+    // and an order number appended identically in both engines — the
+    // oracle then checks regex parity (Java vs RE2), replace-ALL
+    // semantics, class ordering (the URL's path digits must be masked
+    // as URL, not NUM), and the scrubbed-text hash
+    "qx63_pii_scrub" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val staged = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.com see http://"), col("source"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" session "),
+          substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+          substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+          substring(h, 21, 12),
+          lit(" order #"), (col("doc_id") * 37).cast("string"))
+          .as("text"))
+      staged
+        .select(col("doc_id"), Text.scrubPii(col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_email"), col("p.n_url"),
+          col("p.n_uuid"), col("p.n_num"), md5(col("p.text")).as("out_fp"))
+        .orderBy("doc_id")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -5043,6 +5096,72 @@ object ExtQueries {
         |FROM docs d JOIN med m USING (source) JOIN mad a USING (source)
         |GROUP BY d.source, m.med, a.mad
         |ORDER BY source""".stripMargin,
+
+    "qx62_line_dedup" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    'subscribe to our newsletter - ' || source || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'limited time offer'
+        |         ELSE 'ref ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |    text || chr(10) ||
+        |    'copyright footer ' || CAST(doc_id % 13 AS VARCHAR) AS txt
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+        |         unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls
+        |        FROM staged)),
+        |hot AS (
+        |  SELECT md5(trim(line)) AS k FROM l WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+        |flagged AS (
+        |  SELECT l.doc_id, l.pos, l.line, (h.k IS NULL) AS keep
+        |  FROM l LEFT JOIN hot h
+        |    ON trim(l.line) <> '' AND md5(trim(l.line)) = h.k)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep)) AS out_fp
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "qx63_pii_scrub" ->
+      """WITH staged AS (
+        |  SELECT doc_id, text || ' contact ' || source ||
+        |    '@example.com see http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) || ' session ' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) ||
+        |    ' order #' || CAST(doc_id * 37 AS VARCHAR) AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  regexp_replace(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM staged),
+        |s2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t1, 'https?://[^\s]+'))
+        |    AS BIGINT) AS n_url,
+        |  regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_url,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-' ||
+        |    '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')) AS BIGINT) AS n_uuid,
+        |  regexp_replace(t2,
+        |    '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-' ||
+        |    '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<UUID>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_url, n_uuid,
+        |  CAST(len(regexp_extract_all(t3, '[0-9]{2,}')) AS BIGINT)
+        |    AS n_num,
+        |  regexp_replace(t3, '[0-9]{2,}', '<NUM>', 'g') AS t4 FROM s3)
+        |SELECT doc_id, n_email, n_url, n_uuid, n_num, md5(t4) AS out_fp
+        |FROM s4 ORDER BY doc_id""".stripMargin,
 
     // byte-exact for any corpus: synthMedia's bytes are UTF-8(text),
     // DuckDB md5(VARCHAR) hashes the string's UTF-8 bytes, and strlen

@@ -79,4 +79,95 @@ class Round9Spec extends SparkTestBase {
     assert(uncappedKept.subsetOf(tightKept),
       "chunking may only miss dominations, never invent them")
   }
+
+  test("derivedNlist: grows linearly with corpus size, floors at 16, " +
+    "caps at 2^20 — the default config is never a 16-mega-cell fit") {
+    import ext.Similarity.derivedNlist
+    assert(derivedNlist(0L) == 16 && derivedNlist(10_000L) == 16,
+      "small corpora floor at 16 cells")
+    assert(derivedNlist(1_000_000L) == 976)
+    assert(derivedNlist(1_000_000_000L) == 976562,
+      "1e9 vectors derive ~977k cells of ~1k vectors")
+    assert(derivedNlist(1_000_000_000L) > derivedNlist(100_000_000L) &&
+      derivedNlist(100_000_000L) > derivedNlist(1_000_000L),
+      "nlist must grow with the corpus")
+    assert(derivedNlist(Long.MaxValue) == (1 << 20),
+      "the centroid broadcast stays bounded")
+    assert(derivedNlist(1_000_000L, targetCellSize = 100) == 10000,
+      "targetCellSize steers the balance point")
+  }
+
+  test("semDedupAuto: the auto-sized fit runs end-to-end and keeps the " +
+    "per-vector output contract; its cache key is nlist-qualified so " +
+    "sweeps at different corpus sizes never reuse a stale fit") {
+    val n = 64
+    // two well-separated clusters so k-means has structure to find
+    val emb = (0 until n).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.tabulate(4)(d => base * (d + 1) + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val out = ext.Similarity.semDedupAuto(emb, tau = 0.999,
+      targetCellSize = 4, cacheKey = Some("round9spec|auto"))
+    assert(out.count() == n, "one output row per corpus vector")
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "cell", "kept", "dup_of"))
+    // derived sizing: 64/4 = 16 cells (at the floor boundary)
+    assert(ext.Similarity.derivedNlist(n, targetCellSize = 4) == 16)
+  }
+
+  test("lineDedup: a boilerplate header shared by >= minDf docs is " +
+    "stripped from every doc; unique lines survive in original order; " +
+    "blank lines are never counted as boilerplate; an all-boilerplate " +
+    "doc reassembles to NULL") {
+    val header = "SUBSCRIBE TO OUR NEWSLETTER"
+    val docs = ((0 until 6).map { i =>
+      (i.toLong, s"$header\nbody line $i\n\ntail $i")
+    } :+ (99L, header)) // doc 99 is ONLY the boilerplate line
+      .toDF("doc_id", "text")
+    val out = ext.Dedup.lineDedup(docs, minDf = 5L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out.size == 7)
+    (0 until 6).foreach { i =>
+      val (nLines, nKept, text) = out(i.toLong)
+      assert(nLines == 4 && nKept == 3,
+        s"doc $i: header stripped, body+blank+tail kept, got $nKept")
+      assert(text.contains(s"body line $i\n\ntail $i"),
+        s"doc $i must reassemble survivors in order incl. blank line")
+    }
+    val (n99, k99, t99) = out(99L)
+    assert(n99 == 1 && k99 == 0 && t99.isEmpty,
+      "all-boilerplate doc: zero kept lines, NULL text")
+  }
+
+  test("lineDedup: df counts DISTINCT docs, so a line repeated many " +
+    "times inside ONE doc is not boilerplate") {
+    val docs = Seq(
+      (1L, "echo\necho\necho\necho\necho\necho"),
+      (2L, "other")).toDF("doc_id", "text")
+    val out = ext.Dedup.lineDedup(docs, minDf = 5L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 6L, "intra-doc repeats are kept (df=1)")
+  }
+
+  test("scrubPii: masks email/url/uuid/digit-runs in class order — a " +
+    "URL's path digits count as URL, not NUM; counts are per class; " +
+    "replacement is replace-ALL") {
+    val txt = "mail a@b.com and c.d+x@e.org, see " +
+      "http://site.com/p/12345 id 12345678-abcd-ef01-2345-6789abcdef01 " +
+      "then 42 and 777"
+    val r = Seq(Tuple1(txt)).toDF("text")
+      .select(ext.Text.scrubPii(col("text")).as("p"))
+      .select("p.n_email", "p.n_url", "p.n_uuid", "p.n_num", "p.text")
+      .head()
+    assert(r.getLong(0) == 2, "two emails")
+    assert(r.getLong(1) == 1, "one url")
+    assert(r.getLong(2) == 1, "uuid outside the url still found")
+    assert(r.getLong(3) == 2,
+      "42 and 777 only; the url's path digits were already masked")
+    val scrubbed = r.getString(4)
+    assert(scrubbed.contains("<EMAIL> and <EMAIL>,"))
+    assert(scrubbed.contains("see <URL> id <UUID> then <NUM> and <NUM>"))
+    assert(!scrubbed.contains("12345"), "no raw digits survive")
+  }
 }
