@@ -395,6 +395,42 @@ object Dedup {
       .withColumn("keeper", col("cluster") === col("doc_id"))
   }
 
+  /** Integer-exact PageRank over an undirected pair set — 5 (default)
+    * power steps declared as ONE plan (a Scala fold; no driver loop).
+    * All arithmetic is BIGINT: rank mass in nano-units, damping 0.85 as
+    * exact 17/20, per-edge contribution `pr div deg` — cross-row sums
+    * are order-independent, so an oracle twin reproduces every step
+    * bit-for-bit with zero float plumbing. High-rank nodes in a
+    * near-dup graph are boilerplate hubs (their removal collapses the
+    * most candidate pairs). Scale shape: edges+degrees cut once, reused
+    * by every step; each step is one edge-grain shuffle over the capped
+    * pair set. Nodes outside the graph are excluded (their rank is the
+    * uniform floor by definition). Input: (d1, d2) candidate pairs.
+    * Output: (doc_id, deg, pr_n). */
+  def pagerankNano(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = cut(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgeDeg = cut(edges.join(deg, Seq("src")))
+    val n1 = deg.agg(count(lit(1)).as("n"))
+    val init = deg.select(col("src").as("doc_id"), col("deg"))
+      .crossJoin(broadcast(n1))
+      .withColumn("pr_n", expr("CAST(1000000000 AS BIGINT) div n"))
+    val after = (1 to iters).foldLeft(init) { (pr, _) =>
+      val contrib = edgeDeg
+        .join(pr.select(col("doc_id").as("src"), col("pr_n")),
+          Seq("src"))
+        .select(col("dst").as("doc_id"), expr("pr_n div deg").as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("s"))
+      pr.drop("pr_n").join(contrib, Seq("doc_id"), "left")
+        .withColumn("pr_n", expr("(150000000 div n) + " +
+          "((17 * coalesce(s, CAST(0 AS BIGINT))) div 20)"))
+        .drop("s")
+    }
+    after.select(col("doc_id"), col("deg"), col("pr_n"))
+  }
+
   /** LINE-grain boilerplate removal — the CCNet/RefinedWeb curation pass
     * at the one standard dedup grain the family lacked (doc: qx1/qx11,
     * prefix: qz2, span: qx23, chunk: qx42, frame: qm4): hash each line,

@@ -95,6 +95,33 @@ object ExtQueries {
         Seq("d2"))
   }
 
+  /** The qx61 simhash near-dup pair engine, shared with qz7's method-
+    * agreement audit: 4×8-bit pigeonhole bands over the 32-bit simhash
+    * (hamming ≤ 3 ⇒ ≥ 1 shared band), capped band equi-join, per-pair
+    * position-wise hamming refine. Returns (d1, d2, hamming). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Materialize.cut(Tables.documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), Text.tokenMd5s(col("toks")).as("th"))
+      .select(col("doc_id"),
+        graft.meos.NativeExpressions.simhash32(col("th")).as("sh")))
+    val sig = sh.select(col("doc_id"), explode(array(
+      (0 until 4).map(b =>
+        concat(lit(s"$b:"), substring(col("sh"), b * 8 + 1, 8))): _*))
+      .as("band"))
+    val hamming = aggregate(
+      zip_with(split(col("sh1"), ""), split(col("sh2"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (a, v) => a + v)
+    Dedup.bandedPairs(sig)
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+        Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content fingerprint groups + canonical keeper
     "qx1_dedup_exact" -> ((s, dir) =>
@@ -584,6 +611,75 @@ object ExtQueries {
         .select(col("doc_id"), col("p.n_email"), col("p.n_url"),
           col("p.n_uuid"), col("p.n_num"), md5(col("p.text")).as("out_fp"))
         .orderBy("doc_id")
+    }),
+
+    // QUALITY-ARGMAX keeper selection — production dedup keeps the BEST
+    // duplicate, not the first-seen one: the qx11 minhash clusters
+    // re-kept by qx7's quality score (ties -> smallest doc_id). The
+    // keeper rule is a per-cluster window rank; clusters are small by
+    // construction (band-capped), so the window partition never
+    // concentrates. Exercises that keeper policy is orthogonal to
+    // cluster discovery — same graph, different survivor set
+    "qz6_best_keeper" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.minhashClusters(docs).select("doc_id", "cluster")
+      val q = docs.withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          Text.qualityScore(col("toks"), col("n_chars")).as("score"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(desc("score"), col("doc_id"))
+      cl.join(q, Seq("doc_id"))
+        .withColumn("kept", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster"), col("score"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // DEDUP-METHOD AGREEMENT audit — do minhash clustering (qx11) and
+    // simhash banding (qx61) flag the same documents? Per doc: member
+    // of a multi-doc minhash cluster vs member of any hamming≤3 simhash
+    // pair, plus the agreement bit. The confusion mass tells you
+    // whether the cheaper method can gate for the expensive one on this
+    // corpus — a method-selection report, same family as the qx57/qx59
+    // parameter sweeps but across ALGORITHMS. Both sides are the
+    // existing capped production paths; the rollups are doc-grain.
+    "qz7_dedup_agreement" -> ((s, dir) => {
+      val cl = Dedup.minhashClusters(Tables.documents(s, dir))
+      val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      val mhFlag = cl.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), (col("csz") > 1).as("mh_dup"))
+      val pairs = simhashPairs(s, dir)
+      val shDocs = pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id")))
+        .distinct().withColumn("sh_dup", lit(true))
+      mhFlag.join(shDocs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("mh_dup"),
+          coalesce(col("sh_dup"), lit(false)).as("sh_dup"),
+          (col("mh_dup") === coalesce(col("sh_dup"), lit(false)))
+            .as("agree"))
+        .orderBy("doc_id")
+    }),
+
+    // PAGERANK over the capped near-dup graph (the qx55 edge set) —
+    // high-rank nodes are boilerplate HUBS: documents banding with many
+    // other high-degree documents, the ones whose removal collapses the
+    // most candidate pairs. First ITERATIVE fixed-point computation
+    // under the oracle gate: 5 unrolled power steps, declared as one
+    // plan (a Scala fold — no driver loop, no collect). Float
+    // discipline: ALL integer — rank mass in nano-units, damping 0.85
+    // as exact 17/20 integer ops, per-edge contribution pr div deg —
+    // so cross-row sums are order-independent and both engines agree
+    // bit-for-bit with zero rounding plumbing. Scale shape: edges+deg
+    // cut once and reused by all 5 steps; each step is one edge-grain
+    // shuffle (how distributed PageRank works) over the CAPPED pair
+    // set (≤ cap×|sig|, never corpus²); nodes outside the graph are
+    // excluded (their rank is the uniform floor by definition).
+    "qz8_dupgraph_pagerank" -> ((s, dir) => {
+      val sig = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
+            .as("band")))
+      Dedup.pagerankNano(Dedup.bandedPairs(sig)).orderBy("doc_id")
     }),
 
     // JSON property extraction from the events props column
@@ -2284,29 +2380,8 @@ object ExtQueries {
     // superset and the per-pair hamming refine keeps d ≤ 3. Candidates
     // ∝ band collisions, never corpus²; the refine compares two 32-char
     // bit strings position-wise — integer arithmetic end-to-end.
-    "qx61_simhash_pairs" -> ((s, dir) => {
-      val sh = graft.Materialize.cut(Tables.documents(s, dir)
-        .withColumn("toks", Text.tokens(col("text")))
-        .select(col("doc_id"), Text.tokenMd5s(col("toks")).as("th"))
-        .select(col("doc_id"),
-          graft.meos.NativeExpressions.simhash32(col("th")).as("sh")))
-      val sig = sh.select(col("doc_id"), explode(array(
-        (0 until 4).map(b =>
-          concat(lit(s"$b:"), substring(col("sh"), b * 8 + 1, 8))): _*))
-        .as("band"))
-      val hamming = aggregate(
-        zip_with(split(col("sh1"), ""), split(col("sh2"), ""),
-          (x, y) => when(x =!= y, 1).otherwise(0)),
-        lit(0), (a, v) => a + v)
-      Dedup.bandedPairs(sig)
-        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")),
-          Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
-          Seq("d2"))
-        .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
-        .where(col("hamming") <= 3)
-        .orderBy("d1", "d2")
-    }),
+    "qx61_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(s, dir).orderBy("d1", "d2")),
 
     // the TRAINING-MIX MANIFEST — the second composed [EXT] pipeline
     // (qp1 curates; this one decides what a training job actually
@@ -5162,6 +5237,215 @@ object ExtQueries {
         |  regexp_replace(t3, '[0-9]{2,}', '<NUM>', 'g') AS t4 FROM s3)
         |SELECT doc_id, n_email, n_url, n_uuid, n_num, md5(t4) AS out_fp
         |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // the qx11 cluster CTE chain + the qx7 score, finished by a
+    // per-cluster (score DESC, doc_id) rank — double comparisons only
+    // over score values both engines already compute bit-identically
+    // (the qx7 gate)
+    "qz6_best_keeper" -> (ShingleCte +
+      s""",
+        |fpt AS (
+        |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |  FROM tok WHERE len(toks) >= 3),
+        |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+        |docrep AS (
+        |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
+        |bnd AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM bnd
+        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |reach(node, label) AS (
+        |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
+        |  UNION
+        |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
+        |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |expand AS (
+        |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
+        |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node),
+        |clus AS (
+        |  SELECT d.doc_id, coalesce(x.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN expand x ON d.doc_id = x.doc_id),
+        |qs AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x)))
+        |      AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 100.0
+        |    + CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)
+        |    + CAST(n_chars AS DOUBLE) / 1000.0 AS score
+        |  FROM tok)
+        |SELECT c.doc_id, c.cluster, q.score,
+        |  (row_number() OVER (PARTITION BY c.cluster
+        |     ORDER BY q.score DESC, c.doc_id)) = 1 AS kept
+        |FROM clus c JOIN qs q USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin).replace("WITH tok AS",
+      "WITH RECURSIVE tok AS"),
+
+    // qx11's cluster chain ⊕ qx61's simhash-pair chain (CTEs prefixed
+    // s-) merged into one statement; the two flags and the agreement
+    // bit close it out
+    "qz7_dedup_agreement" -> (ShingleCte +
+      s""",
+        |fpt AS (
+        |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |  FROM tok WHERE len(toks) >= 3),
+        |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+        |docrep AS (
+        |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
+        |bnd AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM bnd
+        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |reach(node, label) AS (
+        |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
+        |  UNION
+        |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
+        |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |expand AS (
+        |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
+        |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node),
+        |clus AS (
+        |  SELECT d.doc_id, coalesce(x.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN expand x ON d.doc_id = x.doc_id),
+        |csz AS (SELECT cluster, count(*) AS n FROM clus GROUP BY cluster),
+        |mhf AS (
+        |  SELECT c.doc_id, (z.n > 1) AS mh_dup
+        |  FROM clus c JOIN csz z USING (cluster)),
+        |stok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |sbits AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN 2 * sum(CASE WHEN strpos('89abcdef',
+        |                substr(md5(t), CAST(p AS INTEGER), 1)) > 0
+        |              THEN 1 ELSE 0 END) >= count(*)
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM stok, range(1, 33) AS r(p)
+        |  GROUP BY doc_id, p),
+        |sshs AS (
+        |  SELECT doc_id, string_agg(b, '' ORDER BY p) AS sh
+        |  FROM sbits GROUP BY doc_id),
+        |sbnd AS (
+        |  SELECT doc_id, '0:' || substr(sh, 1, 8) AS band FROM sshs
+        |  UNION ALL SELECT doc_id, '1:' || substr(sh, 9, 8) FROM sshs
+        |  UNION ALL SELECT doc_id, '2:' || substr(sh, 17, 8) FROM sshs
+        |  UNION ALL SELECT doc_id, '3:' || substr(sh, 25, 8) FROM sshs),
+        |ssmall AS (
+        |  SELECT doc_id, band FROM sbnd
+        |  WHERE band IN (SELECT band FROM sbnd GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |sp AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM ssmall a JOIN ssmall c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |spairs AS (
+        |  SELECT sp.d1, sp.d2
+        |  FROM sp
+        |  JOIN sshs x ON x.doc_id = sp.d1
+        |  JOIN sshs y ON y.doc_id = sp.d2
+        |  WHERE list_reduce(list_transform(range(1, 33),
+        |      i -> CASE WHEN substr(x.sh, CAST(i AS INT), 1)
+        |                <> substr(y.sh, CAST(i AS INT), 1)
+        |           THEN 1 ELSE 0 END), (a, b) -> a + b) <= 3),
+        |shd AS (
+        |  SELECT DISTINCT d FROM
+        |    (SELECT d1 AS d FROM spairs
+        |     UNION ALL SELECT d2 FROM spairs) u)
+        |SELECT m.doc_id, m.mh_dup,
+        |  (shd.d IS NOT NULL) AS sh_dup,
+        |  m.mh_dup = (shd.d IS NOT NULL) AS agree
+        |FROM mhf m LEFT JOIN shd ON m.doc_id = shd.d
+        |ORDER BY m.doc_id""".stripMargin).replace("WITH tok AS",
+      "WITH RECURSIVE tok AS"),
+
+    // the qx55 edge chain + 5 unrolled integer power steps (// is
+    // DuckDB integer division, matching Spark's `div`)
+    "qz8_dupgraph_pagerank" -> (ShingleCte +
+      s""",
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT d1 AS src, d2 AS dst FROM p
+        |    UNION ALL SELECT d2 AS src, d1 AS dst FROM p) u),
+        |deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |  FROM ed GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |p0 AS (
+        |  SELECT d.src AS doc_id, d.deg, nn.n,
+        |         CAST(1000000000 AS BIGINT) // nn.n AS pr_n
+        |  FROM deg d CROSS JOIN nn)""".stripMargin +
+      (1 to 5).map { k =>
+        s""",
+          |i$k AS (
+          |  SELECT e.dst AS doc_id,
+          |         CAST(sum(p.pr_n // p.deg) AS BIGINT) AS s
+          |  FROM ed e JOIN p${k - 1} p ON e.src = p.doc_id
+          |  GROUP BY e.dst),
+          |p$k AS (
+          |  SELECT p.doc_id, p.deg, p.n,
+          |         (150000000 // p.n) +
+          |         ((17 * coalesce(i.s, CAST(0 AS BIGINT))) // 20) AS pr_n
+          |  FROM p${k - 1} p LEFT JOIN i$k i USING (doc_id))"""
+          .stripMargin
+      }.mkString +
+      "\nSELECT doc_id, deg, pr_n FROM p5 ORDER BY doc_id"),
 
     // byte-exact for any corpus: synthMedia's bytes are UTF-8(text),
     // DuckDB md5(VARCHAR) hashes the string's UTF-8 bytes, and strlen

@@ -170,4 +170,37 @@ class Round9Spec extends SparkTestBase {
     assert(scrubbed.contains("see <URL> id <UUID> then <NUM> and <NUM>"))
     assert(!scrubbed.contains("12345"), "no raw digits survive")
   }
+
+  test("pagerankNano: on a planted star graph the hub outranks every " +
+    "leaf, all leaves tie exactly (integer math — no float jitter), " +
+    "and every rank is at least the uniform damping floor") {
+    val k = 12
+    val pairs = (1 to k).map(i => (0L, i.toLong)).toDF("d1", "d2")
+    val out = ext.Dedup.pagerankNano(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == k + 1)
+    val (hubDeg, hubPr) = out(0L)
+    assert(hubDeg == k)
+    val leafPrs = (1 to k).map(i => out(i.toLong)._2).distinct
+    assert(leafPrs.size == 1, "leaves must tie bit-for-bit")
+    assert(hubPr > leafPrs.head * (k / 2),
+      s"hub concentrates rank: hub=$hubPr leaf=${leafPrs.head}")
+    val n = k + 1
+    val floor = 150000000L / n
+    assert(out.values.forall(_._2 >= floor),
+      "every node keeps the (1-d)/N floor")
+  }
+
+  test("pagerankNano: two disconnected equal-size cliques rank " +
+    "identically — rank cannot leak across components") {
+    // cliques {0,1,2} and {10,11,12}
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(Seq(0L, 1L, 2L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("d1", "d2")
+    val out = ext.Dedup.pagerankNano(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.toSeq.distinct.size == 1,
+      "symmetric nodes in isomorphic components get identical rank")
+  }
 }
