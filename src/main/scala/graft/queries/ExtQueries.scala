@@ -682,6 +682,71 @@ object ExtQueries {
       Dedup.pagerankNano(Dedup.bandedPairs(sig)).orderBy("doc_id")
     }),
 
+    // GRADED ranking-quality eval — nDCG@10 / AP@10 / MRR of the IVF
+    // approximate ranking (qe4's config at nprobe=4) against graded
+    // relevance from the EXACT top-50 (grade 3: ranks 1-5, 2: 6-15,
+    // 1: 16-50): qe17's recall sweep says how many true neighbors
+    // survive; this says whether they surface in the right ORDER — the
+    // position-sensitive metric retrieval evals actually report. Float
+    // discipline: gains are the integers 0/1/3/7, each position's
+    // contribution is round(gain/log2(pos+1), 9) (the qz4 rounding rule
+    // absorbing engine log ulps), per-query sums are rank-ORDERED folds
+    // (the qx25 bit-parity rule), AP terms are exact integer divisions,
+    // the IDCG is computed not assumed. Scale: truth is the broadcast
+    // brute-force leg over a fixed 20-query fence; everything after is
+    // ≤ 20×50 rows.
+    "qz9_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 20)
+      val gain = when(col("g") === 3, 7.0).when(col("g") === 2, 3.0)
+        .when(col("g") === 1, 1.0).otherwise(0.0)
+      val truth = Similarity.bruteForceKnn(emb, qs, 50)
+        .select(col("q_id"), col("n_id"),
+          when(col("rank") <= 5, 3).when(col("rank") <= 15, 2)
+            .otherwise(1).as("g"))
+      val sys = Similarity.ivfKnn(emb, qs, k = 10, nprobe = 4,
+        cacheKey = Some(s"$dir|nlist=16|iters=5"))
+        .select(col("q_id"), col("n_id"), col("rank"))
+      val wq = Window.partitionBy("q_id").orderBy("rank")
+      val rows = sys.join(truth, Seq("q_id", "n_id"), "left")
+        .withColumn("g", coalesce(col("g"), lit(0)))
+        .withColumn("rel", (col("g") >= 1).cast("int"))
+        .withColumn("hits", sum(col("rel")).over(wq))
+        .withColumn("cd", round(gain /
+          log2(col("rank").cast("double") + lit(1.0)), 9))
+        .withColumn("ca", when(col("rel") === 1,
+          col("hits").cast("double") / col("rank").cast("double"))
+          .otherwise(0.0))
+      val per = rows.groupBy("q_id")
+        .agg(array_sort(collect_list(struct(col("rank"), col("cd"),
+          col("ca")))).as("xs"),
+          min(when(col("rel") === 1, col("rank"))).as("mr"))
+        .select(col("q_id"),
+          aggregate(col("xs"), lit(0.0),
+            (a, x) => a + x.getField("cd")).as("dcg10"),
+          (aggregate(col("xs"), lit(0.0),
+            (a, x) => a + x.getField("ca")) / lit(10.0)).as("ap10"),
+          when(col("mr").isNull, 0.0)
+            .otherwise(lit(1.0) / col("mr").cast("double")).as("mrr"))
+      val wi = Window.partitionBy("q_id").orderBy(desc("g"), col("n_id"))
+      val ideal = truth.withColumn("p", row_number().over(wi))
+        .where(col("p") <= 10)
+        .withColumn("ci", round(gain /
+          log2(col("p").cast("double") + lit(1.0)), 9))
+        .groupBy("q_id")
+        .agg(array_sort(collect_list(struct(col("p"), col("ci"))))
+          .as("ys"))
+        .select(col("q_id"),
+          aggregate(col("ys"), lit(0.0),
+            (a, y) => a + y.getField("ci")).as("idcg10"))
+      per.join(ideal, Seq("q_id"))
+        .select(col("q_id"), col("dcg10"), col("idcg10"),
+          (col("dcg10") / col("idcg10")).as("ndcg10"),
+          col("ap10"), col("mrr"))
+        .orderBy("q_id")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -3045,10 +3110,103 @@ object ExtQueries {
     * read the qe4 fit has run and its centroids are cached; if qe4 never
     * ran in this process the entry is omitted (rows-only check, exactly
     * the pre-oracle behavior). */
+  /** DuckDB twin of the graded ranking eval (qz9): qe4-pattern IVF
+    * system ranking (centroid VALUES literals, nprobe=4, top-10), exact
+    * top-50 graded truth, then the metric folds — every per-position
+    * contribution rounded to 9 decimals and summed via `list(x ORDER BY
+    * rank)` ordered folds, mirroring the Spark side's sorted-struct
+    * aggregates term for term. */
+  private def qz9Sql(cents: Seq[Seq[Float]]): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    def cos(a: String, b: String): String = cosSql(a, b)
+    val gain = "CASE g WHEN 3 THEN 7.0 WHEN 2 THEN 3.0 " +
+      "WHEN 1 THEN 1.0 ELSE 0.0 END"
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |truth AS (
+       |  SELECT q_id, n_id,
+       |    CASE WHEN tr <= 5 THEN 3 WHEN tr <= 15 THEN 2 ELSE 1 END AS g
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "e.embedding")} DESC,
+       |          e.vec_id) AS tr
+       |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20) t
+       |  WHERE tr <= 50),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS q_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 4),
+       |sys AS (
+       |  SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT qa.q_id, ca.n_id,
+       |      ${cos("qe.embedding", "ne.embedding")} AS cos
+       |    FROM qa JOIN ca ON qa.cell = ca.cell AND qa.q_id <> ca.n_id
+       |    JOIN embeddings qe ON qe.vec_id = qa.q_id
+       |    JOIN embeddings ne ON ne.vec_id = ca.n_id) s
+       |  WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |  QUALIFY row_number() OVER w <= 10),
+       |sysg AS (
+       |  SELECT s.q_id, s.n_id, s.rank, coalesce(t.g, 0) AS g,
+       |    CASE WHEN coalesce(t.g, 0) >= 1 THEN 1 ELSE 0 END AS rel
+       |  FROM sys s LEFT JOIN truth t USING (q_id, n_id)),
+       |withhits AS (
+       |  SELECT *, sum(rel) OVER (PARTITION BY q_id ORDER BY rank
+       |    ROWS UNBOUNDED PRECEDING) AS hits
+       |  FROM sysg),
+       |contrib AS (
+       |  SELECT q_id, rank, rel,
+       |    round(($gain) / log2(CAST(rank AS DOUBLE) + 1.0), 9) AS cd,
+       |    CASE WHEN rel = 1
+       |         THEN CAST(hits AS DOUBLE) / CAST(rank AS DOUBLE)
+       |         ELSE 0.0 END AS ca
+       |  FROM withhits),
+       |per AS (
+       |  SELECT q_id,
+       |    list_reduce(list(cd ORDER BY rank), (a, b) -> a + b) AS dcg10,
+       |    list_reduce(list(ca ORDER BY rank), (a, b) -> a + b) / 10.0
+       |      AS ap10,
+       |    CASE WHEN min(CASE WHEN rel = 1 THEN rank END) IS NULL
+       |         THEN 0.0
+       |         ELSE 1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
+       |                     AS DOUBLE) END AS mrr
+       |  FROM contrib GROUP BY q_id),
+       |idc AS (
+       |  SELECT q_id,
+       |    list_reduce(list(ci ORDER BY p), (a, b) -> a + b) AS idcg10
+       |  FROM (
+       |    SELECT q_id, p,
+       |      round(($gain) / log2(CAST(p AS DOUBLE) + 1.0), 9) AS ci
+       |    FROM (
+       |      SELECT q_id, g, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY g DESC, n_id) AS p
+       |      FROM truth) t
+       |    WHERE p <= 10) c
+       |  GROUP BY q_id)
+       |SELECT per.q_id, per.dcg10, idc.idcg10,
+       |  per.dcg10 / idc.idcg10 AS ndcg10, per.ap10, per.mrr
+       |FROM per JOIN idc USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = staticOracle ++
     Similarity.lastFittedCentroidsFloat
       .map(c => Map(
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
+        "qz9_ndcg" -> qz9Sql(c),
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
         "qe11_semdedup" -> qe11Sql(c, tau = 0.4, cellCap = 4096),
         "qz1_semdedup_hotcap" -> qe11Sql(c, tau = 0.4, cellCap = 24),

@@ -203,4 +203,22 @@ class Round9Spec extends SparkTestBase {
     assert(out.values.toSeq.distinct.size == 1,
       "symmetric nodes in isomorphic components get identical rank")
   }
+
+  test("qz9 graded eval invariants: DCG never exceeds the IDCG computed " +
+    "from the same grades, nDCG in (0,1], AP@10 in [0,1], MRR is 0 or " +
+    "1/rank with rank <= 10") {
+    val rows = queries.ExtQueries.queries("qz9_ndcg")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20, "one row per fenced query")
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg, ap, mrr) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(dcg <= idcg + 1e-9, s"q${r.getLong(0)}: dcg $dcg > idcg $idcg")
+      assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(ap >= 0.0 && ap <= 1.0 + 1e-9)
+      assert(mrr == 0.0 ||
+        (1 to 10).exists(k => math.abs(mrr - 1.0 / k) < 1e-12),
+        s"mrr $mrr must be 0 or a reciprocal rank")
+    }
+  }
 }
