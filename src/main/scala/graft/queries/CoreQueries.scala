@@ -552,6 +552,15 @@ object CoreQueries {
     "qs7_session_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.sessionWindowReplay(s, dir)),
 
+    // qs8 — eighth streaming path under the hash gate: the STREAM-STREAM
+    // event-time interval join (symmetric keyed join state on both
+    // sides), the join family qs6's stream-static enrichment doesn't
+    // touch — click→purchase attribution within a 6-hour window. The
+    // emitted set is arrival-order-independent, so the batch interval
+    // join oracles it exactly.
+    "qs8_stream_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamStreamJoinReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1493,6 +1502,18 @@ object CoreQueries {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, t0_us""".stripMargin,
+
+    // the stream-stream interval join's emitted set must equal the batch
+    // interval join: purchases within [c_ts, c_ts + 6h] per user,
+    // boundaries inclusive on both engines (micros grain)
+    "qs8_stream_stream" ->
+      """SELECT a.event_id AS c_id, b.event_id AS p_id, a.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY c_id, p_id""".stripMargin,
 
     "qs5_stream_topterms" ->
       """WITH tok AS (

@@ -747,6 +747,300 @@ object ExtQueries {
         .orderBy("q_id")
     }),
 
+    // BPE MERGE-CANDIDATE audit — the first step of byte-pair-encoding
+    // tokenizer induction: count adjacent character pairs WITHIN words
+    // (every char bigram of every whitespace token) and rank the top
+    // 30 — exactly the frequency table whose argmax BPE merges first.
+    // Completes the tokenizer family (qx49 coverage, qx51 fertility)
+    // with the INDUCTION member. Scale shape: one narrow map-side
+    // explode; the agg keys on char-bigram TYPES (bounded by alphabet²,
+    // not by corpus size), so the ranking window runs over a tiny
+    // frame however large the corpus.
+    "qz10_bpe_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cands = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("t"))
+        .where(length(col("t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("t")) - 1),
+          i => col("t").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(desc("cnt"), col("pair"))
+      cands.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 30)
+        .select("rank", "pair", "cnt")
+        .orderBy("rank")
+    }),
+
+    // SQ8 RECONSTRUCTION-ERROR audit — the accuracy gauge for the qe10
+    // compression quadrant (qe19 gauges IVF cell balance; this gauges
+    // scalar-quantization fidelity): per label, the corpus-bounds SQ8
+    // encode→decode error — mean/max per-vector MSE and mean cosine
+    // between each vector and its reconstruction. The SQ fit is
+    // per-dimension min/max (exact, order-independent aggregates), so
+    // the twin recomputes the bounds itself and the whole audit oracles
+    // with NO fit literal (the qe10 rule, unlike the k-means fits).
+    // Float discipline: per-vector folds run in dimension order, every
+    // paren of the dequant expression mirrored; cross-row sums are
+    // integer nano-units (qe18 rule). Scale shape: one 2×dim broadcast
+    // bounds row + one narrow corpus scan + a |labels|-key agg —
+    // O(n·d), no pairs anywhere.
+    "qe20_quant_error" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bounds = emb.select(posexplode(col("embedding")))
+        .groupBy("pos")
+        .agg(min(col("col").cast("double")).as("mn"),
+          max(col("col").cast("double")).as("mx"))
+      val bRow = bounds
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn"))))
+          .as("ls"),
+          array_sort(collect_list(struct(col("pos"), col("mx"))))
+            .as("hs"))
+        .select(transform(col("ls"), x => x.getField("mn")).as("mns"),
+          transform(col("hs"), x => x.getField("mx")).as("hxs"))
+      // the EXACT dequant expression qe10's scorer uses
+      val deq = transform(col("embedding"), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("hxs"), i + 1)
+        val code = floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)
+          + lit(0.5))
+        when(mx > mn,
+          mn + code.cast("double") * ((mx - mn) / lit(255.0)))
+          .otherwise(mn)
+      })
+      def fold(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, v) => a + v)
+      emb.crossJoin(broadcast(bRow))
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"), col("embedding"),
+          deq.as("dv"))
+        .withColumn("err2", fold(zip_with(col("embedding"), col("dv"),
+          (x, d0) => (x.cast("double") - d0) * (x.cast("double") - d0))))
+        .withColumn("dxd",
+          Similarity.dotComposed(col("embedding"), col("dv")))
+        .withColumn("dxx",
+          Similarity.dotComposed(col("embedding"), col("embedding")))
+        .withColumn("ddd",
+          fold(zip_with(col("dv"), col("dv"), (a0, b0) => a0 * b0)))
+        .select(col("label"),
+          floor(col("err2") / col("dim") * lit(1e9)).cast("long")
+            .as("mse_nn"),
+          floor(col("dxd") / (sqrt(col("dxx")) * sqrt(col("ddd")))
+            * lit(1e9)).cast("long").as("cos_nn"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("mse_nn")).cast("double") /
+            count(lit(1)).cast("double") / lit(1e9)).as("mean_mse"),
+          (max(col("mse_nn")).cast("double") / lit(1e9)).as("max_mse"),
+          (sum(col("cos_nn")).cast("double") /
+            count(lit(1)).cast("double") / lit(1e9)).as("mean_cos_recon"))
+        .orderBy("label")
+    }),
+
+    // SPLIT-HALF CENTROID DRIFT — the embedding-health monitor for
+    // pipeline evolution: per label, the per-dimension mean vector of
+    // the even-vec_id half vs the odd half (a deterministic split of
+    // one corpus standing in for yesterday's batch vs today's), and
+    // the L2 / cosine drift between the two centroids. A re-embedded
+    // or corrupted feed moves centroids long before ANN recall decays
+    // (qe18 detects COLLAPSE; this detects DRIFT). Float discipline:
+    // per-(label,half,dim) integer nano sums, means via one double
+    // division, drift folds in dimension order. Scale shape: one
+    // narrow posexplode + a labels×2×dim-key agg + a labels-key
+    // rollup — O(n·d) and the rollup frame is fit-sized.
+    "qe21_centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = emb.select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")))
+        .groupBy("label", "half", "pos")
+        .agg(sum(floor(col("col").cast("double") * lit(1e9)).cast("long"))
+          .as("s_nn"), count(lit(1)).as("cnt"))
+        .select(col("label"), col("half"), col("pos"),
+          (col("s_nn").cast("double") / col("cnt").cast("double") /
+            lit(1e9)).as("m"))
+      val j = m.where(col("half") === 0)
+        .select(col("label"), col("pos"), col("m").as("m0"))
+        .join(m.where(col("half") === 1)
+          .select(col("label"), col("pos"), col("m").as("m1")),
+          Seq("label", "pos"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m0"),
+          col("m1")))).as("xs"))
+      def f(c: org.apache.spark.sql.Column,
+            g: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, x) => a + g(x))
+      val counts = emb.groupBy("label")
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n0"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+      j.select(col("label"),
+          f(col("xs"), x => (x.getField("m0") - x.getField("m1")) *
+            (x.getField("m0") - x.getField("m1"))).as("d2"),
+          f(col("xs"), x => x.getField("m0") * x.getField("m1"))
+            .as("dt"),
+          f(col("xs"), x => x.getField("m0") * x.getField("m0"))
+            .as("s0"),
+          f(col("xs"), x => x.getField("m1") * x.getField("m1"))
+            .as("s1"))
+        .join(counts, Seq("label"))
+        .select(col("label"), col("n0"), col("n1"),
+          sqrt(col("d2")).as("l2_drift"),
+          (col("dt") / (sqrt(col("s0")) * sqrt(col("s1"))))
+            .as("cos_drift"))
+        .orderBy("label")
+    }),
+
+    // OUTPUT-SHARD PLANNING — the write-side manifest a 100 TB curation
+    // job needs before `df.write`: pack each source's docs (doc_id
+    // order, byte sizes) into ~64 KiB shards by cumulative-byte
+    // assignment and report per shard: doc count, bytes, id range, and
+    // fill factor — the report that predicts output-file skew (a shard
+    // with fill ≫ 1 is one giant doc; thousands of fill ≪ 1 shards
+    // mean the target is too small). Same shard-partitioned-window
+    // cumsum discipline as qx37's packer, BYTE grain instead of token
+    // grain, SHARD-grain manifest instead of doc-grain assignment.
+    "qz11_shard_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("shard", expr("(cum - n_bytes) div 65536"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("bytes"),
+          min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
+        .select(col("source"), col("shard"), col("n_docs"), col("bytes"),
+          col("doc_lo"), col("doc_hi"),
+          (col("bytes").cast("double") / lit(65536.0)).as("fill"))
+        .orderBy("source", "shard")
+    }),
+
+    // INTRA-DOC repeated-n-gram fraction — the Gopher/MassiveText
+    // repetition gate the family still lacked at gram grain (qx15 flags
+    // top-TERM/BIGRAM concentration; this flags whole REPEATED 3-GRAM
+    // mass — boilerplate loops, chorus text, copy-paste padding): per
+    // doc, (gram instances − distinct grams) / instances, flagged past
+    // the standard 0.15 threshold. Integer counts, one exact double
+    // division per row. Scale shape: pure narrow map (the shingle
+    // arrays never leave their row) + presentation sort — no shuffle.
+    "qx64_rep_ngram_frac" -> ((s, dir) =>
+      docsWithShingles(s, dir)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          ((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double")).as("rep_frac"))
+        .withColumn("flagged", col("rep_frac") > 0.15)
+        .orderBy("doc_id")),
+
+    // QUALITY-DECILE DUP LIFT — does near-dup mass concentrate in
+    // low-quality strata? (If yes, dedup doubles as a quality filter;
+    // if no, the two gates are independent and both are needed.) Per
+    // quality decile: doc count, near-dup members (qx11's capped
+    // minhash clusters), dup rate. Deciles are computed SCALE-CORRECTLY
+    // — no global rank window over the corpus: quality scores quantize
+    // to milli-units, a bounded-domain histogram + cumulative window
+    // over DISTINCT values (the qx18 discipline) derives the 9 type-1
+    // thresholds, and each doc's decile is 9 broadcast integer
+    // comparisons. Ties at a threshold share a decile by construction
+    // (documented rule; deciles are near-equal, not exactly equal).
+    "qz12_decile_dup_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val cl = Dedup.minhashClusters(docs)
+      val dup = cl
+        .join(cl.groupBy("cluster").agg(count(lit(1)).as("csz")),
+          Seq("cluster"))
+        .select(col("doc_id"), (col("csz") > 1).as("is_dup"))
+      val scored = docs.withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          floor(Text.qualityScore(col("toks"), col("n_chars")) *
+            lit(1000.0)).cast("long").as("sq"))
+      val hist = scored.groupBy("sq").agg(count(lit(1)).as("c"))
+      // cumulative over DISTINCT quantized scores only (bounded domain —
+      // score range × 1000 buckets regardless of corpus size)
+      val wc = Window.orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wc))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("total"))))
+      val thrCols = (1 to 9).map(k =>
+        min(when(col("cum") * 10 >= col("total") * k, col("sq")))
+          .as(s"t$k"))
+      val ts = cum.agg(thrCols.head, thrCols.tail: _*)
+      scored.crossJoin(broadcast(ts))
+        .select(col("doc_id"),
+          (1 to 9).map(k =>
+            when(col("sq") >= col(s"t$k"), 1).otherwise(0))
+            .reduce(_ + _).cast("long").as("decile"))
+        .join(dup, Seq("doc_id"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .select(col("decile"), col("n_docs"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy("decile")
+    }),
+
+    // the THIRD composed pipeline — INGEST-TO-SHARDS (qp1 curates, qp2
+    // mixes; this is the write-out job): PII-laden input (the qx63
+    // staging) → scrub → exact dedup on the SCRUBBED fingerprint →
+    // quality gate → per-source shard plan, one declarative plan with a
+    // per-source loss-accounting manifest. The ordering is the point:
+    // scrubbing BEFORE dedup collapses documents that differed only in
+    // volatile tokens (session ids, order numbers — the qx27 insight at
+    // production grain), so n_dedup < n_raw even where raw fingerprints
+    // are all distinct. Scale shape: the scrubbed frame is cut once
+    // (regex CPU paid once, not per join side), one fp-grain shuffle +
+    // self-grouped keeper join, score is a narrow map, shard cumsum
+    // partitions by source (qx37 discipline), manifest is
+    // |sources|-bounded.
+    "qp3_ingest_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(col("doc_id").cast("string"))
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          concat(col("text"), lit(" contact "), col("source"),
+            lit("@example.com see http://"), col("source"),
+            lit(".example.com/p/"), col("doc_id").cast("string"),
+            lit(" session "),
+            substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+            substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+            substring(h, 21, 12),
+            lit(" order #"), (col("doc_id") * 37).cast("string"))
+            .as("t0"))
+      val fp = graft.Materialize.cut(staged
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          Text.scrubPii(col("t0")).getField("text").as("clean"))
+        .withColumn("fp", md5(col("clean"))))
+      val keep = fp
+        .join(fp.groupBy("fp").agg(min("doc_id").as("keeper")), Seq("fp"))
+        .withColumn("kept", col("doc_id") === col("keeper"))
+        .withColumn("score",
+          Text.qualityScore(Text.tokens(col("text")), col("n_chars")))
+        .withColumn("q_ok", col("kept") && col("score") >= lit(10.0))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val shards = keep.where(col("q_ok"))
+        .select(col("source"), col("doc_id"),
+          octet_length(col("clean")).cast("long").as("nb"))
+        .withColumn("cum", sum("nb").over(w))
+        .withColumn("shard", expr("(cum - nb) div 65536"))
+        .groupBy("source")
+        .agg((max(col("shard")) + 1).as("n_shards"),
+          sum(col("nb")).as("bytes_out"))
+      keep.groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"))
+        .join(shards, Seq("source"), "left")
+        .select(col("source"), col("n_raw"), col("n_dedup"),
+          col("n_quality"),
+          coalesce(col("bytes_out"), lit(0L)).as("bytes_out"),
+          coalesce(col("n_shards"), lit(0L)).as("n_shards"))
+        .orderBy("source")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -4795,6 +5089,149 @@ object ExtQueries {
         |FROM ns CROSS JOIN s2""".stripMargin
     },
 
+    "qz10_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |p AS (
+        |  SELECT substr(t, CAST(i AS INTEGER), 2) AS pair
+        |  FROM (SELECT t, unnest(range(1, length(t))) AS i
+        |        FROM tok WHERE length(t) >= 2)),
+        |c AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p GROUP BY pair),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+        |           AS BIGINT) AS rank, pair, cnt
+        |  FROM c)
+        |SELECT rank, pair, cnt FROM r WHERE rank <= 30
+        |ORDER BY rank""".stripMargin,
+
+    // SQ8 bounds recomputed in-twin (exact min/max — the qe10 rule);
+    // dequant expression parenthesized EXACTLY as the Spark plan's
+    "qe20_quant_error" -> {
+      def fold(expr: String) =
+        s"""list_reduce(list_prepend(0.0E0, list_transform(
+           | list_zip(embedding, dv), p -> $expr)), (x, y) -> x + y)"""
+          .stripMargin.replaceAll("\n", "")
+      s"""WITH comp AS (
+        |  SELECT generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT pos, min(CAST(v AS DOUBLE)) AS mn,
+        |         max(CAST(v AS DOUBLE)) AS mx
+        |  FROM comp GROUP BY pos),
+        |br AS (
+        |  SELECT list(mn ORDER BY pos) AS mns,
+        |         list(mx ORDER BY pos) AS hxs
+        |  FROM bd),
+        |per AS (
+        |  SELECT e.label, len(e.embedding) AS dim, e.embedding,
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CASE WHEN br.hxs[i] > br.mns[i]
+        |                THEN br.mns[i] +
+        |                  CAST(floor((CAST(e.embedding[i] AS DOUBLE)
+        |                      - br.mns[i]) / (br.hxs[i] - br.mns[i])
+        |                      * 255.0E0 + 0.5E0) AS DOUBLE)
+        |                  * ((br.hxs[i] - br.mns[i]) / 255.0E0)
+        |                ELSE br.mns[i] END) AS dv
+        |  FROM embeddings e CROSS JOIN br),
+        |f AS (
+        |  SELECT label,
+        |    ${fold("(CAST(p[1] AS DOUBLE) - p[2]) * " +
+                    "(CAST(p[1] AS DOUBLE) - p[2])")} AS err2,
+        |    ${fold("CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)")}
+        |      AS dxd,
+        |    ${CosSql.format("embedding", "embedding")} AS dxx,
+        |    ${fold("CAST(p[2] AS DOUBLE) * CAST(p[2] AS DOUBLE)")}
+        |      AS ddd,
+        |    dim
+        |  FROM per),
+        |g AS (
+        |  SELECT label,
+        |    CAST(floor(err2 / dim * 1000000000E0) AS BIGINT) AS mse_nn,
+        |    CAST(floor(dxd / (sqrt(dxx) * sqrt(ddd)) * 1000000000E0)
+        |      AS BIGINT) AS cos_nn
+        |  FROM f)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(mse_nn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000000E0 AS mean_mse,
+        |  CAST(max(mse_nn) AS DOUBLE) / 1000000000E0 AS max_mse,
+        |  CAST(sum(cos_nn) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000000E0 AS mean_cos_recon
+        |FROM g GROUP BY label ORDER BY label""".stripMargin
+    },
+
+    "qe21_centroid_drift" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |         generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, half, pos,
+        |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000000E0)
+        |             AS BIGINT)) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) / 1000000000E0 AS m
+        |  FROM comp GROUP BY label, half, pos),
+        |j AS (
+        |  SELECT a.label, a.pos, a.m AS m0, b.m AS m1
+        |  FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.half = 0 AND b.half = 1),
+        |g AS (
+        |  SELECT label,
+        |    list_reduce(list_prepend(0.0E0,
+        |      list((m0 - m1) * (m0 - m1) ORDER BY pos)),
+        |      (x, y) -> x + y) AS d2,
+        |    list_reduce(list_prepend(0.0E0,
+        |      list(m0 * m1 ORDER BY pos)), (x, y) -> x + y) AS dt,
+        |    list_reduce(list_prepend(0.0E0,
+        |      list(m0 * m0 ORDER BY pos)), (x, y) -> x + y) AS s0,
+        |    list_reduce(list_prepend(0.0E0,
+        |      list(m1 * m1 ORDER BY pos)), (x, y) -> x + y) AS s1
+        |  FROM j GROUP BY label),
+        |c AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM embeddings GROUP BY label)
+        |SELECT g.label, c.n0, c.n1, sqrt(g.d2) AS l2_drift,
+        |       g.dt / (sqrt(g.s0) * sqrt(g.s1)) AS cos_drift
+        |FROM g JOIN c USING (label) ORDER BY label""".stripMargin,
+
+    "qz11_shard_plan" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_bytes,
+        |         sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |s AS (
+        |  SELECT source, CAST((cum - n_bytes) // 65536 AS BIGINT)
+        |           AS shard, doc_id, n_bytes
+        |  FROM c)
+        |SELECT source, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bytes) AS BIGINT) AS bytes,
+        |       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi,
+        |       CAST(sum(n_bytes) AS DOUBLE) / 65536.0E0 AS fill
+        |FROM s GROUP BY source, shard
+        |ORDER BY source, shard""".stripMargin,
+
+    "qx64_rep_ngram_frac" -> (ShingleCte +
+      """
+        |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+        |       CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+        |       CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+        |         / CAST(len(s) AS DOUBLE) AS rep_frac,
+        |       (CAST(len(s) - len(list_distinct(s)) AS DOUBLE)
+        |         / CAST(len(s) AS DOUBLE)) > 0.15E0 AS flagged
+        |FROM sh ORDER BY doc_id""".stripMargin),
+
     "qx61_simhash_pairs" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -5396,6 +5833,81 @@ object ExtQueries {
         |SELECT doc_id, n_email, n_url, n_uuid, n_num, md5(t4) AS out_fp
         |FROM s4 ORDER BY doc_id""".stripMargin,
 
+    // the qx63 staging/scrub chain (counts dropped, source/text/n_chars
+    // carried through) + scrubbed-fp keeper dedup + the qz6 quality
+    // score + the qz11 per-source shard cumsum, one statement
+    "qp3_ingest_pipeline" ->
+      """WITH staged AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    text || ' contact ' || source ||
+        |    '@example.com see http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) || ' session ' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) ||
+        |    ' order #' || CAST(doc_id * 37 AS VARCHAR) AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, source, n_chars, text,
+        |  regexp_replace(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM staged),
+        |s2 AS (SELECT doc_id, source, n_chars, text,
+        |  regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, source, n_chars, text,
+        |  regexp_replace(t2,
+        |    '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-' ||
+        |    '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<UUID>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, source, n_chars, text,
+        |  regexp_replace(t3, '[0-9]{2,}', '<NUM>', 'g') AS t4 FROM s3),
+        |f AS (SELECT doc_id, source, n_chars, text, t4, md5(t4) AS fp
+        |      FROM s4),
+        |k AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x)))
+        |      AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 100.0
+        |    + CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)
+        |    + CAST(n_chars AS DOUBLE) / 1000.0 AS score
+        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |jq AS (
+        |  SELECT f.doc_id, f.source, f.t4,
+        |         (f.doc_id = k.keeper) AS kept,
+        |         ((f.doc_id = k.keeper) AND sc.score >= 10.0E0) AS q_ok
+        |  FROM f JOIN k USING (fp) JOIN sc USING (doc_id)),
+        |cumt AS (
+        |  SELECT source, doc_id, CAST(strlen(t4) AS BIGINT) AS nb,
+        |         sum(CAST(strlen(t4) AS BIGINT)) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM jq WHERE q_ok),
+        |shd AS (
+        |  SELECT source, CAST(max((cum - nb) // 65536) + 1 AS BIGINT)
+        |           AS n_shards,
+        |         CAST(sum(nb) AS BIGINT) AS bytes_out
+        |  FROM cumt GROUP BY source),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dedup,
+        |    CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_quality
+        |  FROM jq GROUP BY source)
+        |SELECT a.source, a.n_raw, a.n_dedup, a.n_quality,
+        |  coalesce(shd.bytes_out, 0) AS bytes_out,
+        |  coalesce(shd.n_shards, 0) AS n_shards
+        |FROM agg a LEFT JOIN shd USING (source)
+        |ORDER BY a.source""".stripMargin,
+
     // the qx11 cluster CTE chain + the qx7 score, finished by a
     // per-cluster (score DESC, doc_id) rank — double comparisons only
     // over score values both engines already compute bit-identically
@@ -5551,6 +6063,107 @@ object ExtQueries {
         |  m.mh_dup = (shd.d IS NOT NULL) AS agree
         |FROM mhf m LEFT JOIN shd ON m.doc_id = shd.d
         |ORDER BY m.doc_id""".stripMargin).replace("WITH tok AS",
+      "WITH RECURSIVE tok AS"),
+
+    // qx11's cluster chain (for is_dup) ⊕ qz6's quality CTE ⊕ the
+    // qx18-style bounded-domain decile thresholds
+    "qz12_decile_dup_lift" -> (ShingleCte +
+      s""",
+        |fpt AS (
+        |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+        |  FROM tok WHERE len(toks) >= 3),
+        |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+        |docrep AS (
+        |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
+        |bnd AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM bnd
+        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |reach(node, label) AS (
+        |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
+        |  UNION
+        |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
+        |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |expand AS (
+        |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
+        |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node),
+        |clus AS (
+        |  SELECT d.doc_id, coalesce(x.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN expand x ON d.doc_id = x.doc_id),
+        |csz AS (SELECT cluster, count(*) AS n FROM clus GROUP BY cluster),
+        |mhf AS (
+        |  SELECT c.doc_id, (z.n > 1) AS is_dup
+        |  FROM clus c JOIN csz z USING (cluster)),
+        |qs AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))
+        |        + len(list_filter(toks, x -> list_contains(['的','是','不','了','在'], x)))
+        |      AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 100.0
+        |    + CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)
+        |    + CAST(n_chars AS DOUBLE) / 1000.0 AS score
+        |  FROM tok),
+        |sqv AS (
+        |  SELECT doc_id, CAST(floor(score * 1000.0E0) AS BIGINT) AS sq
+        |  FROM qs),
+        |hist AS (SELECT sq, count(*) AS c FROM sqv GROUP BY sq),
+        |cum AS (
+        |  SELECT sq, sum(c) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+        |    AS cum
+        |  FROM hist),
+        |tot AS (SELECT count(*) AS total FROM sqv),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum * 10 >= total * 1 THEN sq END) AS t1,
+        |         min(CASE WHEN cum * 10 >= total * 2 THEN sq END) AS t2,
+        |         min(CASE WHEN cum * 10 >= total * 3 THEN sq END) AS t3,
+        |         min(CASE WHEN cum * 10 >= total * 4 THEN sq END) AS t4,
+        |         min(CASE WHEN cum * 10 >= total * 5 THEN sq END) AS t5,
+        |         min(CASE WHEN cum * 10 >= total * 6 THEN sq END) AS t6,
+        |         min(CASE WHEN cum * 10 >= total * 7 THEN sq END) AS t7,
+        |         min(CASE WHEN cum * 10 >= total * 8 THEN sq END) AS t8,
+        |         min(CASE WHEN cum * 10 >= total * 9 THEN sq END) AS t9
+        |  FROM cum CROSS JOIN tot),
+        |dec AS (
+        |  SELECT s.doc_id, CAST(
+        |      (CASE WHEN s.sq >= thr.t1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s.sq >= thr.t9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS decile
+        |  FROM sqv s CROSS JOIN thr)
+        |SELECT d.decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN m.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(sum(CASE WHEN m.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM dec d JOIN mhf m USING (doc_id)
+        |GROUP BY d.decile
+        |ORDER BY d.decile""".stripMargin).replace("WITH tok AS",
       "WITH RECURSIVE tok AS"),
 
     // the qx55 edge chain + 5 unrolled integer power steps (// is

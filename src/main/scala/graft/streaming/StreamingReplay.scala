@@ -509,6 +509,79 @@ object StreamingReplay {
       .orderBy("user_id", "t0_us")
   }
 
+  // staged input for the stream-stream join replay, keyed by dir
+  private val ssjStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay events(dir) through a STREAM-STREAM event-time interval join
+    * — the one Structured Streaming join family qs1–qs7 still don't
+    * touch (qs6 is stream-STATIC): two independent file-source streams
+    * (clicks, purchases) joined on user under the attribution window
+    * `p_ts ∈ [c_ts, c_ts + windowSec]`, both sides watermarked so the
+    * engine runs its symmetric keyed join-state machinery and emits each
+    * pair in whichever micro-batch completes it. Declared as
+    * `qs8_stream_stream`; an inner interval join's emitted SET is a pure
+    * function of the input — arrival order only decides WHEN a pair
+    * emits — so the batch interval-join SQL oracles it exactly.
+    * The replay watermark delay (365 days) exceeds the replayed span so
+    * no join state is pruned mid-replay (exactness, the qs2 maxBuffer
+    * rule); a production deployment sets the delay to its lateness
+    * budget and the SAME range condition is what lets the engine bound
+    * each side's state to the attribution window — this plan's state
+    * never grows with the stream, only with the window. */
+  def streamStreamJoinReplay(spark: SparkSession, dir: String,
+                             windowSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(ssjStageCache.get(dir)).getOrElse {
+      val ev = graft.Tables.events(spark, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) // suite-wide contract: empty input → empty output
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
+      val k = math.max(ev.length / 3, 1)
+      val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+        ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+      val d = writeChunks(spark, chunks, "qs8-replay")
+      ssjStageCache.putIfAbsent(dir, d)
+      d
+    }
+
+    val table = s"qs8_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    // two INDEPENDENT file-source streams over the same staged chunks,
+    // each projecting its side — exactly how a deployment would tail two
+    // topics; each source advances one file per micro-batch
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "365 days")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val purch = side("purchase", "p_id", "p_user", "p_ts")
+    val q = withStatePartitions(spark, 8) {
+      clicks.join(purch, expr(
+        "c_user = p_user AND p_ts >= c_ts AND " +
+          s"p_ts <= c_ts + interval $windowSec seconds"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+      (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
+      .orderBy("c_id", "p_id")
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =

@@ -204,6 +204,170 @@ class Round9Spec extends SparkTestBase {
       "symmetric nodes in isomorphic components get identical rank")
   }
 
+  test("qs8 stream-stream interval join: a purchase at EXACTLY " +
+    "click_ts + window joins (inclusive upper bound), one microsecond " +
+    "past does not, and a pre-click purchase never matches") {
+    val dir = java.nio.file.Files.createTempDirectory("qs8spec").toString
+    val t0 = 1_700_000_000_000_000L // micros
+    val winUs = 21_600L * 1_000_000L // the declared 6h default
+    Seq(
+      (10L, t0, 1L, "click", 0.0),
+      (11L, t0 + winUs, 1L, "purchase", 1.0), // exact bound: joins
+      (20L, t0, 2L, "click", 0.0),
+      (21L, t0 + winUs + 1L, 2L, "purchase", 1.0), // 1 µs past: no
+      (30L, t0, 3L, "click", 0.0),
+      (31L, t0 - 1L, 3L, "purchase", 1.0)) // pre-click: no
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = streaming.StreamingReplay.streamStreamJoinReplay(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 11L, winUs)),
+      s"only the exact-boundary pair joins, got ${out.toSeq}")
+  }
+
+  test("qe20 SQ8 reconstruction error: per-label max MSE is bounded by " +
+    "the worst per-dimension quantization step, and the reconstruction " +
+    "cosine stays ~1 on the fixture") {
+    val out = queries.ExtQueries.queries("qe20_quant_error")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val maxRng = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg((max(col("col").cast("double")) -
+        min(col("col").cast("double"))).as("rng"))
+      .agg(max(col("rng"))).head().getDouble(0)
+    // worst per-dim error is step/2 = rng/510; mse ≤ max_d (rng_d/510)²
+    val bound = math.pow(maxRng / 510.0, 2) + 1e-9
+    out.foreach { r =>
+      assert(r.getDouble(3) <= bound,
+        s"label ${r.getInt(0)}: max_mse ${r.getDouble(3)} > $bound")
+      assert(r.getDouble(4) > 0.99,
+        s"label ${r.getInt(0)}: recon cosine ${r.getDouble(4)}")
+    }
+  }
+
+  test("qe21 centroid drift: identical halves drift 0 at cosine 1; a " +
+    "planted one-dimension shift moves l2 by exactly its magnitude") {
+    val dir = java.nio.file.Files.createTempDirectory("qe21spec").toString
+    Seq(
+      (0L, Seq(1f, 2f, 3f, 4f), 0), // label 0: halves identical
+      (1L, Seq(1f, 2f, 3f, 4f), 0),
+      (10L, Seq(1f, 0f, 0f, 1f), 1), // label 1: odd half +3 in dim 1
+      (11L, Seq(4f, 0f, 0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = queries.ExtQueries.queries("qe21_centroid_drift")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (n0, n1, l2a, cosA) = out(0)
+    assert(n0 == 1 && n1 == 1)
+    assert(math.abs(l2a) < 1e-8 && math.abs(cosA - 1.0) < 1e-9,
+      s"identical halves: l2 $l2a cos $cosA")
+    assert(math.abs(out(1)._3 - 3.0) < 1e-7,
+      s"planted shift: l2 ${out(1)._3} != 3")
+  }
+
+  test("qz10 BPE pairs: char bigrams count within words only — never " +
+    "across whitespace — and rank by count desc then pair asc") {
+    val dir = java.nio.file.Files.createTempDirectory("qz10spec").toString
+    Seq((0L, "ababa xy", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.ExtQueries.queries("qz10_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "ab", 2L), (2L, "ba", 2L), (3L, "xy", 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("qz11 shard planning: a doc is assigned where its cumulative " +
+    "offset starts; an oversized doc overfills its shard (docs never " +
+    "split); later docs resume in the next derived shard") {
+    val dir = java.nio.file.Files.createTempDirectory("qz11spec").toString
+    def doc(id: Long, n: Int) = (id, "x" * n, "en", "s", n.toLong)
+    // cum-before: 0, 40000, 80000, 180000 → shards 0, 0, 1, 2
+    Seq(doc(1, 40000), doc(2, 40000), doc(3, 100000), doc(4, 10000))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.ExtQueries.queries("qz11_shard_plan")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 80000L, 1L, 2L), // overfilled: two docs, fill > 1
+      (1L, 1L, 100000L, 3L, 3L), // the giant doc rides alone
+      (2L, 1L, 10000L, 4L, 4L)), s"got ${out.toSeq}")
+  }
+
+  test("qx64 repeated-gram fraction: a doc of one repeated token is " +
+    "maximally repetitive, an all-distinct doc scores 0, and docs under " +
+    "3 tokens are excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("qx64spec").toString
+    Seq(
+      (1L, "a a a a", "en", "s", 7L), // grams: "a a a" ×2 → rep 1/2
+      (2L, "b c d e", "en", "s", 7L), // grams distinct → rep 0
+      (3L, "x y", "en", "s", 3L)) // < 3 tokens: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.ExtQueries.queries("qx64_rep_ngram_frac")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (2L, 1L, 0.5, true), s"got ${out(1L)}")
+    assert(out(2L) == (2L, 2L, 0.0, false), s"got ${out(2L)}")
+  }
+
+  test("qz12 decile dup lift: every doc lands in exactly one of 10 " +
+    "deciles, dup counts never exceed doc counts, and rates are exact " +
+    "quotients") {
+    val rows = queries.ExtQueries.queries("qz12_decile_dup_lift")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L to 9L).toSet))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sfDir).count(),
+      "decile doc counts partition the corpus")
+    rows.foreach { r =>
+      val (n, d, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d >= 0 && d <= n)
+      assert(rate == d.toDouble / n.toDouble)
+    }
+  }
+
+  test("qp3 ingest pipeline: scrubbing BEFORE dedup collapses docs that " +
+    "differ only in volatile tokens — two same-text docs with distinct " +
+    "staged ids dedup to one survivor; manifest counts nest") {
+    val dir = java.nio.file.Files.createTempDirectory("qp3spec").toString
+    val body = "the quick brown fox jumps over the lazy dog again " * 3
+    Seq((1L, body.trim, "en", "s", body.trim.length.toLong),
+      (2L, body.trim, "en", "s", body.trim.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = queries.ExtQueries.queries("qp3_ingest_pipeline")(spark, dir)
+      .head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 1,
+      s"volatile-token twins must collapse: raw=${r.getLong(1)} " +
+        s"dedup=${r.getLong(2)}")
+    assert(r.getLong(3) <= r.getLong(2))
+    if (r.getLong(3) > 0)
+      assert(r.getLong(4) > 0 && r.getLong(5) >= 1,
+        "survivors must land in at least one shard with bytes")
+  }
+
+  test("qp3 manifest on the fixture: counts nest per source and raw " +
+    "totals cover the corpus") {
+    val rows = queries.ExtQueries.queries("qp3_ingest_pipeline")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1),
+        s"${r.getString(0)}: quality ≤ dedup ≤ raw must nest")
+    }
+  }
+
   test("qz9 graded eval invariants: DCG never exceeds the IDCG computed " +
     "from the same grades, nDCG in (0,1], AP@10 in [0,1], MRR is 0 or " +
     "1/rank with rank <= 10") {
