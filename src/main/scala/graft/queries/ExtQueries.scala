@@ -1041,6 +1041,106 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // TERM BURSTINESS (Church/Gale variance-to-mean dispersion) — the
+    // corpus-statistics family's DISPERSION member (qx28 entropy, qx30
+    // Zipf, qx60 Heaps): a term with VMR ≫ 1 clumps into few documents
+    // (topical/boilerplate), VMR ≈ 1 scatters Poisson-like (function
+    // words) — the signal that separates "frequent because ubiquitous"
+    // from "frequent because one doc repeats it". Top-30 burstiest
+    // among df ≥ 5 terms. Float discipline: VMR derives from three
+    // EXACT integers (Σc, Σc², df) + the corpus count through a fixed
+    // paren-mirrored op sequence. Scale shape: doc×term fact → one
+    // vocabulary-keyed agg; the ranking window runs over the df-filtered
+    // vocab frame, never the corpus.
+    "qx66_burstiness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(count(lit(1)).as("nd"))
+      val tc = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val mean = col("total").cast("double") / col("nd").cast("double")
+      val vmr = (col("s2").cast("double") / col("nd").cast("double") -
+        mean * mean) / mean
+      val w = Window.orderBy(desc("vmr"), col("t"))
+      tc.groupBy("t")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("s2"))
+        .where(col("df") >= 5)
+        .crossJoin(broadcast(n))
+        .withColumn("vmr", vmr)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 30)
+        .select(col("rank"), col("t").as("term"), col("df"), col("total"),
+          col("vmr"))
+        .orderBy("rank")
+    }),
+
+    // RHP SKETCH RANKING-FIDELITY sweep — the sign-sketch accuracy
+    // audit completing the family (qx54 audits minhash Jaccard error,
+    // qe17 IVF recall, qz9 ranking quality, qe20 SQ8 reconstruction):
+    // over a fixed 20-vector fence, Kendall tau-a concordance between
+    // signature hamming distance (at 16/32/64 of the SHARED seed-42
+    // plane matrix's bits) and exact cosine — "does the bit budget
+    // order pairs the way the true geometry does", the property LSH
+    // bucketing actually relies on. Deliberately transcendental-free
+    // (no cos/acos estimator) so both engines agree bit-for-bit:
+    // hamming is integer, cosine is the standard fold, tau is an exact
+    // integer difference over an exact integer count. Scale shape:
+    // everything past the fence is constant-size (190 pairs, 3×17,955
+    // comparisons) however large the corpus.
+    "qz13_rhp_fidelity" -> ((s, dir) => {
+      val ps = Similarity.planes(64, 64, 42L)
+      def bitsCol(v: org.apache.spark.sql.Column) = array(ps.map { p =>
+        when(aggregate(zip_with(v, lit(p), (x, w0) =>
+          x.cast("double") * w0), lit(0.0), (a0, x) => a0 + x) >= 0, 1)
+          .otherwise(0)
+      }: _*)
+      def ham(b: Int) = aggregate(
+        zip_with(slice(col("b1"), 1, b), slice(col("b2"), 1, b),
+          (x, y) => abs(x - y)), lit(0), (a0, x) => a0 + x)
+      val f = Tables.embeddings(s, dir).where(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val g = f.select(col("vec_id"), col("embedding"),
+        bitsCol(col("embedding")).as("bits"))
+      val pairs = g.select(col("vec_id").as("i"),
+          col("embedding").as("e1"), col("bits").as("b1"))
+        .crossJoin(g.select(col("vec_id").as("j"),
+          col("embedding").as("e2"), col("bits").as("b2")))
+        .where(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          Similarity.cosine(col("e1"), col("e2")).as("cos"),
+          ham(16).as("h16"), ham(32).as("h32"), ham(64).as("h64"))
+      val lv = pairs.select(col("i"), col("j"), col("cos"),
+        explode(array(
+          struct(lit(16L).as("nbits"), col("h16").as("h")),
+          struct(lit(32L).as("nbits"), col("h32").as("h")),
+          struct(lit(64L).as("nbits"), col("h64").as("h")))).as("x"))
+        .select(col("i"), col("j"), col("cos"), col("x.nbits"),
+          col("x.h"))
+      val l = lv.select(col("nbits"), col("i").as("i1"),
+        col("j").as("j1"), col("cos").as("c1"), col("h").as("h1"))
+      val r = lv.select(col("nbits"), col("i").as("i2"),
+        col("j").as("j2"), col("cos").as("c2"), col("h").as("h2"))
+      l.join(r, Seq("nbits"))
+        .where(col("i1") < col("i2") ||
+          (col("i1") === col("i2") && col("j1") < col("j2")))
+        .select(col("nbits"),
+          ((col("h1") < col("h2") && col("c1") > col("c2")) ||
+            (col("h1") > col("h2") && col("c1") < col("c2")))
+            .cast("long").as("conc"),
+          ((col("h1") < col("h2") && col("c1") < col("c2")) ||
+            (col("h1") > col("h2") && col("c1") > col("c2")))
+            .cast("long").as("disc"))
+        .groupBy("nbits")
+        .agg(count(lit(1)).as("n_cmp"), sum(col("conc")).as("n_conc"),
+          sum(col("disc")).as("n_disc"))
+        .select(col("nbits"), col("n_cmp"), col("n_conc"), col("n_disc"),
+          ((col("n_conc") - col("n_disc")).cast("double") /
+            col("n_cmp").cast("double")).as("tau_a"))
+        .orderBy("nbits")
+    }),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -2962,6 +3062,20 @@ object ExtQueries {
       val key = (0 until bitsPerBand)
         .map(k => bitSql(ps(b * bitsPerBand + k))).mkString(" || ")
       s"{'i': $b, 'k': $key}"
+    }.mkString("[", ",\n", "]")
+  }
+
+  /** The raw sign BITS of the same seed-42 plane matrix as an INT list —
+    * qz13's twin (rhpBandsSql emits banded key strings; the fidelity
+    * audit needs prefix-hamming over individual bits). */
+  private def rhpBitsSql(bits: Int, dim: Int): String = {
+    val ps = Similarity.planes(bits, dim, 42L)
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    ps.map { p =>
+      "(CASE WHEN list_reduce(list_transform(list_zip(embedding, " +
+        s"${planeLit(p)}), x -> CAST(x[1] AS DOUBLE) * x[2]), " +
+        "(a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)"
     }.mkString("[", ",\n", "]")
   }
 
@@ -5907,6 +6021,78 @@ object ExtQueries {
         |  coalesce(shd.n_shards, 0) AS n_shards
         |FROM agg a LEFT JOIN shd USING (source)
         |ORDER BY a.source""".stripMargin,
+
+    "qx66_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, t),
+        |st AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(sum(c) AS BIGINT) AS total,
+        |         CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM tc GROUP BY t HAVING count(*) >= 5),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |v AS (
+        |  SELECT t, df, total,
+        |    (CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |     - (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE))
+        |       * (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)))
+        |    / (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)) AS vmr
+        |  FROM st CROSS JOIN nd),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vmr DESC, t)
+        |           AS BIGINT) AS rank,
+        |         t AS term, df, total, vmr
+        |  FROM v)
+        |SELECT rank, term, df, total, vmr FROM r WHERE rank <= 30
+        |ORDER BY rank""".stripMargin,
+
+    // bits from the SAME seed-42 plane matrix as qe2/qe5's band twins;
+    // prefix hamming in integer folds, tau from exact integer counts
+    "qz13_rhp_fidelity" -> {
+      def ham(b: Int) =
+        "list_reduce(list_prepend(0, list_transform(range(1, " +
+          s"${b + 1}), ii -> abs(b1[ii] - b2[ii]))), (aa, bb) -> aa + bb)"
+      s"""WITH g AS (
+        |  SELECT vec_id, embedding,
+        |${rhpBitsSql(64, 64)} AS bits
+        |  FROM embeddings WHERE vec_id < 20),
+        |pr AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    ${CosSql.format("a.embedding", "b.embedding")} /
+        |    (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
+        |     sqrt(${CosSql.format("b.embedding", "b.embedding")}))
+        |      AS cos,
+        |    a.bits AS b1, b.bits AS b2
+        |  FROM g a JOIN g b ON a.vec_id < b.vec_id),
+        |ph AS (
+        |  SELECT i, j, cos, ${ham(16)} AS h16, ${ham(32)} AS h32,
+        |         ${ham(64)} AS h64
+        |  FROM pr),
+        |lv AS (
+        |  SELECT i, j, cos, CAST(16 AS BIGINT) AS nbits, h16 AS h FROM ph
+        |  UNION ALL SELECT i, j, cos, 32, h32 FROM ph
+        |  UNION ALL SELECT i, j, cos, 64, h64 FROM ph),
+        |pp AS (
+        |  SELECT l.nbits,
+        |    CASE WHEN (l.h < r.h AND l.cos > r.cos)
+        |           OR (l.h > r.h AND l.cos < r.cos) THEN 1 ELSE 0 END
+        |      AS conc,
+        |    CASE WHEN (l.h < r.h AND l.cos < r.cos)
+        |           OR (l.h > r.h AND l.cos > r.cos) THEN 1 ELSE 0 END
+        |      AS disc
+        |  FROM lv l JOIN lv r ON l.nbits = r.nbits
+        |    AND (l.i < r.i OR (l.i = r.i AND l.j < r.j)))
+        |SELECT nbits, CAST(count(*) AS BIGINT) AS n_cmp,
+        |  CAST(sum(conc) AS BIGINT) AS n_conc,
+        |  CAST(sum(disc) AS BIGINT) AS n_disc,
+        |  CAST(sum(conc) - sum(disc) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau_a
+        |FROM pp GROUP BY nbits ORDER BY nbits""".stripMargin
+    },
 
     // the qx11 cluster CTE chain + the qx7 score, finished by a
     // per-cluster (score DESC, doc_id) rank — double comparisons only

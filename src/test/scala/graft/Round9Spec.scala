@@ -368,6 +368,47 @@ class Round9Spec extends SparkTestBase {
     }
   }
 
+  test("qx66 burstiness: a term clumped into one doc scores the " +
+    "hand-computed VMR, a perfectly scattered term scores exactly 0, " +
+    "and the clumped term outranks it") {
+    val dir = java.nio.file.Files.createTempDirectory("qx66spec").toString
+    val docs = ((("bb " * 10) + "aa") +: Seq.fill(4)("bb aa")) ++
+      Seq.fill(5)("aa")
+    docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.trim, "en", "s", t.trim.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.ExtQueries.queries("qx66_burstiness")(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // bb: counts (10,1,1,1,1) over N=10 → mean 1.4, E[c²] 10.4,
+    // vmr = (10.4 − 1.96)/1.4
+    val (rankB, dfB, totB, vmrB) = out("bb")
+    assert(dfB == 5 && totB == 14)
+    assert(math.abs(vmrB - (10.4 - 1.96) / 1.4) < 1e-12)
+    // aa: one per doc → Poisson-degenerate, vmr exactly 0
+    val (rankA, dfA, _, vmrA) = out("aa")
+    assert(dfA == 10 && vmrA == 0.0)
+    assert(rankB < rankA, "the clumped term must outrank the scattered")
+  }
+
+  test("qz13 RHP fidelity: every bit budget compares the same full " +
+    "pair-of-pairs set, tau is a valid correlation, and fidelity is " +
+    "monotone in the bit budget on the fixture") {
+    val rows = queries.ExtQueries.queries("qz13_rhp_fidelity")(
+      spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 32L, 64L))
+    val nPairs = 190L // C(20,2) fence pairs
+    rows.foreach { r =>
+      assert(r.getLong(1) == nPairs * (nPairs - 1) / 2)
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1))
+      assert(math.abs(r.getDouble(4)) <= 1.0)
+    }
+    val taus = rows.map(_.getDouble(4))
+    assert(taus(0) < taus(1) && taus(1) < taus(2),
+      s"more bits must order pairs more faithfully, got ${taus.toSeq}")
+  }
+
   test("qz9 graded eval invariants: DCG never exceeds the IDCG computed " +
     "from the same grades, nDCG in (0,1], AP@10 in [0,1], MRR is 0 or " +
     "1/rank with rank <= 10") {
