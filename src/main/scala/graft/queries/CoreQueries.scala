@@ -561,6 +561,14 @@ object CoreQueries {
     "qs8_stream_stream" -> ((s, dir) =>
       graft.streaming.StreamingReplay.streamStreamJoinReplay(s, dir)),
 
+    // qs9 — ninth streaming path under the hash gate: the stream-stream
+    // LEFT OUTER interval join — the watermark-driven NULL-emission
+    // machinery (unmatched clicks emit once their in-window purchase
+    // horizon expires) that qs8's inner form never exercises. The
+    // emitted set equals the batch left join, so its SQL oracles it.
+    "qs9_stream_outer" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamStreamOuterReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1514,6 +1522,17 @@ object CoreQueries {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |ORDER BY c_id, p_id""".stripMargin,
+
+    // left-join semantics need the purchase-side predicates in ON, not
+    // WHERE; unmatched clicks carry NULL p_id/dt_us in both engines
+    "qs9_stream_outer" ->
+      """SELECT a.event_id AS c_id, b.event_id AS p_id, a.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |WHERE a.event_type = 'click'
+        |ORDER BY c_id, p_id NULLS FIRST""".stripMargin,
 
     "qs5_stream_topterms" ->
       """WITH tok AS (

@@ -582,6 +582,84 @@ object StreamingReplay {
       .orderBy("c_id", "p_id")
   }
 
+  // staged input for the OUTER stream-stream replay, keyed by dir; the
+  // cached sentinel timestamp bounds the defensive output filter
+  private val ssjOuterStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Timestamp)]()
+
+  /** Replay events(dir) through the stream-stream LEFT OUTER interval
+    * join — the null-emission machinery qs8's inner form never runs: an
+    * unmatched click is held in join state until the watermark proves no
+    * in-window purchase can still arrive, then emits ONCE with a null
+    * right side. Declared as `qs9_stream_outer`; the emitted set (matched
+    * pairs ∪ expired-unmatched clicks) equals the batch LEFT JOIN, so
+    * the interval left-join SQL oracles it — the determinism rests on
+    * the far-future sentinel PER SOURCE (each file source carries its
+    * own watermark; the global watermark is their min, so BOTH sides
+    * need one) driving the final state-eviction micro-batch past every
+    * real click's expiry. Production posture: the finite 1-hour delay +
+    * the range condition bound both sides' state to the attribution
+    * window — outer-join state never grows with the stream. */
+  def streamStreamOuterReplay(spark: SparkSession, dir: String,
+                              windowSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, sentinelTs) = Option(ssjOuterStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
+        val maxUs = micros(ev.last.ts)
+        // past every click's expiry: window + the 1h delay + margin
+        val sentTs = new Timestamp(
+          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
+        val sentinels = Seq(
+          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
+          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs9-replay"), sentTs)
+        ssjOuterStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs9_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val purch = side("purchase", "p_id", "p_user", "p_ts")
+    val q = withStatePartitions(spark, 8) {
+      clicks.join(purch, expr(
+        "c_user = p_user AND p_ts >= c_ts AND " +
+          s"p_ts <= c_ts + interval $windowSec seconds"), "left_outer")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("c_user") >= 0) // drop the sentinel's own outer row
+      .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
+      .orderBy(col("c_id"), col("p_id"))
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =

@@ -228,6 +228,31 @@ class Round9Spec extends SparkTestBase {
       s"only the exact-boundary pair joins, got ${out.toSeq}")
   }
 
+  test("qs9 left-outer stream-stream join: matched clicks pair up, " +
+    "unmatched clicks emit exactly one null-padded row once the " +
+    "watermark passes their horizon, and the boundary stays inclusive") {
+    val dir = java.nio.file.Files.createTempDirectory("qs9spec").toString
+    val t0 = 1_700_000_000_000_000L
+    val winUs = 21_600L * 1_000_000L
+    Seq(
+      (10L, t0, 1L, "click", 0.0),
+      (11L, t0 + winUs, 1L, "purchase", 1.0), // exact bound: matches
+      (20L, t0, 2L, "click", 0.0),
+      (21L, t0 + winUs + 1L, 2L, "purchase", 1.0), // 1 µs past: null row
+      (30L, t0, 3L, "click", 0.0)) // no purchase at all: null row
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = streaming.StreamingReplay.streamStreamOuterReplay(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.toSeq == Seq((10L, Some(11L)), (20L, None), (30L, None)),
+      s"got ${out.toSeq}")
+  }
+
   test("qe20 SQ8 reconstruction error: per-label max MSE is bounded by " +
     "the worst per-dimension quantization step, and the reconstruction " +
     "cosine stays ~1 on the fixture") {
