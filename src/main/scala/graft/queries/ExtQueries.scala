@@ -1141,6 +1141,57 @@ object ExtQueries {
         .orderBy("nbits")
     }),
 
+    // HARD-NEGATIVE MINING — contrastive-training data prep (the
+    // retrieval-training counterpart of qz9's eval): for each fenced
+    // query vector, the top-5 most-similar vectors whose LABEL differs —
+    // maximally confusing negatives, exactly what embedding-model
+    // training pairs need. Same broadcast-fence + WindowGroupLimit
+    // shape as qe1; the label inequality prunes in the scan.
+    "qe22_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+      emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("label").as("n_label"))
+        .crossJoin(broadcast(qs))
+        .where(col("q_id") =!= col("n_id") &&
+          col("n_label") =!= col("q_label"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("n_id"), col("n_label"), col("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // SPAN-CORRUPTION MASK PLAN — T5-style pretraining-objective prep:
+    // tokens group into length-3 spans, each span flips a deterministic
+    // ~15% md5 coin (the qx12 hex-prefix rule keyed on doc_id:span —
+    // reproducible across engines AND training runs), and the per-doc
+    // report carries what the objective needs: masked-token count,
+    // sentinel count (= masked spans), realized mask fraction. Pure
+    // narrow map + doc-grain rollup — no shuffle beyond the agg.
+    "qx67_span_mask_plan" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), expr("pos div 3").as("span"))
+        .withColumn("masked",
+          substring(md5(concat_ws(":", col("doc_id"), col("span"))), 1, 8)
+            < lit("26666666")) // 0x26666666/16^8 ≈ 15%
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("masked") && col("pos") % 3 === 0, 1L)
+            .otherwise(0L)).as("n_spans_masked"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked_toks"))
+        .select(col("doc_id"), col("n_toks"), col("n_spans_masked"),
+          col("n_masked_toks"),
+          (col("n_masked_toks").cast("double") /
+            col("n_toks").cast("double")).as("mask_frac"))
+        .orderBy("doc_id")),
+
     // JSON property extraction from the events props column
     "qx10_json_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -6093,6 +6144,47 @@ object ExtQueries {
         |    / CAST(count(*) AS DOUBLE) AS tau_a
         |FROM pp GROUP BY nbits ORDER BY nbits""".stripMargin
     },
+
+    "qe22_hard_negatives" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (
+        |  SELECT vec_id AS n_id, embedding AS n_emb, label AS n_label
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.n_id, c.n_label,
+        |    ${CosSql.format("q_emb", "n_emb")} /
+        |    (sqrt(${CosSql.format("q_emb", "q_emb")}) *
+        |     sqrt(${CosSql.format("n_emb", "n_emb")})) AS cos
+        |  FROM c CROSS JOIN q
+        |  WHERE q.q_id <> c.n_id AND c.n_label <> q.q_label)
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       n_id, n_label, cos
+        |FROM scored
+        |WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "qx67_span_mask_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+        |         unnest(toks) AS tk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(pos // 3 AS VARCHAR)), 1, 8) < '26666666' AS masked
+        |  FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN masked AND pos % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_spans_masked,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked_toks,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mask_frac
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the qx11 cluster CTE chain + the qx7 score, finished by a
     // per-cluster (score DESC, doc_id) rank — double comparisons only

@@ -434,6 +434,54 @@ class Round9Spec extends SparkTestBase {
       s"more bits must order pairs more faithfully, got ${taus.toSeq}")
   }
 
+  test("qe22 hard negatives: 5 per fenced query, every negative's label " +
+    "differs from its query's, similarity is non-increasing in rank") {
+    val qLabels = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = queries.ExtQueries.queries("qe22_hard_negatives")(
+      spark, sfDir).collect()
+    assert(rows.length == qLabels.size * 5)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to 5L))
+      byRank.foreach(r => assert(r.getInt(3) != qLabels(q),
+        s"q$q: negative ${r.getLong(2)} shares the query label"))
+      val cs = byRank.map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"q$q: similarity must not increase with rank")
+    }
+  }
+
+  test("qx67 span-mask plan: the md5 coin reproduces exactly per " +
+    "(doc, span), sentinel count = masked spans, and the realized " +
+    "corpus mask fraction sits near the 15% design point") {
+    val dir = java.nio.file.Files.createTempDirectory("qx67spec").toString
+    Seq((7L, (1 to 9).map(i => s"w$i").mkString(" "), "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def coin(doc: Long, span: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc:$span".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      hex < "26666666"
+    }
+    val expSpans = (0L to 2L).count(coin(7L, _))
+    val r = queries.ExtQueries.queries("qx67_span_mask_plan")(spark, dir)
+      .head()
+    assert(r.getLong(1) == 9)
+    assert(r.getLong(2) == expSpans.toLong,
+      s"masked spans ${r.getLong(2)} != replicated coin $expSpans")
+    assert(r.getLong(3) == expSpans.toLong * 3,
+      "full spans of 3 tokens each")
+    val frac = queries.ExtQueries.queries("qx67_span_mask_plan")(
+      spark, sfDir)
+      .agg(sum(col("n_masked_toks")).cast("double") /
+        sum(col("n_toks")).cast("double")).head().getDouble(0)
+    assert(frac > 0.10 && frac < 0.20,
+      s"corpus mask fraction $frac should sit near 0.15")
+  }
+
   test("qz9 graded eval invariants: DCG never exceeds the IDCG computed " +
     "from the same grades, nDCG in (0,1], AP@10 in [0,1], MRR is 0 or " +
     "1/rank with rank <= 10") {
