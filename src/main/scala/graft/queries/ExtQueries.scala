@@ -1167,6 +1167,36 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // FRAME BYTE-STATISTICS — the multimodal family's first member that
+    // computes over the frame BYTES themselves (qm1 metadata, qm2
+    // samples, qm3/qm4 fingerprint-dedup): per sampled frame, the
+    // energy (byte-value sum), peak byte, and mean byte — the "signal
+    // statistics" pass a real audio/image pipeline runs after decode
+    // (here over the deterministic synthetic bytes; the decode itself
+    // stays the documented Multimodal stub). Byte values come from a
+    // hex fold (exact integers) so the DuckDB twin matches bit-for-bit.
+    // Narrow map over frames, no shuffle beyond the presentation sort.
+    "qm5_frame_stats" -> ((s, dir) => {
+      val fr = Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), posexplode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+        .toDF("doc_id", "frame_no", "frame")
+      val hx = hex(col("frame"))
+      val bytesArr = transform(
+        sequence(lit(1), octet_length(col("frame"))),
+        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+      fr.select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          bytesArr.as("bv"))
+        .where(col("frame_len") > 0)
+        .select(col("doc_id"), col("frame_no"), col("frame_len"),
+          aggregate(col("bv"), lit(0L), (a0, x) => a0 + x).as("energy"),
+          array_max(col("bv")).as("peak"))
+        .withColumn("mean_byte",
+          col("energy").cast("double") / col("frame_len").cast("double"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // SPAN-CORRUPTION MASK PLAN — T5-style pretraining-objective prep:
     // tokens group into length-3 spans, each span flips a deterministic
     // ~15% md5 coin (the qx12 hex-prefix rule keyed on doc_id:span —
@@ -5144,6 +5174,37 @@ object ExtQueries {
         |  CAST(length(substr(hx, CAST(i*128 + 1 AS INT), 32)) // 2
         |    AS BIGINT) AS frame_len
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    // same frame staging as qm2; byte values from the two-nibble strpos
+    // fold (hex() is uppercase in both engines)
+    "qm5_frame_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      b -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g)
+        |SELECT doc_id, frame_no, frame_len,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bv),
+        |    (a, x) -> a + x) AS BIGINT) AS energy,
+        |  list_max(bv) AS peak,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bv),
+        |    (a, x) -> a + x) AS DOUBLE) / CAST(frame_len AS DOUBLE)
+        |    AS mean_byte
+        |FROM h WHERE frame_len > 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "qx18_length_quantiles" ->
       """WITH hist AS (

@@ -482,6 +482,21 @@ class Round9Spec extends SparkTestBase {
       s"corpus mask fraction $frac should sit near 0.15")
   }
 
+  test("qm5 frame stats: byte energy/peak/mean computed exactly from " +
+    "the frame bytes (hand-checked ASCII), short tail frames keep " +
+    "their true length") {
+    val dir = java.nio.file.Files.createTempDirectory("qm5spec").toString
+    Seq((1L, "AB", "en", "s", 2L), // one 2-byte frame: 0x41, 0x42
+      (2L, "A" * 100, "en", "s", 100L)) // one full 16-byte frame of 'A'
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.ExtQueries.queries("qm5_frame_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(1L) == (2L, 131L, 66L, 65.5), s"got ${out(1L)}")
+    assert(out(2L) == (16L, 16L * 65L, 65L, 65.0), s"got ${out(2L)}")
+  }
+
   test("qz9 graded eval invariants: DCG never exceeds the IDCG computed " +
     "from the same grades, nDCG in (0,1], AP@10 in [0,1], MRR is 0 or " +
     "1/rank with rank <= 10") {
