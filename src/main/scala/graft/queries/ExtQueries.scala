@@ -3079,6 +3079,224 @@ object ExtQueries {
         .orderBy("nprobe")
     }),
 
+    // dup-cluster PURITY — do near-dup clusters stay inside one
+    // source/lang or span dumps? qx19 answers at PAIR grain ("how much
+    // does dump A duplicate dump B"); this answers at CLUSTER grain:
+    // for every multi-doc qx11 cluster, its size, source/lang spread,
+    // and the majority-source share — the audit that says whether
+    // dedup is removing intra-dump boilerplate (pure clusters: fix the
+    // extractor) or cross-dump syndication (mixed clusters: keep one
+    // copy corpus-wide). Exact integers throughout; the one double
+    // (majority share) is a single division both engines state
+    // identically. Scale shape: the cluster chain is the probed qx11
+    // production path; after it, two cluster-keyed aggs shuffle one
+    // row per doc on 8-byte keys, and the output is bounded by the
+    // multi-doc cluster count.
+    "qz14_cluster_purity" -> ((s, dir) => {
+      val cl = Dedup.minhashClusters(Tables.documents(s, dir))
+        .select("doc_id", "cluster")
+      val j = graft.Materialize.cut(cl.join(
+        Tables.documents(s, dir).select("doc_id", "source", "lang"),
+        Seq("doc_id")))
+      val per = j.groupBy("cluster").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      val top = j.groupBy("cluster", "source")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("cluster").agg(max(col("c")).as("top_src_docs"))
+      per.join(top, Seq("cluster"))
+        .where(col("n_docs") >= 2)
+        .select(col("cluster"), col("n_docs"), col("n_sources"),
+          col("n_langs"), col("top_src_docs"),
+          (col("top_src_docs").cast("double") /
+            col("n_docs").cast("double")).as("top_share"),
+          (col("n_sources") > 1).as("cross_source"))
+        .orderBy("cluster")
+    }),
+
+    // chance-corrected method agreement — Cohen's κ over qz7's per-doc
+    // minhash-vs-simhash duplicate flags. qz7's raw `agree` rate is
+    // inflated by the ~95% of docs BOTH methods call "not a dup"; κ
+    // subtracts what two independent raters with the same marginals
+    // would agree on by luck, which is the number a method-selection
+    // decision should actually read. Float discipline: the 2×2 cell
+    // counts are exact BIGINTs from the two production dedup paths;
+    // po/pe/κ are three divisions over those integers, stated with
+    // identical shapes in both engines (n² stays in BIGINT — exact to
+    // 3×10⁹ docs; the counts are the only distributed work, the κ
+    // arithmetic is one row). pe = 1 (degenerate one-cell table) yields
+    // NULL κ by guard in both engines.
+    "qz15_kappa" -> ((s, dir) => {
+      val cl = Dedup.minhashClusters(Tables.documents(s, dir))
+      val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      val mhFlag = cl.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), (col("csz") > 1).as("mh"))
+      val pairs = simhashPairs(s, dir)
+      val shDocs = pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id")))
+        .distinct().withColumn("sh", lit(true))
+      val f = mhFlag.join(shDocs, Seq("doc_id"), "left")
+        .select(col("mh"), coalesce(col("sh"), lit(false)).as("sh"))
+      f.agg(
+          sum(when(col("mh") && col("sh"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("mh") && !col("sh"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("mh") && col("sh"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("mh") && !col("sh"), 1L).otherwise(0L)).as("n00"))
+        .withColumn("n",
+          col("n11") + col("n10") + col("n01") + col("n00"))
+        .withColumn("po",
+          (col("n11") + col("n00")).cast("double") /
+            col("n").cast("double"))
+        .withColumn("pe",
+          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+            .cast("double") /
+            (col("n") * col("n")).cast("double"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          col("po"), col("pe"),
+          when(col("pe") < 1.0d,
+            (col("po") - col("pe")) / (lit(1.0d) - col("pe")))
+            .as("kappa"))
+    }),
+
+    // encoding-QUALITY gate — mojibake and control-byte detection, the
+    // ingest-time filter that catches mis-decoded crawls before they
+    // poison tokenization: U+FFFD replacement chars (the upstream
+    // decoder already gave up), C0 control chars outside \t\n\r
+    // (binary pasted into text), and the non-ASCII character fraction
+    // (a jump in a nominally-Latin source = wrong charset). All three
+    // are regexp counts in the scan projection — pure narrow map, no
+    // shuffle, no explode; patterns live in the Java∩RE2 subset (the
+    // qx63 rule) and character classes match CODE POINTS in both
+    // engines, so counts agree on any BMP corpus. Empty docs guard the
+    // fraction to 0 in both engines.
+    "qx65_encoding_audit" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("\\x{FFFD}"))
+            .cast("long").as("n_repl"),
+          regexp_count(col("text"),
+            lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+            .cast("long").as("n_ctrl"),
+          regexp_count(col("text"), lit("[^\\x00-\\x7F]"))
+            .cast("long").as("n_non_ascii"),
+          length(col("text")).cast("long").as("n_cp"))
+        .withColumn("non_ascii_frac",
+          when(col("n_cp") > 0,
+            col("n_non_ascii").cast("double") / col("n_cp").cast("double"))
+            .otherwise(lit(0.0d)))
+        .withColumn("flagged",
+          col("n_repl") > 0 || col("n_ctrl") > 0 ||
+            col("non_ascii_frac") > 0.25)
+        .orderBy("doc_id")),
+
+    // label-error MINING — per label, the 5 member vectors FARTHEST
+    // from their own label centroid (lowest cosine): the cleanlab-style
+    // candidate list a labeling-quality pass reviews first. qe14 reports
+    // per-label cohesion aggregates; this names the specific suspect
+    // vectors. Same round-9 centroid staging as qe14 (so the two
+    // queries' numbers reconcile), per-member cosine as the composed
+    // double fold the qe-family twins state, then a per-label ascending
+    // WindowGroupLimit — map-side partial top-k, never a full sort.
+    // Scale: centroid frame is |labels|×dim (broadcast); the member pass
+    // is one narrow map over the corpus; ties rank by vec_id.
+    "qe23_centroid_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dims = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      val cent = dims.groupBy("label", "pos")
+        .agg(round(avg("v"), 9).as("cv"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+      def ccos(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(a, b) /
+          (sqrt(Similarity.dotComposed(a, a)) *
+            sqrt(Similarity.dotComposed(b, b)))
+      val mem = Tables.embeddings(s, dir)
+        .join(broadcast(cent), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          ccos(col("embedding"), col("cvec")).as("cos"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("cos").asc, col("vec_id"))
+      mem.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("label", "rank", "vec_id", "cos")
+        .orderBy("label", "rank")
+    }),
+
+    // label-confusability MAP — pairwise cosine between label centroids
+    // (the qe14/qe23 round-9 centroids): which classes sit close enough
+    // in embedding space that a classifier or hard-negative miner
+    // (qe22) should treat them as confusable. Output is the upper
+    // triangle of the |labels|² matrix — bounded by the label
+    // vocabulary however large the corpus; the only corpus-proportional
+    // work is the centroid aggregation itself (map-side partial sums
+    // over (label, pos) keys).
+    "qe24_label_affinity" -> ((s, dir) => {
+      val cent = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(round(avg("v"), 9).as("cv"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("cvec"))
+      def ccos(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+        Similarity.dotComposed(a, b) /
+          (sqrt(Similarity.dotComposed(a, a)) *
+            sqrt(Similarity.dotComposed(b, b)))
+      val a = cent.select(col("label").as("la"), col("cvec").as("va"))
+      val b = cent.select(col("label").as("lb"), col("cvec").as("vb"))
+      a.crossJoin(broadcast(b)).where(col("la") < col("lb"))
+        .select(col("la"), col("lb"), ccos(col("va"), col("vb")).as("cos"))
+        .orderBy("la", "lb")
+    }),
+
+    // consecutive-frame DELTA energy — the multimodal family's first
+    // TEMPORAL signal (qm5 is per-frame statics): per asset, the L1
+    // byte distance between each sampled frame and its predecessor over
+    // their shared prefix — the scene-change / silence-detection proxy
+    // a real pipeline runs right after decode (the decode itself stays
+    // the documented stub; the byte plumbing is real). One narrow
+    // frame-expansion map, one doc-keyed window (frames are already
+    // co-partitioned by the posexplode), no extra shuffle beyond the
+    // lag's partition-by. Exact integer deltas; the one double is the
+    // final mean.
+    "qm6_frame_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fr = Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), posexplode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+        .toDF("doc_id", "frame_no", "frame")
+      val hx = hex(col("frame"))
+      val bytesArr = transform(
+        sequence(lit(1), octet_length(col("frame"))),
+        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy("frame_no")
+      val withPrev = fr
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          bytesArr.as("bv"))
+        .withColumn("pv", lag(col("bv"), 1).over(w))
+        .where(col("pv").isNotNull)
+      val lp = least(size(col("bv")), size(col("pv")))
+      withPrev
+        .select(col("doc_id"), col("frame_no"),
+          lp.cast("long").as("n_cmp"),
+          aggregate(
+            zip_with(slice(col("bv"), lit(1), lp),
+              slice(col("pv"), lit(1), lp),
+              (x, y) => abs(x - y)),
+            lit(0L), (a0, x) => a0 + x).as("delta_l1"))
+        .withColumn("mean_delta",
+          col("delta_l1").cast("double") / col("n_cmp").cast("double"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -3169,6 +3387,105 @@ object ExtQueries {
       |         list_transform(range(len(toks) - 2),
       |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS s
       |  FROM tok WHERE len(toks) >= 3)""".stripMargin
+
+  /** The qx11 minhash-cluster chain appended to [[ShingleCte]] — exact-
+    * content pre-collapse, 4-band signatures over the reps, capped band
+    * self-join, recursive-CTE connected components, doc-grain expansion
+    * (`clus`: every doc with its cluster id). Shared by the cluster-grain
+    * consumers added after round 8 (qz14); qx11/qz6/qz12/qz7 carry their
+    * own verbatim copies from earlier rounds. */
+  private val ClusterChainCte =
+    s""",
+      |fpt AS (
+      |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+      |  FROM tok WHERE len(toks) >= 3),
+      |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
+      |docrep AS (
+      |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+      |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+      |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+      |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+      |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
+      |bnd AS (
+      |  SELECT doc_id, h0 AS band FROM sig
+      |  UNION ALL SELECT doc_id, h1 FROM sig
+      |  UNION ALL SELECT doc_id, h2 FROM sig
+      |  UNION ALL SELECT doc_id, h3 FROM sig),
+      |small AS (
+      |  SELECT doc_id, band FROM bnd
+      |  WHERE band IN (SELECT band FROM bnd GROUP BY band
+      |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+      |e AS (
+      |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+      |  FROM small a JOIN small c
+      |    ON a.band = c.band AND a.doc_id < c.doc_id),
+      |reach(node, label) AS (
+      |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
+      |  UNION
+      |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
+      |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
+      |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+      |expand AS (
+      |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
+      |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node),
+      |clus AS (
+      |  SELECT d.doc_id, coalesce(x.cluster, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN expand x ON d.doc_id = x.doc_id)"""
+      .stripMargin
+
+  /** qz7/qz15 shared flag staging appended to [[ClusterChainCte]]: the
+    * per-doc minhash dup flag (`mhf` — cluster size > 1) plus the qx61
+    * simhash band/refine chain ending in the simhash-flagged doc set
+    * (`shd`). */
+  private val DupFlagsCte =
+    s""",
+      |csz AS (SELECT cluster, count(*) AS n FROM clus GROUP BY cluster),
+      |mhf AS (
+      |  SELECT c.doc_id, (z.n > 1) AS mh_dup
+      |  FROM clus c JOIN csz z USING (cluster)),
+      |stok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |sbits AS (
+      |  SELECT doc_id, p,
+      |         CASE WHEN 2 * sum(CASE WHEN strpos('89abcdef',
+      |                substr(md5(t), CAST(p AS INTEGER), 1)) > 0
+      |              THEN 1 ELSE 0 END) >= count(*)
+      |              THEN '1' ELSE '0' END AS b
+      |  FROM stok, range(1, 33) AS r(p)
+      |  GROUP BY doc_id, p),
+      |sshs AS (
+      |  SELECT doc_id, string_agg(b, '' ORDER BY p) AS sh
+      |  FROM sbits GROUP BY doc_id),
+      |sbnd AS (
+      |  SELECT doc_id, '0:' || substr(sh, 1, 8) AS band FROM sshs
+      |  UNION ALL SELECT doc_id, '1:' || substr(sh, 9, 8) FROM sshs
+      |  UNION ALL SELECT doc_id, '2:' || substr(sh, 17, 8) FROM sshs
+      |  UNION ALL SELECT doc_id, '3:' || substr(sh, 25, 8) FROM sshs),
+      |ssmall AS (
+      |  SELECT doc_id, band FROM sbnd
+      |  WHERE band IN (SELECT band FROM sbnd GROUP BY band
+      |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+      |sp AS (
+      |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+      |  FROM ssmall a JOIN ssmall c
+      |    ON a.band = c.band AND a.doc_id < c.doc_id),
+      |spairs AS (
+      |  SELECT sp.d1, sp.d2
+      |  FROM sp
+      |  JOIN sshs x ON x.doc_id = sp.d1
+      |  JOIN sshs y ON y.doc_id = sp.d2
+      |  WHERE list_reduce(list_transform(range(1, 33),
+      |      i -> CASE WHEN substr(x.sh, CAST(i AS INT), 1)
+      |                <> substr(y.sh, CAST(i AS INT), 1)
+      |           THEN 1 ELSE 0 END), (a, b) -> a + b) <= 3),
+      |shd AS (
+      |  SELECT DISTINCT d FROM
+      |    (SELECT d1 AS d FROM spairs
+      |     UNION ALL SELECT d2 FROM spairs) u)""".stripMargin
 
   /** DuckDB twin of the IVF search given the fitted float centroids:
     * a VALUES table of exact-decimal centroid literals (BigDecimal of the
@@ -6313,96 +6630,174 @@ object ExtQueries {
     // qx11's cluster chain ⊕ qx61's simhash-pair chain (CTEs prefixed
     // s-) merged into one statement; the two flags and the agreement
     // bit close it out
-    "qz7_dedup_agreement" -> (ShingleCte +
-      s""",
-        |fpt AS (
-        |  SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
-        |  FROM tok WHERE len(toks) >= 3),
-        |rep AS (SELECT fp, min(doc_id) AS rep FROM fpt GROUP BY fp),
-        |docrep AS (
-        |  SELECT f.doc_id, r.rep FROM fpt f JOIN rep r USING (fp)),
-        |sig AS (
-        |  SELECT doc_id,
-        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
-        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
-        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
-        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
-        |  FROM sh WHERE doc_id IN (SELECT rep FROM rep)),
-        |bnd AS (
-        |  SELECT doc_id, h0 AS band FROM sig
-        |  UNION ALL SELECT doc_id, h1 FROM sig
-        |  UNION ALL SELECT doc_id, h2 FROM sig
-        |  UNION ALL SELECT doc_id, h3 FROM sig),
-        |small AS (
-        |  SELECT doc_id, band FROM bnd
-        |  WHERE band IN (SELECT band FROM bnd GROUP BY band
-        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
-        |e AS (
-        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM small a JOIN small c
-        |    ON a.band = c.band AND a.doc_id < c.doc_id),
-        |reach(node, label) AS (
-        |  SELECT d, d FROM (SELECT d1 AS d FROM e UNION SELECT d2 FROM e) t(d)
-        |  UNION
-        |  SELECT CASE WHEN r.node = e.d1 THEN e.d2 ELSE e.d1 END, r.label
-        |  FROM reach r JOIN e ON r.node = e.d1 OR r.node = e.d2),
-        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
-        |expand AS (
-        |  SELECT dr.doc_id, coalesce(cc.cluster, dr.rep) AS cluster
-        |  FROM docrep dr LEFT JOIN cc ON dr.rep = cc.node),
-        |clus AS (
-        |  SELECT d.doc_id, coalesce(x.cluster, d.doc_id) AS cluster
-        |  FROM documents d LEFT JOIN expand x ON d.doc_id = x.doc_id),
-        |csz AS (SELECT cluster, count(*) AS n FROM clus GROUP BY cluster),
-        |mhf AS (
-        |  SELECT c.doc_id, (z.n > 1) AS mh_dup
-        |  FROM clus c JOIN csz z USING (cluster)),
-        |stok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
-        |  FROM documents),
-        |sbits AS (
-        |  SELECT doc_id, p,
-        |         CASE WHEN 2 * sum(CASE WHEN strpos('89abcdef',
-        |                substr(md5(t), CAST(p AS INTEGER), 1)) > 0
-        |              THEN 1 ELSE 0 END) >= count(*)
-        |              THEN '1' ELSE '0' END AS b
-        |  FROM stok, range(1, 33) AS r(p)
-        |  GROUP BY doc_id, p),
-        |sshs AS (
-        |  SELECT doc_id, string_agg(b, '' ORDER BY p) AS sh
-        |  FROM sbits GROUP BY doc_id),
-        |sbnd AS (
-        |  SELECT doc_id, '0:' || substr(sh, 1, 8) AS band FROM sshs
-        |  UNION ALL SELECT doc_id, '1:' || substr(sh, 9, 8) FROM sshs
-        |  UNION ALL SELECT doc_id, '2:' || substr(sh, 17, 8) FROM sshs
-        |  UNION ALL SELECT doc_id, '3:' || substr(sh, 25, 8) FROM sshs),
-        |ssmall AS (
-        |  SELECT doc_id, band FROM sbnd
-        |  WHERE band IN (SELECT band FROM sbnd GROUP BY band
-        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
-        |sp AS (
-        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-        |  FROM ssmall a JOIN ssmall c
-        |    ON a.band = c.band AND a.doc_id < c.doc_id),
-        |spairs AS (
-        |  SELECT sp.d1, sp.d2
-        |  FROM sp
-        |  JOIN sshs x ON x.doc_id = sp.d1
-        |  JOIN sshs y ON y.doc_id = sp.d2
-        |  WHERE list_reduce(list_transform(range(1, 33),
-        |      i -> CASE WHEN substr(x.sh, CAST(i AS INT), 1)
-        |                <> substr(y.sh, CAST(i AS INT), 1)
-        |           THEN 1 ELSE 0 END), (a, b) -> a + b) <= 3),
-        |shd AS (
-        |  SELECT DISTINCT d FROM
-        |    (SELECT d1 AS d FROM spairs
-        |     UNION ALL SELECT d2 FROM spairs) u)
+    "qz7_dedup_agreement" -> ((ShingleCte + ClusterChainCte +
+      DupFlagsCte +
+      """
         |SELECT m.doc_id, m.mh_dup,
         |  (shd.d IS NOT NULL) AS sh_dup,
         |  m.mh_dup = (shd.d IS NOT NULL) AS agree
         |FROM mhf m LEFT JOIN shd ON m.doc_id = shd.d
         |ORDER BY m.doc_id""".stripMargin).replace("WITH tok AS",
-      "WITH RECURSIVE tok AS"),
+      "WITH RECURSIVE tok AS")),
+
+    // qz7's per-doc flag staging (cluster chain + simhash chain) with
+    // the 2×2 confusion collapsed into Cohen's κ — counts in BIGINT,
+    // po/pe/κ as the same three divisions the Spark leg states
+    "qz15_kappa" -> ((ShingleCte + ClusterChainCte + DupFlagsCte +
+      """,
+        |f AS (
+        |  SELECT m.mh_dup AS mh, (shd.d IS NOT NULL) AS sh
+        |  FROM mhf m LEFT JOIN shd ON m.doc_id = shd.d),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN mh AND sh THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN mh AND NOT sh THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT mh AND sh THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT mh AND NOT sh THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM f),
+        |k0 AS (SELECT n11, n10, n01, n00,
+        |         n11 + n10 + n01 + n00 AS n FROM c),
+        |k AS (
+        |  SELECT n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    CAST((n11 + n10) * (n11 + n01) +
+        |         (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |      / CAST(n * n AS DOUBLE) AS pe
+        |  FROM k0)
+        |SELECT n11, n10, n01, n00, po, pe,
+        |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+        |FROM k""".stripMargin).replace("WITH tok AS",
+      "WITH RECURSIVE tok AS")),
+
+    // the qx11 cluster chain at CLUSTER grain: size, source/lang
+    // spread, majority-source share over multi-doc clusters
+    "qz14_cluster_purity" -> ((ShingleCte + ClusterChainCte +
+      """,
+        |j AS (
+        |  SELECT c.cluster, d.source, d.lang
+        |  FROM clus c JOIN documents d USING (doc_id)),
+        |per AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM j GROUP BY cluster),
+        |ps AS (SELECT cluster, source, count(*) AS c
+        |       FROM j GROUP BY cluster, source),
+        |top AS (SELECT cluster, CAST(max(c) AS BIGINT) AS top_src_docs
+        |        FROM ps GROUP BY cluster)
+        |SELECT per.cluster, n_docs, n_sources, n_langs, top_src_docs,
+        |       CAST(top_src_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |         AS top_share,
+        |       n_sources > 1 AS cross_source
+        |FROM per JOIN top USING (cluster)
+        |WHERE n_docs >= 2
+        |ORDER BY per.cluster""".stripMargin).replace("WITH tok AS",
+      "WITH RECURSIVE tok AS")),
+
+    // regexp counts over code points — same Java∩RE2 patterns as the
+    // Spark projection; empty docs guard the fraction to 0
+    "qx65_encoding_audit" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\x{FFFD}'))
+        |      AS BIGINT) AS n_repl,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+        |    CAST(len(regexp_extract_all(text, '[^\x00-\x7F]'))
+        |      AS BIGINT) AS n_non_ascii,
+        |    CAST(length(text) AS BIGINT) AS n_cp
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_repl, n_ctrl, n_non_ascii, n_cp,
+        |    CASE WHEN n_cp > 0
+        |         THEN CAST(n_non_ascii AS DOUBLE) / CAST(n_cp AS DOUBLE)
+        |         ELSE 0.0 END AS non_ascii_frac
+        |  FROM a)
+        |SELECT doc_id, n_repl, n_ctrl, n_non_ascii, n_cp,
+        |       non_ascii_frac,
+        |       n_repl > 0 OR n_ctrl > 0 OR non_ascii_frac > 0.25
+        |         AS flagged
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // qe14's round-9 centroid staging, member cosine carried to vec_id
+    // grain, ascending per-label top-5
+    "qe23_centroid_outliers" ->
+      s"""WITH dims AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos, round(avg(v), 9) + 0.0E0 AS cv
+        |  FROM dims GROUP BY label, pos),
+        |cvec AS (SELECT label, list(cv ORDER BY pos) AS cvec
+        |         FROM cent GROUP BY label),
+        |mem AS (
+        |  SELECT e.label, e.vec_id,
+        |         ${cosSql("e.embedding", "c.cvec")} AS cos
+        |  FROM embeddings e JOIN cvec c USING (label))
+        |SELECT label, CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       vec_id, cos
+        |FROM mem
+        |WINDOW w AS (PARTITION BY label ORDER BY cos, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY label, rank""".stripMargin,
+
+    // the same centroids, upper-triangle pairwise cosine
+    "qe24_label_affinity" ->
+      s"""WITH dims AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos, round(avg(v), 9) + 0.0E0 AS cv
+        |  FROM dims GROUP BY label, pos),
+        |cvec AS (SELECT label, list(cv ORDER BY pos) AS cvec
+        |         FROM cent GROUP BY label)
+        |SELECT a.label AS la, b.label AS lb,
+        |       ${cosSql("a.cvec", "b.cvec")} AS cos
+        |FROM cvec a JOIN cvec b ON a.label < b.label
+        |ORDER BY la, lb""".stripMargin,
+
+    // qm5's frame/byte-vector staging plus a per-asset lag; the L1
+    // delta folds over the shared prefix of consecutive frames
+    "qm6_frame_delta" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      b -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |p AS (
+        |  SELECT doc_id, frame_no, bv,
+        |    lag(bv) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pv
+        |  FROM h),
+        |q AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(least(len(bv), len(pv)) AS BIGINT) AS n_cmp,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, least(len(bv), len(pv)) + 1),
+        |        j -> abs(bv[j] - pv[j]))),
+        |      (a, x) -> a + x) AS BIGINT) AS delta_l1
+        |  FROM p WHERE pv IS NOT NULL)
+        |SELECT doc_id, frame_no, n_cmp, delta_l1,
+        |  CAST(delta_l1 AS DOUBLE) / CAST(n_cmp AS DOUBLE) AS mean_delta
+        |FROM q
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     // qx11's cluster chain (for is_dup) ⊕ qz6's quality CTE ⊕ the
     // qx18-style bounded-domain decile thresholds

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-invariant specs for the round-9 continuation batch: cluster
+  * purity (qz14), chance-corrected method agreement (qz15), and the
+  * encoding-quality gate (qx65). Fixtures are written as parquet
+  * `documents` tables so every assertion exercises the ACTUAL query the
+  * driver oracles, not a re-derivation of it. */
+class Round9bSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plantDocs(rows: Seq[(Long, String, String, String, Long)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9bspec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("qz14 cluster purity: a cross-source duplicate pair splits its " +
+    "majority share 50/50 and flags cross_source; a same-source pair is " +
+    "pure; singletons never emit a row") {
+    val dir = plantDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "srcA", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "srcB", 30L),
+      (3L, "one two three four five", "en", "srcC", 23L),
+      (4L, "one two three four five", "en", "srcC", 23L),
+      (5L, "unique words only here now", "en", "srcA", 26L)))
+    val out = queries.ExtQueries.queries("qz14_cluster_purity")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(out.keySet == Set(1L, 3L), s"got ${out.keySet}")
+    assert(out(1L) == (2L, 2L, 1L, 1L, 0.5, true), s"got ${out(1L)}")
+    assert(out(3L) == (2L, 1L, 1L, 2L, 1.0, false), s"got ${out(3L)}")
+  }
+
+  test("qz15 kappa: when minhash and simhash flag exactly the same " +
+    "duplicate pair, agreement is perfect (po = 1, kappa = 1) while " +
+    "pe stays strictly under 1") {
+    val dir = plantDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (3L, "quick brown foxes jump high", "en", "s", 27L),
+      (4L, "seven violet engines hum quietly", "en", "s", 32L),
+      (5L, "marble towers overlook green valleys", "en", "s", 36L)))
+    val r = queries.ExtQueries.queries("qz15_kappa")(spark, dir)
+      .collect().head
+    val (n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((n11, n10, n01, n00) == (2L, 0L, 0L, 3L),
+      s"got ($n11, $n10, $n01, $n00)")
+    assert(r.getDouble(4) == 1.0, s"po ${r.getDouble(4)}")
+    assert(r.getDouble(5) < 1.0, s"pe ${r.getDouble(5)}")
+    assert(r.getDouble(6) == 1.0, s"kappa ${r.getDouble(6)}")
+  }
+
+  test("qz15 kappa on the fixture corpus: counts partition the corpus " +
+    "and kappa recomputes exactly from the emitted cells") {
+    val n = Tables.documents(spark, sfDir).count()
+    val r = queries.ExtQueries.queries("qz15_kappa")(spark, sfDir)
+      .collect().head
+    val (n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n11 + n10 + n01 + n00 == n)
+    val po = (n11 + n00).toDouble / n.toDouble
+    val pe = ((n11 + n10) * (n11 + n01) +
+      (n01 + n00) * (n10 + n00)).toDouble / (n * n).toDouble
+    assert(r.getDouble(4) == po && r.getDouble(5) == pe)
+    if (pe < 1.0) assert(r.getDouble(6) == (po - pe) / (1.0 - pe))
+  }
+
+  test("qx65 encoding audit: U+FFFD and C0 controls flag a doc, " +
+    "tab/newline/CR do not count as controls, the non-ASCII fraction " +
+    "counts code points, and empty docs guard the fraction to 0") {
+    val dir = plantDocs(Seq(
+      (1L, "plain ascii text", "en", "s", 16L),
+      (2L, "bad � char", "en", "s", 10L),
+      (3L, "tab\there\nnewline\rcr", "en", "s", 19L),
+      (4L, "ding\u0007bell", "en", "s", 9L),
+      (5L, "café naïve", "fr", "s", 10L),
+      (6L, "你好", "zh", "s", 2L),
+      (7L, "", "en", "s", 0L)))
+    val out = queries.ExtQueries.queries("qx65_encoding_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(out(1L) == (0L, 0L, 0L, 16L, 0.0, false), s"got ${out(1L)}")
+    // U+FFFD is both a replacement char and a non-ASCII code point
+    assert(out(2L) == (1L, 0L, 1L, 10L, 0.1, true), s"got ${out(2L)}")
+    assert(out(3L) == (0L, 0L, 0L, 19L, 0.0, false), s"got ${out(3L)}")
+    assert(out(4L) == (0L, 1L, 0L, 9L, 0.0, true), s"got ${out(4L)}")
+    assert(out(5L) == (0L, 0L, 2L, 10L, 0.2, false), s"got ${out(5L)}")
+    assert(out(6L) == (0L, 0L, 2L, 2L, 1.0, true), s"got ${out(6L)}")
+    assert(out(7L) == (0L, 0L, 0L, 0L, 0.0, false), s"got ${out(7L)}")
+  }
+
+  private def plantEmb(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9bemb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("qe23 centroid outliers: the one off-axis member of a tight " +
+    "label ranks as its worst outlier; per-label output is capped at 5 " +
+    "rows with cosine ascending") {
+    val tight = Seq.tabulate(5)(i =>
+      (i.toLong, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0))
+    val odd = Seq((5L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0))
+    val other = Seq.tabulate(3)(i =>
+      (10L + i, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1))
+    val dir = plantEmb(tight ++ odd ++ other)
+    val out = queries.ExtQueries.queries("qe23_centroid_outliers")(
+      spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val lab0 = out.filter(_._1 == 0)
+    assert(lab0.length == 5, s"got ${lab0.length} rows for label 0")
+    assert(lab0.head._3 == 5L,
+      s"worst outlier of label 0 should be vec 5, got ${lab0.head._3}")
+    assert(lab0.map(_._4).toSeq == lab0.map(_._4).sorted.toSeq)
+    assert(out.count(_._1 == 1) == 3)
+  }
+
+  test("qe24 label affinity: identical-centroid labels score cosine 1, " +
+    "orthogonal labels score 0, and only the upper triangle emits") {
+    val dir = plantEmb(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(1.0f, 0.0f), 2)))
+    val out = queries.ExtQueries.queries("qe24_label_affinity")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet == Set((0, 1), (0, 2), (1, 2)), s"got ${out.keySet}")
+    assert(out((0, 1)) == 0.0 && out((1, 2)) == 0.0)
+    assert(math.abs(out((0, 2)) - 1.0) < 1e-12, s"got ${out((0, 2))}")
+  }
+
+  test("qm6 frame delta: an unchanged frame scores delta 0, a fully " +
+    "flipped frame scores 1 per byte, and the first frame of each " +
+    "asset emits no row") {
+    // 192 chars -> frames at bytes 0/64/128; frame1 repeats 'a',
+    // frame2 is all 'b' (|'a'-'b'| = 1 per byte)
+    val dir = plantDocs(Seq(
+      (1L, "a" * 80 + "b" * 112, "en", "s", 192L)))
+    val out = queries.ExtQueries.queries("qm6_frame_delta")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 16L, 0L, 0.0),
+      (1L, 2L, 16L, 16L, 1.0)), s"got ${out.toSeq}")
+  }
+}
