@@ -569,6 +569,15 @@ object CoreQueries {
     "qs9_stream_outer" -> ((s, dir) =>
       graft.streaming.StreamingReplay.streamStreamOuterReplay(s, dir)),
 
+    // qs10 — tenth streaming path under the hash gate: the SLIDING
+    // window aggregation (1h windows every 15min — each event
+    // replicated into 4 overlapping windows), the windowing mode qs3's
+    // tumbling and qs7's session coverage leave out. The twin derives
+    // each event's 4 epoch-grid window starts with the same
+    // floor-to-grid integer arithmetic Spark's slide assignment uses.
+    "qs10_sliding_window" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.slidingWindowReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1533,6 +1542,20 @@ object CoreQueries {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |WHERE a.event_type = 'click'
         |ORDER BY c_id, p_id NULLS FIRST""".stripMargin,
+
+    // each event belongs to the 4 slide-grid windows covering it;
+    // make_timestamp rebuilds Spark's window start from epoch micros
+    "qs10_sliding_window" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |         (epoch_us(ts) // 900000000 - i) * 900000000 AS sus
+        |  FROM events, range(0, 4) AS r(i))
+        |SELECT make_timestamp(sus) AS wstart, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(vm) AS BIGINT) AS v_milli
+        |FROM g GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
 
     "qs5_stream_topterms" ->
       """WITH tok AS (

@@ -3297,6 +3297,71 @@ object ExtQueries {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // ordered conversion FUNNEL over the events stream — per user, the
+    // first 'view', the first 'click' strictly after it, the first
+    // 'purchase' strictly after that, and the stage reached (0–3): the
+    // product-analytics staple the events family (q36 gap-split, q48
+    // sessions, qs8 attribution joins) didn't yet express. Strict
+    // event-TIME ordering, not event-id order, so the result is
+    // arrival-order independent. Plan shape: one conditional min per
+    // stage, each a user_id-keyed agg; after the first shuffle the
+    // joins and re-aggs all ride the same hash partitioning (one
+    // exchange, then exchange-free), and conditional min partials
+    // combine map-side. Stage k's filter references stage k−1's
+    // timestamp, so NULL upstream stages propagate (no click counted
+    // before the first view).
+    "qz16_funnel" -> ((s, dir) => {
+      val ev = graft.Materialize.cut(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts")))
+      val t1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts")))
+          .as("v_ts"))
+      val t2 = ev.join(t1, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts") > col("v_ts"), col("ts"))).as("c_ts"))
+      val t3 = ev.join(t2, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("c_ts"), col("ts"))).as("p_ts"))
+      t1.join(t2, Seq("user_id")).join(t3, Seq("user_id"))
+        .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+          when(col("p_ts").isNotNull, 3L)
+            .when(col("c_ts").isNotNull, 2L)
+            .when(col("v_ts").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // weekly COHORT retention — users grouped by their first-seen week,
+    // distinct-user counts at each week offset, and the retention
+    // fraction against the cohort's own week-0 size: the
+    // product-analytics matrix every engagement dashboard draws.
+    // Weeks are exact integer epoch-day div 7 (no timezone float), the
+    // (cohort, offset, user) distinct bounds the shuffle at one row per
+    // user-week, and every rollup after it runs on bounded keys
+    // (weeks² cells). The one double is the final retention division.
+    "qz17_retention" -> ((s, dir) => {
+      val wk = Tables.events(s, dir).select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'1970-01-01') div 7")
+          .as("wk"))
+      val cohort = wk.groupBy("user_id").agg(min("wk").as("cw"))
+      val j = wk.join(cohort, Seq("user_id"))
+        .select(col("cw"), (col("wk") - col("cw")).as("off"),
+          col("user_id"))
+        .distinct()
+      val ret = j.groupBy("cw", "off").agg(count(lit(1)).as("n_users"))
+      val base = ret.where(col("off") === 0)
+        .select(col("cw"), col("n_users").as("cohort_size"))
+      ret.join(base, Seq("cw"))
+        .select(col("cw").as("cohort_week"),
+          col("off").as("week_offset"),
+          col("n_users"), col("cohort_size"),
+          (col("n_users").cast("double") /
+            col("cohort_size").cast("double")).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -6722,6 +6787,51 @@ object ExtQueries {
         |       n_repl > 0 OR n_ctrl > 0 OR non_ascii_frac > 0.25
         |         AS flagged
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // three conditional mins chained on strict event-time order
+    "qz16_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+        |  FROM events GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t1.v_ts
+        |        THEN e.ts END) AS c_ts
+        |  FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.c_ts
+        |        THEN e.ts END) AS p_ts
+        |  FROM events e JOIN t2 USING (user_id) GROUP BY e.user_id)
+        |SELECT t1.user_id, v_ts, c_ts, p_ts,
+        |  CAST(CASE WHEN p_ts IS NOT NULL THEN 3
+        |            WHEN c_ts IS NOT NULL THEN 2
+        |            WHEN v_ts IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+        |ORDER BY t1.user_id""".stripMargin,
+
+    // epoch-day div 7 weeks; distinct (cohort, offset, user) then
+    // bounded-key rollups
+    "qz17_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM wk GROUP BY user_id),
+        |j AS (SELECT DISTINCT c.cw, w.wk - c.cw AS off, w.user_id
+        |      FROM wk w JOIN cohort c USING (user_id)),
+        |ret AS (SELECT cw, off, CAST(count(*) AS BIGINT) AS n_users
+        |        FROM j GROUP BY cw, off),
+        |base AS (SELECT cw, n_users AS cohort_size FROM ret WHERE off = 0)
+        |SELECT r.cw AS cohort_week, r.off AS week_offset, r.n_users,
+        |  b.cohort_size,
+        |  CAST(r.n_users AS DOUBLE) / CAST(b.cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM ret r JOIN base b USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // qe14's round-9 centroid staging, member cosine carried to vec_id
     // grain, ascending per-label top-5

@@ -740,4 +740,74 @@ object StreamingReplay {
         col("n"), col("v_milli"))
       .orderBy("day", "event_type")
   }
+
+  // staged input for the sliding-window replay, keyed by dir
+  private val slidingStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Timestamp)]()
+
+  /** Replay events(dir) through a SLIDING-window aggregation — 1-hour
+    * windows advancing every 15 minutes, so each event lands in exactly
+    * 4 overlapping windows (qs3 covers the tumbling case where
+    * slide = duration; the overlap replication is the engine path this
+    * adds). Same watermark/sentinel finalization discipline as qs3;
+    * the aggregate commutes (count + integer-ized sum), so chunking
+    * affects only when windows emit, never their content. Declared as
+    * `qs10_sliding_window`; the twin replicates each event to its 4
+    * epoch-grid window starts and GROUPs — Spark's slide assignment is
+    * the same floor-to-grid arithmetic. */
+  def slidingWindowReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, sentinelTs) = Option(slidingStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "wstart TIMESTAMP, event_type STRING, n BIGINT, " +
+                "v_milli BIGINT"))
+        // 3 days past the last event: beyond every real window's end +
+        // the 1h watermark delay, on its own stretch of the slide grid
+        val sentTs =
+          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
+        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs10-replay"), sentTs)
+        slidingStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs10_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("v_milli"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("event_type") =!= "__sentinel__" &&
+        col("w.start") < lit(sentinelTs))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n"), col("v_milli"))
+      .orderBy("wstart", "event_type")
+  }
 }

@@ -153,4 +153,79 @@ class Round9bSpec extends SparkTestBase {
       (1L, 1L, 16L, 0L, 0.0),
       (1L, 2L, 16L, 16L, 1.0)), s"got ${out.toSeq}")
   }
+
+  private def plantEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9bev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("qz16 funnel: stages advance only on strictly-later events — a " +
+    "click BEFORE the first view does not count, a user with no view " +
+    "sits at stage 0, and a full ordered chain reaches stage 3") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      // user 1: view < click < purchase → stage 3
+      (1L, t0, 1L, "view"), (2L, t0 + 10L, 1L, "click"),
+      (3L, t0 + 20L, 1L, "purchase"),
+      // user 2: click precedes the first view → stage stalls at 1
+      (4L, t0, 2L, "click"), (5L, t0 + 10L, 2L, "view"),
+      // user 3: no view at all → stage 0, later events ignored
+      (6L, t0, 3L, "click"), (7L, t0 + 10L, 3L, "purchase")))
+    val out = queries.ExtQueries.queries("qz16_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L), s"got $out")
+  }
+
+  test("qz16 funnel: a purchase at the SAME timestamp as the first " +
+    "click is not strictly later and does not advance the stage") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 10L, 1L, "click"),
+      (3L, t0 + 10L, 1L, "purchase")))
+    val out = queries.ExtQueries.queries("qz16_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 2L), s"got $out")
+  }
+
+  test("qz17 retention: a user counts once per (cohort, offset) however " +
+    "many events they have, cohorts anchor at each user's first week, " +
+    "and week-0 retention is exactly 1.0") {
+    val day = 86_400_000_000L
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      // users 1,2 start week 0; user 1 returns in week 1 (twice)
+      (1L, t0, 1L, "view"), (2L, t0 + 7 * day, 1L, "view"),
+      (3L, t0 + 7 * day + 1000L, 1L, "click"),
+      (4L, t0 + day, 2L, "view"),
+      // user 3 starts two weeks later → its own cohort
+      (5L, t0 + 15 * day, 3L, "view")))
+    val out = queries.ExtQueries.queries("qz17_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val w0 = out.keys.map(_._1).min
+    assert(out(w0 -> 0L) == (2L, 2L, 1.0), s"got ${out(w0 -> 0L)}")
+    assert(out(w0 -> 1L) == (1L, 2L, 0.5), s"got ${out(w0 -> 1L)}")
+    assert(out.keySet.count(_._2 == 0L) == 2, s"got ${out.keySet}")
+  }
+
+  test("qs10 sliding windows: one event lands in exactly 4 overlapping " +
+    "hour windows on the 15-minute grid, anchored at its own " +
+    "grid-aligned start") {
+    val slideUs = 900_000_000L
+    val t0 = (1_700_000_000_000_000L / slideUs) * slideUs // grid-aligned
+    val dir = plantEvents(Seq((1L, t0, 1L, "view")))
+    val out = streaming.StreamingReplay.slidingWindowReplay(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // grid starts are whole seconds, so millisecond Timestamps are exact
+    val expect = (0 to 3).map(i =>
+      (new java.sql.Timestamp((t0 - i * slideUs) / 1000L), "view", 1L))
+      .sortBy(_._1.getTime)
+    assert(out.toSeq == expect, s"got ${out.toSeq}")
+  }
 }
