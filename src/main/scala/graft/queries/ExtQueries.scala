@@ -3362,6 +3362,76 @@ object ExtQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // language-TAG audit — declared `lang` vs the qx6 stopword
+    // classifier's prediction, per doc: the label-error detector for
+    // language metadata (qe23 is the same idea for embedding labels).
+    // Mislabeled language tags silently poison per-language mixture
+    // weights (qx22/qp2) and fertility planning (qx51), so the audit
+    // belongs next to them. Same one-pass scoring projection as qx6
+    // (narrow map, no shuffle); agreement is a plain string equality.
+    "qx68_lang_mismatch" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id") +: col("lang") +:
+          Text.StopwordSets.map { case (l, ws) =>
+            Text.stopwordScore(col("toks"), ws).as(s"s_$l") }: _*)
+        .select(col("doc_id"), col("lang"),
+          Text.langIdFromScores(
+            Text.StopwordSets.map { case (l, _) => l -> col(s"s_$l") })
+            .as("pred"))
+        .withColumn("agree", col("pred") === col("lang"))
+        .orderBy("doc_id")),
+
+    // event-type TRANSITION matrix — first-order Markov statistics over
+    // each user's event-time-ordered stream (the behavioral analog of
+    // qx29's token PMI): per (from, to) pair, the transition count and
+    // row-normalized probability. Strict (ts, event_id) ordering makes
+    // the sequence a total order, so both engines see identical
+    // successor pairs. Plan shape: ONE user_id-keyed window shuffle
+    // (the same entity-keyed exchange every sequence op pays), then a
+    // |types|²-bounded rollup with map-side combine; the probability is
+    // one division over exact BIGINTs.
+    "qz18_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .select(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum("n").as("tot"))
+      tr.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // hot-KEY skew audit — the top-10 heaviest join/agg keys in the
+    // events stream with their share of all rows and their ratio to the
+    // mean key load: the report that DECIDES when the engine's own skew
+    // disciplines (salted assembly, AQE skew join, band caps) need to
+    // engage on an entity key. Exact integer counts; the global top-k
+    // is a TakeOrdered (sort-limit) — never a full global sort — and
+    // the two scalars it joins are a one-row broadcast.
+    "qz19_key_skew" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val stats = cnt.agg(sum("n").as("total"),
+        count(lit(1)).as("n_keys"))
+      cnt.crossJoin(broadcast(stats))
+        .select(col("user_id"), col("n").as("n_events"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          ((col("n") * col("n_keys")).cast("double") /
+            col("total").cast("double")).as("skew"))
+        .orderBy(desc("n_events"), col("user_id"))
+        .limit(10)
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -6832,6 +6902,62 @@ object ExtQueries {
         |    AS retention
         |FROM ret r JOIN base b USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // qx6's scoring CTE with the declared lang carried through
+    "qx68_lang_mismatch" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['的','是','不','了','在'], t))) AS s_zh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS pred
+        |  FROM sc)
+        |SELECT doc_id, lang, pred, pred = lang AS agree
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // one lead window per user in strict (ts, event_id) order, then a
+    // types²-bounded rollup; p is one division over exact BIGINTs
+    "qz18_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM tr GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, t.n,
+        |       CAST(t.n AS DOUBLE) / CAST(o.tot AS DOUBLE) AS p
+        |FROM tr t JOIN tot o USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // key-count rollup, one-row totals, top-10 by load
+    "qz19_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT user_id, n AS n_events,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew
+        |FROM c CROSS JOIN s
+        |ORDER BY n_events DESC, user_id
+        |LIMIT 10""".stripMargin,
 
     // qe14's round-9 centroid staging, member cosine carried to vec_id
     // grain, ascending per-label top-5

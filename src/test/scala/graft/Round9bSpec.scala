@@ -228,4 +228,51 @@ class Round9bSpec extends SparkTestBase {
       .sortBy(_._1.getTime)
     assert(out.toSeq == expect, s"got ${out.toSeq}")
   }
+
+  test("qx68 lang mismatch: a doc whose stopwords argmax to its " +
+    "declared lang agrees; a mistagged doc flags pred != lang") {
+    val dir = plantDocs(Seq(
+      (1L, "the cat and the dog of a house", "en", "s", 30L),
+      (2L, "the cat and the dog of a house", "fr", "s", 30L)))
+    val out = queries.ExtQueries.queries("qx68_lang_mismatch")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ("en", "en", true), s"got ${out(1L)}")
+    assert(out(2L) == ("fr", "en", false), s"got ${out(2L)}")
+  }
+
+  test("qz18 event transitions: successor pairs follow strict " +
+    "(ts, event_id) order per user, never cross users, and " +
+    "probabilities row-normalize per from_type") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 10L, 1L, "click"),
+      (3L, t0 + 20L, 1L, "view"),
+      (4L, t0, 2L, "view"), (5L, t0 + 10L, 2L, "purchase")))
+    val out = queries.ExtQueries.queries("qz18_event_transitions")(
+      spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("view", "click") -> (1L, 0.5),
+      ("view", "purchase") -> (1L, 0.5),
+      ("click", "view") -> (1L, 1.0)), s"got $out")
+  }
+
+  test("qz19 key skew: shares sum over emitted keys, the hottest key " +
+    "leads with skew = n / mean, and ties break by user_id") {
+    val t0 = 1_700_000_000_000_000L
+    val ev = (1 to 6).map(i => (i.toLong, t0 + i, 1L, "view")) ++
+      Seq((7L, t0, 2L, "view"), (8L, t0 + 1, 2L, "view"),
+        (9L, t0, 3L, "view"), (10L, t0, 4L, "view"))
+    val dir = plantEvents(ev)
+    val out = queries.ExtQueries.queries("qz19_key_skew")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0.6, 2.4),
+      (2L, 2L, 0.2, 0.8),
+      (3L, 1L, 0.1, 0.4),
+      (4L, 1L, 0.1, 0.4)), s"got ${out.toSeq}")
+  }
 }
