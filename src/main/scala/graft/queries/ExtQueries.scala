@@ -3303,28 +3303,32 @@ object ExtQueries {
     // product-analytics staple the events family (q36 gap-split, q48
     // sessions, qs8 attribution joins) didn't yet express. Strict
     // event-TIME ordering, not event-id order, so the result is
-    // arrival-order independent. Plan shape: one conditional min per
-    // stage, each a user_id-keyed agg; after the first shuffle the
-    // joins and re-aggs all ride the same hash partitioning (one
-    // exchange, then exchange-free), and conditional min partials
-    // combine map-side. Stage k's filter references stage k−1's
-    // timestamp, so NULL upstream stages propagate (no click counted
-    // before the first view).
+    // arrival-order independent. Plan shape: each stage aggregates
+    // ONLY its own event-type slice (the type filter reaches the scan,
+    // so a stage shuffles its slice of the stream, never the whole
+    // stream — the 10× probe caught the unfiltered formulation
+    // re-shuffling all events per stage once the per-user frames
+    // outgrew broadcast); a user with no qualifying upstream event
+    // drops from the inner stage joins and is restored NULL-staged by
+    // the left joins against the distinct-user universe. Every
+    // exchange is user_id-keyed and linear in its slice.
     "qz16_funnel" -> ((s, dir) => {
       val ev = graft.Materialize.cut(Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts")))
-      val t1 = ev.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("ts")))
-          .as("v_ts"))
-      val t2 = ev.join(t1, Seq("user_id"))
-        .groupBy("user_id")
-        .agg(min(when(col("event_type") === "click" &&
-          col("ts") > col("v_ts"), col("ts"))).as("c_ts"))
-      val t3 = ev.join(t2, Seq("user_id"))
-        .groupBy("user_id")
-        .agg(min(when(col("event_type") === "purchase" &&
-          col("ts") > col("c_ts"), col("ts"))).as("p_ts"))
-      t1.join(t2, Seq("user_id")).join(t3, Seq("user_id"))
+      val users = ev.select("user_id").distinct()
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
         .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
           when(col("p_ts").isNotNull, 3L)
             .when(col("c_ts").isNotNull, 2L)
