@@ -3436,6 +3436,114 @@ object ExtQueries {
         .limit(10)
     }),
 
+    // storage-SAVINGS manifest — what exact dedup would reclaim at each
+    // content grain (doc / line / frame), in one report: total units,
+    // distinct units, duplicate units, total bytes, and the bytes freed
+    // by keeping one copy per fingerprint. The capacity-planning number
+    // a 100 TB ingest actually budgets with (qx1/qx62/qm4 DECIDE what
+    // to drop; this prices it). All exact integers; every grain is a
+    // fingerprint-keyed agg over hashes computed in the scan projection
+    // — raw bytes never shuffle (the qm3 discipline). The three
+    // one-row rollups union into a 3-row frame.
+    "qz20_dedup_savings" -> ((s, dir) => {
+      def gather(grain: String, units: DataFrame): DataFrame = {
+        // units: (fp, nb) one row per unit instance
+        val per = units.groupBy("fp").agg(
+          count(lit(1)).as("n"),
+          // dup instances beyond the first each free one copy's bytes;
+          // identical fp ⇒ identical bytes, min is exact
+          min("nb").as("nb"))
+        per.agg(
+          sum("n").as("n_units"),
+          count(lit(1)).as("n_distinct"),
+          (sum("n") - count(lit(1))).as("dup_units"),
+          sum(col("n") * col("nb")).as("bytes_total"),
+          sum((col("n") - 1) * col("nb")).as("bytes_saved"))
+          .select(lit(grain).as("grain"), col("n_units"),
+            col("n_distinct"), col("dup_units"), col("bytes_total"),
+            col("bytes_saved"))
+      }
+      val docs = Tables.documents(s, dir)
+      val docUnits = docs.select(md5(col("text")).as("fp"),
+        octet_length(col("text")).cast("long").as("nb"))
+      val lineUnits = docs
+        .select(explode(split(col("text"), "\n")).as("line"))
+        .select(md5(col("line")).as("fp"),
+          octet_length(col("line")).cast("long").as("nb"))
+      val frameUnits = Multimodal.synthMedia(s, dir)
+        .select(explode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4))
+          .as("frame"))
+        .where(octet_length(col("frame")) > 0)
+        .select(hex(col("frame")).as("fp"),
+          octet_length(col("frame")).cast("long").as("nb"))
+      gather("doc", docUnits)
+        .unionAll(gather("line", lineUnits))
+        .unionAll(gather("frame", frameUnits))
+        .orderBy("grain")
+    }),
+
+    // daily OHLC per user — open/high/low/close of the `value` series
+    // per (user, day) with strict (ts, event_id) ordering for the
+    // open/close picks: the time-bucketed first/last/extremes rollup
+    // every metrics store materializes. First/last ride lexicographic
+    // struct min/max (one agg, no window, map-side partials — the
+    // deterministic-last-value discipline of q17/A7); the value sum is
+    // integer milli units (qs3 rule). One (user, day)-keyed exchange.
+    "qz21_daily_ohlc" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        col("ts").cast("date").as("day"),
+        col("ts"), col("event_id"), col("value"))
+      e.groupBy("user_id", "day")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .orderBy("user_id", "day")
+    }),
+
+    // INTERPOLATED (type-7) length quantiles per language — the
+    // continuous companion of qx18's type-1 picks, computed the
+    // scale-correct way: the same bounded-domain (lang, n_chars)
+    // histogram (one shuffle of distinct values), cumulative window
+    // per lang, then h = (n−1)·q/100 split into an exact integer rank
+    // (div) and an exact rational fraction (mod/100); the two
+    // bracketing order statistics come from the cumulative counts and
+    // the one interpolation is a double expression both engines state
+    // identically. No per-row sort, no full-value agg state — one row
+    // per DISTINCT length however large the corpus.
+    "qx69_interp_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.documents(s, dir)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("total", sum("c").over(Window.partitionBy("lang")))
+      def qc(pct: Int) = {
+        // lo/frac are per-lang constants stated at row level; max()
+        // lifts frac into the aggregation scope unchanged
+        val lo = expr(s"((total - 1) * $pct) div 100")
+        val frac = (((col("total") - 1) * pct) % 100).cast("double") /
+          lit(100.0d)
+        val vLo = min(when(col("cum") >= lo + 1, col("n_chars")))
+        val vHi = coalesce(min(when(col("cum") >= lo + 2, col("n_chars"))),
+          vLo)
+        (vLo.cast("double") +
+          max(frac) * (vHi.cast("double") - vLo.cast("double")))
+          .as(s"p${pct}_c")
+      }
+      cum.groupBy("lang")
+        .agg(max("total").as("n"), qc(25), qc(50), qc(75))
+        .orderBy("lang")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -6906,6 +7014,126 @@ object ExtQueries {
         |    AS retention
         |FROM ret r JOIN base b USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // three fingerprint-keyed one-row rollups (doc md5 / line md5 /
+    // frame hex) unioned; identical fp ⇒ identical bytes, min(nb) exact
+    "qz20_dedup_savings" ->
+      """WITH d AS (
+        |  SELECT md5(text) AS fp, CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM documents),
+        |dp AS (SELECT fp, CAST(count(*) AS BIGINT) AS n, min(nb) AS nb
+        |       FROM d GROUP BY fp),
+        |docg AS (
+        |  SELECT 'doc' AS grain, CAST(sum(n) AS BIGINT) AS n_units,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(n) - count(*) AS BIGINT) AS dup_units,
+        |    CAST(sum(n * nb) AS BIGINT) AS bytes_total,
+        |    CAST(sum((n - 1) * nb) AS BIGINT) AS bytes_saved
+        |  FROM dp),
+        |l AS (
+        |  SELECT md5(line) AS fp, CAST(strlen(line) AS BIGINT) AS nb
+        |  FROM (SELECT unnest(string_split(text, chr(10))) AS line
+        |        FROM documents)),
+        |lp AS (SELECT fp, CAST(count(*) AS BIGINT) AS n, min(nb) AS nb
+        |       FROM l GROUP BY fp),
+        |lineg AS (
+        |  SELECT 'line' AS grain, CAST(sum(n) AS BIGINT) AS n_units,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(n) - count(*) AS BIGINT) AS dup_units,
+        |    CAST(sum(n * nb) AS BIGINT) AS bytes_total,
+        |    CAST(sum((n - 1) * nb) AS BIGINT) AS bytes_saved
+        |  FROM lp),
+        |f AS (
+        |  SELECT hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |fg AS (SELECT substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |       FROM f),
+        |fr AS (SELECT fh AS fp, CAST(length(fh) // 2 AS BIGINT) AS nb
+        |       FROM fg WHERE length(fh) > 0),
+        |fp2 AS (SELECT fp, CAST(count(*) AS BIGINT) AS n, min(nb) AS nb
+        |        FROM fr GROUP BY fp),
+        |frameg AS (
+        |  SELECT 'frame' AS grain, CAST(sum(n) AS BIGINT) AS n_units,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(n) - count(*) AS BIGINT) AS dup_units,
+        |    CAST(sum(n * nb) AS BIGINT) AS bytes_total,
+        |    CAST(sum((n - 1) * nb) AS BIGINT) AS bytes_saved
+        |  FROM fp2)
+        |SELECT * FROM docg
+        |UNION ALL SELECT * FROM lineg
+        |UNION ALL SELECT * FROM frameg
+        |ORDER BY grain""".stripMargin,
+
+    // open/close by strict (ts, event_id) rank; extremes and counts
+    // from one rollup; v_milli in exact integers (qs3 rule)
+    "qz21_daily_ohlc" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, day, value AS open FROM r
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ts, event_id) = 1),
+        |cl AS (
+        |  SELECT user_id, day, value AS close FROM r
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |a AS (
+        |  SELECT user_id, day, max(value) AS high, min(value) AS low,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v_milli
+        |  FROM r GROUP BY user_id, day)
+        |SELECT a.user_id, a.day, o.open, a.high, a.low, cl.close,
+        |       a.n, a.v_milli
+        |FROM a JOIN o USING (user_id, day) JOIN cl USING (user_id, day)
+        |ORDER BY a.user_id, a.day""".stripMargin,
+
+    // qx18's histogram staging; h = (n-1)*q/100 split into exact
+    // integer rank + rational fraction, one interpolation per pct
+    "qx69_interp_quantiles" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars, count(*) AS c
+        |  FROM documents GROUP BY lang, n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS total
+        |  FROM hist)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= ((total-1)*25)//100 + 1
+        |       THEN n_chars END) AS DOUBLE)
+        |    + max(CAST(((total-1)*25) % 100 AS DOUBLE) / 100.0)
+        |    * (CAST(coalesce(
+        |         min(CASE WHEN cum >= ((total-1)*25)//100 + 2
+        |             THEN n_chars END),
+        |         min(CASE WHEN cum >= ((total-1)*25)//100 + 1
+        |             THEN n_chars END)) AS DOUBLE)
+        |       - CAST(min(CASE WHEN cum >= ((total-1)*25)//100 + 1
+        |             THEN n_chars END) AS DOUBLE)) AS p25_c,
+        |  CAST(min(CASE WHEN cum >= ((total-1)*50)//100 + 1
+        |       THEN n_chars END) AS DOUBLE)
+        |    + max(CAST(((total-1)*50) % 100 AS DOUBLE) / 100.0)
+        |    * (CAST(coalesce(
+        |         min(CASE WHEN cum >= ((total-1)*50)//100 + 2
+        |             THEN n_chars END),
+        |         min(CASE WHEN cum >= ((total-1)*50)//100 + 1
+        |             THEN n_chars END)) AS DOUBLE)
+        |       - CAST(min(CASE WHEN cum >= ((total-1)*50)//100 + 1
+        |             THEN n_chars END) AS DOUBLE)) AS p50_c,
+        |  CAST(min(CASE WHEN cum >= ((total-1)*75)//100 + 1
+        |       THEN n_chars END) AS DOUBLE)
+        |    + max(CAST(((total-1)*75) % 100 AS DOUBLE) / 100.0)
+        |    * (CAST(coalesce(
+        |         min(CASE WHEN cum >= ((total-1)*75)//100 + 2
+        |             THEN n_chars END),
+        |         min(CASE WHEN cum >= ((total-1)*75)//100 + 1
+        |             THEN n_chars END)) AS DOUBLE)
+        |       - CAST(min(CASE WHEN cum >= ((total-1)*75)//100 + 1
+        |             THEN n_chars END) AS DOUBLE)) AS p75_c
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
 
     // qx6's scoring CTE with the declared lang carried through
     "qx68_lang_mismatch" ->

@@ -275,4 +275,62 @@ class Round9bSpec extends SparkTestBase {
       (3L, 1L, 0.1, 0.4),
       (4L, 1L, 0.1, 0.4)), s"got ${out.toSeq}")
   }
+
+  test("qz20 dedup savings: duplicate docs price at (n-1)·bytes, line " +
+    "grain catches the repeated line inside one doc, and short docs " +
+    "yield one whole-text frame each") {
+    val dir = plantDocs(Seq(
+      (1L, "ab\ncd\nab", "en", "s", 8L),
+      (2L, "zz", "en", "s", 2L)))
+    val out = queries.ExtQueries.queries("qz20_dedup_savings")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("doc") == (2L, 2L, 0L, 10L, 0L), s"got ${out("doc")}")
+    assert(out("line") == (4L, 3L, 1L, 8L, 2L), s"got ${out("line")}")
+    assert(out("frame") == (2L, 2L, 0L, 10L, 0L), s"got ${out("frame")}")
+  }
+
+  private def plantEventsV(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9bevv").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("qz21 daily OHLC: open/close follow strict (ts, event_id) order " +
+    "within the day, extremes and the milli sum are exact, and days " +
+    "bucket independently") {
+    val day = 86_400_000_000L
+    val t0 = (1_700_000_000_000_000L / day) * day // midnight UTC
+    val dir = plantEventsV(Seq(
+      (1L, t0 + 100L, 1L, "view", 5.0),
+      (2L, t0 + 200L, 1L, "view", 1.0),
+      (3L, t0 + 300L, 1L, "view", 3.5),
+      (4L, t0 + day + 100L, 1L, "view", 2.0)))
+    val out = queries.ExtQueries.queries("qz21_daily_ohlc")(spark, dir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (5.0, 5.0, 1.0, 3.5, 3L, 9500L),
+      (2.0, 2.0, 2.0, 2.0, 1L, 2000L)), s"got ${out.toSeq}")
+  }
+
+  test("qx69 interpolated quantiles: exact order statistics at integer " +
+    "ranks, linear interpolation at fractional ranks (n=2 median = " +
+    "midpoint)") {
+    val dir = plantDocs(
+      (1 to 5).map(i => (i.toLong, "a", "en", "s", i * 10L)) ++
+        Seq((6L, "a", "fr", "s", 10L), (7L, "a", "fr", "s", 20L)))
+    val out = queries.ExtQueries.queries("qx69_interp_quantiles")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("en") == (5L, 20.0, 30.0, 40.0), s"got ${out("en")}")
+    assert(out("fr") == (2L, 12.5, 15.0, 17.5), s"got ${out("fr")}")
+  }
 }
