@@ -578,6 +578,14 @@ object CoreQueries {
     "qs10_sliding_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.slidingWindowReplay(s, dir)),
 
+    // qs11 — eleventh streaming path under the hash gate: the FULL
+    // OUTER stream-stream interval join, completing the null-emission
+    // matrix (qs8 inner, qs9 left): unmatched purchases ALSO emit one
+    // null-padded row once the watermark passes their horizon. The
+    // batch FULL JOIN over pre-filtered type slices oracles it.
+    "qs11_stream_full_outer" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamStreamFullOuterReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1542,6 +1550,18 @@ object CoreQueries {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |WHERE a.event_type = 'click'
         |ORDER BY c_id, p_id NULLS FIRST""".stripMargin,
+
+    // both sides pre-filtered to their type slice; unmatched rows from
+    // either side carry NULLs, user_id coalesces across sides
+    "qs11_stream_full_outer" ->
+      """SELECT a.event_id AS c_id, b.event_id AS p_id,
+        |       coalesce(a.user_id, b.user_id) AS user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |ORDER BY c_id NULLS FIRST, p_id NULLS FIRST""".stripMargin,
 
     // each event belongs to the 4 slide-grid windows covering it;
     // make_timestamp rebuilds Spark's window start from epoch micros

@@ -3544,6 +3544,73 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // semDedup CELL-CAP sweep — the selection report for the qz1 guard
+    // (every cap discipline has one: qx57 thresholds, qx59 bands, qe17
+    // nprobe; this prices the cellCap): kept/duplicate counts at a
+    // tight cap (8), the qz1 demonstration cap (24), and the production
+    // default (4096). Caps only ever UNDER-merge (chunking splits
+    // cells), so n_dups is non-decreasing in the cap — the invariant
+    // Round9bSpec pins. All three legs share one cached IVF fit (the
+    // qe11/qz1 key), so the sweep prices the cap, not fit noise.
+    "qe25_cellcap_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val key = Some(s"$dir|nlist=16|iters=5")
+      Seq(8, 24, 4096).map { cap =>
+        Similarity.semDedup(emb, 0.4, cellCap = cap, cacheKey = key)
+          .agg(
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dups"))
+          .select(lit(cap.toLong).as("cell_cap"), col("n_kept"),
+            col("n_dups"))
+      }.reduce(_ unionAll _).orderBy("cell_cap")
+    }),
+
+    // the FOURTH composed pipeline — eval-split prep (qp1 curates, qp2
+    // mixes, qp3 writes; this builds train/val/test): benchmark
+    // decontamination (the qx13 gate) → deterministic 80/10/10 md5
+    // split (the qx12 hex-threshold rule — reproducible across engines
+    // AND reruns) → per-split manifest with byte totals, the
+    // cross-split exact-dup LEAK count (fingerprints spanning >1 split
+    // — the qx48 failure mode this pipeline exists to surface), and
+    // contamination losses attributed to the split they would have
+    // landed in. One declarative plan; the split/fingerprint frame is
+    // cut once and feeds all three rollups; every rollup is
+    // split-keyed (3 keys).
+    "qp4_eval_split_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val probe = docs.where(col("doc_id") % 97 === 0)
+      val contaminated = Dedup.decontaminate(corpus, probe)
+        .where(col("contaminated")).select("doc_id")
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 8)
+      val split = when(bucket < "cccccccc", "train") // 80%
+        .when(bucket < "e6666666", "val") // 10%
+        .otherwise("test") // 10%
+      val assigned = graft.Materialize.cut(
+        corpus.join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("split", split)
+          .select(col("doc_id"), col("split"), md5(col("text")).as("fp"),
+            octet_length(col("text")).cast("long").as("nb")))
+      val leaky = assigned.groupBy("fp")
+        .agg(countDistinct("split").as("ns"))
+        .where(col("ns") > 1).select("fp")
+      val leakCounts = assigned.join(leaky, Seq("fp"), "left_semi")
+        .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+      val base = assigned.groupBy("split").agg(
+        count(lit(1)).as("n_docs"), sum("nb").as("bytes"))
+      val droppedBy = corpus
+        .join(contaminated, Seq("doc_id"), "left_semi")
+        .withColumn("split", split)
+        .groupBy("split").agg(count(lit(1)).as("n_dropped_contam"))
+      base.join(leakCounts, Seq("split"), "left")
+        .join(droppedBy, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("bytes"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          coalesce(col("n_dropped_contam"), lit(0L))
+            .as("n_dropped_contam"))
+        .orderBy("split")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -3887,6 +3954,22 @@ object ExtQueries {
        |FROM a LEFT JOIN dom d ON d.i = a.i
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** DuckDB twin of the cell-cap sweep (qe25): three [[qe11Sql]] legs —
+    * each a full capped-semDedup plan at its cap — collapsed to kept/dup
+    * counts and unioned. */
+  private def qe25Sql(cents: Seq[Seq[Float]]): String =
+    Seq(8, 24, 4096).map { cap =>
+      val base = qe11Sql(cents, tau = 0.4, cellCap = cap)
+      s"""SELECT CAST($cap AS BIGINT) AS cell_cap,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dups
+         |FROM (
+         |$base
+         |)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY cell_cap")
 
   /** DuckDB twin of the cell-balance audit (qe19): the qe4
     * cell-assignment CTE over the same centroid literals, an integer
@@ -4263,6 +4346,7 @@ object ExtQueries {
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
         "qe11_semdedup" -> qe11Sql(c, tau = 0.4, cellCap = 4096),
         "qz1_semdedup_hotcap" -> qe11Sql(c, tau = 0.4, cellCap = 24),
+        "qe25_cellcap_sweep" -> qe25Sql(c),
         "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
         "qe17_nprobe_sweep" -> qe17Sql(c),
         "qe19_cell_balance" -> qe19Sql(c),
@@ -7134,6 +7218,54 @@ object ExtQueries {
         |       - CAST(min(CASE WHEN cum >= ((total-1)*75)//100 + 1
         |             THEN n_chars END) AS DOUBLE)) AS p75_c
         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // qx13's decontam CTEs → md5-threshold split → three split-keyed
+    // rollups (manifest, cross-split leak fingerprints, contam losses)
+    "qp4_eval_split_pipeline" -> (ShingleCte +
+      """,
+        |probe AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0)),
+        |corp AS (
+        |  SELECT doc_id, unnest(list_distinct(s)) AS g
+        |  FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT corp.doc_id FROM corp JOIN probe USING (g)
+        |  GROUP BY corp.doc_id),
+        |cd AS (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |              < 'cccccccc' THEN 'train'
+        |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |              < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    (h.doc_id IS NOT NULL) AS contam
+        |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |  WHERE d.doc_id % 97 <> 0),
+        |asg AS (
+        |  SELECT doc_id, split, md5(text) AS fp,
+        |         CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM cd WHERE NOT contam),
+        |leaky AS (
+        |  SELECT fp FROM asg GROUP BY fp
+        |  HAVING count(DISTINCT split) > 1),
+        |lc AS (
+        |  SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+        |  FROM asg WHERE fp IN (SELECT fp FROM leaky)
+        |  GROUP BY split),
+        |base AS (
+        |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(nb) AS BIGINT) AS bytes
+        |  FROM asg GROUP BY split),
+        |dr AS (
+        |  SELECT split, CAST(count(*) AS BIGINT) AS n_dropped_contam
+        |  FROM cd WHERE contam GROUP BY split)
+        |SELECT b.split, b.n_docs, b.bytes,
+        |  COALESCE(l.n_leaked, 0) AS n_leaked,
+        |  COALESCE(dr.n_dropped_contam, 0) AS n_dropped_contam
+        |FROM base b LEFT JOIN lc l USING (split)
+        |LEFT JOIN dr USING (split)
+        |ORDER BY b.split""".stripMargin),
 
     // qx6's scoring CTE with the declared lang carried through
     "qx68_lang_mismatch" ->

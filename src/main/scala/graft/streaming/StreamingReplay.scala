@@ -660,6 +660,77 @@ object StreamingReplay {
       .orderBy(col("c_id"), col("p_id"))
   }
 
+  // staged input for the full-outer stream-stream replay, keyed by dir
+  private val ssjFullStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The FULL OUTER stream-stream interval join — both null-emission
+    * directions (qs8 inner: neither; qs9 left: unmatched clicks only;
+    * this: unmatched clicks AND unmatched purchases, each emitted
+    * exactly once when the watermark proves no in-window partner can
+    * arrive). Same staging/sentinel discipline as qs9; the batch FULL
+    * JOIN over pre-filtered type slices oracles the emitted set
+    * (declared as `qs11_stream_full_outer`). */
+  def streamStreamFullOuterReplay(spark: SparkSession, dir: String,
+                                  windowSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(ssjFullStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
+        val maxUs = micros(ev.last.ts)
+        val sentTs = new Timestamp(
+          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
+        val sentinels = Seq(
+          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
+          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
+        val entry = writeChunks(spark, chunks, "qs11-replay")
+        ssjFullStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs11_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val purch = side("purchase", "p_id", "p_user", "p_ts")
+    val q = withStatePartitions(spark, 8) {
+      clicks.join(purch, expr(
+        "c_user = p_user AND p_ts >= c_ts AND " +
+          s"p_ts <= c_ts + interval $windowSec seconds"), "full_outer")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(coalesce(col("c_user"), col("p_user")) >= 0) // no sentinels
+      .select(col("c_id"), col("p_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
+      .orderBy(asc_nulls_first("c_id"), asc_nulls_first("p_id"))
+  }
+
   // staged input for the windowed-agg replay, keyed by dir; the cached
   // sentinel timestamp bounds the defensive output filter
   private val windowStageCache =

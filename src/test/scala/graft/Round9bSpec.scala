@@ -333,4 +333,63 @@ class Round9bSpec extends SparkTestBase {
     assert(out("en") == (5L, 20.0, 30.0, 40.0), s"got ${out("en")}")
     assert(out("fr") == (2L, 12.5, 15.0, 17.5), s"got ${out("fr")}")
   }
+
+  test("qs11 full-outer stream-stream join: matched pairs emit once, " +
+    "unmatched clicks AND unmatched purchases each emit one null-padded " +
+    "row, and the interval boundary stays inclusive") {
+    val t0 = 1_700_000_000_000_000L
+    val winUs = 21_600L * 1_000_000L
+    val dir = plantEventsV(Seq(
+      (10L, t0, 1L, "click", 0.0),
+      (11L, t0 + winUs, 1L, "purchase", 1.0), // exact bound: matches
+      (20L, t0, 2L, "click", 0.0),
+      (21L, t0 + winUs + 1L, 2L, "purchase", 1.0), // 1 µs past: 2 rows
+      (30L, t0, 3L, "click", 0.0), // click only: null-padded
+      (51L, t0, 5L, "purchase", 1.0))) // purchase only: null-padded
+    val out = streaming.StreamingReplay
+      .streamStreamFullOuterReplay(spark, dir)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(out == Set(
+      (Some(10L), Some(11L)),
+      (Some(20L), None), (None, Some(21L)),
+      (Some(30L), None), (None, Some(51L))), s"got $out")
+  }
+
+  test("qe25 cell-cap sweep: kept + dups is the corpus size at every " +
+    "cap, and a larger cap never splits cells, so dups are " +
+    "non-decreasing in the cap") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val out = queries.ExtQueries.queries("qe25_cellcap_sweep")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(8L, 24L, 4096L))
+    out.foreach { case (_, kept, dups) => assert(kept + dups == n) }
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq,
+      s"dups must be non-decreasing in cap: got ${out.toSeq}")
+  }
+
+  test("qp4 eval-split pipeline: a contaminated doc drops into its " +
+    "would-be split's loss column, an exact-dup pair spanning splits " +
+    "counts as one leak on each side, and clean docs land by md5 " +
+    "threshold") {
+    // md5 split of small ids: 1,2,4 -> train; 5 -> val; 3 -> test
+    val dup = "identical duplicated content rows"
+    val dir = plantDocs(Seq(
+      (0L, "secret benchmark phrase here", "en", "s", 28L), // benchmark
+      (1L, "leak secret benchmark phrase today", "en", "s", 34L),
+      (2L, dup, "en", "s", dup.length.toLong),
+      (3L, dup, "en", "s", dup.length.toLong),
+      (4L, "unique training text alpha", "en", "s", 26L),
+      (5L, "another unique validation text", "en", "s", 30L)))
+    val out = queries.ExtQueries.queries("qp4_eval_split_pipeline")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out("train") == (2L, 1L, 1L), s"got ${out("train")}")
+    assert(out("val") == (1L, 0L, 0L), s"got ${out("val")}")
+    assert(out("test") == (1L, 1L, 0L), s"got ${out("test")}")
+  }
 }
