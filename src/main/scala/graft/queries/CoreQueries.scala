@@ -586,6 +586,15 @@ object CoreQueries {
     "qs11_stream_full_outer" -> ((s, dir) =>
       graft.streaming.StreamingReplay.streamStreamFullOuterReplay(s, dir)),
 
+    // qs12 — twelfth streaming path under the hash gate: the Spark 4
+    // transformWithState API (StatefulProcessor + ValueState on the
+    // RocksDB store), the arbitrary-state surface that supersedes
+    // (flat)mapGroupsWithState. The per-user running count is monotone,
+    // so max-over-updates equals the batch count(*) whatever the
+    // micro-batch chunking — that rollup is what the twin states.
+    "qs12_transform_with_state" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.transformWithStateReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1550,6 +1559,13 @@ object CoreQueries {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |WHERE a.event_type = 'click'
         |ORDER BY c_id, p_id NULLS FIRST""".stripMargin,
+
+    // the running count's max over Update-mode emissions = the batch
+    // per-user count
+    "qs12_transform_with_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // both sides pre-filtered to their type slice; unmatched rows from
     // either side carry NULLs, user_id coalesces across sides

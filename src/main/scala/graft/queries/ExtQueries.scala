@@ -3158,6 +3158,9 @@ object ExtQueries {
           when(col("pe") < 1.0d,
             (col("po") - col("pe")) / (lit(1.0d) - col("pe")))
             .as("kappa"))
+        // empty corpus ⇒ NULL sums: drop the vacuous summary row
+        // (suite-wide empty-input contract), mirrored in the twin
+        .where(col("n11").isNotNull)
     }),
 
     // encoding-QUALITY gate — mojibake and control-byte detection, the
@@ -3462,6 +3465,8 @@ object ExtQueries {
           .select(lit(grain).as("grain"), col("n_units"),
             col("n_distinct"), col("dup_units"), col("bytes_total"),
             col("bytes_saved"))
+          // empty grain ⇒ NULL sums: no row (empty-input contract)
+          .where(col("n_units").isNotNull)
       }
       val docs = Tables.documents(s, dir)
       val docUnits = docs.select(md5(col("text")).as("fp"),
@@ -3562,6 +3567,8 @@ object ExtQueries {
             sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dups"))
           .select(lit(cap.toLong).as("cell_cap"), col("n_kept"),
             col("n_dups"))
+          // empty corpus ⇒ NULL sums: no row (empty-input contract)
+          .where(col("n_kept").isNotNull)
       }.reduce(_ unionAll _).orderBy("cell_cap")
     }),
 
@@ -3609,6 +3616,32 @@ object ExtQueries {
           coalesce(col("n_dropped_contam"), lit(0L))
             .as("n_dropped_contam"))
         .orderBy("split")
+    }),
+
+    // source DIVERSITY index — per source, the Simpson index of its
+    // language mix (1 − Σ(cₗ/n)²: the probability two random docs from
+    // the source differ in language) plus the dominant-language share:
+    // the composition-health gauge next to qz4's over/under-
+    // representation PMI. Simpson instead of Shannon entropy on
+    // purpose — it is RATIONAL in the counts (no transcendental to
+    // disagree on), same reason qx25 avoids log. Two bounded-key aggs
+    // (sources×langs then sources), map-side combine, nothing
+    // corpus-proportional after the first rollup.
+    "qz22_source_diversity" -> ((s, dir) => {
+      val cl = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      cl.groupBy("source").agg(
+          sum("c").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max("c").as("top_c"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          (lit(1.0d) - col("ss").cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double"))
+            .as("simpson"),
+          (col("top_c").cast("double") / col("n_docs").cast("double"))
+            .as("top_share"))
+        .orderBy("source")
     }),
 
     // MATRYOSHKA-truncation recall — how much ANN quality survives
@@ -3961,14 +3994,15 @@ object ExtQueries {
   private def qe25Sql(cents: Seq[Seq[Float]]): String =
     Seq(8, 24, 4096).map { cap =>
       val base = qe11Sql(cents, tau = 0.4, cellCap = cap)
-      s"""SELECT CAST($cap AS BIGINT) AS cell_cap,
+      s"""SELECT * FROM (
+         |SELECT CAST($cap AS BIGINT) AS cell_cap,
          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_kept,
          |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dups
          |FROM (
          |$base
-         |)""".stripMargin
+         |)) WHERE n_kept IS NOT NULL""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY cell_cap")
 
   /** DuckDB twin of the cell-balance audit (qe19): the qe4
@@ -7001,8 +7035,8 @@ object ExtQueries {
         |  FROM k0)
         |SELECT n11, n10, n01, n00, po, pe,
         |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
-        |FROM k""".stripMargin).replace("WITH tok AS",
-      "WITH RECURSIVE tok AS")),
+        |FROM k WHERE n11 IS NOT NULL""".stripMargin).replace(
+      "WITH tok AS", "WITH RECURSIVE tok AS")),
 
     // the qx11 cluster chain at CLUSTER grain: size, source/lang
     // spread, majority-source share over multi-doc clusters
@@ -7144,9 +7178,9 @@ object ExtQueries {
         |    CAST(sum(n * nb) AS BIGINT) AS bytes_total,
         |    CAST(sum((n - 1) * nb) AS BIGINT) AS bytes_saved
         |  FROM fp2)
-        |SELECT * FROM docg
-        |UNION ALL SELECT * FROM lineg
-        |UNION ALL SELECT * FROM frameg
+        |SELECT * FROM docg WHERE n_units IS NOT NULL
+        |UNION ALL SELECT * FROM lineg WHERE n_units IS NOT NULL
+        |UNION ALL SELECT * FROM frameg WHERE n_units IS NOT NULL
         |ORDER BY grain""".stripMargin,
 
     // open/close by strict (ts, event_id) rank; extremes and counts
@@ -7266,6 +7300,23 @@ object ExtQueries {
         |FROM base b LEFT JOIN lc l USING (split)
         |LEFT JOIN dr USING (split)
         |ORDER BY b.split""".stripMargin),
+
+    // sources×langs rollup, then a rational Simpson index per source
+    "qz22_source_diversity" ->
+      """WITH cl AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, lang),
+        |p AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_langs,
+        |         CAST(max(c) AS BIGINT) AS top_c,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM cl GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  1.0 - CAST(ss AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)
+        |    AS simpson,
+        |  CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+        |FROM p ORDER BY source""".stripMargin,
 
     // qx6's scoring CTE with the declared lang carried through
     "qx68_lang_mismatch" ->

@@ -881,4 +881,108 @@ object StreamingReplay {
         col("n"), col("v_milli"))
       .orderBy("wstart", "event_type")
   }
+
+  // staged input for the transformWithState replay, keyed by dir
+  private val twsStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay events(dir) through the Spark 4 `transformWithState` API —
+    * the arbitrary-stateful-processing surface that supersedes
+    * (flat)mapGroupsWithState: a `StatefulProcessor` holding a
+    * `ValueState[Long]` per user, emitting the running event count in
+    * Update mode (declared as `qs12_transform_with_state`).
+    * transformWithState requires the RocksDB state store, so the replay
+    * also exercises that provider (scoped, restored after the run).
+    *
+    * Determinism: the running count is MONOTONE per key whatever the
+    * chunking, so while Update mode emits one intermediate row per
+    * (micro-batch, active user), the per-user MAX over all updates
+    * equals the batch `count(*)` exactly — that rollup is the oracled
+    * frame, and it is chunk-count independent. */
+  def transformWithStateReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(twsStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, n_events BIGINT"))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+        val entry = writeChunks(spark, chunks, "qs12-replay")
+        twsStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs12_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .as[WEvent]
+    // scoped RocksDB provider (required by transformWithState) on top
+    // of the usual small-replay state tuning
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = scala.util.Try(spark.conf.get(providerKey)).toOption
+    val q =
+      try {
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        withStatePartitions(spark, 8) {
+          stream.groupByKey(_.user_id)
+            .transformWithState(new RunningCountProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+            .toDF("user_id", "n_running")
+            .writeStream.outputMode(OutputMode.Update())
+            .format("memory").queryName(table).start()
+        }
+      } finally savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.groupBy("user_id")
+      .agg(max("n_running").as("n_events"))
+      .orderBy("user_id")
+  }
+}
+
+/** Per-user running event counter on the transformWithState API — the
+  * system under test for qs12. ValueState survives across micro-batches
+  * in the RocksDB store; the emitted running count is monotone per key,
+  * which is what makes the replay oracle-checkable (see
+  * [[StreamingReplay.transformWithStateReplay]]). */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamingReplay.WEvent, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+    TTLConfig, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[StreamingReplay.WEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
+  }
 }

@@ -392,4 +392,34 @@ class Round9bSpec extends SparkTestBase {
     assert(out("val") == (1L, 0L, 0L), s"got ${out("val")}")
     assert(out("test") == (1L, 1L, 0L), s"got ${out("test")}")
   }
+
+  test("qs12 transformWithState: the RocksDB-backed per-user ValueState " +
+    "survives micro-batches — max running count equals the total event " +
+    "count per user") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 10L, 1L, "click"),
+      (3L, t0 + 20L, 1L, "view"),
+      (4L, t0 + 5L, 2L, "view")))
+    val out = streaming.StreamingReplay
+      .transformWithStateReplay(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L), s"got $out")
+  }
+
+  test("qz22 source diversity: an even two-language source scores " +
+    "Simpson 0.5, a monolingual source scores 0, and the dominant " +
+    "share is exact") {
+    val dir = plantDocs(Seq(
+      (1L, "a", "en", "A", 1L), (2L, "a", "en", "A", 1L),
+      (3L, "a", "fr", "A", 1L), (4L, "a", "fr", "A", 1L),
+      (5L, "a", "en", "B", 1L), (6L, "a", "en", "B", 1L),
+      (7L, "a", "en", "B", 1L)))
+    val out = queries.ExtQueries.queries("qz22_source_diversity")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("A") == (4L, 2L, 0.5, 0.5), s"got ${out("A")}")
+    assert(out("B") == (3L, 1L, 0.0, 1.0), s"got ${out("B")}")
+  }
 }
