@@ -595,6 +595,13 @@ object CoreQueries {
     "qs12_transform_with_state" -> ((s, dir) =>
       graft.streaming.StreamingReplay.transformWithStateReplay(s, dir)),
 
+    // qs13 — thirteenth streaming path: transformWithState MAP state
+    // (per-(user, event_type) counters inside one grouping key — the
+    // keyed-sub-state surface qs12's ValueState doesn't touch), same
+    // monotone-count ⇒ max-over-updates oracle discipline.
+    "qs13_tws_mapstate" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.transformWithStateMapReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1566,6 +1573,12 @@ object CoreQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // MapState running counters: per-(user, type) max = GROUP BY count
+    "qs13_tws_mapstate" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // both sides pre-filtered to their type slice; unmatched rows from
     // either side carry NULLs, user_id coalesces across sides

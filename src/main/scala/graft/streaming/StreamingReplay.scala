@@ -958,6 +958,105 @@ object StreamingReplay {
       .agg(max("n_running").as("n_events"))
       .orderBy("user_id")
   }
+
+  /** qs13: [[transformWithStateReplay]]'s harness with a MapState
+    * processor — per-(user, event_type) running counters inside one
+    * grouping key's state (the keyed-sub-state surface ValueState
+    * doesn't touch). Same monotonicity argument: per-pair max over
+    * Update emissions equals the batch GROUP BY count. Shares qs12's
+    * staged chunks. */
+  def transformWithStateMapReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(twsStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, event_type STRING, n_events BIGINT"))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+        val entry = writeChunks(spark, chunks, "qs13-replay")
+        twsStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs13_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .as[WEvent]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = scala.util.Try(spark.conf.get(providerKey)).toOption
+    val q =
+      try {
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        withStatePartitions(spark, 8) {
+          stream.groupByKey(_.user_id)
+            .transformWithState(new TypeCountProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+            .toDF("user_id", "event_type", "n_running")
+            .writeStream.outputMode(OutputMode.Update())
+            .format("memory").queryName(table).start()
+        }
+      } finally savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.groupBy("user_id", "event_type")
+      .agg(max("n_running").as("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+}
+
+/** Per-(user, event_type) running counters on a transformWithState
+  * MapState — the system under test for qs13 (qs12 covers ValueState;
+  * this exercises the keyed-sub-state surface: getValue/updateValue per
+  * map key inside one grouping key's state). Emits the updated types'
+  * running counts each batch; counts are monotone per (user, type), so
+  * the per-pair max equals the batch GROUP BY count. */
+class TypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamingReplay.WEvent, (Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+    TTLConfig, MapState}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[StreamingReplay.WEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      val prev =
+        if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+        else 0L
+      counts.updateValue(e.event_type, prev + 1L)
+      touched += e.event_type
+    }
+    touched.iterator.map(t => (key, t, counts.getValue(t)))
+  }
 }
 
 /** Per-user running event counter on the transformWithState API — the

@@ -422,4 +422,21 @@ class Round9bSpec extends SparkTestBase {
     assert(out("A") == (4L, 2L, 0.5, 0.5), s"got ${out("A")}")
     assert(out("B") == (3L, 1L, 0.0, 1.0), s"got ${out("B")}")
   }
+
+  test("qs13 transformWithState MapState: per-(user, type) counters " +
+    "accumulate independently inside one user's state across " +
+    "micro-batches") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 10L, 1L, "click"),
+      (3L, t0 + 20L, 1L, "view"), (4L, t0 + 30L, 1L, "view"),
+      (5L, t0 + 5L, 2L, "click")))
+    val out = streaming.StreamingReplay
+      .transformWithStateMapReplay(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, "view") -> 3L, (1L, "click") -> 1L,
+      (2L, "click") -> 1L), s"got $out")
+  }
 }
