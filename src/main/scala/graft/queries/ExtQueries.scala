@@ -3644,6 +3644,28 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // HAPAX rate per source — the share of a source's vocabulary seen
+    // exactly once: the vocabulary-health number next to Zipf (qx30),
+    // Heaps (qx31/qx60) and burstiness (qx66). A hapax share far above
+    // the corpus norm means OCR noise / mojibake / id-like junk
+    // inflating the vocabulary; far below means templated text. One
+    // (source, term) rollup (map-side combine over the narrow tokenize
+    // map) then a source-keyed fold; the fraction is one division.
+    "qx70_hapax_rate" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      tc.groupBy("source").agg(
+          count(lit(1)).as("n_terms"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum("c").as("n_tokens"))
+        .select(col("source"), col("n_terms"), col("n_hapax"),
+          col("n_tokens"),
+          (col("n_hapax").cast("double") / col("n_terms").cast("double"))
+            .as("hapax_frac"))
+        .orderBy("source")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -7300,6 +7322,24 @@ object ExtQueries {
         |FROM base b LEFT JOIN lc l USING (split)
         |LEFT JOIN dr USING (split)
         |ORDER BY b.split""".stripMargin),
+
+    // (source, term) rollup then a source-keyed hapax fold
+    "qx70_hapax_rate" ->
+      """WITH tc AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY source, term),
+        |p AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM tc GROUP BY source)
+        |SELECT source, n_terms, n_hapax, n_tokens,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_terms AS DOUBLE)
+        |    AS hapax_frac
+        |FROM p ORDER BY source""".stripMargin,
 
     // sources×langs rollup, then a rational Simpson index per source
     "qz22_source_diversity" ->

@@ -1022,6 +1022,119 @@ object StreamingReplay {
       .agg(max("n_running").as("n_events"))
       .orderBy("user_id", "event_type")
   }
+
+  /** Spec harness for [[IdleSessionProcessor]] (the event-time TIMER
+    * surface of transformWithState): replay events(dir) in three
+    * event-time-ordered chunks with a zero-delay watermark. No sentinel
+    * is injected — the planted fixture carries its own far-future
+    * closer row, whose watermark advance fires the armed timers
+    * (Round9bSpec). */
+  def idleSessionReplay(spark: SparkSession, dir: String,
+                        gapSec: Long = 10L): DataFrame = {
+    import spark.implicits._
+
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+    if (ev.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT"))
+    val k = math.max(ev.length / 3, 1)
+    val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+      ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+    val srcDirStr = writeChunks(spark, chunks, "tws-timer-replay")
+
+    val table = s"tws_timer_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .withWatermark("ts", "0 seconds")
+      .as[WEvent]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = scala.util.Try(spark.conf.get(providerKey)).toOption
+    val q =
+      try {
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        withStatePartitions(spark, 8) {
+          stream.groupByKey(_.user_id)
+            .transformWithState(
+              new IdleSessionProcessor(gapSec * 1000L),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Append())
+            .toDF("user_id", "n_events")
+            .writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName(table).start()
+        }
+      } finally savedProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table)
+    spark.catalog.dropTempView(table)
+    sunk.orderBy("user_id")
+  }
+}
+
+/** Event-time-TIMER session closer on transformWithState — the timer
+  * surface (registerTimer/deleteTimer/handleExpiredTimer under
+  * TimeMode.EventTime) that qs12/qs13 don't touch: counts a user's
+  * events and registers an event-time timer at lastSeen + gap,
+  * re-arming (delete + register) on every new batch; when the watermark
+  * passes the armed expiry, handleExpiredTimer emits (user, count) once
+  * and clears state. Spec-covered (Round9bSpec planted replay) rather
+  * than oracled: WHAT fires is deterministic, but event-time timers
+  * only fire when a later batch advances the watermark, so a tail
+  * session needs a sentinel to close — same discipline as qs1. */
+class IdleSessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamingReplay.WEvent, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+    TTLConfig, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[StreamingReplay.WEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    var n = if (count.exists()) count.get() else 0L
+    var lastMs = 0L
+    rows.foreach { e =>
+      n += 1
+      val ms = e.ts.getTime
+      if (ms > lastMs) lastMs = ms
+    }
+    count.update(n)
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    val expiry = lastMs + gapMs
+    getHandle.registerTimer(expiry)
+    armed.update(expiry)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long)] = {
+    val n = if (count.exists()) count.get() else 0L
+    count.clear(); armed.clear()
+    if (n > 0) Iterator.single((key, n)) else Iterator.empty
+  }
 }
 
 /** Per-(user, event_type) running counters on a transformWithState

@@ -423,4 +423,28 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("qe23 centroid outliers: the |labels|-row centroid frame " +
+    "broadcasts onto the member pass and the per-label top-5 prunes " +
+    "via WindowGroupLimit (map-side partial top-k)") {
+    val p = plan("qe23_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qz19 key skew: the global top-10 plans as " +
+    "TakeOrderedAndProject, never a full global sort") {
+    val p = plan("qz19_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("qz21 daily OHLC: first/last ride struct min/max inside ONE " +
+    "aggregation — no Window operator in the plan") {
+    val p = plan("qz21_daily_ohlc")
+    assert(!p.contains("WindowExec") && !"\\bWindow\\b".r
+      .findFirstIn(p.replace("WindowGroupLimit", "")).exists(_ => true),
+      p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }

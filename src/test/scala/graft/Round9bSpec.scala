@@ -439,4 +439,37 @@ class Round9bSpec extends SparkTestBase {
       (1L, "view") -> 3L, (1L, "click") -> 1L,
       (2L, "click") -> 1L), s"got $out")
   }
+
+  test("transformWithState event-time timers: the armed timer re-arms " +
+    "on new data and fires exactly once when a later batch's watermark " +
+    "passes the gap, emitting the closed session; an unexpired tail " +
+    "session stays silent") {
+    val s = 1_000_000L // 1 s in micros
+    val t0 = 1_700_000_000_000_000L
+    // user 1's three events re-arm the 10 s timer; the user-99 closer
+    // 100 s later drives the watermark past it. User 99's own timer
+    // never expires (nothing advances the watermark further).
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view"),
+      (2L, t0 + s, 1L, "view"),
+      (3L, t0 + 2 * s, 1L, "view"),
+      (4L, t0 + 100 * s, 99L, "view")))
+    val out = streaming.StreamingReplay.idleSessionReplay(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L), s"got $out")
+  }
+
+  test("qx70 hapax rate: single-occurrence terms count once per source " +
+    "and the fraction is exact") {
+    val dir = plantDocs(Seq(
+      (1L, "common common rare", "en", "A", 18L),
+      (2L, "common unique", "en", "A", 13L),
+      (3L, "x y", "en", "B", 3L)))
+    val out = queries.ExtQueries.queries("qx70_hapax_rate")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A: terms {common(3), rare(1), unique(1)} -> 3 terms, 2 hapax
+    assert(out("A") == (3L, 2L, 5L, 2.0 / 3.0), s"got ${out("A")}")
+    assert(out("B") == (2L, 2L, 2L, 1.0), s"got ${out("B")}")
+  }
 }
