@@ -3666,6 +3666,60 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // trailing-7-day RANGE-frame rollup — the window-frame mode the
+    // suite's window family (q45 rows-frames, q08/q09 lag filters,
+    // qx18 cumulative) didn't yet cover: a VALUE-range frame
+    // (`rangeBetween(-6, 0)` over integer epoch-days), which skips
+    // missing days by value distance, not row count — the semantics a
+    // row frame gets wrong on sparse dailies. Day totals aggregate
+    // first (user-day grain, exact milli units), so the window runs
+    // over ≤ |users|×|days| rows, never raw events.
+    "qz23_trailing_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT)").as("d"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("user_id", "d")
+        .agg(sum("vm").as("v_day"), count(lit(1)).as("n_day"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("v_7d", sum("v_day").over(w))
+        .withColumn("n_7d", sum("n_day").over(w))
+        .orderBy("user_id", "d")
+    }),
+
+    // metadata-SANITY correlation — per source, Pearson r between the
+    // declared n_chars and the actual whitespace token count: r ≈ 1 is
+    // healthy, a low r means the length metadata lies (truncated text,
+    // wrong column, stale chars) and every byte-budgeted plan built on
+    // it (qx51, qp2, qz11) inherits the lie. The SIX sums are the
+    // distributed part — exact BIGINTs with map-side combine; r itself
+    // is one row of double arithmetic both engines state identically
+    // (sums exceed 2^53 only past ~10⁹ docs per source at this
+    // magnitude — the qz15 integer-window note applies).
+    "qx71_meta_corr" -> ((s, dir) => {
+      val m = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").as("x"),
+          size(Text.tokens(col("text"))).cast("long").as("y"))
+      m.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("r",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))))
+        .select("source", "n", "sx", "sy", "r")
+        .orderBy("source")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -7322,6 +7376,42 @@ object ExtQueries {
         |FROM base b LEFT JOIN lc l USING (split)
         |LEFT JOIN dr USING (split)
         |ORDER BY b.split""".stripMargin),
+
+    // day totals first, then the numeric RANGE frame over epoch-days
+    "qz23_trailing_window" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v_day,
+        |    CAST(count(*) AS BIGINT) AS n_day
+        |  FROM events GROUP BY user_id, d)
+        |SELECT user_id, d, v_day, n_day,
+        |  CAST(sum(v_day) OVER w AS BIGINT) AS v_7d,
+        |  CAST(sum(n_day) OVER w AS BIGINT) AS n_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, d""".stripMargin,
+
+    // six exact sums, one row of double arithmetic per source
+    "qx71_meta_corr" ->
+      """WITH m AS (
+        |  SELECT source, n_chars AS x,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY source)
+        |SELECT source, n, sx, sy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        |FROM a ORDER BY source""".stripMargin,
 
     // (source, term) rollup then a source-keyed hapax fold
     "qx70_hapax_rate" ->

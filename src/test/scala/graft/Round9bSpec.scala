@@ -472,4 +472,40 @@ class Round9bSpec extends SparkTestBase {
     assert(out("A") == (3L, 2L, 5L, 2.0 / 3.0), s"got ${out("A")}")
     assert(out("B") == (2L, 2L, 2L, 1.0), s"got ${out("B")}")
   }
+
+  test("qz23 trailing range frame: the 7-day window sums by VALUE " +
+    "distance — a day 7+ days back falls out even when it is the " +
+    "previous row (the sparse-daily case a rows frame gets wrong)") {
+    val day = 86_400_000_000L
+    val t0 = (1_700_000_000_000_000L / day) * day
+    val dir = plantEventsV(Seq(
+      (1L, t0, 1L, "view", 1.0), // day 0
+      (2L, t0 + day, 1L, "view", 2.0), // day 1
+      (3L, t0 + 10 * day, 1L, "view", 4.0))) // day 10: 0/1 aged out
+    val out = queries.ExtQueries.queries("qz23_trailing_window")(
+      spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val d0 = out.head._1
+    assert(out.toSeq == Seq(
+      (d0, 1000L, 1000L, 1L),
+      (d0 + 1, 2000L, 3000L, 2L),
+      (d0 + 10, 4000L, 4000L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("qx71 metadata correlation: perfectly linear chars-vs-tokens " +
+    "scores r = 1, anti-correlated metadata scores r = -1") {
+    // source A: n_chars = 10 * tokens (exact line) -> r = 1
+    // source B: n_chars decreasing while tokens increase -> r = -1
+    val dir = plantDocs(Seq(
+      (1L, "a b", "en", "A", 20L),
+      (2L, "a b c", "en", "A", 30L),
+      (3L, "a b c d", "en", "A", 40L),
+      (4L, "a b", "en", "B", 30L),
+      (5L, "a b c", "en", "B", 20L),
+      (6L, "a b c d", "en", "B", 10L)))
+    val out = queries.ExtQueries.queries("qx71_meta_corr")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(out("A") - 1.0) < 1e-12, s"got ${out("A")}")
+    assert(math.abs(out("B") + 1.0) < 1e-12, s"got ${out("B")}")
+  }
 }
