@@ -3720,6 +3720,79 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // A/B-test SIGNIFICANCE — the two-proportion test every experiment
+    // readout runs, on conversion (≥1 purchase) split by a
+    // deterministic variant hash (user_id parity stands in for the
+    // assignment column): pooled two-proportion z² (≡ 1-dof χ², the
+    // qx53 discipline — RATIONAL in the four counts, no transcendental)
+    // with the 95% decision at the χ²₁ critical value. The per-user
+    // conversion rollup is the only corpus-proportional work; the test
+    // itself is one row of double arithmetic over exact BIGINTs.
+    // Degenerate pools (p̂ = 0 or 1 — no variance) yield NULL χ² in
+    // both engines.
+    "qz24_ab_test" -> ((s, dir) => {
+      val conv = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("cv"))
+        .withColumn("variant", col("user_id") % 2)
+      val g = conv.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("cv").as("c"))
+      val a = g.where(col("variant") === 0)
+        .select(col("n").as("n0"), col("c").as("c0"))
+      val b = g.where(col("variant") === 1)
+        .select(col("n").as("n1"), col("c").as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val chi2 = (p0 - p1) * (p0 - p1) /
+        (pp * (lit(1.0d) - pp) *
+          (lit(1.0d) / col("n0").cast("double") +
+            lit(1.0d) / col("n1").cast("double")))
+      a.crossJoin(b)
+        .select(col("n0"), col("c0"), col("n1"), col("c1"),
+          p0.as("p0"), p1.as("p1"),
+          when(pp > 0.0d && pp < 1.0d, chi2).as("chi2"),
+          when(pp > 0.0d && pp < 1.0d, chi2 > 3.841d)
+            .as("significant"))
+    }),
+
+    // conversion-LATENCY quantiles — minutes from first 'view' to the
+    // first 'purchase' after it, summarized by the qx18 exact-histogram
+    // discipline (type-1 picks over a minute-bucketed integer domain —
+    // no per-user latency ever sorts globally): the funnel's (qz16)
+    // companion metric every growth dashboard reports. Two conditional
+    // user-keyed mins, a minute-grain histogram, one cumulative window
+    // over the DISTINCT latencies only.
+    "qz25_time_to_convert" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      val dt = v.join(p, Seq("user_id"))
+        .select(expr("(unix_micros(p_ts) - unix_micros(v_ts)) " +
+          "div 60000000").as("m"))
+      val hist = dt.groupBy("m").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("total", sum("c").over(
+          Window.partitionBy(lit(1))))
+      def q(pct: Int) =
+        min(when(col("cum") * 100 >= col("total") * pct, col("m")))
+          .as(s"p${pct}_min")
+      cum.agg(max("total").as("n_converted"), q(25), q(50), q(75))
+        // no converting users ⇒ NULL max: no row (empty-input contract)
+        .where(col("n_converted").isNotNull)
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -7376,6 +7449,68 @@ object ExtQueries {
         |FROM base b LEFT JOIN lc l USING (split)
         |LEFT JOIN dr USING (split)
         |ORDER BY b.split""".stripMargin),
+
+    // per-user conversion rollup, then one row of pooled two-proportion
+    // arithmetic; degenerate pools yield NULL chi2
+    "qz24_ab_test" ->
+      """WITH conv AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cv) AS BIGINT) AS c
+        |  FROM conv GROUP BY variant),
+        |a AS (SELECT n AS n0, c AS c0 FROM g WHERE variant = 0),
+        |b AS (SELECT n AS n1, c AS c1 FROM g WHERE variant = 1),
+        |j AS (
+        |  SELECT n0, c0, n1, c1,
+        |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+        |  FROM a CROSS JOIN b)
+        |SELECT n0, c0, n1, c1, p0, p1,
+        |  CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+        |    (p0 - p1) * (p0 - p1) /
+        |    (pp * (1.0 - pp) *
+        |     (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |  END AS chi2,
+        |  CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+        |    (p0 - p1) * (p0 - p1) /
+        |    (pp * (1.0 - pp) *
+        |     (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    > 3.841
+        |  END AS significant
+        |FROM j""".stripMargin,
+
+    // two conditional user-keyed mins -> minute histogram -> type-1
+    // quantile picks over the distinct-latency domain
+    "qz25_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |dt AS (
+        |  SELECT (epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 60000000 AS m
+        |  FROM v JOIN p USING (user_id)),
+        |hist AS (SELECT m, count(*) AS c FROM dt GROUP BY m),
+        |cum AS (
+        |  SELECT m,
+        |    sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER () AS total
+        |  FROM hist)
+        |SELECT CAST(max(total) AS BIGINT) AS n_converted,
+        |  min(CASE WHEN cum * 100 >= total * 25 THEN m END) AS p25_min,
+        |  min(CASE WHEN cum * 100 >= total * 50 THEN m END) AS p50_min,
+        |  min(CASE WHEN cum * 100 >= total * 75 THEN m END) AS p75_min
+        |FROM cum
+        |HAVING max(total) IS NOT NULL""".stripMargin,
 
     // day totals first, then the numeric RANGE frame over epoch-days
     "qz23_trailing_window" ->

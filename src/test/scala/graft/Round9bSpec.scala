@@ -508,4 +508,35 @@ class Round9bSpec extends SparkTestBase {
     assert(math.abs(out("A") - 1.0) < 1e-12, s"got ${out("A")}")
     assert(math.abs(out("B") + 1.0) < 1e-12, s"got ${out("B")}")
   }
+
+  test("qz24 A/B test: a total conversion split (variant 0 all convert, " +
+    "variant 1 none) scores the exact pooled chi-square and flags " +
+    "significance") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 2L, "purchase"), (2L, t0, 4L, "purchase"), // variant 0
+      (3L, t0, 1L, "view"), (4L, t0, 3L, "view"))) // variant 1
+    val r = queries.ExtQueries.queries("qz24_ab_test")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 2L, 2L, 0L), s"got $r")
+    // p0=1, p1=0, pooled=0.5 -> chi2 = 1 / (0.25 * 1) = 4.0 > 3.841
+    assert(r.getDouble(6) == 4.0, s"chi2 ${r.getDouble(6)}")
+    assert(r.getBoolean(7), "should be significant")
+  }
+
+  test("qz25 time to convert: only purchases strictly after the first " +
+    "view count, latency buckets to whole minutes, and the type-1 " +
+    "quantile picks are exact") {
+    val s = 1_000_000L
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view"), (2L, t0 + 90 * s, 1L, "purchase"), // 1 min
+      (3L, t0, 2L, "view"), (4L, t0 + 1800 * s, 2L, "purchase"), // 30
+      (5L, t0 + 10L, 3L, "purchase"), (6L, t0 + 20L, 3L, "view")))
+    val r = queries.ExtQueries.queries("qz25_time_to_convert")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 1L, 1L, 30L), s"got $r")
+  }
 }
