@@ -3793,6 +3793,43 @@ object ExtQueries {
         .where(col("n_converted").isNotNull)
     }),
 
+    // frame byte-DIVERSITY — per sampled frame, the Simpson/Gini index
+    // of its byte distribution (1 − Σ(c_b/n)²) and the distinct-byte
+    // count: the compressibility proxy that flags blank/constant frames
+    // (gini ≈ 0) vs noise (gini ≈ max) — the signal-stats member qm5's
+    // energy/peak and qm6's deltas don't carry. Rational in the byte
+    // counts (the qz22 no-transcendental rule). Scale shape: the byte
+    // explode is a bounded ×frameLen row expansion of the frame grain;
+    // both rollups key on (asset, frame) — linear, no pair term.
+    "qm7_frame_gini" -> ((s, dir) => {
+      val fr = Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), posexplode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+        .toDF("doc_id", "frame_no", "frame")
+      val hx = hex(col("frame"))
+      val bytesArr = transform(
+        sequence(lit(1), octet_length(col("frame"))),
+        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+      val b = fr
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          bytesArr.as("bv"))
+        .where(col("frame_len") > 0)
+        .select(col("doc_id"), col("frame_no"), col("frame_len"),
+          explode(col("bv")).as("b"))
+        .groupBy("doc_id", "frame_no", "frame_len", "b")
+        .agg(count(lit(1)).as("c"))
+      b.groupBy("doc_id", "frame_no", "frame_len")
+        .agg(count(lit(1)).as("n_distinct_bytes"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("doc_id"), col("frame_no"), col("frame_len"),
+          col("n_distinct_bytes"),
+          (lit(1.0d) - col("ss").cast("double") /
+            (col("frame_len") * col("frame_len")).cast("double"))
+            .as("gini"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -7449,6 +7486,41 @@ object ExtQueries {
         |FROM base b LEFT JOIN lc l USING (split)
         |LEFT JOIN dr USING (split)
         |ORDER BY b.split""".stripMargin),
+
+    // qm5's frame/byte-vector staging, byte unnest, two (asset, frame)
+    // rollups, rational Gini
+    "qm7_frame_gini" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+        |    unnest(list_transform(range(1, length(fh) // 2 + 1),
+        |      b -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2 AS INT), 1)) - 1) AS BIGINT)))
+        |      AS b
+        |  FROM g WHERE length(fh) > 0),
+        |c AS (
+        |  SELECT doc_id, frame_no, frame_len, b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM h GROUP BY doc_id, frame_no, frame_len, b),
+        |p AS (
+        |  SELECT doc_id, frame_no, frame_len,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM c GROUP BY doc_id, frame_no, frame_len)
+        |SELECT doc_id, frame_no, frame_len, n_distinct_bytes,
+        |  1.0 - CAST(ss AS DOUBLE) /
+        |    CAST(frame_len * frame_len AS DOUBLE) AS gini
+        |FROM p ORDER BY doc_id, frame_no""".stripMargin,
 
     // per-user conversion rollup, then one row of pooled two-proportion
     // arithmetic; degenerate pools yield NULL chi2

@@ -539,4 +539,19 @@ class Round9bSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       (2L, 1L, 1L, 30L), s"got $r")
   }
+
+  test("qm7 frame gini: a constant frame scores 0, a 16-distinct-byte " +
+    "frame scores the 15/16 maximum, and a 50/50 frame scores 0.5") {
+    val dir = plantDocs(Seq(
+      // frame0: 'aaaaaaaaaaaaaaaa' (constant), frame1 at byte 64:
+      // 'abcdefghijklmnop' (all distinct), frame2 at 128: 8 a's + 8 b's
+      (1L, "a" * 64 + "abcdefghijklmnop" + "x" * 48 +
+        "aaaaaaaabbbbbbbb" + "y" * 48, "en", "s", 192L)))
+    val out = queries.ExtQueries.queries("qm7_frame_gini")(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0L) == (16L, 1L, 0.0), s"got ${out(0L)}")
+    assert(out(1L) == (16L, 16L, 1.0 - 16.0 / 256.0), s"got ${out(1L)}")
+    assert(out(2L) == (16L, 2L, 0.5), s"got ${out(2L)}")
+  }
 }
