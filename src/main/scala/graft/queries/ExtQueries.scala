@@ -64,6 +64,50 @@ object ExtQueries {
       .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 3)
 
+  /** Shared by qe14/qe23/qe24: the per-label round-9 mean centroid as a
+    * position-sorted DOUBLE array — one definition so the three
+    * queries' numbers reconcile BY CONSTRUCTION (round-9 means aren't
+    * float-representable, hence the double array + composed cosine). */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(round(avg("v"), 9).as("cv"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+
+  /** Composed cosine for mixed float/double arrays: each side casts
+    * independently inside the zip_with fold — exactly the twins'
+    * `CAST(p[i] AS DOUBLE)` shape (the float-native kernel would fold
+    * in float first). */
+  private def ccos(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    Similarity.dotComposed(a, b) /
+      (sqrt(Similarity.dotComposed(a, a)) *
+        sqrt(Similarity.dotComposed(b, b)))
+
+  /** Shared frame staging for qm5/qm6/qm7: every 4th 16-byte frame of
+    * the synthesized media bytes decoded to a per-frame byte-value
+    * array via the hex fold (pure expressions, no UDF) — one
+    * definition so the three signal queries and their twins stay
+    * frame-aligned. Returns (doc_id, frame_no, frame_len, bv). */
+  private def frameByteVectors(s: SparkSession, dir: String): DataFrame = {
+    val fr = Multimodal.synthMedia(s, dir)
+      .select(col("doc_id"), posexplode(
+        Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+      .toDF("doc_id", "frame_no", "frame")
+    val hx = hex(col("frame"))
+    val bytesArr = transform(
+      sequence(lit(1), octet_length(col("frame"))),
+      i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+    fr.select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+      octet_length(col("frame")).cast("long").as("frame_len"),
+      bytesArr.as("bv"))
+  }
+
   /** Shared engine of qx33/qx47: overlap-only doc pairs with the
     * hot-gram cap applied before the posting self-join. Yields one row
     * per pair sharing ≥ 1 surviving gram — (d1, d2, ni, na, nb) where
@@ -1177,17 +1221,7 @@ object ExtQueries {
     // hex fold (exact integers) so the DuckDB twin matches bit-for-bit.
     // Narrow map over frames, no shuffle beyond the presentation sort.
     "qm5_frame_stats" -> ((s, dir) => {
-      val fr = Multimodal.synthMedia(s, dir)
-        .select(col("doc_id"), posexplode(
-          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
-        .toDF("doc_id", "frame_no", "frame")
-      val hx = hex(col("frame"))
-      val bytesArr = transform(
-        sequence(lit(1), octet_length(col("frame"))),
-        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
-      fr.select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-          octet_length(col("frame")).cast("long").as("frame_len"),
-          bytesArr.as("bv"))
+      frameByteVectors(s, dir)
         .where(col("frame_len") > 0)
         .select(col("doc_id"), col("frame_no"), col("frame_len"),
           aggregate(col("bv"), lit(0L), (a0, x) => a0 + x).as("energy"),
@@ -2517,23 +2551,7 @@ object ExtQueries {
     // × dim pre-aggregated rows, not n × dim; centroids (labels × dim)
     // broadcast back over one corpus scan.
     "qe14_label_centroids" -> ((s, dir) => {
-      val dims = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
-      val cent = dims.groupBy("label", "pos")
-        .agg(round(avg("v"), 9).as("cv"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-      // composed cosine, not the float-native kernel: the centroid is a
-      // DOUBLE array (round-9 means aren't float-representable) and the
-      // zip_with fold casts each side independently — exactly what the
-      // twin's CAST(p[i] AS DOUBLE) does
-      def ccos(a: org.apache.spark.sql.Column,
-               b: org.apache.spark.sql.Column) =
-        Similarity.dotComposed(a, b) /
-          (sqrt(Similarity.dotComposed(a, a)) *
-            sqrt(Similarity.dotComposed(b, b)))
+      val cent = labelCentroids(s, dir)
       val mem = Tables.embeddings(s, dir)
         .join(broadcast(cent), Seq("label"))
         .select(col("label"), ccos(col("embedding"), col("cvec")).as("cos"))
@@ -3206,21 +3224,8 @@ object ExtQueries {
     // is one narrow map over the corpus; ties rank by vec_id.
     "qe23_centroid_outliers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val dims = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
-      val cent = dims.groupBy("label", "pos")
-        .agg(round(avg("v"), 9).as("cv"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-      def ccos(a: org.apache.spark.sql.Column,
-               b: org.apache.spark.sql.Column) =
-        Similarity.dotComposed(a, b) /
-          (sqrt(Similarity.dotComposed(a, a)) *
-            sqrt(Similarity.dotComposed(b, b)))
       val mem = Tables.embeddings(s, dir)
-        .join(broadcast(cent), Seq("label"))
+        .join(broadcast(labelCentroids(s, dir)), Seq("label"))
         .select(col("label"), col("vec_id"),
           ccos(col("embedding"), col("cvec")).as("cos"))
       val w = Window.partitionBy("label")
@@ -3240,19 +3245,7 @@ object ExtQueries {
     // work is the centroid aggregation itself (map-side partial sums
     // over (label, pos) keys).
     "qe24_label_affinity" -> ((s, dir) => {
-      val cent = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("v"))
-        .groupBy("label", "pos")
-        .agg(round(avg("v"), 9).as("cv"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-            x => x.getField("cv")).as("cvec"))
-      def ccos(a: org.apache.spark.sql.Column,
-               b: org.apache.spark.sql.Column) =
-        Similarity.dotComposed(a, b) /
-          (sqrt(Similarity.dotComposed(a, a)) *
-            sqrt(Similarity.dotComposed(b, b)))
+      val cent = labelCentroids(s, dir)
       val a = cent.select(col("label").as("la"), col("cvec").as("va"))
       val b = cent.select(col("label").as("lb"), col("cvec").as("vb"))
       a.crossJoin(broadcast(b)).where(col("la") < col("lb"))
@@ -3272,18 +3265,9 @@ object ExtQueries {
     // final mean.
     "qm6_frame_delta" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val fr = Multimodal.synthMedia(s, dir)
-        .select(col("doc_id"), posexplode(
-          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
-        .toDF("doc_id", "frame_no", "frame")
-      val hx = hex(col("frame"))
-      val bytesArr = transform(
-        sequence(lit(1), octet_length(col("frame"))),
-        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
       val w = Window.partitionBy("doc_id").orderBy("frame_no")
-      val withPrev = fr
-        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-          bytesArr.as("bv"))
+      val withPrev = frameByteVectors(s, dir)
+        .select(col("doc_id"), col("frame_no"), col("bv"))
         .withColumn("pv", lag(col("bv"), 1).over(w))
         .where(col("pv").isNotNull)
       val lp = least(size(col("bv")), size(col("pv")))
@@ -3711,11 +3695,17 @@ object ExtQueries {
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
         .withColumn("r",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                .cast("double"))))
+          // zero-variance side (single doc, constant metadata) ⇒ NULL,
+          // not 0/0 — the qz15/qz24 degenerate-case rule, mirrored in
+          // the twin (NaN-vs-NULL would diverge across engines)
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))))
         .select("source", "n", "sx", "sy", "r")
         .orderBy("source")
     }),
@@ -3802,18 +3792,7 @@ object ExtQueries {
     // explode is a bounded ×frameLen row expansion of the frame grain;
     // both rollups key on (asset, frame) — linear, no pair term.
     "qm7_frame_gini" -> ((s, dir) => {
-      val fr = Multimodal.synthMedia(s, dir)
-        .select(col("doc_id"), posexplode(
-          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
-        .toDF("doc_id", "frame_no", "frame")
-      val hx = hex(col("frame"))
-      val bytesArr = transform(
-        sequence(lit(1), octet_length(col("frame"))),
-        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
-      val b = fr
-        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-          octet_length(col("frame")).cast("long").as("frame_len"),
-          bytesArr.as("bv"))
+      val b = frameByteVectors(s, dir)
         .where(col("frame_len") > 0)
         .select(col("doc_id"), col("frame_no"), col("frame_len"),
           explode(col("bv")).as("b"))
@@ -3841,11 +3820,6 @@ object ExtQueries {
     "qe15_mrl_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val probes = emb.where(col("vec_id") < 20)
-      def ccos(a: org.apache.spark.sql.Column,
-               b: org.apache.spark.sql.Column) =
-        Similarity.dotComposed(a, b) /
-          (sqrt(Similarity.dotComposed(a, a)) *
-            sqrt(Similarity.dotComposed(b, b)))
       def topk(dim: Int): DataFrame = {
         def cut(c: org.apache.spark.sql.Column) =
           if (dim > 0) slice(c, 1, dim) else c
@@ -7615,9 +7589,11 @@ object ExtQueries {
         |    CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM m GROUP BY source)
         |SELECT source, n, sx, sy,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END AS r
         |FROM a ORDER BY source""".stripMargin,
 
     // (source, term) rollup then a source-keyed hapax fold

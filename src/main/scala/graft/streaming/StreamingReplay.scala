@@ -886,6 +886,48 @@ object StreamingReplay {
   private val twsStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Scoped RocksDB state-store provider (required by the
+    * transformWithState replays) — save/set/restore so session config
+    * never leaks, same discipline as [[withStatePartitions]]. */
+  private def withRocksDBProvider[A](spark: SparkSession)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = scala.util.Try(spark.conf.get(providerKey)).toOption
+    try {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      body
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Stage events(dir) as three event-time-ordered chunks with NO
+    * sentinels (the transformWithState replays close state by rollup,
+    * not watermark) — cached per dir, shared by qs12/qs13. Returns
+    * None on an empty table (suite-wide contract: caller returns its
+    * own empty frame). */
+  private def stagedTwsChunks(spark: SparkSession, dir: String)
+      : Option[String] = {
+    import spark.implicits._
+    Option(twsStageCache.get(dir)).orElse {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) None
+      else {
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+        val entry = writeChunks(spark, chunks, "tws-replay")
+        twsStageCache.putIfAbsent(dir, entry)
+        Some(entry)
+      }
+    }
+  }
+
   /** Replay events(dir) through the Spark 4 `transformWithState` API —
     * the arbitrary-stateful-processing surface that supersedes
     * (flat)mapGroupsWithState: a `StatefulProcessor` holding a
@@ -903,24 +945,12 @@ object StreamingReplay {
       : DataFrame = {
     import spark.implicits._
 
-    val srcDirStr = Option(twsStageCache.get(dir))
-      .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "user_id BIGINT, n_events BIGINT"))
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          ev.drop(2 * k).toSeq).filter(_.nonEmpty)
-        val entry = writeChunks(spark, chunks, "qs12-replay")
-        twsStageCache.putIfAbsent(dir, entry)
-        entry
-      }
+    val srcDirStr = stagedTwsChunks(spark, dir).getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT"))
+    }
 
     val table = s"qs12_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
@@ -928,28 +958,17 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
-    // scoped RocksDB provider (required by transformWithState) on top
-    // of the usual small-replay state tuning
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = scala.util.Try(spark.conf.get(providerKey)).toOption
-    val q =
-      try {
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
-        withStatePartitions(spark, 8) {
-          stream.groupByKey(_.user_id)
-            .transformWithState(new RunningCountProcessor,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              OutputMode.Update())
-            .toDF("user_id", "n_running")
-            .writeStream.outputMode(OutputMode.Update())
-            .format("memory").queryName(table).start()
-        }
-      } finally savedProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+    val q = withRocksDBProvider(spark) {
+      withStatePartitions(spark, 8) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(new RunningCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "n_running")
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(table).start()
       }
+    }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
     spark.catalog.dropTempView(table)
@@ -969,24 +988,12 @@ object StreamingReplay {
       : DataFrame = {
     import spark.implicits._
 
-    val srcDirStr = Option(twsStageCache.get(dir))
-      .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "user_id BIGINT, event_type STRING, n_events BIGINT"))
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          ev.drop(2 * k).toSeq).filter(_.nonEmpty)
-        val entry = writeChunks(spark, chunks, "qs13-replay")
-        twsStageCache.putIfAbsent(dir, entry)
-        entry
-      }
+    val srcDirStr = stagedTwsChunks(spark, dir).getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, event_type STRING, n_events BIGINT"))
+    }
 
     val table = s"qs13_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
@@ -994,26 +1001,17 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = scala.util.Try(spark.conf.get(providerKey)).toOption
-    val q =
-      try {
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
-        withStatePartitions(spark, 8) {
-          stream.groupByKey(_.user_id)
-            .transformWithState(new TypeCountProcessor,
-              org.apache.spark.sql.streaming.TimeMode.None(),
-              OutputMode.Update())
-            .toDF("user_id", "event_type", "n_running")
-            .writeStream.outputMode(OutputMode.Update())
-            .format("memory").queryName(table).start()
-        }
-      } finally savedProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+    val q = withRocksDBProvider(spark) {
+      withStatePartitions(spark, 8) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(new TypeCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "event_type", "n_running")
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(table).start()
       }
+    }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
     spark.catalog.dropTempView(table)
@@ -1054,27 +1052,18 @@ object StreamingReplay {
       .schema(schema).parquet(srcDirStr)
       .withWatermark("ts", "0 seconds")
       .as[WEvent]
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val savedProvider = scala.util.Try(spark.conf.get(providerKey)).toOption
-    val q =
-      try {
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
-        withStatePartitions(spark, 8) {
-          stream.groupByKey(_.user_id)
-            .transformWithState(
-              new IdleSessionProcessor(gapSec * 1000L),
-              org.apache.spark.sql.streaming.TimeMode.EventTime(),
-              OutputMode.Append())
-            .toDF("user_id", "n_events")
-            .writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(table).start()
-        }
-      } finally savedProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+    val q = withRocksDBProvider(spark) {
+      withStatePartitions(spark, 8) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(
+            new IdleSessionProcessor(gapSec * 1000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF("user_id", "n_events")
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(table).start()
       }
+    }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table)
     spark.catalog.dropTempView(table)
