@@ -602,6 +602,14 @@ object CoreQueries {
     "qs13_tws_mapstate" -> ((s, dir) =>
       graft.streaming.StreamingReplay.transformWithStateMapReplay(s, dir)),
 
+    // qs14 — fourteenth streaming path: transformWithState LIST state
+    // (a trimmed last-3-event-id buffer per user — the ordered-
+    // collection surface qs12/qs13 don't touch); the final buffer is
+    // the max-running-n emission per key, oracled by the batch last-3
+    // window.
+    "qs14_tws_liststate" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.transformWithStateListReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1579,6 +1587,24 @@ object CoreQueries {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // ListState buffer: the final last-3 event ids per user in strict
+    // (ts, event_id) order, comma-joined like the processor emits
+    "qs14_tws_liststate" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) <= 3),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM events GROUP BY user_id),
+        |l AS (
+        |  SELECT user_id,
+        |    string_agg(CAST(event_id AS VARCHAR), ','
+        |      ORDER BY ts, event_id) AS last3
+        |  FROM r GROUP BY user_id)
+        |SELECT n.user_id, n.n_events, l.last3
+        |FROM n JOIN l USING (user_id)
+        |ORDER BY n.user_id""".stripMargin,
 
     // both sides pre-filtered to their type slice; unmatched rows from
     // either side carry NULLs, user_id coalesces across sides

@@ -1021,6 +1021,50 @@ object StreamingReplay {
       .orderBy("user_id", "event_type")
   }
 
+  /** qs14: [[transformWithStateReplay]]'s harness with the ListState
+    * processor — the per-key last-3-event-id buffer. The row with the
+    * highest running n per key carries the final buffer (n strictly
+    * increases on every batch that touches the key), so a per-key
+    * max_by collapse yields the state the batch last-3 SQL oracles.
+    * Shares qs12/qs13's staged chunks. */
+  def transformWithStateListReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = stagedTwsChunks(spark, dir).getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, last3 STRING"))
+    }
+
+    val table = s"qs14_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .as[WEvent]
+    val q = withRocksDBProvider(spark) {
+      withStatePartitions(spark, 8) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(new LastEventsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "n_running", "ids")
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(table).start()
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.groupBy("user_id")
+      .agg(max("n_running").as("n_events"),
+        max_by(col("ids"), col("n_running")).as("last3"))
+      .orderBy("user_id")
+  }
+
   /** Spec harness for [[IdleSessionProcessor]] (the event-time TIMER
     * surface of transformWithState): replay events(dir) in three
     * event-time-ordered chunks with a zero-delay watermark. No sentinel
@@ -1123,6 +1167,49 @@ class IdleSessionProcessor(gapMs: Long)
     val n = if (count.exists()) count.get() else 0L
     count.clear(); armed.clear()
     if (n > 0) Iterator.single((key, n)) else Iterator.empty
+  }
+}
+
+/** Bounded last-3-event-id buffer on a transformWithState ListState —
+  * the system under test for qs14 (qs12 ValueState, qs13 MapState; this
+  * exercises the ordered-collection surface: get/clear/appendValue with
+  * an explicit trim, the recent-history shape every "last N actions"
+  * feature store keeps). Rows are re-sorted by (event-time micros,
+  * event_id) inside each batch — the iterator arrives in partition
+  * order — so the buffer's content is a pure function of the staged
+  * chunk order; the emitted (key, running n, joined ids) row with the
+  * highest n per key IS the final buffer, which the batch last-3 SQL
+  * oracles exactly. */
+class LastEventsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamingReplay.WEvent, (Long, Long, String)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+    TTLConfig, ListState, ValueState}
+
+  @transient private var ids: ListState[Long] = _
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    ids = getHandle.getListState[Long]("ids",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[StreamingReplay.WEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, String)] = {
+    val sorted = rows.toSeq
+      .sortBy(e => (Times.micros(e.ts), e.event_id))
+    val all = (if (ids.exists()) ids.get().toSeq else Seq.empty[Long]) ++
+      sorted.map(_.event_id)
+    val keep = all.takeRight(3)
+    ids.clear()
+    keep.foreach(ids.appendValue)
+    val total = (if (n.exists()) n.get() else 0L) + sorted.size
+    n.update(total)
+    Iterator.single((key, total, keep.mkString(",")))
   }
 }
 

@@ -554,4 +554,22 @@ class Round9bSpec extends SparkTestBase {
     assert(out(1L) == (16L, 16L, 1.0 - 16.0 / 256.0), s"got ${out(1L)}")
     assert(out(2L) == (16L, 2L, 0.5), s"got ${out(2L)}")
   }
+
+  test("qs14 transformWithState ListState: the last-3 buffer trims " +
+    "across micro-batches in strict event-time order, and a key with " +
+    "fewer than 3 events keeps them all") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (11L, t0, 1L, "view"), (12L, t0 + 10L, 1L, "view"),
+      (13L, t0 + 20L, 1L, "view"), (14L, t0 + 30L, 1L, "view"),
+      (15L, t0 + 40L, 1L, "view"),
+      (21L, t0 + 5L, 2L, "view"), (22L, t0 + 15L, 2L, "view")))
+    val out = streaming.StreamingReplay
+      .transformWithStateListReplay(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> (5L, "13,14,15"),
+      2L -> (2L, "21,22")), s"got $out")
+  }
 }
