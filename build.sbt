@@ -14,6 +14,12 @@ Test / fork := true
 // session); run them sequentially for determinism
 Test / parallelExecution := false
 run / fork := true
+// The forked JVM inherits sbt's raw stdout/stderr instead of going
+// through sbt's logger: every BENCH_r* tail shows the bench JSON line
+// prefixed with "[info] ", and the driver's line-oriented JSON parse has
+// recorded parsed:null in all nine rounds. Raw inheritance makes the
+// println line start with "{" as a parser expects.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -167,28 +167,29 @@ object Bench {
     results.foreach { case (k, v) =>
       System.err.println(f"[bench-med3] $k ${v}%.2f") }
     val total = results.map(_._2).sum
-    // short keys ("qx23_span_removal" → "qx23") keep the stdout line
-    // inside the driver's tail window, but only if first segments stay
-    // unique — a colliding pair would silently emit duplicate JSON keys,
-    // so fall back to full names (and rely on the top-25 degrade) the
-    // moment a collision appears
-    val shortUnique = results.map(_._1.takeWhile(_ != '_')).distinct.size ==
-      results.size
-    def key(k: String): String = if (shortUnique) k.takeWhile(_ != '_') else k
-    def line(qs: String) =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)}}"""
-    val full = line(results.map { case (k, v) =>
-      "\"" + key(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}"))
-    // degrade before the driver's ~2000-char stdout tail window clips
-    // the line's head (sbt appends ~70 chars after us): keep the full
-    // per-query map while it fits, else only the slowest 25 (the ones a
-    // judge acts on; the complete breakdown is on stderr either way)
-    val out = if (full.length <= 1850) full
-      else line((results.sortBy(-_._2).take(25).map { case (k, v) =>
-        "\"" + key(k) + "\":" + f2(v) } :+ "\"_truncated\":\"top25\"")
-        .mkString("{", ",", "}"))
-    println(out)
+    // The full per-query med3 map has outgrown any stdout tail window
+    // (198 queries ≈ 3k chars even with shortened keys), and nine rounds
+    // of tail-fitting tricks never produced a parsed artifact. New
+    // contract: stdout carries a SHORT totals-only JSON line (always
+    // parseable — with run/outputStrategy := StdoutOutput it is a raw
+    // line starting with "{"); the complete per-query breakdown goes to
+    // a committed sidecar file (SPARK_GRAFT_BENCH_OUT, default
+    // BENCH_full_latest.json in the repo root) alongside the stderr
+    // [bench-runs]/[bench-med3] evidence lines.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_latest.json")
+    val fullJson = new StringBuilder()
+    fullJson ++= "{\n  \"metric\": \"total\",\n"
+    fullJson ++= s"""  "value": ${f2(total)},\n  "unit": "sec",\n"""
+    fullJson ++= s"""  "sf": "$sfDir",\n  "method": "noop-sink-med3",\n"""
+    fullJson ++= s"""  "r1_total_sec": ${f2(r1Total)},\n"""
+    fullJson ++= s"""  "n_queries": ${results.size},\n  "queries": {\n"""
+    fullJson ++= results.map { case (k, v) => s"""    "$k": ${f2(v)}""" }
+      .mkString(",\n")
+    fullJson ++= "\n  }\n}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      fullJson.toString.getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)},"queries_file":"$sidecar"}""")
     spark.stop()
   }
 }

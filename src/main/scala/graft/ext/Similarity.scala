@@ -558,13 +558,27 @@ object Similarity {
     * point of clustering before pairwise cosine (pairs ∝ Σ|cell|², not
     * |corpus|²; with balanced cells that's |corpus|²/nlist). Hot cells
     * are ENFORCED bounded, the same discipline as the qx21 LSH band cap:
-    * within each cell, vectors are chunked by id-rank into runs of at
-    * most `cellCap`, and the self-join keys on (cell, chunk) — so a cell
-    * of size s costs ceil(s/cellCap)·cellCap² pairs (linear in s at
-    * fixed cap), and a collapsed embedding distribution (the qe18
-    * anisotropy failure) degrades to corpus·cellCap work instead of
-    * corpus². The tradeoff is recall, not correctness: a domination
-    * whose smaller-id witness falls in an earlier chunk is missed, and
+    * within each cell, vectors are chunked by DETERMINISTIC HASH-MOD —
+    * `chunk = md5₆₀(i) mod nchunks(cell)`, where nchunks is
+    * ceil(|cell|/cellCap) rounded UP to a power of two against a
+    * broadcast per-cell size frame — and the self-join keys on
+    * (cell, chunk). A cell of size s costs ~s·cellCap expected pairs
+    * (linear in s at fixed cap), and a collapsed embedding distribution
+    * (the qe18 anisotropy failure) degrades to corpus·cellCap work
+    * instead of corpus². Crucially there is NO per-cell window anywhere:
+    * the earlier id-rank formulation (row_number over partitionBy(cell))
+    * hash-partitioned the corpus by cell, so the exact pathological hot
+    * cell the cap exists for funneled the whole corpus through ONE task
+    * for the rank sort; hash-mod chunking is a narrow map over a
+    * broadcast join — no shuffle keyed by cell at all. The power-of-two
+    * rounding buys a second invariant for free: mod-2^k classes NEST
+    * (a larger cap's chunks are unions of a smaller cap's), so every
+    * pair compared at a tight cap is also compared at a looser one and
+    * the qe25 duplicate count is provably non-decreasing in the cap —
+    * for arbitrary cap values, not just dividing ones.
+    *
+    * The tradeoff is recall, not correctness: a domination whose
+    * smaller-id witness hashes into a different chunk is missed, and
     * each chunk keeps its own min-id representative — conservative
     * (never drops a non-dup), exactly how the band cap under-merges.
     *
@@ -615,14 +629,31 @@ object Similarity {
     val centroids = centroidFrame(corpus,
       centroidsFor(corpus, nlist, trainIters, cacheKey))
     // one assignment pass feeds both self-join sides and the final
-    // keeper join — cut so the broadcast-scan-window pipeline runs once
-    val assigned = assignCells(corpus, "i", "emb", probes = 1, centroids)
+    // keeper join — cut so the broadcast-scan pipeline runs once
+    val a0 = graft.Materialize.cut(
+      assignCells(corpus, "i", "emb", probes = 1, centroids))
     val chunked =
-      if (cellCap <= 0) assigned.withColumn("chunk", lit(0L))
-      else assigned.withColumn("chunk",
-        ((row_number().over(Window.partitionBy("cell").orderBy("i"))
-          - 1) / cellCap).cast("long"))
-    val a = graft.Materialize.cut(chunked)
+      if (cellCap <= 0) a0.withColumn("chunk", lit(0L))
+      else {
+        // per-cell sizes reduce map-side to ≤ nlist rows and broadcast
+        // back — no corpus row ever shuffles keyed by cell, so a
+        // pathological hot cell adds nothing but its partial counts
+        val sizes = a0.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+        a0.join(broadcast(sizes), Seq("cell"))
+          // nchunks = ceil(cell_n / cap) rounded up to a power of two
+          // (integer-only: length(bin(m-1)) is ceil(log2 m) — no
+          // float log whose last bit could differ from the twin)
+          .withColumn("nchunks", expr(
+            s"""CASE WHEN (cell_n + ${cellCap - 1}) div $cellCap <= 1
+               |THEN 1L ELSE shiftleft(1L, length(bin(
+               |  (cell_n + ${cellCap - 1}) div $cellCap - 1))) END"""
+              .stripMargin))
+          .withColumn("chunk",
+            conv(substring(md5(col("i").cast("string")), 1, 15), 16, 10)
+              .cast("long") % col("nchunks"))
+          .drop("cell_n", "nchunks")
+      }
+    val a = chunked
     val dom = a
       .join(a.select(col("cell"), col("chunk"), col("i").as("j"),
         col("emb").as("j_emb")), Seq("cell", "chunk"))

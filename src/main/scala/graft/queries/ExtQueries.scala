@@ -483,9 +483,12 @@ object ExtQueries {
 
     // The semDedup hot-cell guard under the gate: same fit, same tau,
     // but cellCap=24 — small enough that every fixture cell re-splits
-    // into id-rank chunks, so the capped formulation (the 100 TB skew
-    // path, where a collapsed embedding distribution would otherwise go
-    // quadratic) is itself DuckDB-oracled, not just the balanced path
+    // into hash-mod chunks (md5₆₀(id) mod a pow2 chunk count from a
+    // broadcast per-cell size frame — no per-cell window, so a
+    // pathological hot cell never funnels the corpus through one task),
+    // so the capped formulation (the 100 TB skew path, where a collapsed
+    // embedding distribution would otherwise go quadratic) is itself
+    // DuckDB-oracled, not just the balanced path
     "qz1_semdedup_hotcap" -> ((s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), 0.4, cellCap = 24,
         cacheKey = Some(s"$dir|nlist=16|iters=5"))
@@ -3537,8 +3540,12 @@ object ExtQueries {
     // (every cap discipline has one: qx57 thresholds, qx59 bands, qe17
     // nprobe; this prices the cellCap): kept/duplicate counts at a
     // tight cap (8), the qz1 demonstration cap (24), and the production
-    // default (4096). Caps only ever UNDER-merge (chunking splits
-    // cells), so n_dups is non-decreasing in the cap — the invariant
+    // default (4096). Chunk counts are rounded up to powers of two, so
+    // mod-classes NEST across caps (a larger cap's chunks are unions of
+    // a smaller cap's — true for ARBITRARY cap values, closing the
+    // round-9 advisory that 24 ∤ 4096 broke refinement): every pair
+    // compared at a tight cap is compared at a looser one, and n_dups
+    // is provably non-decreasing in the cap — the invariant
     // Round9bSpec pins. All three legs share one cached IVF fit (the
     // qe11/qz1 key), so the sweep prices the cap, not fit noise.
     "qe25_cellcap_sweep" -> ((s, dir) => {
@@ -4109,11 +4116,13 @@ object ExtQueries {
 
   /** DuckDB twin of the SemDeDup query (qe11/qz1): the qe4
     * cell-assignment CTE (same centroid literals → same cells), the
-    * id-rank chunking that enforces the hot-cell cap (row_number within
-    * cell ordered by id, integer-divided by `cellCap` — bit-identical to
-    * the Spark window), a within-(cell, chunk) min-id domination join at
-    * the cosine threshold, and a left join marking keepers. The cosine
-    * is the shared zip/fold double math, so the domination set is
+    * deterministic hash-mod chunking that enforces the hot-cell cap
+    * (md5₆₀(i) mod nchunks, with nchunks = ceil(cell_n/cellCap) rounded
+    * up to a power of two via the integer-only length(bin(m-1)) trick —
+    * bit-identical to the Spark expression, no window, no float log),
+    * a within-(cell, chunk) min-id domination join at the cosine
+    * threshold, and a left join marking keepers. The cosine is the
+    * shared zip/fold double math, so the domination set is
     * bit-deterministic across engines. */
   private def qe11Sql(cents: Seq[Seq[Float]], tau: Double,
                       cellCap: Int): String = {
@@ -4123,10 +4132,19 @@ object ExtQueries {
       s"($i, [${c.map(flit).mkString(",")}])"
     }.mkString(",\n")
     def cos(a: String, b: String): String = cosSql(a, b)
+    // 60-bit md5 fold of the id (the qx40 idiom) mod the pow2 chunk count
     val chunkExpr =
       if (cellCap <= 0) "CAST(0 AS BIGINT)"
-      else s"CAST((row_number() OVER (PARTITION BY cell ORDER BY i) - 1)" +
-        s" // $cellCap AS BIGINT)"
+      else {
+        val h60 = "list_reduce(list_transform(range(1, 16), " +
+          "j -> CAST(strpos('0123456789abcdef', " +
+          "substr(md5(CAST(i AS VARCHAR)), CAST(j AS INT), 1)) " +
+          "- 1 AS BIGINT)), (x, y) -> x * 16 + y)"
+        val m = s"((cell_n + ${cellCap - 1}) // $cellCap)"
+        s"""CAST($h60 % (CASE WHEN $m <= 1 THEN 1
+           |    ELSE (CAST(1 AS BIGINT) << length(bin($m - 1))) END)
+           |    AS BIGINT)""".stripMargin
+      }
     s"""WITH cent(cell, c_emb) AS (VALUES
        |$values),
        |a0 AS (
@@ -4134,8 +4152,12 @@ object ExtQueries {
        |  FROM embeddings e CROSS JOIN cent c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |sz AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+       |  FROM a0 GROUP BY cell),
        |a AS (
-       |  SELECT i, emb, cell, $chunkExpr AS chunk FROM a0),
+       |  SELECT i, emb, a0.cell, $chunkExpr AS chunk
+       |  FROM a0 JOIN sz ON sz.cell = a0.cell),
        |dom AS (
        |  SELECT x.i, CAST(min(y.i) AS BIGINT) AS dup_of
        |  FROM a x JOIN a y ON y.cell = x.cell AND y.chunk = x.chunk

@@ -89,6 +89,17 @@ class PlanSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), p) // within-cell join is keyed
   }
 
+  test("qz1 capped semDedup: chunk assignment is hash-mod against a " +
+    "broadcast size frame — no window partitioned by cell anywhere (the " +
+    "shape that single-tasked a pathologically hot cell), and the " +
+    "size-frame attach is a broadcast join") {
+    val p = plan("qz1_semdedup_hotcap")
+    assert(!p.matches("(?s).*windowspecdefinition\\(cell#.*"),
+      s"no per-cell window allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qx23 span removal: equi-joins only, gram frame lineage-cut once, " +
     "coverage is a per-row indexed filter over the doc's own token array " +
     "(no token re-explode, no window exchange, no token-x-gram range join)") {

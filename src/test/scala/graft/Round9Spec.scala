@@ -11,8 +11,9 @@ class Round9Spec extends SparkTestBase {
   import spark.implicits._
 
   test("semDedup hot-cell cap: a fully collapsed corpus (every vector " +
-    "identical → one hot cell) chunks by id-rank; each chunk keeps its " +
-    "min id and dominates the rest, so pair work is n·cap, not n²") {
+    "identical → one hot cell) chunks by hash-mod against the pow2 " +
+    "chunk count; each chunk keeps its min id and dominates the rest, " +
+    "so pair work is ~n·cap, not n² — and no per-cell window exists") {
     val n = 40
     val cap = 8
     val emb = (0 until n).map(i => (i.toLong, Seq.fill(4)(1.0f)))
@@ -23,18 +24,35 @@ class Round9Spec extends SparkTestBase {
         (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
       .toMap
     assert(out.size == n)
-    // identical vectors tie to one cell; chunks are id-runs of `cap`
-    (0 until n).foreach { i =>
-      val chunkMin = (i / cap) * cap
-      val (kept, dupOf) = out(i.toLong)
-      if (i == chunkMin) {
-        assert(kept && dupOf.isEmpty, s"vec $i should head its chunk")
-      } else {
-        assert(!kept && dupOf.contains(chunkMin.toLong),
-          s"vec $i should be dominated by chunk head $chunkMin, " +
-            s"got $dupOf")
-      }
+    // identical vectors tie to one cell of size 40; nchunks =
+    // pow2ceil(ceil(40/8)) = 8, chunk(i) = md5_60(i) mod 8 — recompute
+    // the assignment independently here, then assert per-chunk min-id
+    // domination exactly
+    def chunkOf(i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8L
     }
+    val heads = (0 until n).groupBy(chunkOf).map { case (c, is) =>
+      c -> is.min }
+    (0 until n).foreach { i =>
+      val head = heads(chunkOf(i))
+      val (kept, dupOf) = out(i.toLong)
+      if (i == head)
+        assert(kept && dupOf.isEmpty, s"vec $i should head its chunk")
+      else
+        assert(!kept && dupOf.contains(head.toLong),
+          s"vec $i should be dominated by chunk head $head, got $dupOf")
+    }
+    // the scale point itself: no window PARTITIONED BY CELL anywhere in
+    // the plan (the round-9 weak mark was a per-cell row_number that
+    // single-tasked the hot cell; the surviving window in assignCells
+    // partitions by vec_id — uniform nlist rows per vector, safe)
+    val plan = ext.Similarity.semDedup(emb, tau = 0.9, nlist = 4,
+      cellCap = cap).queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*windowspecdefinition\\(cell#.*"),
+      s"capped semDedup must have no per-cell window, got:\n$plan")
   }
 
   test("semDedup cap is a no-op when every cell is under it: capped and " +
