@@ -610,6 +610,18 @@ object CoreQueries {
     "qs14_tws_liststate" -> ((s, dir) =>
       graft.streaming.StreamingReplay.transformWithStateListReplay(s, dir)),
 
+    // qs15 — fifteenth streaming path: the EVENT-TIME TIMER surface of
+    // transformWithState (registerTimer / deleteTimer /
+    // handleExpiredTimer under TimeMode.EventTime — the one streaming
+    // family that was spec-only in round 9). Gap sessions close via the
+    // in-batch gap rule mid-stream and via FIRED TIMERS at the tail
+    // (one foreign-user sentinel advances the watermark; no per-user
+    // sentinel closes anything, so the timer path is what's under
+    // test). Emitted sessions equal q36's batch gap-split — same
+    // oracle.
+    "qs15_tws_timers" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.gapSessionTimerReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1465,6 +1477,11 @@ object CoreQueries {
     // the streaming replay is oracled by the SAME gap-split SQL — the
     // whole point: stream output must hash-match the batch ground truth
     "qs1_stream_replay" -> GapSplitSql,
+
+    // the timer-surface replay closes the SAME sessions (in-batch gap
+    // rule mid-stream, fired event-time timers at the tail), so it is
+    // oracled by the same gap-split SQL as q36/qs1
+    "qs15_tws_timers" -> GapSplitSql,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

@@ -1271,9 +1271,17 @@ object ExtQueries {
       Dedup.minhashClusters(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
-    // codec lifecycle on real data — Spark-only (rows-only check; exact
-    // string goldens live in CodecSpec): assemble tgeompoint trips, print
-    // WKT, roundtrip through hex-WKB, assert stability in-plan
+    // codec lifecycle on real data — HASH-GATED since round 10 (was the
+    // artifact's one rows-only row): assemble tgeompoint trips, run the
+    // full native codec chain per trip (hex-WKB encode → decode →
+    // re-encode, WKT print), and gate through IDENTITY — a row survives
+    // only if encode∘decode∘encode == encode byte-for-byte AND the
+    // print leg produced bytes. The emitted columns (per-user instant
+    // count + span micros) are exact relational facts DuckDB recomputes
+    // from events independently, so ANY codec regression drops rows and
+    // the driver's row/hash compare fails — the roundtrip identity IS
+    // the oracle condition. (Exact string goldens stay in CodecSpec +
+    // qc2's golden hash row.)
     "qc1_codec_roundtrip" -> ((s, dir) => {
       import graft.meos.{Assembly, MeosFunctions, NativeExpressions}
       val asm = Assembly.tpointAssemble()
@@ -1287,16 +1295,19 @@ object ExtQueries {
         // codegen'd expressions (no Row boxing anywhere in the plan).
         // Roundtrip stability is asserted on the WKB BYTES
         // (encode∘decode∘encode == encode — byte-for-byte, a stricter
-        // check than print equality) so the expensive min-digit decimal
-        // print runs once per trip, not twice
+        // check than print equality)
         .withColumn("hex1",
           NativeExpressions.tgeompointAsHexWkb(col("trip")))
         .where(NativeExpressions.tgeompointAsHexWkb(
           NativeExpressions.tgeompointFromHexWkb(col("hex1")))
           === col("hex1"))
+        // the print leg must run and produce bytes for every trip
+        .where(length(NativeExpressions.tgeompointOut(col("trip"))) > 0)
         .select(col("user_id"),
-          NativeExpressions.tgeompointOut(col("trip")).as("wkt"),
-          MeosFunctions.tgeompointNumInstants(col("trip")).as("n"))
+          MeosFunctions.tgeompointNumInstants(col("trip"))
+            .cast("long").as("n"),
+          unix_micros(MeosFunctions.tgeompointStartTs(col("trip")))
+            .as("t0_us"))
         .orderBy("user_id")
     }),
 
@@ -6732,6 +6743,18 @@ object ExtQueries {
         |FROM cum CROSS JOIN na
         |GROUP BY source, ns
         |ORDER BY source""".stripMargin,
+
+    // qc1's roundtrip-identity oracle: the Spark side emits a row per
+    // user ONLY when the native codec chain is byte-stable
+    // (encode∘decode∘encode == encode) and the print leg produced
+    // bytes; the surviving rows' facts — instant count (the assembly's
+    // per-(user, ts) dedup) and first-instant micros — are recomputed
+    // here relationally, so any codec regression drops rows and fails
+    // the row/hash compare
+    "qc1_codec_roundtrip" ->
+      """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
+        |       min(epoch_us(ts)) AS t0_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // committed goldens for the qc2 codec gate (regenerate via Verify
     // after an INTENDED wire/print-format change — see CodecGoldenCases)

@@ -584,8 +584,14 @@ object StreamingReplay {
 
   // staged input for the OUTER stream-stream replay, keyed by dir; the
   // cached sentinel timestamp bounds the defensive output filter
+  // keyed by (dir, windowSec), NOT dir alone: the staged sentinel's
+  // timestamp encodes windowSec + margin, and a second call on the same
+  // dir with a larger window would reuse a sentinel that never drives
+  // the watermark past the tail clicks' expiry — silently dropping their
+  // unmatched rows (round-9 advisory)
   private val ssjOuterStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Timestamp)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (String, Timestamp)]()
 
   /** Replay events(dir) through the stream-stream LEFT OUTER interval
     * join — the null-emission machinery qs8's inner form never runs: an
@@ -604,8 +610,8 @@ object StreamingReplay {
                               windowSec: Long = 21600L): DataFrame = {
     import spark.implicits._
 
-    val (srcDirStr, sentinelTs) = Option(ssjOuterStageCache.get(dir))
-      .getOrElse {
+    val (srcDirStr, sentinelTs) =
+      Option(ssjOuterStageCache.get((dir, windowSec))).getOrElse {
         val ev = graft.Tables.events(spark, dir)
           .where(col("event_type").isin("click", "purchase"))
           .select(col("user_id"), col("ts"), col("event_id"),
@@ -627,7 +633,7 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
         val entry = (writeChunks(spark, chunks, "qs9-replay"), sentTs)
-        ssjOuterStageCache.putIfAbsent(dir, entry)
+        ssjOuterStageCache.putIfAbsent((dir, windowSec), entry)
         entry
       }
 
@@ -660,9 +666,12 @@ object StreamingReplay {
       .orderBy(col("c_id"), col("p_id"))
   }
 
-  // staged input for the full-outer stream-stream replay, keyed by dir
+  // staged input for the full-outer stream-stream replay — keyed by
+  // (dir, windowSec) for the same sentinel-staleness reason as
+  // ssjOuterStageCache (round-9 advisory: this cache replicated the
+  // qs9 pattern)
   private val ssjFullStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
   /** The FULL OUTER stream-stream interval join — both null-emission
     * directions (qs8 inner: neither; qs9 left: unmatched clicks only;
@@ -675,7 +684,7 @@ object StreamingReplay {
                                   windowSec: Long = 21600L): DataFrame = {
     import spark.implicits._
 
-    val srcDirStr = Option(ssjFullStageCache.get(dir))
+    val srcDirStr = Option(ssjFullStageCache.get((dir, windowSec)))
       .getOrElse {
         val ev = graft.Tables.events(spark, dir)
           .where(col("event_type").isin("click", "purchase"))
@@ -697,7 +706,7 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
         val entry = writeChunks(spark, chunks, "qs11-replay")
-        ssjFullStageCache.putIfAbsent(dir, entry)
+        ssjFullStageCache.putIfAbsent((dir, windowSec), entry)
         entry
       }
 
@@ -1113,6 +1122,96 @@ object StreamingReplay {
     spark.catalog.dropTempView(table)
     sunk.orderBy("user_id")
   }
+
+  // staged input for the timer-gated gap-session replay — keyed by
+  // (dir, gapSec): the sentinel margin encodes the gap (the qs9 cache
+  // lesson)
+  private val timerStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  /** The event-time-TIMER surface under the HASH GATE (declared as
+    * `qs15_tws_timers`) — the one streaming family that was spec-only in
+    * round 9: replay events(dir) through [[GapSessionTimerProcessor]],
+    * whose sessions close through BOTH paths the timer API exists for —
+    * the in-batch gap rule (a later event > gap away closes the session
+    * inline) and `handleExpiredTimer` (the watermark passes an armed
+    * `lastSeen + gap` expiry with no further events). The emitted
+    * session set equals q36's batch gap-split EXACTLY (GapSplitSql is
+    * the oracle):
+    *
+    *  - chunks replay in global (event-time µs, event_id) order, so a
+    *    batch-k event for a user always carries `ts >= ` the previous
+    *    batches' max — the watermark can only have passed an armed
+    *    expiry if the next event would split anyway (integer-second gap
+    *    ⇒ the ms-truncated timer math can never fire before a µs-rule
+    *    merge), making the output chunking-independent;
+    *  - the per-(user, ts) dedup the q36 oracle applies is replicated
+    *    in-processor (global order ⇒ an equal-ts row is always the
+    *    later one: skipped);
+    *  - ONE far-future sentinel row for a user that does not exist
+    *    (user_id = -1) advances the global watermark past every armed
+    *    expiry, so every TAIL session is emitted by the TIMER path —
+    *    unlike qs1's per-user sentinels, which close tails via the gap
+    *    rule; the sentinel user's own armed timer never fires and its
+    *    state is simply discarded with the query. */
+  def gapSessionTimerReplay(spark: SparkSession, dir: String,
+                            gapSec: Long = 3600L): DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(timerStageCache.get((dir, gapSec))).getOrElse {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) // suite-wide contract: empty input → empty output
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, seg BIGINT, n BIGINT, t0_us BIGINT, " +
+              "t1_us BIGINT, xmin DOUBLE, xmax DOUBLE"))
+      val maxUs = micros(ev.last.ts)
+      val sentTs = new Timestamp((maxUs / 1000L) + (gapSec + 7200L) * 1000L)
+      val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "sentinel", 0.0)
+      val k = math.max(ev.length / 3, 1)
+      val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+        ev.drop(2 * k).toSeq, Seq(sentinel)).filter(_.nonEmpty)
+      val entry = writeChunks(spark, chunks, "qs15-replay")
+      timerStageCache.putIfAbsent((dir, gapSec), entry)
+      entry
+    }
+
+    val table = s"qs15_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .withWatermark("ts", "0 seconds")
+      .as[WEvent]
+    val q = withRocksDBProvider(spark) {
+      withStatePartitions(spark, 8) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(
+            new GapSessionTimerProcessor(gapSec * 1000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF("user_id", "n", "t0_us", "t1_us", "xmin", "xmax")
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(table).start()
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table)
+    spark.catalog.dropTempView(table)
+
+    // q36's output shape: seg = 0-based per-user rank by session start
+    val w = Window.partitionBy("user_id").orderBy("t0_us")
+    sunk
+      .where(col("user_id") >= 0) // defensive: the sentinel user
+      .withColumn("seg", (row_number().over(w) - 1).cast("long"))
+      .select(col("user_id"), col("seg"), col("n"), col("t0_us"),
+        col("t1_us"), col("xmin"), col("xmax"))
+      .orderBy("user_id", "seg")
+  }
 }
 
 /** Event-time-TIMER session closer on transformWithState — the timer
@@ -1167,6 +1266,97 @@ class IdleSessionProcessor(gapMs: Long)
     val n = if (count.exists()) count.get() else 0L
     count.clear(); armed.clear()
     if (n > 0) Iterator.single((key, n)) else Iterator.empty
+  }
+}
+
+/** The open gap-session accumulator [[GapSessionTimerProcessor]] keeps
+  * per user: running count, start/last event-time micros, value min/max
+  * — exactly the per-segment stats q36's rollup reports. */
+case class OpenGapSession(n: Long, t0Us: Long, t1Us: Long,
+                          xmin: Double, xmax: Double)
+
+/** Event-time-timer gap-session splitter — the system under test for
+  * qs15 (the timer surface, HASH-GATED against q36's batch gap-split):
+  * maintains one open session per user and closes it through both paths
+  *
+  *  - IN-BATCH: a row `>= gap` after the open session's last event
+  *    closes it inline (emitted from handleInputRows) and opens a new
+  *    one — the dominant path mid-stream;
+  *  - TIMER: every batch re-arms (deleteTimer + registerTimer) an
+  *    event-time timer at `lastSeen + gap`; when the watermark finally
+  *    passes an armed expiry with no intervening event,
+  *    handleExpiredTimer emits the session ONCE and clears state — the
+  *    only path that can close a TAIL session, which is what the timer
+  *    API exists for.
+  *
+  * Oracle-parity details: rows are re-sorted by (µs, event_id) in each
+  * batch and per-(user, ts) duplicates are skipped (an equal-µs row is
+  * never first in global replay order, so the kept row is the min
+  * event_id — the q36 oracle's rn=1 rule); the split rule is µs-exact
+  * (`us - t1 >= gap·1e6`), and the ms-truncated timer can never fire
+  * before a µs-rule merge (integer-second gap: floor((t1+gap)/ms) is
+  * exactly t1_ms + gap_ms, and the watermark reaching that implies the
+  * next event splits anyway). */
+class GapSessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StreamingReplay.WEvent,
+      (Long, Long, Long, Long, Double, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+    TTLConfig, ValueState}
+
+  @transient private var open: ValueState[OpenGapSession] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    open = getHandle.getValueState[OpenGapSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenGapSession], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[StreamingReplay.WEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Long, Double, Double)] = {
+    val gapUs = gapMs * 1000L
+    val sorted = rows.toSeq.sortBy(e => (Times.micros(e.ts), e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double, Double)]
+    var cur: OpenGapSession = if (open.exists()) open.get() else null
+    sorted.foreach { e =>
+      val us = Times.micros(e.ts)
+      if (cur == null)
+        cur = OpenGapSession(1L, us, us, e.value, e.value)
+      else if (us == cur.t1Us)
+        () // per-(user, ts) dedup — the min-event_id row already counted
+      else if (us - cur.t1Us >= gapUs) {
+        closed += ((key, cur.n, cur.t0Us, cur.t1Us, cur.xmin, cur.xmax))
+        cur = OpenGapSession(1L, us, us, e.value, e.value)
+      } else
+        cur = OpenGapSession(cur.n + 1, cur.t0Us, us,
+          math.min(cur.xmin, e.value), math.max(cur.xmax, e.value))
+    }
+    if (cur != null) {
+      open.update(cur)
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val expiry = cur.t1Us / 1000L + gapMs
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(key: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long, Double, Double)] = {
+    val out =
+      if (open.exists()) {
+        val c = open.get()
+        Iterator.single((key, c.n, c.t0Us, c.t1Us, c.xmin, c.xmax))
+      } else Iterator.empty
+    open.clear(); armed.clear()
+    out
   }
 }
 

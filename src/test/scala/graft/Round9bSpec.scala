@@ -334,6 +334,30 @@ class Round9bSpec extends SparkTestBase {
     assert(out("fr") == (2L, 12.5, 15.0, 17.5), s"got ${out("fr")}")
   }
 
+  test("qs15 timer gap sessions: an in-stream gap closes a session via " +
+    "the batch rule, a TAIL session closes only via the fired event-time " +
+    "timer (the sentinel is a foreign user — nothing else can close it), " +
+    "and per-(user, ts) dups keep the min-event_id row's value") {
+    val t0 = 1_700_000_000_000_000L
+    val s = 1_000_000L // one second in µs
+    val dir = plantEventsV(Seq(
+      (1L, t0, 1L, "view", 5.0),
+      (2L, t0, 1L, "view", 99.0), // same ts: deduped, value ignored
+      (4L, t0 + 1L * s, 2L, "view", 3.0), // user 2: tail-only session
+      (3L, t0 + 10L * s, 1L, "view", 1.0),
+      (5L, t0 + 3610L * s, 1L, "view", 2.0), // 3600 s gap: splits
+      (6L, t0 + 3615L * s, 1L, "view", 7.0)))
+    val out = streaming.StreamingReplay.gapSessionTimerReplay(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, t0, t0 + 10L * s, 1.0, 5.0),
+      (1L, 1L, 2L, t0 + 3610L * s, t0 + 3615L * s, 2.0, 7.0),
+      (2L, 0L, 1L, t0 + 1L * s, t0 + 1L * s, 3.0, 3.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("qs11 full-outer stream-stream join: matched pairs emit once, " +
     "unmatched clicks AND unmatched purchases each emit one null-padded " +
     "row, and the interval boundary stays inclusive") {
