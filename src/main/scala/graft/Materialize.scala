@@ -80,15 +80,25 @@ object Materialize {
     * wrong for state that must survive a superstep boundary, which is
     * why eager cuts always checkpoint). */
   def cut(df: DataFrame, eager: Boolean = false,
-          checkpoint: Boolean = false): DataFrame = {
+          checkpoint: Boolean = false,
+          serialized: Boolean = false): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (!eager && !checkpoint && lazyCutsPersist) {
       val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persistedCuts.add(out)
       out
     } else {
+      // `serialized` (checkpoint-path cuts only): store the blocks as
+      // serialized partition batches instead of per-row UnsafeRow
+      // objects — for a WIDE fact consumed a handful of times (the
+      // Models gram facts), object-per-row storage is the single-JVM
+      // memory hog (header + array-wrapper per row), while SER batches
+      // cost one deserialize per read. This is what let qx36's 100×
+      // probe fit the default 8 GB harness heap.
       val out =
         if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+        else if (serialized) df.localCheckpoint(eager,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         else df.localCheckpoint(eager)
       pinnedIds(out).foreach(cutIds.add)
       out

@@ -102,59 +102,81 @@ object Models {
     * (doc_id, label, pred, correct). */
   def nbClassify(docs: DataFrame, labelCol: String,
                  buckets: Int = DefaultBuckets): DataFrame = {
-    val hb = bucketedGrams(docs.withColumn("lbl", col(labelCol)),
-      Seq("lbl"), buckets)
+    import org.apache.spark.sql.expressions.Window
+    // dictionary-encode the label BEFORE the gram explode: the fact rows
+    // and both checkpointed cuts carry a compact integer code instead of
+    // a string (round-9 probe finding: the fact's per-row weight is what
+    // blew the single-JVM heap at 100×). The dict is ≤ |labels| rows —
+    // the row_number window is a one-task sort of a handful of rows, and
+    // the attach is a broadcast. Codes order by label so the min-code
+    // tie-break below still means min-LABEL (oracle rule unchanged).
+    val dict = broadcast(
+      docs.select(col(labelCol).as("lbl")).distinct()
+        .withColumn("lblc",
+          row_number().over(Window.orderBy("lbl")).cast("long")))
+    val hb = bucketedGrams(
+      docs.withColumn("lbl", col(labelCol)).join(dict, "lbl"),
+      Seq("lblc"), buckets)
     // ONE explode: the (doc, bucket) fact is the only gram-stream pass
-    // (lbl rides along, functionally dependent on doc_id)
+    // (lblc rides along, functionally dependent on doc_id). SERIALIZED
+    // block storage: the fact is the one frame whose footprint scales
+    // with corpus × doc length, so it spills compactly instead of
+    // holding object-per-row blocks
     val occ = graft.Materialize.cut(
-      hb.groupBy("doc_id", "lbl", "b").agg(count(lit(1)).as("k")),
-      checkpoint = true)
+      hb.groupBy("doc_id", "lblc", "b").agg(count(lit(1)).as("k")),
+      checkpoint = true, serialized = true)
     // the (label, b) model rollup derives from occ — no second explode;
-    // cut again (≤ labels×B rows) for its three consumers
+    // cut again (≤ labels×B rows) for its consumers
     val clb = graft.Materialize.cut(
-      occ.groupBy("lbl", "b").agg(sum(col("k")).as("c")),
+      occ.groupBy("lblc", "b").agg(sum(col("k")).as("c")),
       checkpoint = true)
-    val nl = clb.groupBy("lbl").agg(sum(col("c")).as("nl"))
+    val nl = clb.groupBy("lblc").agg(sum(col("c")).as("nl"))
     val grid = clb.select("b").distinct().crossJoin(broadcast(nl))
-    val plb = grid.join(clb, Seq("lbl", "b"), "left")
-      .select(col("lbl"), col("b"), round(log(
+    val plb = grid.join(clb, Seq("lblc", "b"), "left")
+      .select(col("lblc"), col("b"), round(log(
         (coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)) /
           (col("nl").cast("double") + lit(0.5) * buckets)) * 1e9, 0)
         .cast("long").as("lnp_n"))
-    // (doc, label) derives from the materialized fact — `docs` is a
+    // (doc, own-label) derives from the materialized fact — `docs` is a
     // filtered tokenized frame, so reading it again would re-run the
     // tokenize+filter scan over the raw corpus once per consumer; occ
-    // covers exactly the same doc set (≥ 3 tokens ⇒ ≥ 1 gram) and the
-    // rollup is a map-side-combining agg over the cut frame
-    val labeled = occ.groupBy("doc_id")
-      .agg(first(col("lbl")).as("label"))
+    // covers exactly the same doc set (≥ 3 tokens ⇒ ≥ 1 gram). ONE
+    // doc-grain rollup (cut, persist path — flat shape) now feeds both
+    // the prior and the final own-label join; round 9 ran the identical
+    // aggregation twice
+    val docLbl = graft.Materialize.cut(
+      occ.groupBy("doc_id").agg(first(col("lblc")).as("lblc")))
     // prior fully in-plan: label counts + the one-row total fold into
     // the same frame (a driver-side count() here would serialize a whole
     // extra corpus job before the score stage can even be submitted)
-    val lblCnt = occ.groupBy("doc_id").agg(first(col("lbl")).as("lbl"))
-      .groupBy("lbl").agg(count(lit(1)).as("nd"))
+    val lblCnt = docLbl.groupBy("lblc").agg(count(lit(1)).as("nd"))
     val prior = lblCnt
       .crossJoin(broadcast(lblCnt.agg(sum(col("nd")).as("ntot"))))
-      .select(col("lbl"),
+      .select(col("lblc"),
         round(log(col("nd").cast("double") / col("ntot").cast("double")) *
           1e9, 0).cast("long").as("lnprior_n"))
-    // occ's ride-along lbl is the doc's OWN label — drop it before the
-    // score join, where `lbl` means the candidate label from plb
-    val score = occ.drop("lbl").join(plb, "b")
-      .groupBy("doc_id", "lbl")
+    // occ's ride-along lblc is the doc's OWN label — drop it before the
+    // score join, where `lblc` means the candidate label from plb
+    val score = occ.drop("lblc").join(plb, "b")
+      .groupBy("doc_id", "lblc")
       .agg(sum(col("k") * col("lnp_n")).as("w_n"))
-      .join(broadcast(prior), "lbl")
-      .select(col("doc_id"), col("lbl"),
+      .join(broadcast(prior), "lblc")
+      .select(col("doc_id"), col("lblc"),
         (col("w_n") + col("lnprior_n")).as("score"))
-    // argmax as a plain aggregate: min_by over (−score, lbl) picks the
+    // argmax as a plain aggregate: min_by over (−score, lblc) picks the
     // max score with the smallest label breaking exact ties — exact in
     // integer log-space, partial-aggregable map-side, and needs no sort
     // exchange or window machinery (scores are bounded ≪ 2⁶³, so the
-    // negation cannot overflow)
+    // negation cannot overflow). Codes are label-ordered, so min code
+    // == min label — the tie-break the oracle states.
     score.groupBy("doc_id")
-      .agg(min_by(col("lbl"), struct(-col("score"), col("lbl")))
-        .as("pred"))
-      .join(labeled, "doc_id")
+      .agg(min_by(col("lblc"), struct(-col("score"), col("lblc")))
+        .as("predc"))
+      .join(docLbl, "doc_id")
+      .join(broadcast(dict.select(col("lblc"), col("lbl").as("label"))),
+        "lblc")
+      .join(broadcast(dict.select(col("lblc").as("predc"),
+        col("lbl").as("pred"))), "predc")
       .select(col("doc_id"), col("label"), col("pred"),
         (col("pred") === col("label")).as("correct"))
   }

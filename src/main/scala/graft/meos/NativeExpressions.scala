@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -871,6 +871,46 @@ object ZorderBridge {
   }
 }
 
+/** Executor-side bridge for [[NativeExpressions.FrameDecodeExpr]]: the
+  * toy fixed-layout frame decode (qm8) in one pass over the raw frame
+  * bytes — the step the qm family stubbed until round 10. Layout, over a
+  * 16-byte frame:
+  *
+  *   byte 0      version (high nibble) | flags (low nibble)
+  *   byte 1      width code
+  *   byte 2      height code
+  *   byte 3      reserved
+  *   bytes 4-15  payload — 3 channels INTERLEAVED (channel = (i-4) mod 3)
+  *
+  * Decoded facts: header fields + per-channel byte sum and max — all
+  * exact integers, so the DuckDB twin recomputes them from hex slices
+  * bit-identically. Frames shorter than 16 bytes read missing bytes as
+  * 0 (zero-padding semantics, mirrored in the twin). Output: a 10-long
+  * array [version, flags, width, height, ch0_sum, ch1_sum, ch2_sum,
+  * ch0_max, ch1_max, ch2_max]. Top-level object for janino visibility
+  * (see [[TGeomBridge]]'s note). */
+object FrameDecodeBridge {
+  def decode(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    def at(i: Int): Long =
+      if (i < bytes.length) (bytes(i) & 0xff).toLong else 0L
+    val out = new Array[Long](10)
+    out(0) = at(0) >> 4
+    out(1) = at(0) & 0xfL
+    out(2) = at(1)
+    out(3) = at(2)
+    var j = 4
+    while (j < 16) {
+      val c = (j - 4) % 3
+      val v = at(j)
+      out(4 + c) += v
+      if (v > out(7 + c)) out(7 + c) = v
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Native Catalyst expressions — the §7.2 "promote hot UDFs" path.
   *
   * [[TGeompointParseExpr]] is the WKT parser (`tgeompoint_in`,
@@ -1264,6 +1304,30 @@ object NativeExpressions {
   /** SimHash-32 over pre-computed md5 strings in one native pass —
     * bit-identical to the staged built-in composition (majority vote of
     * the high bit of hex digit p, p = 1..32). */
+  /** The qm8 frame decode as a codegen'd unary expression over the raw
+    * binary frame — layout and output in [[FrameDecodeBridge]]. A
+    * composed HOF form exists (hex + conv + transform folds,
+    * NativeExprSpec parity) but re-walks the frame once per decoded
+    * field through interpreted lambdas and materializes the hex string;
+    * this is one pass, zero allocation beyond the 10-long result. */
+  case class FrameDecodeExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def prettyName: String = "frame_decode"
+
+    override def nullSafeEval(input: Any): Any =
+      FrameDecodeBridge.decode(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.meos.FrameDecodeBridge.decode($c);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : FrameDecodeExpr = copy(child = newChild)
+  }
+
   case class Simhash32Expr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = StringType
@@ -1577,6 +1641,11 @@ object NativeExpressions {
   def simhash32(tokenHashes: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(Simhash32Expr(GraftShims.expression(tokenHashes)))
+  }
+
+  def frameDecode(frame: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(FrameDecodeExpr(GraftShims.expression(frame)))
   }
 
   def minhashBands(sh: Column, bands: Int): Column = {

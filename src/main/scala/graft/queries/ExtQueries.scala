@@ -3827,6 +3827,39 @@ object ExtQueries {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // REAL frame decode — closes the qm family's documented stub: the
+    // toy fixed-layout format (byte 0 = version|flags nibbles, bytes
+    // 1-2 = width/height codes, byte 3 reserved, bytes 4-15 = 3
+    // INTERLEAVED channels) decoded per sampled frame by a native
+    // codegen'd expression (NativeExpressions.frameDecode — one pass
+    // over the raw bytes, no hex string, no UDF; HOF-parity pinned in
+    // NativeExprSpec). Header fields + per-channel sum/max are exact
+    // integers, so the twin recomputes them from hex slices. Short tail
+    // frames zero-pad (mirrored). Scale shape: qm2's frame sampling
+    // (substring slices in the scan projection) + a narrow map — blob
+    // bytes never shuffle; the only exchange is the output order
+    "qm8_frame_decode" -> ((s, dir) => {
+      import graft.meos.NativeExpressions
+      Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), posexplode(
+          Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+        .toDF("doc_id", "frame_no", "frame")
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          NativeExpressions.frameDecode(col("frame")).as("d"))
+        .select(col("doc_id"), col("frame_no"),
+          element_at(col("d"), 1).as("version"),
+          element_at(col("d"), 2).as("flags"),
+          element_at(col("d"), 3).as("width"),
+          element_at(col("d"), 4).as("height"),
+          element_at(col("d"), 5).as("ch0_sum"),
+          element_at(col("d"), 6).as("ch1_sum"),
+          element_at(col("d"), 7).as("ch2_sum"),
+          element_at(col("d"), 8).as("ch0_max"),
+          element_at(col("d"), 9).as("ch1_max"),
+          element_at(col("d"), 10).as("ch2_max"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // MATRYOSHKA-truncation recall — how much ANN quality survives
     // cutting the embedding to its first 8 / 16 dimensions (the MRL
     // deployment question: shorter prefixes = smaller index + faster
@@ -7540,6 +7573,40 @@ object ExtQueries {
         |  1.0 - CAST(ss AS DOUBLE) /
         |    CAST(frame_len * frame_len AS DOUBLE) AS gini
         |FROM p ORDER BY doc_id, frame_no""".stripMargin,
+
+    // the qm8 toy-format decode recomputed from hex slices: 16
+    // zero-padded bytes per sampled frame, header nibbles/codes by
+    // position, channel sums/maxes over the interleaved payload
+    // (1-indexed list positions 5..16; channel = position mod 3)
+    "qm8_frame_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, 16),
+        |      j -> CASE WHEN length(fh) >= (CAST(j AS INT) + 1) * 2
+        |        THEN CAST((strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM g)
+        |SELECT doc_id, frame_no,
+        |  b[1] // 16 AS version, b[1] % 16 AS flags,
+        |  b[2] AS width, b[3] AS height,
+        |  b[5] + b[8] + b[11] + b[14] AS ch0_sum,
+        |  b[6] + b[9] + b[12] + b[15] AS ch1_sum,
+        |  b[7] + b[10] + b[13] + b[16] AS ch2_sum,
+        |  greatest(b[5], b[8], b[11], b[14]) AS ch0_max,
+        |  greatest(b[6], b[9], b[12], b[15]) AS ch1_max,
+        |  greatest(b[7], b[10], b[13], b[16]) AS ch2_max
+        |FROM h ORDER BY doc_id, frame_no""".stripMargin,
 
     // per-user conversion rollup, then one row of pooled two-proportion
     // arithmetic; degenerate pools yield NULL chi2

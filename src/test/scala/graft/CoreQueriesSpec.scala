@@ -28,13 +28,15 @@ class CoreQueriesSpec extends SparkTestBase {
     }
   }
 
-  test("every query key has either an oracle or is documented Spark-only") {
+  test("every query key has an oracle — zero Spark-only rows") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Only the codec roundtrip stays Spark-only (string goldens live in
-    // CodecSpec). qe4 is oracled whenever its query has run in-process —
-    // the twin embeds the fitted centroids, and the first test above just
-    // ran every query.
-    assert(missing == Set("qc1_codec_roundtrip"),
+    // Round 10 closed the last gap: qc1's roundtrip identity became the
+    // row-survival condition over DuckDB-recomputable facts, so every
+    // declared query now has a hash-comparable twin. qe4-family oracles
+    // are valid whenever their query has run in-process — the twins
+    // embed the fitted centroids, and the first test above just ran
+    // every query.
+    assert(missing == Set.empty[String],
       s"queries without oracle SQL: $missing")
   }
 

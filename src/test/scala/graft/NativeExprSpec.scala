@@ -525,6 +525,36 @@ class NativeExprSpec extends SparkTestBase {
       assert(r.getAs[String]("native") == r.getAs[String]("composed")))
   }
 
+  test("native frame_decode == the composed hex/conv HOF form on real " +
+    "sampled frames (incl. short zero-padded tails) under codegen") {
+    import graft.ext.Multimodal
+    val frames = Multimodal.synthMedia(spark, sfDir).limit(100)
+      .select(posexplode(
+        Multimodal.sampleFrames(col("bytes"), frameLen = 16, stride = 4)))
+      .toDF("frame_no", "frame")
+    def byteAt(i: Int) = // zero-padded byte i of the frame, composed form
+      when(octet_length(col("frame")) > i,
+        conv(substring(hex(col("frame")), i * 2 + 1, 2), 16, 10)
+          .cast("long")).otherwise(lit(0L))
+    val composed = array(
+      shiftright(byteAt(0), 4), byteAt(0).bitwiseAND(lit(15L)),
+      byteAt(1), byteAt(2),
+      byteAt(4) + byteAt(7) + byteAt(10) + byteAt(13),
+      byteAt(5) + byteAt(8) + byteAt(11) + byteAt(14),
+      byteAt(6) + byteAt(9) + byteAt(12) + byteAt(15),
+      greatest(byteAt(4), byteAt(7), byteAt(10), byteAt(13)),
+      greatest(byteAt(5), byteAt(8), byteAt(11), byteAt(14)),
+      greatest(byteAt(6), byteAt(9), byteAt(12), byteAt(15)))
+    val df = frames.select(
+      NativeExpressions.frameDecode(col("frame")).as("native"),
+      composed.as("composed"))
+    val rows = noCodegenFallback(df.collect())
+    assert(rows.nonEmpty)
+    // short frames exist in the sample (doc tails), so zero-padding is hit
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("SQL registration as a native function") {
     NativeExpressions.register(spark)
     val r = spark.sql(

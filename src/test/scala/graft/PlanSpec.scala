@@ -338,10 +338,14 @@ class PlanSpec extends SparkTestBase {
     // in-plan prior broadcasts its one-row total; no unbounded nested
     // loop appears beyond those two bounded builds
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
-    // argmax is min_by over (−score, lbl) — an aggregate, not a rank:
-    // no window exchange/sort appears anywhere in the plan
+    // argmax is min_by over (−score, lblc) — an aggregate, not a rank:
+    // the only window in the plan is the label-DICTIONARY row_number
+    // (≤ |labels| rows, single task by design); no window ever touches
+    // a doc- or fact-grain frame
     assert(p.contains("min_by"), p)
-    assert(!p.contains("Window"), p)
+    assert("windowspecdefinition".r.findAllIn(p).length ==
+      "windowspecdefinition\\(lbl#".r.findAllIn(p).length,
+      s"only the label-dictionary window is allowed:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // the exact-integer score path leaves no per-doc array machinery
     assert(!p.contains("array_sort") && !p.contains("collect_list"), p)

@@ -59,17 +59,24 @@ COPY (
 ) TO '{out}/documents.parquet' (FORMAT parquet)
 """)
 
+# the driver's events.parquet stores ts as timestamp[ns]; OUR OWN output
+# (a second generator application, e.g. the 100x probe = 10x of 10x)
+# already stores BIGINT nanos — emit the right expression for either
+ts_type = con.execute(
+    f"SELECT typeof(ts) FROM read_parquet('{sf}/events.parquet') LIMIT 1"
+).fetchone()[0]
+ts_expr = "ts" if ts_type == "BIGINT" else "CAST(epoch_ns(ts) AS BIGINT)"
 con.execute(f"""
 COPY (
   WITH base AS (SELECT * FROM read_parquet('{sf}/events.parquet')),
   mx AS (SELECT max(user_id) + 1 AS mu, max(event_id) + 1 AS me FROM base)
   SELECT CAST(event_id + i * (SELECT me FROM mx) AS BIGINT) AS event_id,
-         CAST(epoch_ns(ts) AS BIGINT) AS ts,
+         {ts_expr} AS ts,
          CAST(user_id + i * (SELECT mu FROM mx) AS BIGINT) AS user_id,
          event_type, value, props
   FROM base CROSS JOIN range(1, {R}) r(i)
   UNION ALL
-  SELECT event_id, CAST(epoch_ns(ts) AS BIGINT), user_id, event_type,
+  SELECT event_id, {ts_expr}, user_id, event_type,
          value, props
   FROM base
 ) TO '{out}/events.parquet' (FORMAT parquet)
