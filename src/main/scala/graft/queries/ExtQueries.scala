@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, Sketch, Text}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, Sketch, Skew, Text}
 
 /** [EXT] LLM-data-pipeline query set (no reference counterpart;
   * BASELINE.json north star): dedup, similarity search, text analysis,
@@ -3799,6 +3799,27 @@ object ExtQueries {
       cum.agg(max("total").as("n_converted"), q(25), q(50), q(75))
         // no converting users ⇒ NULL max: no row (empty-input contract)
         .where(col("n_converted").isNotNull)
+    }),
+
+    // SALTED skewed join under the hash gate — the join-grain
+    // counterpart of the salted assembly (Assembly R8) and the repair
+    // qz19's audit calls for: the fact side's key is widened with a
+    // deterministic xxhash64-mod salt (row-unique event_id seeds it)
+    // and the dim side explodes × salts, so a hot key's fact rows
+    // spread over `salts` tasks while every fact row still meets its
+    // dim row exactly once. The oracle is the PLAIN join — salting must
+    // be invisible in the result. Scale shape: dim × 8 rows shuffled
+    // (the trade vs broadcast when dim is too big), fact shuffles once
+    // on (key, salt). AQE's automatic skew-split over the same planted
+    // hot key is pinned separately in Round10Spec.
+    "qz26_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_user_events"))
+      Skew.saltedJoin(ev.select("event_id", "user_id"), dim,
+        key = "user_id", uniqueCol = "event_id", salts = 8)
+        .select(col("event_id"), col("user_id"), col("n_user_events"))
+        .orderBy("event_id")
     }),
 
     // frame byte-DIVERSITY — per sampled frame, the Simpson/Gini index
@@ -7669,6 +7690,15 @@ object ExtQueries {
         |  min(CASE WHEN cum * 100 >= total * 75 THEN m END) AS p75_min
         |FROM cum
         |HAVING max(total) IS NOT NULL""".stripMargin,
+
+    // the PLAIN join — the salt must be invisible in the result
+    "qz26_salted_join" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.n_user_events
+        |FROM events e JOIN d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     // day totals first, then the numeric RANGE frame over epoch-days
     "qz23_trailing_window" ->
