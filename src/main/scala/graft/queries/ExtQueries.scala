@@ -3822,6 +3822,94 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // HYPERLOGLOG distinct estimate per source — the log-space register
+    // sketch next to KMV/bottom-k (qx17) and CMS (qx39): md5₆₀ term
+    // keys, 256 registers (low 8 bits pick the bucket, the remaining
+    // 52 bits' leading-zero rank is the register value via the
+    // integer-only length(bin(v)) — no float anywhere in the sketch),
+    // raw HLL estimate αm²/Σ2^{-M_j}. The Σ is EXACT: numerators are
+    // scaled by 2⁵³ so the per-register terms are BIGINTs (≤ 2⁶²
+    // total) and the only double op is the final one division by the
+    // constant-folded α·m²·2⁵³ literal — bit-identical cross-engine.
+    // Scale shape: registers are a 256-row frame per source however
+    // large the corpus; the sketch MERGES by max — the distributed
+    // aggregation IS the merge. Exact distinct rides along to price
+    // the sketch's error (the qx17/qx54 audit discipline).
+    "qx72_hll_distinct" -> ((s, dir) => {
+      val m = 256
+      // α₍₂₅₆₎·m²·2⁵³ as ONE Scala-computed double literal shared with
+      // the twin via Double.toString round-tripping
+      val c = 0.7213 / (1.0 + 1.079 / m) * m * m * 9007199254740992.0
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(array_distinct(Text.tokens(col("text")))).as("term"))
+      val reg = toks
+        .withColumn("h",
+          conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+        .select(col("source"), (col("h") % m).as("bucket"),
+          expr("h div 256").as("v"))
+        .select(col("source"), col("bucket"),
+          when(col("v") === 0L, lit(53))
+            .otherwise(lit(53) - length(bin(col("v")))).as("rho"))
+      val hit = reg.groupBy("source", "bucket").agg(max("rho").as("mx"))
+      val agg = hit.groupBy("source").agg(
+        count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(1L, 53 - mx)")).as("num_hit"))
+      val exact = toks.groupBy("source")
+        .agg(count_distinct(col("term")).as("n_exact"))
+      agg.join(exact, "source")
+        .select(col("source"),
+          col("n_hit").cast("long").as("n_buckets_hit"),
+          (lit(c) / (col("num_hit") +
+            (lit(m.toLong) - col("n_hit")) * lit(9007199254740992L))
+            .cast("double")).as("hll_est"),
+          col("n_exact"))
+        .orderBy("source")
+    }),
+
+    // LAST-TOUCH attribution — which upstream event type gets credit
+    // for each purchase: the latest non-purchase event strictly before
+    // it in the user's (ts, event_id)-ordered stream (the marketing
+    // rollup the funnel qz16 and the interval joins qs8-qs11 circle
+    // around). One user-keyed window pass (ignoreNulls last over the
+    // preceding frame), purchases-only rollup at |event types| grain;
+    // value credited in exact milli units (the qz21 discipline).
+    "qz27_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+        .orderBy("touch")
+    }),
+
+    // top-20 3-step event-type PATHS — the sequence-mining staple next
+    // to the transition matrix (qz18, first-order): sliding windows of
+    // three consecutive types per user's strict (ts, event_id) order,
+    // counted corpus-wide. One user-keyed window shuffle (two leads in
+    // one pass), then a types³-bounded rollup and a TakeOrdered top-k
+    // — no per-user collect, no path explosion beyond the row count.
+    "qz28_event_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .where(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path")).limit(20)
+    }),
+
     // frame byte-DIVERSITY — per sampled frame, the Simpson/Gini index
     // of its byte distribution (1 − Σ(c_b/n)²) and the distinct-byte
     // count: the compressibility proxy that flags blank/constant frames
@@ -3879,6 +3967,37 @@ object ExtQueries {
           element_at(col("d"), 9).as("ch1_max"),
           element_at(col("d"), 10).as("ch2_max"))
         .orderBy("doc_id", "frame_no")
+    }),
+
+    // SHOT segmentation over the frame stream — the temporal rollup the
+    // qm6 deltas feed: a new shot opens at the first frame and wherever
+    // the L1 byte delta to the previous frame reaches the threshold
+    // (exact integer compare, no transcendental); per asset, shot count,
+    // longest shot, and total frames. Scale shape: qm6's doc-keyed lag
+    // window + a running-sum shot id on the SAME partitioning (one
+    // exchange total), then (asset, shot)- and asset-grain rollups.
+    "qm9_shot_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_no")
+      val withPrev = frameByteVectors(s, dir)
+        .select(col("doc_id"), col("frame_no"), col("bv"))
+        .withColumn("pv", lag(col("bv"), 1).over(w))
+      val lp = least(size(col("bv")), size(col("pv")))
+      val delta = aggregate(
+        zip_with(slice(col("bv"), lit(1), lp),
+          slice(col("pv"), lit(1), lp), (x, y) => abs(x - y)),
+        lit(0L), (a0, x) => a0 + x)
+      val shots = withPrev
+        .withColumn("brk",
+          when(col("pv").isNull || delta >= 520L, 1L).otherwise(0L))
+        .withColumn("shot", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "shot").agg(count(lit(1)).as("len"))
+      shots.groupBy("doc_id").agg(
+        count(lit(1)).as("n_shots"),
+        max("len").as("longest_shot"),
+        sum("len").as("n_frames"))
+        .orderBy("doc_id")
     }),
 
     // MATRYOSHKA-truncation recall — how much ANN quality survives
@@ -7699,6 +7818,126 @@ object ExtQueries {
         |SELECT e.event_id, e.user_id, d.n_user_events
         |FROM events e JOIN d USING (user_id)
         |ORDER BY e.event_id""".stripMargin,
+
+    // the same 256-register HLL recomputed from the md5 fold: bucket =
+    // low 8 bits, register = leading-zero rank of the remaining 52 bits
+    // via length(bin(v)), numerators scaled by 2^53 so the register sum
+    // is exact BIGINT; the alpha*m^2*2^53 constant is the identical
+    // Scala-computed double literal on both sides
+    "qx72_hll_distinct" -> {
+      val c = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
+      s"""WITH t AS (
+        |  SELECT source, unnest(list_distinct(string_split(text, ' ')))
+        |    AS term
+        |  FROM documents),
+        |hh AS (
+        |  SELECT source, term, list_reduce(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5(term), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM t),
+        |r AS (
+        |  SELECT source, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM hh),
+        |mx AS (
+        |  SELECT source, bucket, max(rho) AS mx FROM r
+        |  GROUP BY source, bucket),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_buckets_hit,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mx AS INT))
+        |      AS BIGINT) AS num_hit
+        |  FROM mx GROUP BY source),
+        |e AS (
+        |  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_exact
+        |  FROM t GROUP BY source)
+        |SELECT a.source, a.n_buckets_hit,
+        |  CAST(${java.lang.Double.toString(c)} AS DOUBLE) /
+        |    CAST(a.num_hit + (256 - a.n_buckets_hit) * 9007199254740992
+        |      AS DOUBLE) AS hll_est,
+        |  e.n_exact
+        |FROM a JOIN e USING (source)
+        |ORDER BY source""".stripMargin
+    },
+
+    // last non-purchase type strictly before each purchase in the
+    // user's (ts, event_id) order; value credited in exact milli units
+    "qz27_attribution" ->
+      """WITH a AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS value_milli
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin,
+
+    // two leads over the same strict per-user order, corpus-wide rollup
+    "qz28_event_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // frame byte lists from hex slices, lag per asset, integer L1
+    // delta (list_sum of abs diffs, NULL-safe for empty frames), break
+    // at first frame or delta >= 520, running-sum shot ids, rollups
+    "qm9_shot_segments" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |d AS (
+        |  SELECT doc_id, frame_no, bv,
+        |    lag(bv) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pv
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, frame_no,
+        |    CASE WHEN pv IS NULL THEN 1
+        |         WHEN COALESCE(list_sum(list_transform(
+        |             range(1, least(len(bv), len(pv)) + 1),
+        |             j -> abs(bv[CAST(j AS INT)] - pv[CAST(j AS INT)]))),
+        |           0) >= 520 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id, frame_no,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM k),
+        |sl AS (
+        |  SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS len
+        |  FROM sh GROUP BY doc_id, shot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shots,
+        |  CAST(max(len) AS BIGINT) AS longest_shot,
+        |  CAST(sum(len) AS BIGINT) AS n_frames
+        |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // day totals first, then the numeric RANGE frame over epoch-days
     "qz23_trailing_window" ->

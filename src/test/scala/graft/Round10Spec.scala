@@ -114,4 +114,97 @@ class Round10Spec extends SparkTestBase {
       .select("s").distinct().count()
     assert(groups == 8L, s"expected 8 salt groups, got $groups")
   }
+
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10ev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def plantDocs(rows: Seq[(Long, String, String, String)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10doc").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("qz27 attribution: the LAST non-purchase event strictly before " +
+    "each purchase gets the credit (equal-ts ties break by event_id), " +
+    "and a purchase with no upstream touch lands in 'none'") {
+    val t0 = 1_700_000_000_000_000L
+    val s = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0 + s, 1L, "click", 0.0),
+      (3L, t0 + 2 * s, 1L, "purchase", 1.25),
+      (4L, t0 + 3 * s, 1L, "purchase", 2.0), // still credits the click
+      (5L, t0, 2L, "purchase", 3.0), // no touch → none
+      // user 3: view and click share a timestamp; click has the larger
+      // event_id so it is LAST in (ts, event_id) order → it wins
+      (6L, t0, 3L, "view", 0.0),
+      (7L, t0, 3L, "click", 0.0),
+      (8L, t0 + s, 3L, "purchase", 0.5)))
+    val out = queries.ExtQueries.queries("qz27_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "click" -> ((3L, 3750L)), // 1.25 + 2.0 + 0.5 in milli
+      "none" -> ((1L, 3000L))), s"got $out")
+  }
+
+  test("qz28 event paths: sliding 3-windows follow strict per-user " +
+    "(ts, event_id) order and never cross users") {
+    val t0 = 1_700_000_000_000_000L
+    val s = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "a", 0.0), (2L, t0 + s, 1L, "b", 0.0),
+      (3L, t0 + 2 * s, 1L, "c", 0.0), (4L, t0 + 3 * s, 1L, "d", 0.0),
+      (5L, t0, 2L, "a", 0.0), (6L, t0 + s, 2L, "b", 0.0),
+      (7L, t0 + 2 * s, 2L, "c", 0.0)))
+    val out = queries.ExtQueries.queries("qz28_event_paths")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 2L, "b>c>d" -> 1L), s"got $out")
+  }
+
+  test("qx72 HLL: exact distinct rides along correctly and the raw " +
+    "256-register estimate lands within the sketch's error class on a " +
+    "500-term corpus") {
+    val words = (0 until 500).map(i => s"w$i")
+    val dir = plantDocs(Seq(
+      (1L, words.take(250).mkString(" "), "en", "s1"),
+      (2L, words.drop(250).mkString(" "), "en", "s1"),
+      (3L, words.take(250).mkString(" "), "en", "s1"))) // dup doc: no new terms
+    val r = queries.ExtQueries.queries("qx72_hll_distinct")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val (nHit, est, exact) =
+      (r(0).getLong(1), r(0).getDouble(2), r(0).getLong(3))
+    assert(exact == 500L, s"exact=$exact")
+    assert(nHit > 0 && nHit <= 256, s"buckets=$nHit")
+    // m=256 → ~6.5% standard error; 30% is > 4σ on 500 distinct
+    assert(est > 350.0 && est < 650.0, s"est=$est")
+  }
+
+  test("qm9 shots: identical frames collapse to ONE shot; alternating " +
+    "far-apart byte blocks open a new shot at every frame") {
+    // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
+    // doc 2 alternates 'A'*64 / 'z'*64 blocks → per-frame L1 = 16·57 =
+    // 912 >= 520 → every frame breaks
+    val dir = plantDocs(Seq(
+      (1L, "A" * 256, "en", "s"), // 4 frames, identical
+      (2L, (0 until 4).map(i => (if (i % 2 == 0) "A" else "z") * 64)
+        .mkString, "en", "s"))) // 4 frames, all far apart
+    val out = queries.ExtQueries.queries("qm9_shot_segments")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 4L, 4L)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 1L, 4L)), s"got ${out(2L)}")
+  }
 }
