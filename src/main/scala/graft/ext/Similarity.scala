@@ -466,6 +466,105 @@ object Similarity {
         col("d2"))
   }
 
+  // the residual-PQ fit key is tracked SEPARATELY from the raw-PQ key:
+  // lastPqKey feeds qe8/qe9's twins, and a residual fit overwriting it
+  // would make those twins embed the wrong codebook
+  @volatile private var lastResidPqKey: Option[String] = None
+
+  def lastFittedResidualPqCodebooks: Option[Seq[Seq[Seq[Double]]]] =
+    lastResidPqKey.flatMap(pqCache.get).filter(_.nonEmpty)
+
+  private def residCodebooksFor(resid: DataFrame, m: Int, nCells: Int,
+                                iters: Int, cacheKey: Option[String])
+      : Seq[Seq[Seq[Double]]] =
+    cacheKey match {
+      case Some(key) =>
+        val c = pqCache.getOrElseUpdate(key,
+          pqCodebooks(resid, m, nCells, iters))
+        lastResidPqKey = Some(key)
+        c
+      case None => pqCodebooks(resid, m, nCells, iters)
+    }
+
+  /** Per-element residual vs the assigned cell's centroid, as FLOAT —
+    * `float(double(x) − double(c))`: both engines round the double
+    * difference to the nearest float (IEEE), so residuals are
+    * bit-identical cross-engine. */
+  private def residExpr(x: Column, c: Column): Column =
+    zip_with(x, c, (a, b) =>
+      (a.cast("double") - b.cast("double")).cast("float"))
+
+  /** RESIDUAL IVFADC — the canonical production composition (what FAISS
+    * `IndexIVFPQ` actually encodes): PQ quantizes the residual
+    * `v − centroid(cell)` instead of the raw vector. Residuals are
+    * centered near zero with far less variance than raw vectors, so the
+    * same code budget spends its resolution on the part of the vector
+    * the coarse quantizer did NOT explain — at equal bytes/vec this is
+    * strictly finer quantization than qe9's raw-vector PQ whenever the
+    * IVF fit captures real structure.
+    *
+    * Plan shape (everything qe9 has, plus one broadcast):
+    *  - corpus: one assignment pass + a broadcast centroid join forms
+    *    the residual in the scan projection; codes are the native
+    *    one-pass PqEncode over the residual — the original embedding is
+    *    dropped from the index;
+    *  - queries: nprobe probed cells, each with its own PER-CELL query
+    *    residual (the ADC tables legitimately differ per probed cell —
+    *    that is the residual design);
+    *  - candidates join on the probed cell, ADC on residuals, fixed
+    *    shortlist, exact L2² re-rank on the originals.
+    *
+    * The residual codebook fit is cached under its OWN key (see
+    * [[lastFittedResidualPqCodebooks]]) so the qe26 twin embeds the
+    * residual fit while qe8/qe9's twins keep the raw fit. Output:
+    * (q_id, n_id, rank, d2) — exact squared L2, ascending. */
+  def ivfPqResidualKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nlist: Int = 16, nprobe: Int = 8, m: Int = 8,
+                       nCells: Int = 16, shortlist: Int = 100,
+                       trainIters: Int = 5,
+                       cacheKeyIvf: Option[String] = None,
+                       cacheKeyPq: Option[String] = None): DataFrame = {
+    import graft.meos.NativeExpressions
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKeyIvf))
+    val caR = assignCells(corpus, "n_id", "n_emb", probes = 1, centroids)
+      .join(broadcast(centroids), "cell")
+      .select(col("n_id"), col("cell"),
+        residExpr(col("n_emb"), col("c_emb")).as("r_emb"))
+    val cb = residCodebooksFor(
+      caR.select(col("n_id").as("vec_id"), col("r_emb").as("embedding")),
+      m, nCells, trainIters, cacheKeyPq)
+    val cbArr = flatCb(cb)
+    val subDim = if (cb.nonEmpty) cb.head.head.length else 0
+    val kEff = if (cb.nonEmpty) cb.head.length else 0
+    val codes = caR.select(col("n_id"), col("cell"),
+      NativeExpressions.pqEncode(col("r_emb"), cbArr, m, subDim, kEff)
+        .as("codes"))
+    // nprobe cells per query, each with its own per-cell residual
+    val qa = assignCells(queries, "q_id", "q_emb", probes = nprobe,
+        centroids)
+      .join(broadcast(centroids), "cell")
+      .select(col("q_id"), col("cell"), col("q_emb"),
+        residExpr(col("q_emb"), col("c_emb")).as("qr"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    val cands = codes.join(broadcast(qa), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", NativeExpressions.pqAdc(col("qr"), col("codes"),
+        cbArr, m, subDim, kEff))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= shortlist)
+      .select("q_id", "q_emb", "n_id")
+    val wExact = Window.partitionBy("q_id").orderBy(col("d2"), col("n_id"))
+    corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), Seq("n_id"))
+      .withColumn("d2", NativeExpressions.floatL2sq(col("q_emb"),
+        col("n_emb")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("d2"))
+  }
+
   /** Near-duplicate pairs at scale: random-hyperplane LSH proposes
     * candidate pairs (band-key equi-join — work scales with band
     * collisions, not |corpus|²), the exact cosine predicate refines. The

@@ -447,6 +447,21 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // RESIDUAL IVFADC — the canonical FAISS IndexIVFPQ composition qe9
+    // approximates: PQ codes quantize the residual v − centroid(cell)
+    // (centered, low-variance) instead of the raw vector, and each
+    // probed cell gets its own per-cell query residual for the ADC
+    // tables. Shares the qe4 IVF fit; the residual codebook fit is
+    // cached under its OWN key so qe8/qe9's twins keep the raw fit.
+    // Residuals are float(double−double) — bit-identical cross-engine
+    "qe26_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqResidualKnn(emb, emb.where(col("vec_id") < 20), 5,
+        cacheKeyIvf = Some(s"$dir|nlist=16|iters=5"),
+        cacheKeyPq = Some(s"$dir|pqres|m=8|k=16|iters=5"))
+        .orderBy("q_id", "rank")
+    }),
+
     // SQ8 scalar-quantized ANN — the third compression quadrant (PQ is
     // qe8): per-dimension min/max bounds, byte codes, approximate-cosine
     // shortlist over dequantized vectors, exact re-rank. The SQ fit is
@@ -3867,6 +3882,87 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
+    // the vocabulary-collapse operator OCR'd/noisy corpora need before
+    // token statistics (qx14/qx20/qx49) mean anything: every edit-
+    // distance-1 token pair shares a key in {term} ∪ {term minus one
+    // char}, so candidates come from an EQUI-join on deletion keys
+    // (keys per term = |term|+1, linear) instead of a vocab² scan, a
+    // hot-key cap bounds the join fan-out (the qx21 band-cap
+    // discipline), and exact levenshtein == 1 refines — both engines
+    // implement classic unit-cost Levenshtein. Scale shape: vocabulary
+    // grain (not corpus grain) end-to-end; the tf >= 2, len >= 4 gate
+    // keeps hapax noise out of the pair set. NOTE on the fixture: the
+    // driver's synthetic vocabulary is 31 clean words with NO ed-1
+    // pairs, so the oracled result is legitimately EMPTY — the hash row
+    // still checks the whole key-gen/join/refine pipeline agrees
+    // cross-engine, and Round10Spec proves the same code mines planted
+    // OCR-style variants.
+    "qx73_spell_variants" -> ((s, dir) => {
+      val keyCap = 64
+      val vocab = docsWithToks(s, dir)
+        .select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .where(length(col("term")) >= 4 && col("tf") >= 2)
+      val dels = transform(
+        sequence(lit(1), length(col("term"))),
+        p => concat(col("term").substr(lit(1), p - 1),
+          col("term").substr(p + 1, length(col("term")))))
+      val keyed = vocab.select(col("term"), col("tf"),
+        explode(array_distinct(
+          concat(array(col("term")), dels))).as("k"))
+      val hot = keyed.groupBy("k").agg(count(lit(1)).as("nk"))
+        .where(col("nk") > keyCap).select("k")
+      val cold = keyed.join(hot, Seq("k"), "left_anti")
+      cold.select(col("k"), col("term").as("t1"), col("tf").as("tf1"))
+        .join(cold.select(col("k"), col("term").as("t2"),
+          col("tf").as("tf2")), Seq("k"))
+        .where(col("t1") < col("t2"))
+        .select("t1", "t2", "tf1", "tf2").distinct()
+        .where(levenshtein(col("t1"), col("t2")) === 1)
+        .orderBy("t1", "t2")
+    }),
+
+    // diurnal activity profile — events per (hour-of-day, type) with
+    // the hour's share: the seasonality audit batch schedulers and
+    // anomaly baselines start from. Metadata-only scan, 24×|types|
+    // cells, one broadcast of the 24 hour totals.
+    "qz29_hourly_profile" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hod"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("hod").agg(sum("n").as("nh"))
+      cells.join(broadcast(tot), "hod")
+        .select(col("hod"), col("event_type"), col("n"),
+          (col("n").cast("double") / col("nh").cast("double"))
+            .as("share"))
+        .orderBy("hod", "event_type")
+    }),
+
+    // CODE-vs-PROSE detector — the curation gate that routes source
+    // code out of (or into) a text mix: per doc, code-symbol count
+    // (braces/brackets/semicolons), assignment count, indented-line
+    // count, symbol density, and the flag. Char-class regex counts
+    // only (Java ∩ RE2 semantics — the qx65 discipline), pure narrow
+    // map in the scan projection.
+    "qx74_code_detect" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sym = regexp_count(col("text"), lit("[{}\\[\\]();]"))
+      val asg = regexp_count(col("text"), lit("="))
+      val ind = regexp_count(col("text"), lit("\\n  "))
+      docs.select(col("doc_id"),
+        sym.cast("long").as("n_sym"),
+        asg.cast("long").as("n_assign"),
+        ind.cast("long").as("n_indent"),
+        (sym.cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double"))
+          .as("sym_density"))
+        .withColumn("is_code",
+          col("sym_density") > 0.01 && (col("n_assign") > 0 ||
+            col("n_indent") > 0))
+        .orderBy("doc_id")
+    }),
+
     // LAST-TOUCH attribution — which upstream event type gets credit
     // for each purchase: the latest non-purchase event strictly before
     // it in the user's (ts, event_id)-ordered stream (the marketing
@@ -4552,6 +4648,98 @@ object ExtQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of the RESIDUAL IVFADC (qe26): qe9's structure with
+    * the residual stages added — per-vector residual vs the assigned
+    * cell's centroid (`CAST(double − double AS FLOAT)`, the same IEEE
+    * rounding as the Spark expression), residual-codebook encode, and a
+    * PER-(query, probed-cell) residual feeding the ADC legs. The exact
+    * re-rank runs on ORIGINAL embeddings, like the plan. */
+  private def qe26Sql(cents: Seq[Seq[Float]], cb: Seq[Seq[Seq[Double]]],
+                      nprobe: Int, k: Int, shortlist: Int): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString + "E0"
+    val centValues = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    val m = cb.length
+    val subDim = cb.head.head.length
+    val cbValues = cb.zipWithIndex.flatMap { case (cells, j) =>
+      cells.zipWithIndex.map { case (c, cell) =>
+        s"($j, $cell, CAST([${c.map(dlit).mkString(",")}] AS DOUBLE[]))"
+      }
+    }.mkString(",\n")
+    def cos(a: String, b: String): String = cosSql(a, b)
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), " +
+        "(a, b) -> a + b)"
+    def resid(v: String, c: String): String =
+      s"list_transform(list_zip($v, $c), " +
+        "x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS FLOAT))"
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$centValues),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, c.cell,
+       |    ${resid("e.embedding", "c.c_emb")} AS rv
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS q_id, c.cell,
+       |    ${resid("e.embedding", "c.c_emb")} AS qrv
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 20
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= $nprobe),
+       |cb(sub, cell, c_emb) AS (VALUES
+       |$cbValues),
+       |nsv AS (
+       |  SELECT ca.n_id, s.sub,
+       |    ca.rv[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS svec
+       |  FROM ca CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+       |codes AS (
+       |  SELECT nsv.n_id, nsv.sub, cb.cell AS code
+       |  FROM nsv JOIN cb ON cb.sub = nsv.sub
+       |  QUALIFY row_number() OVER (PARTITION BY nsv.n_id, nsv.sub
+       |    ORDER BY ${d2("nsv.svec", "cb.c_emb")} ASC, cb.cell) = 1),
+       |qsv AS (
+       |  SELECT qa.q_id, qa.cell, s.sub,
+       |    qa.qrv[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS svec
+       |  FROM qa CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+       |cand AS (
+       |  SELECT qa.q_id, ca.n_id, qa.cell
+       |  FROM qa JOIN ca ON qa.cell = ca.cell AND qa.q_id <> ca.n_id),
+       |d AS (
+       |  SELECT cand.q_id, cand.n_id, qv.sub,
+       |    ${d2("qv.svec", "cb.c_emb")} AS d2
+       |  FROM cand
+       |  JOIN qsv qv ON qv.q_id = cand.q_id AND qv.cell = cand.cell
+       |  JOIN codes ON codes.n_id = cand.n_id AND codes.sub = qv.sub
+       |  JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.code),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(d2 ORDER BY sub), (a, b) -> a + b) AS adc
+       |  FROM d GROUP BY q_id, n_id),
+       |shortl AS (
+       |  SELECT q_id, n_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc, n_id) <= $shortlist),
+       |ref AS (
+       |  SELECT s.q_id, s.n_id,
+       |    ${d2("qe.embedding", "ne.embedding")} AS d2
+       |  FROM shortl s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ne ON ne.vec_id = s.n_id)
+       |SELECT q_id, n_id, CAST(row_number() OVER w AS BIGINT) AS rank, d2
+       |FROM ref
+       |WINDOW w AS (PARTITION BY q_id ORDER BY d2, n_id)
+       |QUALIFY row_number() OVER w <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB twin of the cluster-balanced sample: same centroid-literal
     * technique as [[qe4Sql]] (the fit the Spark plan actually used),
     * argmax-cosine assignment, per-cell bottom-`quota` by md5(vec_id). */
@@ -4760,6 +4948,12 @@ object ExtQueries {
       cb <- Similarity.lastFittedPqCodebooks
     } yield Map("qe9_ivfadc" ->
       qe9Sql(c, cb, nprobe = 8, k = 5, shortlist = 100)))
+      .getOrElse(Map.empty) ++
+    (for {
+      c <- Similarity.lastFittedCentroidsFloat
+      rcb <- Similarity.lastFittedResidualPqCodebooks
+    } yield Map("qe26_ivfpq_residual" ->
+      qe26Sql(c, rcb, nprobe = 8, k = 5, shortlist = 100)))
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
@@ -7860,6 +8054,63 @@ object ExtQueries {
         |FROM a JOIN e USING (source)
         |ORDER BY source""".stripMargin
     },
+
+    // deletion-neighborhood keys ({term} ∪ one-char deletions), hot-key
+    // cap, equi-join candidates, exact levenshtein == 1 refine
+    "qx73_spell_variants" ->
+      """WITH v AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 3)
+        |  GROUP BY term
+        |  HAVING length(term) >= 4 AND count(*) >= 2),
+        |keyed AS (
+        |  SELECT term, tf, unnest(list_distinct(
+        |    list_append(list_transform(range(1, length(term) + 1),
+        |      p -> substr(term, 1, CAST(p - 1 AS INT)) ||
+        |           substr(term, CAST(p + 1 AS INT), length(term))),
+        |      term))) AS k
+        |  FROM v),
+        |cold AS (
+        |  SELECT * FROM keyed
+        |  WHERE k NOT IN (SELECT k FROM keyed GROUP BY k
+        |                  HAVING count(*) > 64)),
+        |pairs AS (
+        |  SELECT DISTINCT a.term AS t1, b.term AS t2,
+        |    a.tf AS tf1, b.tf AS tf2
+        |  FROM cold a JOIN cold b ON a.k = b.k AND a.term < b.term)
+        |SELECT t1, t2, tf1, tf2 FROM pairs
+        |WHERE levenshtein(t1, t2) = 1
+        |ORDER BY t1, t2""".stripMargin,
+
+    // 24 x |types| cells + hour totals; UTC session on both engines
+    "qz29_hourly_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT hod, CAST(sum(n) AS BIGINT) AS nh FROM c GROUP BY hod)
+        |SELECT c.hod, c.event_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.nh AS DOUBLE) AS share
+        |FROM c JOIN t USING (hod)
+        |ORDER BY hod, event_type""".stripMargin,
+
+    // char-class regexp counts (Java ∩ RE2 semantics), one narrow pass
+    "qx74_code_detect" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[{}\[\]();]')) AS BIGINT)
+        |    AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '=')) AS BIGINT) AS n_assign,
+        |  CAST(len(regexp_extract_all(text, '\n  ')) AS BIGINT)
+        |    AS n_indent,
+        |  CAST(len(regexp_extract_all(text, '[{}\[\]();]')) AS DOUBLE) /
+        |    CAST(greatest(n_chars, 1) AS DOUBLE) AS sym_density,
+        |  (CAST(len(regexp_extract_all(text, '[{}\[\]();]')) AS DOUBLE) /
+        |    CAST(greatest(n_chars, 1) AS DOUBLE) > 0.01)
+        |  AND (len(regexp_extract_all(text, '=')) > 0
+        |       OR len(regexp_extract_all(text, '\n  ')) > 0) AS is_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // last non-purchase type strictly before each purchase in the
     // user's (ts, event_id) order; value credited in exact milli units

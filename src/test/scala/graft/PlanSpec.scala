@@ -89,6 +89,15 @@ class PlanSpec extends SparkTestBase {
       p.contains("ShuffledHashJoin"), p) // within-cell join is keyed
   }
 
+  test("qe26 residual IVFADC: the compressed index never carries the " +
+    "original embedding, candidate generation is a broadcast cell join " +
+    "(no cartesian), and the native encode/ADC kernels are in the plan") {
+    val p = plan("qe26_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("qz1 capped semDedup: chunk assignment is hash-mod against a " +
     "broadcast size frame — no window partitioned by cell anywhere (the " +
     "shape that single-tasked a pathologically hot cell), and the " +

@@ -192,6 +192,25 @@ class Round10Spec extends SparkTestBase {
     assert(est > 350.0 && est < 650.0, s"est=$est")
   }
 
+  test("qx73 spell variants: planted OCR-style corruptions (substitution, " +
+    "deletion, insertion) are mined as ed-1 pairs; an ed-2 word is not; " +
+    "hapax and short tokens stay out") {
+    val base = "pipeline " * 3 + "partition " * 3 + "shuffle " * 3
+    val dir = plantDocs(Seq(
+      (1L, base + "pipe1ine pipe1ine", "en", "s"), // substitution (x2: tf gate)
+      (2L, base + "partiton partiton", "en", "s"), // deletion
+      (3L, base + "shufffle shufffle", "en", "s"), // insertion
+      (4L, base + "pipXXine pipXXine", "en", "s"), // ed-2: excluded
+      (5L, base + "pipelime", "en", "s"), // hapax: excluded by tf >= 2
+      (6L, base + "abc abc", "en", "s"))) // len 3: excluded
+    val out = queries.ExtQueries.queries("qx73_spell_variants")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("pipe1ine", "pipeline"),
+      ("partition", "partiton"),
+      ("shufffle", "shuffle")), s"got $out")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
