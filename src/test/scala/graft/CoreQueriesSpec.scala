@@ -17,8 +17,10 @@ class CoreQueriesSpec extends SparkTestBase {
     }
   }
 
-  // set difference may legitimately be empty at the 15-user smoke scale
-  private val mayBeEmptyAtSmoke = Set("q27_set_ops")
+  // set difference may legitimately be empty at the 15-user smoke scale;
+  // the spelling-variant miner is empty on the driver's clean 31-word
+  // vocabulary AT ANY SF (planted Round10Spec proves the mining)
+  private val mayBeEmptyAtSmoke = Set("q27_set_ops", "qx73_spell_variants")
 
   test("every declared query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
