@@ -3882,6 +3882,65 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // session BOUNCE RATE — share of sessions that contain exactly one
+    // event: the engagement-health gauge next to q48's session list.
+    // Uses the ENGINE's session_window (inclusive merge at exactly the
+    // gap — the Round9Spec-pinned boundary; the twin's strict > break
+    // encodes the same rule), one corpus-wide summary row.
+    "qz30_bounce_rate" -> ((s, dir) => {
+      val sess = Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("n_sessions"), col("n_bounce"),
+          (col("n_bounce").cast("double") /
+            col("n_sessions").cast("double")).as("bounce_rate"))
+        .where(col("n_sessions").isNotNull) // empty input → no row
+    }),
+
+    // the FIFTH composed pipeline — and the first MULTIMODAL one (qp1
+    // curates text, qp2 mixes, qp3 writes shards, qp4 splits): media
+    // ingest = blob-exact dedup (qm3's fingerprint keeper) → per-asset
+    // frame facts (count, distinct frames, qm9's shot count — all from
+    // ONE frame staging pass) → a static-asset gate (every frame
+    // identical = blank/frozen payload) → per-asset manifest with stage
+    // flags. One declarative plan; blob bytes never shuffle (the
+    // fingerprint and frame slices are computed in the scan
+    // projection).
+    "qp5_media_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.synthMedia(s, dir)
+        .select(col("doc_id"), col("meta.nbytes").as("nbytes"),
+          md5(col("bytes")).as("fp"))
+      val keepers = media.groupBy("fp").agg(min("doc_id").as("keeper"))
+      val deduped = media.join(keepers, "fp")
+        .withColumn("is_dup_blob", col("doc_id") =!= col("keeper"))
+      val fv = frameByteVectors(s, dir)
+      val frameFacts = fv.groupBy("doc_id").agg(
+        count(lit(1)).as("n_frames"),
+        count_distinct(col("bv")).as("n_distinct_frames"))
+      val w = Window.partitionBy("doc_id").orderBy("frame_no")
+      val withPrev = fv.select(col("doc_id"), col("frame_no"), col("bv"))
+        .withColumn("pv", lag(col("bv"), 1).over(w))
+      val lp = least(size(col("bv")), size(col("pv")))
+      val delta = aggregate(
+        zip_with(slice(col("bv"), lit(1), lp),
+          slice(col("pv"), lit(1), lp), (x, y) => abs(x - y)),
+        lit(0L), (a0, x) => a0 + x)
+      val shots = withPrev
+        .withColumn("brk",
+          when(col("pv").isNull || delta >= 520L, 1L).otherwise(0L))
+        .groupBy("doc_id").agg(sum("brk").as("n_shots"))
+      deduped.join(frameFacts, "doc_id").join(shots, "doc_id")
+        .withColumn("is_static", col("n_distinct_frames") === 1L)
+        .withColumn("kept", !col("is_dup_blob") && !col("is_static"))
+        .select(col("doc_id"), col("nbytes"), col("n_frames"),
+          col("n_distinct_frames"), col("n_shots"),
+          col("is_dup_blob"), col("is_static"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
     // the vocabulary-collapse operator OCR'd/noisy corpora need before
     // token statistics (qx14/qx20/qx49) mean anything: every edit-
@@ -8054,6 +8113,87 @@ object ExtQueries {
         |FROM a JOIN e USING (source)
         |ORDER BY source""".stripMargin
     },
+
+    // gap sessions via the strict > break (exact-gap merges — the
+    // session_window boundary Round9Spec pins), one summary row
+    "qz30_bounce_rate" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS bounce_rate
+        |FROM c
+        |HAVING count(*) > 0""".stripMargin,
+
+    // blob-fingerprint keeper + frame/shot facts + static gate, all
+    // from the shared qm CTE shapes
+    "qp5_media_pipeline" ->
+      """WITH med AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |kp AS (SELECT fp, min(doc_id) AS keeper FROM med GROUP BY fp),
+        |f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |d AS (
+        |  SELECT doc_id, frame_no, bv,
+        |    lag(bv) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pv
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pv IS NULL THEN 1
+        |         WHEN COALESCE(list_sum(list_transform(
+        |             range(1, least(len(bv), len(pv)) + 1),
+        |             j -> abs(bv[CAST(j AS INT)] - pv[CAST(j AS INT)]))),
+        |           0) >= 520 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM d),
+        |ff AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(count(DISTINCT fh) AS BIGINT) AS n_distinct_frames
+        |  FROM g GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id, CAST(sum(brk) AS BIGINT) AS n_shots
+        |  FROM k GROUP BY doc_id)
+        |SELECT med.doc_id, med.nbytes, ff.n_frames,
+        |  ff.n_distinct_frames, sh.n_shots,
+        |  (med.doc_id <> kp.keeper) AS is_dup_blob,
+        |  (ff.n_distinct_frames = 1) AS is_static,
+        |  (med.doc_id = kp.keeper AND ff.n_distinct_frames <> 1) AS kept
+        |FROM med
+        |JOIN kp USING (fp)
+        |JOIN ff ON ff.doc_id = med.doc_id
+        |JOIN sh ON sh.doc_id = med.doc_id
+        |ORDER BY med.doc_id""".stripMargin,
 
     // deletion-neighborhood keys ({term} ∪ one-char deletions), hot-key
     // cap, equi-join candidates, exact levenshtein == 1 refine

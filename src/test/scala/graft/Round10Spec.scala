@@ -211,6 +211,40 @@ class Round10Spec extends SparkTestBase {
       ("shufffle", "shuffle")), s"got $out")
   }
 
+  test("qz30 bounce rate: an exact-gap event MERGES (no bounce), one " +
+    "tick past the gap opens a bounce session; singleton users bounce") {
+    val t0 = 1_700_000_000_000_000L
+    val gap = 1_800_000_000L // 30 min in µs
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0 + gap, 1L, "view", 0.0), // exact gap: merges → 1 session, n=2
+      (3L, t0, 2L, "view", 0.0),
+      (4L, t0 + gap + 1_000_000L, 2L, "view", 0.0), // past gap: 2 bounces
+      (5L, t0, 3L, "view", 0.0))) // singleton: bounce
+    val r = queries.ExtQueries.queries("qz30_bounce_rate")(spark, dir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)),
+      s"got (${r.getLong(0)}, ${r.getLong(1)})")
+    assert(r.getDouble(2) == 0.75)
+  }
+
+  test("qp5 media pipeline: a duplicate blob is flagged (keeper " +
+    "survives), an all-identical-frame asset is static, and a varied " +
+    "unique asset is kept") {
+    val varied = (0 until 4).map(i => (if (i % 2 == 0) "A" else "z") * 64)
+      .mkString
+    val dir = plantDocs(Seq(
+      (1L, varied, "en", "s"), // keeper of the dup pair, varied → kept
+      (2L, varied, "en", "s"), // dup blob
+      (3L, "A" * 256, "en", "s"))) // static: every frame identical
+    val out = queries.ExtQueries.queries("qp5_media_pipeline")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(1L) == ((false, false, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((true, false, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((false, true, false)), s"got ${out(3L)}")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
