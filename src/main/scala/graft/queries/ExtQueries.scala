@@ -3941,6 +3941,183 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // GOPHER-style RULE GATE — the published multi-rule quality filter
+    // (Rae et al. 2021 §A1.1) with PER-RULE failure attribution, the
+    // report qx7's composite score can't give: which rule kills how
+    // many docs per source decides which rule to re-tune. Rules at the
+    // published thresholds: token count ∈ [50, 100000], mean word
+    // length ∈ [3, 10], alphabetic-token share ≥ 0.8, ≥ 2 stopwords,
+    // symbol-to-token ratio ≤ 0.1. Every comparison is exact-integer
+    // cross-multiplication (3·n ≤ Σlen ≤ 10·n, 5·n_alpha ≥ 4·n,
+    // 10·n_sym ≤ n) — no double ratios to disagree on. Scale shape: one
+    // narrow scoring map in the scan projection, one |sources|-keyed
+    // rollup; nothing corpus-grain shuffles.
+    "qx75_gopher_gate" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val sumlen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+      val nStop = size(filter(toks, t =>
+        Seq("the", "and", "of", "to", "a").map(w => t === lit(w))
+          .reduce(_ || _))).cast("long")
+      val nSym = regexp_count(col("text"), lit("[#@*…]")).cast("long")
+      Tables.documents(s, dir)
+        .select(col("source"), n.as("n"), sumlen.as("sumlen"),
+          nAlpha.as("n_alpha"), nStop.as("n_stop"), nSym.as("n_sym"))
+        .select(col("source"),
+          (col("n") >= 50L && col("n") <= 100000L).as("r_len"),
+          (lit(3L) * col("n") <= col("sumlen") &&
+            col("sumlen") <= lit(10L) * col("n")).as("r_wlen"),
+          (lit(5L) * col("n_alpha") >= lit(4L) * col("n")).as("r_alpha"),
+          (col("n_stop") >= 2L).as("r_stop"),
+          (lit(10L) * col("n_sym") <= col("n")).as("r_sym"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("r_len") && col("r_wlen") && col("r_alpha") &&
+            col("r_stop") && col("r_sym"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("r_len"), 1L).otherwise(0L)).as("n_fail_len"),
+          sum(when(!col("r_wlen"), 1L).otherwise(0L)).as("n_fail_wlen"),
+          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("n_fail_alpha"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+          sum(when(!col("r_sym"), 1L).otherwise(0L)).as("n_fail_sym"))
+        .orderBy("source")
+    }),
+
+    // AUDIO-style LOUDNESS over the qm8-decoded channels — per (asset,
+    // channel): sample count, exact sum of squares, peak, hot-sample
+    // count (sample ≥ 160 — the top amplitude band the synthetic
+    // UTF-8-derived byte domain can reach; valid UTF-8 never emits
+    // 0xF5+, so a 250-style ceiling would be vacuously zero), and RMS.
+    // The signal-level gate a media-curation pipeline runs after decode
+    // (silent / clipped channels are drop candidates the way blank
+    // frames are in qp5). Float discipline: everything is exact BIGINT
+    // until ONE sqrt(double/double) per output row — IEEE sqrt is
+    // correctly rounded in both engines. Scale shape: frame slices +
+    // channel de-interleave in the scan projection (blob bytes never
+    // shuffle), a 3-struct explode (bounded ×3), one (asset,
+    // channel)-keyed rollup.
+    "qm10_audio_loudness" -> ((s, dir) => {
+      val pad = concat(col("bv"),
+        array_repeat(lit(0L), lit(16) - size(col("bv"))))
+      def samp(c: Int) = Seq(5, 8, 11, 14).map(p =>
+        element_at(col("p16"), p + c))
+      def chStruct(c: Int) = struct(
+        lit(c.toLong).as("channel"),
+        samp(c).map(x => x * x).reduce(_ + _).as("ssq"),
+        greatest(samp(c): _*).as("pk"),
+        samp(c).map(x => when(x >= 160L, 1L).otherwise(0L))
+          .reduce(_ + _).as("clip"))
+      frameByteVectors(s, dir)
+        .select(col("doc_id"), pad.as("p16"))
+        .select(col("doc_id"),
+          explode(array(chStruct(0), chStruct(1), chStruct(2))).as("ch"))
+        .groupBy(col("doc_id"), col("ch.channel").as("channel"))
+        .agg((count(lit(1)) * 4L).as("n_samples"),
+          sum(col("ch.ssq")).as("sum_sq"),
+          max(col("ch.pk")).as("peak"),
+          sum(col("ch.clip")).as("n_clip"))
+        .withColumn("rms", sqrt(col("sum_sq").cast("double") /
+          col("n_samples").cast("double")))
+        .orderBy("doc_id", "channel")
+    }),
+
+    // VALUE-CONCENTRATION report — Gini coefficient + top-decile share
+    // of per-user purchase value: the "do 1% of users carry the
+    // corpus" gauge that prices qz19's row-skew finding in REVENUE
+    // terms. Distributed shape: user-grain rollup (corpus-
+    // proportional), then the qx18/qz5 exact-HISTOGRAM rule — group by
+    // distinct v_milli so the one ordered window runs at distinct-VALUE
+    // grain, never user grain; ties need no order (Σ rank·v over a tie
+    // block depends only on cumulative counts, so the rank formula is
+    // computed per block: Σi = c·C_before + c(c+1)/2). All integer
+    // until the two final divisions. BIGINT bound: Σ rank·v_milli ≤
+    // n_users² · v̄_milli must stay < 2⁶³ — holds to ~10⁹ users at
+    // ~10⁴ milli mean, the suite-wide exact-sum envelope (qx71 rule).
+    "qz31_value_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+      val hist = users.groupBy("v").agg(count(lit(1)).as("c"))
+      val wAsc = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wDesc = Window.orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // Σ 2·rank·v over a tie block of c users at value v with cb users
+      // below = v·(2·c·cb + c·(c+1)) — integer, no division
+      val blocks = hist
+        .withColumn("cb", coalesce(sum("c").over(wAsc), lit(0L)))
+        .withColumn("ca", coalesce(sum("c").over(wDesc), lit(0L)))
+      val scal = blocks.agg(sum(col("c")).as("n"),
+        sum(col("v") * col("c")).as("tot"),
+        sum(col("v") * (lit(2L) * col("c") * col("cb") +
+          col("c") * (col("c") + 1L))).as("trv"))
+      // top-decile mass: the k = ceil(n/10) heaviest users; each value
+      // block contributes min(c, max(0, k − users_above)) of its users
+      blocks.crossJoin(broadcast(scal))
+        .withColumn("k", expr("(n + 9) div 10"))
+        .withColumn("take",
+          greatest(lit(0L), least(col("c"), col("k") - col("ca"))))
+        .agg(first(col("n")).as("n_users"),
+          first(col("tot")).as("total_milli"),
+          first(col("trv")).as("trv"),
+          sum(col("take") * col("v")).as("top_milli"))
+        .where(col("total_milli") > 0L)
+        .select(col("n_users"), col("total_milli"),
+          ((col("trv") - (col("n_users") + 1L) * col("total_milli"))
+            .cast("double") /
+            (col("n_users") * col("total_milli")).cast("double"))
+            .as("gini"),
+          (col("top_milli").cast("double") /
+            col("total_milli").cast("double")).as("top_decile_share"))
+    }),
+
+    // MARKOV STATIONARY mix — 5 integer power-iteration steps over
+    // qz18's transition matrix: where the behavioral mix settles if
+    // users keep clicking (the long-run analog of qz18's one-step
+    // probabilities). qz8's PageRank discipline: probabilities and mass
+    // in exact nano-units, every step `div`s once (order-independent
+    // cross-row sums, both engines bit-equal), ONE double division at
+    // the end. Scale shape: the matrix is |types|²-bounded (≤ 25 cells
+    // here) and broadcast; each step is a tiny join — the events-grain
+    // work is only qz18's one user-keyed window pass.
+    "qz32_markov_stationary" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"),
+        col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val pmat = tr
+        .withColumn("tot", sum("n").over(
+          Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"),
+          expr("(n * CAST(1000000000 AS BIGINT)) div tot").as("p_nano"))
+      val nTypes = pmat.select(col("from_type").as("t")).distinct()
+        .crossJoin(broadcast(
+          pmat.select(col("from_type")).distinct()
+            .agg(count(lit(1)).as("nt"))))
+      val pi0 = nTypes.select(col("t"),
+        expr("CAST(1000000000 AS BIGINT) div nt").as("pi_nano"))
+      val pi5 = (1 to 5).foldLeft(pi0) { (pi, _) =>
+        pi.join(pmat, pi("t") === pmat("from_type"))
+          .groupBy(col("to_type").as("t2"))
+          .agg(sum(expr(
+            "(pi_nano * p_nano) div CAST(1000000000 AS BIGINT)"))
+            .as("pi_nano"))
+          .withColumnRenamed("t2", "t")
+      }
+      pi5.select(col("t").as("event_type"), col("pi_nano"),
+        (col("pi_nano").cast("double") / 1e9d).as("pi"))
+        .orderBy("event_type")
+    }),
+
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
     // the vocabulary-collapse operator OCR'd/noisy corpora need before
     // token statistics (qx14/qx20/qx49) mean anything: every edit-
@@ -8194,6 +8371,176 @@ object ExtQueries {
         |JOIN ff ON ff.doc_id = med.doc_id
         |JOIN sh ON sh.doc_id = med.doc_id
         |ORDER BY med.doc_id""".stripMargin,
+
+    // per-doc rule flags by exact integer cross-multiplication, one
+    // source-keyed failure-attribution rollup
+    "qx75_gopher_gate" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks, text
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x)))
+        |      AS BIGINT) AS sumlen,
+        |    CAST(list_sum(list_transform(toks,
+        |      x -> CASE WHEN regexp_matches(x, '[a-zA-Z]')
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_alpha,
+        |    CAST(list_sum(list_transform(toks,
+        |      x -> CASE WHEN x IN ('the','and','of','to','a')
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[#@*…]')) AS BIGINT)
+        |      AS n_sym
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    (n >= 50 AND n <= 100000) AS r_len,
+        |    (3*n <= sumlen AND sumlen <= 10*n) AS r_wlen,
+        |    (5*n_alpha >= 4*n) AS r_alpha,
+        |    (n_stop >= 2) AS r_stop,
+        |    (10*n_sym <= n) AS r_sym
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r_len AND r_wlen AND r_alpha AND r_stop
+        |    AND r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_len,
+        |  CAST(sum(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_wlen,
+        |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_alpha,
+        |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_stop,
+        |  CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_sym
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // the qm8 zero-padded byte list, de-interleaved to 3 channels
+    // (payload positions 5+c, 8+c, 11+c, 14+c), (asset, channel) rollup
+    "qm10_audio_loudness" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, 16),
+        |      j -> CASE WHEN length(fh) >= (CAST(j AS INT) + 1) * 2
+        |        THEN CAST((strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM g),
+        |x AS (
+        |  SELECT doc_id, CAST(unnest([0, 1, 2]) AS BIGINT) AS channel, b
+        |  FROM h),
+        |y AS (
+        |  SELECT doc_id, channel,
+        |    b[CAST(5 + channel AS INT)] AS s1,
+        |    b[CAST(8 + channel AS INT)] AS s2,
+        |    b[CAST(11 + channel AS INT)] AS s3,
+        |    b[CAST(14 + channel AS INT)] AS s4
+        |  FROM x)
+        |SELECT doc_id, channel,
+        |  CAST(4 * count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s1*s1 + s2*s2 + s3*s3 + s4*s4) AS BIGINT) AS sum_sq,
+        |  CAST(max(greatest(s1, s2, s3, s4)) AS BIGINT) AS peak,
+        |  CAST(sum((CASE WHEN s1 >= 160 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s2 >= 160 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s3 >= 160 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s4 >= 160 THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS n_clip,
+        |  sqrt(CAST(sum(s1*s1 + s2*s2 + s3*s3 + s4*s4) AS DOUBLE)
+        |    / CAST(4 * count(*) AS DOUBLE)) AS rms
+        |FROM y GROUP BY doc_id, channel
+        |ORDER BY doc_id, channel""".stripMargin,
+
+    // value histogram blocks (tie-free rank algebra), Gini rank formula
+    // + ceil(n/10) heaviest-user mass, all integer to the last division
+    "qz31_value_gini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |hist AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY v),
+        |b AS (
+        |  SELECT v, c,
+        |    COALESCE(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb,
+        |    COALESCE(sum(c) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS ca
+        |  FROM hist),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS tot,
+        |    CAST(sum(v * (2*c*cb + c*(c+1))) AS BIGINT) AS trv
+        |  FROM b),
+        |t AS (
+        |  SELECT s.n, s.tot, s.trv,
+        |    CAST(sum(greatest(0, least(b.c, (s.n + 9) // 10 - b.ca))
+        |      * b.v) AS BIGINT) AS top_milli
+        |  FROM b CROSS JOIN s GROUP BY s.n, s.tot, s.trv)
+        |SELECT n AS n_users, tot AS total_milli,
+        |  CAST(trv - (n + 1) * tot AS DOUBLE)
+        |    / CAST(n * tot AS DOUBLE) AS gini,
+        |  CAST(top_milli AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    AS top_decile_share
+        |FROM t WHERE tot > 0""".stripMargin,
+
+    // qz18's transition chain, nano-unit rows, 5 unrolled integer power
+    // steps (// matches Spark's div; per-edge division before each sum)
+    "qz32_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT from_type, to_type,
+        |    (n * CAST(1000000000 AS BIGINT))
+        |      // (sum(n) OVER (PARTITION BY from_type)) AS p_nano
+        |  FROM tr),
+        |nt AS (
+        |  SELECT CAST(count(DISTINCT from_type) AS BIGINT) AS nt FROM p),
+        |p0 AS (
+        |  SELECT DISTINCT from_type AS t,
+        |    CAST(1000000000 AS BIGINT) // (SELECT nt FROM nt) AS pi
+        |  FROM p),
+        |p1 AS (
+        |  SELECT p.to_type AS t,
+        |    CAST(sum((p0.pi * p.p_nano) // 1000000000) AS BIGINT) AS pi
+        |  FROM p0 JOIN p ON p0.t = p.from_type GROUP BY 1),
+        |p2 AS (
+        |  SELECT p.to_type AS t,
+        |    CAST(sum((p1.pi * p.p_nano) // 1000000000) AS BIGINT) AS pi
+        |  FROM p1 JOIN p ON p1.t = p.from_type GROUP BY 1),
+        |p3 AS (
+        |  SELECT p.to_type AS t,
+        |    CAST(sum((p2.pi * p.p_nano) // 1000000000) AS BIGINT) AS pi
+        |  FROM p2 JOIN p ON p2.t = p.from_type GROUP BY 1),
+        |p4 AS (
+        |  SELECT p.to_type AS t,
+        |    CAST(sum((p3.pi * p.p_nano) // 1000000000) AS BIGINT) AS pi
+        |  FROM p3 JOIN p ON p3.t = p.from_type GROUP BY 1),
+        |p5 AS (
+        |  SELECT p.to_type AS t,
+        |    CAST(sum((p4.pi * p.p_nano) // 1000000000) AS BIGINT) AS pi
+        |  FROM p4 JOIN p ON p4.t = p.from_type GROUP BY 1)
+        |SELECT t AS event_type, pi AS pi_nano,
+        |  CAST(pi AS DOUBLE) / 1e9 AS pi
+        |FROM p5 ORDER BY event_type""".stripMargin,
 
     // deletion-neighborhood keys ({term} ∪ one-char deletions), hot-key
     // cap, equi-join candidates, exact levenshtein == 1 refine

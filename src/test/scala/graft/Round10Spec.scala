@@ -245,6 +245,95 @@ class Round10Spec extends SparkTestBase {
     assert(out(3L) == ((false, true, false)), s"got ${out(3L)}")
   }
 
+  test("qx75 gopher gate: six planted docs — one passes all rules, the " +
+    "other five each fail exactly ONE rule, and the per-rule failure " +
+    "attribution counts them independently") {
+    val pass = "the and " + Seq.fill(58)("cat").mkString(" ")
+    val failLen = "the and cat dog cat dog cat dog cat dog"
+    val failWlen = "the and " + Seq.fill(48)("abcdefghijkl").mkString(" ")
+    val failAlpha = ("the and " + Seq.fill(28)("cats").mkString(" ") +
+      " " + Seq.fill(20)("123").mkString(" "))
+    val failStop = Seq.fill(50)("cat").mkString(" ")
+    val failSym = "the and " + Seq.fill(47)("cat").mkString(" ") +
+      " ######"
+    val dir = plantDocs(Seq(
+      (1L, pass, "en", "s"), (2L, failLen, "en", "s"),
+      (3L, failWlen, "en", "s"), (4L, failAlpha, "en", "s"),
+      (5L, failStop, "en", "s"), (6L, failSym, "en", "s")))
+    val r = queries.ExtQueries.queries("qx75_gopher_gate")(spark, dir)
+      .collect()(0)
+    // (n_docs, n_pass, fail_len, fail_wlen, fail_alpha, fail_stop, fail_sym)
+    assert((1 to 7).map(i => r.getLong(i)) == Seq(6L, 1L, 1L, 1L, 1L, 1L, 1L),
+      s"got ${(1 to 7).map(r.getLong)}")
+  }
+
+  test("qm10 loudness: a constant-'A' asset yields exact per-channel " +
+    "sums/peak/rms with zero hot samples; a multibyte asset's 195/191 " +
+    "byte pattern counts every sample as hot") {
+    val dir = plantDocs(Seq(
+      (1L, "A" * 64, "en", "s"),      // 1 frame, every byte 65
+      (2L, "ÿ" * 32, "en", "s"))) // UTF-8 C3 BF ×32: 195/191 alternating
+    val out = queries.ExtQueries.queries("qm10_audio_loudness")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(out.size == 6)
+    for (c <- 0L to 2L) {
+      assert(out((1L, c)) == ((4L, 16900L, 65L, 0L, 65.0)),
+        s"doc1 ch$c: ${out((1L, c))}")
+      // positions 5+c,8+c,11+c,14+c of the 195/191 alternation: two of
+      // each whatever the channel → ssq 2·(195²+191²), peak 195, all hot
+      assert(out((2L, c)) ==
+        ((4L, 149012L, 195L, 4L, math.sqrt(149012.0 / 4.0))),
+        s"doc2 ch$c: ${out((2L, c))}")
+    }
+  }
+
+  test("qz31 gini: three planted purchasers (1000/1000/2000 milli) give " +
+    "gini 1/6 and a 0.5 top-decile share; non-purchase events are " +
+    "ignored") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "purchase", 1.0),
+      (2L, t0, 2L, "purchase", 1.0),
+      (3L, t0, 3L, "purchase", 2.0),
+      (4L, t0, 3L, "view", 99.0))) // must not count
+    val r = queries.ExtQueries.queries("qz31_value_gini")(spark, dir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4000L)))
+    assert(math.abs(r.getDouble(2) - 1.0 / 6.0) < 1e-12, s"gini ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.5, s"top share ${r.getDouble(3)}")
+  }
+
+  test("qz32 stationary: the 5-step integer power iteration matches an " +
+    "independent integer fold over the planted 2-type chain, and the " +
+    "div-truncated mass loss is bounded by steps × edges nano") {
+    val t0 = 1_700_000_000_000_000L
+    val s = 1_000_000L
+    // user 1: view view click view → view→view, view→click, click→view
+    // user 2: view view → view→view
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0), (2L, t0 + s, 1L, "view", 0.0),
+      (3L, t0 + 2 * s, 1L, "click", 0.0), (4L, t0 + 3 * s, 1L, "view", 0.0),
+      (5L, t0, 2L, "view", 0.0), (6L, t0 + s, 2L, "view", 0.0)))
+    val out = queries.ExtQueries.queries("qz32_markov_stationary")(
+      spark, dir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent fold: P(view→view)=2/3, P(view→click)=1/3, P(click→view)=1
+    val G = 1000000000L
+    val p = Map(("view", "view") -> (2L * G / 3L),
+      ("view", "click") -> (G / 3L), ("click", "view") -> G)
+    var pi = Map("view" -> G / 2L, "click" -> G / 2L)
+    for (_ <- 1 to 5) {
+      pi = p.groupBy(_._1._2).map { case (to, edges) =>
+        to -> edges.map { case ((from, _), pn) => pi(from) * pn / G }.sum
+      }
+    }
+    assert(out == pi, s"got $out expected $pi")
+    // every per-edge div truncates < 1 nano; 5 steps × 3 edges bounds it
+    assert(G - out.values.sum >= 0L && G - out.values.sum <= 15L,
+      s"mass ${out.values.sum}")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
