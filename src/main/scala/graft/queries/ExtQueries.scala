@@ -4077,16 +4077,20 @@ object ExtQueries {
     // qz18's transition matrix: where the behavioral mix settles if
     // users keep clicking (the long-run analog of qz18's one-step
     // probabilities). qz8's PageRank discipline: probabilities and mass
-    // in exact nano-units, every step `div`s once (order-independent
-    // cross-row sums, both engines bit-equal), ONE double division at
-    // the end. Scale shape: the matrix is |types|²-bounded (≤ 25 cells
-    // here) and broadcast; each step is a tiny join — the events-grain
-    // work is only qz18's one user-keyed window pass.
+    // in exact nano-units, every step `div`s once per edge
+    // (order-independent sums, both engines bit-equal), ONE double
+    // division at the end. Scale shape: the corpus-grain work (the
+    // user-keyed window pass) is distributed; the MATRIX is
+    // |types|²-bounded, so it's collected like a fit (the k×dim rule
+    // the centroid/PQ fits follow) and the power steps run on ≤ 25
+    // cells — qz8 iterates distributed because its dup graph is
+    // corpus-sized, this doesn't because its model isn't (probed: a
+    // distributed 5-step fold re-read the window exchange 3× at 100×).
     "qz32_markov_stationary" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"),
         col("event_id"))
-      val tr = Tables.events(s, dir)
+      val cells = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
@@ -4094,28 +4098,26 @@ object ExtQueries {
         .groupBy(col("event_type").as("from_type"),
           col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-      val pmat = tr
-        .withColumn("tot", sum("n").over(
-          Window.partitionBy("from_type")))
-        .select(col("from_type"), col("to_type"),
-          expr("(n * CAST(1000000000 AS BIGINT)) div tot").as("p_nano"))
-      val nTypes = pmat.select(col("from_type").as("t")).distinct()
-        .crossJoin(broadcast(
-          pmat.select(col("from_type")).distinct()
-            .agg(count(lit(1)).as("nt"))))
-      val pi0 = nTypes.select(col("t"),
-        expr("CAST(1000000000 AS BIGINT) div nt").as("pi_nano"))
-      val pi5 = (1 to 5).foldLeft(pi0) { (pi, _) =>
-        pi.join(pmat, pi("t") === pmat("from_type"))
-          .groupBy(col("to_type").as("t2"))
-          .agg(sum(expr(
-            "(pi_nano * p_nano) div CAST(1000000000 AS BIGINT)"))
-            .as("pi_nano"))
-          .withColumnRenamed("t2", "t")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val G = 1000000000L
+      val tot = cells.groupBy(_._1)
+        .map { case (f, es) => f -> es.map(_._3).sum }
+      val p = cells.map { case (f, t, n) => (f, t, n * G / tot(f)) }
+      val types = p.map(_._1).distinct
+      var pi: Map[String, Long] =
+        if (types.isEmpty) Map.empty
+        else types.map(_ -> G / types.length).toMap
+      // a to-type keeps its row only if ≥ 1 edge's source carries mass
+      // (the twin's INNER join + GROUP BY drops the rest)
+      for (_ <- 1 to 5) pi = p.groupBy(_._2).flatMap { case (to, es) =>
+        val srcs = es.collect {
+          case (f, _, pn) if pi.contains(f) => pi(f) * pn / G }
+        if (srcs.isEmpty) None else Some(to -> srcs.sum)
       }
-      pi5.select(col("t").as("event_type"), col("pi_nano"),
-        (col("pi_nano").cast("double") / 1e9d).as("pi"))
-        .orderBy("event_type")
+      import s.implicits._
+      val out = pi.toSeq.sortBy(_._1)
+        .map { case (t, n) => (t, n, n.toDouble / 1e9d) }
+      out.toDF("event_type", "pi_nano", "pi").orderBy("event_type")
     }),
 
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
