@@ -4120,6 +4120,130 @@ object ExtQueries {
       out.toDF("event_type", "pi_nano", "pi").orderBy("event_type")
     }),
 
+    // WINNOW PAIR matching — doc pairs ranked by shared winnowing
+    // fingerprints with the overlap coefficient (shared / smaller
+    // fingerprint set): the LOCAL-span plagiarism detector qx43's
+    // per-doc shared-fraction report can't give (qx33/qx47 compare FULL
+    // gram sets; winnow minima are the sampled ~1/w subset, which is
+    // what makes pair mining affordable). The qx21 df-cap discipline
+    // guards the self-join (a fingerprint in > cap docs is boilerplate,
+    // not evidence — its df² pair mass is the quadratic term); pair
+    // volume is cap-bounded at Σ min(df,cap)² per fingerprint.
+    "qx76_winnow_pairs" -> ((s, dir) => {
+      val cap = 64
+      val fps = Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 3)
+            .as("hs"))
+        .withColumn("fps", Text.winnowFps(col("hs"), 4))
+      val fpx = graft.Materialize.cut(
+        fps.select(col("doc_id"), explode(col("fps")).as("v")))
+      val sizes = fpx.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val dfre = fpx.groupBy("v").agg(count(lit(1)).as("n_docs"))
+      val kept = fpx.join(dfre.where(col("n_docs") <= cap), "v")
+        .select("doc_id", "v")
+      val pairs = kept.as("a").join(kept.as("b"),
+        col("a.v") === col("b.v") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+      pairs
+        .join(sizes.select(col("doc_id").as("d1"), col("n_fp").as("fp1")),
+          "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n_fp").as("fp2")),
+          "d2")
+        .select(col("d1"), col("d2"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("fp1"), col("fp2")).cast("double")).as("overlap"))
+        .orderBy("d1", "d2")
+    }),
+
+    // CUSUM CHANGEPOINT on the daily event volume — the day where the
+    // cumulative deviation from a flat rate peaks: the level-shift
+    // detector next to qx56's distribution drift (KS) and qz5's point
+    // outliers (MAD). All-integer argmax: the scaled CUSUM statistic is
+    // D·cum_d − d_idx·C (cross-multiplied — no per-day float mean),
+    // ties break to the earliest day; the two segment means are the
+    // only doubles, computed once. Scale shape: day-grain rollup (the
+    // bounded-domain rule — one row per distinct DAY however large the
+    // corpus), one window at day grain, TakeOrdered(1).
+    "qz33_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val staged = daily
+        .withColumn("cum", sum("c").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("idx",
+          row_number().over(Window.orderBy("day")).cast("long"))
+      val tot = staged.agg(max("cum").as("ctot"),
+        count(lit(1)).as("n_days"))
+      staged.crossJoin(broadcast(tot))
+        .withColumn("s", col("n_days") * col("cum") -
+          col("idx") * col("ctot"))
+        .orderBy(abs(col("s")).desc, col("day"))
+        .limit(1)
+        .select(col("day").as("cp_day"), col("n_days"),
+          col("s").as("cusum_scaled"),
+          (col("cum").cast("double") / col("idx").cast("double"))
+            .as("pre_mean"),
+          when(col("n_days") > col("idx"),
+            (col("ctot") - col("cum")).cast("double") /
+              (col("n_days") - col("idx")).cast("double"))
+            .as("post_mean"))
+    }),
+
+    // the SIXTH composed pipeline — EVENTS analytics (qp1 curates text,
+    // qp2 mixes, qp3 writes shards, qp4 splits, qp5 ingests media; this
+    // is the product-analytics run): sessionize (the engine
+    // session_window, qz30's boundary) → qz16's strict-order funnel
+    // stage → purchase-value attribution in exact milli units → ONE
+    // per-stage manifest with users / sessions / events / value — the
+    // daily-KPI table a dashboard reads. Every exchange is
+    // user_id-keyed and linear; the manifest is 4 rows.
+    "qp6_funnel_pipeline" -> ((s, dir) => {
+      val ev = graft.Materialize.cut(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("value")))
+      val sess = ev
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n")).groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"))
+      val base = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 1000).cast("long")).otherwise(0L))
+          .as("v_milli"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      base.join(sess, Seq("user_id"))
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("n_sessions"),
+          col("v_milli"),
+          when(col("p_ts").isNotNull, 3L)
+            .when(col("c_ts").isNotNull, 2L)
+            .when(col("v_ts").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+        .groupBy("stage").agg(
+          count(lit(1)).as("n_users"),
+          sum("n_sessions").as("n_sessions"),
+          sum("n_events").as("n_events"),
+          sum("v_milli").as("value_milli"))
+        .orderBy("stage")
+    }),
+
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
     // the vocabulary-collapse operator OCR'd/noisy corpora need before
     // token statistics (qx14/qx20/qx49) mean anything: every edit-
@@ -8543,6 +8667,128 @@ object ExtQueries {
         |SELECT t AS event_type, pi AS pi_nano,
         |  CAST(pi AS DOUBLE) / 1e9 AS pi
         |FROM p5 ORDER BY event_type""".stripMargin,
+
+    // qx43's winnow staging, df-capped self-join, overlap coefficient
+    "qx76_winnow_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(range(len(toks) - 2),
+        |    i -> list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |          toks[i+3]), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x)) AS h
+        |  FROM tok WHERE len(toks) >= 3),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(h) >= 4
+        |      THEN list_transform(range(len(h) - 3),
+        |        i -> list_min(h[i+1:i+4]))
+        |      ELSE [list_min(h)] END) AS fps
+        |  FROM hs),
+        |x AS (SELECT doc_id, unnest(fps) AS v FROM fp),
+        |sizes AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        |  FROM x GROUP BY doc_id),
+        |dfre AS (SELECT v, count(*) AS n_docs FROM x GROUP BY v),
+        |kept AS (
+        |  SELECT x.doc_id, x.v FROM x JOIN dfre USING (v)
+        |  WHERE dfre.n_docs <= 64),
+        |pr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b
+        |    ON a.v = b.v AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.d1, pr.d2, pr.n_shared,
+        |  CAST(pr.n_shared AS DOUBLE)
+        |    / CAST(least(s1.n_fp, s2.n_fp) AS DOUBLE) AS overlap
+        |FROM pr
+        |JOIN sizes s1 ON s1.doc_id = pr.d1
+        |JOIN sizes s2 ON s2.doc_id = pr.d2
+        |ORDER BY d1, d2""".stripMargin,
+
+    // day-grain rollup, integer cross-multiplied CUSUM, argmax with
+    // earliest-day tie-break, segment means as the only doubles
+    "qz33_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY day),
+        |st AS (
+        |  SELECT day, c,
+        |    CAST(sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM daily),
+        |tot AS (
+        |  SELECT CAST(max(cum) AS BIGINT) AS ctot,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM st)
+        |SELECT st.day AS cp_day, tot.n_days,
+        |  CAST(tot.n_days * st.cum - st.idx * tot.ctot AS BIGINT)
+        |    AS cusum_scaled,
+        |  CAST(st.cum AS DOUBLE) / CAST(st.idx AS DOUBLE) AS pre_mean,
+        |  CASE WHEN tot.n_days > st.idx
+        |       THEN CAST(tot.ctot - st.cum AS DOUBLE)
+        |            / CAST(tot.n_days - st.idx AS DOUBLE)
+        |  END AS post_mean
+        |FROM st CROSS JOIN tot
+        |ORDER BY abs(tot.n_days * st.cum - st.idx * tot.ctot) DESC,
+        |  st.day
+        |LIMIT 1""".stripMargin,
+
+    // strict > session break (qz30), qz16's chained conditional mins,
+    // milli-unit purchase value, 4-row stage manifest
+    "qp6_funnel_pipeline" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |  FROM m GROUP BY user_id),
+        |base AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS v_milli
+        |  FROM events GROUP BY user_id),
+        |t1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+        |  FROM events GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > t1.v_ts
+        |        THEN e.ts END) AS c_ts
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.c_ts
+        |        THEN e.ts END) AS p_ts
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  GROUP BY e.user_id),
+        |u AS (
+        |  SELECT base.user_id, base.n_events, sess.n_sessions,
+        |    base.v_milli,
+        |    CASE WHEN t3.p_ts IS NOT NULL THEN 3
+        |         WHEN t2.c_ts IS NOT NULL THEN 2
+        |         WHEN t1.v_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM base JOIN sess USING (user_id)
+        |  LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id))
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_sessions) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(v_milli) AS BIGINT) AS value_milli
+        |FROM u GROUP BY stage ORDER BY stage""".stripMargin,
 
     // deletion-neighborhood keys ({term} ∪ one-char deletions), hot-key
     // cap, equi-join candidates, exact levenshtein == 1 refine

@@ -334,6 +334,59 @@ class Round10Spec extends SparkTestBase {
       s"mass ${out.values.sum}")
   }
 
+  test("qx76 winnow pairs: two docs sharing a long passage surface as " +
+    "a pair with >= 2 shared fingerprints; an unrelated doc pairs with " +
+    "neither") {
+    val common = (1 to 24).map(i => s"w$i").mkString(" ")
+    val dir = plantDocs(Seq(
+      (1L, common + " alpha beta gamma delta", "en", "s"),
+      (2L, "prefix words here " + common, "en", "s"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "en", "s")))
+    val out = queries.ExtQueries.queries("qx76_winnow_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) >= 2L, s"got $out")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L), s"got $out")
+  }
+
+  test("qz33 changepoint: daily counts 10/10/10/40 put the CUSUM " +
+    "argmax at day 3 with exact scaled statistic and segment means") {
+    val t0 = 1_700_000_000_000_000L
+    val day = 86_400_000_000L
+    var id = 0L
+    val rows = Seq(0, 1, 2, 3).flatMap { d =>
+      val n = if (d == 3) 40 else 10
+      (1 to n).map { i => id += 1
+        (id, t0 + d * day + i * 1_000_000L, id % 7, "view", 0.0) }
+    }
+    val r = queries.ExtQueries.queries("qz33_changepoint")(
+      spark, plantEvents(rows)).collect()(0)
+    val day0 = (t0 / day) // epoch days of t0 (t0 is µs)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((day0 + 2L, 4L, -90L)), s"got $r")
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 40.0, s"got $r")
+  }
+
+  test("qp6 funnel pipeline: four planted users land at stages 0-3 " +
+    "with exact session/event/value rollups (a purchase without the " +
+    "view-click chain stays stage 0 but its value still counts)") {
+    val t0 = 1_700_000_000_000_000L
+    val m = 60_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0, 2L, "view", 0.0), (3L, t0 + m, 2L, "click", 0.0),
+      (4L, t0, 3L, "view", 0.0), (5L, t0 + m, 3L, "click", 0.0),
+      (6L, t0 + 2 * m, 3L, "purchase", 2.5),
+      (7L, t0, 4L, "purchase", 1.0)))
+    val out = queries.ExtQueries.queries("qp6_funnel_pipeline")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      0L -> ((1L, 1L, 1L, 1000L)), 1L -> ((1L, 1L, 1L, 0L)),
+      2L -> ((1L, 1L, 2L, 0L)), 3L -> ((1L, 1L, 3L, 2500L))),
+      s"got $out")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
