@@ -4244,6 +4244,94 @@ object ExtQueries {
         .orderBy("stage")
     }),
 
+    // 13-GRAM DECONTAMINATION — the published n-gram overlap rule
+    // (GPT-3 appendix C): a training doc is contaminated if ANY of its
+    // 13-token shingles appears in the benchmark set. The span-grain
+    // member of the decontamination family: qx13 fingerprints whole
+    // docs (misses quoted passages), qx45 Blooms the same; this catches
+    // a single copied benchmark sentence. Scale shape: benchmark grams
+    // are distinct-hashed and BROADCAST (benchmarks are small by
+    // definition — the qx13 fence); the corpus side is one narrow
+    // native gram pass (60-bit hashes, no gram strings) + a doc-grain
+    // rollup. Docs under 13 tokens have zero grams and are clean.
+    "qx77_ngram_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def grams13(d: DataFrame) = d
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), explode(
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 13))
+          .as("g"))
+      val bench = grams13(docs.where(col("doc_id") % 97 === 0))
+        .select("g").distinct().withColumn("hit", lit(1L))
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val hits = grams13(corpus)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("contaminated", col("n_hit") >= 1L)
+        .orderBy("doc_id")
+    }),
+
+    // PERCEPTUAL (aHash) media near-dup — frames reduced to a 16-bit
+    // signature (bit i set iff 16·bᵢ > Σb, the strict integer
+    // cross-multiplied "above the frame mean" rule), then asset pairs
+    // sharing ≥ 2 distinct signatures: the brightness-shift-robust
+    // counterpart of qm4's exact frame dedup (byte-identical only).
+    // Constant frames hash to signature 0 — boilerplate the qx21
+    // df-cap drops before the self-join, which keeps pair volume
+    // Σ min(df,cap)²-bounded. Blob bytes never shuffle; signatures are
+    // 8-byte keys.
+    "qm11_phash_neardup" -> ((s, dir) => {
+      val cap = 64
+      val pad = concat(col("bv"),
+        array_repeat(lit(0L), lit(16) - size(col("bv"))))
+      val withP = frameByteVectors(s, dir)
+        .select(col("doc_id"), pad.as("p16"))
+        .withColumn("s", aggregate(col("p16"), lit(0L), (a, x) => a + x))
+      val sig = (0 until 16).map(i =>
+        when(lit(16L) * element_at(col("p16"), i + 1) > col("s"),
+          lit(1L << i)).otherwise(0L)).reduce(_ + _)
+      val sigs = withP.select(col("doc_id"), sig.as("sig")).distinct()
+      val dfre = sigs.groupBy("sig").agg(count(lit(1)).as("n_docs"))
+      val kept = sigs.join(dfre.where(col("n_docs") <= cap), "sig")
+        .select("doc_id", "sig")
+      kept.as("a").join(kept.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    }),
+
+    // WAU STICKINESS — per week: active users, returning users (also
+    // active the PREVIOUS week), and the return share: the
+    // consecutive-week engagement gauge qz17's cohort matrix doesn't
+    // give (cohorts pin users to their FIRST week; stickiness is
+    // memoryless). Weeks are exact integer epoch-day div 7 (the qz17
+    // rule); the (week, user) distinct bounds the shuffle at one row
+    // per active-user-week.
+    "qz34_stickiness" -> ((s, dir) => {
+      val wk = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "div 7 AS BIGINT)").as("week"), col("user_id"))
+        .distinct()
+      val active = wk.groupBy("week").agg(count(lit(1)).as("n_active"))
+      val ret = wk.join(
+        wk.select((col("week") + 1L).as("week"), col("user_id")),
+        Seq("week", "user_id"))
+        .groupBy("week").agg(count(lit(1)).as("n_ret"))
+      active.join(ret, Seq("week"), "left")
+        .select(col("week"), col("n_active"),
+          coalesce(col("n_ret"), lit(0L)).as("n_returning"))
+        .withColumn("stickiness", col("n_returning").cast("double") /
+          col("n_active").cast("double"))
+        .orderBy("week")
+    }),
+
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
     // the vocabulary-collapse operator OCR'd/noisy corpora need before
     // token statistics (qx14/qx20/qx49) mean anything: every edit-
@@ -8737,6 +8825,101 @@ object ExtQueries {
         |ORDER BY abs(tot.n_days * st.cum - st.idx * tot.ctot) DESC,
         |  st.day
         |LIMIT 1""".stripMargin,
+
+    // 13-token gram hashes (the qx43 60-bit md5 fold), benchmark fence
+    // doc_id % 97, per-position hit counts, sub-13-token docs clean
+    "qx77_ngram_decontam" -> {
+      val g13 = (1 to 13).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 13
+        |      THEN list_transform(range(len(toks) - 12),
+        |        i -> list_reduce(list_transform(range(1, 16),
+        |          j -> CAST(strpos('0123456789abcdef',
+        |            substr(md5($g13), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |          (a, x) -> a * 16 + x))
+        |      ELSE CAST([] AS BIGINT[]) END AS g
+        |  FROM tok),
+        |bench AS (
+        |  SELECT DISTINCT unnest(g) AS g FROM hs WHERE doc_id % 97 = 0),
+        |cg AS (
+        |  SELECT doc_id, unnest(g) AS gg FROM hs WHERE doc_id % 97 <> 0),
+        |agg AS (
+        |  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit
+        |  FROM cg LEFT JOIN bench ON cg.gg = bench.g
+        |  GROUP BY cg.doc_id)
+        |SELECT d.doc_id, COALESCE(agg.n_grams, 0) AS n_grams,
+        |  COALESCE(agg.n_hit, 0) AS n_hit,
+        |  COALESCE(agg.n_hit, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // the qm8 zero-padded byte list → 16-bit above-mean signature
+    // (strict 16·b > Σb), distinct per asset, df-capped pair join
+    "qm11_phash_neardup" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, 16),
+        |      j -> CASE WHEN length(fh) >= (CAST(j AS INT) + 1) * 2
+        |        THEN CAST((strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM g),
+        |sg AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_sum(list_transform(range(0, 16),
+        |      i -> CASE WHEN 16 * b[CAST(i + 1 AS INT)] > list_sum(b)
+        |           THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS sig
+        |  FROM h),
+        |dfre AS (SELECT sig, count(*) AS n_docs FROM sg GROUP BY sig),
+        |kept AS (
+        |  SELECT sg.doc_id, sg.sig FROM sg JOIN dfre USING (sig)
+        |  WHERE dfre.n_docs <= 64)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b
+        |  ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY d1, d2""".stripMargin,
+
+    // (week, user) distinct, consecutive-week self-join, left-joined
+    // return counts
+    "qz34_stickiness" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7
+        |      AS BIGINT) AS week, user_id
+        |  FROM events),
+        |act AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM wk GROUP BY week),
+        |ret AS (
+        |  SELECT w.week, CAST(count(*) AS BIGINT) AS n_ret
+        |  FROM wk w JOIN wk p
+        |    ON p.week + 1 = w.week AND p.user_id = w.user_id
+        |  GROUP BY w.week)
+        |SELECT act.week, act.n_active,
+        |  COALESCE(ret.n_ret, 0) AS n_returning,
+        |  CAST(COALESCE(ret.n_ret, 0) AS DOUBLE)
+        |    / CAST(act.n_active AS DOUBLE) AS stickiness
+        |FROM act LEFT JOIN ret USING (week)
+        |ORDER BY week""".stripMargin,
 
     // strict > session break (qz30), qz16's chained conditional mins,
     // milli-unit purchase value, 4-row stage manifest

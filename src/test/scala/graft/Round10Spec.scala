@@ -387,6 +387,51 @@ class Round10Spec extends SparkTestBase {
       s"got $out")
   }
 
+  test("qx77 13-gram decontam: a corpus doc quoting a 13-token " +
+    "benchmark span is contaminated with exactly one hit; a clean doc " +
+    "and a sub-13-token doc are not") {
+    val bench = (1 to 20).map(i => s"w$i").mkString(" ") // doc 97 (fence)
+    val quoting = ((1 to 5).map(i => s"x$i") ++
+      (3 to 15).map(i => s"w$i") ++ (1 to 3).map(i => s"y$i")).mkString(" ")
+    val clean = (1 to 25).map(i => s"q$i").mkString(" ")
+    val dir = plantDocs(Seq((97L, bench, "en", "s"),
+      (1L, quoting, "en", "s"), (2L, clean, "en", "s"),
+      (3L, "too short for grams", "en", "s")))
+    val out = queries.ExtQueries.queries("qx77_ngram_decontam")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((9L, 1L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((13L, 0L, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, false)), s"got ${out(3L)}")
+  }
+
+  test("qm11 phash: two byte-DIFFERENT assets with the same low/high " +
+    "luminance shape share both aHash signatures and pair up; a " +
+    "constant asset (signature 0) pairs with neither") {
+    val d1 = "a" * 8 + "z" * 8 + "f" * 48 + "z" * 8 + "a" * 8 + "f" * 48
+    val d2 = "c" * 8 + "x" * 8 + "f" * 48 + "x" * 8 + "c" * 8 + "f" * 48
+    val dir = plantDocs(Seq((1L, d1, "en", "s"), (2L, d2, "en", "s"),
+      (3L, "m" * 128, "en", "s")))
+    val out = queries.ExtQueries.queries("qm11_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("qz34 stickiness: returning users are those also active the " +
+    "immediately previous week; a gap week resets the count to zero") {
+    val wk = 7L * 86_400_000_000L
+    val t0 = 2900L * wk // aligned to an epoch-week boundary
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0), (2L, t0, 2L, "view", 0.0),
+      (3L, t0 + wk, 2L, "view", 0.0), (4L, t0 + wk, 3L, "view", 0.0),
+      (5L, t0 + 3 * wk, 2L, "view", 0.0)))
+    val out = queries.ExtQueries.queries("qz34_stickiness")(spark, dir)
+      .collect().map(r => r.getLong(0) - 2900L ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(0L -> ((2L, 0L, 0.0)), 1L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0))), s"got $out")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
