@@ -28,6 +28,16 @@ object ExtQueries {
     s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
       s"sqrt(${CosSql.format(b, b)}))"
 
+  /** qe27's OWN fitted-codebook cache — the PQ-transfer fit trains on
+    * the in-sample HALF of the corpus, so it must not share
+    * [[graft.ext.Similarity]]'s pqCache/lastPqKey (that would clobber
+    * the full-corpus codebooks qe8/qe9's twins embed). */
+  private val pqTransferCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Seq[Seq[Double]]]]
+  @volatile private var lastPqTransferKey: Option[String] = None
+  private def lastPqTransferCb: Option[Seq[Seq[Seq[Double]]]] =
+    lastPqTransferKey.flatMap(pqTransferCache.get).filter(_.nonEmpty)
+
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", Text.tokens(col("text")))
@@ -4332,6 +4342,51 @@ object ExtQueries {
         .orderBy("week")
     }),
 
+    // PQ CODEBOOK TRANSFER — the generalization audit quantized indexes
+    // need before a codebook trained on yesterday's corpus serves
+    // today's: fit PQ on the in-sample HALF (vec_id % 2 = 0), measure
+    // per-vector reconstruction error on BOTH halves through the SAME
+    // native encode/ADC kernels qe8 serves queries with (the error of a
+    // vector against its own codes IS the asymmetric distance to
+    // itself). qe18's float discipline: per-vector error floors to
+    // nano-unit BIGINTs, cross-row sums are exact integers, one double
+    // division per output row. The out-of-sample minus in-sample mean
+    // gap is the quantity (complements qe20's SQ8 error and qe21's
+    // centroid drift, which audit the fit itself, not its transfer).
+    "qe27_pq_transfer" -> ((s, dir) => {
+      import graft.meos.NativeExpressions
+      val emb = Tables.embeddings(s, dir)
+      val key = s"$dir|pqtransfer|m=8|k=16"
+      val cb = pqTransferCache.getOrElseUpdate(key,
+        Similarity.pqCodebooks(emb.where(col("vec_id") % 2 === 0),
+          m = 8, k = 16, iters = 5))
+      lastPqTransferKey = Some(key)
+      if (cb.isEmpty)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "split STRING, n_vecs BIGINT, err_nano BIGINT, " +
+              "mean_err DOUBLE"))
+      else {
+        val cbArr = cb.flatten.flatten.toArray
+        val subDim = cb.head.head.length
+        val kEff = cb.head.length
+        emb
+          .withColumn("codes", NativeExpressions.pqEncode(
+            col("embedding"), cbArr, 8, subDim, kEff))
+          .withColumn("err", NativeExpressions.pqAdc(col("embedding"),
+            col("codes"), cbArr, 8, subDim, kEff))
+          .select(when(col("vec_id") % 2 === 0, lit("in_sample"))
+            .otherwise(lit("out_of_sample")).as("split"),
+            floor(col("err") * 1e9d).cast("long").as("en"))
+          .groupBy("split").agg(count(lit(1)).as("n_vecs"),
+            sum("en").as("err_nano"))
+          .withColumn("mean_err", col("err_nano").cast("double") /
+            col("n_vecs").cast("double") / 1e9d)
+          .orderBy("split")
+      }
+    }),
+
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
     // the vocabulary-collapse operator OCR'd/noisy corpora need before
     // token statistics (qx14/qx20/qx49) mean anything: every edit-
@@ -4955,6 +5010,52 @@ object ExtQueries {
     * math, summed in subspace order via `list(d2 ORDER BY sub)` →
     * `list_reduce` — the exact left-to-right addition the Scala kernel
     * performs — then top-k. */
+  /** DuckDB twin of the PQ-transfer audit (qe27): per (vec, sub) the
+    * MIN cell distance (what the assigned code's reconstruction error
+    * is by definition), sub-ORDERED fold per vector (the qe8 adc rule),
+    * nano-floored, split by the fit fence. Embeds the in-sample-fitted
+    * codebooks as double E0 literals. */
+  private def qe27Sql(cb: Seq[Seq[Seq[Double]]]): String = {
+    val m = cb.length
+    val subDim = cb.head.head.length
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString + "E0"
+    val values = cb.zipWithIndex.flatMap { case (cells, j) =>
+      cells.zipWithIndex.map { case (c, cell) =>
+        s"($j, $cell, CAST([${c.map(dlit).mkString(",")}] AS DOUBLE[]))"
+      }
+    }.mkString(",\n")
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+        "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), " +
+        "(a, b) -> a + b)"
+    s"""WITH cb(sub, cell, c_emb) AS (VALUES
+       |$values),
+       |sv AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[s.sub*$subDim+1 : s.sub*$subDim+$subDim] AS svec
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+       |se AS (
+       |  SELECT sv.vec_id, sv.sub,
+       |    min(${d2("sv.svec", "cb.c_emb")}) AS sd2
+       |  FROM sv JOIN cb ON cb.sub = sv.sub
+       |  GROUP BY sv.vec_id, sv.sub),
+       |ev AS (
+       |  SELECT vec_id,
+       |    CAST(floor(list_reduce(list(sd2 ORDER BY sub),
+       |      (a, b) -> a + b) * 1000000000) AS BIGINT) AS en
+       |  FROM se GROUP BY vec_id)
+       |SELECT CASE WHEN vec_id % 2 = 0 THEN 'in_sample'
+       |            ELSE 'out_of_sample' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(en) AS BIGINT) AS err_nano,
+       |  CAST(sum(en) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9
+       |    AS mean_err
+       |FROM ev GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   private def qe8Sql(cb: Seq[Seq[Seq[Double]]], k: Int,
                      shortlist: Int): String = {
     val m = cb.length
@@ -5392,6 +5493,9 @@ object ExtQueries {
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
       .map(cb => Map("qe8_pq_adc" -> qe8Sql(cb, k = 5, shortlist = 100)))
+      .getOrElse(Map.empty) ++
+    lastPqTransferCb
+      .map(cb => Map("qe27_pq_transfer" -> qe27Sql(cb)))
       .getOrElse(Map.empty) ++
     (for {
       c <- Similarity.lastFittedCentroidsFloat

@@ -432,6 +432,19 @@ class Round10Spec extends SparkTestBase {
       3L -> ((1L, 0L, 0.0))), s"got $out")
   }
 
+  test("qe27 pq transfer: the two splits partition the corpus evenly, " +
+    "errors are non-negative, and the in-sample-fitted codebook " +
+    "reconstructs its own half better (fixture-pinned k-means property)") {
+    val out = queries.ExtQueries.queries("qe27_pq_transfer")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("in_sample")._1 == 250L && out("out_of_sample")._1 == 250L)
+    assert(out.values.forall(_._2 >= 0L))
+    assert(out("in_sample")._3 < out("out_of_sample")._3,
+      s"generalization gap inverted: $out")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
