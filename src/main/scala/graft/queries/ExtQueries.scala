@@ -4387,6 +4387,68 @@ object ExtQueries {
       }
     }),
 
+    // SHOT THUMBNAIL pick — the representative frame per (asset, shot):
+    // max byte-diversity (qm7's distinct-byte gauge), ties to the
+    // EARLIEST frame — what a media pipeline extracts for preview
+    // grids after qm9 segments. The argmax rides qz21's window-free
+    // lexicographic struct-max (max(ndist, −frame_no)) inside the SAME
+    // (asset, shot) rollup that counts the shot — no second window
+    // beyond qm9's one shot-id exchange.
+    "qm12_shot_thumbnail" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_no")
+      val withPrev = frameByteVectors(s, dir)
+        .select(col("doc_id"), col("frame_no"), col("bv"))
+        .withColumn("pv", lag(col("bv"), 1).over(w))
+      val lp = least(size(col("bv")), size(col("pv")))
+      val delta = aggregate(
+        zip_with(slice(col("bv"), lit(1), lp),
+          slice(col("pv"), lit(1), lp), (x, y) => abs(x - y)),
+        lit(0L), (a0, x) => a0 + x)
+      withPrev
+        .withColumn("brk",
+          when(col("pv").isNull || delta >= 520L, 1L).otherwise(0L))
+        .withColumn("shot", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ndist", size(array_distinct(col("bv"))).cast("long"))
+        .groupBy("doc_id", "shot").agg(
+          count(lit(1)).as("n_frames"),
+          max(struct(col("ndist").as("nd"),
+            (-col("frame_no")).as("nf"))).as("pick"))
+        .select(col("doc_id"), col("shot"), col("n_frames"),
+          (-col("pick.nf")).as("thumb_frame"),
+          col("pick.nd").as("thumb_ndist"))
+        .orderBy("doc_id", "shot")
+    }),
+
+    // DAY-OF-WEEK forecast BACKTEST — seasonal-naive prediction (same-
+    // dow mean of all history before the final week) scored against the
+    // final week's actuals: the "is this feed behaving" check an
+    // ingestion dashboard runs daily, and the baseline any fancier
+    // forecaster must beat. Integer discipline: dow = epoch-day mod 7
+    // (no timezone float), pred in milli-units via (sum·1000) div n,
+    // absolute errors exact BIGINTs. Day-grain everywhere (the qz33
+    // bounded-domain rule); the history rollup is 7 rows.
+    "qz35_dow_backtest" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val d2 = daily.crossJoin(broadcast(daily.agg(max("day").as("mxd"))))
+      val hist = d2.where(col("day") < col("mxd") - 6L)
+        .select((col("day") % 7L).as("dow"), col("c"))
+        .groupBy("dow").agg(sum("c").as("s"), count(lit(1)).as("n"))
+      d2.where(col("day") >= col("mxd") - 6L)
+        .select(col("day"), (col("day") % 7L).as("dow"),
+          col("c").as("actual"))
+        .join(hist, Seq("dow"))
+        .withColumn("pred_milli", expr("(s * 1000) div n"))
+        .withColumn("err_milli",
+          abs(col("actual") * 1000L - col("pred_milli")))
+        .select("day", "dow", "actual", "pred_milli", "err_milli")
+        .orderBy("day")
+    }),
+
     // SPELLING-VARIANT mining via the SymSpell deletion neighborhood —
     // the vocabulary-collapse operator OCR'd/noisy corpora need before
     // token statistics (qx14/qx20/qx49) mean anything: every edit-
@@ -9024,6 +9086,82 @@ object ExtQueries {
         |    / CAST(act.n_active AS DOUBLE) AS stickiness
         |FROM act LEFT JOIN ret USING (week)
         |ORDER BY week""".stripMargin,
+
+    // qm9's shot CTEs carrying bv through, distinct-byte diversity,
+    // QUALIFY argmax with earliest-frame tie-break
+    "qm12_shot_thumbnail" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |d AS (
+        |  SELECT doc_id, frame_no, bv,
+        |    lag(bv) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pv
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, frame_no, bv,
+        |    CASE WHEN pv IS NULL THEN 1
+        |         WHEN COALESCE(list_sum(list_transform(
+        |             range(1, least(len(bv), len(pv)) + 1),
+        |             j -> abs(bv[CAST(j AS INT)] - pv[CAST(j AS INT)]))),
+        |           0) >= 520 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(len(list_distinct(bv)) AS BIGINT) AS ndist,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+        |  FROM k),
+        |cnt AS (
+        |  SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM sh GROUP BY doc_id, shot),
+        |pick AS (
+        |  SELECT doc_id, shot, frame_no AS thumb_frame,
+        |    ndist AS thumb_ndist
+        |  FROM sh
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, shot
+        |    ORDER BY ndist DESC, frame_no) = 1)
+        |SELECT c.doc_id, CAST(c.shot AS BIGINT) AS shot, c.n_frames,
+        |  p.thumb_frame, p.thumb_ndist
+        |FROM cnt c JOIN pick p USING (doc_id, shot)
+        |ORDER BY doc_id, shot""".stripMargin,
+
+    // day-grain counts, same-dow history mean in milli-units
+    // ((sum·1000) // n), final-week absolute errors
+    "qz35_dow_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY day),
+        |mx AS (SELECT CAST(max(day) AS BIGINT) AS mxd FROM daily),
+        |hist AS (
+        |  SELECT day % 7 AS dow, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM daily CROSS JOIN mx WHERE day < mxd - 6
+        |  GROUP BY day % 7),
+        |bt AS (
+        |  SELECT day, day % 7 AS dow, c AS actual
+        |  FROM daily CROSS JOIN mx WHERE day >= mxd - 6)
+        |SELECT bt.day, CAST(bt.dow AS BIGINT) AS dow, bt.actual,
+        |  CAST((hist.s * 1000) // hist.n AS BIGINT) AS pred_milli,
+        |  CAST(abs(bt.actual * 1000 - (hist.s * 1000) // hist.n)
+        |    AS BIGINT) AS err_milli
+        |FROM bt JOIN hist USING (dow)
+        |ORDER BY day""".stripMargin,
 
     // strict > session break (qz30), qz16's chained conditional mins,
     // milli-unit purchase value, 4-row stage manifest

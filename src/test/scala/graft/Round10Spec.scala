@@ -445,6 +445,42 @@ class Round10Spec extends SparkTestBase {
       s"generalization gap inverted: $out")
   }
 
+  test("qm12 thumbnail: within a constant 2-frame shot the tie breaks " +
+    "to the EARLIEST frame; a diverse frame opens shot 2 and picks " +
+    "itself") {
+    // frames at byte offsets 0/64/128: m*16, m*16 (delta 0, same shot),
+    // ABAB... (delta 8*(44+43)=696 >= 520 → new shot, ndist 2)
+    val text = "m" * 16 + "f" * 48 + "m" * 16 + "f" * 48 +
+      "AB" * 8 + "f" * 48
+    val dir = plantDocs(Seq((1L, text, "en", "s")))
+    val out = queries.ExtQueries.queries("qm12_shot_thumbnail")(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(1L -> ((2L, 0L, 1L)), 2L -> ((1L, 2L, 2L))),
+      s"got $out")
+  }
+
+  test("qz35 backtest: the final week scores against same-dow history " +
+    "means — a planted day-1 spike doubles day-8's prediction (exact " +
+    "milli error), every other final day predicts its own history") {
+    val dayUs = 86_400_000_000L
+    val d0 = 20300L
+    var id = 0L
+    val rows = (0 to 14).flatMap { d =>
+      val n = if (d == 1) 20 else 10
+      (1 to n).map { i => id += 1
+        (id, (d0 + d) * dayUs + i * 1_000_000L, id % 5, "view", 0.0) }
+    }
+    val out = queries.ExtQueries.queries("qz35_dow_backtest")(
+      spark, plantEvents(rows)).collect()
+      .map(r => r.getLong(0) - d0 ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == (8L to 14L).toSet, s"got ${out.keySet}")
+    assert(out(8L) == ((10L, 20000L, 10000L)), s"day8 ${out(8L)}")
+    for (d <- 9L to 14L)
+      assert(out(d) == ((10L, 10000L, 0L)), s"day$d ${out(d)}")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
