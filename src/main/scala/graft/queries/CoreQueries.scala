@@ -622,6 +622,14 @@ object CoreQueries {
     "qs15_tws_timers" -> ((s, dir) =>
       graft.streaming.StreamingReplay.gapSessionTimerReplay(s, dir)),
 
+    // qs16 — sixteenth streaming path: foreachBatch driving a REAL
+    // keyed MERGE upsert into embedded Derby (the most-used production
+    // sink API, previously uncovered). The merged columns are
+    // associative+commutative, so the final table is provably
+    // chunking-independent; a plain batch GROUP BY twins it.
+    "qs16_stream_fb_upsert" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.foreachBatchUpsertReplay(s, dir)),
+
     // q22 — semi join (EXISTS)
     "q22_exists_semi" -> ((s, dir) => {
       val shipped = Tables.lineitem(s, dir)
@@ -1482,6 +1490,15 @@ object CoreQueries {
     // rule mid-stream, fired event-time timers at the tail), so it is
     // oracled by the same gap-split SQL as q36/qs1
     "qs15_tws_timers" -> GapSplitSql,
+
+    // the foreachBatch MERGE upsert accumulates count/min/max per key —
+    // associative+commutative, so whatever the chunking, the stored
+    // table equals the plain batch rollup
+    "qs16_stream_fb_upsert" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS tmin_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS tmax_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q22_exists_semi" ->
       """SELECT o_orderkey FROM orders

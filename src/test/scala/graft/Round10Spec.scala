@@ -481,6 +481,29 @@ class Round10Spec extends SparkTestBase {
       assert(out(d) == ((10L, 10000L, 0L)), s"day$d ${out(d)}")
   }
 
+  test("qs16 foreachBatch upsert: a user spanning the first and last " +
+    "replay chunks exercises the MERGE matched arm — count sums, " +
+    "tmin/tmax keep the extremes across micro-batches") {
+    val t0 = 1_700_000_000_000_000L
+    val s = 1_000_000L
+    // 6 events → chunks of 2 in global ts order: user 1 lands in chunk
+    // 1 (insert) and chunk 3 (matched update); user 2 fills the middle
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0 + s, 2L, "view", 0.0),
+      (3L, t0 + 2 * s, 2L, "view", 0.0),
+      (4L, t0 + 3 * s, 2L, "view", 0.0),
+      (5L, t0 + 4 * s, 1L, "view", 0.0),
+      (6L, t0 + 5 * s, 1L, "view", 0.0)))
+    val out = queries.CoreQueries.queries("qs16_stream_fb_upsert")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      1L -> ((3L, t0, t0 + 5 * s)),
+      2L -> ((3L, t0 + s, t0 + 3 * s))), s"got $out")
+  }
+
   test("qm9 shots: identical frames collapse to ONE shot; alternating " +
     "far-apart byte blocks open a new shot at every frame") {
     // frame i = bytes [64i, 64i+16); doc 1 constant → all frames equal;
