@@ -4530,6 +4530,79 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // RFM SEGMENTATION — the classic recency/frequency/monetary user
+    // grid over purchases: each user scored 1-4 per metric by exact
+    // quartile (ascending value — q1 = most recent / least frequent /
+    // lowest spend), then the 4×4×4 segment rollup a growth dashboard
+    // keys on. Scores come from the qx18/qz5 exact-HISTOGRAM rule —
+    // cumulative user counts at distinct-VALUE grain, q = 1 +
+    // ((cum_le − 1)·4) div n — so ties share a score deterministically
+    // and no row-grain global window exists (the qz31 discipline);
+    // the three score maps join back at value grain. All integers
+    // (milli-unit spend, epoch-day recency) end to end.
+    "qz36_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT)").as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+      val u = p.groupBy("user_id").agg(max("day").as("lastd"),
+        count(lit(1)).as("freq"), sum("vm").as("mon"))
+      val uu = u.crossJoin(broadcast(u.agg(max("lastd").as("maxd"))))
+        .select(col("user_id"), (col("maxd") - col("lastd")).as("rec"),
+          col("freq"), col("mon"))
+      val n = broadcast(uu.agg(count(lit(1)).as("n")))
+      def scoreMap(metric: String): DataFrame = {
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        uu.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+          .crossJoin(n)
+          .select(col("v").as(metric),
+            (lit(1L) + expr("((cum - 1) * 4) div n")).as(metric + "_q"))
+      }
+      uu.join(scoreMap("rec"), Seq("rec"))
+        .join(scoreMap("freq"), Seq("freq"))
+        .join(scoreMap("mon"), Seq("mon"))
+        .groupBy("rec_q", "freq_q", "mon_q")
+        .agg(count(lit(1)).as("n_users"), sum("freq").as("n_purchases"),
+          sum("mon").as("monetary_milli"))
+        .orderBy("rec_q", "freq_q", "mon_q")
+    }),
+
+    // FLESCH-KINCAID readability — the grade-level gauge a curation
+    // stack runs next to the Gopher gate (qx75) and quality score
+    // (qx7): words / sentences / syllable-proxy (vowel-group runs) per
+    // doc, FK grade in exact centi-units via integer cross-division
+    // (fk·100 = 39·(w/s) + 1180·(syl/w) − 1559, each ratio floored —
+    // the metric IS the integer-division version, so both engines
+    // agree bit-for-bit), rolled up per source. Regex classes live in
+    // the Java ∩ RE2 subset (the qx65/qx74 rule), applied to the raw
+    // text (no lower(): case folding is engine-flavored; the vowel
+    // class carries both cases). One narrow map + one |sources| rollup.
+    "qx78_readability" -> ((s, dir) => {
+      val nw = greatest(
+        regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"), lit(1L))
+      val ns = greatest(
+        regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+      val sy = regexp_count(col("text"), lit("[aeiouyAEIOUY]+"))
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("source"), nw.as("n_words"), ns.as("n_sents"),
+          sy.as("n_syl"))
+        .withColumn("fk", expr("(39 * n_words) div n_sents + " +
+          "(1180 * n_syl) div n_words - 1559"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("fk").as("fk_centi_sum"),
+          min("fk").as("fk_centi_min"),
+          max("fk").as("fk_centi_max"))
+        .withColumn("mean_fk", col("fk_centi_sum").cast("double") /
+          col("n_docs").cast("double") / 100.0)
+        .orderBy("source")
+    }),
+
     // LAST-TOUCH attribution — which upstream event type gets credit
     // for each purchase: the latest non-purchase event strictly before
     // it in the user's (ts, event_id)-ordered stream (the marketing
@@ -9086,6 +9159,76 @@ object ExtQueries {
         |    / CAST(act.n_active AS DOUBLE) AS stickiness
         |FROM act LEFT JOIN ret USING (week)
         |ORDER BY week""".stripMargin,
+
+    // exact-histogram quartile scores (ROWS frame pinned — single row
+    // per distinct value, so RANGE==ROWS, but mirror the Spark frame)
+    "qz36_rfm_segments" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, max(day) AS lastd,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(vm) AS BIGINT) AS mon
+        |  FROM p GROUP BY user_id),
+        |uu AS (
+        |  SELECT user_id, maxd - lastd AS rec, freq, mon
+        |  FROM u CROSS JOIN (SELECT max(lastd) AS maxd FROM u)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uu),
+        |hr AS (
+        |  SELECT v AS rec, 1 + ((CAST(cum AS BIGINT) - 1) * 4) // n
+        |    AS rec_q FROM (
+        |    SELECT rec AS v, sum(CAST(count(*) AS BIGINT)) OVER (
+        |      ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cum
+        |    FROM uu GROUP BY rec) CROSS JOIN nn),
+        |hf AS (
+        |  SELECT v AS freq, 1 + ((CAST(cum AS BIGINT) - 1) * 4) // n
+        |    AS freq_q FROM (
+        |    SELECT freq AS v, sum(CAST(count(*) AS BIGINT)) OVER (
+        |      ORDER BY freq ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cum
+        |    FROM uu GROUP BY freq) CROSS JOIN nn),
+        |hm AS (
+        |  SELECT v AS mon, 1 + ((CAST(cum AS BIGINT) - 1) * 4) // n
+        |    AS mon_q FROM (
+        |    SELECT mon AS v, sum(CAST(count(*) AS BIGINT)) OVER (
+        |      ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cum
+        |    FROM uu GROUP BY mon) CROSS JOIN nn)
+        |SELECT rec_q, freq_q, mon_q,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(uu.freq) AS BIGINT) AS n_purchases,
+        |  CAST(sum(uu.mon) AS BIGINT) AS monetary_milli
+        |FROM uu
+        |JOIN hr USING (rec) JOIN hf USING (freq) JOIN hm USING (mon)
+        |GROUP BY rec_q, freq_q, mon_q
+        |ORDER BY rec_q, freq_q, mon_q""".stripMargin,
+
+    // integer centi-FK per doc ((39·w)//s + (1180·syl)//w − 1559, all
+    // terms non-negative so // == div), source rollup
+    "qx78_readability" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |      AS BIGINT), 1) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syl
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, (39 * n_words) // n_sents
+        |    + (1180 * n_syl) // n_words - 1559 AS fk
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fk) AS BIGINT) AS fk_centi_sum,
+        |  min(fk) AS fk_centi_min, max(fk) AS fk_centi_max,
+        |  CAST(sum(fk) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+        |    AS mean_fk
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     // qm9's shot CTEs carrying bv through, distinct-byte diversity,
     // QUALIFY argmax with earliest-frame tie-break

@@ -519,4 +519,42 @@ class Round10Spec extends SparkTestBase {
     assert(out(1L) == ((1L, 4L, 4L)), s"got ${out(1L)}")
     assert(out(2L) == ((4L, 1L, 4L)), s"got ${out(2L)}")
   }
+
+  test("qz36 rfm: 8 single-purchase users on consecutive days with " +
+    "value = user id land 2-per-quartile on rec/mon, and the all-tied " +
+    "freq block shares the TOP-rank score 4") {
+    val t0 = 1_700_000_000_000_000L
+    val dayUs = 86_400_000_000L
+    // user u purchases once on day u-1 spending u.0 → rec = 8-u,
+    // freq = 1 (all tied), mon = 1000·u
+    val dir = plantEvents((1L to 8L).map(u =>
+      (u, t0 + (u - 1) * dayUs, u, "purchase", u.toDouble)))
+    val out = queries.ExtQueries.queries("qz36_rfm_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // q = 1 + ((cum_le − 1)·4) div 8 → segments (4,4,1)(3,4,2)(2,4,3)
+    // (1,4,4), two users each; every freq_q is 4 (one tie block, cum=8)
+    assert(out.keySet == Set((4L, 4L, 1L), (3L, 4L, 2L), (2L, 4L, 3L),
+      (1L, 4L, 4L)), s"got ${out.keySet}")
+    assert(out.values.forall(_._1 == 2L))
+    assert(out((1L, 4L, 4L)) == ((2L, 2L, 15000L)), // users 7+8: 7000+8000
+      s"got ${out((1L, 4L, 4L))}")
+  }
+
+  test("qx78 readability: hand-computed centi-FK on two planted docs " +
+    "((39·w)div s + (1180·syl)div w − 1559, vowel-group syllables)") {
+    val dir = plantDocs(Seq(
+      // 6 words, 1 sentence, 6 vowel groups → 234 + 1180 − 1559 = −145
+      (1L, "The cat sat on the mat.", "en", "s"),
+      // 3 words, 2 sentences, 4 vowel groups ('Ye' is ONE run) →
+      // 58 + 1573 − 1559 = 72
+      (2L, "Hello world! Yes.", "en", "s")))
+    val r = queries.ExtQueries.queries("qx78_readability")(spark, dir)
+      .collect()(0)
+    assert(r.getString(0) == "s")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, -73L, -145L, 72L)),
+      s"got ${(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))}")
+    assert(r.getDouble(5) == -73.0 / 2.0 / 100.0)
+  }
 }
