@@ -118,6 +118,23 @@ object ExtQueries {
       bytesArr.as("bv"))
   }
 
+  /** 8-bit × 8-bit Morton (Z-order) interleave as a pure integer
+    * expression — x's bit i lands at position 2i+1, y's at 2i. The
+    * Spark column and the DuckDB SQL string are generated from the SAME
+    * loop so qz37's twin folds bit-for-bit identically. */
+  private def mortonCol(x: org.apache.spark.sql.Column,
+                        y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
   /** Shared engine of qx33/qx47: overlap-only doc pairs with the
     * hot-gram cap applied before the posting self-join. Yields one row
     * per pair sharing ≥ 1 surviving gram — (d1, d2, ni, na, nb) where
@@ -4601,6 +4618,86 @@ object ExtQueries {
         .withColumn("mean_fk", col("fk_centi_sum").cast("double") /
           col("n_docs").cast("double") / 100.0)
         .orderBy("source")
+    }),
+
+    // Z-ORDER LAYOUT PLANNER — the data-layout decision a 100 TB table
+    // bakes in at write time: quantize two query dimensions (event day,
+    // user bucket) to 8 bits, interleave them into a 16-bit Morton key,
+    // assign rows to 16 target files by z-rank, and report each file's
+    // per-dimension min/max envelope next to the natural (day-ordered)
+    // layout's — the per-file area is exactly what min/max zone maps
+    // prune on, so the audit prices the clustering choice. File ranks
+    // come from the distinct-VALUE histogram rule (z has ≤ 65536
+    // values, day is bounded — no row-grain global window); the Morton
+    // fold is the same generated integer expression on both engines.
+    "qz37_zorder_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, dir).select(
+        expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        (col("user_id") % 256L).as("ub"))
+      val mm = broadcast(base.agg(min("day").as("mind"),
+        max("day").as("maxd"), count(lit(1)).as("n")))
+      val ev = base.crossJoin(mm)
+        .withColumn("xb",
+          expr("((day - mind) * 255) div greatest(maxd - mind, 1)"))
+        .withColumn("z", mortonCol(col("xb"), col("ub")))
+      def layout(dim: String, label: String): DataFrame = {
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val files = ev.groupBy(col(dim).as("v"), col("n"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(w))
+          .select(col("v").as(dim),
+            expr("((cum - c) * 16) div n").as("file"))
+        ev.join(files, Seq(dim))
+          .groupBy("file").agg(count(lit(1)).as("n_rows"),
+            min("day").as("min_day"), max("day").as("max_day"),
+            min("ub").as("min_ub"), max("ub").as("max_ub"))
+          .select(lit(label).as("layout"), col("file"), col("n_rows"),
+            col("min_day"), col("max_day"), col("min_ub"), col("max_ub"),
+            ((col("max_day") - col("min_day") + 1L) *
+              (col("max_ub") - col("min_ub") + 1L)).as("area"))
+      }
+      layout("z", "zorder").unionAll(layout("day", "natural"))
+        .orderBy("layout", "file")
+    }),
+
+    // PER-CHANNEL byte ENTROPY — the post-decode signal-complexity
+    // gauge next to qm10's loudness: Shannon entropy (nats) of each
+    // de-interleaved channel's sample-value distribution, flagging
+    // constant/low-information channels a media pipeline drops before
+    // feature extraction. The qx28 discipline exactly: integer counts
+    // shuffle at (asset, channel, byte-value) grain (≤ 256 values), the
+    // p·ln p fold runs in ascending value order on BOTH engines
+    // (sort_array fold here, ORDER BY list fold there), one round-9
+    // double at the end (+0.0 normalizes the −0.0 a constant channel
+    // yields).
+    "qm13_channel_entropy" -> ((s, dir) => {
+      val pad = concat(col("bv"),
+        array_repeat(lit(0L), lit(16) - size(col("bv"))))
+      def samp(c: Int) = Seq(5, 8, 11, 14).map(p =>
+        element_at(col("p16"), p + c))
+      def chStruct(c: Int) = struct(lit(c.toLong).as("channel"),
+        array(samp(c): _*).as("ss"))
+      val n = col("n_samples").cast("double")
+      frameByteVectors(s, dir)
+        .select(col("doc_id"), pad.as("p16"))
+        .select(col("doc_id"),
+          explode(array(chStruct(0), chStruct(1), chStruct(2))).as("ch"))
+        .select(col("doc_id"), col("ch.channel").as("channel"),
+          explode(col("ch.ss")).as("v"))
+        .groupBy("doc_id", "channel", "v").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "channel").agg(sum("c").as("n_samples"),
+          count(lit(1)).as("n_distinct"),
+          sort_array(collect_list(struct(col("v"), col("c")))).as("h"))
+        .select(col("doc_id"), col("channel"), col("n_samples"),
+          col("n_distinct"),
+          (round(-aggregate(col("h"), lit(0.0), (a, x) =>
+            a + (x.getField("c").cast("double") / n) *
+              log(x.getField("c").cast("double") / n)), 9) + lit(0.0))
+            .as("entropy"))
+        .orderBy("doc_id", "channel")
     }),
 
     // LAST-TOUCH attribution — which upstream event type gets credit
@@ -9206,6 +9303,90 @@ object ExtQueries {
         |JOIN hr USING (rec) JOIN hf USING (freq) JOIN hm USING (mon)
         |GROUP BY rec_q, freq_q, mon_q
         |ORDER BY rec_q, freq_q, mon_q""".stripMargin,
+
+    // generated Morton fold (mortonSql — same loop as the Spark
+    // column), distinct-value file ranks, per-file min/max envelopes
+    "qz37_zorder_layout" -> {
+      val stage =
+        s"""WITH base AS (
+           |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           |    AS day, user_id % 256 AS ub
+           |  FROM events),
+           |mm AS (
+           |  SELECT min(day) AS mind, max(day) AS maxd,
+           |    CAST(count(*) AS BIGINT) AS n FROM base),
+           |ev AS (
+           |  SELECT day, ub,
+           |    ((day - mind) * 255) // greatest(maxd - mind, 1) AS xb, n
+           |  FROM base CROSS JOIN mm),
+           |ez AS (
+           |  SELECT day, ub, n, ${mortonSql("xb", "ub")} AS z FROM ev)""".stripMargin
+      def leg(dim: String, label: String) =
+        s"""SELECT '$label' AS layout, file,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(day) AS min_day, max(day) AS max_day,
+           |  min(ub) AS min_ub, max(ub) AS max_ub,
+           |  (max(day) - min(day) + 1) * (max(ub) - min(ub) + 1) AS area
+           |FROM ez JOIN (
+           |  SELECT v AS $dim,
+           |    ((CAST(cum AS BIGINT) - c) * 16) // n AS file FROM (
+           |    SELECT $dim AS v, n, CAST(count(*) AS BIGINT) AS c,
+           |      sum(CAST(count(*) AS BIGINT)) OVER (
+           |        ORDER BY $dim ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |        CURRENT ROW) AS cum
+           |    FROM ez GROUP BY $dim, n)) USING ($dim)
+           |GROUP BY file""".stripMargin
+      stage + "\n" + leg("z", "zorder") + "\nUNION ALL\n" +
+        leg("day", "natural") + "\nORDER BY layout, file"
+    },
+
+    // qm10's frame staging + per-(asset, channel, value) counts, the
+    // qx28 ordered p·ln p fold, +0.0E0 for the constant-channel −0.0
+    "qm13_channel_entropy" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, 16),
+        |      j -> CASE WHEN length(fh) >= (CAST(j AS INT) + 1) * 2
+        |        THEN CAST((strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM g),
+        |x AS (
+        |  SELECT doc_id, CAST(unnest([0, 1, 2]) AS BIGINT) AS channel, b
+        |  FROM h),
+        |sm AS (
+        |  SELECT doc_id, channel,
+        |    unnest([b[CAST(5 + channel AS INT)],
+        |            b[CAST(8 + channel AS INT)],
+        |            b[CAST(11 + channel AS INT)],
+        |            b[CAST(14 + channel AS INT)]]) AS v
+        |  FROM x),
+        |ct AS (
+        |  SELECT doc_id, channel, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM sm GROUP BY doc_id, channel, v),
+        |tot AS (
+        |  SELECT doc_id, channel, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM ct GROUP BY doc_id, channel)
+        |SELECT ct.doc_id, ct.channel, t.n AS n_samples,
+        |  t.nd AS n_distinct,
+        |  round(-list_reduce(list_prepend(0.0E0,
+        |      list((CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+        |        ln(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE)) ORDER BY v)),
+        |    (a, x) -> a + x), 9) + 0.0E0 AS entropy
+        |FROM ct JOIN tot t USING (doc_id, channel)
+        |GROUP BY ct.doc_id, ct.channel, t.n, t.nd
+        |ORDER BY doc_id, channel""".stripMargin,
 
     // integer centi-FK per doc ((39·w)//s + (1180·syl)//w − 1559, all
     // terms non-negative so // == div), source rollup

@@ -541,6 +541,50 @@ class Round10Spec extends SparkTestBase {
       s"got ${out((1L, 4L, 4L))}")
   }
 
+  test("qz37 zorder: a 4-day × 4-user grid z-ranks into 16 singleton " +
+    "files in (day, user) lexicographic order (x dominates the Morton " +
+    "key for y < 4), while the natural layout packs whole days") {
+    val t0 = 1_700_006_400_000_000L // day 19676, 00:00 UTC
+    val dayUs = 86_400_000_000L
+    val rows = for (d <- 0L to 3L; u <- 0L to 3L)
+      yield (d * 4 + u + 1, t0 + d * dayUs, u, "view", 0.0)
+    val dir = plantEvents(rows)
+    val out = queries.ExtQueries.queries("qz37_zorder_layout")(spark, dir)
+      .collect()
+    val zo = out.filter(_.getString(0) == "zorder")
+    val nat = out.filter(_.getString(0) == "natural")
+    // 16 distinct z values over 16 rows → one file each, area 1, and
+    // file i holds exactly (day i div 4, ub i mod 4)
+    assert(zo.length == 16 && zo.forall(r =>
+      r.getLong(2) == 1L && r.getLong(7) == 1L))
+    assert(zo.forall { r =>
+      val f = r.getLong(1)
+      r.getLong(3) == 19676L + f / 4 && r.getLong(5) == f % 4
+    }, zo.map(_.toString).mkString(","))
+    // natural: 4 day-blocks of 4 rows at files {0,4,8,12}, day span 0,
+    // full user span 3 → area 4 (day-tight, bucket-blind)
+    assert(nat.map(_.getLong(1)).sorted.toSeq == Seq(0L, 4L, 8L, 12L))
+    assert(nat.forall(r => r.getLong(2) == 4L && r.getLong(7) == 4L))
+  }
+
+  test("qm13 entropy: a constant-'A' asset has zero entropy at EXACT " +
+    "+0.0 bits (the −0.0 normalization), an alternating two-value " +
+    "channel reads ln 2") {
+    val dir = plantDocs(Seq(
+      (1L, "A" * 256, "en", "s"),
+      (2L, "Az" * 128, "en", "s")))
+    val out = queries.ExtQueries.queries("qm13_channel_entropy")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, 0L)) == ((16L, 1L, 0.0)))
+    assert(java.lang.Double.doubleToRawLongBits(out((1L, 0L))._3) == 0L,
+      "entropy of a constant channel must be +0.0, not -0.0")
+    val e = out((2L, 0L))
+    assert(e._1 == 16L && e._2 == 2L &&
+      math.abs(e._3 - math.log(2.0)) < 1e-8, s"got $e")
+  }
+
   test("qx78 readability: hand-computed centi-FK on two planted docs " +
     "((39·w)div s + (1180·syl)div w − 1559, vowel-group syllables)") {
     val dir = plantDocs(Seq(
