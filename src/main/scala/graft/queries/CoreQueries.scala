@@ -515,6 +515,15 @@ object CoreQueries {
     "qs3_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.windowedAggReplay(s, dir)),
 
+    // qs17 — seventeenth streaming path: HIERARCHICAL window
+    // re-windowing (window(window_col, '1 day') — Spark 3.4+'s chained
+    // time-window API), hour cells rolled into day windows inside ONE
+    // streaming query; qs5 chains a second rollup on the SAME window,
+    // this re-assigns to a coarser grid. Oracle: hour GROUP BY → day
+    // GROUP BY, the exact batch equivalent.
+    "qs17_rewindow_rollup" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.rewindowRollupReplay(s, dir)),
+
     // qs4 — fourth streaming path under the hash gate, covering the one
     // stateful family qs1-qs3 don't: dropDuplicatesWithinWatermark
     // (bounded keyed dedup state). Horizon > stream span ⇒ the emitted
@@ -1524,6 +1533,23 @@ object CoreQueries {
         |FROM events
         |GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // the hierarchical re-windowing rollup must hash-match the batch
+    // hour→day double GROUP BY; a 1h cell's day is its start's day
+    // (pinned by StreamingSpec's 23:00-hour plant)
+    "qs17_rewindow_rollup" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS vm
+        |  FROM events GROUP BY h, event_type)
+        |SELECT date_trunc('day', h) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(vm) AS BIGINT) AS v_milli,
+        |  CAST(max(n) AS BIGINT) AS max_cell
+        |FROM h GROUP BY day ORDER BY day""".stripMargin,
 
     // the streaming dedup's surviving-fingerprint set must equal the
     // batch distinct over the same normalization (Text.fingerprint)

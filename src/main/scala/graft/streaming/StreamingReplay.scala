@@ -891,6 +891,80 @@ object StreamingReplay {
       .orderBy("wstart", "event_type")
   }
 
+  // staged input for the hierarchical re-windowing replay, keyed by dir
+  private val rewindowStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Timestamp)]()
+
+  /** Replay events(dir) through HIERARCHICAL window re-windowing — the
+    * Spark 3.4+ chained-time-window path (`window(window_col, "1 day")`
+    * over a finalized hourly aggregation) that qs5's same-window second
+    * rollup doesn't touch: here the second stateful operator re-assigns
+    * each hour cell to a COARSER day window, the shape a streaming
+    * dashboard uses for hour→day→week rollups without re-reading the
+    * source. Both aggregates commute (counts + integer-ized sums), and
+    * the outer consumes only FINALIZED inner cells, so the emitted set
+    * is chunk-independent; the qs3 sentinel discipline finalizes both
+    * tiers (the sentinel's own hour cell never finalizes — the
+    * watermark stops 1h short of it — so it cannot leak downstream).
+    * Declared as `qs17_rewindow_rollup`. */
+  def rewindowRollupReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, sentinelTs) = Option(rewindowStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "day TIMESTAMP, n_cells BIGINT, n_events BIGINT, " +
+                "v_milli BIGINT, max_cell BIGINT"))
+        // 3 days past the last event: beyond every real DAY window's end
+        // + the 1h watermark delay, so both tiers finalize for all real
+        // data while the sentinel's own windows stay open in state
+        val sentTs =
+          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
+        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs17-replay"), sentTs)
+        rewindowStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs17_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("vm"))
+        .groupBy(window(col("w1"), "1 day").as("w2"))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"),
+          sum("vm").as("v_milli"), max("n").as("max_cell"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("w2.start") < lit(sentinelTs))
+      .select(col("w2.start").as("day"), col("n_cells"),
+        col("n_events"), col("v_milli"), col("max_cell"))
+      .orderBy("day")
+  }
+
   // staged input for the transformWithState replay, keyed by dir
   private val twsStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

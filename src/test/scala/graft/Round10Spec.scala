@@ -585,6 +585,26 @@ class Round10Spec extends SparkTestBase {
       math.abs(e._3 - math.log(2.0)) < 1e-8, s"got $e")
   }
 
+  test("qs17 rewindow: hour-23 cells land in THEIR day (start-based " +
+    "re-assignment), the day rollup counts finalized hour cells") {
+    val d0 = 1_699_920_000_000_000L // 2023-11-14 00:00 UTC
+    val h = 3_600_000_000L
+    val dir = plantEvents(Seq(
+      (1L, d0 + 23 * h + 30 * 60_000_000L, 1L, "view", 1.5),
+      (2L, d0 + 23 * h + 45 * 60_000_000L, 2L, "view", 2.25),
+      (3L, d0 + 23 * h + 50 * 60_000_000L, 3L, "click", 0.5),
+      (4L, d0 + 24 * h + 15 * 60_000_000L, 4L, "view", 4.0)))
+    val out = graft.streaming.StreamingReplay
+      .rewindowRollupReplay(spark, dir).collect()
+    assert(out.length == 2, out.mkString(","))
+    // day 0: hour-23 cells (view n=2 vm=3750, click n=1 vm=500) — NOT
+    // leaked into day 1 by the re-windowing
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4)) == ((2L, 3L, 4250L, 2L)), out(0).toString)
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getLong(4)) == ((1L, 1L, 4000L, 1L)), out(1).toString)
+  }
+
   test("qx78 readability: hand-computed centi-FK on two planted docs " +
     "((39·w)div s + (1180·syl)div w − 1559, vowel-group syllables)") {
     val dir = plantDocs(Seq(
