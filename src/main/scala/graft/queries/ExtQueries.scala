@@ -4700,6 +4700,75 @@ object ExtQueries {
         .orderBy("doc_id", "channel")
     }),
 
+    // kNN-GRAPH RECIPROCITY — the embedding-health gauge clustering and
+    // semdedup pipelines check before trusting a neighborhood graph:
+    // build each vector's top-3 in-cell neighbor list (ivfKnn with
+    // queries = corpus, nprobe = 1 — the SAME shared engine and cached
+    // fit as qe4, so no second k-means) and measure how many directed
+    // edges are reciprocated (v ∈ NN(u) ∧ u ∈ NN(v)); hubness and
+    // boundary noise show up as low reciprocity per cell. The
+    // reciprocity check is one self-equi-join on the (u, v) edge key;
+    // per-cell pair volume is Σ|cell|², bounded in production by the
+    // qz1 cell-cap/derivedNlist discipline.
+    "qe28_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val key = Some(s"$dir|nlist=16|iters=5")
+      val edges = Similarity.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 1,
+        cacheKey = key)
+        .select(col("q_id").as("u"), col("n_id").as("v"))
+      val ca = Similarity.cellAssignments(emb, nlist = 16, cacheKey = key)
+      val rec = edges.join(
+        edges.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      val cu = ca.select(col("vec_id").as("u"), col("cell"))
+      ca.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .join(edges.join(cu, "u").groupBy("cell")
+          .agg(count(lit(1)).as("n_edges")), Seq("cell"), "left")
+        .join(rec.join(cu, "u").groupBy("cell")
+          .agg(count(lit(1)).as("n_recip")), Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+        .withColumn("recip_share", when(col("n_edges") > 0L,
+          col("n_recip").cast("double") / col("n_edges").cast("double"))
+          .otherwise(lit(0.0)))
+        .orderBy("cell")
+    }),
+
+    // SEASONAL ANOMALY DAYS — the robust feed-health alarm next to
+    // qz33's single changepoint and qz35's forecast error: a day is
+    // anomalous when its event count deviates from its OWN day-of-week
+    // cohort by more than 2.5 robust sigmas, with median/MAD instead of
+    // mean/stddev so the outlier can't drag its own baseline (the qz5
+    // discipline at day grain). Lower (type-1) medians keep everything
+    // integer — the 2.5× test is the cross-multiplication 2·dev > 5·mad
+    // — and the per-dow sorted lists ride the bounded day domain (the
+    // qz33/qz35 rule: day grain is calendar-bounded, never corpus-
+    // proportional). dow = epoch-day mod 7, no timezone float.
+    "qz38_anomaly_days" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+        .withColumn("dow", col("day") % 7L)
+      val med = daily.groupBy("dow")
+        .agg(sort_array(collect_list("cnt")).as("cs"))
+        .select(col("dow"),
+          expr("element_at(cs, CAST((size(cs) + 1) div 2 AS INT))")
+            .as("med"))
+      val dev = daily.join(med, Seq("dow"))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val mad = dev.groupBy("dow")
+        .agg(sort_array(collect_list("dev")).as("ds"))
+        .select(col("dow"),
+          expr("element_at(ds, CAST((size(ds) + 1) div 2 AS INT))")
+            .as("mad"))
+      dev.join(mad, Seq("dow"))
+        .where(lit(2L) * col("dev") > lit(5L) * col("mad"))
+        .select("day", "dow", "cnt", "med", "mad", "dev")
+        .orderBy("day")
+    }),
+
     // LAST-TOUCH attribution — which upstream event type gets credit
     // for each purchase: the latest non-purchase event strictly before
     // it in the user's (ts, event_id)-ordered stream (the marketing
@@ -5056,6 +5125,52 @@ object ExtQueries {
        |WINDOW w AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
        |QUALIFY row_number() OVER w <= $k
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of the kNN-graph reciprocity audit (qe28): qe4's cell
+    * assignment with the SAME fitted centroid literals, per-vector top-3
+    * in-cell edges (nprobe = 1, queries = corpus), reciprocity via an
+    * edge-key EXISTS, per-cell rollup. */
+  private def qe28Sql(cents: Seq[Seq[Float]]): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |ca AS (
+       |  SELECT e.vec_id, e.embedding, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |ed AS (
+       |  SELECT a.cell, a.vec_id AS u, b.vec_id AS v
+       |  FROM ca a JOIN ca b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${cos("a.embedding", "b.embedding")} DESC,
+       |      b.vec_id) <= 3),
+       |rc AS (
+       |  SELECT e1.cell, e1.u, e1.v FROM ed e1
+       |  WHERE EXISTS (SELECT 1 FROM ed e2
+       |                WHERE e2.u = e1.v AND e2.v = e1.u)),
+       |nv AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+       |       FROM ca GROUP BY cell),
+       |ne AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_edges
+       |       FROM ed GROUP BY cell),
+       |nr AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_recip
+       |       FROM rc GROUP BY cell)
+       |SELECT CAST(nv.cell AS BIGINT) AS cell, n_vecs,
+       |  COALESCE(n_edges, 0) AS n_edges,
+       |  COALESCE(n_recip, 0) AS n_recip,
+       |  CASE WHEN COALESCE(n_edges, 0) > 0
+       |    THEN CAST(COALESCE(n_recip, 0) AS DOUBLE)
+       |      / CAST(n_edges AS DOUBLE)
+       |    ELSE 0.0E0 END AS recip_share
+       |FROM nv LEFT JOIN ne USING (cell) LEFT JOIN nr USING (cell)
+       |ORDER BY cell""".stripMargin
   }
 
   /** DuckDB twin of the IVF range search (qe7): identical cell assignment
@@ -5721,6 +5836,7 @@ object ExtQueries {
         "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
         "qe17_nprobe_sweep" -> qe17Sql(c),
         "qe19_cell_balance" -> qe19Sql(c),
+        "qe28_knn_graph" -> qe28Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks
@@ -9303,6 +9419,30 @@ object ExtQueries {
         |JOIN hr USING (rec) JOIN hf USING (freq) JOIN hm USING (mon)
         |GROUP BY rec_q, freq_q, mon_q
         |ORDER BY rec_q, freq_q, mon_q""".stripMargin,
+
+    // lower-median + MAD per dow cohort over sorted bounded lists,
+    // integer 2·dev > 5·mad cross-multiplication
+    "qz38_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS cnt, day % 7 AS dow
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day FROM events)
+        |  GROUP BY day),
+        |med AS (
+        |  SELECT dow, l[CAST((len(l) + 1) // 2 AS INT)] AS med FROM (
+        |    SELECT dow, list(cnt ORDER BY cnt) AS l
+        |    FROM daily GROUP BY dow)),
+        |dev AS (
+        |  SELECT day, daily.dow, cnt, med, abs(cnt - med) AS dev
+        |  FROM daily JOIN med USING (dow)),
+        |mad AS (
+        |  SELECT dow, l[CAST((len(l) + 1) // 2 AS INT)] AS mad FROM (
+        |    SELECT dow, list(dev ORDER BY dev) AS l
+        |    FROM dev GROUP BY dow))
+        |SELECT day, dow, cnt, med, mad, dev
+        |FROM dev JOIN mad USING (dow)
+        |WHERE 2 * dev > 5 * mad
+        |ORDER BY day""".stripMargin,
 
     // generated Morton fold (mortonSql — same loop as the Spark
     // column), distinct-value file ranks, per-file min/max envelopes

@@ -585,6 +585,39 @@ class Round10Spec extends SparkTestBase {
       math.abs(e._3 - math.log(2.0)) < 1e-8, s"got $e")
   }
 
+  test("qe28 knn graph: every vector contributes exactly min(3, " +
+    "|cell|−1) directed edges, and per-cell reciprocal counts are even " +
+    "(reciprocity is symmetric within a cell)") {
+    val out = queries.ExtQueries.queries("qe28_knn_graph")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nv, ne, nr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ne == nv * math.max(math.min(3L, nv - 1), 0L), r.toString)
+      assert(nr <= ne && nr % 2 == 0, r.toString)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("qz38 anomaly days: a 4x Monday spike flags against its OWN dow " +
+    "cohort (lower median 10, MAD 0), while a mild Tuesday wobble " +
+    "stays inside 2.5 MADs (median 10, MAD 2)") {
+    val dayUs = 86_400_000_000L
+    var eid = 0L
+    def burst(day: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, day * dayUs + i * 60_000_000L, i.toLong, "view", 0.0)
+    }
+    val dir = plantEvents(
+      burst(19677L, 10) ++ burst(19684L, 10) ++ burst(19691L, 40) ++
+        burst(19678L, 8) ++ burst(19685L, 10) ++ burst(19692L, 12))
+    val out = queries.ExtQueries.queries("qz38_anomaly_days")(spark, dir)
+      .collect()
+    assert(out.length == 1, out.mkString(","))
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4), out(0).getLong(5)) ==
+      ((19691L, 0L, 40L, 10L, 0L, 30L)), out(0).toString)
+  }
+
   test("qs17 rewindow: hour-23 cells land in THEIR day (start-based " +
     "re-assignment), the day rollup counts finalized hour cells") {
     val d0 = 1_699_920_000_000_000L // 2023-11-14 00:00 UTC
