@@ -515,6 +515,13 @@ object CoreQueries {
     "qs3_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.windowedAggReplay(s, dir)),
 
+    // qs18 — eighteenth streaming path: stream-stream LEFT SEMI
+    // interval join ("which clicks converted", one row per click) —
+    // the matched-emit-once state arm qs8 (every pair) / qs9-qs11
+    // (null emission) don't run. Oracle: batch EXISTS over the window.
+    "qs18_stream_semi" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamStreamSemiReplay(s, dir)),
+
     // qs17 — seventeenth streaming path: HIERARCHICAL window
     // re-windowing (window(window_col, '1 day') — Spark 3.4+'s chained
     // time-window API), hour cells rolled into day windows inside ONE
@@ -1533,6 +1540,20 @@ object CoreQueries {
         |FROM events
         |GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // the semi join's emitted set must equal the batch EXISTS over the
+    // same attribution window — a click appears ONCE however many
+    // purchases land in its window
+    "qs18_stream_semi" ->
+      """SELECT c.event_id AS c_id, c.user_id,
+        |  CAST(epoch_us(c.ts) AS BIGINT) AS c_ts_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.ts >= c.ts
+        |    AND p.ts <= c.ts + INTERVAL 21600 SECONDS)
+        |ORDER BY c_id""".stripMargin,
 
     // the hierarchical re-windowing rollup must hash-match the batch
     // hour→day double GROUP BY; a 1h cell's day is its start's day

@@ -666,6 +666,82 @@ object StreamingReplay {
       .orderBy(col("c_id"), col("p_id"))
   }
 
+  // staged input for the LEFT SEMI stream-stream replay — keyed by
+  // (dir, windowSec), the qs9 cache discipline
+  private val ssjSemiStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (String, Timestamp)]()
+
+  /** The stream-stream LEFT SEMI interval join — "which clicks converted
+    * within the window", WITHOUT duplicating a click per purchase (qs8's
+    * inner join emits every pair; attribution rollups usually want the
+    * click once). Engine-wise this is the join-state arm where a
+    * matched left row emits EXACTLY ONCE and unmatched rows never emit;
+    * the emitted set (clicks with ≥ 1 in-window purchase) is a pure
+    * function of the input, so the batch EXISTS oracles it (declared as
+    * `qs18_stream_semi`). Same qs9 staging: per-side far-future
+    * sentinels drive both watermarks past every click's expiry so even
+    * a deferred emission lands before the replay ends; the sentinel
+    * pair matches only itself and is filtered on user sign. */
+  def streamStreamSemiReplay(spark: SparkSession, dir: String,
+                             windowSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, _) =
+      Option(ssjSemiStageCache.get((dir, windowSec))).getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "c_id BIGINT, user_id BIGINT, c_ts_us BIGINT"))
+        val maxUs = micros(ev.last.ts)
+        val sentTs = new Timestamp(
+          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
+        val sentinels = Seq(
+          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
+          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs18-replay"), sentTs)
+        ssjSemiStageCache.putIfAbsent((dir, windowSec), entry)
+        entry
+      }
+
+    val table = s"qs18_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val purch = side("purchase", "p_id", "p_user", "p_ts")
+    val q = withStatePartitions(spark, 8) {
+      clicks.join(purch, expr(
+        "c_user = p_user AND p_ts >= c_ts AND " +
+          s"p_ts <= c_ts + interval $windowSec seconds"), "left_semi")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("c_user") >= 0) // drop the sentinel's own semi row
+      .select(col("c_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
+      .orderBy("c_id")
+  }
+
   // staged input for the full-outer stream-stream replay — keyed by
   // (dir, windowSec) for the same sentinel-staleness reason as
   // ssjOuterStageCache (round-9 advisory: this cache replicated the

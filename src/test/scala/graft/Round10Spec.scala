@@ -618,6 +618,26 @@ class Round10Spec extends SparkTestBase {
       ((19691L, 0L, 40L, 10L, 0L, 30L)), out(0).toString)
   }
 
+  test("qs18 semi join: a twice-purchased click emits ONCE, the exact " +
+    "window edge is included, one second past it (and no purchase at " +
+    "all) never emits") {
+    val t0 = 1_700_000_000_000_000L
+    val w = 21_600_000_000L // the default 6h window in µs
+    val dir = plantEvents(Seq(
+      (10L, t0, 1L, "click", 0.0),
+      (11L, t0 + 1_000_000L, 1L, "purchase", 1.0), // two in-window
+      (12L, t0 + 2_000_000L, 1L, "purchase", 1.0), //   purchases
+      (20L, t0, 2L, "click", 0.0),
+      (21L, t0 + w + 1_000_000L, 2L, "purchase", 1.0), // 1 s late
+      (30L, t0, 3L, "click", 0.0), // no purchase
+      (40L, t0, 4L, "click", 0.0),
+      (41L, t0 + w, 4L, "purchase", 1.0))) // exact edge: included
+    val out = graft.streaming.StreamingReplay
+      .streamStreamSemiReplay(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 40L),
+      out.mkString(","))
+  }
+
   test("qs17 rewindow: hour-23 cells land in THEIR day (start-based " +
     "re-assignment), the day rollup counts finalized hour cells") {
     val d0 = 1_699_920_000_000_000L // 2023-11-14 00:00 UTC
