@@ -4700,6 +4700,41 @@ object ExtQueries {
         .orderBy("doc_id", "channel")
     }),
 
+    // The seventh composed pipeline, and the first EMBEDDING one —
+    // exact-duplicate collapse → semantic dedup → per-cell index
+    // manifest, the curation chain an embedding store runs before
+    // building its ANN index (the vector-side mirror of qp1's document
+    // chain). Exact dups collapse on the raw embedding bytes (an
+    // equi-join the chunked semDedup can legitimately under-merge —
+    // identical vectors hash to different chunks — so the exact stage
+    // adds real coverage, the qx1-before-LSH production order);
+    // semantic dups come from the SAME cached qe11 fit (no second
+    // k-means, no fit-cache clobber); the manifest prices the outcome
+    // per IVF cell in vectors and bytes. One declarative plan: two
+    // joins at vec_id/embedding grain, one |cells| rollup.
+    "qp7_embedding_pipeline" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val key = Some(s"$dir|nlist=16|iters=5")
+      val ex = emb.groupBy("embedding").agg(min("vec_id").as("ex_keep"))
+      val sd = Similarity.semDedup(emb, 0.4, cacheKey = key)
+      emb.select(col("vec_id"), col("embedding"),
+        (size(col("embedding")) * 4L).cast("long").as("bytes"))
+        .join(ex, Seq("embedding"))
+        .join(sd.select(col("vec_id"), col("cell"), col("kept")),
+          Seq("vec_id"))
+        .withColumn("exact_drop", col("vec_id") =!= col("ex_keep"))
+        .withColumn("sem_drop", !col("exact_drop") && !col("kept"))
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("exact_drop"), 1L).otherwise(0L))
+            .as("n_exact_drop"),
+          sum(when(col("sem_drop"), 1L).otherwise(0L)).as("n_sem_drop"),
+          sum(when(!col("exact_drop") && !col("sem_drop"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("exact_drop") || col("sem_drop"), col("bytes"))
+            .otherwise(0L)).as("bytes_saved"))
+        .orderBy("cell")
+    }),
+
     // kNN-GRAPH RECIPROCITY — the embedding-health gauge clustering and
     // semdedup pipelines check before trusting a neighborhood graph:
     // build each vector's top-3 in-cell neighbor list (ivfKnn with
@@ -5302,6 +5337,34 @@ object ExtQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB twin of the embedding pipeline (qp7): [[qe11Sql]] as the
+    * semantic-dedup stage (same fitted literals), an exact-collapse
+    * window over the raw embedding lists, and the per-cell manifest
+    * rollup — the same drop-attribution arithmetic as the Spark plan. */
+  private def qp7Sql(cents: Seq[Seq[Float]]): String = {
+    val base = qe11Sql(cents, tau = 0.4, cellCap = 4096)
+    s"""WITH sd AS (
+       |  SELECT * FROM (
+       |$base
+       |)),
+       |ex AS (
+       |  SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding)
+       |    AS ex_keep,
+       |  CAST(len(embedding) * 4 AS BIGINT) AS bytes
+       |  FROM embeddings)
+       |SELECT sd.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN ex.vec_id <> ex.ex_keep
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_drop,
+       |  CAST(sum(CASE WHEN ex.vec_id = ex.ex_keep AND NOT sd.kept
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_drop,
+       |  CAST(sum(CASE WHEN ex.vec_id = ex.ex_keep AND sd.kept
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN ex.vec_id <> ex.ex_keep OR NOT sd.kept
+       |    THEN bytes ELSE 0 END) AS BIGINT) AS bytes_saved
+       |FROM sd JOIN ex USING (vec_id)
+       |GROUP BY sd.cell ORDER BY cell""".stripMargin
+  }
+
   /** DuckDB twin of the cell-cap sweep (qe25): three [[qe11Sql]] legs —
     * each a full capped-semDedup plan at its cap — collapsed to kept/dup
     * counts and unioned. */
@@ -5837,6 +5900,7 @@ object ExtQueries {
         "qe17_nprobe_sweep" -> qe17Sql(c),
         "qe19_cell_balance" -> qe19Sql(c),
         "qe28_knn_graph" -> qe28Sql(c),
+        "qp7_embedding_pipeline" -> qp7Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedPqCodebooks

@@ -585,6 +585,35 @@ class Round10Spec extends SparkTestBase {
       math.abs(e._3 - math.log(2.0)) < 1e-8, s"got $e")
   }
 
+  private def plantEmb(rows: Seq[(Long, Seq[Float])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10emb").toString
+    rows.map { case (id, e) => (id, e, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("qp7 embedding pipeline: an exact copy drops at the EXACT stage, " +
+    "a near-dup at the SEM stage, and a spread vector below tau " +
+    "survives — with per-cell byte accounting") {
+    def oneHot(d: Int) = Seq.tabulate(16)(i => if (i == d) 1f else 0f)
+    val nearE0 = Seq.tabulate(16)(i =>
+      if (i == 0) 0.99f else if (i == 15) 0.01f else 0f)
+    val spread7 = Seq.tabulate(16)(i =>
+      if (i >= 2 && i <= 8) 1f else 0f) // cos 1/√7 ≈ 0.378 < τ = 0.4
+    val dir = plantEmb(
+      (0 until 16).map(d => (d.toLong, oneHot(d))) ++
+        Seq((16L, nearE0), (17L, oneHot(1)), (18L, spread7)))
+    val out = queries.ExtQueries.queries("qp7_embedding_pipeline")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((2L, 0L, 1L, 1L, 64L)), s"cell0=${out(0L)}") // sem
+    assert(out(1L) == ((2L, 1L, 0L, 1L, 64L)), s"cell1=${out(1L)}") // exact
+    assert(out(2L) == ((2L, 0L, 0L, 2L, 0L)), s"cell2=${out(2L)}") // kept
+    (3L to 15L).foreach(c => assert(out(c) == ((1L, 0L, 0L, 1L, 0L))))
+  }
+
   test("qe28 knn graph: every vector contributes exactly min(3, " +
     "|cell|−1) directed edges, and per-cell reciprocal counts are even " +
     "(reciprocity is symmetric within a cell)") {
@@ -616,6 +645,41 @@ class Round10Spec extends SparkTestBase {
     assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
       out(0).getLong(3), out(0).getLong(4), out(0).getLong(5)) ==
       ((19691L, 0L, 40L, 10L, 0L, 30L)), out(0).toString)
+  }
+
+  test("runtime bloom-filter join pruning ENGAGES: a selective dim " +
+    "filter injects bloom_filter_might_contain into the fact side of a " +
+    "shuffle join, and the filtered result is exact") {
+    // file-based sources (InjectRuntimeFilter requires a scan to push
+    // the filter toward) + forced SMJ (a broadcast join would reuse its
+    // own exchange instead of a bloom)
+    val base = java.nio.file.Files.createTempDirectory("r10bloom").toString
+    spark.range(50000).select(col("id").as("k"),
+      (col("id") % 1000).as("payload"))
+      .write.mode("overwrite").parquet(s"$base/fact")
+    spark.range(2000).select(col("id").as("k"),
+      (col("id") % 7).as("cat"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").where(col("cat") === 3)
+      val j = fact.join(dim, "k").groupBy().agg(
+        count(lit(1)).as("n"), sum("payload").as("s"))
+      assert(j.queryExecution.optimizedPlan.toString
+        .contains("might_contain"),
+        "expected InjectRuntimeFilter to add a bloom filter to the " +
+          "fact scan side:\n" + j.queryExecution.optimizedPlan)
+      val r = j.collect()(0)
+      // dim keys with cat=3: k ∈ {3,10,17,...} — 286 of 2000; payload =
+      // k % 1000 exactly (k < 50000 all present)
+      val keys = (0L until 2000L).filter(_ % 7 == 3)
+      assert(r.getLong(0) == keys.length)
+      assert(r.getLong(1) == keys.map(_ % 1000).sum)
+    }
   }
 
   test("qs18 semi join: a twice-purchased click emits ONCE, the exact " +
