@@ -20,6 +20,10 @@ object CoreQueries {
 
   private val Cut = "timestamp '2024-01-15 00:00:00'"
 
+  // q52's staged ORC copy of events, keyed by dir (write once per run)
+  private val orcStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
@@ -514,6 +518,35 @@ object CoreQueries {
     // value sum; the oracle is the equivalent date_trunc GROUP BY.
     "qs3_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.windowedAggReplay(s, dir)),
+
+    // q52 — the ORC source/sink surface (S7): events staged once
+    // through a FULL write-orc → read-orc roundtrip (timestamps,
+    // strings, doubles), then filtered + aggregated off the ORC scan —
+    // the same columnar lossless-roundtrip contract the parquet legs
+    // get, on Spark's second native columnar format. The type-slice
+    // predicate is pushed into the ORC reader (PushedFilters); the
+    // oracle reads the ORIGINAL parquet, so any roundtrip loss
+    // (timestamp truncation, encoding drift) hash-fails.
+    "q52_orc_roundtrip" -> ((s, dir) => {
+      val staged = Option(orcStage.get(dir)).getOrElse {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-orc").toString
+        graft.Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").orc(d)
+        orcStage.putIfAbsent(dir, d)
+        d
+      }
+      s.read.orc(staged)
+        .where(col("event_type") =!= "error")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"),
+          min(unix_micros(col("ts"))).as("t0_us"),
+          max(unix_micros(col("ts"))).as("t1_us"))
+        .orderBy("event_type")
+    }),
 
     // qs18 — eighteenth streaming path: stream-stream LEFT SEMI
     // interval join ("which clicks converted", one row per click) —
@@ -1540,6 +1573,18 @@ object CoreQueries {
         |FROM events
         |GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // the ORC roundtrip must be LOSSLESS: the oracle reads the original
+    // parquet; any timestamp/value drift through write-orc → read-orc
+    // hash-fails
+    "q52_orc_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS t0_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS t1_us
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the semi join's emitted set must equal the batch EXISTS over the
     // same attribution window — a click appears ONCE however many

@@ -4700,6 +4700,79 @@ object ExtQueries {
         .orderBy("doc_id", "channel")
     }),
 
+    // DAILY-COUNT AUTOCORRELATION (lags 1-7) — the seasonality
+    // fingerprint behind qz35's dow backtest and qz38's anomaly gate: a
+    // weekly cycle shows as an ACF spike at lag 7, feed decay as slow
+    // positive decay at lag 1. Pearson r per calendar lag with the
+    // GLOBAL mean/variance, fully cross-multiplied to integers —
+    // r_k = (n²·Σxy − n·S·(Σa+Σb) + p·S²) / (n·(n·Σx² − S²)) over the
+    // lag-k day pairs that both exist — so both engines divide the same
+    // two exact BIGINTs once. Day-grain everywhere (calendar-bounded);
+    // the lag join is an equi-join on day+k.
+    "qz40_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val g = broadcast(daily.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx")))
+      daily.withColumn("k", explode(sequence(lit(1L), lit(7L))))
+        .join(daily.select((col("day")).as("rday"), col("x").as("y")),
+          col("rday") === col("day") + col("k"))
+        .groupBy("k").agg(count(lit(1)).as("np"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum("x").as("sa"), sum("y").as("sb"))
+        .crossJoin(g)
+        .select(col("k"), col("np").as("n_pairs"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0L,
+            (col("n") * col("n") * col("sxy") -
+              col("n") * col("sx") * (col("sa") + col("sb")) +
+              col("np") * col("sx") * col("sx")).cast("double") /
+              (col("n") * (col("n") * col("sxx") -
+                col("sx") * col("sx"))).cast("double"))
+            .otherwise(lit(0.0)).as("acf"))
+        .orderBy("k")
+    }),
+
+    // TRIANGLE COUNT / transitivity over the dup graph — the
+    // clustering-structure gauge next to qx55's degree histogram and
+    // qz8's PageRank: near-dup clusters are near-cliques (high
+    // transitivity), while band-collision noise forms open wedges, so
+    // 3T/W separates real duplicate mass from hash accidents. Pairs are
+    // the PRODUCTION capped band join (same staging as qx55), kept in
+    // d1<d2 orientation so each triangle (a<b<c) is counted exactly
+    // once by one wedge join (a,b)+(b,c) closed by an (a,c) semi-join —
+    // the standard oriented-edge-iterator shape; the band cap bounds
+    // every node's degree, so wedge volume is cap-bounded, never
+    // degree². Integers end to end, one double for the ratio.
+    "qz39_triangle_count" -> ((s, dir) => {
+      val sig = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
+            .as("band")))
+      val pairs = graft.Materialize.cut(
+        Dedup.bandedPairs(sig).select("d1", "d2"))
+      val deg = pairs.select(col("d1").as("v"))
+        .union(pairs.select(col("d2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val tri = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .join(pairs.select(col("d1").as("b"), col("d2").as("c")), "b")
+        .join(pairs.select(col("d1").as("a"), col("d2").as("c")),
+          Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      stats.crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .where(col("n_edges") > 0L) // empty graph → empty result
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0L,
+            (lit(3L) * col("n_triangles")).cast("double") /
+              col("n_wedges").cast("double"))
+            .otherwise(lit(0.0)).as("transitivity"))
+    }),
+
     // The seventh composed pipeline, and the first EMBEDDING one —
     // exact-duplicate collapse → semantic dedup → per-cell index
     // manifest, the curation chain an embedding store runs before
@@ -7943,6 +8016,51 @@ object ExtQueries {
         |FROM documents d LEFT JOIN deg USING (doc_id)
         |GROUP BY 1 ORDER BY degree""".stripMargin),
 
+    // qx55's pair staging + oriented wedge join closed by EXISTS
+    "qz39_triangle_count" -> (ShingleCte +
+      s""",
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT d1 AS v FROM p UNION ALL SELECT d2 FROM p) u
+        |  GROUP BY v),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |tr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM p e1 JOIN p e2 ON e2.d1 = e1.d2
+        |  WHERE EXISTS (SELECT 1 FROM p e3
+        |                WHERE e3.d1 = e1.d1 AND e3.d2 = e2.d2)),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM p)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |    THEN CAST(3 * n_triangles AS DOUBLE)
+        |      / CAST(n_wedges AS DOUBLE)
+        |    ELSE 0.0E0 END AS transitivity
+        |FROM st CROSS JOIN ne CROSS JOIN tr
+        |WHERE n_edges > 0""".stripMargin),
+
     "qx54_sketch_error" -> (ShingleCte +
       s""",
         |sig AS (
@@ -9483,6 +9601,33 @@ object ExtQueries {
         |JOIN hr USING (rec) JOIN hf USING (freq) JOIN hm USING (mon)
         |GROUP BY rec_q, freq_q, mon_q
         |ORDER BY rec_q, freq_q, mon_q""".stripMargin,
+
+    // same exact-integer cross-multiplied ACF, one shared division
+    "qz40_acf" ->
+      """WITH d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS x
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day FROM events)
+        |  GROUP BY day),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d),
+        |ks AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS k),
+        |p AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+        |    CAST(sum(a.x) AS BIGINT) AS sa,
+        |    CAST(sum(b.x) AS BIGINT) AS sb
+        |  FROM ks CROSS JOIN d a JOIN d b ON b.day = a.day + k
+        |  GROUP BY k)
+        |SELECT k, np AS n_pairs,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |    THEN CAST(n*n*sxy - n*sx*(sa + sb) + np*sx*sx AS DOUBLE)
+        |      / CAST(n * (n*sxx - sx*sx) AS DOUBLE)
+        |    ELSE 0.0E0 END AS acf
+        |FROM p CROSS JOIN g ORDER BY k""".stripMargin,
 
     // lower-median + MAD per dow cohort over sorted bounded lists,
     // integer 2·dev > 5·mad cross-multiplication

@@ -614,6 +614,55 @@ class Round10Spec extends SparkTestBase {
     (3L to 15L).foreach(c => assert(out(c) == ((1L, 0L, 0L, 1L, 0L))))
   }
 
+  test("qz39 triangles: a 3-clique of identical docs + a detached " +
+    "identical pair give exactly (5 nodes, 4 edges, 3 wedges, 1 " +
+    "triangle, transitivity 1.0)") {
+    val dir = plantDocs(Seq(
+      (1L, "alpha beta gamma delta", "en", "s"),
+      (2L, "alpha beta gamma delta", "en", "s"),
+      (3L, "alpha beta gamma delta", "en", "s"),
+      (4L, "omega psi chi phi", "en", "s"),
+      (5L, "omega psi chi phi", "en", "s"),
+      (6L, "lone wolf text here", "en", "s")))
+    val r = queries.ExtQueries.queries("qz39_triangle_count")(spark, dir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((5L, 4L, 3L, 1L, 1.0)), r.toString)
+  }
+
+  test("qz40 acf: planted daily counts 1,2,3,4 give exact hand-computed " +
+    "lag-1/2/3 autocorrelations 0.25, -0.3, -0.45 and no rows for " +
+    "pairless lags") {
+    val dayUs = 86_400_000_000L
+    var eid = 0L
+    def burst(day: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, day * dayUs + i * 1_000_000L, 1L, "view", 0.0)
+    }
+    val dir = plantEvents(
+      burst(19000L, 1) ++ burst(19001L, 2) ++ burst(19002L, 3) ++
+        burst(19003L, 4))
+    val out = queries.ExtQueries.queries("qz40_acf")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.toString)
+    assert(out(1L) == ((3L, 0.25)))
+    assert(out(2L) == ((2L, -0.3)))
+    assert(out(3L) == ((1L, -0.45)))
+  }
+
+  test("q52 orc: the type-slice predicate is PUSHED into the ORC scan " +
+    "(PushedFilters carries the Not(EqualTo) — not a post-scan filter " +
+    "only)") {
+    val df = queries.CoreQueries.queries("q52_orc_roundtrip")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("orc"), plan.take(2000))
+    assert(plan.contains("Not(EqualTo(event_type,error))"),
+      "expected the event_type filter in PushedFilters:\n" +
+        plan.take(2000))
+    assert(df.count() == 4)
+  }
+
   test("qe28 knn graph: every vector contributes exactly min(3, " +
     "|cell|−1) directed edges, and per-cell reciprocal counts are even " +
     "(reciprocity is symmetric within a cell)") {
