@@ -519,6 +519,13 @@ object CoreQueries {
     "qs3_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingReplay.windowedAggReplay(s, dir)),
 
+    // qs19 — nineteenth streaming path: Trigger.AvailableNow, the
+    // backfill/batch-drain trigger (self-planned micro-batch sequence +
+    // self-termination) running qs3's exact windowed aggregation — the
+    // trigger machinery differs, the emitted set must not.
+    "qs19_available_now" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.availableNowReplay(s, dir)),
+
     // q52 — the ORC source/sink surface (S7): events staged once
     // through a FULL write-orc → read-orc roundtrip (timestamps,
     // strings, doubles), then filtered + aggregated off the ORC scan —
@@ -1566,6 +1573,16 @@ object CoreQueries {
     // day buckets; floor(value*1000) keeps the sum in exact integer
     // arithmetic so no float-accumulation-order slack exists to hide in
     "qs3_stream_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |         AS v_milli
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+
+    // AvailableNow must emit exactly qs3's set through its own trigger
+    "qs19_available_now" ->
       """SELECT date_trunc('day', ts) AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)

@@ -4700,6 +4700,39 @@ object ExtQueries {
         .orderBy("doc_id", "channel")
     }),
 
+    // BOT-REGULARITY detection — inter-event cadence per user: real
+    // humans are bursty (high gap variance), scripted traffic ticks
+    // (near-constant gaps), so flag users whose squared coefficient of
+    // variation falls below 0.05 — the engagement-data hygiene filter
+    // an analytics pipeline runs before qz16/qz17 trust their cohorts.
+    // Exact integers: gaps in SECONDS (µs div 1e6 — g² of µs gaps would
+    // overflow BIGINT at week-long gaps), population variance cross-
+    // multiplied as n·Q − S² and the cv² test as 1000·(nQ − S²) <
+    // 50·S²; one user-keyed window pass for the gaps, user-grain
+    // rollup, ≥ 5 gaps support gate.
+    "qz41_bot_regularity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("pts", lag("ts", 1).over(w))
+        .where(col("pts").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) - unix_micros(pts)) div 1000000")
+            .as("g"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_gaps"),
+          sum("g").as("sg"), sum(col("g") * col("g")).as("qg"))
+        .where(col("n_gaps") >= 5L && col("sg") > 0L)
+        .withColumn("cv2_milli", expr(
+          "(1000 * (n_gaps * qg - sg * sg)) div (sg * sg)"))
+        .where(lit(1000L) * (col("n_gaps") * col("qg") -
+          col("sg") * col("sg")) < lit(50L) * col("sg") * col("sg"))
+        .select(col("user_id"), col("n_gaps"),
+          expr("(sg * 1000) div n_gaps").as("mean_gap_milli_s"),
+          col("cv2_milli"))
+        .orderBy("user_id")
+    }),
+
     // DAILY-COUNT AUTOCORRELATION (lags 1-7) — the seasonality
     // fingerprint behind qz35's dow backtest and qz38's anomaly gate: a
     // weekly cycle shows as an ACF spike at lag 7, feed decay as slow
@@ -9601,6 +9634,28 @@ object ExtQueries {
         |JOIN hr USING (rec) JOIN hf USING (freq) JOIN hm USING (mon)
         |GROUP BY rec_q, freq_q, mon_q
         |ORDER BY rec_q, freq_q, mon_q""".stripMargin,
+
+    // same integer cadence math: second-grain gaps, nQ − S² variance,
+    // 1000·var < 50·S² flag
+    "qz41_bot_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+        |      AS g
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS qg
+        |  FROM g WHERE g IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  (sg * 1000) // n_gaps AS mean_gap_milli_s,
+        |  (1000 * (n_gaps * qg - sg * sg)) // (sg * sg) AS cv2_milli
+        |FROM u
+        |WHERE n_gaps >= 5 AND sg > 0
+        |  AND 1000 * (n_gaps * qg - sg * sg) < 50 * sg * sg
+        |ORDER BY user_id""".stripMargin,
 
     // same exact-integer cross-multiplied ACF, one shared division
     "qz40_acf" ->

@@ -967,6 +967,70 @@ object StreamingReplay {
       .orderBy("wstart", "event_type")
   }
 
+  /** The qs3 windowed aggregation under `Trigger.AvailableNow` — the
+    * batch-drain trigger a production backfill uses ("process everything
+    * that exists, respecting maxFilesPerTrigger, then STOP"): the query
+    * plans its own micro-batch sequence and terminates itself, where the
+    * replay harness's processAllAvailable drives an always-on trigger
+    * externally. Same staged chunks, watermark, sentinel, and oracle
+    * shape as qs3 — the emitted set must be identical through the
+    * different trigger machinery (declared as `qs19_available_now`). */
+  def availableNowReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    // qs3's staging verbatim (shared cache: whichever of qs3/qs19 runs
+    // first stages the chunks, the other reuses them)
+    val (srcDirStr, sentinelTs) = Option(windowStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "day TIMESTAMP, event_type STRING, n BIGINT, " +
+                "v_milli BIGINT"))
+        val sentTs =
+          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
+        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs3-replay"), sentTs)
+        windowStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs19_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("v_milli"))
+        .writeStream.outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(table).start()
+    }
+    // AvailableNow terminates on its own once the staged files drain
+    try q.awaitTermination() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("event_type") =!= "__sentinel__" &&
+        col("w.start") < lit(sentinelTs))
+      .select(col("w.start").as("day"), col("event_type"),
+        col("n"), col("v_milli"))
+      .orderBy("day", "event_type")
+  }
+
   // staged input for the hierarchical re-windowing replay, keyed by dir
   private val rewindowStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,

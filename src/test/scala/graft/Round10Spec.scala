@@ -614,6 +614,25 @@ class Round10Spec extends SparkTestBase {
     (3L to 15L).foreach(c => assert(out(c) == ((1L, 0L, 0L, 1L, 0L))))
   }
 
+  test("qz41 bot regularity: a metronome user (10 exact 60s gaps) " +
+    "flags with cv2 0, a bursty human and an under-support regular " +
+    "user do not") {
+    val t0 = 1_700_000_000_000_000L
+    var eid = 0L
+    def ev(u: Long, us: Long) = { eid += 1; (eid, us, u, "view", 0.0) }
+    val bot = (0 to 10).map(i => ev(1L, t0 + i * 60_000_000L))
+    val humanGaps = Seq(10L, 200L, 30L, 500L, 60L, 5L, 800L, 90L, 120L, 45L)
+    val human = humanGaps.scanLeft(t0)((t, g) => t + g * 1_000_000L)
+      .map(us => ev(2L, us))
+    val sparse = (0 to 2).map(i => ev(3L, t0 + i * 60_000_000L))
+    val dir = plantEvents(bot ++ human ++ sparse)
+    val out = queries.ExtQueries.queries("qz41_bot_regularity")(spark, dir)
+      .collect()
+    assert(out.length == 1, out.mkString(","))
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3)) == ((1L, 10L, 60000L, 0L)), out(0).toString)
+  }
+
   test("qz39 triangles: a 3-clique of identical docs + a detached " +
     "identical pair give exactly (5 nodes, 4 edges, 3 wedges, 1 " +
     "triangle, transitivity 1.0)") {
