@@ -3923,7 +3923,7 @@ object ExtQueries {
         .select(col("n_sessions"), col("n_bounce"),
           (col("n_bounce").cast("double") /
             col("n_sessions").cast("double")).as("bounce_rate"))
-        .where(col("n_sessions").isNotNull) // empty input → no row
+        .where(col("n_sessions") > 0L) // empty input → no row (count is 0, not null)
     }),
 
     // the FIFTH composed pipeline — and the first MULTIMODAL one (qp1

@@ -19,8 +19,11 @@ class CoreQueriesSpec extends SparkTestBase {
 
   // set difference may legitimately be empty at the 15-user smoke scale;
   // the spelling-variant miner is empty on the driver's clean 31-word
-  // vocabulary AT ANY SF (planted Round10Spec proves the mining)
-  private val mayBeEmptyAtSmoke = Set("q27_set_ops", "qx73_spell_variants")
+  // vocabulary AT ANY SF, and the bot-regularity detector is empty on
+  // the driver's bursty human-like event times (planted Round10Spec
+  // tests prove both miners fire on synthetic positives)
+  private val mayBeEmptyAtSmoke =
+    Set("q27_set_ops", "qx73_spell_variants", "qz41_bot_regularity")
 
   test("every declared query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
