@@ -69,6 +69,14 @@ object ExtQueries {
     10L -> ("[POINT(-0.5 0.25)@2020-02-29, " +
       "POINT(3.125 -2.75)@2020-03-01T12:30:45+00]"))
 
+  /** Benford first-digit probabilities in integer ppm — round(1e6 ·
+    * log10(1+1/d)) for d = 1..9; they sum to exactly 1,000,000 (the
+    * logs telescope to log10(10)). Shared by qz42 and its twin so both
+    * engines compare against the SAME integers. */
+  private val benfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
   private def docsWithToks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", Text.tokens(col("text")))
@@ -5083,6 +5091,143 @@ object ExtQueries {
           coalesce(col("recall_d8"), lit(0.0)).as("recall_d8"),
           coalesce(col("recall_d16"), lit(0.0)).as("recall_d16"))
         .orderBy("q_id")
+    }),
+
+    // BENFORD first-digit audit — the fabricated-data smoke detector a
+    // pipeline runs over money-like columns before trusting upstream
+    // feeds (synthetic or keyed-in amounts flatten the leading-digit
+    // curve; organic multiplicative growth follows log10(1+1/d)).
+    // Exactness: the nine Benford probabilities are INTEGER ppm
+    // literals (they sum to exactly 1,000,000 since the logs
+    // telescope), first digit comes from the BIGINT-cents decimal
+    // string — no float log anywhere, and the per-digit deviation
+    // |1e6·n_d − ppm_d·N| plus its total stay BIGINT (< 2^63 to 1e9
+    // rows × 1e6 ppm). Scale shape: digit extraction in the scan
+    // projection, a 9-key rollup, two one-row broadcasts — no
+    // corpus-grain shuffle at all.
+    "qz42_benford" -> ((s, dir) => {
+      val ppm = array(benfordPpm.map(lit): _*)
+      val counts = Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("cents"))
+        .where(col("cents") > 0L)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val withExp = counts
+        .withColumn("benford_ppm", element_at(ppm, col("digit").cast("int")))
+        .crossJoin(broadcast(counts.agg(sum("n").as("nt"))))
+        .withColumn("obs_ppm", expr("n * 1000000 DIV nt"))
+        .withColumn("dev",
+          abs(col("n") * 1000000L - col("benford_ppm") * col("nt")))
+      withExp.crossJoin(broadcast(withExp.agg(sum("dev").as("sdev"))))
+        .select(col("digit"), col("n").as("n_orders"), col("obs_ppm"),
+          col("benford_ppm"), expr("sdev DIV (2 * nt)").as("tvd_ppm"))
+        .orderBy("digit")
+    }),
+
+    // EVENT-TYPE co-occurrence LIFT — which behaviors travel together
+    // at USER grain (set semantics, not sequence: qz18's transition
+    // matrix orders adjacent events; this asks whether a user who ever
+    // purchases also ever shares, regardless of order). lift(a,b) =
+    // P(a,b)/(P(a)·P(b)) over the user universe — the basket-analysis
+    // gauge that seeds qz16's funnel hypotheses. Scale shape: one
+    // user-keyed distinct (corpus-proportional), a per-user type-set
+    // self-join bounded by |types|² per user (types is a small closed
+    // vocabulary), type-pair rollup, two broadcast marginals; integers
+    // until the single lift division.
+    "qz43_event_type_lift" -> ((s, dir) => {
+      val ut = graft.Materialize.cut(Tables.events(s, dir)
+        .select("user_id", "event_type").distinct())
+      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("ntyp"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"),
+          col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(tc.select(col("event_type").as("t1"),
+          col("ntyp").as("n1"))), Seq("t1"))
+        .join(broadcast(tc.select(col("event_type").as("t2"),
+          col("ntyp").as("n2"))), Seq("t2"))
+        .crossJoin(broadcast(ut.select("user_id").distinct()
+          .agg(count(lit(1)).as("nu"))))
+        .select(col("t1"), col("t2"), col("n_both"), col("n1"),
+          col("n2"),
+          ((col("n_both") * col("nu")).cast("double") /
+            (col("n1") * col("n2")).cast("double")).as("lift"))
+        .orderBy("t1", "t2")
+    }),
+
+    // MATTR — moving-average type-token ratio, the windowed lexical-
+    // diversity score that fixes plain TTR's length bias (Covington &
+    // McFall): TTR over every 25-token sliding window, averaged. Where
+    // qx70's hapax rate and qx60's Heaps curve look corpus-wide, MATTR
+    // is the PER-DOC diversity gate a curation pass thresholds on
+    // (low MATTR = locally repetitive boilerplate even when global
+    // vocabulary looks rich). Integer contract: Σ distinct-counts and
+    // Σ window-lengths are exact BIGINTs, one integer milli division;
+    // docs shorter than the window fall back to a single whole-doc
+    // window (window length = Σ least(25, n−i+1), so the denominator
+    // is always the true token mass scanned). Scale shape: windows
+    // explode ×(n−24) per doc but stay inside the doc partition — a
+    // narrow map + doc-grain rollup, no cross-doc shuffle beyond the
+    // final doc-keyed agg.
+    "qx79_mattr" -> ((s, dir) =>
+      docsWithToks(s, dir)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+        .select(col("doc_id"), col("n"), col("toks"),
+          explode(sequence(lit(1L),
+            greatest(lit(1L), col("n") - 24L))).as("i"))
+        .select(col("doc_id"), col("n"),
+          expr("CAST(size(array_distinct(slice(toks, CAST(i AS INT), " +
+            "25))) AS BIGINT)").as("d"),
+          least(lit(25L), col("n") - col("i") + 1L).as("wl"))
+        .groupBy("doc_id", "n")
+        .agg(count(lit(1)).as("n_windows"), sum("d").as("sd"),
+          sum("wl").as("swl"))
+        .select(col("doc_id"), col("n").as("n_toks"), col("n_windows"),
+          expr("sd * 1000 DIV swl").as("mattr_milli"))
+        .orderBy("doc_id")),
+
+    // EWMA FORECAST BACKTEST — does exponential smoothing beat the
+    // naive carry-forward on daily event volume? The one-day-ahead
+    // model-selection loop behind qz35's dow backtest, run EXACTLY:
+    // α = 1/2 makes every weight a power of two, so the 20-term
+    // trailing forecast is two BIGINTs (wsum = Σ x_j·2^(20−lag),
+    // norm = Σ 2^(20−lag)) and the EWMA-vs-naive comparison
+    // cross-multiplies — no float anywhere but none needed. The 2^20
+    // head weight bounds wsum < 2^63 for daily counts to ~4e12; the
+    // truncated tail weighs < 2^-20 of the head, below the milli
+    // output grain. Scale shape: day-grain rollup first (calendar-
+    // bounded — the qz38/qz40 discipline: windows and self-joins at
+    // day grain are a few-hundred-row frame, fine on one partition),
+    // then a banded self-join on row distance ≤ 20.
+    "qz44_ewma_backtest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), " +
+          "DATE'1970-01-01') AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+        .withColumn("i",
+          row_number().over(Window.orderBy("day")).cast("long"))
+      val j = daily.select(col("i").as("j"), col("x").as("xj"))
+      daily.join(j,
+          col("j") >= col("i") - 20L && col("j") <= col("i") - 1L)
+        .withColumn("wt",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - (i - j) AS INT))"))
+        .groupBy("day", "i", "x")
+        .agg(sum(col("xj") * col("wt")).as("wsum"),
+          sum("wt").as("norm"),
+          max(when(col("j") === col("i") - 1L, col("xj"))).as("naive"))
+        .select(col("day"), col("x").as("n_events"),
+          expr("wsum * 1000 DIV norm").as("ewma_milli"),
+          col("naive"),
+          (abs(col("x") * col("norm") - col("wsum")) <
+            abs(col("x") - col("naive")) * col("norm")).as("ewma_wins"))
+        .orderBy("day")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -6029,6 +6174,111 @@ object ExtQueries {
       .getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
+    // first-digit counts from the BIGINT-cents decimal string, the
+    // SAME nine ppm literals (generated from benfordPpm), one integer
+    // deviation sum
+    "qz42_benford" ->
+      s"""WITH d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |          AS cents FROM orders)
+        |  WHERE cents > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+        |w AS (
+        |  SELECT digit, n,
+        |    CAST(([${benfordPpm.mkString(",")}])[CAST(digit AS INT)]
+        |      AS BIGINT) AS benford_ppm, nt
+        |  FROM c CROSS JOIN t),
+        |w2 AS (
+        |  SELECT digit, n, n * 1000000 // nt AS obs_ppm, benford_ppm,
+        |    abs(n * 1000000 - benford_ppm * nt) AS dev, nt
+        |  FROM w),
+        |s AS (SELECT CAST(sum(dev) AS BIGINT) AS sdev FROM w2)
+        |SELECT digit, n AS n_orders, obs_ppm, benford_ppm,
+        |  sdev // (2 * nt) AS tvd_ppm
+        |FROM w2 CROSS JOIN s ORDER BY digit""".stripMargin,
+
+    // user-grain distinct type sets, t1<t2 pair rollup, broadcast
+    // marginals, one lift division
+    "qz43_event_type_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |tc AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS ntyp
+        |  FROM ut GROUP BY event_type),
+        |nu AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+        |p AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_both, c1.ntyp AS n1, c2.ntyp AS n2,
+        |  CAST(n_both * nu AS DOUBLE) / CAST(c1.ntyp * c2.ntyp AS DOUBLE)
+        |    AS lift
+        |FROM p
+        |JOIN tc c1 ON c1.event_type = t1
+        |JOIN tc c2 ON c2.event_type = t2
+        |CROSS JOIN nu
+        |ORDER BY t1, t2""".stripMargin,
+
+    // same tokenization as ShingleCte's tok leg, list-slice windows
+    // (DuckDB l[a:b] is 1-based inclusive and clips, like Spark slice),
+    // integer milli division
+    "qx79_mattr" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM tok WHERE len(toks) >= 3),
+        |w AS (
+        |  SELECT doc_id, n, toks,
+        |    CAST(unnest(range(1,
+        |      CAST(greatest(1, n - 24) AS INT) + 1)) AS BIGINT) AS i
+        |  FROM t2),
+        |d AS (
+        |  SELECT doc_id, n,
+        |    CAST(len(list_distinct(
+        |      toks[CAST(i AS INT):CAST(i + 24 AS INT)])) AS BIGINT) AS d,
+        |    least(25, n - i + 1) AS wl
+        |  FROM w)
+        |SELECT doc_id, n AS n_toks, CAST(count(*) AS BIGINT)
+        |    AS n_windows,
+        |  CAST(sum(d) AS BIGINT) * 1000 // CAST(sum(wl) AS BIGINT)
+        |    AS mattr_milli
+        |FROM d GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // day-grain rollup, row-distance ≤ 20 banded self-join, power-of-
+    // two weights via << — the same two exact BIGINTs as the Spark side
+    "qz44_ewma_backtest" ->
+      """WITH d0 AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day FROM events),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS x
+        |      FROM d0 GROUP BY day),
+        |r AS (SELECT day, x,
+        |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |      FROM d),
+        |p AS (
+        |  SELECT a.day, a.x,
+        |    CAST(sum(b.x * (CAST(1 AS BIGINT)
+        |      << CAST(20 - (a.i - b.i) AS INT))) AS BIGINT) AS wsum,
+        |    CAST(sum(CAST(1 AS BIGINT)
+        |      << CAST(20 - (a.i - b.i) AS INT)) AS BIGINT) AS norm,
+        |    CAST(max(CASE WHEN b.i = a.i - 1 THEN b.x END) AS BIGINT)
+        |      AS naive
+        |  FROM r a JOIN r b ON b.i >= a.i - 20 AND b.i <= a.i - 1
+        |  GROUP BY a.day, a.x, a.i)
+        |SELECT day, x AS n_events, wsum * 1000 // norm AS ewma_milli,
+        |  naive,
+        |  abs(x * norm - wsum) < abs(x - naive) * norm AS ewma_wins
+        |FROM p ORDER BY day""".stripMargin,
+
     // qx33/qx47 share one CTE body (the capped gram-overlap engine);
     // only the final score projection differs
     "qx47_containment" -> (ShingleCte +
