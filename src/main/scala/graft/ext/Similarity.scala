@@ -278,6 +278,31 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** [[cellAssignments]] plus the runner-up: per vector, the argmax
+    * cell with its cosine AND the best cosine among the OTHER
+    * centroids — exactly what centroid-silhouette validity needs
+    * (a = own-centroid distance, b = nearest-other-centroid distance)
+    * without a second pass. Same broadcast-centroid crossJoin shape as
+    * assignment; the vec-keyed top-2 window is corpus-uniform.
+    * Returns (vec_id, cell, cos_own, cos_next). */
+  def cellAssignTop2(corpus: DataFrame, nlist: Int = 16,
+                     trainIters: Int = 5,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKey))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("c_cos"), col("cell"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rk") === 1, col("cell"))).as("cell"),
+        max(when(col("rk") === 1, col("c_cos"))).as("cos_own"),
+        max(when(col("rk") === 2, col("c_cos"))).as("cos_next"))
+  }
+
   // ---- product quantization (PQ) ------------------------------------------
 
   /** Per-subspace PQ codebooks: the embedding is split into `m` contiguous

@@ -526,6 +526,15 @@ object CoreQueries {
     "qs19_available_now" -> ((s, dir) =>
       graft.streaming.StreamingReplay.availableNowReplay(s, dir)),
 
+    // qs20 — twentieth streaming path: TWO file streams (event_id
+    // parity split, each origin-tagged) unioned BEFORE one watermarked
+    // day-window count — the multi-source ingestion shape; the union
+    // watermark advances with event time seen across both sources, so
+    // each staged source carries its own sentinel heartbeat. Oracle:
+    // the batch GROUP BY with the parity tag recomputed.
+    "qs20_stream_union" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamUnionReplay(s, dir)),
+
     // q52 — the ORC source/sink surface (S7): events staged once
     // through a FULL write-orc → read-orc roundtrip (timestamps,
     // strings, doubles), then filtered + aggregated off the ORC scan —
@@ -1590,6 +1599,16 @@ object CoreQueries {
         |FROM events
         |GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
+
+    // the unioned two-source stream must emit the batch day×origin
+    // counts with the parity tag recomputed
+    "qs20_stream_union" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |       CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS src,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY day, src
+        |ORDER BY day, src""".stripMargin,
 
     // the ORC roundtrip must be LOSSLESS: the oracle reads the original
     // parquet; any timestamp/value drift through write-orc → read-orc

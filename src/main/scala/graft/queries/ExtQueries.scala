@@ -126,6 +126,24 @@ object ExtQueries {
       bytesArr.as("bv"))
   }
 
+  /** qm14's run-length fold body, generated ONCE for both engines (the
+    * mortonCol discipline): the whole (current-run, max-run, n-runs,
+    * n-silent) state packs into one BIGINT (5+5+4+5 bits — a 16-byte
+    * frame bounds every field) so it threads through Spark's
+    * `aggregate` and DuckDB's `list_reduce` — whose accumulator must
+    * share the element type — as plain integer arithmetic. `div` is
+    * the only dialect difference ("DIV" vs "//", both floor on the
+    * non-negative state). */
+  private def silenceFoldSql(acc: String, x: String, div: String)
+      : String = {
+    val cur = s"CASE WHEN $x < 33 THEN ($acc % 32) + 1 ELSE 0 END"
+    s"($cur) + greatest((($acc) $div 32) % 32, $cur) * 32" +
+      s" + ((($acc) $div 1024) % 16 + CASE WHEN $x < 33 AND" +
+      s" ($acc % 32) = 0 THEN 1 ELSE 0 END) * 1024" +
+      s" + ((($acc) $div 16384) % 32 + CASE WHEN $x < 33" +
+      s" THEN 1 ELSE 0 END) * 16384"
+  }
+
   /** 8-bit × 8-bit Morton (Z-order) interleave as a pure integer
     * expression — x's bit i lands at position 2i+1, y's at 2i. The
     * Spark column and the DuckDB SQL string are generated from the SAME
@@ -5120,9 +5138,15 @@ object ExtQueries {
         .withColumn("obs_ppm", expr("n * 1000000 DIV nt"))
         .withColumn("dev",
           abs(col("n") * 1000000L - col("benford_ppm") * col("nt")))
-      withExp.crossJoin(broadcast(withExp.agg(sum("dev").as("sdev"))))
+      // unobserved digits still contribute their full Benford mass
+      // (1e6 − Σ observed ppm)·N to the deviation — a corpus that only
+      // ever emits one digit must score maximally suspicious
+      withExp.crossJoin(broadcast(withExp.agg(sum("dev").as("sdev"),
+          sum("benford_ppm").as("sppm"))))
         .select(col("digit"), col("n").as("n_orders"), col("obs_ppm"),
-          col("benford_ppm"), expr("sdev DIV (2 * nt)").as("tvd_ppm"))
+          col("benford_ppm"),
+          expr("(sdev + (1000000 - sppm) * nt) DIV (2 * nt)")
+            .as("tvd_ppm"))
         .orderBy("digit")
     }),
 
@@ -5228,7 +5252,61 @@ object ExtQueries {
           (abs(col("x") * col("norm") - col("wsum")) <
             abs(col("x") - col("naive")) * col("norm")).as("ewma_wins"))
         .orderBy("day")
-    }))
+    }),
+
+    // CENTROID SILHOUETTE — the cluster-validity score for the shared
+    // IVF fit (qe19 prices cell BALANCE; this prices cell SEPARATION):
+    // per vector, a = cosine distance to its own centroid, b = distance
+    // to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1] — the
+    // centroid-based silhouette (a.k.a. simplified silhouette; the
+    // classic pairwise form is corpus² and never runs at scale). Low
+    // mean s in a cell says its vectors sit on a boundary — exactly
+    // where qe11/qz1's semDedup under-merges and qe17's nprobe=1
+    // recall dips, so this is the audit that picks nlist. Float
+    // discipline: both cosines come from the SAME left-to-right fold
+    // as every qe twin, s is one division, then floor(s·1e6) per ROW
+    // makes the per-cell mean an exact integer sum (double sums across
+    // an unordered agg would be partition-order-dependent; BIGINT
+    // micro-units aren't). Scale: broadcast-centroid crossJoin + one
+    // corpus-uniform vec-keyed window + cell rollup.
+    "qe29_silhouette" -> ((s, dir) => {
+      val sil = Similarity.cellAssignTop2(Tables.embeddings(s, dir),
+        nlist = 16, cacheKey = Some(s"$dir|nlist=16|iters=5"))
+      val denom = greatest(lit(1.0) - col("cos_own"),
+        lit(1.0) - col("cos_next"))
+      sil.withColumn("sm",
+          floor(when(denom > 0.0,
+            (col("cos_own") - col("cos_next")) / denom)
+            .otherwise(lit(0.0)) * lit(1000000.0)).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("sm").as("sum_s_micro"))
+        .select(col("cell"), col("n_vecs"), col("sum_s_micro"),
+          (col("sum_s_micro").cast("double") /
+            (col("n_vecs").cast("double") * lit(1000000.0)))
+            .as("mean_sil"))
+        .orderBy("cell")
+    }),
+
+    // SILENCE-RUN detection — per sampled frame, the run-length
+    // structure of low-amplitude samples (byte < 33 in the synthetic
+    // UTF-8-derived domain: space and control bytes — the signal
+    // analog of silence between words): silent count, number of runs,
+    // longest run. The gate a media pipeline uses to drop dead air /
+    // blank spans the way qm10 flags clipped channels. Shape: NO
+    // explode and NO window — the whole run-length state machine is a
+    // single left fold over the 16-byte frame vector with its state
+    // packed into one BIGINT (see silenceFoldSql), generated from one
+    // template for both engines; frame staging is the shared qm5
+    // projection (blob bytes never shuffle).
+    "qm14_silence_runs" -> ((s, dir) =>
+      frameByteVectors(s, dir)
+        .withColumn("st", expr("aggregate(bv, CAST(0 AS BIGINT), " +
+          s"(a, x) -> ${silenceFoldSql("a", "x", "DIV")})"))
+        .select(col("doc_id"), col("frame_no"), col("frame_len"),
+          expr("(st DIV 16384) % 32").as("n_silent"),
+          expr("(st DIV 1024) % 16").as("n_runs"),
+          expr("(st DIV 32) % 32").as("max_run"))
+        .orderBy("doc_id", "frame_no")))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
     * SAME deterministic plane matrix the Spark kernel uses, with the same
@@ -5660,6 +5738,48 @@ object ExtQueries {
        |  CAST(n * (n - 1) // 2 AS BIGINT) AS work_pairs
        |FROM g CROSS JOIN tot
        |ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB twin of the centroid silhouette (qe29): same fitted
+    * centroid literals and cosine fold, top-2 per vector, the same
+    * floor(s·1e6) row quantization so the cell mean is an integer sum
+    * on both engines. */
+  private def qe29Sql(cents: Seq[Seq[Float]]): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |a AS (
+       |  SELECT e.vec_id, c.cell,
+       |    ${cosSql("e.embedding", "c.c_emb")} AS c_cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell)
+       |      AS rk
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY rk <= 2),
+       |g AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rk = 1 THEN cell END) AS cell,
+       |    max(CASE WHEN rk = 1 THEN c_cos END) AS cos_own,
+       |    max(CASE WHEN rk = 2 THEN c_cos END) AS cos_next
+       |  FROM a GROUP BY vec_id),
+       |s AS (
+       |  SELECT cell,
+       |    CAST(floor(CASE
+       |      WHEN greatest(1.0 - cos_own, 1.0 - cos_next) > 0.0
+       |      THEN (cos_own - cos_next) /
+       |        greatest(1.0 - cos_own, 1.0 - cos_next)
+       |      ELSE 0.0 END * 1000000.0) AS BIGINT) AS sm
+       |  FROM g)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(sm) AS BIGINT) AS sum_s_micro,
+       |  CAST(sum(sm) AS DOUBLE) /
+       |    (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_sil
+       |FROM s GROUP BY cell ORDER BY cell""".stripMargin
   }
 
   /** DuckDB twin of the PQ-ADC search (qe8) given the fitted codebooks:
@@ -6150,6 +6270,7 @@ object ExtQueries {
         "qe12_diverse_topk" -> qe12Sql(c, nprobe = 8),
         "qe17_nprobe_sweep" -> qe17Sql(c),
         "qe19_cell_balance" -> qe19Sql(c),
+        "qe29_silhouette" -> qe29Sql(c),
         "qe28_knn_graph" -> qe28Sql(c),
         "qp7_embedding_pipeline" -> qp7Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
@@ -6196,9 +6317,10 @@ object ExtQueries {
         |  SELECT digit, n, n * 1000000 // nt AS obs_ppm, benford_ppm,
         |    abs(n * 1000000 - benford_ppm * nt) AS dev, nt
         |  FROM w),
-        |s AS (SELECT CAST(sum(dev) AS BIGINT) AS sdev FROM w2)
+        |s AS (SELECT CAST(sum(dev) AS BIGINT) AS sdev,
+        |        CAST(sum(benford_ppm) AS BIGINT) AS sppm FROM w2)
         |SELECT digit, n AS n_orders, obs_ppm, benford_ppm,
-        |  sdev // (2 * nt) AS tvd_ppm
+        |  (sdev + (1000000 - sppm) * nt) // (2 * nt) AS tvd_ppm
         |FROM w2 CROSS JOIN s ORDER BY digit""".stripMargin,
 
     // user-grain distinct type sets, t1<t2 pair rollup, broadcast
@@ -6225,6 +6347,39 @@ object ExtQueries {
         |JOIN tc c2 ON c2.event_type = t2
         |CROSS JOIN nu
         |ORDER BY t1, t2""".stripMargin,
+
+    // qm5's frame staging + the SAME generated packed-state fold
+    // (list_reduce needs acc type = element type, hence the BIGINT
+    // packing)
+    "qm14_silence_runs" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      b -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |st AS (
+        |  SELECT doc_id, frame_no, frame_len,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), bv),
+        |      (a, x) -> ${silenceFoldSql("a", "x", "//")}) AS st
+        |  FROM h)
+        |SELECT doc_id, frame_no, frame_len,
+        |  CAST((st // 16384) % 32 AS BIGINT) AS n_silent,
+        |  CAST((st // 1024) % 16 AS BIGINT) AS n_runs,
+        |  CAST((st // 32) % 32 AS BIGINT) AS max_run
+        |FROM st ORDER BY doc_id, frame_no""".stripMargin,
 
     // same tokenization as ShingleCte's tok leg, list-slice windows
     // (DuckDB l[a:b] is 1-based inclusive and clips, like Spark slice),

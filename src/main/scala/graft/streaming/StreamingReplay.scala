@@ -897,6 +897,76 @@ object StreamingReplay {
       .orderBy("day", "event_type")
   }
 
+  // staged input for the two-source union replay, keyed by dir
+  private val unionStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, String, Timestamp)]()
+
+  /** Replay events(dir) as TWO independent file streams (split by
+    * event_id parity, each tagged with its origin) UNIONED before one
+    * watermarked tumbling-window aggregation — the multi-source
+    * ingestion shape (N kafka topics / N landing prefixes feeding one
+    * pipeline) that no other qs row exercises: the watermark node sits
+    * DOWNSTREAM of the union, so finalization is driven by event time
+    * seen across BOTH sources. Each source carries its own copy of the
+    * far-future sentinel — in production the union watermark only
+    * advances with the slowest source, so a quiet source must still
+    * emit heartbeats; staging models exactly that. Aggregate commutes
+    * (counts), so chunk interleaving across sources can't change the
+    * emitted set (declared as `qs20_stream_union`). */
+  def streamUnionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val (dirA, dirB, sentinelTs) = Option(unionStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+        if (ev.isEmpty)
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "day TIMESTAMP, src STRING, n BIGINT"))
+        val sentTs =
+          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
+        val sentinel =
+          WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
+        def staged(side: Array[WEvent], prefix: String): String = {
+          val k = math.max(side.length / 2, 1)
+          writeChunks(spark, Seq(side.slice(0, k).toSeq,
+            (side.drop(k) :+ sentinel).toSeq).filter(_.nonEmpty), prefix)
+        }
+        val entry = (staged(ev.filter(_.event_id % 2 == 0), "qs20-a"),
+          staged(ev.filter(_.event_id % 2 != 0), "qs20-b"), sentTs)
+        unionStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs20_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    def source(d: String, tag: String) = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(d)
+      .withColumn("src", lit(tag))
+    val q = withStatePartitions(spark, 8) {
+      source(dirA, "a").unionByName(source(dirB, "b"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("src"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table)
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("w.start") < lit(sentinelTs))
+      .select(col("w.start").as("day"), col("src"), col("n"))
+      .orderBy("day", "src")
+  }
+
   // staged input for the sliding-window replay, keyed by dir
   private val slidingStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,

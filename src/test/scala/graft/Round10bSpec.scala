@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 continuation specs: planted-fixture proofs for the AC batch
+  * (Benford audit, event-type lift, MATTR, EWMA backtest, centroid
+  * silhouette, silence runs) — each test hand-computes the expected
+  * integers so the oracle gate isn't the only line of defense. */
+class Round10bSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plantOrders(prices: Seq[Double]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10bord").toString
+    prices.zipWithIndex
+      .map { case (p, i) => (i.toLong + 1L, 1L, "O", p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_orderdate",
+        timestamp_micros(lit(1_700_000_000_000_000L)))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10bev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def plantDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10bdoc").toString
+    rows.map { case (id, t) => (id, t, "en", "webcrawl") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("qz42 benford: hand-computed deviation on planted digits, " +
+    "including the unobserved-digit mass (1, 2, 2, 9 over N=4)") {
+    val dir = plantOrders(Seq(1.00, 2.50, 20.00, 900.00))
+    val out = queries.ExtQueries.queries("qz42_benford")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // digits: 1×1, 2×2, 9×1; ppm literals 301030/176091/45757
+    // dev1 = |1e6 − 301030·4| = 204120; dev2 = |2e6 − 176091·4| =
+    // 1295636; dev9 = |1e6 − 45757·4| = 816972; Σ = 2316728; missing
+    // mass = (1e6 − 522878)·4 = 1908488; tvd = 4225216 // 8 = 528152
+    assert(out.toSeq == Seq(
+      (1L, 1L, 250000L, 301030L, 528152L),
+      (2L, 2L, 500000L, 176091L, 528152L),
+      (9L, 1L, 250000L, 45757L, 528152L)), s"got ${out.toSeq}")
+  }
+
+  test("qz42 benford: a perfectly-benford planted corpus scores a " +
+    "near-zero deviation (counts proportional to the ppm literals)") {
+    // 1e6-scale counts are impractical; use the ppm themselves / 1000
+    // rounded — tvd must land well under 2000 ppm (rounding residue)
+    val counts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val prices = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((i + 1).toDouble) }
+    val out = queries.ExtQueries.queries("qz42_benford")(
+      spark, plantOrders(prices)).collect()
+    val tvd = out.head.getLong(4)
+    assert(out.length == 9 && tvd < 2000L, s"tvd=$tvd")
+  }
+
+  test("qz43 lift: independent types score 1.0 on a planted universe " +
+    "and n_both never exceeds either marginal") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0), (2L, t0 + 1L, 1L, "click", 0.0),
+      (3L, t0 + 2L, 2L, "view", 0.0),
+      (4L, t0 + 3L, 3L, "view", 0.0), (5L, t0 + 4L, 3L, "click", 0.0)))
+    val out = queries.ExtQueries.queries("qz43_event_type_lift")(
+      spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // nu=3, n_click=2, n_view=3, n_both=2 → lift = 2·3/(2·3) = 1.0
+    assert(r.getString(0) == "click" && r.getString(1) == "view" &&
+      r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 3L &&
+      r.getDouble(5) == 1.0, s"got $r")
+  }
+
+  test("qx79 mattr: all-identical 30-token doc scores 40 milli " +
+    "(6 windows × 1 distinct / 150 scanned); a 10-distinct-token doc " +
+    "takes the single whole-doc window and scores 1000") {
+    val dir = plantDocs(Seq(
+      (1L, Seq.fill(30)("a").mkString(" ")),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" "))))
+    val out = queries.ExtQueries.queries("qx79_mattr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 30L, 6L, 40L), (2L, 10L, 1L, 1000L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("qz44 ewma backtest: a constant daily series forecasts itself " +
+    "exactly (ewma_milli = 1000·x, naive = x) and never strictly wins") {
+    val t0 = 1_700_000_000_000_000L
+    val day = 86_400_000_000L
+    val dir = plantEvents((0 until 25).flatMap(d => Seq(
+      (d * 2L + 1L, t0 + d * day, 1L, "view", 0.0),
+      (d * 2L + 2L, t0 + d * day + 1L, 2L, "view", 0.0))))
+    val out = queries.ExtQueries.queries("qz44_ewma_backtest")(
+      spark, dir).collect()
+    assert(out.length == 24) // first day has no trailing window
+    out.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2000L &&
+        r.getLong(3) == 2L && !r.getBoolean(4), s"got $r")
+    }
+  }
+
+  test("qe29 silhouette: cos_own dominates cos_next on every vector " +
+    "of the real corpus, and the cell means stay inside [-1, 1] while " +
+    "covering the whole corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val top2 = ext.Similarity.cellAssignTop2(emb, nlist = 16,
+      cacheKey = Some(s"$sfDir|nlist=16|iters=5"))
+    val bad = top2.where(col("cos_own") < col("cos_next")).count()
+    assert(bad == 0L, s"$bad vectors rank a foreign centroid first")
+    val out = queries.ExtQueries.queries("qe29_silhouette")(
+      spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum == emb.count())
+    out.foreach { r =>
+      val m = r.getDouble(3)
+      assert(m >= -1.0 && m <= 1.0, s"mean_sil out of range: $r")
+    }
+  }
+
+  test("qm14 silence runs: hand-computed run structure on two planted " +
+    "16-byte frames (spaces are the silent band)") {
+    val dir = plantDocs(Seq(
+      (1L, "ab cd ef gh ijkl"), // spaces at 3,6,9,12 → 4 runs of 1
+      (2L, "a    bcd efgh ij"))) // runs of 4, 1, 1 → max 4, silent 6
+    val out = queries.ExtQueries.queries("qm14_silence_runs")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 4L, 4L, 1L), (2L, 6L, 3L, 4L)),
+      s"got ${out.toSeq}")
+  }
+}
