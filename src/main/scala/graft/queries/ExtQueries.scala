@@ -5306,7 +5306,88 @@ object ExtQueries {
           expr("(st DIV 16384) % 32").as("n_silent"),
           expr("(st DIV 1024) % 16").as("n_runs"),
           expr("(st DIV 32) % 32").as("max_run"))
-        .orderBy("doc_id", "frame_no")))
+        .orderBy("doc_id", "frame_no")),
+
+    // MANN-WHITNEY U — the NONPARAMETRIC two-sample test qz24's
+    // t-style A/B gate can't replace when values are skewed or
+    // heavy-tailed (ranks are robust; means aren't): do purchase
+    // values stochastically dominate view values? Exact-integer rank
+    // machinery at DISTINCT-VALUE grain (the qz31 histogram rule — the
+    // ordered window runs over the bounded value domain, never row
+    // grain): doubled average ranks keep tie blocks integer
+    // (2·C_before + c + 1), the doubled U statistic is one BIGINT, and
+    // the tie-corrected variance assembles from exact Σ(t³−t) with one
+    // sqrt + one division at the end, the qm10 float rule. BIGINT
+    // envelope: n·(n²−1) caps the z denominator at ~n³ — exact to
+    // n ~ 2M rows; beyond that the test is asymptotic anyway and the
+    // z feeds from the same exact integers.
+    "qz45_mann_whitney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("is1"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      val blocks = ev.groupBy("v").agg(count(lit(1)).as("c"),
+        sum(when(col("is1"), 1L).otherwise(0L)).as("c1"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      blocks
+        .withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+        .withColumn("r1x2",
+          col("c1") * (lit(2L) * col("cb") + col("c") + 1L))
+        .withColumn("t3t",
+          col("c") * col("c") * col("c") - col("c"))
+        .agg(sum("c1").as("n1"), sum(col("c") - col("c1")).as("n2"),
+          sum("r1x2").as("sr1x2"), sum("t3t").as("ties"))
+        .where(col("n1") > 0L && col("n2") > 0L)
+        .select(col("n1"), col("n2"),
+          expr("sr1x2 - n1*(n1+1)").as("u_x2"),
+          // all-tied input → zero variance → define z = 0, not 0/0
+          expr("CASE WHEN (n1+n2)*((n1+n2)*(n1+n2)-1) - ties = 0 " +
+            "THEN 0.0 ELSE " +
+            "CAST(sr1x2 - n1*(n1+1) - n1*n2 AS DOUBLE) / " +
+            "(2.0 * sqrt(CAST(n1*n2 AS DOUBLE) * " +
+            "CAST((n1+n2)*((n1+n2)*(n1+n2)-1) - ties AS DOUBLE) / " +
+            "CAST(12*(n1+n2)*((n1+n2)-1) AS DOUBLE))) END").as("z"))
+    }),
+
+    // PARAPHRASE MINING — semantic-match × lexical-MISMATCH: pairs the
+    // embedding space calls near-dups (cos ≥ 0.30) but 3-gram Jaccard
+    // calls distinct (< 0.2) — rewordings, translations-of-the-same-
+    // source, template refills. Exactly the pairs qx11's lexical
+    // clusters MISS and qe3 alone can't interpret; the disagreement
+    // between the two signals IS the deliverable (agreement = ordinary
+    // near-dups, qz7's beat). Shape: candidates from the qe3 fenced
+    // brute-force leg (the production swap-in is the cell-bounded
+    // qe5/semDedup generator — same fence discipline as qe3), then
+    // gram-intersection ONLY on candidate pairs (pair-bounded, never
+    // corpus²); jaccard in integer milli; both docs must have ≥ 1
+    // shingle (tiny docs have no lexical signal to disagree with).
+    "qx80_paraphrase_mining" -> ((s, dir) => {
+      val cand = Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir).where(col("vec_id") < 1000), 0.30)
+      val g = graft.Materialize.cut(docsWithShingles(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(col("sh"))).as("g")))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      val inter = cand.select("i", "j")
+        .join(g.select(col("doc_id").as("i"), col("g")), Seq("i"))
+        .join(g.select(col("doc_id").as("j"), col("g")), Seq("j", "g"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n_int"))
+      cand
+        .join(inter, Seq("i", "j"), "left")
+        .join(sizes.select(col("doc_id").as("i"), col("ng").as("gi")),
+          Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"), col("ng").as("gj")),
+          Seq("j"))
+        .withColumn("n_int", coalesce(col("n_int"), lit(0L)))
+        .withColumn("jac_milli",
+          expr("n_int * 1000 DIV (gi + gj - n_int)"))
+        .where(col("jac_milli") < 200L)
+        .select(col("i"), col("j"), col("cos"), col("n_int"),
+          col("jac_milli"))
+        .orderBy("i", "j")
+    }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
     * SAME deterministic plane matrix the Spark kernel uses, with the same
@@ -6347,6 +6428,74 @@ object ExtQueries {
         |JOIN tc c2 ON c2.event_type = t2
         |CROSS JOIN nu
         |ORDER BY t1, t2""".stripMargin,
+
+    // distinct-value-grain doubled ranks, exact tie correction, one
+    // sqrt at the end — identical formula text on both sides
+    "qz45_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type = 'purchase' AS is1,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |b AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM ev GROUP BY v),
+        |r AS (
+        |  SELECT c, c1,
+        |    COALESCE(CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cb
+        |  FROM b),
+        |a AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c - c1) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * (2*cb + c + 1)) AS BIGINT) AS sr1x2,
+        |    CAST(sum(c*c*c - c) AS BIGINT) AS ties
+        |  FROM r)
+        |SELECT n1, n2, sr1x2 - n1*(n1+1) AS u_x2,
+        |  CASE WHEN (n1+n2)*((n1+n2)*(n1+n2)-1) - ties = 0 THEN 0.0
+        |  ELSE CAST(sr1x2 - n1*(n1+1) - n1*n2 AS DOUBLE) /
+        |  (2.0 * sqrt(CAST(n1*n2 AS DOUBLE) *
+        |    CAST((n1+n2)*((n1+n2)*(n1+n2)-1) - ties AS DOUBLE) /
+        |    CAST(12*(n1+n2)*((n1+n2)-1) AS DOUBLE))) END AS z
+        |FROM a WHERE n1 > 0 AND n2 > 0""".stripMargin,
+
+    // the qe3 cosine leg at 0.30 + gram intersection ONLY on candidate
+    // pairs; jaccard in integer milli, filter in a wrapper (DuckDB
+    // WHERE can't see the alias)
+    "qx80_paraphrase_mining" -> (ShingleCte + s""",
+        |gset AS (SELECT doc_id, unnest(list_distinct(s)) AS g FROM sh),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+        |          FROM gset GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    ${CosSql.format("a.embedding", "b.embedding")} /
+        |    (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
+        |     sqrt(${CosSql.format("b.embedding", "b.embedding")}))
+        |      AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |    AND ${CosSql.format("a.embedding", "b.embedding")} /
+        |    (sqrt(${CosSql.format("a.embedding", "a.embedding")}) *
+        |     sqrt(${CosSql.format("b.embedding", "b.embedding")}))
+        |      >= 0.30),
+        |ints AS (
+        |  SELECT c.i, c.j, CAST(count(*) AS BIGINT) AS n_int
+        |  FROM cand c JOIN gset ga ON ga.doc_id = c.i
+        |    JOIN gset gb ON gb.doc_id = c.j AND gb.g = ga.g
+        |  GROUP BY c.i, c.j),
+        |scored AS (
+        |  SELECT c.i, c.j, c.cos,
+        |    CAST(COALESCE(n_int, 0) AS BIGINT) AS n_int,
+        |    CAST(COALESCE(n_int, 0) * 1000 //
+        |      (sa.ng + sb.ng - COALESCE(n_int, 0)) AS BIGINT)
+        |      AS jac_milli
+        |  FROM cand c
+        |  LEFT JOIN ints USING (i, j)
+        |  JOIN sizes sa ON sa.doc_id = c.i
+        |  JOIN sizes sb ON sb.doc_id = c.j)
+        |SELECT i, j, cos, n_int, jac_milli FROM scored
+        |WHERE jac_milli < 200 ORDER BY i, j""".stripMargin),
 
     // qm5's frame staging + the SAME generated packed-state fold
     // (list_reduce needs acc type = element type, hence the BIGINT

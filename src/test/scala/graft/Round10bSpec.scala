@@ -133,6 +133,57 @@ class Round10bSpec extends SparkTestBase {
     }
   }
 
+  test("qz45 mann-whitney: hand-computed doubled U and tie-corrected z " +
+    "on a 3-row fixture, and the all-tied degenerate pins z = 0") {
+    val t0 = 1_700_000_000_000_000L
+    val d1 = plantEvents(Seq(
+      (1L, t0, 1L, "purchase", 0.001), (2L, t0 + 1L, 1L, "purchase", 0.002),
+      (3L, t0 + 2L, 2L, "view", 0.003)))
+    val r = queries.ExtQueries.queries("qz45_mann_whitney")(spark, d1)
+      .collect().head
+    // ranks 1,2 to purchase → U1 = 0; z = −2/(2·sqrt(2·24/72))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(math.abs(r.getDouble(3) - (-1.224744871391589)) < 1e-12,
+      s"z=$r")
+    val d2 = plantEvents(Seq(
+      (1L, t0, 1L, "purchase", 0.001), (2L, t0 + 1L, 1L, "purchase", 0.001),
+      (3L, t0 + 2L, 2L, "view", 0.001)))
+    val r2 = queries.ExtQueries.queries("qz45_mann_whitney")(spark, d2)
+      .collect().head
+    // all tied: doubled U = n1·n2, zero variance → z pinned to 0
+    assert(r2.getLong(2) == 2L && r2.getDouble(3) == 0.0, s"got $r2")
+  }
+
+  private def plantDocsEmb(docs: Seq[(Long, String)],
+                           embs: Seq[(Long, Seq[Float])]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10bde").toString
+    docs.map { case (id, t) => (id, t, "en", "webcrawl") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embs.map { case (id, e) => (id, e, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("qx80 paraphrase mining: an identical-text pair is NOT a " +
+    "paraphrase (high jaccard drops it), while semantically-identical " +
+    "but lexically-disjoint pairs surface with n_int = 0") {
+    val e = Seq(1f, 2f, 3f, 4f)
+    val dir = plantDocsEmb(
+      Seq((0L, "the quick brown fox jumps"),
+        (1L, "completely different words entirely here"),
+        (2L, "the quick brown fox jumps")),
+      Seq((0L, e), (1L, e), (2L, e)))
+    val out = queries.ExtQueries.queries("qx80_paraphrase_mining")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // (0,2) identical text → jac 1000, dropped; (0,1) and (1,2) kept
+    assert(out.toSeq == Seq((0L, 1L, 0L, 0L), (1L, 2L, 0L, 0L)),
+      s"got ${out.toSeq}")
+  }
+
   test("qm14 silence runs: hand-computed run structure on two planted " +
     "16-byte frames (spaces are the silent band)") {
     val dir = plantDocs(Seq(
