@@ -144,6 +144,16 @@ object ExtQueries {
       s" THEN 1 ELSE 0 END) * 16384"
   }
 
+  /** qm15's 4-bin byte-histogram fold, generated once for both engines
+    * (the silenceFoldSql discipline): bin = byte div 64, the four
+    * counts pack 5 bits each into one BIGINT (a 16-byte frame bounds
+    * every bin at 16), so one left fold replaces four passes — and the
+    * packed counts unpack with the same div/mod arithmetic in both
+    * dialects. `shl(1, 5·bin)` is the only per-element op. */
+  private def histFoldSql(acc: String, x: String, div: String,
+                          shl: (String, String) => String): String =
+    s"$acc + ${shl(s"CAST(1 AS BIGINT)", s"CAST(5 * (($x) $div 64) AS INT)")}"
+
   /** 8-bit × 8-bit Morton (Z-order) interleave as a pure integer
     * expression — x's bit i lands at position 2i+1, y's at 2i. The
     * Spark column and the DuckDB SQL string are generated from the SAME
@@ -5387,6 +5397,70 @@ object ExtQueries {
         .select(col("i"), col("j"), col("cos"), col("n_int"),
           col("jac_milli"))
         .orderBy("i", "j")
+    }),
+
+    // TABLE PROFILE — the ANALYZE primitive (per-column row/null/NDV/
+    // min/max) every planner and data-quality gate feeds on, as a
+    // first-class query over events: exact NDV (the CBO input), nulls,
+    // and range, one output row per column with values canonicalized
+    // to strings through their EXACT integer domains (ts → epoch
+    // micros, value → floor-milli — min/max computed on the NATIVE
+    // type first, then cast; a lexicographic min of strings would be
+    // wrong). Shape: one column-pruned scan per leg — the posture a
+    // 100 TB profiler wants anyway (each leg prunes to one column and
+    // map-side-partials its count-distinct), rather than a single
+    // 5-distinct EXPAND pass that multiplies every row ×5 into the
+    // shuffle.
+    "qz46_table_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def leg(name: String,
+              natural: org.apache.spark.sql.Column): DataFrame =
+        ev.agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(natural)).as("n_null"),
+          countDistinct(natural).as("n_distinct"),
+          min(natural).cast("string").as("min_v"),
+          max(natural).cast("string").as("max_v"))
+          .select(lit(name).as("col_name"), col("n_rows"),
+            col("n_null"), col("n_distinct"), col("min_v"), col("max_v"))
+      Seq(
+        leg("event_id", col("event_id")),
+        leg("event_type", col("event_type")),
+        leg("ts", unix_micros(col("ts"))),
+        leg("user_id", col("user_id")),
+        leg("value", floor(col("value") * 1000).cast("long")))
+        .reduce(_ unionAll _)
+        .orderBy("col_name")
+    }),
+
+    // SCENE-CHANGE score — chi-square distance between CONSECUTIVE
+    // frames' 4-bin byte histograms, the classical shot-boundary
+    // detector (qm9 segments on a raw byte delta; histogram chi² is
+    // robust to small shifts that fool per-position deltas). Shape:
+    // each frame's histogram is ONE packed-BIGINT fold (histFoldSql —
+    // no explode, no window), consecutive frames meet in a
+    // (doc, frame_no+1) equi-join that stays inside the doc partition,
+    // and the per-bin chi² terms are integer-milli (mirrored div
+    // truncation on both engines). Empty bins (a+b = 0) contribute 0.
+    "qm15_frame_chi2" -> ((s, dir) => {
+      val hf = frameByteVectors(s, dir)
+        .withColumn("h", expr("aggregate(bv, CAST(0 AS BIGINT), " +
+          s"(a, x) -> ${histFoldSql("a", "x", "DIV",
+            (b, n) => s"shiftleft($b, $n)")})"))
+        .select("doc_id", "frame_no", "h")
+      def bin(c: String, b: Int) = s"(($c DIV ${1L << (5 * b)}) % 32)"
+      val chi2 = (0 until 4).map { b =>
+        val a = bin("ha", b); val c = bin("hb", b)
+        s"CASE WHEN $a + $c > 0 THEN (1000 * ($a - $c) * ($a - $c)) " +
+          s"DIV ($a + $c) ELSE 0 END"
+      }.mkString(" + ")
+      hf.select(col("doc_id"), col("frame_no"), col("h").as("ha"))
+        .join(hf.select(col("doc_id"),
+          (col("frame_no") - 1L).as("frame_no"), col("h").as("hb")),
+          Seq("doc_id", "frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+          expr(chi2).as("chi2_milli"))
+        .withColumn("scene_change", col("chi2_milli") >= 1500L)
+        .orderBy("doc_id", "frame_no")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -6428,6 +6502,66 @@ object ExtQueries {
         |JOIN tc c2 ON c2.event_type = t2
         |CROSS JOIN nu
         |ORDER BY t1, t2""".stripMargin,
+
+    // five single-column legs UNION ALLed — min/max on the NATIVE type
+    // (ts through epoch micros, value through floor-milli), then cast
+    "qz46_table_profile" -> {
+      def leg(name: String, e: String) =
+        s"""SELECT '$name' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($e) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           |  CAST(min($e) AS VARCHAR) AS min_v,
+           |  CAST(max($e) AS VARCHAR) AS max_v
+           |FROM events""".stripMargin
+      Seq(leg("event_id", "event_id"),
+        leg("event_type", "event_type"),
+        leg("ts", "epoch_us(ts)"),
+        leg("user_id", "user_id"),
+        leg("value", "CAST(floor(value * 1000) AS BIGINT)"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // qm5's staging + the generated packed-histogram fold; the per-bin
+    // chi² terms replay the same div-truncation order as the Spark
+    // expression
+    "qm15_frame_chi2" -> {
+      val fold = histFoldSql("a", "x", "//", (b, n) => s"($b << $n)")
+      def bin(c: String, b: Int) = s"(($c // ${1L << (5 * b)}) % 32)"
+      val chi2 = (0 until 4).map { b =>
+        val a = bin("a.h", b); val c = bin("b.h", b)
+        s"CASE WHEN $a + $c > 0 THEN (1000 * ($a - $c) * ($a - $c)) " +
+          s"// ($a + $c) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(1, length(fh) // 2 + 1),
+        |      b -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(b*2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |st AS (
+        |  SELECT doc_id, frame_no,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), bv),
+        |      (a, x) -> $fold) AS h
+        |  FROM h)
+        |SELECT a.doc_id, a.frame_no,
+        |  CAST($chi2 AS BIGINT) AS chi2_milli,
+        |  CAST($chi2 AS BIGINT) >= 1500 AS scene_change
+        |FROM st a JOIN st b
+        |  ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no + 1
+        |ORDER BY a.doc_id, a.frame_no""".stripMargin
+    },
 
     // distinct-value-grain doubled ranks, exact tie correction, one
     // sqrt at the end — identical formula text on both sides

@@ -184,6 +184,37 @@ class Round10bSpec extends SparkTestBase {
       s"got ${out.toSeq}")
   }
 
+  test("qz46 table profile: exact NDV, native-typed min/max through " +
+    "the integer domains, and zero nulls on a planted table") {
+    val t0 = 1_700_000_000_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 1.5),
+      (2L, t0 + 5L, 1L, "click", 2.25),
+      (3L, t0 + 9L, 2L, "view", -0.5)))
+    val out = queries.ExtQueries.queries("qz46_table_profile")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("event_id") == ((3L, 0L, 3L, "1", "3")))
+    assert(out("event_type") == ((3L, 0L, 2L, "click", "view")))
+    assert(out("user_id") == ((3L, 0L, 2L, "1", "2")))
+    assert(out("value") == ((3L, 0L, 3L, "-500", "2250")))
+    assert(out("ts") == ((3L, 0L, 3L, t0.toString, (t0 + 9L).toString)))
+  }
+
+  test("qm15 frame chi2: identical-bin frames score 0 and a full bin " +
+    "shift scores the hand-computed 32000 with scene_change set") {
+    val dir = plantDocs(Seq(
+      (1L, "a" * 64 + "0" * 64), // frame0 all bin-1, frame1 all bin-0
+      (2L, "b" * 128))) // both sampled frames identical → chi2 0
+    val out = queries.ExtQueries.queries("qm15_frame_chi2")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, 0L, 32000L, true),
+      (2L, 0L, 0L, false)), s"got ${out.toSeq}")
+  }
+
   test("qm14 silence runs: hand-computed run structure on two planted " +
     "16-byte frames (spaces are the silent band)") {
     val dir = plantDocs(Seq(
