@@ -5352,13 +5352,23 @@ object ExtQueries {
         .where(col("n1") > 0L && col("n2") > 0L)
         .select(col("n1"), col("n2"),
           expr("sr1x2 - n1*(n1+1)").as("u_x2"),
-          // all-tied input → zero variance → define z = 0, not 0/0
-          expr("CASE WHEN (n1+n2)*((n1+n2)*(n1+n2)-1) - ties = 0 " +
-            "THEN 0.0 ELSE " +
-            "CAST(sr1x2 - n1*(n1+1) - n1*n2 AS DOUBLE) / " +
-            "(2.0 * sqrt(CAST(n1*n2 AS DOUBLE) * " +
-            "CAST((n1+n2)*((n1+n2)*(n1+n2)-1) - ties AS DOUBLE) / " +
-            "CAST(12*(n1+n2)*((n1+n2)-1) AS DOUBLE))) END").as("z"))
+          // variance assembled factor-by-factor in DOUBLE — an n³
+          // BIGINT would overflow past n ~ 2M (the 100× probe found
+          // exactly that); the largest integer product kept exact is
+          // n², and each CAST rounds identically in both engines.
+          // Zero/negative variance (all-tied input) → z = 0, not 0/0.
+          // Residual envelope: a SINGLE tie block above ~2M identical
+          // milli-values would overflow its c³ term (the qx71/qz31
+          // documented-envelope class).
+          expr("CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) " +
+            "/ 12.0 * (CAST(n1+n2+1 AS DOUBLE) - " +
+            "CAST(ties AS DOUBLE) / " +
+            "CAST((n1+n2)*((n1+n2)-1) AS DOUBLE)) <= 0.0 THEN 0.0 " +
+            "ELSE CAST(sr1x2 - n1*(n1+1) - n1*n2 AS DOUBLE) / " +
+            "(2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) " +
+            "/ 12.0 * (CAST(n1+n2+1 AS DOUBLE) - " +
+            "CAST(ties AS DOUBLE) / " +
+            "CAST((n1+n2)*((n1+n2)-1) AS DOUBLE)))) END").as("z"))
     }),
 
     // PARAPHRASE MINING — semantic-match × lexical-MISMATCH: pairs the
@@ -6587,11 +6597,15 @@ object ExtQueries {
         |    CAST(sum(c*c*c - c) AS BIGINT) AS ties
         |  FROM r)
         |SELECT n1, n2, sr1x2 - n1*(n1+1) AS u_x2,
-        |  CASE WHEN (n1+n2)*((n1+n2)*(n1+n2)-1) - ties = 0 THEN 0.0
+        |  CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / 12.0 * (CAST(n1+n2+1 AS DOUBLE) -
+        |    CAST(ties AS DOUBLE) /
+        |    CAST((n1+n2)*((n1+n2)-1) AS DOUBLE)) <= 0.0 THEN 0.0
         |  ELSE CAST(sr1x2 - n1*(n1+1) - n1*n2 AS DOUBLE) /
-        |  (2.0 * sqrt(CAST(n1*n2 AS DOUBLE) *
-        |    CAST((n1+n2)*((n1+n2)*(n1+n2)-1) - ties AS DOUBLE) /
-        |    CAST(12*(n1+n2)*((n1+n2)-1) AS DOUBLE))) END AS z
+        |  (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / 12.0 * (CAST(n1+n2+1 AS DOUBLE) -
+        |    CAST(ties AS DOUBLE) /
+        |    CAST((n1+n2)*((n1+n2)-1) AS DOUBLE)))) END AS z
         |FROM a WHERE n1 > 0 AND n2 > 0""".stripMargin,
 
     // the qe3 cosine leg at 0.30 + gram intersection ONLY on candidate
