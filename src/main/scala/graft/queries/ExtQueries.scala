@@ -5471,6 +5471,56 @@ object ExtQueries {
           expr(chi2).as("chi2_milli"))
         .withColumn("scene_change", col("chi2_milli") >= 1500L)
         .orderBy("doc_id", "frame_no")
+    }),
+
+    // PEAK CONCURRENCY — max simultaneously-open sessions per day, the
+    // capacity-planning number (connection pools, rate limits, license
+    // seats) none of the existing rollups produce: a SWEEP LINE over
+    // session intervals (+1 at start, −1 at end+1µs), run as the
+    // DISTRIBUTED prefix-sum pattern — change points bucket by DAY, the
+    // running sum is computed inside each day partition, and the level
+    // carried INTO each day is a second cumulative over the day-grain
+    // totals (a calendar-bounded frame, the qz38/qz40 discipline). No
+    // global-order window ever sees corpus-grain rows, so the sweep
+    // scales: the only corpus-proportional shuffles are the session
+    // rollup and the day-keyed change points. Days with zero change
+    // points carry a flat level and emit no row (documented contract).
+    "qz47_peak_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wUserRun = wUser.rowsBetween(Window.unboundedPreceding, 0)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_s", when(lag("ts", 1).over(wUser).isNull ||
+          unix_micros(col("ts")) -
+            unix_micros(lag("ts", 1).over(wUser)) > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum("new_s").over(wUserRun))
+        .groupBy("user_id", "sid")
+        .agg(min(unix_micros(col("ts"))).as("s0"),
+          max(unix_micros(col("ts"))).as("s1"))
+      val points = sess.select(col("s0").as("t"), lit(1L).as("d"))
+        .unionAll(sess.select((col("s1") + 1L).as("t"),
+          lit(-1L).as("d")))
+        .groupBy("t").agg(sum("d").as("dd"))
+        .withColumn("day", expr("t div 86400000000"))
+      val wDay = Window.partitionBy("day").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wCal = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = points.groupBy("day")
+        .agg(sum("dd").as("dtot"), count(lit(1)).as("n_points"))
+        .withColumn("carry", coalesce(sum("dtot").over(wCal), lit(0L)))
+      points.withColumn("run", sum("dd").over(wDay))
+        .groupBy("day").agg(max("run").as("mx"))
+        .join(carry, Seq("day"))
+        // the level CARRIED IN holds from midnight to the day's first
+        // change point — it competes for the peak (a midnight-spanning
+        // session whose only in-day event is its −1 endpoint)
+        .select(col("day"), col("n_points"),
+          greatest(col("carry"), col("carry") + col("mx"))
+            .as("day_peak"))
+        .orderBy("day")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -6512,6 +6562,52 @@ object ExtQueries {
         |JOIN tc c2 ON c2.event_type = t2
         |CROSS JOIN nu
         |ORDER BY t1, t2""".stripMargin,
+
+    // the same gap-session CTEs as qz30, then the sweep line as
+    // day-partitioned running sums + a day-grain carry cumulative
+    "qz47_peak_concurrency" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(min(us) AS BIGINT) AS s0,
+        |    CAST(max(us) AS BIGINT) AS s1
+        |  FROM s GROUP BY user_id, sid),
+        |d0 AS (
+        |  SELECT s0 AS t, 1 AS d FROM sess
+        |  UNION ALL
+        |  SELECT s1 + 1, -1 FROM sess),
+        |pt AS (
+        |  SELECT t, CAST(sum(d) AS BIGINT) AS dd,
+        |    t // 86400000000 AS day
+        |  FROM d0 GROUP BY t),
+        |r AS (
+        |  SELECT day, CAST(max(run) AS BIGINT) AS mx FROM (
+        |    SELECT day, sum(dd) OVER (PARTITION BY day ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |    FROM pt) rr GROUP BY day),
+        |c AS (
+        |  SELECT day, n_points,
+        |    COALESCE(CAST(sum(dtot) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS carry
+        |  FROM (SELECT day, CAST(sum(dd) AS BIGINT) AS dtot,
+        |          CAST(count(*) AS BIGINT) AS n_points
+        |        FROM pt GROUP BY day) dts)
+        |SELECT r.day, c.n_points,
+        |  greatest(c.carry, c.carry + r.mx) AS day_peak
+        |FROM r JOIN c USING (day)
+        |ORDER BY day""".stripMargin,
 
     // five single-column legs UNION ALLed — min/max on the NATIVE type
     // (ts through epoch micros, value through floor-milli), then cast

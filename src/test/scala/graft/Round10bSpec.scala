@@ -215,6 +215,28 @@ class Round10bSpec extends SparkTestBase {
       (2L, 0L, 0L, false)), s"got ${out.toSeq}")
   }
 
+  test("qz47 peak concurrency: overlapping sessions stack, and a " +
+    "midnight-spanning session's carried-in level wins the next day's " +
+    "peak even when its only in-day change point is the -1 endpoint") {
+    val t0 = 1_700_006_400_000_000L // 2023-11-15 00:00:00 UTC + offset
+    val day0 = t0 / 86400000000L
+    val m = 60_000_000L
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0), // user1 session [t0, t0+10m]
+      (2L, t0 + 10L * m, 1L, "view", 0.0),
+      (3L, t0 + 5L * m, 2L, "view", 0.0), // user2 point session, overlaps
+      // user3 session crossing midnight: 23:50 → 00:10 next day
+      (4L, t0 + 1430L * m - (t0 % 86400000000L), 3L, "view", 0.0),
+      (5L, t0 + 1450L * m - (t0 % 86400000000L), 3L, "view", 0.0)))
+    val out = queries.ExtQueries.queries("qz47_peak_concurrency")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // day0: +1(t0) +1(5m) −1(5m+1) −1(10m+1) +1(23:50) → peak 2
+    // day1: carry 1, only −1 at 00:10+1µs → peak = carry = 1
+    assert(out.toSeq == Seq((day0, 5L, 2L), (day0 + 1L, 1L, 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("qm14 silence runs: hand-computed run structure on two planted " +
     "16-byte frames (spaces are the silent band)") {
     val dir = plantDocs(Seq(
