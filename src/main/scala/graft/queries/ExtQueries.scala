@@ -5489,7 +5489,10 @@ object ExtQueries {
       import org.apache.spark.sql.expressions.Window
       val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val wUserRun = wUser.rowsBetween(Window.unboundedPreceding, 0)
-      val sess = Tables.events(s, dir)
+      // cut: the session frame feeds BOTH delta legs (start and end
+      // points) — without it the union duplicates the whole two-window
+      // sessionization subtree
+      val sess = graft.Materialize.cut(Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"))
         .withColumn("new_s", when(lag("ts", 1).over(wUser).isNull ||
           unix_micros(col("ts")) -
@@ -5498,7 +5501,7 @@ object ExtQueries {
         .withColumn("sid", sum("new_s").over(wUserRun))
         .groupBy("user_id", "sid")
         .agg(min(unix_micros(col("ts"))).as("s0"),
-          max(unix_micros(col("ts"))).as("s1"))
+          max(unix_micros(col("ts"))).as("s1")))
       val points = sess.select(col("s0").as("t"), lit(1L).as("d"))
         .unionAll(sess.select((col("s1") + 1L).as("t"),
           lit(-1L).as("d")))

@@ -23,8 +23,12 @@ class EmptyInputSpec extends SparkTestBase {
   }
 
   // qc2's input is its committed literal case table, not the data dir —
-  // on empty tables it still (correctly) encodes all golden cases
-  private val literalDriven = Map("qc2_codec_golden" -> 10L)
+  // on empty tables it still (correctly) encodes all golden cases.
+  // qz46 is ANALYZE: a profile of an empty table is one row PER COLUMN
+  // with n_rows = 0 (that's what a planner wants to read), not 0 rows.
+  private val literalDriven = Map(
+    "qc2_codec_golden" -> 10L,
+    "qz46_table_profile" -> 5L)
 
   test("every declared query executes on empty tables and returns 0 rows") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -471,4 +471,39 @@ class PlanSpec extends SparkTestBase {
       p)
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("qz47 sweep line: the point-grain running sum is PARTITIONED " +
+    "by day — no global-order window ever sees corpus-grain rows") {
+    val p = plan("qz47_peak_concurrency")
+    // day-partitioned running sum over the change points
+    assert("windowspecdefinition\\(day#\\d+L, t#".r
+      .findFirstIn(p).isDefined, p)
+    // a corpus-grain global-order window would order by t without a
+    // partition column — its spec would START with t
+    assert("windowspecdefinition\\(t#".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("qz46 table profile: five column-pruned scans, never a " +
+    "5-distinct EXPAND pass multiplying every row") {
+    val p = plan("qz46_table_profile")
+    assert(!p.contains("Expand"), p)
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).length == 5, p)
+  }
+
+  test("qm14/qm15 frame folds: the run-length and histogram state " +
+    "machines are single folds — no Generate explode of frame bytes") {
+    assert(!plan("qm14_silence_runs").contains("Generate explode(bv"),
+      "qm14 exploded its byte vector")
+    assert(!plan("qm15_frame_chi2").contains("Generate explode(bv"),
+      "qm15 exploded its byte vector")
+  }
+
+  test("qe29 silhouette: the 16-row centroid table broadcasts and the " +
+    "top-2 window prunes map-side via WindowGroupLimit") {
+    val p = plan("qe29_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
