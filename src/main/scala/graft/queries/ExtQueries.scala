@@ -5524,6 +5524,111 @@ object ExtQueries {
           greatest(col("carry"), col("carry") + col("mx"))
             .as("day_peak"))
         .orderBy("day")
+    }),
+
+    // CLUSTER-SIZE HISTOGRAM off the fully DISTRIBUTED connected-
+    // components path — every prior CC consumer (qx11's clusters,
+    // qz8's graph, qz14's purity) rides Dedup.connectedComponents with
+    // its ≤200k-edge driver finish, which ALWAYS engages at fixture
+    // scale, so the distributed min-label superstep loop (partition-
+    // local union-find contraction → checksum-converged min
+    // propagation — the path a 100 TB dup graph actually takes) had
+    // spec coverage but no hash gate. driverFinishEdges = 0 forces the
+    // superstep loop here, and the DuckDB recursive-CTE ground truth
+    // makes the loop's labels (via the size histogram — stable under
+    // label renaming, which min-labels don't need but sizes make the
+    // invariant explicit) oracle-exact. Edges are qz39's production
+    // staging (capped band join). Scale: each superstep is one
+    // node-keyed shuffle; contraction collapses per-partition cliques
+    // before the first exchange.
+    "qz48_cc_histogram" -> ((s, dir) => {
+      val sig = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
+            .as("band")))
+      val pairs = Dedup.bandedPairs(sig).select("d1", "d2")
+      Dedup.connectedComponents(pairs, driverFinishEdges = 0L)
+        .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("n_members")
+    }),
+
+    // PREFIX-FILTERED set-similarity join (PPJoin-lite) — the EXACT
+    // Jaccard-threshold pair join, complementing the approximate LSH
+    // family (qx19's bands can miss true pairs and admit false bands;
+    // this misses NOTHING at τ): order each doc's distinct tokens
+    // rarest-first (global df asc, token asc — the canonical prefix
+    // order), index only each doc's first n − ceil(τ·n) + 1 tokens,
+    // and the prefix-filtering theorem guarantees every pair with
+    // J ≥ τ (τ = 0.95 — the fixture vocabulary is tiny, so looser
+    // thresholds admit most of all pairs) collides on at least one
+    // indexed token. The index is
+    // SELF-REGULATING at scale: prefixes hold each doc's rarest
+    // tokens, so boilerplate (high-df) tokens never enter the inverted
+    // index — no hot-key cap needed, unlike the band join. The length
+    // filter (1000·min ≥ 950·max, else J < τ provably) prunes
+    // candidates Spark-side only — a no-op on the RESULT, so the twin
+    // skips it. Integer contract: ceil via (600n+999) div 1000, the
+    // τ test as exact cross-multiplication, jac reported in milli.
+    "qx81_prefix_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("toks")))
+          .as("t")))
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val df = g.groupBy("t").agg(count(lit(1)).as("df"))
+      val pre = g.join(df, "t").join(n, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "t")))
+        .where(col("rk") <=
+          col("n") - expr("(950 * n + 999) div 1000") + 1L)
+        .select(col("doc_id"), col("t"), col("n"))
+      val cand = pre.select(col("doc_id").as("d1"), col("t"),
+          col("n").as("n1"))
+        .join(pre.select(col("doc_id").as("d2"), col("t"),
+          col("n").as("n2")), "t")
+        .where(col("d1") < col("d2") &&
+          lit(1000L) * least(col("n1"), col("n2")) >=
+            lit(950L) * greatest(col("n1"), col("n2")))
+        .select("d1", "d2", "n1", "n2").distinct()
+      cand.join(g.select(col("doc_id").as("d1"), col("t")), Seq("d1"))
+        .join(g.select(col("doc_id").as("d2"), col("t")),
+          Seq("d2", "t"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(count(lit(1)).as("n_int"))
+        .where(lit(1000L) * col("n_int") >=
+          lit(950L) * (col("n1") + col("n2") - col("n_int")))
+        .select(col("d1"), col("d2"), col("n_int"),
+          expr("(1000 * n_int) div (n1 + n2 - n_int)").as("jac_milli"))
+        .orderBy("d1", "d2")
+    }),
+
+    // PARETO FRONTIER (skyline) — per source, the docs no other doc of
+    // the same source dominates on (token count, distinct-token
+    // count): the "longest AND lexically richest" exemplar set a
+    // curation pass keeps when it can't threshold either axis alone.
+    // Dominance is the standard weak form (≥ in both, > in at least
+    // one). Shape: the naive formulation is an O(n²) anti-join; the
+    // sorted-sweep identity — a row is on the frontier iff its y beats
+    // every STRICTLY-larger-x row's y (a per-source cummax over a
+    // RANGE frame) and it tops its own x tie-block — turns the skyline
+    // into two source-partitioned windows over an integer sort key. No
+    // self-join, no cross-source traffic.
+    "qz49_pareto_docs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = docsWithToks(s, dir).select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"))
+      val wGx = Window.partitionBy("source").orderBy(col("n_toks").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy("source", "n_toks")
+      m.withColumn("best_gx", max("n_types").over(wGx))
+        .withColumn("best_eq", max("n_types").over(wEq))
+        .where(coalesce(col("best_gx") < col("n_types"), lit(true)) &&
+          col("n_types") === col("best_eq"))
+        .select(col("source"), col("doc_id"), col("n_toks"),
+          col("n_types"))
+        .orderBy("source", "n_toks", "doc_id")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -6611,6 +6716,105 @@ object ExtQueries {
         |  greatest(c.carry, c.carry + r.mx) AS day_peak
         |FROM r JOIN c USING (day)
         |ORDER BY day""".stripMargin,
+
+    // qz39's pair staging + the ClusterChainCte recursive-CC shape,
+    // rolled into a cluster-size histogram — ground truth for the
+    // DISTRIBUTED min-label loop the Spark side is forced onto
+    "qz48_cc_histogram" -> (ShingleCte +
+      s""",
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id),
+        |reach(node, label) AS (
+        |  SELECT d, d FROM (SELECT d1 AS d FROM p UNION SELECT d2 FROM p) t(d)
+        |  UNION
+        |  SELECT CASE WHEN r.node = p.d1 THEN p.d2 ELSE p.d1 END, r.label
+        |  FROM reach r JOIN p ON r.node = p.d1 OR r.node = p.d2),
+        |cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+        |sz AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM cc GROUP BY cluster)
+        |SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY n_members
+        |ORDER BY n_members""".stripMargin)
+      .replace("WITH tok AS", "WITH RECURSIVE tok AS"),
+
+    // rarest-first prefix index + exact-jaccard refine; no length
+    // filter here — it provably prunes only sub-τ pairs, so the
+    // refined result is identical with or without it
+    "qx81_prefix_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(toks)) AS t
+        |  FROM tok WHERE len(toks) >= 3),
+        |n AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY doc_id),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |       FROM g GROUP BY t),
+        |r AS (
+        |  SELECT g.doc_id, g.t, n.n,
+        |    row_number() OVER (PARTITION BY g.doc_id
+        |      ORDER BY df.df, g.t) AS rk
+        |  FROM g JOIN df USING (t) JOIN n USING (doc_id)),
+        |pre AS (
+        |  SELECT doc_id, t FROM r
+        |  WHERE rk <= n - ((950 * n + 999) // 1000) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id),
+        |ints AS (
+        |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS n_int
+        |  FROM cand c
+        |  JOIN g x ON x.doc_id = c.d1
+        |  JOIN g y ON y.doc_id = c.d2 AND y.t = x.t
+        |  GROUP BY c.d1, c.d2)
+        |SELECT i.d1, i.d2, i.n_int,
+        |  (1000 * i.n_int) // (n1.n + n2.n - i.n_int) AS jac_milli
+        |FROM ints i
+        |JOIN n n1 ON n1.doc_id = i.d1
+        |JOIN n n2 ON n2.doc_id = i.d2
+        |WHERE 1000 * i.n_int >= 950 * (n1.n + n2.n - i.n_int)
+        |ORDER BY d1, d2""".stripMargin,
+
+    // the sorted-sweep skyline: per-source cummax over the strictly-
+    // larger-x RANGE frame + the x tie-block max, same two windows
+    "qz49_pareto_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        |  FROM tok WHERE len(toks) >= 3),
+        |w AS (
+        |  SELECT *,
+        |    max(n_types) OVER (PARTITION BY source ORDER BY n_toks DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_gx,
+        |    max(n_types) OVER (PARTITION BY source, n_toks) AS best_eq
+        |  FROM m)
+        |SELECT source, doc_id, n_toks, n_types FROM w
+        |WHERE coalesce(best_gx < n_types, TRUE) AND n_types = best_eq
+        |ORDER BY source, n_toks, doc_id""".stripMargin,
 
     // five single-column legs UNION ALLed — min/max on the NATIVE type
     // (ts through epoch micros, value through floor-milli), then cast
