@@ -24,6 +24,10 @@ object CoreQueries {
   private val orcStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q53's staged two-generation parquet layout, keyed by dir
+  private val evoStage =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
@@ -563,6 +567,56 @@ object CoreQueries {
           max(unix_micros(col("ts"))).as("t1_us"))
         .orderBy("event_type")
     }),
+
+    // q53 — SCHEMA EVOLUTION through the parquet reader: a table whose
+    // early files were written by a v1 producer (no `value`, no
+    // `ingest_v`) and whose later files carry the evolved schema is
+    // the NORMAL state of a 100 TB landing zone — producers upgrade,
+    // history is never rewritten. Staged as two real parquet
+    // generations (event_id parity split), read back in ONE load with
+    // mergeSchema=true: v1 rows surface NULL for the columns they
+    // predate, and the aggregate prices exactly that (row counts vs
+    // evolved-row counts vs value mass). The oracle recomputes from
+    // the ORIGINAL table with the same parity rule, so any merge
+    // misalignment (column matched by position instead of name, type
+    // widened wrong) hash-fails.
+    "q53_schema_evolution" -> ((s, dir) => {
+      val (d1, d2) = Option(evoStage.get(dir)).getOrElse {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-evo").toString
+        val ev = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        // generation 1: the v1 producer — no value, no ingest_v
+        ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"))
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        // generation 2: the evolved producer — value + ingest_v
+        ev.where(col("event_id") % 2 === 1)
+          .withColumn("ingest_v", lit(2L))
+          .write.mode("overwrite").parquet(s"$base/gen2")
+        val entry = (s"$base/gen1", s"$base/gen2")
+        evoStage.putIfAbsent(dir, entry)
+        entry
+      }
+      s.read.option("mergeSchema", "true").parquet(d1, d2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("ingest_v")).as("n_evolved"),
+          sum(when(col("ingest_v").isNotNull,
+            floor(col("value") * 1000).cast("long")).otherwise(0L))
+            .as("v_milli"))
+        .orderBy("event_type")
+    }),
+
+    // qs21 — twenty-first streaming path: COMPLETE output mode (the
+    // third and last mode; every other qs row is Append) + streaming
+    // ORDER BY + LIMIT, which only Complete admits. The memory sink
+    // replaces its table each trigger, so the final state equals the
+    // batch aggregate — chunk timing decides only intermediate tables.
+    "qs21_complete_topk" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.completeTopkReplay(s, dir)),
 
     // qs18 — eighteenth streaming path: stream-stream LEFT SEMI
     // interval join ("which clicks converted", one row per click) —
@@ -1621,6 +1675,28 @@ object CoreQueries {
         |  CAST(epoch_us(max(ts)) AS BIGINT) AS t1_us
         |FROM events WHERE event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the merged read must surface NULL ingest_v/value for gen-1 rows
+    // and the originals for gen-2 — recomputed here from the source
+    // table with the same parity rule
+    "q53_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_evolved,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+        |    AS BIGINT) AS v_milli
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // Complete mode's final table = the whole-input aggregate; the
+    // (n desc, event_type) sort makes the LIMIT deterministic
+    "qs21_complete_topk" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
 
     // the semi join's emitted set must equal the batch EXISTS over the
     // same attribution window — a click appears ONCE however many

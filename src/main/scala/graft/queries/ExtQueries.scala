@@ -5629,6 +5629,39 @@ object ExtQueries {
         .select(col("source"), col("doc_id"), col("n_toks"),
           col("n_types"))
         .orderBy("source", "n_toks", "doc_id")
+    }),
+
+    // SCD2 (slowly-changing-dimension type 2) interval build — the
+    // warehouse primitive that turns an event log into a versioned
+    // dimension: per user, consecutive same-event_type runs collapse
+    // into one version row with [valid_from, valid_to) in epoch
+    // micros, valid_to = next version's valid_from − 1µs, NULL (and
+    // is_current = true) on the open tail. The q08 consecutive-dedupe
+    // discipline upgraded to full interval semantics — what a 100 TB
+    // MERGE-into-dimension job computes before writing. Shape: two
+    // user-partitioned window passes (run detection + the run-grain
+    // lead), one user-grain rollup between them; nothing leaves the
+    // user partition until the output sort.
+    "qz50_scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wVer = Window.partitionBy("user_id").orderBy("ver")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("chg", when(lag("event_type", 1).over(w).isNull ||
+          col("event_type") =!= lag("event_type", 1).over(w), 1L)
+          .otherwise(0L))
+        .withColumn("ver", sum("chg").over(wRun))
+        .groupBy("user_id", "ver")
+        .agg(min("event_type").as("event_type"),
+          min(unix_micros(col("ts"))).as("vf_us"))
+        .withColumn("vt_us", lead("vf_us", 1).over(wVer) - 1L)
+        .withColumn("is_current", col("vt_us").isNull)
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("vf_us"), col("vt_us"), col("is_current"))
+        .orderBy("user_id", "ver")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -6815,6 +6848,33 @@ object ExtQueries {
         |SELECT source, doc_id, n_toks, n_types FROM w
         |WHERE coalesce(best_gx < n_types, TRUE) AND n_types = best_eq
         |ORDER BY source, n_toks, doc_id""".stripMargin,
+
+    // run detection + run-grain lead, the same two window passes
+    "qz50_scd2_intervals" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR event_type <> lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS ver
+        |  FROM m),
+        |v AS (
+        |  SELECT user_id, ver, min(event_type) AS event_type,
+        |    CAST(min(us) AS BIGINT) AS vf_us
+        |  FROM r GROUP BY user_id, ver)
+        |SELECT user_id, ver, event_type, vf_us,
+        |  lead(vf_us) OVER (PARTITION BY user_id ORDER BY ver) - 1
+        |    AS vt_us,
+        |  lead(vf_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL
+        |    AS is_current
+        |FROM v ORDER BY user_id, ver""".stripMargin,
 
     // five single-column legs UNION ALLed — min/max on the NATIVE type
     // (ts through epoch micros, value through floor-milli), then cast

@@ -967,6 +967,65 @@ object StreamingReplay {
       .orderBy("day", "src")
   }
 
+  // staged input for the complete-mode replay, keyed by dir
+  private val completeStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay events(dir) through a COMPLETE-output-mode streaming
+    * top-k — the third and last output mode (qs1–qs20 are all Append;
+    * Update's per-trigger deltas are chunk-timing-dependent by
+    * construction, but Complete's FINAL table is not): the engine
+    * re-emits the whole aggregate every trigger and the memory sink
+    * REPLACES its table, so after the last micro-batch the sunk table
+    * is exactly the aggregation over the entire input — which also
+    * makes this the one lawful home of streaming ORDER BY + LIMIT
+    * (Append mode rejects sorts; Complete re-sorts the full state each
+    * trigger). No watermark and no sentinel: Complete mode keeps all
+    * state and never finalizes, so the replay needs neither. The
+    * (n desc, event_type) sort makes the LIMIT deterministic under
+    * ties. Declared as `qs21_complete_topk`; a plain batch
+    * GROUP BY + ORDER BY + LIMIT is the twin. */
+  def completeTopkReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(completeStageCache.get(dir)).getOrElse {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) // suite-wide contract: empty input → empty output
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, n BIGINT, v_milli BIGINT"))
+      val k = math.max(ev.length / 3, 1)
+      val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+        ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+      val d = writeChunks(spark, chunks, "qs21-replay")
+      completeStageCache.putIfAbsent(dir, d)
+      d
+    }
+
+    val table = s"qs21_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(3)
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.orderBy(col("n").desc, col("event_type"))
+  }
+
   // staged input for the sliding-window replay, keyed by dir
   private val slidingStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,
