@@ -278,6 +278,16 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** The fitted quantizer's centroid table as a k-row (cell, c_emb)
+    * DataFrame — the k×dim-bounded frame index-MAINTENANCE operators
+    * (qe30's cell-merge plan) join against; same fit cache as
+    * [[cellAssignments]], so consumers sharing a cacheKey reconcile by
+    * construction. */
+  def centroidTable(corpus: DataFrame, nlist: Int = 16,
+                    trainIters: Int = 5,
+                    cacheKey: Option[String] = None): DataFrame =
+    centroidFrame(corpus, centroidsFor(corpus, nlist, trainIters, cacheKey))
+
   /** [[cellAssignments]] plus the runner-up: per vector, the argmax
     * cell with its cosine AND the best cosine among the OTHER
     * centroids — exactly what centroid-silhouette validity needs

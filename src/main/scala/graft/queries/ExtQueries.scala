@@ -5631,6 +5631,100 @@ object ExtQueries {
         .orderBy("source", "n_toks", "doc_id")
     }),
 
+    // IVF CELL-MERGE PLAN — the index-MAINTENANCE operator the qe
+    // family's audits feed into: qe19 gauges occupancy and qe29 scores
+    // boundaries, but nothing yet DECIDES anything. This emits the
+    // plan an index rebuild executes: every cell under 1/64 of the
+    // corpus (1/4 of the uniform share at nlist=16, by exact integer
+    // cross-multiplication) merges into its nearest-centroid neighbor
+    // (argmax cosine over the k×k centroid pairs, ties to the smaller
+    // cell). Empty cells never appear in the assignment rollup, so the
+    // plan starts from the FULL centroid table and left-joins counts —
+    // an empty cell is the premier merge candidate, not a missing row.
+    // Scale: one corpus-grain assignment pass (broadcast centroids);
+    // everything else is k- or k²-bounded.
+    "qe30_cell_merge_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val key = Some(s"$dir|nlist=16|iters=5")
+      val cents = Similarity.centroidTable(emb, nlist = 16,
+        cacheKey = key)
+      val counts = Similarity.cellAssignments(emb, nlist = 16,
+        cacheKey = key)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val w = Window.partitionBy("cell")
+        .orderBy(desc("ccos"), col("tgt"))
+      val best = cents
+        .crossJoin(broadcast(cents.select(col("cell").as("tgt"),
+          col("c_emb").as("t_emb"))))
+        .where(col("cell") =!= col("tgt"))
+        .withColumn("ccos", Similarity.cosine(col("c_emb"),
+          col("t_emb")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("cell"), col("tgt"),
+          floor(col("ccos") * 1e6).cast("long").as("cm"))
+      best.join(counts, Seq("cell"), "left")
+        .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("nt"))))
+        .withColumn("do_merge", col("n_vecs") * lit(64L) < col("nt"))
+        .select(col("cell"), col("n_vecs"),
+          when(col("do_merge"), col("tgt")).otherwise(lit(-1L))
+            .as("merge_into"),
+          when(col("do_merge"), col("cm")).as("cos_micro"),
+          col("do_merge"))
+        .orderBy("cell")
+    }),
+
+    // CROSS-CHANNEL CORRELATION over the qm8/qm10 de-interleaved
+    // channels — the stereo-coherence gauge: near-±1 says the channels
+    // are copies (a mono asset stored as stereo — storage to reclaim),
+    // near-0 says independent content. Pearson r per (asset, channel
+    // pair), fully cross-multiplied to exact BIGINTs (n·Σxy − Σx·Σy
+    // and the two variance terms), then ONE double division by the
+    // sqrt product — the qm10/qz40 float rule. Scale shape: frame
+    // slices + channel pairing in the scan projection (blob bytes
+    // never shuffle), a bounded ×3 pair explode, one (asset,
+    // pair)-keyed rollup.
+    "qm16_channel_corr" -> ((s, dir) => {
+      val pad = concat(col("bv"),
+        array_repeat(lit(0L), lit(16) - size(col("bv"))))
+      def samp(c: Int, p: Int) = element_at(col("p16"), p + c)
+      def pairStruct(a: Int, b: Int) = {
+        val t = Seq(5, 8, 11, 14).map(p => (samp(a, p), samp(b, p)))
+        struct(lit(s"c${a}c$b").as("pair"),
+          t.map(_._1).reduce(_ + _).as("sx"),
+          t.map(_._2).reduce(_ + _).as("sy"),
+          t.map(x => x._1 * x._2).reduce(_ + _).as("sxy"),
+          t.map(x => x._1 * x._1).reduce(_ + _).as("sxx"),
+          t.map(x => x._2 * x._2).reduce(_ + _).as("syy"))
+      }
+      frameByteVectors(s, dir)
+        .select(col("doc_id"), pad.as("p16"))
+        .select(col("doc_id"), explode(array(
+          pairStruct(0, 1), pairStruct(0, 2), pairStruct(1, 2)))
+          .as("q"))
+        .groupBy(col("doc_id"), col("q.pair").as("pair"))
+        .agg((count(lit(1)) * 4L).as("n_samples"),
+          sum(col("q.sx")).as("sx"), sum(col("q.sy")).as("sy"),
+          sum(col("q.sxy")).as("sxy"), sum(col("q.sxx")).as("sxx"),
+          sum(col("q.syy")).as("syy"))
+        .withColumn("num",
+          col("n_samples") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("d1",
+          col("n_samples") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("d2",
+          col("n_samples") * col("syy") - col("sy") * col("sy"))
+        .select(col("doc_id"), col("pair"), col("n_samples"),
+          col("num"),
+          when(col("d1") > 0L && col("d2") > 0L,
+            col("num").cast("double") /
+              (sqrt(col("d1").cast("double")) *
+                sqrt(col("d2").cast("double"))))
+            .otherwise(lit(0.0)).as("corr"))
+        .orderBy("doc_id", "pair")
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) interval build — the
     // warehouse primitive that turns an event log into a versioned
     // dimension: per user, consecutive same-event_type runs collapse
@@ -6093,6 +6187,46 @@ object ExtQueries {
        |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS frac,
        |  CAST(n * (n - 1) // 2 AS BIGINT) AS work_pairs
        |FROM g CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB twin of the cell-merge plan (qe30): same fitted centroid
+    * literals, the same assignment QUALIFY, the k×k argmax-cosine
+    * neighbor, and the exact 64·n < nt cross-multiplied threshold. */
+  private def qe30Sql(cents: Seq[Seq[Float]]): String = {
+    def flit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(flit).mkString(",")}])"
+    }.mkString(",\n")
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |a AS (
+       |  SELECT e.vec_id, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell)
+       |    <= 1),
+       |g AS (
+       |  SELECT CAST(cell AS BIGINT) AS cell,
+       |         CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM a GROUP BY cell),
+       |best AS (
+       |  SELECT CAST(x.cell AS BIGINT) AS cell,
+       |    CAST(y.cell AS BIGINT) AS tgt,
+       |    CAST(floor(${cosSql("x.c_emb", "y.c_emb")} * 1000000.0)
+       |      AS BIGINT) AS cm
+       |  FROM cent x JOIN cent y ON x.cell <> y.cell
+       |  QUALIFY row_number() OVER (PARTITION BY x.cell
+       |    ORDER BY ${cosSql("x.c_emb", "y.c_emb")} DESC, y.cell) = 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM embeddings)
+       |SELECT b.cell, COALESCE(g.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+       |  CASE WHEN COALESCE(g.n_vecs, 0) * 64 < nt THEN b.tgt
+       |       ELSE CAST(-1 AS BIGINT) END AS merge_into,
+       |  CASE WHEN COALESCE(g.n_vecs, 0) * 64 < nt THEN b.cm
+       |       END AS cos_micro,
+       |  COALESCE(g.n_vecs, 0) * 64 < nt AS do_merge
+       |FROM best b LEFT JOIN g USING (cell) CROSS JOIN tot
        |ORDER BY cell""".stripMargin
   }
 
@@ -6627,6 +6761,7 @@ object ExtQueries {
         "qe17_nprobe_sweep" -> qe17Sql(c),
         "qe19_cell_balance" -> qe19Sql(c),
         "qe29_silhouette" -> qe29Sql(c),
+        "qe30_cell_merge_plan" -> qe30Sql(c),
         "qe28_knn_graph" -> qe28Sql(c),
         "qp7_embedding_pipeline" -> qp7Sql(c),
         "qx46_cluster_sample" -> qx46Sql(c, quota = 8)))
@@ -6848,6 +6983,56 @@ object ExtQueries {
         |SELECT source, doc_id, n_toks, n_types FROM w
         |WHERE coalesce(best_gx < n_types, TRUE) AND n_types = best_eq
         |ORDER BY source, n_toks, doc_id""".stripMargin,
+
+    // qm10's frame/channel staging; Pearson pieces as exact BIGINT
+    // cross-multiplications, one double division by the sqrt product
+    "qm16_channel_corr" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, 16),
+        |      j -> CASE WHEN length(fh) >= (CAST(j AS INT) + 1) * 2
+        |        THEN CAST((strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |               substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM g),
+        |y AS (
+        |  SELECT doc_id, 'c0c1' AS pair,
+        |    b[5] AS x1, b[8] AS x2, b[11] AS x3, b[14] AS x4,
+        |    b[6] AS y1, b[9] AS y2, b[12] AS y3, b[15] AS y4 FROM h
+        |  UNION ALL
+        |  SELECT doc_id, 'c0c2',
+        |    b[5], b[8], b[11], b[14], b[7], b[10], b[13], b[16] FROM h
+        |  UNION ALL
+        |  SELECT doc_id, 'c1c2',
+        |    b[6], b[9], b[12], b[15], b[7], b[10], b[13], b[16] FROM h),
+        |z AS (
+        |  SELECT doc_id, pair,
+        |    CAST(4 * count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(x1+x2+x3+x4) AS BIGINT) AS sx,
+        |    CAST(sum(y1+y2+y3+y4) AS BIGINT) AS sy,
+        |    CAST(sum(x1*y1 + x2*y2 + x3*y3 + x4*y4) AS BIGINT) AS sxy,
+        |    CAST(sum(x1*x1 + x2*x2 + x3*x3 + x4*x4) AS BIGINT) AS sxx,
+        |    CAST(sum(y1*y1 + y2*y2 + y3*y3 + y4*y4) AS BIGINT) AS syy
+        |  FROM y GROUP BY doc_id, pair)
+        |SELECT doc_id, pair, n_samples,
+        |  n_samples * sxy - sx * sy AS num,
+        |  CASE WHEN n_samples * sxx - sx * sx > 0
+        |        AND n_samples * syy - sy * sy > 0
+        |    THEN CAST(n_samples * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_samples * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_samples * syy - sy * sy AS DOUBLE)))
+        |    ELSE 0.0E0 END AS corr
+        |FROM z ORDER BY doc_id, pair""".stripMargin,
 
     // run detection + run-grain lead, the same two window passes
     "qz50_scd2_intervals" ->
