@@ -79,6 +79,11 @@ object Materialize {
     * executor loss — acceptable for scratch frames inside one query,
     * wrong for state that must survive a superstep boundary, which is
     * why eager cuts always checkpoint). */
+  /** `serialized` applies ONLY to localCheckpoint cuts (no checkpoint
+    * dir configured — the test/bench/single-JVM posture): it swaps the
+    * block storage to MEMORY_AND_DISK_SER. With a checkpoint dir set,
+    * reliable-checkpoint reads come from the checkpoint files, so the
+    * flag has nothing to change (see the inline note below). */
   def cut(df: DataFrame, eager: Boolean = false,
           checkpoint: Boolean = false,
           serialized: Boolean = false): DataFrame = {
@@ -88,13 +93,18 @@ object Materialize {
       persistedCuts.add(out)
       out
     } else {
-      // `serialized` (checkpoint-path cuts only): store the blocks as
+      // `serialized` (LOCAL-checkpoint cuts only): store the blocks as
       // serialized partition batches instead of per-row UnsafeRow
       // objects — for a WIDE fact consumed a handful of times (the
       // Models gram facts), object-per-row storage is the single-JVM
       // memory hog (header + array-wrapper per row), while SER batches
       // cost one deserialize per read. This is what let qx36's 100×
-      // probe fit the default 8 GB harness heap.
+      // probe fit the default 8 GB harness heap. When a checkpoint dir
+      // IS configured the flag is moot, not ignored-by-accident: a
+      // reliable checkpoint's reads come from the checkpoint FILES
+      // (already-serialized on durable storage), not block-manager
+      // row objects, so there is no in-memory object-per-row copy for
+      // SER to shrink.
       val out =
         if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
         else if (serialized) df.localCheckpoint(eager,

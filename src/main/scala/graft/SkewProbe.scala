@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *   aqe-split  AQE skew-join split enabled (thresholds production-
   *              realistic relative to the fixture: 16 MB)
   *   no-split   AQE on, skew split disabled — the straggler baseline
-  *   salted     the explicit Skew.saltedJoin path (8 salts)
+  *   salted     the explicit Skew.saltedJoin path (32 salts)
   *
   * Prints wall seconds and the MAX single-task duration of the join
   * stage (the straggler signal the split exists to remove). */

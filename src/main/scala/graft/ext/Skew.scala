@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   *     actually ENGAGES on a planted hot-key fixture (the plan's final
   *     AQEShuffleRead reports skewed sub-partitions).
   *
-  *  2. **Explicit salting** (this helper): works for every join type and
-  *     engine version, and composes with aggregations the optimizer
+  *  2. **Explicit salting** (this helper): works for every FACT-PRESERVING
+  *     join type (inner / left_outer / left_semi / left_anti — enforced
+  *     by a require below; the dim side is replicated × s, so dim-
+  *     preserving outer types would emit each unmatched dim row s times)
+  *     and engine version, and composes with aggregations the optimizer
   *     can't split. This is not hypothetical — OptimizeSkewedJoin
   *     pattern-matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)), so
   *     a dim produced by an aggregate (Sort → HashAggregate → shuffle)
@@ -39,12 +42,22 @@ object Skew {
 
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side spread over
     * `salts` sub-keys. `uniqueCol` must be a fact column that varies
-    * within a key group (a row id) — it seeds the salt. Result equals
-    * the unsalted join row-for-row (Round10Spec + the qz26 oracle). */
+    * within a key group (a row id) — it seeds the salt. For the allowed
+    * fact-preserving join types the result equals the unsalted join
+    * row-for-row (Round10Spec + the qz26 oracle); right/full outer are
+    * rejected because the exploded dim would emit each unmatched dim
+    * row `salts` times with null fact columns. */
+  private val factPreserving =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  uniqueCol: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(factPreserving(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin requires a fact-preserving join type " +
+      s"(inner/left_outer/left_semi/left_anti), got '$joinType' — " +
+      s"the exploded dim side would duplicate unmatched dim rows")
     val f = fact.withColumn("__salt",
       pmod(xxhash64(col(uniqueCol)), lit(salts.toLong)))
     val d = dim.withColumn("__salt",

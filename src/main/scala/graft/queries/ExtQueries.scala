@@ -5568,7 +5568,7 @@ object ExtQueries {
     // index — no hot-key cap needed, unlike the band join. The length
     // filter (1000·min ≥ 950·max, else J < τ provably) prunes
     // candidates Spark-side only — a no-op on the RESULT, so the twin
-    // skips it. Integer contract: ceil via (600n+999) div 1000, the
+    // skips it. Integer contract: ceil via (950n+999) div 1000, the
     // τ test as exact cross-multiplication, jac reported in milli.
     "qx81_prefix_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
