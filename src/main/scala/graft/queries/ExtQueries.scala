@@ -5756,6 +5756,135 @@ object ExtQueries {
         .select(col("user_id"), col("ver"), col("event_type"),
           col("vf_us"), col("vt_us"), col("is_current"))
         .orderBy("user_id", "ver")
+    }),
+
+    // THEIL-SEN robust trend — the slope estimate qz35/qz44's least-
+    // squares-flavored backtests can't give when the daily series
+    // carries outlier days (a crawler burst bends an OLS line; the
+    // median of pairwise slopes shrugs it off; 29% breakdown point).
+    // Exact-integer contract: slopes in milli-events/day via the
+    // OFFSET trick — Spark's `div` truncates toward zero while
+    // DuckDB's `//` floors, so every integer division in this repo
+    // keeps its operands positive; adding OFF per day-gap unit before
+    // the division and subtracting OFF after computes floor() in both
+    // engines for any sign ((a + n·OFF) div n − OFF = floor(a/n) when
+    // the shifted numerator is positive). Lower median (the (n+1)/2-th
+    // order statistic) — no averaging, stays integer. Scale shape: the
+    // pairwise join and both medians live at DAY grain — calendar-
+    // bounded (10 years → 6.6M pairs), corpus-INDEPENDENT, so the
+    // one-task sorts are fixed-size at any corpus scale; the only
+    // corpus-grain pass is the day rollup (map-side partial).
+    "qz51_theil_sen" -> ((s, dir) => {
+      val OFF = 1000000000000000L // 1e15: |1000·Δx| < OFF·Δday for any real daily series
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val slopes = daily.as("a")
+        .join(daily.as("b"), col("b.day") > col("a.day"))
+        .select(expr(s"(1000 * (`b`.x - `a`.x) + ${OFF}L * (`b`.day - `a`.day)) " +
+          s"div (`b`.day - `a`.day) - ${OFF}L").as("sl"))
+      val med = slopes.agg(
+          sort_array(collect_list(col("sl"))).as("l"))
+        .select(element_at(col("l"),
+            ((size(col("l")) + 1) / 2).cast("int")).as("slope_milli"),
+          size(col("l")).cast("long").as("n_pairs"))
+      daily.crossJoin(broadcast(med))
+        .select(col("slope_milli"), col("n_pairs"),
+          (lit(1000L) * col("x") - col("slope_milli") * col("day"))
+            .as("ic"))
+        .groupBy("slope_milli", "n_pairs")
+        .agg(count(lit(1)).as("n_days"),
+          sort_array(collect_list(col("ic"))).as("li"))
+        .select(col("n_days"), col("n_pairs"), col("slope_milli"),
+          element_at(col("li"),
+            ((size(col("li")) + 1) / 2).cast("int"))
+            .as("intercept_milli"))
+        .orderBy("n_days")
+    }),
+
+    // STL-LITE seasonal decomposition — the additive split qz38's
+    // anomaly gate implies but never materializes: daily volume =
+    // trend (7-day CENTERED mean — a RANGE frame on the integer day
+    // key, so a missing calendar day shrinks the window and the
+    // incomplete-window rows surface NULL trend instead of a biased
+    // one) + day-of-week seasonal (mean of the detrended series per
+    // dow — the OFFSET trick again, detrended values go negative) +
+    // remainder. Every division is an exact positive-operand integer
+    // div; milli units throughout. Scale shape: one corpus-grain day
+    // rollup, then three calendar-bounded day-grain windows.
+    "qz52_stl_decompose" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val OFF = 1000000000000000L
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val wT = Window.orderBy("day").rangeBetween(-3L, 3L)
+      val t = daily
+        .withColumn("trend_milli",
+          when(count(lit(1)).over(wT) === 7L,
+            expr("(1000 * sum(x) OVER (ORDER BY day RANGE BETWEEN 3 " +
+              "PRECEDING AND 3 FOLLOWING)) div 7")))
+        .withColumn("detr", lit(1000L) * col("x") - col("trend_milli"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+      val seas = t.where(col("detr").isNotNull)
+        .groupBy("dow")
+        .agg(expr(s"(sum(detr) + count(1) * ${OFF}L) div count(1) - ${OFF}L")
+          .as("seas_milli"))
+      t.join(broadcast(seas), Seq("dow"), "left")
+        .select(col("day"), col("x").as("n_events"), col("trend_milli"),
+          col("seas_milli"),
+          (col("detr") - col("seas_milli")).as("resid_milli"))
+        .orderBy("day")
+    }),
+
+    // NELSON-AALEN cumulative hazard — survival analysis for user
+    // churn with RIGHT CENSORING done honestly: a user still active
+    // near the corpus horizon hasn't churned, they're censored, and
+    // dropping them (what a naive "avg lifetime" rollup does) biases
+    // lifetime DOWN. Lifetime = days between a user's first and last
+    // event; churn is observed iff the last event is ≥ 1 full day
+    // before the horizon (the fixture is a high-frequency stream —
+    // a silent day is churn; the threshold is a literal shared with
+    // the twin). The NA estimator H(t) = Σ_{s≤t} d_s/n_s is a SUM of
+    // per-day hazards — unlike Kaplan-Meier's product it stays exact
+    // in integer micro units (each term floored independently, then
+    // summed — deterministic in both engines). n_s (the risk set)
+    // comes from a day-grain cumulative, not a per-user join. Scale
+    // shape: one user-grain rollup (corpus-linear, partial-agg), one
+    // one-row horizon broadcast, then day-grain windows — calendar-
+    // bounded at any corpus scale.
+    "qz53_nelson_aalen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val DAY = 86400000000L
+      val life = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("fu"),
+          max(unix_micros(col("ts"))).as("lu"))
+      val hor = broadcast(life.agg(max("lu").as("hz")))
+      val byT = life.crossJoin(hor)
+        .select(expr(s"(lu - fu) div ${DAY}L").as("t_days"),
+          (col("hz") - col("lu") >= lit(DAY)).as("ev"))
+        .groupBy("t_days")
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("ev"), 1L).otherwise(0L)).as("d"))
+      val wB = Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wC = Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT
+        .crossJoin(broadcast(byT.agg(sum("m").as("nt"))))
+        .withColumn("n_at_risk",
+          col("nt") - coalesce(sum("m").over(wB), lit(0L)))
+        .where(col("d") > 0L)
+        .withColumn("hazard_micro",
+          expr("(1000000 * d) div n_at_risk"))
+        .select(col("t_days"), col("n_at_risk"), col("d").as("n_events"),
+          (col("m") - col("d")).as("n_censored_same_day"),
+          col("hazard_micro"),
+          sum("hazard_micro").over(wC).as("cumhaz_micro"))
+        .orderBy("t_days")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -7060,6 +7189,98 @@ object ExtQueries {
         |  lead(vf_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL
         |    AS is_current
         |FROM v ORDER BY user_id, ver""".stripMargin,
+
+    // pairwise day-grain slopes with the positive-operand OFFSET trick
+    // (DuckDB // floors, Spark div truncates; shifted operands agree),
+    // lower medians via sorted-list indexing
+    "qz51_theil_sen" ->
+      """WITH d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS x
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day FROM events)
+        |  GROUP BY day),
+        |p AS (
+        |  SELECT (1000 * (b.x - a.x)
+        |      + 1000000000000000 * (b.day - a.day))
+        |      // (b.day - a.day) - 1000000000000000 AS sl
+        |  FROM d a JOIN d b ON b.day > a.day),
+        |m AS (
+        |  SELECT l[CAST((len(l) + 1) // 2 AS INT)] AS slope_milli,
+        |    CAST(len(l) AS BIGINT) AS n_pairs
+        |  FROM (SELECT list(sl ORDER BY sl) AS l FROM p)),
+        |ic AS (
+        |  SELECT slope_milli, n_pairs,
+        |    list(1000 * x - slope_milli * day
+        |      ORDER BY 1000 * x - slope_milli * day) AS li,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM d CROSS JOIN m GROUP BY slope_milli, n_pairs)
+        |SELECT n_days, n_pairs, slope_milli,
+        |  li[CAST((len(li) + 1) // 2 AS INT)] AS intercept_milli
+        |FROM ic ORDER BY n_days""".stripMargin,
+
+    // RANGE-framed 7-day centered trend (incomplete windows NULL),
+    // dow seasonal means over the detrended series with the OFFSET
+    // trick, additive remainder
+    "qz52_stl_decompose" ->
+      """WITH d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS x
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day FROM events)
+        |  GROUP BY day),
+        |t AS (
+        |  SELECT day, x, day % 7 AS dow,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN (1000 * sum(x) OVER w) // 7 END AS trend_milli
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT day, x, dow, trend_milli,
+        |    1000 * x - trend_milli AS detr
+        |  FROM t),
+        |s AS (
+        |  SELECT dow,
+        |    CAST((sum(detr) + count(*) * 1000000000000000)
+        |      // count(*) - 1000000000000000 AS BIGINT) AS seas_milli
+        |  FROM t2 WHERE detr IS NOT NULL GROUP BY dow)
+        |SELECT day, x AS n_events, trend_milli, seas_milli,
+        |  detr - seas_milli AS resid_milli
+        |FROM t2 LEFT JOIN s USING (dow)
+        |ORDER BY day""".stripMargin,
+
+    // user-grain lifetimes, 1-day right-censoring against the corpus
+    // horizon, day-grain risk-set cumulative, per-day floored hazard
+    // terms summed (the Nelson-Aalen sum stays exact where the
+    // Kaplan-Meier product wouldn't)
+    "qz53_nelson_aalen" ->
+      """WITH life AS (
+        |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS fu,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS lu
+        |  FROM events GROUP BY user_id),
+        |hz AS (SELECT max(lu) AS hz FROM life),
+        |byt AS (
+        |  SELECT (lu - fu) // 86400000000 AS t_days,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN hz - lu >= 86400000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM life CROSS JOIN hz GROUP BY 1),
+        |nt AS (SELECT CAST(sum(m) AS BIGINT) AS nt FROM byt),
+        |r AS (
+        |  SELECT t_days, m, d,
+        |    nt - COALESCE(CAST(sum(m) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_at_risk
+        |  FROM byt CROSS JOIN nt),
+        |h AS (
+        |  SELECT t_days, n_at_risk, d AS n_events,
+        |    m - d AS n_censored_same_day,
+        |    (1000000 * d) // n_at_risk AS hazard_micro
+        |  FROM r WHERE d > 0)
+        |SELECT t_days, n_at_risk, n_events, n_censored_same_day,
+        |  hazard_micro,
+        |  CAST(sum(hazard_micro) OVER (ORDER BY t_days
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_micro
+        |FROM h ORDER BY t_days""".stripMargin,
 
     // five single-column legs UNION ALLed — min/max on the NATIVE type
     // (ts through epoch micros, value through floor-milli), then cast

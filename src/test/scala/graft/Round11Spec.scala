@@ -30,4 +30,91 @@ class Round11Spec extends SparkTestBase {
       assert(e.getMessage.contains("fact-preserving"))
     }
   }
+
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11ev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val DayUs = 86_400_000_000L
+
+  test("qz51 theil-sen: one outlier day bends OLS but not the pairwise-" +
+    "slope median; hand-computed slope, intercept, pair count") {
+    // days D..D+4 with counts 10,12,14,16,100 — the steady +2/day trend
+    // with a crawler-burst final day. 10 pairwise slopes sorted:
+    // six 2000-milli terms then 22500/29333/43000/84000; lower median
+    // (5th of 10) = 2000. Intercepts 1000x - 2000*day: four equal
+    // values 10000-2000D and one outlier; lower median (3rd of 5).
+    val t0 = 19_700L * DayUs
+    var id = 0L
+    val rows = Seq(10, 12, 14, 16, 100).zipWithIndex.flatMap {
+      case (n, d) => (1 to n).map { i => id += 1
+        (id, t0 + d * DayUs + i * 1_000_000L, id % 5, "view", 0.0) }
+    }
+    val r = queries.ExtQueries.queries("qz51_theil_sen")(
+      spark, plantEvents(rows)).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 5L, s"n_days: ${r(0)}")    // n_days
+    assert(r(0).getLong(1) == 10L, s"n_pairs: ${r(0)}")  // n_pairs
+    assert(r(0).getLong(2) == 2000L, s"slope: ${r(0)}")  // slope_milli
+    assert(r(0).getLong(3) == 10_000L - 2000L * 19_700L,
+      s"intercept: ${r(0)}")
+  }
+
+  test("qz52 stl: a pure dow-0 bump decomposes into flat trend, the " +
+    "exact dow seasonal, and zero remainder on all full-window rows") {
+    // 21 days, x = 107 on dow 0 (absolute day % 7) else 100. Every
+    // complete 7-day window holds exactly one dow-0 day, so
+    // trend = (6*100+107)*1000/7 = 101000 milli everywhere it exists;
+    // detrended = +6000 on dow 0, -1000 elsewhere; seasonal = the same
+    // by dow; remainder = 0. First and last 3 days: NULL trend/resid.
+    val d0 = 19_700L
+    var id = 0L
+    val rows = (0 until 21).flatMap { d =>
+      val n = if ((d0 + d) % 7 == 0) 107 else 100
+      (1 to n).map { i => id += 1
+        (id, (d0 + d) * DayUs + i * 1_000_000L, id % 3, "view", 0.0) }
+    }
+    val out = queries.ExtQueries.queries("qz52_stl_decompose")(
+      spark, plantEvents(rows)).collect()
+    assert(out.length == 21)
+    out.foreach { r =>
+      val day = r.getLong(0)
+      val edge = day < d0 + 3 || day > d0 + 17
+      if (edge) {
+        assert(r.isNullAt(2) && r.isNullAt(4), s"edge row: $r")
+      } else {
+        assert(r.getLong(2) == 101_000L, s"trend: $r")
+        assert(r.getLong(4) == 0L, s"resid: $r")
+      }
+      assert(r.getLong(3) == (if (day % 7 == 0) 6000L else -1000L),
+        s"seas: $r")
+    }
+  }
+
+  test("qz53 nelson-aalen: censoring removes the still-active user from " +
+    "the churn count but keeps them in the risk set") {
+    // u1 lives days 0->2 (churned: silent 8 days before horizon),
+    // u3 lives day 0 only (churned), u2 active through day 10 (the
+    // horizon; censored). Risk sets: T=0 -> 3, T=2 -> 2; hazards
+    // 1/3 and 1/2 in floored micro; T=10 has d=0 and is filtered.
+    val t0 = 19_700L * DayUs
+    val rows = Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0 + 2 * DayUs, 1L, "view", 0.0),
+      (3L, t0, 3L, "view", 0.0)) ++
+      (0 to 10).map(d => (10L + d, t0 + d * DayUs, 2L, "view", 0.0))
+    val out = queries.ExtQueries.queries("qz53_nelson_aalen")(
+      spark, plantEvents(rows)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      (0L, 3L, 1L, 0L, 333_333L, 333_333L),
+      (2L, 2L, 1L, 0L, 500_000L, 833_333L)), out.mkString("; "))
+  }
 }
