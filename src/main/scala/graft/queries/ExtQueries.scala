@@ -28,6 +28,23 @@ object ExtQueries {
     s"${CosSql.format(a, b)} / (sqrt(${CosSql.format(a, a)}) * " +
       s"sqrt(${CosSql.format(b, b)}))"
 
+  /** qz54's H statistic and tie correction — ONE formula string run by
+    * both engines over identically-named exact-BIGINT columns (sd = Σ
+    * floored-micro R²/n terms, n = total observations, ties = Σ t³−t),
+    * so the final doubles share the IEEE operation sequence. */
+  private val kwHExpr =
+    "(3.0 * CAST(sd AS DOUBLE) / 1.0E6) / CAST(n * (n + 1) AS DOUBLE)" +
+      " - 3.0 * CAST(n + 1 AS DOUBLE)"
+  private val kwCExpr =
+    "1.0 - CAST(ties AS DOUBLE) / CAST(n * n * n - n AS DOUBLE)"
+
+  /** Exact Poisson(1) CDF in ppm — floor(1e6 · P(X ≤ k)) for k = 0..9;
+    * a uniform u ∈ [0, 1e6) maps to weight w = #{thresholds ≤ u}, the
+    * inverse-CDF draw qz55's bootstrap replicates share with their
+    * DuckDB twin (weights ≥ 10 are truncated; P ≈ 1e-7). */
+  private val poissonPpm = Seq(367879L, 735758L, 919698L, 981011L,
+    996340L, 999405L, 999916L, 999989L, 999998L, 999999L)
+
   /** qe27's OWN fitted-codebook cache — the PQ-transfer fit trains on
     * the in-sample HALF of the corpus, so it must not share
     * [[graft.ext.Similarity]]'s pqCache/lastPqKey (that would clobber
@@ -5885,6 +5902,89 @@ object ExtQueries {
           col("hazard_micro"),
           sum("hazard_micro").over(wC).as("cumhaz_micro"))
         .orderBy("t_days")
+    }),
+
+    // KRUSKAL-WALLIS rank test — the k-group extension of qz45's
+    // Mann-Whitney (nonparametric ANOVA): does day-of-week shift the
+    // DISTRIBUTION of daily volume, not just its mean (qz24's t-gate
+    // assumes normality; daily counts are skewed)? Doubled average
+    // ranks keep tie blocks integer (the qz45 idiom); the per-group
+    // R²/n term is floored to exact MICRO units via the split
+    // (a div n)·1e6 + ((a mod n)·1e6) div n — no 1e6·a overflow, every
+    // operand positive; Σ(t³−t) tie mass exact; the two H doubles come
+    // from ONE shared formula string ([[kwHExpr]]/[[kwCExpr]]) so both
+    // engines run the identical IEEE operation sequence. Scale shape:
+    // one corpus-grain day rollup, then distinct-value- and group-
+    // grain frames — all calendar-bounded.
+    "qz54_kruskal_wallis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+      val vb = daily.groupBy("x").agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dr = vb
+        .withColumn("cb", coalesce(sum("c").over(wv), lit(0L)))
+        .select(col("x"),
+          (lit(2L) * col("cb") + col("c") + lit(1L)).as("dr"))
+      val g = daily.join(dr, "x")
+        .groupBy("dow").agg(count(lit(1)).as("ni"), sum("dr").as("r2"))
+        .select(col("ni"), expr("((r2 * r2) div ni) * 1000000 + " +
+          "(((r2 * r2) % ni) * 1000000) div ni").as("tm"))
+      g.agg(sum("ni").as("n"), count(lit(1)).as("k"),
+          sum("tm").as("sd"))
+        .crossJoin(broadcast(
+          vb.agg(sum(expr("c*c*c - c")).as("ties"))))
+        .select(col("n").as("n_days"), col("k").as("n_groups"),
+          col("sd").as("sum_d_micro"), col("ties").as("ties_cube"),
+          expr(kwHExpr).as("h"),
+          expr(s"CASE WHEN n > 1 AND ($kwCExpr) > 0.0 " +
+            s"THEN ($kwHExpr) / ($kwCExpr) ELSE 0.0 END")
+            .as("h_corrected"))
+        .orderBy("n_days")
+    }),
+
+    // POISSON BOOTSTRAP confidence interval — the resampling method
+    // that actually runs at 100 TB: classic bootstrap draws n rows WITH
+    // replacement per replicate (a global sampling pass per replicate);
+    // the Poisson(1) approximation gives every (row, replicate) an
+    // independent weight, so all 64 replicates ride ONE corpus pass
+    // and partial aggregation collapses the ×64 explode to 64 rows per
+    // partition before the shuffle. Weights are deterministic md5
+    // coins (u = md5₆₀(doc:b) mod 1e6) cut against the exact
+    // Poisson(1) CDF in ppm ([[poissonPpm]] — floor(1e6·P(X≤k)),
+    // Scala-printed into both engines). Replicate means in floored
+    // milli; the 95% band is order statistics 2 and 63 of the 64
+    // sorted replicate means (lower/upper 2.5% without interpolation).
+    "qz55_poisson_bootstrap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+      val rep = docs
+        .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+        .withColumn("u",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("b").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % lit(1000000L))
+        .withColumn("w", poissonPpm
+          .map(t => when(col("u") >= t, 1L).otherwise(0L))
+          .reduce(_ + _))
+        .groupBy("b")
+        .agg(sum(col("w") * col("n_chars")).as("swx"),
+          sum("w").as("sw"))
+        .where(col("sw") > 0L)
+        .select(expr("(1000 * swx) div sw").as("mb"))
+      val pt = broadcast(docs.agg(count(lit(1)).as("n_docs"),
+        expr("(1000 * sum(n_chars)) div count(1)").as("mean_milli")))
+      rep.agg(sort_array(collect_list(col("mb"))).as("l"))
+        .crossJoin(pt)
+        .select(col("n_docs"), col("mean_milli"),
+          size(col("l")).cast("long").as("n_replicates"),
+          element_at(col("l"), 2).as("boot_lo_milli"),
+          element_at(col("l"), 63).as("boot_hi_milli"))
+        .orderBy("n_docs")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -7281,6 +7381,78 @@ object ExtQueries {
         |  CAST(sum(hazard_micro) OVER (ORDER BY t_days
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_micro
         |FROM h ORDER BY t_days""".stripMargin,
+
+    // distinct-value-grain doubled ranks (the qz45 idiom) at day
+    // grain, per-group floored-micro R²/n via the overflow-free split,
+    // the shared kwHExpr/kwCExpr double formulas
+    "qz54_kruskal_wallis" ->
+      s"""WITH d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS x, day % 7 AS dow
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day FROM events)
+        |  GROUP BY day),
+        |vb AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x),
+        |dr AS (
+        |  SELECT x, 2 * COALESCE(CAST(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + c + 1 AS dr
+        |  FROM vb),
+        |g AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(dr) AS BIGINT) AS r2
+        |  FROM d JOIN dr USING (x) GROUP BY dow),
+        |t AS (
+        |  SELECT ni, ((r2 * r2) // ni) * 1000000
+        |    + (((r2 * r2) % ni) * 1000000) // ni AS tm
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(tm) AS BIGINT) AS sd
+        |  FROM t),
+        |ti AS (SELECT CAST(sum(c*c*c - c) AS BIGINT) AS ties FROM vb)
+        |SELECT n AS n_days, k AS n_groups, sd AS sum_d_micro,
+        |  ties AS ties_cube,
+        |  $kwHExpr AS h,
+        |  CASE WHEN n > 1 AND ($kwCExpr) > 0.0
+        |    THEN ($kwHExpr) / ($kwCExpr) ELSE 0.0 END AS h_corrected
+        |FROM a CROSS JOIN ti ORDER BY n_days""".stripMargin,
+
+    // the same md5-ppm coins cut against the shared Poisson(1) CDF
+    // literals; replicate means in floored milli, order-statistic band
+    "qz55_poisson_bootstrap" -> {
+      val h60 = "list_reduce(list_transform(range(1, 16), " +
+        "j -> CAST(strpos('0123456789abcdef', " +
+        "substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(b AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT)), " +
+        "(x, y) -> x * 16 + y)"
+      val w = poissonPpm.map(t => s"CAST(u >= $t AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(unnest(range(0, 64)) AS BIGINT) AS b
+        |  FROM d),
+        |u AS (
+        |  SELECT b, n_chars, $h60 % 1000000 AS u
+        |  FROM r),
+        |w AS (SELECT b, n_chars, $w AS w FROM u),
+        |m AS (
+        |  SELECT b, (1000 * CAST(sum(w * n_chars) AS BIGINT))
+        |    // CAST(sum(w) AS BIGINT) AS mb
+        |  FROM w GROUP BY b HAVING CAST(sum(w) AS BIGINT) > 0),
+        |l AS (SELECT list(mb ORDER BY mb) AS l FROM m),
+        |pt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    (1000 * CAST(sum(n_chars) AS BIGINT)) // count(*)
+        |      AS mean_milli
+        |  FROM d)
+        |SELECT n_docs, mean_milli,
+        |  CAST(len(l) AS BIGINT) AS n_replicates,
+        |  l[2] AS boot_lo_milli, l[63] AS boot_hi_milli
+        |FROM pt CROSS JOIN l ORDER BY n_docs""".stripMargin
+    },
 
     // five single-column legs UNION ALLed — min/max on the NATIVE type
     // (ts through epoch micros, value through floor-milli), then cast

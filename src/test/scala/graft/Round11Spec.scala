@@ -117,4 +117,54 @@ class Round11Spec extends SparkTestBase {
       (0L, 3L, 1L, 0L, 333_333L, 333_333L),
       (2L, 2L, 1L, 0L, 500_000L, 833_333L)), out.mkString("; "))
   }
+
+  private def plantDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11doc").toString
+    rows.map { case (id, t, src) => (id, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("qz54 kruskal-wallis: two dow-0 spike days over two flat weeks " +
+    "give the hand-computed H = 4.8 and tie-corrected H = 13.0") {
+    // 14 days starting at a dow-0 boundary: dow 0 -> 50 events, else
+    // 10. Doubled ranks: v=10 (12 days) dr=13, v=50 (2 days) dr=27.
+    // R2: spike group 54, each flat group 26. sd = 1458e6 + 6*338e6.
+    // H = 3*3486/210 - 45 = 4.8; ties = 1716+6; C = 1 - 1722/2730;
+    // H/C = 13.0 exactly.
+    val d0 = 19_702L // 19702 % 7 == 0
+    var id = 0L
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d % 7 == 0) 50 else 10
+      (1 to n).map { i => id += 1
+        (id, (d0 + d) * DayUs + i * 1_000_000L, id % 5, "view", 0.0) }
+    }
+    val r = queries.ExtQueries.queries("qz54_kruskal_wallis")(
+      spark, plantEvents(rows)).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((14L, 7L, 3_486_000_000L, 1722L)), s"got $r")
+    val h = 3.0 * 3_486_000_000L.toDouble / 1.0e6 / 210.0 - 3.0 * 15.0
+    val c = 1.0 - 1722.0 / 2730.0
+    assert(r.getDouble(4) == h && r.getDouble(5) == h / c, s"got $r")
+    assert(math.abs(r.getDouble(5) - 13.0) < 1e-9)
+  }
+
+  test("qz55 bootstrap: a constant-length corpus collapses the band to " +
+    "the point estimate; a mixed corpus spreads it") {
+    val const = (1L to 60L).map(i => (i, "x" * 40, "s"))
+    val r1 = queries.ExtQueries.queries("qz55_poisson_bootstrap")(
+      spark, plantDocs(const)).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+      ((60L, 40_000L, 64L)), s"got $r1")
+    assert(r1.getLong(3) == 40_000L && r1.getLong(4) == 40_000L,
+      s"constant corpus must collapse: $r1")
+    val mixed = (1L to 60L).map(i =>
+      (i, "x" * (if (i % 2 == 0) 10 else 90).toInt, "s"))
+    val r2 = queries.ExtQueries.queries("qz55_poisson_bootstrap")(
+      spark, plantDocs(mixed)).collect()(0)
+    assert(r2.getLong(3) < r2.getLong(1) && r2.getLong(1) < r2.getLong(4),
+      s"mixed corpus band must straddle the point estimate: $r2")
+  }
 }
