@@ -151,6 +151,18 @@ object ExtQueries {
     * share the element type — as plain integer arithmetic. `div` is
     * the only dialect difference ("DIV" vs "//", both floor on the
     * non-negative state). */
+  /** qm18's zero-crossing fold, generated ONCE for both engines (the
+    * silenceFoldSql discipline): state = crossings·4 + prev-sign code
+    * (0 = none yet, 1 = negative, 2 = non-negative, centering samples
+    * at 128); a crossing increments when the previous code is set and
+    * differs from the current. One BIGINT accumulator threads through
+    * Spark `aggregate` and DuckDB `list_reduce`. */
+  private def zcrFoldSql(acc: String, x: String, div: String): String = {
+    val cur = s"CASE WHEN $x < 128 THEN 1 ELSE 2 END"
+    s"(CASE WHEN ($acc % 4) <> 0 AND ($acc % 4) <> ($cur) " +
+      s"THEN (($acc) $div 4) + 1 ELSE ($acc) $div 4 END) * 4 + ($cur)"
+  }
+
   private def silenceFoldSql(acc: String, x: String, div: String)
       : String = {
     val cur = s"CASE WHEN $x < 33 THEN ($acc % 32) + 1 ELSE 0 END"
@@ -5985,7 +5997,68 @@ object ExtQueries {
           element_at(col("l"), 2).as("boot_lo_milli"),
           element_at(col("l"), 63).as("boot_hi_milli"))
         .orderBy("n_docs")
-    }))
+    }),
+
+    // SSIM-LITE structural frame similarity — the perceptual
+    // consecutive-frame comparator qm15's histogram chi² can't give
+    // (histograms ignore WHERE bytes sit; SSIM's luminance/contrast/
+    // structure product is position-aware): the standard
+    // ((2μxμy+C1)(2σxy+C2)) / ((μx²+μy²+C1)(σx²+σy²+C2)) with n⁴
+    // cleared out of both sides, so num and den are EXACT BIGINTs from
+    // the five frame sums (n = 16 full frames only; C1·n² = 1792,
+    // C2·n² = 15104 — the stated SSIM-lite constants) and the single
+    // double division is the qm10 float rule. Scale shape: per-frame
+    // sums in the scan projection, consecutive frames meet in the
+    // (doc, frame_no+1) equi-join INSIDE the doc partition; blob bytes
+    // never shuffle.
+    "qm17_frame_ssim" -> ((s, dir) => {
+      val agg0 = "CAST(0 AS BIGINT)"
+      val st = frameByteVectors(s, dir)
+        .where(col("frame_len") === 16L)
+        .select(col("doc_id"), col("frame_no"), col("bv"),
+          expr(s"aggregate(bv, $agg0, (a, x) -> a + x)").as("sx"),
+          expr(s"aggregate(bv, $agg0, (a, x) -> a + x * x)").as("sxx"))
+      val a = st.as("a")
+      val b = st.select(col("doc_id"), col("frame_no").as("fb"),
+        col("bv").as("bv2"), col("sx").as("sy"),
+        col("sxx").as("syy")).as("b")
+      a.join(b, col("a.doc_id") === col("b.doc_id") &&
+          col("fb") === col("frame_no") + 1L)
+        .select(col("a.doc_id").as("doc_id"), col("frame_no"),
+          expr(s"aggregate(zip_with(bv, bv2, (x, y) -> x * y), " +
+            s"$agg0, (a, x) -> a + x)").as("sxy"),
+          col("sx"), col("sy"), col("sxx"), col("syy"))
+        .select(col("doc_id"), col("frame_no"),
+          expr("(2 * sx * sy + 1792) * " +
+            "(2 * (16 * sxy - sx * sy) + 15104)").as("num"),
+          expr("(sx * sx + sy * sy + 1792) * " +
+            "((16 * sxx - sx * sx) + (16 * syy - sy * sy) + 15104)")
+            .as("den"))
+        .withColumn("ssim",
+          col("num").cast("double") / col("den").cast("double"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
+    // ZERO-CROSSING RATE — the audio-style pitch/noisiness gauge next
+    // to qm10's loudness and qm14's dead-air gate: samples centered at
+    // 128, a crossing = consecutive samples changing sign. The whole
+    // per-frame counter is ONE left fold with (crossings, prev-sign)
+    // packed into a single BIGINT ([[zcrFoldSql]] — one template, both
+    // engines; no explode, no window), then an asset-grain rollup:
+    // each n-byte frame holds n−1 transitions, so the rate denominator
+    // is Σ(len−1). Blob bytes never shuffle.
+    "qm18_zero_crossings" -> ((s, dir) =>
+      frameByteVectors(s, dir)
+        .withColumn("st", expr("aggregate(bv, CAST(0 AS BIGINT), " +
+          s"(a, x) -> ${zcrFoldSql("a", "x", "DIV")})"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum("frame_len").as("n_samples"),
+          sum(expr("st DIV 4")).as("n_crossings"))
+        .where(col("n_samples") > col("n_frames"))
+        .withColumn("zcr_milli",
+          expr("(1000 * n_crossings) div (n_samples - n_frames)"))
+        .orderBy("doc_id")))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
     * SAME deterministic plane matrix the Spark kernel uses, with the same
@@ -7262,6 +7335,93 @@ object ExtQueries {
         |        * sqrt(CAST(n_samples * syy - sy * sy AS DOUBLE)))
         |    ELSE 0.0E0 END AS corr
         |FROM z ORDER BY doc_id, pair""".stripMargin,
+
+    // qm16's staging restricted to FULL frames, per-frame sums as
+    // list_reduce folds, the identical n^4-cleared num/den text
+    "qm17_frame_ssim" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, 16),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS b
+        |  FROM g WHERE length(fh) = 32),
+        |st AS (
+        |  SELECT doc_id, frame_no, b,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), b),
+        |      (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), b),
+        |      (a, x) -> a + x * x) AS sxx
+        |  FROM h),
+        |p AS (
+        |  SELECT a.doc_id, a.frame_no, a.sx, b.sx AS sy,
+        |    a.sxx, b.sxx AS syy,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_zip(a.b, b.b), q -> q[1] * q[2])),
+        |      (x, y) -> x + y) AS sxy
+        |  FROM st a JOIN st b
+        |    ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no + 1)
+        |SELECT doc_id, frame_no,
+        |  (2 * sx * sy + 1792) *
+        |    (2 * (16 * sxy - sx * sy) + 15104) AS num,
+        |  (sx * sx + sy * sy + 1792) *
+        |    ((16 * sxx - sx * sx) + (16 * syy - sy * sy) + 15104)
+        |    AS den,
+        |  CAST((2 * sx * sy + 1792) *
+        |    (2 * (16 * sxy - sx * sy) + 15104) AS DOUBLE) /
+        |  CAST((sx * sx + sy * sy + 1792) *
+        |    ((16 * sxx - sx * sx) + (16 * syy - sy * sy) + 15104)
+        |    AS DOUBLE) AS ssim
+        |FROM p ORDER BY doc_id, frame_no""".stripMargin,
+
+    // variable-length frames (no zero padding — a padded zero is a
+    // "non-negative sample" and would corrupt the sign fold), the
+    // generated zcr fold, asset rollup with the per-frame n-1
+    // transition denominator
+    "qm18_zero_crossings" -> {
+      val fold = zcrFoldSql("a", "x", "//")
+      s"""WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(length(fh) // 2 AS BIGINT) AS flen,
+        |    list_transform(range(0, length(fh) // 2),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |st AS (
+        |  SELECT doc_id, flen,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), bv),
+        |      (a, x) -> $fold) AS st
+        |  FROM h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(flen) AS BIGINT) AS n_samples,
+        |  CAST(sum(st // 4) AS BIGINT) AS n_crossings,
+        |  (1000 * CAST(sum(st // 4) AS BIGINT))
+        |    // (CAST(sum(flen) AS BIGINT) - count(*)) AS zcr_milli
+        |FROM st GROUP BY doc_id
+        |HAVING CAST(sum(flen) AS BIGINT) > count(*)
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // run detection + run-grain lead, the same two window passes
     "qz50_scd2_intervals" ->

@@ -167,4 +167,32 @@ class Round11Spec extends SparkTestBase {
     assert(r2.getLong(3) < r2.getLong(1) && r2.getLong(1) < r2.getLong(4),
       s"mixed corpus band must straddle the point estimate: $r2")
   }
+
+  test("qm17 ssim: identical consecutive frames score exactly 1.0; " +
+    "differing frames score below") {
+    // 128-char docs -> two 16-byte frames at byte offsets 0 and 64.
+    val same = "ABCDEFGHIJKLMNOP" + "q" * 48
+    val docs = Seq(
+      (1L, same + same, "s"),                                // identical
+      (2L, same + "zzzzzzzzzzzzzzzz" + "q" * 48, "s"))       // different
+    val out = queries.ExtQueries.queries("qm17_frame_ssim")(
+      spark, plantDocs(docs)).collect()
+    assert(out.length == 2)
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(byDoc(1L) == 1.0, s"identical frames: ${byDoc(1L)}")
+    assert(byDoc(2L) < 1.0 && byDoc(2L) > 0.0, s"got ${byDoc(2L)}")
+  }
+
+  test("qm18 zcr: an all-ASCII frame never crosses; a [97,195,169] " +
+    "repeating frame crosses exactly 10 of its 15 transitions") {
+    val docs = Seq(
+      (1L, "x" * 300, "s"),      // 4 frames, all samples < 128
+      (2L, "aé" * 40, "s")) // 120 UTF-8 bytes -> 1 frame
+    val out = queries.ExtQueries.queries("qm18_zero_crossings")(
+      spark, plantDocs(docs)).collect()
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(1L) == ((4L, 64L, 0L, 0L)), s"ascii: ${m(1L)}")
+    assert(m(2L) == ((1L, 16L, 10L, 666L)), s"repeating: ${m(2L)}")
+  }
 }
