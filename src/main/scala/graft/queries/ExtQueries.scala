@@ -6058,7 +6058,86 @@ object ExtQueries {
         .where(col("n_samples") > col("n_frames"))
         .withColumn("zcr_milli",
           expr("(1000 * n_crossings) div (n_samples - n_frames)"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // RAKE keyphrase extraction — the unsupervised keyword table a
+    // corpus card / topic audit leads with: candidate phrases are
+    // maximal stopword-free token runs (the EN stopword set shared
+    // with langid, runs capped at 4 tokens), word score =
+    // degree/frequency over phrase co-occurrence (RAKE's core: a word
+    // that travels in LONG phrases outranks an equally-frequent loner),
+    // phrase score = Σ member-word ratios in floored milli. Scale
+    // shape: token-grain rows stay inside the doc partition (one
+    // doc-keyed window for run ids), then a VOCABULARY-keyed rollup
+    // and a phrase-keyed rollup — no corpus² anywhere; top-20 is a
+    // TakeOrdered, not a global sort.
+    "qx82_rake_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "and", "of", "to", "a")
+      val tok = docsWithToks(s, dir)
+        .select(col("doc_id"), posexplode(col("toks")))
+        .toDF("doc_id", "pos", "t")
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val runs = tok
+        .withColumn("pid", sum(when(col("t").isin(stop: _*), 1L)
+          .otherwise(0L)).over(wp))
+        .where(!col("t").isin(stop: _*))
+      val ph = runs.groupBy("doc_id", "pid")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+        .where(col("plen") <= 4L)
+      val words = graft.Materialize.cut(ph.select(col("doc_id"),
+        col("pid"), col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("t")))
+      val ws = words.groupBy("t")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("t"), expr("(1000 * deg) div freq").as("rat"))
+      words.join(ws, "t")
+        .groupBy("doc_id", "pid", "phrase", "plen")
+        .agg(sum("rat").as("sc"))
+        .groupBy("phrase")
+        .agg(min("plen").as("n_words"),
+          count(lit(1)).as("n_occurrences"),
+          min("sc").as("score_milli"))
+        .orderBy(col("score_milli").desc, col("phrase"))
+        .limit(20)
+        .select(col("phrase"), col("n_words"), col("n_occurrences"),
+          col("score_milli"))
+    }),
+
+    // EDIT-DISTANCE verification of LSH candidates — the refine step a
+    // production near-dup pipeline runs between banding and the merge
+    // decision: bands (qz48's capped staging) PROPOSE, a bounded
+    // Levenshtein on the first 100 chars DISPOSES. The prefix bound is
+    // the point — full-text edit distance is O(len²) per pair and
+    // unpriceable at corpus scale, while a fixed 100-char window makes
+    // every verification O(1); similarity = 1000 − 1000·dist/maxlen in
+    // floored milli, ≥ 800 flags the near-dup. Pair volume is
+    // cap-bounded by the band staging; the text join touches only
+    // candidate ids.
+    "qx83_editdist_verify" -> ((s, dir) => {
+      val sig = graft.Materialize.cut(
+        docsWithToks(s, dir).select(col("doc_id"),
+          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
+            .as("band")))
+      val pairs = Dedup.bandedPairs(sig).select("d1", "d2")
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 100).as("px"))
+      pairs
+        .join(t.select(col("doc_id").as("d1"), col("px").as("p1")), "d1")
+        .join(t.select(col("doc_id").as("d2"), col("px").as("p2")), "d2")
+        .select(col("d1"), col("d2"),
+          levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"),
+          greatest(length(col("p1")), length(col("p2"))).cast("long")
+            .as("mx"))
+        .select(col("d1"), col("d2"), col("edit_dist"),
+          expr("1000 - (1000 * edit_dist) div mx").as("sim_milli"))
+        .withColumn("near_dup", col("sim_milli") >= 800L)
+        .orderBy("d1", "d2")
+    }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
     * SAME deterministic plane matrix the Spark kernel uses, with the same
@@ -7421,6 +7500,89 @@ object ExtQueries {
         |FROM st GROUP BY doc_id
         |HAVING CAST(sum(flen) AS BIGINT) > count(*)
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // positional tokens, stopword-run phrase ids via the same
+    // doc-partitioned cumulative, degree/frequency word ratios in
+    // floored milli, phrase-grain rollup, total-ordered top 20
+    "qx82_rake_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |p0 AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos
+        |  FROM tok),
+        |tk AS (
+        |  SELECT doc_id, pos, toks[CAST(pos AS INT)] AS t FROM p0),
+        |mk AS (
+        |  SELECT doc_id, pos, t,
+        |    CAST(sum(CASE WHEN t IN ('the','and','of','to','a')
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pid
+        |  FROM tk),
+        |runs AS (
+        |  SELECT * FROM mk
+        |  WHERE t NOT IN ('the','and','of','to','a')),
+        |ph AS (
+        |  SELECT doc_id, pid, string_agg(t, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM runs GROUP BY doc_id, pid
+        |  HAVING count(*) <= 4),
+        |words AS (
+        |  SELECT doc_id, pid, phrase, plen,
+        |    unnest(string_split(phrase, ' ')) AS t
+        |  FROM ph),
+        |ws AS (
+        |  SELECT t, (1000 * CAST(sum(plen) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS rat
+        |  FROM words GROUP BY t),
+        |sc AS (
+        |  SELECT doc_id, pid, phrase, plen,
+        |    CAST(sum(rat) AS BIGINT) AS sc
+        |  FROM words JOIN ws USING (t)
+        |  GROUP BY doc_id, pid, phrase, plen)
+        |SELECT phrase, min(plen) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  min(sc) AS score_milli
+        |FROM sc GROUP BY phrase
+        |ORDER BY score_milli DESC, phrase LIMIT 20""".stripMargin,
+
+    // qz48's capped band staging proposes, a 100-char-bounded
+    // levenshtein disposes
+    "qx83_editdist_verify" -> {
+      val led = "CAST(levenshtein(substr(t1.text, 1, 100), " +
+        "substr(t2.text, 1, 100)) AS BIGINT)"
+      val mx = "greatest(CAST(length(substr(t1.text, 1, 100)) " +
+        "AS BIGINT), CAST(length(substr(t2.text, 1, 100)) AS BIGINT))"
+      ShingleCte + s""",
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(s, x -> md5('0:' || x))) AS h0,
+        |    list_min(list_transform(s, x -> md5('1:' || x))) AS h1,
+        |    list_min(list_transform(s, x -> md5('2:' || x))) AS h2,
+        |    list_min(list_transform(s, x -> md5('3:' || x))) AS h3
+        |  FROM sh),
+        |b AS (
+        |  SELECT doc_id, h0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, h1 FROM sig
+        |  UNION ALL SELECT doc_id, h2 FROM sig
+        |  UNION ALL SELECT doc_id, h3 FROM sig),
+        |small AS (
+        |  SELECT doc_id, band FROM b
+        |  WHERE band IN (SELECT band FROM b GROUP BY band
+        |                 HAVING count(*) <= ${Dedup.DefaultBandCap})),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+        |  FROM small a JOIN small c
+        |    ON a.band = c.band AND a.doc_id < c.doc_id)
+        |SELECT p.d1, p.d2, $led AS edit_dist,
+        |  1000 - (1000 * $led) // $mx AS sim_milli,
+        |  (1000 - (1000 * $led) // $mx) >= 800 AS near_dup
+        |FROM p JOIN documents t1 ON t1.doc_id = p.d1
+        |       JOIN documents t2 ON t2.doc_id = p.d2
+        |ORDER BY d1, d2""".stripMargin
     },
 
     // run detection + run-grain lead, the same two window passes

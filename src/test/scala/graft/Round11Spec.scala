@@ -195,4 +195,37 @@ class Round11Spec extends SparkTestBase {
     assert(m(1L) == ((4L, 64L, 0L, 0L)), s"ascii: ${m(1L)}")
     assert(m(2L) == ((1L, 16L, 10L, 666L)), s"repeating: ${m(2L)}")
   }
+
+  test("qx82 rake: degree/frequency scoring ranks the longer phrase " +
+    "above its frequent two-word prefix — hand-computed milli scores") {
+    // "deep learning of the deep learning model": runs are
+    // [deep learning] and [deep learning model]. freq(deep)=2 deg=5,
+    // freq(learning)=2 deg=5, freq(model)=1 deg=3 -> ratios 2500/2500/
+    // 3000 milli; scores 5000 and 8000.
+    val docs = Seq((1L, "deep learning of the deep learning model", "s"))
+    val out = queries.ExtQueries.queries("qx82_rake_keywords")(
+      spark, plantDocs(docs)).collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m == Map(
+      "deep learning model" -> ((3L, 1L, 8000L)),
+      "deep learning" -> ((2L, 1L, 5000L))), out.mkString("; "))
+  }
+
+  test("qx83 edit-distance verify: a one-token corruption inside the " +
+    "100-char window surfaces as a banded near-dup pair; an unrelated " +
+    "doc never pairs") {
+    val toks = (0 until 30).map(i => f"tok$i%02d")
+    val t1 = toks.mkString(" ")
+    val t2 = toks.updated(10, "tokXX").mkString(" ")
+    val t3 = (0 until 30).map(i => f"zzz$i%02d").mkString(" ")
+    val out = queries.ExtQueries.queries("qx83_editdist_verify")(
+      spark, plantDocs(Seq((1L, t1, "s"), (2L, t2, "s"), (3L, t3, "s"))))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      out.mkString("; "))
+    val r = out(0)
+    assert(r.getLong(2) == 2L, s"edit_dist: $r")   // "10" -> "XX"
+    assert(r.getLong(3) == 980L && r.getBoolean(4), s"sim: $r")
+  }
 }
