@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -37,6 +37,82 @@ object ExtQueries {
       " - 3.0 * CAST(n + 1 AS DOUBLE)"
   private val kwCExpr =
     "1.0 - CAST(ties AS DOUBLE) / CAST(n * n * n - n AS DOUBLE)"
+
+  /** qe33's OWN fit cache (the lastFitted* rule: a new fit family must
+    * not clobber qe8/qe9's PQ or qe4's centroid caches): per sf-dir,
+    * the fitted (mean, top principal direction) from 5 deterministic
+    * power iterations. Every distributed reduction inside the fit is a
+    * per-row FLOORED-micro BIGINT sum (order-independent); the only
+    * float math runs single-threaded on the driver (normalization),
+    * so the fit is bit-reproducible and its literals feed the twin. */
+  private val topPcCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Double], Seq[Double])]
+  @volatile private var lastTopPcKey: Option[String] = None
+  def lastFittedTopPc: Option[(Seq[Double], Seq[Double])] =
+    lastTopPcKey.flatMap(topPcCache.get)
+
+  /** The shared (x − μ)·v fold: Spark side. Twin text in [[qe33Sql]] —
+    * same per-element value, same left-to-right double fold. */
+  private def pcProj(emb: Column, mu: Seq[Double], v: Seq[Double])
+      : Column = {
+    val muL = array(mu.map(lit): _*)
+    val vL = array(v.map(lit): _*)
+    aggregate(zip_with(zip_with(emb, muL,
+        (x, m) => x.cast("double") - m), vL, (c, w) => c * w),
+      lit(0.0), (a, b) => a + b)
+  }
+
+  private def fitTopPc(s: SparkSession, dir: String)
+      : (Seq[Double], Seq[Double]) =
+    topPcCache.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(s, dir).select(col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val mu = emb.select(posexplode(col("embedding")))
+        .select(col("pos"),
+          floor(col("col").cast("double") * 1e6).cast("long").as("m"))
+        .groupBy("pos")
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+        .orderBy("pos").collect()
+        .map(r => r.getLong(1).toDouble / (r.getLong(2).toDouble * 1e6))
+        .toSeq
+      var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      val muL = array(mu.map(lit): _*)
+      for (_ <- 1 to 5) {
+        val sums = emb
+          .withColumn("dot", pcProj(col("embedding"), mu, v))
+          .select(posexplode(col("embedding")), col("dot"))
+          .select(col("pos"),
+            floor(lit(1e6) * col("dot") *
+              (col("col").cast("double") -
+                element_at(muL, col("pos") + 1))).cast("long").as("c"))
+          .groupBy("pos").agg(sum("c").as("sc"))
+          .orderBy("pos").collect().map(_.getLong(1).toDouble / 1e6)
+        val norm = math.sqrt(sums.map(x => x * x).sum)
+        if (norm > 0.0) v = sums.map(_ / norm).toSeq
+      }
+      (mu, v)
+    })
+
+  /** qe33's fitted-literal twin — the exact (μ, v) doubles printed
+    * losslessly, the same zip + left fold. */
+  private def qe33Sql(mu: Seq[Double], v: Seq[Double]): String = {
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString + "E0"
+    val muL = mu.map(dlit).mkString("[", ",", "]")
+    val vL = v.map(dlit).mkString("[", ",", "]")
+    s"""WITH p AS (
+      |  SELECT vec_id, label,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list_zip(embedding, $muL, $vL),
+      |      q -> (CAST(q[1] AS DOUBLE) - q[2]) * q[3])),
+      |      (a, b) -> a + b) AS proj
+      |  FROM embeddings)
+      |SELECT CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id)
+      |    AS BIGINT) AS rank, vec_id, label, proj
+      |FROM p
+      |QUALIFY row_number() OVER (ORDER BY abs(proj) DESC, vec_id) <= 10
+      |ORDER BY rank""".stripMargin
+  }
 
   /** Exact Poisson(1) CDF in ppm — floor(1e6 · P(X ≤ k)) for k = 0..9;
     * a uniform u ∈ [0, 1e6) maps to weight w = #{thresholds ≤ u}, the
@@ -6137,6 +6213,141 @@ object ExtQueries {
           expr("1000 - (1000 * edit_dist) div mx").as("sim_milli"))
         .withColumn("near_dup", col("sim_milli") >= 800L)
         .orderBy("d1", "d2")
+    }),
+
+    // TRIPLET-MARGIN audit — the contrastive-training health gauge
+    // qe22's hard negatives feed: for each anchor, margin = cos(a,
+    // nearest SAME-label) − cos(a, nearest DIFF-label); a corpus whose
+    // margins crowd zero (or go negative) is one whose labels the
+    // embedding can't separate, and per-label violation counts say
+    // WHICH classes bleed. Anchors fenced to vec_id < 100 (the qe22
+    // discipline — bench stays bounded at any SF); two broadcast-
+    // anchor corpus passes (pos leg, neg leg), each a WindowGroupLimit
+    // top-1, joined at anchor grain. Margins floored to micro PER ROW
+    // (the qe29 rule: unordered double sums are partition-order-
+    // dependent; floored BIGINTs aren't), label rollup with the
+    // positive-operand OFFSET trick for the mean.
+    "qe32_triplet_margins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val OFF = 1000000000000L
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"))
+      val w = Window.partitionBy("a_id").orderBy(desc("cos"), col("n_id"))
+      def leg(same: Boolean) = emb
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("label").as("n_label"))
+        .crossJoin(broadcast(anchors))
+        .where(col("n_id") =!= col("a_id") &&
+          (if (same) col("n_label") === col("a_label")
+           else col("n_label") =!= col("a_label")))
+        .withColumn("cos", Similarity.cosine(col("a_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+      val pos = leg(same = true)
+        .select(col("a_id"), col("a_label").as("label"),
+          col("cos").as("cpos"))
+      val neg = leg(same = false).select(col("a_id"), col("cos").as("cneg"))
+      pos.join(neg, "a_id")
+        .select(col("label"),
+          floor((col("cpos") - col("cneg")) * lit(1000000.0))
+            .cast("long").as("mm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_anchors"),
+          sum("mm").as("sum_margin_micro"),
+          sum(when(col("mm") < 200000L, 1L).otherwise(0L))
+            .as("n_violations"))
+        .withColumn("mean_margin_micro",
+          expr(s"(sum_margin_micro + n_anchors * ${OFF}L) " +
+            s"div n_anchors - ${OFF}L"))
+        .select(col("label"), col("n_anchors"), col("sum_margin_micro"),
+          col("mean_margin_micro"), col("n_violations"))
+        .orderBy("label")
+    }),
+
+    // MMR DIVERSIFIED RE-RANK — the retrieval epilogue plain top-k
+    // can't give: a near-dup-heavy corpus fills the top slots with
+    // copies of one answer; maximal-marginal-relevance greedily picks
+    // argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), trading relevance
+    // against redundancy (λ = 0.7). The greedy loop is inherently
+    // sequential in k, so it's UNROLLED (4 picks from an 8-candidate
+    // shortlist) — each step is one bounded join against the selected
+    // set, all at (queries × shortlist) grain: the corpus-grain work
+    // is exactly one broadcast-query scan for the shortlist, the MMR
+    // epilogue never touches corpus rows. Ties break to the smaller
+    // candidate id; every float expression is one shared text.
+    "qe31_mmr_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+      val cand = graft.Materialize.cut(emb
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .crossJoin(broadcast(q))
+        .where(col("n_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wq))
+        .where(col("rk") <= 8)
+        .select(col("q_id"), col("n_id"), col("n_emb"), col("cos")))
+      val pc = graft.Materialize.cut(cand.as("x")
+        .join(cand.select(col("q_id"), col("n_id").as("b"),
+          col("n_emb").as("b_emb")).as("y"), Seq("q_id"))
+        .where(col("n_id") =!= col("b"))
+        .select(col("q_id"), col("n_id").as("a"), col("b"),
+          Similarity.cosine(col("n_emb"), col("b_emb")).as("cab")))
+      val wm = Window.partitionBy("q_id").orderBy(desc("mmr"), col("n_id"))
+      var sel = cand.withColumn("rk1",
+          row_number().over(wq)).where(col("rk1") === 1)
+        .select(col("q_id"), lit(1L).as("step"), col("n_id"),
+          col("cos").as("cos_q"), col("cos").as("mmr"))
+      for (step <- 2 to 4) {
+        val rem = cand.join(sel.select("q_id", "n_id"),
+          Seq("q_id", "n_id"), "left_anti")
+        val mx = pc.join(sel.select(col("q_id"), col("n_id").as("b")),
+            Seq("q_id", "b"))
+          .groupBy("q_id", "a").agg(max("cab").as("mx"))
+        val pick = rem.join(mx, rem("q_id") === mx("q_id") &&
+            rem("n_id") === mx("a"))
+          .select(rem("q_id"), col("n_id"), col("cos"),
+            expr("0.7 * cos - 0.3 * mx").as("mmr"))
+          .withColumn("rkm", row_number().over(wm))
+          .where(col("rkm") === 1)
+          .select(col("q_id"), lit(step.toLong).as("step"), col("n_id"),
+            col("cos").as("cos_q"), col("mmr"))
+        sel = sel.union(pick)
+      }
+      sel.orderBy("q_id", "step")
+    }),
+
+    // TOP PRINCIPAL COMPONENT via power iteration — the anisotropy
+    // DIRECTION behind the qe-family's anisotropy score: embedding
+    // spaces collapse toward a dominant axis ("all vectors agree on a
+    // few rogue dimensions"), and whitening/ABTT-style fixes need that
+    // axis, not just its existence. The d×d covariance is never
+    // materialized: each of the 5 iterations is ONE corpus pass
+    // computing Σ (x−μ)·((x−μ)·v) — the per-row contribution floored
+    // to micro BIGINTs (order-independent sums; the qe29 rule), with
+    // only the d-vector normalization in driver floats. The fit
+    // collects d-sized vectors (the k×dim-bounded fit-collect rule);
+    // the QUERY is one scan + TakeOrdered(10 by |proj|): rank the
+    // corpus' most extreme members along the learned axis. Twin embeds
+    // the fitted (μ, v) literals and replays the same fold.
+    "qe33_top_pc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (mu, v) = fitTopPc(s, dir)
+      lastTopPcKey = Some(dir)
+      val top = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          pcProj(col("embedding"), mu, v).as("proj"))
+        .orderBy(abs(col("proj")).desc, col("vec_id"))
+        .limit(10)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(abs(col("proj")).desc, col("vec_id")))
+          .cast("long"))
+        .select(col("rank"), col("vec_id"), col("label"), col("proj"))
+        .orderBy("rank")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -7164,7 +7375,9 @@ object ExtQueries {
       rcb <- Similarity.lastFittedResidualPqCodebooks
     } yield Map("qe26_ivfpq_residual" ->
       qe26Sql(c, rcb, nprobe = 8, k = 5, shortlist = 100)))
-      .getOrElse(Map.empty)
+      .getOrElse(Map.empty) ++
+    lastFittedTopPc.map { case (mu, v) =>
+      Map("qe33_top_pc" -> qe33Sql(mu, v)) }.getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
     // first-digit counts from the BIGINT-cents decimal string, the
@@ -7583,6 +7796,89 @@ object ExtQueries {
         |FROM p JOIN documents t1 ON t1.doc_id = p.d1
         |       JOIN documents t2 ON t2.doc_id = p.d2
         |ORDER BY d1, d2""".stripMargin
+    },
+
+    // the two fenced-anchor legs as QUALIFY top-1s, per-row floored
+    // micro margins, the OFFSET-trick mean
+    "qe32_triplet_margins" ->
+      (s"""WITH pos AS (
+        |  SELECT a.vec_id AS a_id, a.label,
+        |    ${cosSql("a.embedding", "c.embedding")} AS cos
+        |  FROM embeddings a JOIN embeddings c
+        |    ON a.vec_id < 100 AND c.vec_id <> a.vec_id
+        |      AND c.label = a.label
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY cos DESC, c.vec_id) = 1),
+        |neg AS (
+        |  SELECT a.vec_id AS a_id,
+        |    ${cosSql("a.embedding", "c.embedding")} AS cos
+        |  FROM embeddings a JOIN embeddings c
+        |    ON a.vec_id < 100 AND c.vec_id <> a.vec_id
+        |      AND c.label <> a.label
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY cos DESC, c.vec_id) = 1),
+        |m AS (
+        |  SELECT label,
+        |    CAST(floor((pos.cos - neg.cos) * 1000000.0) AS BIGINT) AS mm
+        |  FROM pos JOIN neg USING (a_id)),
+        |g AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_anchors,
+        |    CAST(sum(mm) AS BIGINT) AS sum_margin_micro,
+        |    CAST(sum(CASE WHEN mm < 200000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM m GROUP BY label)
+        |SELECT label, n_anchors, sum_margin_micro,
+        |  (sum_margin_micro + n_anchors * 1000000000000)
+        |    // n_anchors - 1000000000000 AS mean_margin_micro,
+        |  n_violations
+        |FROM g ORDER BY label""".stripMargin),
+
+    // the same unrolled greedy: candidate shortlist + pair cosines,
+    // then per step a max-over-selected join, an anti-join on the
+    // already-picked set, and a QUALIFY argmax — identical float text
+    "qe31_mmr_rerank" -> {
+      val steps = (2 to 4).map { k =>
+        val prev = s"u${k - 1}"
+        s""",
+          |m$k AS (
+          |  SELECT p.q_id, p.a, max(p.cab) AS mx
+          |  FROM pc p JOIN $prev s ON s.q_id = p.q_id AND s.n_id = p.b
+          |  GROUP BY p.q_id, p.a),
+          |s$k AS (
+          |  SELECT c.q_id, CAST($k AS BIGINT) AS step, c.n_id,
+          |    c.cos AS cos_q, 0.7 * c.cos - 0.3 * m.mx AS mmr
+          |  FROM cand c JOIN m$k m ON m.q_id = c.q_id AND m.a = c.n_id
+          |  LEFT JOIN $prev z ON z.q_id = c.q_id AND z.n_id = c.n_id
+          |  WHERE z.n_id IS NULL
+          |  QUALIFY row_number() OVER (PARTITION BY c.q_id
+          |    ORDER BY 0.7 * c.cos - 0.3 * m.mx DESC, c.n_id) = 1),
+          |u$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$k)"""
+          .stripMargin
+      }.mkString
+      s"""WITH c0 AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    c.embedding AS n_emb,
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 4 AND c.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT * FROM c0
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) <= 8),
+        |pc AS (
+        |  SELECT x.q_id, x.n_id AS a, y.n_id AS b,
+        |    ${cosSql("x.n_emb", "y.n_emb")} AS cab
+        |  FROM cand x JOIN cand y
+        |    ON y.q_id = x.q_id AND y.n_id <> x.n_id),
+        |s1 AS (
+        |  SELECT q_id, CAST(1 AS BIGINT) AS step, n_id, cos AS cos_q,
+        |    cos AS mmr
+        |  FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) = 1),
+        |u1 AS (SELECT * FROM s1)$steps
+        |SELECT q_id, step, n_id, cos_q, mmr
+        |FROM u4 ORDER BY q_id, step""".stripMargin
     },
 
     // run detection + run-grain lead, the same two window passes

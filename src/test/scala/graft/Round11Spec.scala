@@ -228,4 +228,70 @@ class Round11Spec extends SparkTestBase {
     assert(r.getLong(2) == 2L, s"edit_dist: $r")   // "10" -> "XX"
     assert(r.getLong(3) == 980L && r.getBoolean(4), s"sim: $r")
   }
+
+  private def plantEmbeddings(rows: Seq[(Long, Seq[Float], Int)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("qe31 mmr: an exact duplicate of the top pick is deferred " +
+    "behind a diverse equally-relevant candidate") {
+    // q = e1. A(10) and B(11) are near-duplicates at cos(q,.) ~ 0.707;
+    // C(12) is equally relevant but orthogonal to A; D(13) irrelevant.
+    // Plain top-k would order A,B,...; MMR must pick A, C, B, D.
+    val dir = plantEmbeddings(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (10L, Seq(0.70f, 0.70f, 0f, 0f), 0),
+      (11L, Seq(0.70f, 0.72f, 0f, 0f), 0),   // near-dup of A, lower cos(q,.)
+      (12L, Seq(0.70f, 0f, 0.70f, 0f), 0),
+      (13L, Seq(0f, 0f, 0f, 1f), 0)))
+    val out = queries.ExtQueries.queries("qe31_mmr_rerank")(spark, dir)
+      .collect()
+    val picks = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+      .map(_.getLong(2)).toSeq
+    assert(picks == Seq(10L, 12L, 11L, 13L), s"got $picks")
+  }
+
+  test("qe32 triplet margins: clean label clusters yield large " +
+    "positive margins and zero violations; a mislabeled vector " +
+    "violates") {
+    val a = Seq(1f, 0f, 0f, 0f); val b = Seq(0f, 1f, 0f, 0f)
+    def jig(v: Seq[Float], i: Int) = v.updated(3, 0.01f * i)
+    val clean = plantEmbeddings(Seq(
+      (0L, jig(a, 1), 1), (1L, jig(a, 2), 1), (2L, jig(a, 3), 1),
+      (3L, jig(b, 1), 2), (4L, jig(b, 2), 2), (5L, jig(b, 3), 2)))
+    val out = queries.ExtQueries.queries("qe32_triplet_margins")(
+      spark, clean).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 3L, s"n_anchors: $r")
+      assert(r.getLong(3) > 200000L, s"mean margin: $r")
+      assert(r.getLong(4) == 0L, s"violations: $r")
+    }
+    // vector 6 sits in cluster A's position but carries label 2
+    val dirty = plantEmbeddings(Seq(
+      (0L, jig(a, 1), 1), (1L, jig(a, 2), 1), (2L, jig(a, 3), 1),
+      (3L, jig(b, 1), 2), (4L, jig(b, 2), 2), (5L, jig(b, 3), 2),
+      (6L, jig(a, 4), 2)))
+    val d = queries.ExtQueries.queries("qe32_triplet_margins")(
+      spark, dirty).collect()
+    val viol = d.map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(viol(2) > 0L, s"the mislabeled vector must violate: ${d.toSeq}")
+  }
+
+  test("qe33 top-pc: a corpus varying along one axis ranks its extreme " +
+    "members first, ties broken by vec_id, |proj| = |a - mean|") {
+    val dir = plantEmbeddings((1 to 10).map(i =>
+      (i.toLong, Seq(i.toFloat, 0f, 0f, 0f), 0)))
+    val out = queries.ExtQueries.queries("qe33_top_pc")(spark, dir)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq ==
+      Seq(1L, 10L, 2L, 9L, 3L, 8L, 4L, 7L, 5L, 6L),
+      out.mkString("; "))
+    assert(math.abs(math.abs(out(0).getDouble(3)) - 4.5) < 0.01,
+      s"top |proj|: ${out(0)}")
+  }
 }
