@@ -618,6 +618,31 @@ object CoreQueries {
     "qs21_complete_topk" -> ((s, dir) =>
       graft.streaming.StreamingReplay.completeTopkReplay(s, dir)),
 
+    // qs22 — twenty-second streaming path: UPDATE output mode (the
+    // last of the three modes; Append everywhere else, Complete in
+    // qs21). The memory sink accumulates per-key update HISTORY;
+    // counts are monotone, so the per-key max-n row IS the final
+    // state and must equal the batch aggregate for any chunking.
+    "qs22_update_mode" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.updateModeReplay(s, dir)),
+
+    // q54 — UNPIVOT (the stack generator): the wide-to-long reshape
+    // every metrics exporter and plotting layer runs after a rollup;
+    // Spark's stack() is the generator form (one pass, no join), the
+    // oracle is the explicit UNION ALL it desugars to. The melt
+    // happens AFTER aggregation, so the generator multiplies
+    // |event_type| rows by 3, never the corpus.
+    "q54_unpivot" -> ((s, dir) =>
+      graft.Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"),
+          min(unix_micros(col("ts"))).as("t0_us"))
+        .select(col("event_type"), expr(
+          "stack(3, 'n', n, 'v_milli', v_milli, 't0_us', t0_us) " +
+            "AS (metric, val)"))
+        .orderBy("event_type", "metric")),
+
     // qs18 — eighteenth streaming path: stream-stream LEFT SEMI
     // interval join ("which clicks converted", one row per click) —
     // the matched-emit-once state arm qs8 (every pair) / qs9-qs11
@@ -1688,6 +1713,27 @@ object CoreQueries {
         |    AS BIGINT) AS v_milli
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Update mode's per-key max-n row = the whole-input aggregate
+    "qs22_update_mode" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // the UNION ALL the stack() generator desugars to
+    "q54_unpivot" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v_milli,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS t0_us
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, 'n' AS metric, n AS val FROM a
+        |UNION ALL SELECT event_type, 'v_milli', v_milli FROM a
+        |UNION ALL SELECT event_type, 't0_us', t0_us FROM a
+        |ORDER BY event_type, metric""".stripMargin,
 
     // Complete mode's final table = the whole-input aggregate; the
     // (n desc, event_type) sort makes the LIMIT deterministic

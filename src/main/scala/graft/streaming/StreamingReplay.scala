@@ -1026,6 +1026,61 @@ object StreamingReplay {
     sunk.orderBy(col("n").desc, col("event_type"))
   }
 
+  /** UPDATE output mode — the third and last mode under the hash gate
+    * (qs1-qs20 are Append, qs21 is Complete): the memory sink receives
+    * one row per CHANGED key per trigger, so the sunk table holds each
+    * event_type's update HISTORY. The gate exploits monotonicity: a
+    * key's count only grows, so its final state is exactly the row
+    * with the per-key MAX n — which must equal the batch aggregate for
+    * any chunking (a chunking that lost state or re-emitted a stale
+    * row would surface a duplicate or non-maximal n and hash-fail).
+    * State is keyed by the closed event_type vocabulary — bounded by
+    * construction, no watermark needed. Shares qs21's staged chunks
+    * (identical source discipline). Declared as `qs22_update_mode`. */
+  def updateModeReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val srcDirStr = Option(completeStageCache.get(dir)).getOrElse {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, n BIGINT, v_milli BIGINT"))
+      val k = math.max(ev.length / 3, 1)
+      val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+        ev.drop(2 * k).toSeq).filter(_.nonEmpty)
+      val d = writeChunks(spark, chunks, "qs21-replay")
+      completeStageCache.putIfAbsent(dir, d)
+      d
+    }
+
+    val table = s"qs22_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table)
+    spark.catalog.dropTempView(table)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n").desc)
+    sunk.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("n"), col("v_milli"))
+      .orderBy("event_type")
+  }
+
   // staged input for the sliding-window replay, keyed by dir
   private val slidingStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,

@@ -282,6 +282,37 @@ class Round11Spec extends SparkTestBase {
     assert(viol(2) > 0L, s"the mislabeled vector must violate: ${d.toSeq}")
   }
 
+  test("qs22 update mode: the per-key max-n extraction equals the batch " +
+    "aggregate on a multi-chunk replay") {
+    val t0 = 19_700L * DayUs
+    val rows = (1 to 9).map { i =>
+      (i.toLong, t0 + i * 60_000_000L, i.toLong % 3,
+        if (i % 2 == 0) "view" else "click", i.toDouble) }
+    val out = queries.CoreQueries.queries("qs22_update_mode")(
+      spark, plantEvents(rows)).collect()
+    // views: i = 2,4,6,8 -> n=4, v = 2000+4000+6000+8000; clicks: 5 odd
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("click", 5L, 25_000L), ("view", 4L, 20_000L)),
+      out.mkString("; "))
+  }
+
+  test("q54 unpivot: the stack generator melts each aggregate row into " +
+    "exactly one row per metric") {
+    val t0 = 19_700L * DayUs
+    val rows = Seq(
+      (1L, t0, 1L, "view", 1.5), (2L, t0 + 1_000_000L, 1L, "view", 2.5),
+      (3L, t0 + 2_000_000L, 2L, "click", 4.0))
+    val out = queries.CoreQueries.queries("q54_unpivot")(
+      spark, plantEvents(rows)).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(
+      ("click", "n") -> 1L, ("click", "v_milli") -> 4000L,
+      ("click", "t0_us") -> (t0 + 2_000_000L),
+      ("view", "n") -> 2L, ("view", "v_milli") -> 4000L,
+      ("view", "t0_us") -> t0), out.mkString("; "))
+  }
+
   test("qe33 top-pc: a corpus varying along one axis ranks its extreme " +
     "members first, ties broken by vec_id, |proj| = |a - mean|") {
     val dir = plantEmbeddings((1 to 10).map(i =>
