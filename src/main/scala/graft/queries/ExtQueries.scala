@@ -114,6 +114,47 @@ object ExtQueries {
       |ORDER BY rank""".stripMargin
   }
 
+  /** qe34's fitted-literal twin — the centered-dot identity with the
+    * same (μ, v) literals and fold orders as the Spark side. */
+  private def qe34Sql(mu: Seq[Double], v: Seq[Double]): String = {
+    def dlit(d: Double): String =
+      new java.math.BigDecimal(d).toPlainString + "E0"
+    val muL = mu.map(dlit).mkString("[", ",", "]")
+    val vL = v.map(dlit).mkString("[", ",", "]")
+    def cdot(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"list_zip($a, $b, $muL), " +
+        "q -> (CAST(q[1] AS DOUBLE) - q[3]) * " +
+        "(CAST(q[2] AS DOUBLE) - q[3]))), (x, y) -> x + y)"
+    val proj = s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"list_zip(embedding, $muL, $vL), " +
+      "q -> (CAST(q[1] AS DOUBLE) - q[2]) * q[3])), (a, b) -> a + b)"
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, $proj AS p
+      |  FROM embeddings WHERE vec_id < 50),
+      |d AS (
+      |  SELECT ${cdot("a.embedding", "b.embedding")} AS dij,
+      |    ${cdot("a.embedding", "a.embedding")} AS dii,
+      |    ${cdot("b.embedding", "b.embedding")} AS djj,
+      |    a.p AS pi, b.p AS pj
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |c AS (
+      |  SELECT CAST(floor(abs(dij / (sqrt(dii) * sqrt(djj)))
+      |      * 1000000.0) AS BIGINT) AS cb,
+      |    CAST(floor(abs((dij - pi * pj) /
+      |      (sqrt(dii - pi * pi) * sqrt(djj - pj * pj)))
+      |      * 1000000.0) AS BIGINT) AS ca
+      |  FROM d),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(cb) AS BIGINT) AS sb,
+      |    CAST(sum(ca) AS BIGINT) AS sa
+      |  FROM c)
+      |SELECT n_pairs, sb // n_pairs AS mean_abs_cos_before_micro,
+      |  sa // n_pairs AS mean_abs_cos_after_micro
+      |FROM g ORDER BY n_pairs""".stripMargin
+  }
+
   /** Exact Poisson(1) CDF in ppm — floor(1e6 · P(X ≤ k)) for k = 0..9;
     * a uniform u ∈ [0, 1e6) maps to weight w = #{thresholds ≤ u}, the
     * inverse-CDF draw qz55's bootstrap replicates share with their
@@ -6348,6 +6389,140 @@ object ExtQueries {
           .cast("long"))
         .select(col("rank"), col("vec_id"), col("label"), col("proj"))
         .orderBy("rank")
+    }),
+
+    // ABTT ISOTROPY REPAIR AUDIT — qe33 found the rogue axis; this
+    // measures what removing it BUYS (the all-but-the-top post-process:
+    // center, project out the top PC). Anisotropy gauge = mean |cos|
+    // over a fenced pair sample; after-removal cosines come from the
+    // IDENTITY c'·c' = c·c − (c·v)² (v unit-norm), so no projected
+    // vectors materialize — three composed dots per pair, every mean a
+    // per-pair floored-micro BIGINT sum. A healthy repair drops the
+    // mean |cos| toward isotropy; the twin replays the same fitted
+    // (μ, v) literals.
+    "qe34_abtt_isotropy" -> ((s, dir) => {
+      val (mu, v) = fitTopPc(s, dir)
+      lastTopPcKey = Some(dir)
+      val muL = array(mu.map(lit): _*)
+      def cen(c: Column) = zip_with(c, muL, (x, m) => x.cast("double") - m)
+      def cdot(a: Column, b: Column) =
+        aggregate(zip_with(cen(a), cen(b), (p, q) => p * q),
+          lit(0.0), (x, y) => x + y)
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"),
+          pcProj(col("embedding"), mu, v).as("p"))
+      val pairs = emb.as("a").join(emb.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), col("p").as("pb")).as("b"),
+          col("vec_id") < col("b_id"))
+        .select(
+          cdot(col("embedding"), col("b_emb")).as("dij"),
+          cdot(col("embedding"), col("embedding")).as("dii"),
+          cdot(col("b_emb"), col("b_emb")).as("djj"),
+          col("p").as("pi"), col("pb").as("pj"))
+        .select(
+          floor(abs(col("dij") /
+            (sqrt(col("dii")) * sqrt(col("djj")))) * lit(1000000.0))
+            .cast("long").as("cb"),
+          floor(abs((col("dij") - col("pi") * col("pj")) /
+            (sqrt(col("dii") - col("pi") * col("pi")) *
+              sqrt(col("djj") - col("pj") * col("pj")))) * lit(1000000.0))
+            .cast("long").as("ca"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum("cb").as("sb"), sum("ca").as("sa"))
+        .select(col("n_pairs"),
+          expr("sb div n_pairs").as("mean_abs_cos_before_micro"),
+          expr("sa div n_pairs").as("mean_abs_cos_after_micro"))
+        .orderBy("n_pairs")
+    }),
+
+    // CALENDAR GAP-FILL + FORWARD FILL — the spine-join every
+    // time-series consumer needs before qz35/qz40/qz44 trust their day
+    // arithmetic: a silent day is MISSING from the day rollup (not
+    // zero), and carrying the last known value forward is the standard
+    // repair for state-like series. Spine = explode(sequence(min_day,
+    // max_day)) off a one-row bound agg; the fill is last(value,
+    // ignoreNulls) over the day-ordered frame — DuckDB's
+    // last_value(... IGNORE NULLS), calendar-bounded (qz47 rule).
+    "qz56_forward_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("day").agg(sum("vm").as("v_milli"))
+      val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("filled_milli",
+          last(col("v_milli"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("v_milli").isNull)
+        .select(col("day"), col("v_milli"), col("filled_milli"),
+          col("is_gap"))
+        .orderBy("day")
+    }),
+
+    // GROWTH ACCOUNTING — the new/retained/resurrected split behind
+    // every DAU chart (qz34's stickiness and qz17's cohorts both
+    // presume it): per active (user, day), class = NEW (no prior
+    // activity), RETAINED (active within the last 7 days) or
+    // RESURRECTED (returning after a ≥ 7-day gap); plus the running
+    // distinct-user count, which is exactly the cumulative of n_new —
+    // no distinct-over-window needed. Scale shape: one (user, day)
+    // distinct (corpus-proportional), the lag lives inside the USER
+    // partition, day-grain rollup + calendar-bounded cumulative.
+    "qz57_growth_accounting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT)").as("day"))
+        .distinct()
+      val wU = Window.partitionBy("user_id").orderBy("day")
+      val cls = ud.withColumn("prev", lag("day", 1).over(wU))
+        .select(col("day"),
+          when(col("prev").isNull, "new")
+            .when(col("day") - col("prev") <= 7L, "retained")
+            .otherwise("resurrected").as("cls"))
+      val byDay = cls.groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val wC = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDay.withColumn("cum_users", sum("n_new").over(wC))
+        .select(col("day"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"), col("cum_users"))
+        .orderBy("day")
+    }),
+
+    // FRAME FREEZE DETECTION — consecutive IDENTICAL frames (qm17
+    // scores similarity; a stuck encoder emits bit-equal frames, and
+    // run LENGTH is the signal): the qz50 run-detection discipline on
+    // the frame fingerprint, all inside the doc partition. Output per
+    // asset: frame count, distinct-run count, longest identical run,
+    // and the frozen flag (a run of ≥ 3 identical frames).
+    "qm19_freeze_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_no")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      frameByteVectors(s, dir)
+        .select(col("doc_id"), col("frame_no"),
+          md5(concat_ws(",", col("bv"))).as("fp"))
+        .withColumn("chg", when(lag("fp", 1).over(w).isNull ||
+          col("fp") =!= lag("fp", 1).over(w), 1L).otherwise(0L))
+        .withColumn("run", sum("chg").over(wRun))
+        .groupBy("doc_id", "run").agg(count(lit(1)).as("rl"))
+        .groupBy("doc_id")
+        .agg(sum("rl").as("n_frames"), count(lit(1)).as("n_runs"),
+          max("rl").as("max_freeze_run"))
+        .withColumn("frozen", col("max_freeze_run") >= 3L)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
@@ -7377,7 +7552,8 @@ object ExtQueries {
       qe26Sql(c, rcb, nprobe = 8, k = 5, shortlist = 100)))
       .getOrElse(Map.empty) ++
     lastFittedTopPc.map { case (mu, v) =>
-      Map("qe33_top_pc" -> qe33Sql(mu, v)) }.getOrElse(Map.empty)
+      Map("qe33_top_pc" -> qe33Sql(mu, v),
+        "qe34_abtt_isotropy" -> qe34Sql(mu, v)) }.getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
     // first-digit counts from the BIGINT-cents decimal string, the
@@ -7935,6 +8111,99 @@ object ExtQueries {
         |SELECT n_days, n_pairs, slope_milli,
         |  li[CAST((len(li) + 1) // 2 AS INT)] AS intercept_milli
         |FROM ic ORDER BY n_days""".stripMargin,
+
+    // calendar spine off the day bounds, IGNORE NULLS forward fill
+    "qz56_forward_fill" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(sum(vm) AS BIGINT) AS v_milli
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day,
+        |        CAST(floor(value * 1000) AS BIGINT) AS vm
+        |        FROM events WHERE event_type = 'purchase')
+        |  GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+        |  FROM b)
+        |SELECT day, v_milli,
+        |  last_value(v_milli IGNORE NULLS) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS filled_milli,
+        |  v_milli IS NULL AS is_gap
+        |FROM spine LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // (user, day) distinct, user-partitioned lag classification,
+    // day rollup + the cumulative-of-new identity
+    "qz57_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |c AS (
+        |  SELECT day, CASE WHEN prev IS NULL THEN 'new'
+        |      WHEN day - prev <= 7 THEN 'retained'
+        |      ELSE 'resurrected' END AS cls
+        |  FROM (SELECT user_id, day,
+        |          lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |            AS prev
+        |        FROM ud)),
+        |d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM c GROUP BY day)
+        |SELECT day, n_active, n_new, n_retained, n_resurrected,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    // the qm18 variable-length staging, md5 frame fingerprints, the
+    // qz50 run-detection discipline inside the doc partition
+    "qm19_freeze_runs" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    list_transform(range(0, length(fh) // 2),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, frame_no,
+        |    md5(array_to_string(bv, ',')) AS fp
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, frame_no,
+        |    CASE WHEN lag(fp) OVER w IS NULL OR fp <> lag(fp) OVER w
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+        |r2 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(chg) OVER (PARTITION BY doc_id ORDER BY frame_no
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM r),
+        |g2 AS (
+        |  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS rl
+        |  FROM r2 GROUP BY doc_id, run)
+        |SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(rl) AS BIGINT) AS max_freeze_run,
+        |  max(rl) >= 3 AS frozen
+        |FROM g2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // RANGE-framed 7-day centered trend (incomplete windows NULL),
     // dow seasonal means over the detrended series with the OFFSET

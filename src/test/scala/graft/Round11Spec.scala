@@ -325,4 +325,70 @@ class Round11Spec extends SparkTestBase {
     assert(math.abs(math.abs(out(0).getDouble(3)) - 4.5) < 0.01,
       s"top |proj|: ${out(0)}")
   }
+
+  test("qe34 abtt: removing the dominant axis drops the mean |cos| of " +
+    "an anisotropic corpus") {
+    // e1 carries almost all the VARIANCE (the centered cosines crowd
+    // ±1); the residual noise directions disagree, so removing the
+    // top axis must drop the mean |cos|.
+    val dir = plantEmbeddings((0 until 20).map { i =>
+      (i.toLong, Seq(i.toFloat,
+        ((i * 37) % 11 - 5).toFloat * 0.05f,
+        ((i * 53) % 13 - 6).toFloat * 0.04f,
+        ((i * 29) % 7 - 3).toFloat * 0.05f), 0) })
+    val r = queries.ExtQueries.queries("qe34_abtt_isotropy")(spark, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 190L, s"n_pairs: $r")
+    assert(r.getLong(2) < r.getLong(1),
+      s"after must drop below before: $r")
+  }
+
+  test("qz56 forward fill: a silent calendar day appears as a gap row " +
+    "carrying the last known value") {
+    val t0 = 19_700L * DayUs
+    val rows = Seq(
+      (1L, t0, 1L, "purchase", 1.0),
+      (2L, t0 + 2 * DayUs, 1L, "purchase", 2.0),
+      (3L, t0 + DayUs, 1L, "view", 9.9)) // wrong type: not in the series
+    val out = queries.ExtQueries.queries("qz56_forward_fill")(
+      spark, plantEvents(rows)).collect()
+    assert(out.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+      r.getBoolean(3))).toSeq == Seq(
+      (19_700L, 1000L, 1000L, false),
+      (19_701L, -1L, 1000L, true),
+      (19_702L, 2000L, 2000L, false)), out.mkString("; "))
+  }
+
+  test("qz57 growth accounting: new vs retained vs resurrected split " +
+    "with the cumulative-of-new identity") {
+    val t0 = 19_700L * DayUs
+    val rows = Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0 + DayUs, 1L, "view", 0.0),
+      (3L, t0 + 20 * DayUs, 1L, "view", 0.0),
+      (4L, t0, 2L, "view", 0.0))
+    val out = queries.ExtQueries.queries("qz57_growth_accounting")(
+      spark, plantEvents(rows)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      (19_700L, 2L, 2L, 0L, 0L, 2L),
+      (19_701L, 1L, 0L, 1L, 0L, 2L),
+      (19_720L, 1L, 0L, 0L, 1L, 2L)), out.mkString("; "))
+  }
+
+  test("qm19 freeze runs: three bit-identical frames flag frozen; " +
+    "distinct frames do not") {
+    val block = "FROZENFRAMEBYTES" // 16 chars
+    val frozenDoc = (block + "q" * 48) * 3
+    val liveDoc = (0 until 3).map(i =>
+      s"LIVEFRAME${i}BYTES$i" + "q" * 48).mkString
+    val out = queries.ExtQueries.queries("qm19_freeze_runs")(
+      spark, plantDocs(Seq((1L, frozenDoc, "s"), (2L, liveDoc, "s"))))
+      .collect()
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(m(1L) == ((3L, 1L, 3L, true)), s"frozen: ${m(1L)}")
+    assert(m(2L) == ((3L, 3L, 1L, false)), s"live: ${m(2L)}")
+  }
 }
