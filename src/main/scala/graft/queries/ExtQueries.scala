@@ -152,7 +152,7 @@ object ExtQueries {
       |  FROM c)
       |SELECT n_pairs, sb // n_pairs AS mean_abs_cos_before_micro,
       |  sa // n_pairs AS mean_abs_cos_after_micro
-      |FROM g ORDER BY n_pairs""".stripMargin
+      |FROM g WHERE n_pairs > 0 ORDER BY n_pairs""".stripMargin
   }
 
   /** Exact Poisson(1) CDF in ppm — floor(1e6 · P(X ≤ k)) for k = 0..9;
@@ -6067,6 +6067,7 @@ object ExtQueries {
           sum("tm").as("sd"))
         .crossJoin(broadcast(
           vb.agg(sum(expr("c*c*c - c")).as("ties"))))
+        .where(col("n").isNotNull && col("n") > 0L)
         .select(col("n").as("n_days"), col("k").as("n_groups"),
           col("sd").as("sum_d_micro"), col("ties").as("ties_cube"),
           expr(kwHExpr).as("h"),
@@ -6109,6 +6110,7 @@ object ExtQueries {
         expr("(1000 * sum(n_chars)) div count(1)").as("mean_milli")))
       rep.agg(sort_array(collect_list(col("mb"))).as("l"))
         .crossJoin(pt)
+        .where(col("n_docs") > 0L)
         .select(col("n_docs"), col("mean_milli"),
           size(col("l")).cast("long").as("n_replicates"),
           element_at(col("l"), 2).as("boot_lo_milli"),
@@ -6333,8 +6335,8 @@ object ExtQueries {
         .where(col("rk") <= 8)
         .select(col("q_id"), col("n_id"), col("n_emb"), col("cos")))
       val pc = graft.Materialize.cut(cand.as("x")
-        .join(cand.select(col("q_id"), col("n_id").as("b"),
-          col("n_emb").as("b_emb")).as("y"), Seq("q_id"))
+        .join(broadcast(cand.select(col("q_id"), col("n_id").as("b"),
+          col("n_emb").as("b_emb")).as("y")), Seq("q_id"))
         .where(col("n_id") =!= col("b"))
         .select(col("q_id"), col("n_id").as("a"), col("b"),
           Similarity.cosine(col("n_emb"), col("b_emb")).as("cab")))
@@ -6344,12 +6346,16 @@ object ExtQueries {
         .select(col("q_id"), lit(1L).as("step"), col("n_id"),
           col("cos").as("cos_q"), col("cos").as("mmr"))
       for (step <- 2 to 4) {
-        val rem = cand.join(sel.select("q_id", "n_id"),
+        // the selected set is ≤ |queries|·steps rows and the per-step
+        // max frame ≤ |queries|·shortlist — broadcast them so the
+        // greedy epilogue never shuffles the candidate frames
+        val rem = cand.join(broadcast(sel.select("q_id", "n_id")),
           Seq("q_id", "n_id"), "left_anti")
-        val mx = pc.join(sel.select(col("q_id"), col("n_id").as("b")),
+        val mx = pc.join(
+            broadcast(sel.select(col("q_id"), col("n_id").as("b"))),
             Seq("q_id", "b"))
           .groupBy("q_id", "a").agg(max("cab").as("mx"))
-        val pick = rem.join(mx, rem("q_id") === mx("q_id") &&
+        val pick = rem.join(broadcast(mx), rem("q_id") === mx("q_id") &&
             rem("n_id") === mx("a"))
           .select(rem("q_id"), col("n_id"), col("cos"),
             expr("0.7 * cos - 0.3 * mx").as("mmr"))
@@ -6377,6 +6383,12 @@ object ExtQueries {
     // the fitted (μ, v) literals and replays the same fold.
     "qe33_top_pc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      if (Tables.embeddings(s, dir).isEmpty)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "rank BIGINT, vec_id BIGINT, label INT, proj DOUBLE"))
+      else {
       val (mu, v) = fitTopPc(s, dir)
       lastTopPcKey = Some(dir)
       val top = Tables.embeddings(s, dir)
@@ -6389,6 +6401,7 @@ object ExtQueries {
           .cast("long"))
         .select(col("rank"), col("vec_id"), col("label"), col("proj"))
         .orderBy("rank")
+      }
     }),
 
     // ABTT ISOTROPY REPAIR AUDIT — qe33 found the rogue axis; this
@@ -6401,6 +6414,13 @@ object ExtQueries {
     // mean |cos| toward isotropy; the twin replays the same fitted
     // (μ, v) literals.
     "qe34_abtt_isotropy" -> ((s, dir) => {
+      if (Tables.embeddings(s, dir).isEmpty)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "n_pairs BIGINT, mean_abs_cos_before_micro BIGINT, " +
+              "mean_abs_cos_after_micro BIGINT"))
+      else {
       val (mu, v) = fitTopPc(s, dir)
       lastTopPcKey = Some(dir)
       val muL = array(mu.map(lit): _*)
@@ -6429,10 +6449,12 @@ object ExtQueries {
             .cast("long").as("ca"))
       pairs.agg(count(lit(1)).as("n_pairs"),
           sum("cb").as("sb"), sum("ca").as("sa"))
+        .where(col("n_pairs") > 0L)
         .select(col("n_pairs"),
           expr("sb div n_pairs").as("mean_abs_cos_before_micro"),
           expr("sa div n_pairs").as("mean_abs_cos_after_micro"))
         .orderBy("n_pairs")
+      }
     }),
 
     // CALENDAR GAP-FILL + FORWARD FILL — the spine-join every
@@ -8304,7 +8326,7 @@ object ExtQueries {
         |  $kwHExpr AS h,
         |  CASE WHEN n > 1 AND ($kwCExpr) > 0.0
         |    THEN ($kwHExpr) / ($kwCExpr) ELSE 0.0 END AS h_corrected
-        |FROM a CROSS JOIN ti ORDER BY n_days""".stripMargin,
+        |FROM a CROSS JOIN ti WHERE n > 0 ORDER BY n_days""".stripMargin,
 
     // the same md5-ppm coins cut against the shared Poisson(1) CDF
     // literals; replicate means in floored milli, order-statistic band
@@ -8338,7 +8360,8 @@ object ExtQueries {
         |SELECT n_docs, mean_milli,
         |  CAST(len(l) AS BIGINT) AS n_replicates,
         |  l[2] AS boot_lo_milli, l[63] AS boot_hi_milli
-        |FROM pt CROSS JOIN l ORDER BY n_docs""".stripMargin
+        |FROM pt CROSS JOIN l WHERE n_docs > 0
+        |ORDER BY n_docs""".stripMargin
     },
 
     // five single-column legs UNION ALLed — min/max on the NATIVE type

@@ -506,4 +506,52 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("qe31 mmr: the shortlist build broadcasts the fenced query side " +
+    "and prunes map-side; the greedy epilogue never sort-merge joins") {
+    val p = plan("qe31_mmr_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qe32 triplet margins: both legs broadcast the fenced anchors " +
+    "and prune their top-1 windows map-side") {
+    val p = plan("qe32_triplet_margins")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("qe33 top-pc: the query is one scan + TakeOrdered, no global " +
+    "sort and no Generate") {
+    val p = plan("qe33_top_pc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate explode"), p)
+  }
+
+  test("qm18 zcr: the zero-crossing fold never explodes frame bytes — " +
+    "no Generate below the asset rollup beyond the frame sampler") {
+    val p = plan("qm18_zero_crossings")
+    // frameByteVectors' posexplode over frames is the only generator;
+    // the per-byte state machine is a fold, not an explode
+    assert("Generate".r.findAllIn(p).length == 1, p)
+  }
+
+  test("qz51 theil-sen day-pair join: both sides are day-grain " +
+    "aggregates — the corpus reaches exactly two scans and the pair " +
+    "join never touches row grain") {
+    val p = plan("qz51_theil_sen")
+    // day-grain frames are tiny: the self-join must broadcast
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qz55 bootstrap: the x64 replicate explode collapses map-side — " +
+    "partial aggregation sits below the replicate-key exchange") {
+    val p = plan("qz55_poisson_bootstrap")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    assert(p.contains("Generate explode"), p)
+  }
 }
