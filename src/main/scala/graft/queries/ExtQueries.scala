@@ -5718,30 +5718,58 @@ object ExtQueries {
     // τ test as exact cross-multiplication, jac reported in milli.
     "qx81_prefix_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // DICTIONARY-ENCODED rewrite of the round-10 shape (which ran
+      // 33 s at sf0.1 — 2.1M candidates exploded by their tokens
+      // through two token-grain shuffles): tokens get dense BIGINT ids
+      // ordered rarest-first (df asc, token asc — the canonical prefix
+      // order), so (a) the prefix is literally the HEAD of each doc's
+      // sorted id array (no per-doc rank window, no df re-join), and
+      // (b) the verify step is ONE array_intersect over int arrays in
+      // the pair projection — no explode, no string hashing. The dict
+      // window is VOCABULARY-grain (bounded like qz47's day grain);
+      // everything else is doc- or pair-grain.
       val g = graft.Materialize.cut(docsWithToks(s, dir)
         .select(col("doc_id"), explode(array_distinct(col("toks")))
           .as("t")))
-      val n = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val df = g.groupBy("t").agg(count(lit(1)).as("df"))
-      val pre = g.join(df, "t").join(n, "doc_id")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy("df", "t")))
-        .where(col("rk") <=
-          col("n") - expr("(950 * n + 999) div 1000") + 1L)
-        .select(col("doc_id"), col("t"), col("n"))
-      val cand = pre.select(col("doc_id").as("d1"), col("t"),
-          col("n").as("n1"))
-        .join(pre.select(col("doc_id").as("d2"), col("t"),
-          col("n").as("n2")), "t")
+      val dict = g.groupBy("t").agg(count(lit(1)).as("df"))
+        .withColumn("tid", row_number().over(
+          Window.orderBy("df", "t")).cast("long"))
+        .select("t", "tid")
+      val base = graft.Materialize.cut(g.join(dict, "t")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("tid"))).as("ts"),
+          count(lit(1)).as("n")))
+      // posexplode keeps each prefix token's rank in the FULL sorted
+      // array (prefix = head), enabling PPJoin's POSITION filter at
+      // candidate time: a pair matching first at ranks (p1, p2) can
+      // overlap at most 1 + min(n1−p1, n2−p2) tokens, and J ≥ τ needs
+      // overlap ≥ τ(n1+n2)/(1+τ) — cross-multiplied below. The first
+      // shared token of any TRUE pair passes (nothing shared sits
+      // before it), so the filter only prunes.
+      val pre = base.select(col("doc_id"), col("n"),
+        posexplode(slice(col("ts"), lit(1),
+          (col("n") - expr("(950 * n + 999) div 1000") + 1L)
+            .cast("int"))))
+        .select(col("doc_id"), col("n"),
+          (col("pos") + 1L).as("p"), col("col").as("tid"))
+      val cand = pre.select(col("doc_id").as("d1"), col("tid"),
+          col("n").as("n1"), col("p").as("p1"))
+        .join(pre.select(col("doc_id").as("d2"), col("tid"),
+          col("n").as("n2"), col("p").as("p2")), "tid")
         .where(col("d1") < col("d2") &&
           lit(1000L) * least(col("n1"), col("n2")) >=
-            lit(950L) * greatest(col("n1"), col("n2")))
+            lit(950L) * greatest(col("n1"), col("n2")) &&
+          lit(1950L) * (lit(1L) + least(col("n1") - col("p1"),
+            col("n2") - col("p2"))) >=
+            lit(950L) * (col("n1") + col("n2")))
         .select("d1", "d2", "n1", "n2").distinct()
-      cand.join(g.select(col("doc_id").as("d1"), col("t")), Seq("d1"))
-        .join(g.select(col("doc_id").as("d2"), col("t")),
-          Seq("d2", "t"))
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(count(lit(1)).as("n_int"))
+      cand
+        .join(base.select(col("doc_id").as("d1"), col("ts").as("t1")),
+          Seq("d1"))
+        .join(base.select(col("doc_id").as("d2"), col("ts").as("t2")),
+          Seq("d2"))
+        .withColumn("n_int",
+          size(array_intersect(col("t1"), col("t2"))).cast("long"))
         .where(lit(1000L) * col("n_int") >=
           lit(950L) * (col("n1") + col("n2") - col("n_int")))
         .select(col("d1"), col("d2"), col("n_int"),
