@@ -6273,15 +6273,24 @@ object ExtQueries {
       val pairs = Dedup.bandedPairs(sig).select("d1", "d2")
       val t = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 100).as("px"))
+      // BANDED verification: near_dup needs dist <= maxlen/5 <= 20,
+      // so the threshold form runs the O(len*k) diagonal band instead
+      // of the full O(len^2) DP and reports -1 beyond it ("not a
+      // near-dup, distance not priced") — the bounded-verify posture a
+      // production pipeline takes; the twin caps its exact distance at
+      // the same 20.
       pairs
         .join(t.select(col("doc_id").as("d1"), col("px").as("p1")), "d1")
         .join(t.select(col("doc_id").as("d2"), col("px").as("p2")), "d2")
         .select(col("d1"), col("d2"),
-          levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"),
+          levenshtein(col("p1"), col("p2"), 20).cast("long")
+            .as("edit_dist"),
           greatest(length(col("p1")), length(col("p2"))).cast("long")
             .as("mx"))
         .select(col("d1"), col("d2"), col("edit_dist"),
-          expr("1000 - (1000 * edit_dist) div mx").as("sim_milli"))
+          expr("CASE WHEN edit_dist >= 0 " +
+            "THEN 1000 - (1000 * edit_dist) div mx ELSE -1 END")
+            .as("sim_milli"))
         .withColumn("near_dup", col("sim_milli") >= 800L)
         .orderBy("d1", "d2")
     }),
@@ -7991,8 +8000,10 @@ object ExtQueries {
     // qz48's capped band staging proposes, a 100-char-bounded
     // levenshtein disposes
     "qx83_editdist_verify" -> {
-      val led = "CAST(levenshtein(substr(t1.text, 1, 100), " +
-        "substr(t2.text, 1, 100)) AS BIGINT)"
+      val led = "(CASE WHEN CAST(levenshtein(substr(t1.text, 1, 100), " +
+        "substr(t2.text, 1, 100)) AS BIGINT) <= 20 " +
+        "THEN CAST(levenshtein(substr(t1.text, 1, 100), " +
+        "substr(t2.text, 1, 100)) AS BIGINT) ELSE -1 END)"
       val mx = "greatest(CAST(length(substr(t1.text, 1, 100)) " +
         "AS BIGINT), CAST(length(substr(t2.text, 1, 100)) AS BIGINT))"
       ShingleCte + s""",
@@ -8017,8 +8028,11 @@ object ExtQueries {
         |  FROM small a JOIN small c
         |    ON a.band = c.band AND a.doc_id < c.doc_id)
         |SELECT p.d1, p.d2, $led AS edit_dist,
-        |  1000 - (1000 * $led) // $mx AS sim_milli,
-        |  (1000 - (1000 * $led) // $mx) >= 800 AS near_dup
+        |  CASE WHEN $led >= 0
+        |    THEN 1000 - (1000 * $led) // $mx ELSE -1 END AS sim_milli,
+        |  (CASE WHEN $led >= 0
+        |    THEN 1000 - (1000 * $led) // $mx ELSE -1 END) >= 800
+        |    AS near_dup
         |FROM p JOIN documents t1 ON t1.doc_id = p.d1
         |       JOIN documents t2 ON t2.doc_id = p.d2
         |ORDER BY d1, d2""".stripMargin
