@@ -5718,63 +5718,88 @@ object ExtQueries {
     // τ test as exact cross-multiplication, jac reported in milli.
     "qx81_prefix_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // DICTIONARY-ENCODED rewrite of the round-10 shape (which ran
-      // 33 s at sf0.1 — 2.1M candidates exploded by their tokens
-      // through two token-grain shuffles): tokens get dense BIGINT ids
-      // ordered rarest-first (df asc, token asc — the canonical prefix
-      // order), so (a) the prefix is literally the HEAD of each doc's
-      // sorted id array (no per-doc rank window, no df re-join), and
-      // (b) the verify step is ONE array_intersect over int arrays in
-      // the pair projection — no explode, no string hashing. The dict
-      // window is VOCABULARY-grain (bounded like qz47's day grain);
-      // everything else is doc- or pair-grain.
-      val g = graft.Materialize.cut(docsWithToks(s, dir)
-        .select(col("doc_id"), explode(array_distinct(col("toks")))
-          .as("t")))
+      // Set-collapsed PPJoin (round-11 rewrite; the round-10 shape ran
+      // 33 s at sf0.1 and went QUADRATIC at the 100× probe — on a
+      // replica-dense corpus even "rare" tokens carry df ≈ replica
+      // count, so the prefix index's candidate volume scales with the
+      // SQUARE of duplication). Jaccard depends only on the token
+      // SETS, so the engine (a) collapses docs to distinct-set reps —
+      // the qx11 exact-content pre-collapse discipline — and runs the
+      // whole prefix/verify machinery at REP grain, where duplication
+      // is gone by construction; then (b) expands rep-grain results
+      // back to doc pairs (within-set pairs are J = 1000 identities),
+      // which is OUTPUT-LINEAR — the only quadratic left is the true
+      // result itself. Tokens get dense BIGINT ids ordered rarest-
+      // first so the prefix is the HEAD of each rep's sorted id array,
+      // candidates carry PPJoin's position bound, and verification is
+      // one int-array intersect per rep pair. The dict window is
+      // VOCABULARY-grain (bounded, the qz47 rule).
+      val fp = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("doc_id"),
+          array_sort(array_distinct(col("toks"))).as("td"))
+        .withColumn("f", md5(concat_ws(" ", col("td")))))
+      val sets = fp.groupBy("f")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
+      val repToks = fp.select(col("doc_id"), col("td"))
+        .join(sets.select(col("rep").as("doc_id"), col("f")), "doc_id")
+      val g = repToks.select(col("f"), explode(col("td")).as("t"))
       val dict = g.groupBy("t").agg(count(lit(1)).as("df"))
         .withColumn("tid", row_number().over(
           Window.orderBy("df", "t")).cast("long"))
         .select("t", "tid")
       val base = graft.Materialize.cut(g.join(dict, "t")
-        .groupBy("doc_id")
+        .groupBy("f")
         .agg(sort_array(collect_list(col("tid"))).as("ts"),
           count(lit(1)).as("n")))
-      // posexplode keeps each prefix token's rank in the FULL sorted
-      // array (prefix = head), enabling PPJoin's POSITION filter at
-      // candidate time: a pair matching first at ranks (p1, p2) can
-      // overlap at most 1 + min(n1−p1, n2−p2) tokens, and J ≥ τ needs
-      // overlap ≥ τ(n1+n2)/(1+τ) — cross-multiplied below. The first
-      // shared token of any TRUE pair passes (nothing shared sits
-      // before it), so the filter only prunes.
-      val pre = base.select(col("doc_id"), col("n"),
+      val pre = base.select(col("f"), col("n"),
         posexplode(slice(col("ts"), lit(1),
           (col("n") - expr("(950 * n + 999) div 1000") + 1L)
             .cast("int"))))
-        .select(col("doc_id"), col("n"),
+        .select(col("f"), col("n"),
           (col("pos") + 1L).as("p"), col("col").as("tid"))
-      val cand = pre.select(col("doc_id").as("d1"), col("tid"),
+      val cand = pre.select(col("f").as("f1"), col("tid"),
           col("n").as("n1"), col("p").as("p1"))
-        .join(pre.select(col("doc_id").as("d2"), col("tid"),
+        .join(pre.select(col("f").as("f2"), col("tid"),
           col("n").as("n2"), col("p").as("p2")), "tid")
-        .where(col("d1") < col("d2") &&
+        .where(col("f1") < col("f2") &&
           lit(1000L) * least(col("n1"), col("n2")) >=
             lit(950L) * greatest(col("n1"), col("n2")) &&
           lit(1950L) * (lit(1L) + least(col("n1") - col("p1"),
             col("n2") - col("p2"))) >=
             lit(950L) * (col("n1") + col("n2")))
-        .select("d1", "d2", "n1", "n2").distinct()
-      cand
-        .join(base.select(col("doc_id").as("d1"), col("ts").as("t1")),
-          Seq("d1"))
-        .join(base.select(col("doc_id").as("d2"), col("ts").as("t2")),
-          Seq("d2"))
+        .select("f1", "f2", "n1", "n2").distinct()
+      val repPairs = cand
+        .join(base.select(col("f").as("f1"), col("ts").as("t1")),
+          Seq("f1"))
+        .join(base.select(col("f").as("f2"), col("ts").as("t2")),
+          Seq("f2"))
         .withColumn("n_int",
           size(array_intersect(col("t1"), col("t2"))).cast("long"))
         .where(lit(1000L) * col("n_int") >=
           lit(950L) * (col("n1") + col("n2") - col("n_int")))
-        .select(col("d1"), col("d2"), col("n_int"),
+        .select(col("f1"), col("f2"), col("n_int"),
           expr("(1000 * n_int) div (n1 + n2 - n_int)").as("jac_milli"))
-        .orderBy("d1", "d2")
+      // report at SET grain with pair MASS: materializing every doc
+      // pair is output-quadratic in duplication (the 100× probe corpus
+      // implies ~200M pairs) and nothing downstream wants it — a
+      // dedup/merge decision consumes the set pair + multiplicities.
+      // Cross rows: (rep1, rep2, m1·m2 pairs); within rows (d1 = d2 =
+      // rep): C(m, 2) identity pairs at J = 1000.
+      val cross = repPairs
+        .join(sets.select(col("f").as("f1"), col("rep").as("r1"),
+          col("m").as("m1")), Seq("f1"))
+        .join(sets.select(col("f").as("f2"), col("rep").as("r2"),
+          col("m").as("m2")), Seq("f2"))
+        .select(least(col("r1"), col("r2")).as("d1"),
+          greatest(col("r1"), col("r2")).as("d2"),
+          (col("m1") * col("m2")).as("n_pairs"),
+          col("n_int"), col("jac_milli"))
+      val within = sets.where(col("m") >= 2L)
+        .join(base.select(col("f"), col("n")), Seq("f"))
+        .select(col("rep").as("d1"), col("rep").as("d2"),
+          expr("(m * (m - 1)) div 2").as("n_pairs"),
+          col("n").as("n_int"), lit(1000L).as("jac_milli"))
+      cross.union(within).orderBy("d1", "d2")
     }),
 
     // PARETO FRONTIER (skyline) — per source, the docs no other doc of
@@ -7756,40 +7781,43 @@ object ExtQueries {
     // rarest-first prefix index + exact-jaccard refine; no length
     // filter here — it provably prunes only sub-τ pairs, so the
     // refined result is identical with or without it
+    // set-grain ground truth: distinct-token-set reps, exact list
+    // intersections over all length-compatible rep pairs (the twin
+    // favors clarity — set count is duplication-free by construction,
+    // so the O(sets²) form is priceable), within-set identity rows
     "qx81_prefix_join" ->
       """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_distinct(toks)) AS t
-        |  FROM tok WHERE len(toks) >= 3),
-        |n AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM g GROUP BY doc_id),
-        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df
-        |       FROM g GROUP BY t),
-        |r AS (
-        |  SELECT g.doc_id, g.t, n.n,
-        |    row_number() OVER (PARTITION BY g.doc_id
-        |      ORDER BY df.df, g.t) AS rk
-        |  FROM g JOIN df USING (t) JOIN n USING (doc_id)),
-        |pre AS (
-        |  SELECT doc_id, t FROM r
-        |  WHERE rk <= n - ((950 * n + 999) // 1000) + 1),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id),
-        |ints AS (
-        |  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS n_int
-        |  FROM cand c
-        |  JOIN g x ON x.doc_id = c.d1
-        |  JOIN g y ON y.doc_id = c.d2 AND y.t = x.t
-        |  GROUP BY c.d1, c.d2)
-        |SELECT i.d1, i.d2, i.n_int,
-        |  (1000 * i.n_int) // (n1.n + n2.n - i.n_int) AS jac_milli
-        |FROM ints i
-        |JOIN n n1 ON n1.doc_id = i.d1
-        |JOIN n n2 ON n2.doc_id = i.d2
-        |WHERE 1000 * i.n_int >= 950 * (n1.n + n2.n - i.n_int)
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |fps AS (
+        |  SELECT doc_id, list_sort(list_distinct(toks)) AS td,
+        |    md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+        |      AS f
+        |  FROM tok),
+        |sets AS (
+        |  SELECT f, CAST(min(doc_id) AS BIGINT) AS rep,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM fps GROUP BY f),
+        |rt AS (
+        |  SELECT s.f, s.rep, s.m, p.td,
+        |    CAST(len(p.td) AS BIGINT) AS n
+        |  FROM sets s JOIN fps p ON p.doc_id = s.rep),
+        |pairs AS (
+        |  SELECT a.rep AS r1, b.rep AS r2, a.m AS m1, b.m AS m2,
+        |    CAST(len(list_intersect(a.td, b.td)) AS BIGINT) AS n_int,
+        |    a.n AS n1, b.n AS n2
+        |  FROM rt a JOIN rt b ON a.rep < b.rep
+        |  WHERE 1000 * least(a.n, b.n) >= 950 * greatest(a.n, b.n)),
+        |cross_q AS (
+        |  SELECT r1 AS d1, r2 AS d2, m1 * m2 AS n_pairs, n_int,
+        |    (1000 * n_int) // (n1 + n2 - n_int) AS jac_milli
+        |  FROM pairs
+        |  WHERE 1000 * n_int >= 950 * (n1 + n2 - n_int)),
+        |within_q AS (
+        |  SELECT rep AS d1, rep AS d2, (m * (m - 1)) // 2 AS n_pairs,
+        |    n AS n_int, CAST(1000 AS BIGINT) AS jac_milli
+        |  FROM rt WHERE m >= 2)
+        |SELECT * FROM cross_q UNION ALL SELECT * FROM within_q
         |ORDER BY d1, d2""".stripMargin,
 
     // the sorted-sweep skyline: per-source cummax over the strictly-

@@ -83,19 +83,22 @@ class Round10cSpec extends SparkTestBase {
 
   // ---- qx81: prefix-filtered similarity join ------------------------
 
-  test("qx81 refine: identical sets pair at 1000 milli, the exact " +
-    "tau = 0.95 boundary is kept, and 4-of-5 overlap is excluded") {
+  test("qx81 refine: identical sets collapse to a within-set mass row " +
+    "at 1000 milli, the exact tau = 0.95 boundary is kept as a cross " +
+    "pair, and 4-of-5 overlap is excluded") {
     val t20 = (1 to 20).map(i => s"t$i")
     val dir = plantDocs(Seq(
       (1L, "alpha beta gamma delta epsilon", "s"),
-      (2L, "epsilon delta gamma beta alpha", "s"), // J = 1
+      (2L, "epsilon delta gamma beta alpha", "s"), // same SET -> within
       (3L, "alpha beta gamma delta zeta", "s"), // J = 4/6 — excluded
       (4L, t20.mkString(" "), "s"),
       (5L, t20.dropRight(1).mkString(" "), "s"))) // J = 19/20 = 0.95
     val out = queries.ExtQueries.queries("qx81_prefix_join")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
-      .toSeq
-    assert(out == Seq((1L, 2L, 1000L), (4L, 5L, 950L)), s"got $out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 5L, 1000L),   // docs 1+2: one identity pair
+      (4L, 5L, 1L, 19L, 950L)), s"got $out")
   }
 
   // ---- qz50: SCD2 intervals -----------------------------------------
