@@ -28,6 +28,15 @@ object CoreQueries {
   private val evoStage =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  // q55's bucketed catalog tables (fact + dim), keyed by dir:
+  // (factTable, dimTable) names in the session catalog
+  private val bucketStage =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  // q56's partitioned-parquet layout, keyed by dir
+  private val partStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
@@ -625,6 +634,67 @@ object CoreQueries {
     // state and must equal the batch aggregate for any chunking.
     "qs22_update_mode" -> ((s, dir) =>
       graft.streaming.StreamingReplay.updateModeReplay(s, dir)),
+
+    // q55 — BUCKETED co-located join (S9): the layout answer to the
+    // shuffle question — both sides written bucketed-and-sorted by the
+    // join key into the session catalog, so the sort-merge join reads
+    // bucket-aligned files and needs NO Exchange on either side (the
+    // 100 TB posture for a fact⋈dim join too big to broadcast: pay the
+    // shuffle ONCE at write time, amortize it over every downstream
+    // join). PlanSpec pins the no-Exchange plan; the oracle recomputes
+    // from the raw table, so a bucket misroute (wrong hash, wrong
+    // bucket count, dropped row) hash-fails.
+    "q55_bucketed_join" -> ((s, dir) => {
+      val (ft, dt) = Option(bucketStage.get(dir)).getOrElse {
+        val tag = math.abs(dir.hashCode).toString
+        val (f, d) = (s"graft_fact_$tag", s"graft_dim_$tag")
+        val ev = graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v_milli"))
+        ev.write.mode("overwrite")
+          .bucketBy(8, "user_id").sortBy("user_id")
+          .format("parquet").saveAsTable(f)
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .write.mode("overwrite")
+          .bucketBy(8, "user_id").sortBy("user_id")
+          .format("parquet").saveAsTable(d)
+        bucketStage.putIfAbsent(dir, (f, d))
+        (f, d)
+      }
+      s.table(ft).where(col("event_type") === "purchase")
+        .join(s.table(dt), "user_id")
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("v_milli").as("v_milli"))
+        .orderBy("n_events")
+    }),
+
+    // q56 — PARTITION PRUNING through a partitioned write (S10): the
+    // landing-zone layout where a predicate on the partition column
+    // must prune at PLANNING time (PartitionFilters, zero I/O on the
+    // other partitions), not as a post-scan filter. The oracle
+    // recomputes from the raw table — a row misrouted at write time or
+    // a partition dropped by the pruner hash-fails. PlanSpec pins the
+    // PartitionFilters entry.
+    "q56_partition_prune" -> ((s, dir) => {
+      val staged = Option(partStage.get(dir)).getOrElse {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-part").toString
+        graft.Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(d)
+        partStage.putIfAbsent(dir, d)
+        d
+      }
+      s.read.parquet(staged)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .orderBy("user_id")
+    }),
 
     // q54 — UNPIVOT (the stack generator): the wide-to-long reshape
     // every metrics exporter and plotting layer runs after a rollup;
@@ -1721,6 +1791,28 @@ object CoreQueries {
         |    AS v_milli
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // bucket-misroute detector: the same purchase-fact x per-user-count
+    // join recomputed from the raw table
+    "q55_bucketed_join" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT n_events, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(vm) AS BIGINT) AS v_milli
+        |FROM f JOIN d USING (user_id)
+        |GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    // partition-misroute detector: same slice off the raw table
+    "q56_partition_prune" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the UNION ALL the stack() generator desugars to
     "q54_unpivot" ->

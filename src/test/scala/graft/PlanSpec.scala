@@ -554,4 +554,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
     assert(p.contains("Generate explode"), p)
   }
+
+  test("q55 bucketed join: both sides read bucket-aligned files — with " +
+    "broadcast off (the too-big-to-broadcast posture) the SMJ runs " +
+    "with NO Exchange on the join key") {
+    // at fixture scale the dim auto-broadcasts (also shuffle-free);
+    // the layout's point is the big-dim case, so pin that shape
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q55_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(user_id"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("q56 partition prune: the event_type predicate lands in " +
+    "PartitionFilters, not a post-scan filter") {
+    val p = plan("q56_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("(event_type") && p.contains("= purchase"), p)
+  }
 }
