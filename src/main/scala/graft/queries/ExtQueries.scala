@@ -6585,6 +6585,152 @@ object ExtQueries {
         .orderBy("day")
     }),
 
+    // LEAVE-ONE-OUT kNN LABEL ACCURACY — the end-to-end answer to "is
+    // this embedding good enough to CLASSIFY with" (qe32 scores
+    // margins; this scores the decision): each fenced anchor is
+    // predicted by the majority label of its top-5 corpus neighbors
+    // (self excluded), vote ties to the smaller label; per-label
+    // accuracy exposes WHICH classes the space confuses. One
+    // broadcast-anchor corpus pass, top-5 via WindowGroupLimit, then
+    // anchor- and label-grain rollups — nothing corpus² anywhere.
+    "qe35_knn_accuracy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"))
+      val wk = Window.partitionBy("a_id").orderBy(desc("cos"), col("n_id"))
+      val votes = emb
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("label").as("n_label"))
+        .crossJoin(broadcast(anchors))
+        .where(col("n_id") =!= col("a_id"))
+        .withColumn("cos", Similarity.cosine(col("a_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wk))
+        .where(col("rk") <= 5)
+        .groupBy("a_id", "a_label", "n_label")
+        .agg(count(lit(1)).as("v"))
+      val wV = Window.partitionBy("a_id")
+        .orderBy(desc("v"), col("n_label"))
+      votes.withColumn("pick", row_number().over(wV))
+        .where(col("pick") === 1)
+        .select(col("a_label").as("label"),
+          when(col("n_label") === col("a_label"), 1L).otherwise(0L)
+            .as("ok"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_anchors"), sum("ok").as("n_correct"))
+        .withColumn("acc_milli", expr("(1000 * n_correct) div n_anchors"))
+        .orderBy("label")
+    }),
+
+    // COHORT LTV CURVES — the VALUE companion to qz17's retention
+    // counts: per signup cohort (first-activity day), cumulative
+    // purchase value by account age — the curve a data-budget decision
+    // reads ("does week-2 value justify acquisition"). User-grain
+    // first-day rollup, (cohort, age) rollup, then the cumulative
+    // inside the COHORT partition — day²-grain, calendar-bounded.
+    "qz58_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayE = "CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+        "AS BIGINT)"
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr(dayE).as("day"),
+          col("event_type"), floor(col("value") * 1000).cast("long")
+            .as("vm"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("c_day"))
+      val byAge = ev.join(cohort, "user_id")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("c_day"), (col("day") - col("c_day")).as("age"))
+        .agg(countDistinct("user_id").as("n_buyers"),
+          sum("vm").as("v_milli"))
+      val wC = Window.partitionBy("c_day").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byAge.withColumn("cum_v_milli", sum("v_milli").over(wC))
+        .select(col("c_day"), col("age"), col("n_buyers"),
+          col("v_milli"), col("cum_v_milli"))
+        .orderBy("c_day", "age")
+    }),
+
+    // KWIC COLLOCATES — what travels NEXT TO the corpus' dominant
+    // content token (qx82 scores phrases; this profiles one term's
+    // immediate company — the concordance view a corpus audit opens
+    // first): target = top non-stopword by (count desc, token asc),
+    // collocates = tokens at distance 1-2 on either side of each
+    // occurrence, top 15 by (count desc, side, token). Token-grain
+    // position join stays INSIDE the doc partition; the target is a
+    // one-row broadcast.
+    "qx84_kwic_collocates" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "and", "of", "to", "a")
+      val tok = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("doc_id"), posexplode(col("toks")))
+        .toDF("doc_id", "pos", "t"))
+      val target = broadcast(tok.where(!col("t").isin(stop: _*))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("n"), col("t"))))
+        .where(col("rk") === 1)
+        .select(col("t").as("target")))
+      val occ = tok.join(target, col("t") === col("target"))
+        .select(col("doc_id"), col("pos").as("tp"))
+      val near = tok.join(occ, Seq("doc_id"))
+        .where(col("pos") =!= col("tp") &&
+          abs(col("pos") - col("tp")) <= 2)
+        .select(when(col("pos") < col("tp"), "L").otherwise("R")
+          .as("side"), col("t"))
+      near.crossJoin(target)
+        .groupBy("target", "side", "t")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("side"), col("t"))
+        .limit(15)
+        .select(col("target"), col("side"), col("t").as("collocate"),
+          col("n"))
+    }),
+
+    // COMPOSED TIME-SERIES pipeline — forward-fill → centered trend →
+    // residual → MAD anomaly gate as ONE declarative plan (the qp
+    // discipline: qz56 + qz52 + qz38's gate composed the way a real
+    // daily-health job runs them): a silent day is filled before the
+    // trend so the window never averages over holes; anomalies are
+    // 2·|resid| > 5·MAD over the lower-median of |resid| (integer
+    // cross-multiplication, no float). Day-grain end-to-end after one
+    // corpus rollup.
+    "qp8_timeseries_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("day").agg(sum("vm").as("v_milli"))
+      val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wF = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wT = Window.orderBy("day").rangeBetween(-3L, 3L)
+      val filled = spine.join(daily, Seq("day"), "left")
+        .withColumn("filled_milli",
+          last(col("v_milli"), ignoreNulls = true).over(wF))
+      val trended = filled
+        .withColumn("trend_milli",
+          when(count(lit(1)).over(wT) === 7L,
+            expr("(1000 * sum(filled_milli) OVER (ORDER BY day RANGE " +
+              "BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div 7000")))
+        .withColumn("resid_milli",
+          col("filled_milli") - col("trend_milli"))
+      val mad = broadcast(trended.where(col("resid_milli").isNotNull)
+        .agg(sort_array(collect_list(abs(col("resid_milli")))).as("l"))
+        .select(element_at(col("l"),
+          ((size(col("l")) + 1) / 2).cast("int")).as("mad")))
+      trended.crossJoin(mad)
+        .select(col("day"), col("filled_milli"), col("trend_milli"),
+          col("resid_milli"),
+          when(col("resid_milli").isNotNull,
+            lit(2L) * abs(col("resid_milli")) > lit(5L) * col("mad"))
+            .otherwise(lit(false)).as("is_anomaly"))
+        .orderBy("day")
+    }),
+
     // FRAME FREEZE DETECTION — consecutive IDENTICAL frames (qm17
     // scores similarity; a stuck encoder emits bit-equal frames, and
     // run LENGTH is the signal): the qz50 run-detection discipline on
@@ -8252,6 +8398,130 @@ object ExtQueries {
         |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+
+    // fenced anchors, QUALIFY top-5, vote rollup with the same
+    // (votes desc, label asc) argmax
+    "qe35_knn_accuracy" ->
+      (s"""WITH nn AS (
+        |  SELECT a.vec_id AS a_id, a.label AS a_label,
+        |    c.label AS n_label,
+        |    ${cosSql("a.embedding", "c.embedding")} AS cos,
+        |    c.vec_id AS n_id
+        |  FROM embeddings a JOIN embeddings c
+        |    ON a.vec_id < 100 AND c.vec_id <> a.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY cos DESC, c.vec_id) <= 5),
+        |v AS (
+        |  SELECT a_id, a_label, n_label,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM nn GROUP BY a_id, a_label, n_label),
+        |p AS (
+        |  SELECT a_id, a_label, n_label FROM v
+        |  QUALIFY row_number() OVER (PARTITION BY a_id
+        |    ORDER BY v DESC, n_label) = 1),
+        |g AS (
+        |  SELECT a_label AS label, CAST(count(*) AS BIGINT)
+        |      AS n_anchors,
+        |    CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM p GROUP BY a_label)
+        |SELECT label, n_anchors, n_correct,
+        |  (1000 * n_correct) // n_anchors AS acc_milli
+        |FROM g ORDER BY label""".stripMargin),
+
+    // user-grain cohort day, (cohort, age) rollup, cohort-partitioned
+    // cumulative
+    "qz58_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS c_day FROM ev
+        |      GROUP BY user_id),
+        |a AS (
+        |  SELECT c_day, day - c_day AS age,
+        |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+        |    CAST(sum(vm) AS BIGINT) AS v_milli
+        |  FROM ev JOIN c ON c.user_id = ev.user_id
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY c_day, day - c_day)
+        |SELECT c_day, age, n_buyers, v_milli,
+        |  CAST(sum(v_milli) OVER (PARTITION BY c_day ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v_milli
+        |FROM a ORDER BY c_day, age""".stripMargin,
+
+    // the same deterministic target pick and ±2 position join
+    "qx84_kwic_collocates" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |tk AS (
+        |  SELECT doc_id, CAST(unnest(range(1, len(toks) + 1))
+        |    AS BIGINT) AS pos, toks
+        |  FROM tok),
+        |tp AS (SELECT doc_id, pos, toks[CAST(pos AS INT)] AS t FROM tk),
+        |tgt AS (
+        |  SELECT t AS target FROM (
+        |    SELECT t, CAST(count(*) AS BIGINT) AS n FROM tp
+        |    WHERE t NOT IN ('the','and','of','to','a') GROUP BY t)
+        |  QUALIFY row_number() OVER (ORDER BY n DESC, t) = 1),
+        |occ AS (
+        |  SELECT tp.doc_id, tp.pos AS tpos FROM tp CROSS JOIN tgt
+        |  WHERE tp.t = tgt.target),
+        |near AS (
+        |  SELECT CASE WHEN tp.pos < occ.tpos THEN 'L' ELSE 'R' END
+        |    AS side, tp.t
+        |  FROM tp JOIN occ ON occ.doc_id = tp.doc_id
+        |  WHERE tp.pos <> occ.tpos AND abs(tp.pos - occ.tpos) <= 2)
+        |SELECT target, side, t AS collocate,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM near CROSS JOIN tgt
+        |GROUP BY target, side, t
+        |ORDER BY n DESC, side, t LIMIT 15""".stripMargin,
+
+    // fill -> trend -> residual -> MAD gate, all mirrored; anomaly as
+    // the 2|r| > 5 MAD integer cross-multiplication
+    "qp8_timeseries_pipeline" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(sum(vm) AS BIGINT) AS v_milli
+        |  FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |          AS BIGINT) AS day,
+        |        CAST(floor(value * 1000) AS BIGINT) AS vm
+        |        FROM events WHERE event_type = 'purchase')
+        |  GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+        |  FROM b),
+        |f AS (
+        |  SELECT day,
+        |    last_value(v_milli IGNORE NULLS) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS filled_milli
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |t AS (
+        |  SELECT day, filled_milli,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN (1000 * sum(filled_milli) OVER w) // 7000 END
+        |      AS trend_milli
+        |  FROM f
+        |  WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT day, filled_milli, trend_milli,
+        |    filled_milli - trend_milli AS resid_milli
+        |  FROM t),
+        |m AS (
+        |  SELECT l[CAST((len(l) + 1) // 2 AS INT)] AS mad FROM (
+        |    SELECT list(abs(resid_milli) ORDER BY abs(resid_milli))
+        |      AS l
+        |    FROM t2 WHERE resid_milli IS NOT NULL))
+        |SELECT day, filled_milli, trend_milli, resid_milli,
+        |  CASE WHEN resid_milli IS NOT NULL
+        |    THEN 2 * abs(resid_milli) > 5 * mad
+        |    ELSE false END AS is_anomaly
+        |FROM t2 CROSS JOIN m ORDER BY day""".stripMargin,
 
     // the qm18 variable-length staging, md5 frame fingerprints, the
     // qz50 run-detection discipline inside the doc partition

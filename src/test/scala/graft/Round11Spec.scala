@@ -377,6 +377,72 @@ class Round11Spec extends SparkTestBase {
       (19_720L, 1L, 0L, 0L, 1L, 2L)), out.mkString("; "))
   }
 
+  test("qe35 knn accuracy: clean clusters classify perfectly; a " +
+    "mislabeled vector is the only miss in its label cohort") {
+    def a(i: Int) = Seq(1f, 0.01f * i, 0f, 0f)
+    def b(i: Int) = Seq(0f, 0.01f * i, 1f, 0f)
+    val dir = plantEmbeddings(
+      (0 until 5).map(i => (i.toLong, a(i), 1)) ++
+      (5 until 10).map(i => (i.toLong, b(i), 2)) ++
+      Seq((10L, a(9), 2))) // sits in cluster A, carries label 2
+    val out = queries.ExtQueries.queries("qe35_knn_accuracy")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) == ((5L, 5L, 1000L)), s"label 1: ${out(1)}")
+    assert(out(2) == ((6L, 5L, 833L)), s"label 2: ${out(2)}")
+  }
+
+  test("qz58 cohort ltv: cohorts come from FIRST activity of any type " +
+    "and value accumulates inside the cohort partition") {
+    val t0 = 19_700L * DayUs
+    val rows = Seq(
+      (1L, t0, 1L, "view", 0.0),                      // u1 cohort D
+      (2L, t0 + 2 * DayUs, 1L, "purchase", 1.0),      // age 2
+      (3L, t0 + 3 * DayUs, 1L, "purchase", 2.0),      // age 3
+      (4L, t0 + DayUs, 2L, "purchase", 5.0))          // u2 cohort D+1
+    val out = queries.ExtQueries.queries("qz58_cohort_ltv")(
+      spark, plantEvents(rows)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (19_700L, 2L, 1L, 1000L, 1000L),
+      (19_700L, 3L, 1L, 2000L, 3000L),
+      (19_701L, 0L, 1L, 5000L, 5000L)), out.mkString("; "))
+  }
+
+  test("qx84 kwic: the dominant token's +-2 company counts by side") {
+    val docs = Seq(
+      (1L, "x alpha y", "s"),
+      (2L, "z alpha y w", "s"))
+    val out = queries.ExtQueries.queries("qx84_kwic_collocates")(
+      spark, plantDocs(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("alpha", "R", "y", 2L), ("alpha", "L", "x", 1L),
+      ("alpha", "L", "z", 1L), ("alpha", "R", "w", 1L)),
+      s"got $out")
+  }
+
+  test("qp8 timeseries pipeline: a single spike day flags itself and " +
+    "exactly the windows it contaminates; clean-window days stay calm") {
+    val d0 = 19_700L
+    var id = 0L
+    val rows = (0 until 15).flatMap { d =>
+      val v = if (d == 7) 500.0 else 100.0
+      id += 1
+      Seq((id, (d0 + d) * DayUs + 1_000_000L, 1L, "purchase", v))
+    }
+    val out = queries.ExtQueries.queries("qp8_timeseries_pipeline")(
+      spark, plantEvents(rows)).collect()
+    // residuals: 0 at the two clean-window edges, -57142 on the six
+    // contaminated-window neighbors, +342858 on the spike; MAD (lower
+    // median of |resid|) = 57142, so 2|r| > 5*MAD flags ONLY the spike
+    val anom = out.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(anom == Set(d0 + 7), s"got $anom")
+    val spike = out.find(_.getLong(0) == d0 + 7).get
+    assert(spike.getLong(3) == 500_000L - 157_142L, s"spike: $spike")
+  }
+
   test("qm19 freeze runs: three bit-identical frames flag frozen; " +
     "distinct frames do not") {
     val block = "FROZENFRAMEBYTES" // 16 chars
