@@ -646,18 +646,27 @@ object CoreQueries {
     // bucket count, dropped row) hash-fails.
     "q55_bucketed_join" -> ((s, dir) => {
       val (ft, dt) = Option(bucketStage.get(dir)).getOrElse {
-        val tag = math.abs(dir.hashCode).toString
+        // EXTERNAL bucketed tables under a fresh temp path: the
+        // session catalog dies with the JVM but a managed table's
+        // warehouse LOCATION would not, and the next JVM's
+        // saveAsTable(overwrite) refuses an orphaned location
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bkt").toString
+        val tag = math.abs(dir.hashCode).toString +
+          "_" + java.lang.ProcessHandle.current().pid()
         val (f, d) = (s"graft_fact_$tag", s"graft_dim_$tag")
         val ev = graft.Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             floor(col("value") * 1000).cast("long").as("v_milli"))
         ev.write.mode("overwrite")
           .bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"$base/fact")
           .format("parquet").saveAsTable(f)
         ev.groupBy("user_id")
           .agg(count(lit(1)).as("n_events"))
           .write.mode("overwrite")
           .bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", s"$base/dim")
           .format("parquet").saveAsTable(d)
         bucketStage.putIfAbsent(dir, (f, d))
         (f, d)
@@ -678,13 +687,22 @@ object CoreQueries {
     // a partition dropped by the pruner hash-fails. PlanSpec pins the
     // PartitionFilters entry.
     "q56_partition_prune" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      // a partitionBy write of an EMPTY frame emits no part files at
+      // all (nothing to infer a schema from on read-back) — the empty
+      // landing zone returns the typed empty result directly
+      if (ev.isEmpty)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, n BIGINT, v_milli BIGINT"))
+      else {
       val staged = Option(partStage.get(dir)).getOrElse {
         val d = java.nio.file.Files
           .createTempDirectory("graft-part").toString
-        graft.Tables.events(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(d)
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
         partStage.putIfAbsent(dir, d)
         d
       }
@@ -694,6 +712,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
         .orderBy("user_id")
+      }
     }),
 
     // q54 — UNPIVOT (the stack generator): the wide-to-long reshape
