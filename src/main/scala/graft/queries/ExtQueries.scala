@@ -5717,7 +5717,6 @@ object ExtQueries {
     // skips it. Integer contract: ceil via (950n+999) div 1000, the
     // τ test as exact cross-multiplication, jac reported in milli.
     "qx81_prefix_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // Set-collapsed PPJoin (round-11 rewrite; the round-10 shape ran
       // 33 s at sf0.1 and went QUADRATIC at the 100× probe — on a
       // replica-dense corpus even "rare" tokens carry df ≈ replica
@@ -5732,8 +5731,15 @@ object ExtQueries {
       // result itself. Tokens get dense BIGINT ids ordered rarest-
       // first so the prefix is the HEAD of each rep's sorted id array,
       // candidates carry PPJoin's position bound, and verification is
-      // one int-array intersect per rep pair. The dict window is
-      // VOCABULARY-grain (bounded, the qz47 rule).
+      // one int-array intersect per rep pair. Dense ids come from a
+      // DISTRIBUTED sorted zipWithIndex, not a global row_number window:
+      // an unpartitioned window plans as ONE task holding the whole
+      // vocabulary, and a web-corpus vocabulary (typos, URLs, numerals)
+      // is 10⁸–10⁹ rows — the round-11 `weak` mark. zipWithIndex keeps
+      // the sort's range partitioning (per-partition offsets from one
+      // lightweight count job), so no task ever sees more than its
+      // slice; the id order — (df asc, t asc), all PPJoin needs — and
+      // the assigned ranks are identical to the window's.
       val fp = graft.Materialize.cut(docsWithToks(s, dir)
         .select(col("doc_id"),
           array_sort(array_distinct(col("toks"))).as("td"))
@@ -5743,10 +5749,14 @@ object ExtQueries {
       val repToks = fp.select(col("doc_id"), col("td"))
         .join(sets.select(col("rep").as("doc_id"), col("f")), "doc_id")
       val g = repToks.select(col("f"), explode(col("td")).as("t"))
-      val dict = g.groupBy("t").agg(count(lit(1)).as("df"))
-        .withColumn("tid", row_number().over(
-          Window.orderBy("df", "t")).cast("long"))
-        .select("t", "tid")
+      val dict = {
+        import s.implicits._
+        g.groupBy("t").agg(count(lit(1)).as("df"))
+          .orderBy("df", "t").select(col("t")).as[String]
+          .rdd.zipWithIndex()
+          .map { case (t, i) => (t, i + 1L) }
+          .toDF("t", "tid")
+      }
       val base = graft.Materialize.cut(g.join(dict, "t")
         .groupBy("f")
         .agg(sort_array(collect_list(col("tid"))).as("ts"),

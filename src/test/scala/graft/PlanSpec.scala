@@ -577,4 +577,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
     assert(p.contains("(event_type") && p.contains("= purchase"), p)
   }
+
+  test("qx81 dictionary: NO single-partition window anywhere in the " +
+    "plan — dense token ids come from the distributed sorted " +
+    "zipWithIndex, so the vocabulary never funnels through one task " +
+    "(the round-11 weak mark)") {
+    val p = plan("qx81_prefix_join")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // and the window operator class is gone from this query entirely
+    assert(!p.contains("Window ["), p)
+  }
 }
