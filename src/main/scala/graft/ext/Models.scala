@@ -113,6 +113,7 @@ object Models {
     val dict = broadcast(
       docs.select(col(labelCol).as("lbl")).distinct()
         .withColumn("lblc",
+          // GLOBAL-WINDOW BOUND (label-vocab): ≤ |labels| rows
           row_number().over(Window.orderBy("lbl")).cast("long")))
     val hb = bucketedGrams(
       docs.withColumn("lbl", col(labelCol)).join(dict, "lbl"),

@@ -1069,6 +1069,9 @@ object CoreQueries {
     // the groupBy), which is what makes the single-partition window
     // acceptable at scale
     "q45_window_family" -> ((s, dir) => {
+      // GLOBAL-WINDOW BOUND (inherent-global-report): ntile/percent_rank/
+      // cume_dist over the whole customer-grain aggregate IS a total
+      // order by definition — one ordered pass is the operator
       val w = Window.orderBy(desc("maxp"), col("o_custkey"))
       Tables.orders(s, dir)
         .groupBy("o_custkey")

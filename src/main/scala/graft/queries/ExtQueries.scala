@@ -1036,6 +1036,7 @@ object ExtQueries {
           sequence(lit(1), length(col("t")) - 1),
           i => col("t").substr(i, lit(2)))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      // GLOBAL-WINDOW BOUND (distinct-value): char-bigram TYPES, ≤ alphabet²
       val w = Window.orderBy(desc("cnt"), col("pair"))
       cands.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 30)
@@ -1231,6 +1232,7 @@ object ExtQueries {
       val hist = scored.groupBy("sq").agg(count(lit(1)).as("c"))
       // cumulative over DISTINCT quantized scores only (bounded domain —
       // score range × 1000 buckets regardless of corpus size)
+      // GLOBAL-WINDOW BOUND (distinct-value): ≤ 1001 quantized score buckets
       val wc = Window.orderBy("sq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum("c").over(wc))
@@ -1333,6 +1335,11 @@ object ExtQueries {
       val mean = col("total").cast("double") / col("nd").cast("double")
       val vmr = (col("s2").cast("double") / col("nd").cast("double") -
         mean * mean) / mean
+      // top-30 via TakeOrdered (per-partition heaps), NOT a rank window
+      // over the whole vocabulary — the window form funneled every
+      // distinct token through one task (the qx81 class, closed in the
+      // round-12 audit); the rank is then stamped post-limit.
+      // GLOBAL-WINDOW BOUND (post-limit): 30 rows after TakeOrdered
       val w = Window.orderBy(desc("vmr"), col("t"))
       tc.groupBy("t")
         .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
@@ -1340,8 +1347,8 @@ object ExtQueries {
         .where(col("df") >= 5)
         .crossJoin(broadcast(n))
         .withColumn("vmr", vmr)
+        .orderBy(desc("vmr"), col("t")).limit(30)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 30)
         .select(col("rank"), col("t").as("term"), col("df"), col("total"),
           col("vmr"))
         .orderBy("rank")
@@ -1814,6 +1821,7 @@ object ExtQueries {
       // global top-k as TakeOrdered (per-partition heaps + merge — no
       // single-partition sort of the full corpus); the rank window then
       // runs over 20 rows only
+      // GLOBAL-WINDOW BOUND (post-limit): 20 rows after TakeOrdered
       val w = Window.orderBy(desc("bm25"), col("doc_id"))
       perDoc.orderBy(desc("bm25"), col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -2261,6 +2269,7 @@ object ExtQueries {
             (a, s) => a + s.getField("score")).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id")).limit(50)
         .withColumn("rank_s",
+          // GLOBAL-WINDOW BOUND (post-limit): 50 rows after TakeOrdered
           row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
             .cast("long"))
         .select("doc_id", "rank_s")
@@ -2268,6 +2277,7 @@ object ExtQueries {
       val dense = Similarity
         .bruteForceKnn(emb, emb.where(col("vec_id") === 0), 50)
         .select(col("n_id").as("doc_id"), col("rank").as("rank_d"))
+      // GLOBAL-WINDOW BOUND (post-limit): full-outer of two ≤50-row legs
       val wF = Window.orderBy(desc("rrf"), col("doc_id"))
       sparse.join(dense, Seq("doc_id"), "full_outer")
         .withColumn("rrf",
@@ -3029,6 +3039,7 @@ object ExtQueries {
       val g = docs.groupBy("n_chars").agg(count(lit(1)).as("ca"))
       val nSrc = docs.groupBy("source").agg(count(lit(1)).as("ns"))
       val nAll = docs.agg(count(lit(1)).as("na"))
+      // GLOBAL-WINDOW BOUND (distinct-value): distinct doc lengths only
       val wAll = Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val gc = g.withColumn("cum_all", sum("ca").over(wAll))
@@ -4011,6 +4022,7 @@ object ExtQueries {
         .select(expr("(unix_micros(p_ts) - unix_micros(v_ts)) " +
           "div 60000000").as("m"))
       val hist = dt.groupBy("m").agg(count(lit(1)).as("c"))
+      // GLOBAL-WINDOW BOUND (calendar): minute-grain histogram ≤ span minutes
       val wc = Window.orderBy("m")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist
@@ -4249,6 +4261,10 @@ object ExtQueries {
         .groupBy("user_id")
         .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
       val hist = users.groupBy("v").agg(count(lit(1)).as("c"))
+      // GLOBAL-WINDOW BOUND (distinct-value): milli-quantized spend levels;
+      // a pathological all-distinct corpus degrades toward user grain — an
+      // exact Gini needs a total order by definition, and the histogram
+      // form makes coarsening the milli grid the one-line escape hatch
       val wAsc = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wDesc = Window.orderBy(col("v").desc)
@@ -4385,6 +4401,7 @@ object ExtQueries {
           "AS BIGINT)").as("day"))
         .groupBy("day").agg(count(lit(1)).as("c"))
       val staged = daily
+        // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days (both)
         .withColumn("cum", sum("c").over(Window.orderBy("day")
           .rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("idx",
@@ -4754,6 +4771,9 @@ object ExtQueries {
           col("freq"), col("mon"))
       val n = broadcast(uu.agg(count(lit(1)).as("n")))
       def scoreMap(metric: String): DataFrame = {
+        // GLOBAL-WINDOW BOUND (distinct-value): rec is day-span bounded;
+        // freq/mon are milli-quantized spend histograms (qz31 posture —
+        // coarsen the grid if a corpus ever makes them near-user-grain)
         val w = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         uu.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
@@ -4825,6 +4845,7 @@ object ExtQueries {
           expr("((day - mind) * 255) div greatest(maxd - mind, 1)"))
         .withColumn("z", mortonCol(col("xb"), col("ub")))
       def layout(dim: String, label: String): DataFrame = {
+        // GLOBAL-WINDOW BOUND (distinct-value): z ≤ 65536, day ≤ span days
         val w = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val files = ev.groupBy(col(dim).as("v"), col("n"))
@@ -5392,6 +5413,7 @@ object ExtQueries {
           "DATE'1970-01-01') AS BIGINT)").as("day"))
         .groupBy("day").agg(count(lit(1)).as("x"))
         .withColumn("i",
+          // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days
           row_number().over(Window.orderBy("day")).cast("long"))
       val j = daily.select(col("i").as("j"), col("x").as("xj"))
       daily.join(j,
@@ -5485,6 +5507,7 @@ object ExtQueries {
           floor(col("value") * 1000).cast("long").as("v"))
       val blocks = ev.groupBy("v").agg(count(lit(1)).as("c"),
         sum(when(col("is1"), 1L).otherwise(0L)).as("c1"))
+      // GLOBAL-WINDOW BOUND (distinct-value): milli-quantized value blocks
       val w = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
       blocks
@@ -5655,6 +5678,7 @@ object ExtQueries {
         .withColumn("day", expr("t div 86400000000"))
       val wDay = Window.partitionBy("day").orderBy("t")
         .rowsBetween(Window.unboundedPreceding, 0)
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days
       val wCal = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
       val carry = points.groupBy("day")
@@ -6029,6 +6053,7 @@ object ExtQueries {
         .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
           "AS BIGINT)").as("day"))
         .groupBy("day").agg(count(lit(1)).as("x"))
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days
       val wT = Window.orderBy("day").rangeBetween(-3L, 3L)
       val t = daily
         .withColumn("trend_milli",
@@ -6078,6 +6103,7 @@ object ExtQueries {
         .groupBy("t_days")
         .agg(count(lit(1)).as("m"),
           sum(when(col("ev"), 1L).otherwise(0L)).as("d"))
+      // GLOBAL-WINDOW BOUND (calendar): lifetime days ≤ span days (both)
       val wB = Window.orderBy("t_days")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wC = Window.orderBy("t_days")
@@ -6116,6 +6142,7 @@ object ExtQueries {
         .groupBy("day").agg(count(lit(1)).as("x"))
         .withColumn("dow", pmod(col("day"), lit(7L)))
       val vb = daily.groupBy("x").agg(count(lit(1)).as("c"))
+      // GLOBAL-WINDOW BOUND (distinct-value): distinct daily counts ≤ span days
       val wv = Window.orderBy("x")
         .rowsBetween(Window.unboundedPreceding, -1)
       val dr = vb
@@ -6468,6 +6495,7 @@ object ExtQueries {
           pcProj(col("embedding"), mu, v).as("proj"))
         .orderBy(abs(col("proj")).desc, col("vec_id"))
         .limit(10)
+      // GLOBAL-WINDOW BOUND (post-limit): 10 rows after TakeOrdered
       top.withColumn("rank", row_number().over(
           Window.orderBy(abs(col("proj")).desc, col("vec_id")))
           .cast("long"))
@@ -6547,6 +6575,7 @@ object ExtQueries {
         .groupBy("day").agg(sum("vm").as("v_milli"))
       val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
         .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
       spine.join(daily, Seq("day"), "left")
@@ -6587,6 +6616,7 @@ object ExtQueries {
             .as("n_retained"),
           sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
             .as("n_resurrected"))
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days
       val wC = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
       byDay.withColumn("cum_users", sum("n_new").over(wC))
@@ -6670,16 +6700,15 @@ object ExtQueries {
     // position join stays INSIDE the doc partition; the target is a
     // one-row broadcast.
     "qx84_kwic_collocates" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val stop = Seq("the", "and", "of", "to", "a")
       val tok = graft.Materialize.cut(docsWithToks(s, dir)
         .select(col("doc_id"), posexplode(col("toks")))
         .toDF("doc_id", "pos", "t"))
+      // top-1 via TakeOrdered, not a rank window over the vocabulary
+      // (the qx81 class, closed in the round-12 audit)
       val target = broadcast(tok.where(!col("t").isin(stop: _*))
         .groupBy("t").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(desc("n"), col("t"))))
-        .where(col("rk") === 1)
+        .orderBy(desc("n"), col("t")).limit(1)
         .select(col("t").as("target")))
       val occ = tok.join(target, col("t") === col("target"))
         .select(col("doc_id"), col("pos").as("tp"))
@@ -6715,6 +6744,7 @@ object ExtQueries {
         .groupBy("day").agg(sum("vm").as("v_milli"))
       val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
         .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days (both)
       val wF = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
       val wT = Window.orderBy("day").rangeBetween(-3L, 3L)
