@@ -600,6 +600,66 @@ object Similarity {
         col("d2"))
   }
 
+  /** IVF top-k with PRECOMPUTED NORMS — the indexed exact-re-rank leg
+    * (qe35's engine; VERDICT r11 item 3). Two cost levers over
+    * [[bruteForceKnn]]:
+    *
+    *  - ONE dot per scored pair instead of cosine()'s three: norms are
+    *    per-vector, stamped once in the scan projection, and
+    *    `dot/(na·nb)` is the same IEEE operation sequence as
+    *    `dot/(sqrt(dot)·sqrt(dot))`, so scores are bit-identical to the
+    *    brute path (and to the oracle's per-pair expression);
+    *  - the IVF cell join bounds WHICH pairs are scored: each corpus
+    *    vector is scored only against the queries probing its cell —
+    *    nprobe/nlist of the query fan-out instead of all of it.
+    *
+    * Corpus cell assignment is a max_by PARTIAL AGG, not a per-vector
+    * window: the 16×-exploded centroid scores collapse map-side and only
+    * one row per vector reaches the shuffle (the global-window funnel
+    * rule). At COVERING settings (nprobe = nlist) every (query, corpus)
+    * pair is a candidate — each corpus vector sits in exactly one cell
+    * and every query probes all cells — so the output PROVABLY equals
+    * [[bruteForceKnn]] row for row (Round12Spec pin); production
+    * settings trade recall for the bounded scan, and an oracle twin must
+    * mirror the fitted centroids (the qe4 fit-literal rule). Output:
+    * (q_id, n_id, rank, cos). */
+  def ivfKnnPrenorm(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 5,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val cents = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKey))
+      .select(col("cell"), col("c_emb"),
+        sqrt(dot(col("c_emb"), col("c_emb"))).as("cn"))
+    val c = corpus
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cc",
+        dot(col("n_emb"), col("c_emb")) / (col("nn") * col("cn")))
+      .groupBy("n_id")
+      .agg(max_by(col("cell"), struct(col("cc"), -col("cell"))).as("cell"),
+        first(col("n_emb")).as("n_emb"), first(col("nn")).as("nn"))
+    val wP = Window.partitionBy("q_id").orderBy(desc("qc"), col("cell"))
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc",
+        dot(col("q_emb"), col("c_emb")) / (col("qn") * col("cn")))
+      .withColumn("pr", row_number().over(wP))
+      .where(col("pr") <= nprobe)
+      .select("q_id", "q_emb", "qn", "cell")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank"),
+        col("cos"))
+  }
+
   /** Near-duplicate pairs at scale: random-hyperplane LSH proposes
     * candidate pairs (band-key equi-join — work scales with band
     * collisions, not |corpus|²), the exact cosine predicate refines. The

@@ -6634,23 +6634,32 @@ object ExtQueries {
     // broadcast-anchor corpus pass, top-5 via WindowGroupLimit, then
     // anchor- and label-grain rollups — nothing corpus² anywhere.
     "qe35_knn_accuracy" -> ((s, dir) => {
+      // Round-12 rebuild (VERDICT r11 item 3): the 5-NN retrieval is the
+      // INDEXED leg — Similarity.ivfKnnPrenorm (IVF candidates + one
+      // precomputed-norm dot per scored pair) sharing qe4's fit cache —
+      // instead of the 100-anchor × corpus brute force. At covering
+      // settings (nprobe = nlist) the indexed leg provably equals the
+      // brute truth (Round12Spec pin); at the shipped nprobe = 8 the
+      // metric is the accuracy of the indexed retrieval itself — the
+      // number a production ANN-backed classifier actually ships — and
+      // the twin mirrors the fitted centroids (qe4 rule). The 100-anchor
+      // fence IS the eval-cost knob: the truth leg
+      // (Similarity.bruteForceKnn) stays linear in corpus × fence.
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
       val anchors = emb.where(col("vec_id") < 100)
-        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("label").as("a_label"))
-      val wk = Window.partitionBy("a_id").orderBy(desc("cos"), col("n_id"))
-      val votes = emb
-        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-          col("label").as("n_label"))
-        .crossJoin(broadcast(anchors))
-        .where(col("n_id") =!= col("a_id"))
-        .withColumn("cos", Similarity.cosine(col("a_emb"), col("n_emb")))
-        .withColumn("rk", row_number().over(wk))
-        .where(col("rk") <= 5)
-        .groupBy("a_id", "a_label", "n_label")
+      val top5 = Similarity.ivfKnnPrenorm(emb, anchors, 5, nlist = 16,
+        nprobe = 8, cacheKey = Some(s"$dir|nlist=16|iters=5"))
+      val lab = emb.select(col("vec_id"), col("label"))
+      val votes = top5
+        .join(lab.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), Seq("n_id"))
+        .join(broadcast(lab.where(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("label").as("a_label"))),
+          Seq("q_id"))
+        .groupBy("q_id", "a_label", "n_label")
         .agg(count(lit(1)).as("v"))
-      val wV = Window.partitionBy("a_id")
+      val wV = Window.partitionBy("q_id")
         .orderBy(desc("v"), col("n_label"))
       votes.withColumn("pick", row_number().over(wV))
         .where(col("pick") === 1)
@@ -7785,9 +7794,66 @@ object ExtQueries {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** DuckDB twin of the round-12 indexed qe35: qe4-pattern centroid
+    * VALUES literals, corpus assigned to its argmax-cos cell, anchors
+    * probe `nprobe` cells, candidates = cell equi-join minus self, exact
+    * top-5 by (cos desc, n_id), then the vote/accuracy rollup unchanged
+    * from the round-11 brute twin. The per-pair cosine recomputes the
+    * norms inline — the same IEEE sequence as the Spark side's
+    * precomputed-norm `dot/(na·nb)`, so scores match bit for bit. */
+  private def qe35Sql(cents: Seq[Seq[Float]], nprobe: Int): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    val values = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(",")}])"
+    }.mkString(",\n")
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH cent(cell, c_emb) AS (VALUES
+       |$values),
+       |ca AS (
+       |  SELECT e.vec_id AS n_id, e.label AS n_label, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |qa AS (
+       |  SELECT e.vec_id AS a_id, e.label AS a_label, c.cell
+       |  FROM embeddings e CROSS JOIN cent c
+       |  WHERE e.vec_id < 100
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell)
+       |    <= $nprobe),
+       |nn AS (
+       |  SELECT qa.a_id, qa.a_label, ca.n_label
+       |  FROM qa
+       |  JOIN ca ON qa.cell = ca.cell AND qa.a_id <> ca.n_id
+       |  JOIN embeddings qe ON qe.vec_id = qa.a_id
+       |  JOIN embeddings ne ON ne.vec_id = ca.n_id
+       |  QUALIFY row_number() OVER (PARTITION BY qa.a_id
+       |    ORDER BY ${cos("qe.embedding", "ne.embedding")} DESC,
+       |      ca.n_id) <= 5),
+       |v AS (
+       |  SELECT a_id, a_label, n_label,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM nn GROUP BY a_id, a_label, n_label),
+       |p AS (
+       |  SELECT a_id, a_label, n_label FROM v
+       |  QUALIFY row_number() OVER (PARTITION BY a_id
+       |    ORDER BY v DESC, n_label) = 1),
+       |g AS (
+       |  SELECT a_label AS label, CAST(count(*) AS BIGINT)
+       |      AS n_anchors,
+       |    CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_correct
+       |  FROM p GROUP BY a_label)
+       |SELECT label, n_anchors, n_correct,
+       |  (1000 * n_correct) // n_anchors AS acc_milli
+       |FROM g ORDER BY label""".stripMargin
+  }
+
   def oracle: Map[String, String] = staticOracle ++
     Similarity.lastFittedCentroidsFloat
       .map(c => Map(
+        "qe35_knn_accuracy" -> qe35Sql(c, nprobe = 8),
         "qe4_ann_ivf" -> qe4Sql(c, nprobe = 8, k = 5),
         "qz9_ndcg" -> qz9Sql(c),
         "qe7_range_ivf" -> qe7Sql(c, nprobe = 8, minCos = 0.25),
@@ -8439,35 +8505,8 @@ object ExtQueries {
         |    AS BIGINT) AS cum_users
         |FROM d ORDER BY day""".stripMargin,
 
-    // fenced anchors, QUALIFY top-5, vote rollup with the same
-    // (votes desc, label asc) argmax
-    "qe35_knn_accuracy" ->
-      (s"""WITH nn AS (
-        |  SELECT a.vec_id AS a_id, a.label AS a_label,
-        |    c.label AS n_label,
-        |    ${cosSql("a.embedding", "c.embedding")} AS cos,
-        |    c.vec_id AS n_id
-        |  FROM embeddings a JOIN embeddings c
-        |    ON a.vec_id < 100 AND c.vec_id <> a.vec_id
-        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
-        |    ORDER BY cos DESC, c.vec_id) <= 5),
-        |v AS (
-        |  SELECT a_id, a_label, n_label,
-        |    CAST(count(*) AS BIGINT) AS v
-        |  FROM nn GROUP BY a_id, a_label, n_label),
-        |p AS (
-        |  SELECT a_id, a_label, n_label FROM v
-        |  QUALIFY row_number() OVER (PARTITION BY a_id
-        |    ORDER BY v DESC, n_label) = 1),
-        |g AS (
-        |  SELECT a_label AS label, CAST(count(*) AS BIGINT)
-        |      AS n_anchors,
-        |    CAST(sum(CASE WHEN n_label = a_label THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_correct
-        |  FROM p GROUP BY a_label)
-        |SELECT label, n_anchors, n_correct,
-        |  (1000 * n_correct) // n_anchors AS acc_milli
-        |FROM g ORDER BY label""".stripMargin),
+    // qe35's twin moved to the fit-dependent map (qe35Sql): the indexed
+    // leg's probed-cell candidate set depends on the fitted centroids
 
     // user-grain cohort day, (cohort, age) rollup, cohort-partitioned
     // cumulative

@@ -76,4 +76,25 @@ class Round12Spec extends SparkTestBase {
     assert(!p84.contains("Window ["), p84)
     assert(p84.contains("TakeOrderedAndProject"), p84)
   }
+
+  // ---- qe35 indexed leg: exact at covering settings ------------------------
+
+  test("ivfKnnPrenorm at COVERING settings (nprobe = nlist) equals " +
+    "bruteForceKnn row for row — the qe9 exhaustive argument: every " +
+    "corpus vector sits in exactly one cell and every query probes all " +
+    "cells, so the candidate set IS the cross product") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.where(col("vec_id") < 100)
+    val key = Some(s"$sfDir|nlist=16|iters=5")
+    val indexed = ext.Similarity
+      .ivfKnnPrenorm(emb, anchors, 5, nlist = 16, nprobe = 16,
+        cacheKey = key)
+      .select("q_id", "n_id", "rank")
+    val brute = ext.Similarity.bruteForceKnn(emb, anchors, 5)
+      .select("q_id", "n_id", "rank")
+    assert(indexed.exceptAll(brute).isEmpty &&
+      brute.exceptAll(indexed).isEmpty,
+      "indexed-at-covering and brute top-5 diverge")
+    assert(indexed.count() == brute.count())
+  }
 }
