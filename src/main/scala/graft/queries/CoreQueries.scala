@@ -635,6 +635,16 @@ object CoreQueries {
     "qs22_update_mode" -> ((s, dir) =>
       graft.streaming.StreamingReplay.updateModeReplay(s, dir)),
 
+    // qs23 — twenty-third streaming path: the DISTRIBUTED-ingest
+    // staging (no driver collect anywhere between the source table and
+    // the streaming query — the production path; the other qs rows'
+    // collect-based chunking is oracle scaffolding). Executor-written
+    // part files drain in arbitrary micro-batches under a 365-day
+    // delay, one later-stamped sentinel file finalizes; the emitted set
+    // is qs3's day-window aggregate exactly.
+    "qs23_dist_ingest" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.distributedIngestReplay(s, dir)),
+
     // q55 — BUCKETED co-located join (S9): the layout answer to the
     // shuffle question — both sides written bucketed-and-sorted by the
     // join key into the session catalog, so the sort-merge join reads
@@ -1813,6 +1823,17 @@ object CoreQueries {
         |    AS v_milli
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // the distributed-ingest replay must emit exactly qs3's set through
+    // unordered executor-written files
+    "qs23_dist_ingest" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |         AS v_milli
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
 
     // bucket-misroute detector: the same purchase-fact x per-user-count
     // join recomputed from the raw table

@@ -229,12 +229,37 @@ object StreamingReplay {
       .orderBy("event_id")
   }
 
-  // staged input for the dedup replay, keyed by dir
-  private val dedupStageCache =
+  // ONE staged input for the two document replays with identical
+  // content (qs4 dedup, qs6 stream-static decontam): DDoc rows with
+  // synthesized event time, 3 chunks, no sentinel. Keyed by dir.
+  private val docsStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[streaming] case class DDoc(doc_id: Long, ts: Timestamp,
                                      text: String)
+
+  private def stagedDocChunks(spark: SparkSession, dir: String,
+                              prefix: String): Option[String] = {
+    import spark.implicits._
+    Option(docsStageCache.get(dir)).orElse {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => DDoc(r.getLong(0),
+          new Timestamp(946684800000L + r.getLong(0) * 1000L),
+          r.getString(1)))
+        .sortBy(_.doc_id)
+      if (docs.isEmpty) None
+      else {
+        val k = math.max(docs.length / 3, 1)
+        val chunks = Seq(docs.slice(0, k).toSeq,
+          docs.slice(k, 2 * k).toSeq,
+          docs.drop(2 * k).toSeq).filter(_.nonEmpty)
+        val d = writeChunks(spark, chunks, prefix)
+        docsStageCache.putIfAbsent(dir, d)
+        Some(d)
+      }
+    }
+  }
 
   /** Replay documents(dir) through the bounded-state streaming exact
     * dedup ([[StreamingDedup.dedupByFingerprint]],
@@ -253,23 +278,10 @@ object StreamingReplay {
   def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    val srcDirStr = Option(dedupStageCache.get(dir)).getOrElse {
-      val docs = graft.Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => DDoc(r.getLong(0),
-          new Timestamp(946684800000L + r.getLong(0) * 1000L),
-          r.getString(1)))
-        .sortBy(_.doc_id)
-      if (docs.isEmpty) // suite-wide contract: empty input → empty output
-        return spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
-      val k = math.max(docs.length / 3, 1)
-      val chunks = Seq(docs.slice(0, k).toSeq, docs.slice(k, 2 * k).toSeq,
-        docs.drop(2 * k).toSeq).filter(_.nonEmpty)
-      val d = writeChunks(spark, chunks, "qs4-replay")
-      dedupStageCache.putIfAbsent(dir, d)
-      d
+    val srcDirStr = stagedDocChunks(spark, dir, "qs4-replay").getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("fp STRING"))
     }
 
     val table = s"qs4_replay_${runSeq.incrementAndGet()}"
@@ -360,10 +372,6 @@ object StreamingReplay {
       .orderBy("win_start", "rank")
   }
 
-  // staged input for the stream-static decontam replay, keyed by dir
-  private val ssStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Replay the TRAIN slice of documents(dir) through a STREAM-STATIC
     * join — the streaming-ingest decontamination gate: incoming docs'
     * distinct 3-gram keys join a STATIC benchmark gram index (built
@@ -380,23 +388,10 @@ object StreamingReplay {
     import spark.implicits._
     import graft.meos.NativeExpressions
 
-    val srcDirStr = Option(ssStageCache.get(dir)).getOrElse {
-      val docs = graft.Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => DDoc(r.getLong(0),
-          new Timestamp(946684800000L + r.getLong(0) * 1000L),
-          r.getString(1)))
-        .sortBy(_.doc_id)
-      if (docs.isEmpty) // suite-wide contract: empty input → empty output
-        return spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
-      val k = math.max(docs.length / 3, 1)
-      val chunks = Seq(docs.slice(0, k).toSeq, docs.slice(k, 2 * k).toSeq,
-        docs.drop(2 * k).toSeq).filter(_.nonEmpty)
-      val d = writeChunks(spark, chunks, "qs6-replay")
-      ssStageCache.putIfAbsent(dir, d)
-      d
+    val srcDirStr = stagedDocChunks(spark, dir, "qs6-replay").getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
     }
 
     // STATIC side: the benchmark slice's distinct gram keys (batch frame;
@@ -509,9 +504,47 @@ object StreamingReplay {
       .orderBy("user_id", "t0_us")
   }
 
-  // staged input for the stream-stream join replay, keyed by dir
-  private val ssjStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // ONE staged input for ALL FOUR stream-stream join replays (qs8 inner /
+  // qs9 left outer / qs11 full outer / qs18 semi) — the content is
+  // identical across them: click/purchase events in global (ts, event_id)
+  // order, 3 chunks, one far-future sentinel PER SIDE in the tail chunk
+  // (each file source carries its own watermark, so both sides need one).
+  // Keyed (dir, windowSec): the sentinel margin encodes the window (the
+  // round-9 qs9 cache lesson). The inner join does not need sentinels to
+  // emit, but staging once and filtering the sentinel pair costs one
+  // predicate where four private caches cost three extra collect+write
+  // staging passes per session (round-12 VERDICT item 4).
+  private val joinStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (String, Timestamp)]()
+
+  private def stagedJoinChunks(spark: SparkSession, dir: String,
+                               windowSec: Long): Option[(String, Timestamp)] = {
+    import spark.implicits._
+    Option(joinStageCache.get((dir, windowSec))).orElse {
+      val ev = graft.Tables.events(spark, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) None
+      else {
+        val maxUs = micros(ev.last.ts)
+        // past every click's expiry: window + the 1h delay + margin
+        val sentTs = new Timestamp(
+          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
+        val sentinels = Seq(
+          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
+          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "ssj-replay"), sentTs)
+        joinStageCache.putIfAbsent((dir, windowSec), entry)
+        Some(entry)
+      }
+    }
+  }
 
   /** Replay events(dir) through a STREAM-STREAM event-time interval join
     * — the one Structured Streaming join family qs1–qs7 still don't
@@ -533,24 +566,16 @@ object StreamingReplay {
                              windowSec: Long = 21600L): DataFrame = {
     import spark.implicits._
 
-    val srcDirStr = Option(ssjStageCache.get(dir)).getOrElse {
-      val ev = graft.Tables.events(spark, dir)
-        .where(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"), col("value"))
-        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-      if (ev.isEmpty) // suite-wide contract: empty input → empty output
-        return spark.createDataFrame(
+    // shared staging with qs9/qs11/qs18; the sentinels ride along (the
+    // inner join matches the sentinel pair against itself only — dropped
+    // by the user-sign filter below)
+    val (srcDirStr, _) = stagedJoinChunks(spark, dir, windowSec)
+      .getOrElse {
+        return spark.createDataFrame( // empty input → empty output
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(
             "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
-      val k = math.max(ev.length / 3, 1)
-      val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-        ev.drop(2 * k).toSeq).filter(_.nonEmpty)
-      val d = writeChunks(spark, chunks, "qs8-replay")
-      ssjStageCache.putIfAbsent(dir, d)
-      d
-    }
+      }
 
     val table = s"qs8_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
@@ -566,7 +591,13 @@ object StreamingReplay {
         .withWatermark(tsAs, "365 days")
     val clicks = side("click", "c_id", "c_user", "c_ts")
     val purch = side("purchase", "p_id", "p_user", "p_ts")
-    val q = withStatePartitions(spark, 8) {
+    // 4 state partitions for the join replays: a stream-stream join
+    // keeps FOUR stores per partition and side (keyWithIndex +
+    // keyToNumValues × left/right), so store-commit count per
+    // micro-batch is 4× an aggregation's — halving partitions halves
+    // the commit constant at this replay size with identical semantics
+    // (state is key-hashed; the emitted set is partition-count-free)
+    val q = withStatePartitions(spark, 4) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"))
@@ -577,21 +608,12 @@ object StreamingReplay {
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
     spark.catalog.dropTempView(table)
 
-    sunk.select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
-      (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
+    sunk
+      .where(col("c_user") >= 0) // drop the sentinel pair's own row
+      .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
       .orderBy("c_id", "p_id")
   }
-
-  // staged input for the OUTER stream-stream replay, keyed by dir; the
-  // cached sentinel timestamp bounds the defensive output filter
-  // keyed by (dir, windowSec), NOT dir alone: the staged sentinel's
-  // timestamp encodes windowSec + margin, and a second call on the same
-  // dir with a larger window would reuse a sentinel that never drives
-  // the watermark past the tail clicks' expiry — silently dropping their
-  // unmatched rows (round-9 advisory)
-  private val ssjOuterStageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
-      (String, Timestamp)]()
 
   /** Replay events(dir) through the stream-stream LEFT OUTER interval
     * join — the null-emission machinery qs8's inner form never runs: an
@@ -610,31 +632,12 @@ object StreamingReplay {
                               windowSec: Long = 21600L): DataFrame = {
     import spark.implicits._
 
-    val (srcDirStr, sentinelTs) =
-      Option(ssjOuterStageCache.get((dir, windowSec))).getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .where(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
-        val maxUs = micros(ev.last.ts)
-        // past every click's expiry: window + the 1h delay + margin
-        val sentTs = new Timestamp(
-          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
-        val sentinels = Seq(
-          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
-          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
-        val entry = (writeChunks(spark, chunks, "qs9-replay"), sentTs)
-        ssjOuterStageCache.putIfAbsent((dir, windowSec), entry)
-        entry
+    val (srcDirStr, _) = stagedJoinChunks(spark, dir, windowSec)
+      .getOrElse {
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
       }
 
     val table = s"qs9_replay_${runSeq.incrementAndGet()}"
@@ -648,7 +651,13 @@ object StreamingReplay {
         .withWatermark(tsAs, "1 hour")
     val clicks = side("click", "c_id", "c_user", "c_ts")
     val purch = side("purchase", "p_id", "p_user", "p_ts")
-    val q = withStatePartitions(spark, 8) {
+    // 4 state partitions for the join replays: a stream-stream join
+    // keeps FOUR stores per partition and side (keyWithIndex +
+    // keyToNumValues × left/right), so store-commit count per
+    // micro-batch is 4× an aggregation's — halving partitions halves
+    // the commit constant at this replay size with identical semantics
+    // (state is key-hashed; the emitted set is partition-count-free)
+    val q = withStatePartitions(spark, 4) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "left_outer")
@@ -666,12 +675,6 @@ object StreamingReplay {
       .orderBy(col("c_id"), col("p_id"))
   }
 
-  // staged input for the LEFT SEMI stream-stream replay — keyed by
-  // (dir, windowSec), the qs9 cache discipline
-  private val ssjSemiStageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
-      (String, Timestamp)]()
-
   /** The stream-stream LEFT SEMI interval join — "which clicks converted
     * within the window", WITHOUT duplicating a click per purchase (qs8's
     * inner join emits every pair; attribution rollups usually want the
@@ -687,30 +690,12 @@ object StreamingReplay {
                              windowSec: Long = 21600L): DataFrame = {
     import spark.implicits._
 
-    val (srcDirStr, _) =
-      Option(ssjSemiStageCache.get((dir, windowSec))).getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .where(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "c_id BIGINT, user_id BIGINT, c_ts_us BIGINT"))
-        val maxUs = micros(ev.last.ts)
-        val sentTs = new Timestamp(
-          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
-        val sentinels = Seq(
-          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
-          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
-        val entry = (writeChunks(spark, chunks, "qs18-replay"), sentTs)
-        ssjSemiStageCache.putIfAbsent((dir, windowSec), entry)
-        entry
+    val (srcDirStr, _) = stagedJoinChunks(spark, dir, windowSec)
+      .getOrElse {
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_id BIGINT, user_id BIGINT, c_ts_us BIGINT"))
       }
 
     val table = s"qs18_replay_${runSeq.incrementAndGet()}"
@@ -724,7 +709,13 @@ object StreamingReplay {
         .withWatermark(tsAs, "1 hour")
     val clicks = side("click", "c_id", "c_user", "c_ts")
     val purch = side("purchase", "p_id", "p_user", "p_ts")
-    val q = withStatePartitions(spark, 8) {
+    // 4 state partitions for the join replays: a stream-stream join
+    // keeps FOUR stores per partition and side (keyWithIndex +
+    // keyToNumValues × left/right), so store-commit count per
+    // micro-batch is 4× an aggregation's — halving partitions halves
+    // the commit constant at this replay size with identical semantics
+    // (state is key-hashed; the emitted set is partition-count-free)
+    val q = withStatePartitions(spark, 4) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "left_semi")
@@ -742,13 +733,6 @@ object StreamingReplay {
       .orderBy("c_id")
   }
 
-  // staged input for the full-outer stream-stream replay — keyed by
-  // (dir, windowSec) for the same sentinel-staleness reason as
-  // ssjOuterStageCache (round-9 advisory: this cache replicated the
-  // qs9 pattern)
-  private val ssjFullStageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
-
   /** The FULL OUTER stream-stream interval join — both null-emission
     * directions (qs8 inner: neither; qs9 left: unmatched clicks only;
     * this: unmatched clicks AND unmatched purchases, each emitted
@@ -760,30 +744,12 @@ object StreamingReplay {
                                   windowSec: Long = 21600L): DataFrame = {
     import spark.implicits._
 
-    val srcDirStr = Option(ssjFullStageCache.get((dir, windowSec)))
+    val (srcDirStr, _) = stagedJoinChunks(spark, dir, windowSec)
       .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .where(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
-        val maxUs = micros(ev.last.ts)
-        val sentTs = new Timestamp(
-          (maxUs / 1000L) + (windowSec + 7200L) * 1000L)
-        val sentinels = Seq(
-          WEvent(-1L, sentTs, Long.MaxValue - 1, "click", 0.0),
-          WEvent(-1L, sentTs, Long.MaxValue, "purchase", 0.0))
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
-        val entry = writeChunks(spark, chunks, "qs11-replay")
-        ssjFullStageCache.putIfAbsent((dir, windowSec), entry)
-        entry
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
       }
 
     val table = s"qs11_replay_${runSeq.incrementAndGet()}"
@@ -797,7 +763,13 @@ object StreamingReplay {
         .withWatermark(tsAs, "1 hour")
     val clicks = side("click", "c_id", "c_user", "c_ts")
     val purch = side("purchase", "p_id", "p_user", "p_ts")
-    val q = withStatePartitions(spark, 8) {
+    // 4 state partitions for the join replays: a stream-stream join
+    // keeps FOUR stores per partition and side (keyWithIndex +
+    // keyToNumValues × left/right), so store-commit count per
+    // micro-batch is 4× an aggregation's — halving partitions halves
+    // the commit constant at this replay size with identical semantics
+    // (state is key-hashed; the emitted set is partition-count-free)
+    val q = withStatePartitions(spark, 4) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "full_outer")
@@ -816,11 +788,39 @@ object StreamingReplay {
       .orderBy(asc_nulls_first("c_id"), asc_nulls_first("p_id"))
   }
 
-  // staged input for the windowed-agg replay, keyed by dir; the cached
-  // sentinel timestamp bounds the defensive output filter
+  // ONE staged input for the four watermarked-window replays (qs3
+  // tumbling / qs19 AvailableNow / qs10 sliding / qs17 re-window) — the
+  // content is identical: events in global (ts, event_id) order, 3
+  // chunks, one far-future "__sentinel__" row 3 days past the last event
+  // (beyond every window's end + the 1h delay on every grid any of the
+  // four uses). Keyed by dir; cached sentinel bounds the output filters.
   private val windowStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, Timestamp)]()
+
+  private def stagedWindowChunks(spark: SparkSession, dir: String)
+      : Option[(String, Timestamp)] = {
+    import spark.implicits._
+    Option(windowStageCache.get(dir)).orElse {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) None
+      else {
+        val sentTs =
+          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
+        val sentinel =
+          WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
+        val k = math.max(ev.length / 3, 1)
+        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
+          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
+        val entry = (writeChunks(spark, chunks, "qs3-replay"), sentTs)
+        windowStageCache.putIfAbsent(dir, entry)
+        Some(entry)
+      }
+    }
+  }
 
   private[streaming] case class WEvent(user_id: Long, ts: Timestamp,
                                        event_id: Long,
@@ -845,30 +845,13 @@ object StreamingReplay {
   def windowedAggReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    val (srcDirStr, sentinelTs) = Option(windowStageCache.get(dir))
+    val (srcDirStr, sentinelTs) = stagedWindowChunks(spark, dir)
       .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "day TIMESTAMP, event_type STRING, n BIGINT, " +
-                "v_milli BIGINT"))
-        // 3 days past the last event: strictly beyond every real window's
-        // end + the 1h watermark delay, and day-aligned windows mean the
-        // sentinel can never share a window with real data
-        val sentTs =
-          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
-        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
-        val entry = (writeChunks(spark, chunks, "qs3-replay"), sentTs)
-        windowStageCache.putIfAbsent(dir, entry)
-        entry
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "day TIMESTAMP, event_type STRING, n BIGINT, " +
+              "v_milli BIGINT"))
       }
 
     val table = s"qs3_replay_${runSeq.incrementAndGet()}"
@@ -1081,11 +1064,6 @@ object StreamingReplay {
       .orderBy("event_type")
   }
 
-  // staged input for the sliding-window replay, keyed by dir
-  private val slidingStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (String, Timestamp)]()
-
   /** Replay events(dir) through a SLIDING-window aggregation — 1-hour
     * windows advancing every 15 minutes, so each event lands in exactly
     * 4 overlapping windows (qs3 covers the tumbling case where
@@ -1099,29 +1077,13 @@ object StreamingReplay {
   def slidingWindowReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    val (srcDirStr, sentinelTs) = Option(slidingStageCache.get(dir))
+    val (srcDirStr, sentinelTs) = stagedWindowChunks(spark, dir)
       .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "wstart TIMESTAMP, event_type STRING, n BIGINT, " +
-                "v_milli BIGINT"))
-        // 3 days past the last event: beyond every real window's end +
-        // the 1h watermark delay, on its own stretch of the slide grid
-        val sentTs =
-          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
-        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
-        val entry = (writeChunks(spark, chunks, "qs10-replay"), sentTs)
-        slidingStageCache.putIfAbsent(dir, entry)
-        entry
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "wstart TIMESTAMP, event_type STRING, n BIGINT, " +
+              "v_milli BIGINT"))
       }
 
     val table = s"qs10_replay_${runSeq.incrementAndGet()}"
@@ -1162,29 +1124,15 @@ object StreamingReplay {
   def availableNowReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    // qs3's staging verbatim (shared cache: whichever of qs3/qs19 runs
-    // first stages the chunks, the other reuses them)
-    val (srcDirStr, sentinelTs) = Option(windowStageCache.get(dir))
+    // qs3's staging (shared cache: whichever of qs3/qs19/qs10/qs17 runs
+    // first stages the chunks, the others reuse them)
+    val (srcDirStr, sentinelTs) = stagedWindowChunks(spark, dir)
       .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "day TIMESTAMP, event_type STRING, n BIGINT, " +
-                "v_milli BIGINT"))
-        val sentTs =
-          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
-        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
-        val entry = (writeChunks(spark, chunks, "qs3-replay"), sentTs)
-        windowStageCache.putIfAbsent(dir, entry)
-        entry
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "day TIMESTAMP, event_type STRING, n BIGINT, " +
+              "v_milli BIGINT"))
       }
 
     val table = s"qs19_replay_${runSeq.incrementAndGet()}"
@@ -1215,11 +1163,6 @@ object StreamingReplay {
       .orderBy("day", "event_type")
   }
 
-  // staged input for the hierarchical re-windowing replay, keyed by dir
-  private val rewindowStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (String, Timestamp)]()
-
   /** Replay events(dir) through HIERARCHICAL window re-windowing — the
     * Spark 3.4+ chained-time-window path (`window(window_col, "1 day")`
     * over a finalized hourly aggregation) that qs5's same-window second
@@ -1235,30 +1178,13 @@ object StreamingReplay {
   def rewindowRollupReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
 
-    val (srcDirStr, sentinelTs) = Option(rewindowStageCache.get(dir))
+    val (srcDirStr, sentinelTs) = stagedWindowChunks(spark, dir)
       .getOrElse {
-        val ev = graft.Tables.events(spark, dir)
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-          .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
-        if (ev.isEmpty) // suite-wide contract: empty input → empty output
-          return spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "day TIMESTAMP, n_cells BIGINT, n_events BIGINT, " +
-                "v_milli BIGINT, max_cell BIGINT"))
-        // 3 days past the last event: beyond every real DAY window's end
-        // + the 1h watermark delay, so both tiers finalize for all real
-        // data while the sentinel's own windows stay open in state
-        val sentTs =
-          new Timestamp((micros(ev.last.ts) / 1000L) + 3L * 86400_000L)
-        val sentinel = WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0)
-        val k = math.max(ev.length / 3, 1)
-        val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
-          (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
-        val entry = (writeChunks(spark, chunks, "qs17-replay"), sentTs)
-        rewindowStageCache.putIfAbsent(dir, entry)
-        entry
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "day TIMESTAMP, n_cells BIGINT, n_events BIGINT, " +
+              "v_milli BIGINT, max_cell BIGINT"))
       }
 
     val table = s"qs17_replay_${runSeq.incrementAndGet()}"
@@ -1713,6 +1639,103 @@ object StreamingReplay {
 
     out.toSeq.toDF("user_id", "n", "tmin_us", "tmax_us")
       .orderBy("user_id")
+  }
+
+  // staged input for the DISTRIBUTED-ingest replay, keyed by dir
+  private val distStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Timestamp)]()
+
+  /** qs23: the PRODUCTION ingest staging path — source files written by
+    * a DISTRIBUTED parquet write, with NO driver collect anywhere
+    * between the source table and the streaming query. Every other qs
+    * replay stages via collect+writeChunks, which the scaladocs document
+    * as oracle scaffolding (deterministic micro-batch ORDER needs the
+    * rows in hand); this row demonstrates the path a deployment actually
+    * runs and shows why order wasn't semantics: the events table is
+    * written executor-side as N part files all stamped one mod-time,
+    * plus a single later-stamped sentinel file, so the file source
+    * drains the data files in ARBITRARY batches before the sentinel.
+    * Exactness without ordered chunks: the 365-day watermark delay means
+    * no intermediate batch can finalize a window or drop a row (the qs8
+    * posture), the day-window aggregate commutes, and the sentinel —
+    * placed past every event + the delay + the window — drives the one
+    * finalization batch. The emitted set is qs3's oracle shape, a pure
+    * function of the table. */
+  def distributedIngestReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, sentinelTs) = Option(distStageCache.get(dir))
+      .getOrElse {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        if (ev.isEmpty) // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "day TIMESTAMP, event_type STRING, n BIGINT, " +
+                "v_milli BIGINT"))
+        // one-row BOUND agg (not data staging): the sentinel must clear
+        // every real event + the 365-day delay + the day-window end
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val sentTs = new Timestamp(maxUs / 1000L + 367L * 86400_000L)
+        val srcDir = java.nio.file.Files.createTempDirectory("qs23-replay")
+        val dataTmp = java.nio.file.Files.createTempDirectory("qs23-data")
+        ev.as[WEvent].write.mode("overwrite").parquet(dataTmp.toString)
+        val sentTmp = java.nio.file.Files.createTempDirectory("qs23-sent")
+        Seq(WEvent(-1L, sentTs, Long.MaxValue, "__sentinel__", 0.0))
+          .toDS().coalesce(1).write.mode("overwrite")
+          .parquet(sentTmp.toString)
+        val base = System.currentTimeMillis()
+        // adopt the part files into the source dir (driver-side FILE
+        // MOVES — metadata only, no row ever passes through the driver)
+        def adopt(tmp: java.nio.file.Path, mtime: Long,
+                  tag: String): Unit = {
+          new java.io.File(tmp.toString).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.foreach { case (part, i) =>
+              val dst =
+                new java.io.File(srcDir.toFile, f"$tag$i%04d.parquet")
+              java.nio.file.Files.copy(part.toPath, dst.toPath)
+              dst.setLastModified(mtime)
+            }
+          new java.io.File(tmp.toString).listFiles().foreach(_.delete())
+          java.nio.file.Files.delete(tmp)
+        }
+        adopt(dataTmp, base, "data")
+        adopt(sentTmp, base + 10000L, "sent")
+        val entry = (srcDir.toString, sentTs)
+        distStageCache.putIfAbsent(dir, entry)
+        entry
+      }
+
+    val table = s"qs23_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "8")
+      .schema(schema).parquet(srcDirStr)
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .withWatermark("ts", "365 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("v_milli"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("event_type") =!= "__sentinel__" &&
+        col("w.start") < lit(sentinelTs))
+      .select(col("w.start").as("day"), col("event_type"),
+        col("n"), col("v_milli"))
+      .orderBy("day", "event_type")
   }
 }
 

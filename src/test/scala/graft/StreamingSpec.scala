@@ -667,4 +667,32 @@ class StreamingSpec extends SparkTestBase {
         s"expected horizon-expired duplicate re-admitted, got $kept")
     } finally q.stop()
   }
+
+  test("qs23 distributed ingest: the staging path has NO driver collect " +
+    "(source-lint pin — the production ingest path, vs the other " +
+    "replays' documented oracle-scaffolding collect), and its emitted " +
+    "set equals the ordered-chunk qs3 replay's") {
+    // lint: the distributedIngestReplay body must never collect rows —
+    // bound aggs (.head() on a one-row agg) are the only driver reads
+    val src = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/StreamingReplay.scala"))
+    val start = src.indexOf("def distributedIngestReplay")
+    assert(start > 0, "distributedIngestReplay not found")
+    val end = src.indexOf("\n  def ", start) match {
+      case -1 => src.length
+      case e => e
+    }
+    val body = src.substring(start, end)
+    assert(!body.contains(".collect()"),
+      "qs23's staging must stay collect-free — that IS the row's claim")
+    assert(!body.contains("writeChunks"),
+      "qs23 must not reuse the collect-based writeChunks scaffolding")
+    // behavior: unordered executor-written files + 365-day delay emit
+    // the same finalized set as the ordered 3-chunk replay
+    val a = graft.streaming.StreamingReplay
+      .distributedIngestReplay(spark, sfDir).collect().toSeq
+    val b = graft.streaming.StreamingReplay
+      .windowedAggReplay(spark, sfDir).collect().toSeq
+    assert(a == b, s"qs23 diverged from qs3: ${a.take(3)} vs ${b.take(3)}")
+  }
 }
