@@ -635,6 +635,47 @@ object CoreQueries {
     "qs22_update_mode" -> ((s, dir) =>
       graft.streaming.StreamingReplay.updateModeReplay(s, dir)),
 
+    // q57 — the DSv2 envelope SOURCE (completing S3's loop: the
+    // reference's JSON-lines trip envelope was write-only until now).
+    // Full roundtrip: trips assemble per user (qc1's tpoint assembly),
+    // hex-WKB encode into the reference envelope via the distributed
+    // text sink under a fresh temp path, read BACK through the
+    // trip-envelope DataSourceV2 TableProvider (file-grain input
+    // partitions, pruned read schema, serialized Hadoop conf), decode,
+    // and gate every row through the roundtrip identity (re-encode ==
+    // payload byte-for-byte). The surviving facts — per-user instant
+    // count and first-instant micros — are exact relational quantities
+    // the oracle recomputes from events, so a connector that drops,
+    // truncates, splits, or misparses a single line hash-fails.
+    "q57_trip_envelope_scan" -> ((s, dir) => {
+      import graft.meos.{Assembly, MeosFunctions, NativeExpressions}
+      val asm = Assembly.tpointAssemble()
+      val trips = Tables.events(s, dir)
+        .withColumn("y", length(col("props")).cast("double"))
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+          col("y")).as("st"))
+        .select(col("user_id"), lit(1).as("vt"),
+          NativeExpressions.tgeompointAsHexWkb(
+            Assembly.tpointVal(col("st"))).as("hex"))
+      val path = java.nio.file.Files
+        .createTempDirectory("q57-envelope").toString
+      graft.sources.TripSink.writeJsonLines(trips, col("user_id"),
+        col("vt"), col("hex"), path)
+      s.read.format("trip-envelope").load(path)
+        .select(col("id").as("user_id"),
+          NativeExpressions.tgeompointFromHexWkb(col("json")).as("trip"),
+          col("json"))
+        .where(NativeExpressions.tgeompointAsHexWkb(col("trip"))
+          === col("json"))
+        .select(col("user_id"),
+          MeosFunctions.tgeompointNumInstants(col("trip"))
+            .cast("long").as("n"),
+          unix_micros(MeosFunctions.tgeompointStartTs(col("trip")))
+            .as("t0_us"))
+        .orderBy("user_id")
+    }),
+
     // qs23 — twenty-third streaming path: the DISTRIBUTED-ingest
     // staging (no driver collect anywhere between the source table and
     // the streaming query — the production path; the other qs rows'
@@ -1823,6 +1864,15 @@ object CoreQueries {
         |    AS v_milli
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // q57's roundtrip-identity oracle (the qc1 rule): rows survive only
+    // when encode∘decode == payload through the WRITE → DSv2 READ loop;
+    // the surviving facts are recomputed relationally, so any connector
+    // or codec fault drops rows and fails the row/hash compare
+    "q57_trip_envelope_scan" ->
+      """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
+        |       min(epoch_us(ts)) AS t0_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the distributed-ingest replay must emit exactly qs3's set through
     // unordered executor-written files

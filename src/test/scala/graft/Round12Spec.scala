@@ -97,4 +97,32 @@ class Round12Spec extends SparkTestBase {
       "indexed-at-covering and brute top-5 diverge")
     assert(indexed.count() == brute.count())
   }
+
+  // ---- trip-envelope DataSourceV2 ------------------------------------------
+
+  test("trip-envelope DSv2: roundtrips the sink's lines, prunes the " +
+    "payload column out of the scan, and plans one input partition " +
+    "per line file") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("r12-envelope").toString
+    val df = Seq((1L, 1, "AABB"), (2L, 1, "CCDD"), (3L, 2, "EEFF"))
+      .toDF("id", "vt", "payload")
+    graft.sources.TripSink.writeJsonLines(df.repartition(2), col("id"),
+      col("vt"), col("payload"), path)
+    val back = spark.read.format("trip-envelope").load(path)
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 1, "AABB"), (2L, 1, "CCDD"), (3L, 2, "EEFF")))
+    // column pruning reaches the scan: a projection of id alone must
+    // not carry the (byte-dominant) payload column in the read schema
+    val p = back.select("id").queryExecution.executedPlan.toString
+    assert(p.contains("struct<id:bigint>"), p)
+    assert(!p.contains("json:string"), p)
+    // file-grain partition planning: read parallelism == sink files
+    val nFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(nFiles >= 2, s"expected a multi-file sink, got $nFiles")
+    assert(back.rdd.getNumPartitions == nFiles)
+  }
 }
