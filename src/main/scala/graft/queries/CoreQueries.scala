@@ -635,6 +635,46 @@ object CoreQueries {
     "qs22_update_mode" -> ((s, dir) =>
       graft.streaming.StreamingReplay.updateModeReplay(s, dir)),
 
+    // q58 — PIVOT surface (the q54 UNPIVOT's inverse): long-to-wide
+    // reshape with an EXPLICIT value list — open-ended pivot needs a
+    // distinct-values pre-pass (a scan Catalyst can't prune), so
+    // production pivots declare their columns; missing cells are
+    // coalesced to 0 for a deterministic frame. Desugars to one
+    // conditional aggregation — exactly the twin.
+    "q58_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(sum("vm"))
+      wide.select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    }),
+
+    // q59 — LATERAL correlated subquery (the Spark 3.4+ decorrelation
+    // surface: a per-row dependent subquery with its own ORDER BY +
+    // LIMIT — "top 2 orders per customer" as the SQL a analyst writes,
+    // not the window workaround). Catalyst decorrelates it into a
+    // ranked join; DuckDB runs the same LATERAL natively.
+    "q59_lateral_topk" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q59_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q59_orders")
+      s.sql(
+        """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          |FROM q59_customer c
+          |JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM q59_orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 2) l
+          |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+          |""".stripMargin)
+    }),
+
     // q57 — the DSv2 envelope SOURCE (completing S3's loop: the
     // reference's JSON-lines trip envelope was write-only until now).
     // Full roundtrip: trips assemble per user (qc1's tpoint assembly),
@@ -1864,6 +1904,36 @@ object CoreQueries {
         |    AS v_milli
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // the pivot's conditional-aggregation desugaring
+    "q58_pivot" ->
+      """SELECT day,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |    THEN vm END), 0) AS BIGINT) AS click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |    THEN vm END), 0) AS BIGINT) AS view,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN vm END), 0) AS BIGINT) AS purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'signup'
+        |    THEN vm END), 0) AS BIGINT) AS signup,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'error'
+        |    THEN vm END), 0) AS BIGINT) AS error
+        |FROM (SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |        AS BIGINT) AS day, event_type,
+        |      CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    // DuckDB runs the same LATERAL natively
+    "q59_lateral_topk" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) l ON TRUE
+        |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
+        .stripMargin,
 
     // q57's roundtrip-identity oracle (the qc1 rule): rows survive only
     // when encode∘decode == payload through the WRITE → DSv2 READ loop;

@@ -6802,7 +6802,303 @@ object ExtQueries {
           max("rl").as("max_freeze_run"))
         .withColumn("frozen", col("max_freeze_run") >= 3L)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // ---- §2.25 round-12 additions ---------------------------------------
+
+    // CUSUM MEAN-SHIFT MONITOR — the SEQUENTIAL drift detector next to
+    // qz33's single retrospective changepoint (CUSUM is what a daily
+    // data-quality job actually runs: it accumulates small persistent
+    // shifts a day-over-day diff never trips on). The classic
+    // max(0, S+dev) recurrence is not a prefix sum — but its REFLECTION
+    // identity is: S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the plain
+    // cumulative of deviations (and symmetrically for S⁻), so the whole
+    // operator is two calendar-bounded windows instead of a sequential
+    // fold. Exact integer micro throughout: μ = (10⁶·Σx) div n, slack
+    // k = μ/4, alarm at 4μ (all positive-operand div — no float, no
+    // dialect drift).
+    "qz59_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val st = broadcast(daily.agg(sum("x").as("sx"),
+        count(lit(1)).as("nd")))
+      val d = daily.crossJoin(st)
+        .withColumn("mu_micro", expr("(1000000 * sx) div nd"))
+        .withColumn("dev", col("x") * lit(1000000L) - col("mu_micro") -
+          expr("mu_micro div 4"))
+        .withColumn("devn", col("x") * lit(1000000L) - col("mu_micro") +
+          expr("mu_micro div 4"))
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days (both)
+      val wC = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.withColumn("p", sum("dev").over(wC))
+        .withColumn("q", sum("devn").over(wC))
+        .withColumn("s_pos_micro",
+          col("p") - least(min("p").over(wC), lit(0L)))
+        .withColumn("s_neg_micro",
+          greatest(max("q").over(wC), lit(0L)) - col("q"))
+        .select(col("day"), col("x"), col("s_pos_micro"),
+          col("s_neg_micro"),
+          (col("s_pos_micro") > lit(4L) * col("mu_micro")).as("alarm_up"),
+          (col("s_neg_micro") > lit(4L) * col("mu_micro"))
+            .as("alarm_down"))
+        .orderBy("day")
+    }),
+
+    // INTER-EVENT GAP SPECTRUM — the per-user cadence histogram
+    // (bot/burst detection reads this before any model): gaps from a
+    // user-partitioned lag, bucketed to power-of-two seconds via the
+    // integer-only length(bin(s)) = ⌊log₂ s⌋ + 1 trick (bucket 0 =
+    // sub-second). Bucket-grain rollup — ~40 rows whatever the corpus;
+    // shares in exact ppm.
+    "qz60_interevent_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("prev", lag("us", 1).over(wU))
+        .withColumn("gap_s", expr("(us - prev) div 1000000"))
+        .where(col("gap_s").isNotNull)
+      val h = gaps
+        .select(when(col("gap_s") <= 0, lit(0L))
+          .otherwise(length(bin(col("gap_s"))).cast("long")).as("bucket"),
+          col("gap_s"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"),
+          min("gap_s").as("min_s"), max("gap_s").as("max_s"))
+      val tot = broadcast(h.agg(sum("n").as("tn")))
+      h.crossJoin(tot)
+        .select(col("bucket"), col("n"), col("min_s"), col("max_s"),
+          expr("(1000000 * n) div tn").as("share_ppm"))
+        .orderBy("bucket")
+    }),
+
+    // DAILY AUTOCORRELATION (lags 1–7) — "does volume remember
+    // yesterday / last week": deviations centered on the FLOOR-mean
+    // (μ̂ = Σx div n — an integer, so deviations stay small BIGINTs and
+    // Σdev·dev never leaves the exact envelope; the sub-1-count
+    // centering bias is identical in both engines by construction),
+    // then one day-grain self-join per lag via a 7-way explode. The
+    // only doubles are the seven final num/den divisions.
+    "qz61_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val st = broadcast(daily.agg(sum("x").as("sx"),
+        count(lit(1)).as("nd")))
+      val c = graft.Materialize.cut(daily.crossJoin(st)
+        .select(col("day"), (col("x") - expr("sx div nd")).as("cx")))
+      val den = broadcast(c.agg(sum(col("cx") * col("cx")).as("dd")))
+      val lagged = c.select(col("day").as("d2"), col("cx").as("cy"))
+      c.withColumn("lag_d", explode(sequence(lit(1L), lit(7L))))
+        .withColumn("d2", col("day") + col("lag_d"))
+        .join(lagged, Seq("d2"))
+        .groupBy("lag_d")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cx") * col("cy")).as("num"))
+        .crossJoin(den)
+        .select(col("lag_d"), col("n_pairs"), col("num"),
+          col("dd").as("den"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("acf"))
+        .orderBy("lag_d")
+    }),
+
+    // JSON PROPS ROLLUP — the §2.8 JSON scalar surface on real data:
+    // the events table's `props` column is a JSON object; extract the
+    // numeric field with the path API (codegen'd get_json_object, no
+    // UDF) and roll up per event type. At scale this is the scan-time
+    // projection shape: the JSON parse runs inside the scan stage and
+    // only (type, k) ever shuffles.
+    "qz62_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("k_min"),
+          max("k").as("k_max"), sum("k").as("k_sum"),
+          countDistinct("k").as("k_card"))
+        .orderBy("event_type")),
+
+    // PER-SOURCE BOILERPLATE WINDOWS — template detection (nav bars,
+    // footers, license headers share 8-token windows across most of a
+    // source's docs; near-dup pair ops can't see this because no DOC
+    // pair is similar): 8-token shingle hashes at (source, window-type)
+    // grain, boilerplate = window types present in ≥ half the source's
+    // docs. Gram keys are the 60-bit md5 rule — no string shuffles;
+    // rollups are type-grain (corpus-sublinear).
+    "qx85_boilerplate_windows" -> ((s, dir) => {
+      import graft.meos.NativeExpressions
+      val docs = docsWithToks(s, dir).where(size(col("toks")) >= 8)
+      val g = docs.select(col("source"), col("doc_id"),
+        explode(array_distinct(
+          NativeExpressions.shingleHashes(col("toks"), 8))).as("gh"))
+      val srcN = broadcast(docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs")))
+      g.groupBy("source", "gh").agg(count(lit(1)).as("ddf"))
+        .join(srcN, "source")
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"),
+          count(lit(1)).as("n_window_types"),
+          sum(when(col("ddf") * 2 >= col("n_docs"), 1L).otherwise(0L))
+            .as("n_boiler_types"),
+          sum(when(col("ddf") * 2 >= col("n_docs"), col("ddf"))
+            .otherwise(0L)).as("boiler_doc_hits"))
+        .orderBy("source")
+    }),
+
+    // BIGRAM COLLOCATIONS — adjacent-pair lift (the phrase-mining
+    // primitive under RAKE's hood): P(b|a) in exact micro and the
+    // symmetric lift (n_ab·N)/(n_a·n_b) in milli, min support 5,
+    // top-20 via TakeOrdered. Unigram/bigram TYPE grain only. BIGINT
+    // envelope: lift's 1000·n_ab·N must stay < 2⁶³ — at trillion-token
+    // corpora compute lift at shard grain (p_b_a is overflow-free).
+    "qx86_bigram_lift" -> ((s, dir) => {
+      val toks = docsWithToks(s, dir)
+      val bi = graft.Materialize.cut(toks.select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")))
+      val uni = graft.Materialize.cut(
+        toks.select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("nt")))
+      val tot = broadcast(uni.agg(sum("nt").as("ntok")))
+      bi.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 5)
+        .join(uni.select(col("t").as("a"), col("nt").as("n_a")), "a")
+        .join(uni.select(col("t").as("b"), col("nt").as("n_b")), "b")
+        .crossJoin(tot)
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("(1000000 * n_ab) div n_a").as("p_b_a_micro"),
+          expr("(1000 * n_ab * ntok) div (n_a * n_b)").as("lift_milli"))
+        .orderBy(desc("lift_milli"), col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // WINNOWING FINGERPRINTS (the MOSS scheme) — the document
+    // fingerprinting standard for plagiarism/overlap detection:
+    // 3-gram hashes, window w = 4, each window selects its RIGHTMOST
+    // minimal hash, selections dedupe by position. Guarantee: any
+    // shared run of ≥ w+k−1 tokens shares a fingerprint. Plan shape:
+    // the argmin join is BLOCK-BANDED (a window spans ≤ 2 blocks of
+    // size w, so each gram meets ≤ 2w windows — never a per-doc
+    // quadratic), everything doc-partitioned. Output per doc:
+    // fingerprint count + density (the twin mirrors the same selection
+    // with a plain banded join — priceable at fixture scale).
+    "qx87_winnowing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.meos.NativeExpressions
+      val W = 4
+      val pos = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("doc_id"),
+          posexplode(NativeExpressions.shingleHashes(col("toks"), 3)))
+        .toDF("doc_id", "pos", "h"))
+      val wF = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, W - 1)
+      val wins = pos
+        .withColumn("wmin", min("h").over(wF))
+        .withColumn("ng",
+          count(lit(1)).over(Window.partitionBy("doc_id")))
+        .where(col("pos") <= col("ng") - W)
+        .select(col("doc_id"), col("pos").as("i"), col("wmin"),
+          col("ng"))
+      val winsB = wins.withColumn("blk", explode(array_distinct(array(
+        expr(s"i div $W"), expr(s"(i + ${W - 1}) div $W")))))
+      val posB = pos.withColumn("blk", expr(s"pos div $W"))
+      val sel = winsB.join(posB, Seq("doc_id", "blk"))
+        .where(col("pos").between(col("i"), col("i") + (W - 1)) &&
+          col("h") === col("wmin"))
+        .groupBy("doc_id", "i", "ng").agg(max("pos").as("p"))
+        .select(col("doc_id"), col("ng"), col("p")).distinct()
+      sel.groupBy("doc_id")
+        .agg(max("ng").as("n_grams"), count(lit(1)).as("n_fps"))
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - (W - 1)).as("n_windows"), col("n_fps"),
+          expr(s"(1000 * n_fps) div (n_grams - ${W - 1})")
+            .as("density_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // EMBEDDING NORM OUTLIERS — the first sanity gate an embedding
+    // pipeline runs (collapsed or exploded norms flag a bad encoder
+    // batch before any similarity math): row-local left-to-right
+    // squared-norm fold floored to micro (order-fixed, cross-engine
+    // exact), per-label type-1 quartiles from the distinct-value
+    // histogram (the qx18 rule — no row-grain global order), Tukey
+    // fences as integer cross-multiplications.
+    "qe37_norm_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = graft.Materialize.cut(Tables.embeddings(s, dir)
+        .select(col("label"),
+          floor(Similarity.dot(col("embedding"), col("embedding")) *
+            lit(1000000.0)).cast("long").as("m")))
+      val hist = m.groupBy("label", "m").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("label").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wc))
+        .withColumn("total", sum("c").over(Window.partitionBy("label")))
+      def q(pct: Int) =
+        min(when(col("cum") * 100 >= col("total") * pct, col("m")))
+      val fences = cum.groupBy("label")
+        .agg(q(25).as("q1"), q(75).as("q3"))
+        .select(col("label"), col("q1"), col("q3"),
+          (col("q1") - expr("(3 * (q3 - q1)) div 2")).as("lo"),
+          (col("q3") + expr("(3 * (q3 - q1)) div 2")).as("hi"))
+      m.join(broadcast(fences), "label")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max("q1").as("q1_micro"),
+          max("q3").as("q3_micro"),
+          sum(when(col("m") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("m") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy("label")
+    }),
+
+    // kNN-GRAPH RECIPROCITY — embedding-geometry health at the decision
+    // level (hubness collapses reciprocity long before accuracy moves):
+    // over the 100-vector fence, the exact top-5 digraph's mutual-edge
+    // rate per label. The fence is the knob (the qe35 rule); inside it
+    // everything is 100×100-bounded.
+    "qe38_knn_reciprocity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fence = graft.Materialize.cut(emb.where(col("vec_id") < 100))
+      val g = graft.Materialize.cut(
+        Similarity.bruteForceKnn(fence, fence, 5).select("q_id", "n_id"))
+      val rec = g.join(
+        g.select(col("n_id").as("q_id"), col("q_id").as("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_rec"))
+      g.groupBy("q_id").agg(count(lit(1)).as("n_edges"))
+        .join(rec, Seq("q_id"), "left")
+        .join(broadcast(fence.select(col("vec_id").as("q_id"),
+          col("label"))), "q_id")
+        .groupBy("label")
+        .agg(sum("n_edges").as("n_edges"),
+          sum(coalesce(col("n_rec"), lit(0L))).as("n_reciprocal"))
+        .withColumn("recip_milli",
+          expr("(1000 * n_reciprocal) div n_edges"))
+        .orderBy("label")
+    }),
+
+    // AUDIO CLIPPING GAUGE — samples pinned at the rails (≤ 2 or
+    // ≥ 253 of the byte range) flag hard-clipped captures qm18's ZCR
+    // reads as merely "noisy": one codegen'd filter+size per frame
+    // over the shared frame staging, doc-grain rollup, exact ppm.
+    "qm20_audio_clipping" -> ((s, dir) =>
+      frameByteVectors(s, dir)
+        .select(col("doc_id"), col("frame_len"),
+          size(filter(col("bv"), x => x <= 2 || x >= 253)).cast("long")
+            .as("nc"))
+        .groupBy("doc_id")
+        .agg(sum("frame_len").as("n_samples"),
+          sum("nc").as("n_clipped"))
+        .withColumn("clip_ppm",
+          expr("(1000000 * n_clipped) div n_samples"))
+        .orderBy("doc_id")))
 
   /** DuckDB twin of the random-hyperplane banding: generated from the
     * SAME deterministic plane matrix the Spark kernel uses, with the same
@@ -7892,6 +8188,263 @@ object ExtQueries {
         "qe34_abtt_isotropy" -> qe34Sql(mu, v)) }.getOrElse(Map.empty)
 
   private def staticOracle: Map[String, String] = Map(
+    // §2.25 — CUSUM via the reflection identity: the same two windows
+    "qz59_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |st AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |d AS (
+        |  SELECT day, x, (1000000 * sx) // nd AS mu_micro,
+        |    x * 1000000 - (1000000 * sx) // nd
+        |      - ((1000000 * sx) // nd) // 4 AS dev,
+        |    x * 1000000 - (1000000 * sx) // nd
+        |      + ((1000000 * sx) // nd) // 4 AS devn
+        |  FROM daily CROSS JOIN st),
+        |c AS (
+        |  SELECT day, x, mu_micro,
+        |    CAST(sum(dev) OVER w AS BIGINT) AS p,
+        |    CAST(sum(devn) OVER w AS BIGINT) AS q
+        |  FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |r AS (
+        |  SELECT day, x, mu_micro, p, q,
+        |    least(min(p) OVER w, 0) AS mp,
+        |    greatest(max(q) OVER w, 0) AS mq
+        |  FROM c WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT day, x, p - mp AS s_pos_micro, mq - q AS s_neg_micro,
+        |  (p - mp) > 4 * mu_micro AS alarm_up,
+        |  (mq - q) > 4 * mu_micro AS alarm_down
+        |FROM r ORDER BY day""".stripMargin,
+
+    // pow2 gap buckets via the same length(bin()) integer trick
+    "qz60_interevent_hist" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT (us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id)) // 1000000 AS gap_s
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN gap_s <= 0 THEN 0
+        |    ELSE CAST(length(bin(gap_s)) AS BIGINT) END AS bucket, gap_s
+        |  FROM g WHERE gap_s IS NOT NULL),
+        |h AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    min(gap_s) AS min_s, max(gap_s) AS max_s
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM h)
+        |SELECT bucket, n, min_s, max_s, (1000000 * n) // tn AS share_ppm
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    // floor-mean-centered deviations, one day-grain join per lag
+    "qz61_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |st AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |c AS (SELECT day, x - sx // nd AS cx
+        |      FROM daily CROSS JOIN st),
+        |den AS (SELECT CAST(sum(cx * cx) AS BIGINT) AS dd FROM c),
+        |l AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag_d),
+        |j AS (
+        |  SELECT l.lag_d, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.cx * b.cx) AS BIGINT) AS num
+        |  FROM l JOIN c a ON TRUE JOIN c b ON b.day = a.day + l.lag_d
+        |  GROUP BY l.lag_d)
+        |SELECT lag_d, n_pairs, num, dd AS den,
+        |  CAST(num AS DOUBLE) / CAST(dd AS DOUBLE) AS acf
+        |FROM j CROSS JOIN den ORDER BY lag_d""".stripMargin,
+
+    // JSON path extraction mirrored
+    "qz62_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS k_card
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // 8-token windows, 60-bit md5 gram keys (the qs6 fold), per-source
+    // doc-frequency rollup
+    "qx85_boilerplate_windows" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(len(toks) - 7),
+        |      i -> array_to_string(
+        |        toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) AS s
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(s,
+        |    w -> list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(w), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b)))) AS gh
+        |  FROM sh),
+        |sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM tok GROUP BY source),
+        |df AS (SELECT source, gh, CAST(count(*) AS BIGINT) AS ddf
+        |       FROM g GROUP BY source, gh)
+        |SELECT df.source, max(sn.n_docs) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_window_types,
+        |  CAST(sum(CASE WHEN df.ddf * 2 >= sn.n_docs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_boiler_types,
+        |  CAST(sum(CASE WHEN df.ddf * 2 >= sn.n_docs THEN df.ddf
+        |    ELSE 0 END) AS BIGINT) AS boiler_doc_hits
+        |FROM df JOIN sn ON sn.source = df.source
+        |GROUP BY df.source ORDER BY df.source""".stripMargin,
+
+    // adjacent-pair counts, unigram counts, exact micro/milli ratios
+    "qx86_bigram_lift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> {'a': toks[CAST(i + 1 AS INT)],
+        |          'b': toks[CAST(i + 2 AS INT)]})) AS p
+        |  FROM tok),
+        |bc AS (SELECT p.a AS a, p.b AS b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bi GROUP BY p.a, p.b HAVING count(*) >= 5),
+        |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS nt
+        |       FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+        |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS ntok FROM uc)
+        |SELECT a, b, n_ab,
+        |  (1000000 * n_ab) // ua.nt AS p_b_a_micro,
+        |  (1000 * n_ab * ntok) // (ua.nt * ub.nt) AS lift_milli
+        |FROM bc JOIN uc ua ON ua.t = bc.a JOIN uc ub ON ub.t = bc.b
+        |CROSS JOIN tot
+        |ORDER BY lift_milli DESC, a, b LIMIT 20""".stripMargin,
+
+    // winnowing: same grams, same window min, same rightmost-argmin
+    // selection (the twin's band join is plain BETWEEN — priceable at
+    // fixture scale where the Spark side block-bands it)
+    "qx87_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_transform(range(len(toks) - 2),
+        |    i -> array_to_string(
+        |      toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) AS s
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    list_reduce(list_transform(range(1, 16),
+        |      j -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(s[CAST(i + 1 AS INT)]), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        |  FROM (SELECT doc_id, s, unnest(range(len(s))) AS i FROM sh)),
+        |w AS (
+        |  SELECT doc_id, pos AS i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng
+        |  FROM g),
+        |wf AS (SELECT doc_id, i, wmin, ng FROM w WHERE i <= ng - 4),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, ng, p FROM (
+        |    SELECT wf.doc_id, wf.ng, wf.i, max(g.pos) AS p
+        |    FROM wf JOIN g ON g.doc_id = wf.doc_id
+        |      AND g.pos BETWEEN wf.i AND wf.i + 3 AND g.h = wf.wmin
+        |    GROUP BY wf.doc_id, wf.ng, wf.i))
+        |SELECT doc_id, max(ng) AS n_grams, max(ng) - 3 AS n_windows,
+        |  CAST(count(*) AS BIGINT) AS n_fps,
+        |  (1000 * CAST(count(*) AS BIGINT)) // (max(ng) - 3)
+        |    AS density_milli
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // row-local squared-norm fold (same left-to-right double fold as
+    // the native kernel), type-1 quartiles from the distinct-value
+    // histogram, integer Tukey fences
+    "qe37_norm_outliers" ->
+      (s"""WITH m AS (
+        |  SELECT label,
+        |    CAST(floor(${CosSql.format("embedding", "embedding")}
+        |      * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings),
+        |h AS (SELECT label, m, CAST(count(*) AS BIGINT) AS c
+        |      FROM m GROUP BY label, m),
+        |cum AS (SELECT label, m, c,
+        |  sum(c) OVER (PARTITION BY label ORDER BY m
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY label) AS total FROM h),
+        |f AS (SELECT label,
+        |  min(CASE WHEN cum * 100 >= total * 25 THEN m END) AS q1,
+        |  min(CASE WHEN cum * 100 >= total * 75 THEN m END) AS q3
+        |  FROM cum GROUP BY label),
+        |f2 AS (SELECT label, q1, q3,
+        |  q1 - (3 * (q3 - q1)) // 2 AS lo,
+        |  q3 + (3 * (q3 - q1)) // 2 AS hi FROM f)
+        |SELECT m.label, CAST(count(*) AS BIGINT) AS n,
+        |  max(q1) AS q1_micro, max(q3) AS q3_micro,
+        |  CAST(sum(CASE WHEN m.m < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN m.m > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM m JOIN f2 ON f2.label = m.label
+        |GROUP BY m.label ORDER BY m.label""".stripMargin),
+
+    // fenced exact top-5 digraph, reciprocity via the reversed-pair
+    // left join
+    "qe38_knn_reciprocity" ->
+      (s"""WITH f AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id < 100),
+        |g AS (
+        |  SELECT a.vec_id AS q_id, a.label AS q_label,
+        |    c.vec_id AS n_id
+        |  FROM f a JOIN f c ON c.vec_id <> a.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY ${cosSql("a.embedding", "c.embedding")} DESC,
+        |      c.vec_id) <= 5),
+        |rec AS (
+        |  SELECT g.q_label,
+        |    CASE WHEN r.q_id IS NULL THEN 0 ELSE 1 END AS is_rec
+        |  FROM g LEFT JOIN g r
+        |    ON r.q_id = g.n_id AND r.n_id = g.q_id)
+        |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(is_rec) AS BIGINT) AS n_reciprocal,
+        |  (1000 * CAST(sum(is_rec) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS recip_milli
+        |FROM rec GROUP BY q_label ORDER BY label""".stripMargin),
+
+    // qm18's frame staging, rail filter, exact ppm
+    "qm20_audio_clipping" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, CAST(length(fh) // 2 AS BIGINT) AS flen,
+        |    list_transform(range(0, length(fh) // 2),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g)
+        |SELECT doc_id, CAST(sum(flen) AS BIGINT) AS n_samples,
+        |  CAST(sum(len(list_filter(bv, x -> x <= 2 OR x >= 253)))
+        |    AS BIGINT) AS n_clipped,
+        |  (1000000 * CAST(sum(len(list_filter(bv,
+        |    x -> x <= 2 OR x >= 253))) AS BIGINT))
+        |    // CAST(sum(flen) AS BIGINT) AS clip_ppm
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // first-digit counts from the BIGINT-cents decimal string, the
     // SAME nine ppm literals (generated from benfordPpm), one integer
     // deviation sum

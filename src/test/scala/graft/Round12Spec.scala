@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.DataFrame
+
 /** Round-12 pins: the global-window audit lint (VERDICT r11 item 2) and
   * the qe35 indexed-leg equivalences (item 3). */
 class Round12Spec extends SparkTestBase {
@@ -21,7 +23,7 @@ class Round12Spec extends SparkTestBase {
     "calendar", "label-vocab", "inherent-global-report")
 
   private val expectedSites = Map(
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 26,
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 27,
     "src/main/scala/graft/queries/CoreQueries.scala" -> 1,
     "src/main/scala/graft/ext/Models.scala" -> 1)
 
@@ -124,5 +126,151 @@ class Round12Spec extends SparkTestBase {
       .count(f => f.getName.startsWith("part-"))
     assert(nFiles >= 2, s"expected a multi-file sink, got $nFiles")
     assert(back.rdd.getNumPartitions == nFiles)
+  }
+
+  // ---- §2.25 fixtures -------------------------------------------------------
+
+  import spark.implicits._
+
+  private val DayUs = 86_400_000_000L
+
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r12ev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def plantDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r12doc").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def plantEmbeddings(rows: Seq[(Long, Seq[Float], Int)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r12emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def plantDays(counts: Seq[Int]): String = {
+    val t0 = 19_700L * DayUs
+    var id = 0L
+    plantEvents(counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map { i => id += 1
+        (id, t0 + d * DayUs + i * 1_000_000L, id % 3, "view", 0.0) }
+    })
+  }
+
+  test("qz59 cusum: the reflection identity (cumsum minus running min) " +
+    "reproduces the max(0, S+dev) recurrence computed independently, " +
+    "and the planted level shift alarms upward") {
+    // 20 quiet days at 10, then 4 shifted days at 50 — the shift is a
+    // tail minority so the global-mean baseline stays near the quiet
+    // level and the accumulated S+ crosses the 4mu alarm
+    val counts = Seq.fill(20)(10) ++ Seq.fill(4)(50)
+    val dir = plantDays(counts)
+    val out = queries.ExtQueries.queries("qz59_cusum")(spark, dir)
+      .collect()
+    val mu = 1_000_000L * counts.sum / counts.length // integer div, >0
+    val k = mu / 4
+    var sPos = 0L; var sNeg = 0L
+    out.foreach { r =>
+      val x = r.getLong(1)
+      sPos = math.max(0L, sPos + (x * 1_000_000L - mu - k))
+      sNeg = math.max(0L, sNeg + (mu - k - x * 1_000_000L))
+      assert(r.getLong(2) == sPos, s"s_pos diverged at $r")
+      assert(r.getLong(3) == sNeg, s"s_neg diverged at $r")
+      assert(r.getBoolean(4) == (sPos > 4 * mu), s"alarm_up at $r")
+      assert(r.getBoolean(5) == (sNeg > 4 * mu), s"alarm_down at $r")
+    }
+    assert(out.last.getBoolean(4), "upward alarm expected after the shift")
+  }
+
+  test("qz60 interevent: hand-placed gaps land in their pow2 buckets") {
+    val t0 = 19_700L * DayUs
+    // one user, gaps 0.5s / 1s / 2s / 4s / 9s
+    val times = Seq(0L, 500_000L, 1_500_000L, 3_500_000L, 7_500_000L,
+      16_500_000L)
+    val dir = plantEvents(times.zipWithIndex.map { case (us, i) =>
+      (i.toLong + 1L, t0 + us, 1L, "view", 0.0) })
+    val out = queries.ExtQueries.queries("qz60_interevent_hist")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // buckets: 0 (sub-second), 1 (1s), 2 (2s), 3 (4s), 4 (9s)
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"got $out")
+  }
+
+  test("qz61 acf: an alternating series has zero lag-1 and 0.75 lag-2 " +
+    "correlation (hand-computed on floor-mean deviations)") {
+    val dir = plantDays(Seq(1, 2, 1, 2, 1, 2, 1, 2))
+    val out = queries.ExtQueries.queries("qz61_acf")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(1L) == 0.0, s"lag1: $out")
+    assert(out(2L) == 0.75, s"lag2: $out")
+  }
+
+  test("qx86 bigram lift: the abc-cycle corpus scores (a,b) and (b,c) " +
+    "at lift 3000 milli and P(b|a) = 1e6, with (c,a) under support") {
+    val dir = plantDocs(Seq((1L, Seq.fill(5)("a b c").mkString(" "))))
+    val out = queries.ExtQueries.queries("qx86_bigram_lift")(spark, dir)
+      .collect()
+    assert(out.length == 2, out.mkString(";"))
+    val ab = out.head
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b" &&
+      ab.getLong(2) == 5L && ab.getLong(3) == 1_000_000L &&
+      ab.getLong(4) == 3000L, ab.toString)
+    val bc = out(1)
+    assert(bc.getString(0) == "b" && bc.getString(1) == "c" &&
+      bc.getLong(4) == 3000L, bc.toString)
+  }
+
+  test("qx87 winnowing: density bounds hold on an all-distinct doc — " +
+    "every window selects, a selection covers at most w windows") {
+    val dir = plantDocs(Seq(
+      (1L, (0 until 20).map(i => s"t$i").mkString(" "))))
+    val r = queries.ExtQueries.queries("qx87_winnowing")(spark, dir)
+      .collect().head
+    val (ng, nw, nfp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ng == 18 && nw == 15, r.toString)
+    assert(nfp <= nw && 4L * nfp >= nw,
+      s"winnowing density out of bounds: $r")
+  }
+
+  test("qe38 reciprocity: a fence smaller than k+1 is a complete " +
+    "digraph — every edge reciprocal, recip_milli = 1000") {
+    val vecs = (0 until 5).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1f else 0.1f), i % 2)
+    }
+    val dir = plantEmbeddings(vecs)
+    val out = queries.ExtQueries.queries("qe38_knn_reciprocity")(
+      spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == 1000L,
+        r.toString)
+    }
+  }
+
+  test("qe37 norm outliers: one exploded-norm vector per label lands " +
+    "above the Tukey fence") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => 1f + 0.001f * ((i + j) % 7)), 0)
+    }
+    val out1 = (100L, Seq.fill(8)(100f), 0)
+    val dir = plantEmbeddings(base :+ out1)
+    val r = queries.ExtQueries.queries("qe37_norm_outliers")(spark, dir)
+      .collect().head
+    assert(r.getLong(1) == 41L && r.getLong(5) == 1L, r.toString)
   }
 }
