@@ -726,6 +726,15 @@ object CoreQueries {
     "qs23_dist_ingest" -> ((s, dir) =>
       graft.streaming.StreamingReplay.distributedIngestReplay(s, dir)),
 
+    // qs24 — twenty-fourth streaming path: the stream-stream RIGHT
+    // OUTER interval join, the last arm of the null-emission matrix
+    // (qs8 inner / qs9 left / qs18 semi / qs11 full): unmatched
+    // purchases emit once with a null click side when the watermark
+    // proves no in-window click can arrive.
+    "qs24_stream_right_outer" -> ((s, dir) =>
+      graft.streaming.StreamingReplay
+        .streamStreamRightOuterReplay(s, dir)),
+
     // q55 — BUCKETED co-located join (S9): the layout answer to the
     // shuffle question — both sides written bucketed-and-sorted by the
     // join key into the session catalog, so the sort-merge join reads
@@ -2113,6 +2122,17 @@ object CoreQueries {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |WHERE a.event_type = 'click'
         |ORDER BY c_id, p_id NULLS FIRST""".stripMargin,
+
+    // qs9's mirror: every purchase once, null click side when no
+    // in-window click exists
+    "qs24_stream_right_outer" ->
+      """SELECT a.event_id AS c_id, b.event_id AS p_id, b.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a RIGHT JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'click'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |WHERE b.event_type = 'purchase'
+        |ORDER BY c_id NULLS FIRST, p_id""".stripMargin,
 
     // the running count's max over Update-mode emissions = the batch
     // per-user count

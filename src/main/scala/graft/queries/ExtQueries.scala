@@ -216,6 +216,26 @@ object ExtQueries {
       .withColumn("toks", Text.tokens(col("text")))
       .where(size(col("toks")) >= 3)
 
+  // qe36's OWN half-corpus quantizer cache (the lastFitted* rule: a
+  // second centroid fit routed through Similarity's shared cache would
+  // clobber the lastFitKey that qe4/qe7/qe11/…'s twins read)
+  private val halfCentCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  @volatile private var lastHalfKey: Option[String] = None
+
+  private def halfCentroidsFor(s: SparkSession, dir: String)
+      : Seq[Seq[Float]] = {
+    val emb = Tables.embeddings(s, dir)
+    val c = halfCentCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(
+        emb.where(col("vec_id") % 2 === 0), 16, 5))
+    lastHalfKey = Some(dir)
+    c.map(_.map(_.toFloat))
+  }
+
+  private def lastFittedHalfCentroids: Option[Seq[Seq[Float]]] =
+    lastHalfKey.flatMap(halfCentCache.get).map(_.map(_.map(_.toFloat)))
+
   /** Shared by qe14/qe23/qe24: the per-label round-9 mean centroid as a
     * position-sorted DOUBLE array — one definition so the three
     * queries' numbers reconcile BY CONSTRUCTION (round-9 means aren't
@@ -7084,6 +7104,44 @@ object ExtQueries {
         .orderBy("label")
     }),
 
+    // CENTROID DRIFT / REBUILD AUDIT — the index-MAINTENANCE question
+    // qe30's cell-merge plan doesn't answer: if the IVF quantizer were
+    // REFIT today (here: on the even-id half, the deterministic stand-in
+    // for "yesterday's corpus"), how much of each current cell would
+    // scatter? Per serving cell: member count, the majority cell under
+    // the refit, and the split fraction — the number that decides
+    // whether a rebuild re-routes enough vectors to be worth the
+    // re-encode. Both assignments are broadcast-centroid scans (the
+    // refit side collapses map-side via max_by, the qx81 funnel rule);
+    // the refit uses its OWN fit cache — routing it through the shared
+    // centroid cache would clobber the lastFitKey qe4's twin reads.
+    "qe36_centroid_drift" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val key = Some(s"$dir|nlist=16|iters=5")
+      val full = Similarity.cellAssignments(emb, 16, cacheKey = key)
+      val halfC = halfCentroidsFor(s, dir).zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("cell_b", "cb_emb")
+      val b = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(halfC))
+        .withColumn("cc", Similarity.cosine(col("embedding"),
+          col("cb_emb")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell_b"), struct(col("cc"), -col("cell_b")))
+          .as("cell_b"))
+      val cnt = full.join(b, "vec_id")
+        .groupBy("cell", "cell_b").agg(count(lit(1)).as("c"))
+      cnt.groupBy("cell")
+        .agg(sum("c").as("n"),
+          max_by(col("cell_b"), struct(col("c"), -col("cell_b")))
+            .as("major_b"),
+          max(struct(col("c"), -col("cell_b"))).getField("c")
+            .as("n_major"))
+        .withColumn("split_milli",
+          expr("(1000 * (n - n_major)) div n"))
+        .orderBy("cell")
+    }),
+
     // AUDIO CLIPPING GAUGE — samples pinned at the rails (≤ 2 or
     // ≥ 253 of the byte range) flag hard-clipped captures qm18's ZCR
     // reads as merely "noisy": one codegen'd filter+size per frame
@@ -8146,7 +8204,56 @@ object ExtQueries {
        |FROM g ORDER BY label""".stripMargin
   }
 
+  /** DuckDB twin of the centroid-drift audit: BOTH fitted centroid
+    * tables as VALUES literals (serving fit A from the shared cache,
+    * refit B from qe36's own half-corpus cache), both assignments via
+    * the same argmax-cos QUALIFY, then the per-A-cell majority under B
+    * with the (count desc, cell asc) tie rule the Spark max_by uses. */
+  private def qe36Sql(centsA: Seq[Seq[Float]],
+                      centsB: Seq[Seq[Float]]): String = {
+    def dlit(f: Float): String =
+      new java.math.BigDecimal(f.toDouble).toPlainString + "E0"
+    def values(cents: Seq[Seq[Float]]): String =
+      cents.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.map(dlit).mkString(",")}])"
+      }.mkString(",\n")
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH ca(cell, c_emb) AS (VALUES
+       |${values(centsA)}),
+       |cb(cell_b, cb_emb) AS (VALUES
+       |${values(centsB)}),
+       |fa AS (
+       |  SELECT e.vec_id, c.cell
+       |  FROM embeddings e CROSS JOIN ca c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.cell) <= 1),
+       |fb AS (
+       |  SELECT e.vec_id, c.cell_b
+       |  FROM embeddings e CROSS JOIN cb c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.cb_emb")} DESC, c.cell_b)
+       |    <= 1),
+       |cnt AS (
+       |  SELECT fa.cell, fb.cell_b, CAST(count(*) AS BIGINT) AS c
+       |  FROM fa JOIN fb ON fb.vec_id = fa.vec_id
+       |  GROUP BY fa.cell, fb.cell_b),
+       |m AS (
+       |  SELECT cell, cell_b, c FROM cnt
+       |  QUALIFY row_number() OVER (PARTITION BY cell
+       |    ORDER BY c DESC, cell_b) = 1),
+       |t AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n
+       |      FROM cnt GROUP BY cell)
+       |SELECT t.cell, t.n, m.cell_b AS major_b, m.c AS n_major,
+       |  (1000 * (t.n - m.c)) // t.n AS split_milli
+       |FROM t JOIN m ON m.cell = t.cell ORDER BY t.cell""".stripMargin
+  }
+
   def oracle: Map[String, String] = staticOracle ++
+    (for {
+      a <- Similarity.lastFittedCentroidsFloat
+      b <- lastFittedHalfCentroids
+    } yield Map("qe36_centroid_drift" -> qe36Sql(a, b)))
+      .getOrElse(Map.empty) ++
     Similarity.lastFittedCentroidsFloat
       .map(c => Map(
         "qe35_knn_accuracy" -> qe35Sql(c, nprobe = 8),

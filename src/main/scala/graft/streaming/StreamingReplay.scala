@@ -1641,6 +1641,60 @@ object StreamingReplay {
       .orderBy("user_id")
   }
 
+  /** The stream-stream RIGHT OUTER interval join — the last arm of the
+    * null-emission matrix (qs8 inner, qs9 left, qs18 semi, qs11 full):
+    * an unmatched PURCHASE is held in join state until the watermark
+    * proves no in-window click can still arrive, then emits once with a
+    * null click side. Same shared staging and sentinel discipline as
+    * qs9 (mirrored); the batch RIGHT JOIN oracles the emitted set
+    * (declared as `qs24_stream_right_outer`). */
+  def streamStreamRightOuterReplay(spark: SparkSession, dir: String,
+                                   windowSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+
+    val (srcDirStr, _) = stagedJoinChunks(spark, dir, windowSec)
+      .getOrElse {
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "c_id BIGINT, p_id BIGINT, user_id BIGINT, dt_us BIGINT"))
+      }
+
+    val table = s"qs24_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val purch = side("purchase", "p_id", "p_user", "p_ts")
+    // 4 state partitions for the join replays: a stream-stream join
+    // keeps FOUR stores per partition and side (keyWithIndex +
+    // keyToNumValues × left/right), so store-commit count per
+    // micro-batch is 4× an aggregation's — halving partitions halves
+    // the commit constant at this replay size with identical semantics
+    // (state is key-hashed; the emitted set is partition-count-free)
+    val q = withStatePartitions(spark, 4) {
+      clicks.join(purch, expr(
+        "c_user = p_user AND p_ts >= c_ts AND " +
+          s"p_ts <= c_ts + interval $windowSec seconds"), "right_outer")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .where(col("p_user") >= 0) // drop the sentinel's own outer row
+      .select(col("c_id"), col("p_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
+      .orderBy(asc_nulls_first("c_id"), col("p_id"))
+  }
+
   // staged input for the DISTRIBUTED-ingest replay, keyed by dir
   private val distStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,
