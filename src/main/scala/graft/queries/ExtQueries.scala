@@ -5793,7 +5793,10 @@ object ExtQueries {
       val repToks = fp.select(col("doc_id"), col("td"))
         .join(sets.select(col("rep").as("doc_id"), col("f")), "doc_id")
       val g = repToks.select(col("f"), explode(col("td")).as("t"))
-      val dict = {
+      // cut: zipWithIndex is eager (its offset-count job runs at plan
+      // time) and an RDD-derived frame re-computes per consumer — the
+      // checkpoint makes the dict pipeline run once, not three times
+      val dict = graft.Materialize.cut {
         import s.implicits._
         g.groupBy("t").agg(count(lit(1)).as("df"))
           .orderBy("df", "t").select(col("t")).as[String]
@@ -7140,6 +7143,137 @@ object ExtQueries {
         .withColumn("split_milli",
           expr("(1000 * (n - n_major)) div n"))
         .orderBy("cell")
+    }),
+
+    // GOPHER-STYLE REPETITION FILTERS — the intra-doc repetition
+    // signals the MassiveText/Gopher curation stack gates on (and the
+    // one quality axis the qx7-family length/stopword gates can't see):
+    // per doc, the token share of the single most frequent bigram and
+    // the token mass sitting in DUPLICATED trigrams (both milli,
+    // capped at 1000 — overlapping occurrences can overcount).
+    // Thresholds follow the published 0.18 / 0.30 (adapted to token
+    // counts; Gopher measures characters). Gram keys are the 60-bit
+    // md5 rule; every rollup is (doc, gram-TYPE) grain inside the doc
+    // partition — corpus-linear.
+    "qx88_gopher_repetition" -> ((s, dir) => {
+      import graft.meos.NativeExpressions
+      val d = docsWithToks(s, dir).select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"), col("toks"))
+      val top2 = d.select(col("doc_id"), col("n_toks"),
+          explode(NativeExpressions.shingleHashes(col("toks"), 2))
+            .as("g"))
+        .groupBy("doc_id", "n_toks", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_toks").agg(max("c").as("cmax"))
+        .select(col("doc_id"),
+          least(expr("(2000 * cmax) div n_toks"), lit(1000L))
+            .as("top2gram_milli"))
+      val tri = d.select(col("doc_id"), col("n_toks"),
+          explode(NativeExpressions.shingleHashes(col("toks"), 3))
+            .as("g"))
+        .groupBy("doc_id", "n_toks", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_toks")
+        .agg(sum(when(col("c") >= 2, lit(3L) * col("c")).otherwise(0L))
+          .as("dupmass"))
+        .select(col("doc_id"),
+          least(expr("(1000 * dupmass) div n_toks"), lit(1000L))
+            .as("dup3gram_milli"))
+      top2.join(tri, "doc_id")
+        .withColumn("flagged", col("top2gram_milli") > 180 ||
+          col("dup3gram_milli") > 300)
+        .orderBy("doc_id")
+    }),
+
+    // FRAME MOTION ENERGY — mean absolute inter-frame byte delta over
+    // consecutive full frames (the cheap motion estimate that separates
+    // static slates from live footage; qm19 only sees EXACT freezes,
+    // qm17 scores similarity structure): lag inside the doc partition,
+    // one integer zip fold per pair, exact milli of the 0–255 range.
+    "qm21_frame_motion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_no")
+      frameByteVectors(s, dir).where(col("frame_len") === 16)
+        .withColumn("pv", lag("bv", 1).over(w))
+        .where(col("pv").isNotNull)
+        .withColumn("d", aggregate(zip_with(col("bv"), col("pv"),
+          (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum("d").as("sum_abs_delta"))
+        .withColumn("motion_milli",
+          expr("(1000 * sum_abs_delta) div (255 * 16 * n_pairs)"))
+        .orderBy("doc_id")
+    }),
+
+    // EXACT (bit-identical) EMBEDDING DEDUP — the trivial-but-mandatory
+    // pass BEFORE any semantic dedup (re-encoded shards and retried
+    // batches produce exact copies; semDedup's cosine threshold should
+    // never be spent on them): group BY THE VECTOR VALUE itself — an
+    // exact-equality shuffle on the array, the same discipline as
+    // qx1's text dedup — and report the corpus-level duplication card.
+    // The one-row output groups on a constant so an empty corpus emits
+    // zero rows (the suite-wide empty contract).
+    "qe39_exact_dup_embeddings" -> ((s, dir) => {
+      val g = Tables.embeddings(s, dir)
+        .groupBy("embedding").agg(count(lit(1)).as("c"))
+      g.groupBy(lit(1).as("one"))
+        .agg(sum("c").as("n_vectors"), count(lit(1)).as("n_distinct"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            .as("n_dup_vectors"),
+          max("c").as("max_group"))
+        .drop("one")
+    }),
+
+    // WEEKLY SEASONALITY STRENGTH — the one number qz52's decomposition
+    // doesn't emit: F = max(0, 1 − Var(remainder)/Var(detrended)), the
+    // standard "is the dow pattern real" gauge a forecasting job reads
+    // before choosing a seasonal model. Same 7-day centered trend and
+    // dow means as qz52 (OFFSET-trick divisions — detrended values go
+    // negative and Spark's div truncates where DuckDB's // floors);
+    // variances are exact Σdev² around OFFSET-trick means, one integer
+    // ratio at the end. Day-grain end to end; constant-grouped so an
+    // empty corpus emits zero rows.
+    "qz63_seasonality_strength" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val OFF = 1000000000000000L
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      // GLOBAL-WINDOW BOUND (calendar): day grain, ≤ span days
+      val wT = Window.orderBy("day").rangeBetween(-3L, 3L)
+      val t = daily
+        .withColumn("nw", count(lit(1)).over(wT))
+        .withColumn("sw", sum("x").over(wT))
+        .where(col("nw") === 7)
+        .select(col("day"), pmod(col("day"), lit(7L)).as("dow"),
+          (col("x") * 1000L - expr("(1000 * sw) div 7"))
+            .as("detr_milli"))
+      val seas = t.groupBy("dow")
+        .agg(count(lit(1)).as("nd"), sum("detr_milli").as("sd"))
+        .select(col("dow"),
+          (expr(s"(sd + nd * ${OFF}L) div nd") - lit(OFF))
+            .as("seas_milli"))
+      val r = graft.Materialize.cut(t.join(broadcast(seas), "dow")
+        .select(col("detr_milli"),
+          (col("detr_milli") - col("seas_milli")).as("rem_milli")))
+      val means = broadcast(r.groupBy(lit(1).as("one"))
+        .agg(count(lit(1)).as("n"), sum("detr_milli").as("sdt"),
+          sum("rem_milli").as("srm"))
+        .select(col("n"),
+          (expr(s"(sdt + n * ${OFF}L) div n") - lit(OFF)).as("mdt"),
+          (expr(s"(srm + n * ${OFF}L) div n") - lit(OFF)).as("mrm")))
+      r.crossJoin(means)
+        .select(col("n"),
+          ((col("detr_milli") - col("mdt")) *
+            (col("detr_milli") - col("mdt"))).as("d2"),
+          ((col("rem_milli") - col("mrm")) *
+            (col("rem_milli") - col("mrm"))).as("r2"))
+        .groupBy("n")
+        .agg(sum("d2").as("ss_detr"), sum("r2").as("ss_rem"))
+        .select(col("n").as("n_days"), col("ss_detr"), col("ss_rem"),
+          when(col("ss_detr") > 0,
+            greatest(lit(0L),
+              lit(1000L) - expr("(1000 * ss_rem) div ss_detr")))
+            .otherwise(lit(0L)).as("strength_milli"))
     }),
 
     // AUDIO CLIPPING GAUGE — samples pinned at the rails (≤ 2 or
@@ -8524,6 +8658,141 @@ object ExtQueries {
         |  (1000 * CAST(sum(is_rec) AS BIGINT))
         |    // CAST(count(*) AS BIGINT) AS recip_milli
         |FROM rec GROUP BY q_label ORDER BY label""".stripMargin),
+
+    // per-doc (gram TYPE, count) rollups for k=2 and k=3, same 60-bit
+    // md5 fold, capped milli shares
+    "qx88_gopher_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g2 AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |    unnest(list_transform(range(len(toks) - 1),
+        |      i -> list_reduce(list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |          substr(md5(array_to_string(
+        |            toks[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' ')),
+        |            CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b))) AS g
+        |  FROM tok),
+        |c2 AS (SELECT doc_id, n_toks, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM g2 GROUP BY doc_id, n_toks, g),
+        |t2 AS (SELECT doc_id,
+        |         least((2000 * max(c)) // max(n_toks), 1000)
+        |           AS top2gram_milli
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |    unnest(list_transform(range(len(toks) - 2),
+        |      i -> list_reduce(list_transform(range(1, 16),
+        |        j -> CAST(strpos('0123456789abcdef',
+        |          substr(md5(array_to_string(
+        |            toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')),
+        |            CAST(j AS INT), 1)) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b))) AS g
+        |  FROM tok),
+        |c3 AS (SELECT doc_id, n_toks, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM g3 GROUP BY doc_id, n_toks, g),
+        |t3 AS (SELECT doc_id,
+        |         least((1000 * CAST(sum(CASE WHEN c >= 2 THEN 3 * c
+        |           ELSE 0 END) AS BIGINT)) // max(n_toks), 1000)
+        |           AS dup3gram_milli
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT t2.doc_id, top2gram_milli, dup3gram_milli,
+        |  (top2gram_milli > 180 OR dup3gram_milli > 300) AS flagged
+        |FROM t2 JOIN t3 ON t3.doc_id = t2.doc_id
+        |ORDER BY t2.doc_id""".stripMargin,
+
+    // qm18's frame staging (full frames), lag inside the doc
+    // partition, one integer zip fold per consecutive pair
+    "qm21_frame_motion" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+        |    substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |h AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(length(fh) // 2 AS BIGINT) AS flen,
+        |    list_transform(range(0, length(fh) // 2),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT))
+        |      AS bv
+        |  FROM g),
+        |p AS (
+        |  SELECT doc_id, bv,
+        |    lag(bv) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pv
+        |  FROM h WHERE flen = 16),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_transform(list_zip(bv, pv),
+        |      q -> abs(q[1] - q[2])), (a, b) -> a + b) AS BIGINT) AS d
+        |  FROM p WHERE pv IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(d) AS BIGINT) AS sum_abs_delta,
+        |  (1000 * CAST(sum(d) AS BIGINT))
+        |    // (255 * 16 * CAST(count(*) AS BIGINT)) AS motion_milli
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact-equality grouping on the vector VALUE, constant-grouped so
+    // an empty corpus emits zero rows
+    "qe39_exact_dup_embeddings" ->
+      """WITH g AS (SELECT embedding, CAST(count(*) AS BIGINT) AS c
+        |           FROM embeddings GROUP BY embedding)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_vectors,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_vectors,
+        |  max(c) AS max_group
+        |FROM (SELECT 1 AS one, c FROM g) GROUP BY one""".stripMargin,
+
+    // qz52's trend/dow machinery, OFFSET-trick means, exact Σdev²
+    // ratio
+    "qz63_seasonality_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |t AS (
+        |  SELECT day, day % 7 AS dow,
+        |    x * 1000 - (1000 * CAST(sum(x) OVER w AS BIGINT)) // 7
+        |      AS detr_milli
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |  QUALIFY count(*) OVER w = 7),
+        |seas AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(detr_milli) AS BIGINT) AS sd
+        |  FROM t GROUP BY dow),
+        |s2 AS (SELECT dow, (sd + nd * 1000000000000000) // nd
+        |         - 1000000000000000 AS seas_milli FROM seas),
+        |r AS (SELECT detr_milli, detr_milli - seas_milli AS rem_milli
+        |      FROM t JOIN s2 ON s2.dow = t.dow),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(detr_milli) AS BIGINT) AS sdt,
+        |    CAST(sum(rem_milli) AS BIGINT) AS srm FROM r),
+        |m2 AS (SELECT n,
+        |    (sdt + n * 1000000000000000) // n - 1000000000000000 AS mdt,
+        |    (srm + n * 1000000000000000) // n - 1000000000000000 AS mrm
+        |  FROM m),
+        |ss AS (
+        |  SELECT n,
+        |    CAST(sum((detr_milli - mdt) * (detr_milli - mdt))
+        |      AS BIGINT) AS ss_detr,
+        |    CAST(sum((rem_milli - mrm) * (rem_milli - mrm))
+        |      AS BIGINT) AS ss_rem
+        |  FROM r CROSS JOIN m2 GROUP BY n)
+        |SELECT n AS n_days, ss_detr, ss_rem,
+        |  CAST(CASE WHEN ss_detr > 0
+        |    THEN greatest(0, 1000 - (1000 * ss_rem) // ss_detr)
+        |    ELSE 0 END AS BIGINT) AS strength_milli
+        |FROM ss""".stripMargin,
 
     // qm18's frame staging, rail filter, exact ppm
     "qm20_audio_clipping" ->
