@@ -675,6 +675,26 @@ object CoreQueries {
           |""".stripMargin)
     }),
 
+    // q60 — MAP-type surface (§2.8's one untouched complex-type family):
+    // per-user (event_type → count) maps built with map_from_entries
+    // over a deterministic sorted entry list, pruned with map_filter (a
+    // codegen'd higher-order function over the map), exploded back to
+    // rows. The map build/filter/explode machinery is the system under
+    // test; the twin states the preserved SEMANTICS (GROUP BY + HAVING),
+    // so a map that drops, duplicates, or reorders entries hash-fails.
+    "q60_map_roundtrip" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      m.select(col("user_id"),
+          explode(map_filter(col("m"), (_, v) => v >= 2)))
+        .select(col("user_id"), col("key").as("event_type"),
+          col("value").as("n"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // q57 — the DSv2 envelope SOURCE (completing S3's loop: the
     // reference's JSON-lines trip envelope was write-only until now).
     // Full roundtrip: trips assemble per user (qc1's tpoint assembly),
@@ -1943,6 +1963,13 @@ object CoreQueries {
         |  LIMIT 2) l ON TRUE
         |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
         .stripMargin,
+
+    // the map roundtrip must preserve GROUP BY + HAVING semantics
+    "q60_map_roundtrip" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // q57's roundtrip-identity oracle (the qc1 rule): rows survive only
     // when encode∘decode == payload through the WRITE → DSv2 READ loop;

@@ -7276,6 +7276,29 @@ object ExtQueries {
             .otherwise(lit(0L)).as("strength_milli"))
     }),
 
+    // DYNAMIC RANGE — the p95−p5 spread of each asset's sample bytes
+    // (a narrow range means over-compressed or near-silent audio; the
+    // loudness/clipping gauges can't separate those): exact type-1
+    // percentiles from the per-doc BYTE-DOMAIN histogram — the value
+    // domain is ≤ 256 buckets per doc by construction, the strongest
+    // form of the qx18 bounded-histogram rule.
+    "qm22_dynamic_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = frameByteVectors(s, dir)
+        .select(col("doc_id"), explode(col("bv")).as("v"))
+        .groupBy("doc_id", "v").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("doc_id").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wc))
+        .withColumn("total", sum("c").over(Window.partitionBy("doc_id")))
+      def q(p: Int) =
+        min(when(col("cum") * 100 >= col("total") * p, col("v")))
+      cum.groupBy("doc_id")
+        .agg(q(5).as("p5"), q(95).as("p95"))
+        .withColumn("dyn_range", col("p95") - col("p5"))
+        .orderBy("doc_id")
+    }),
+
     // AUDIO CLIPPING GAUGE — samples pinned at the rails (≤ 2 or
     // ≥ 253 of the byte range) flag hard-clipped captures qm18's ZCR
     // reads as merely "noisy": one codegen'd filter+size per frame
@@ -8793,6 +8816,40 @@ object ExtQueries {
         |    THEN greatest(0, 1000 - (1000 * ss_rem) // ss_detr)
         |    ELSE 0 END AS BIGINT) AS strength_milli
         |FROM ss""".stripMargin,
+
+    // per-doc byte-domain histogram (≤ 256 buckets), type-1 percentiles
+    "qm22_dynamic_range" ->
+      """WITH f AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    unnest(range(greatest(strlen(text) // 64, 1))) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, substr(hx, CAST(i*128 + 1 AS INT), 32) AS fh
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, length(fh) // 2),
+        |      j -> CAST((strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |             substr(fh, CAST(j*2+2 AS INT), 1)) - 1) AS BIGINT)))
+        |      AS v
+        |  FROM g),
+        |h AS (SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM b GROUP BY doc_id, v),
+        |cum AS (
+        |  SELECT doc_id, v, c,
+        |    sum(c) OVER (PARTITION BY doc_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY doc_id) AS total
+        |  FROM h)
+        |SELECT doc_id,
+        |  min(CASE WHEN cum * 100 >= total * 5 THEN v END) AS p5,
+        |  min(CASE WHEN cum * 100 >= total * 95 THEN v END) AS p95,
+        |  min(CASE WHEN cum * 100 >= total * 95 THEN v END)
+        |    - min(CASE WHEN cum * 100 >= total * 5 THEN v END)
+        |    AS dyn_range
+        |FROM cum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // qm18's frame staging, rail filter, exact ppm
     "qm20_audio_clipping" ->

@@ -100,6 +100,26 @@ class Round12Spec extends SparkTestBase {
     assert(indexed.count() == brute.count())
   }
 
+  test("ivfKnnPrenorm equals ivfKnn at PRODUCTION settings too " +
+    "(nprobe = 4 and 8 of nlist = 16, shared fit): the max_by " +
+    "partial-agg assignment and the precomputed-norm scores are " +
+    "implementation changes, not semantic ones") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val anchors = emb.where(col("vec_id") < 20)
+    val key = Some(s"$sfDir|nlist=16|iters=5")
+    Seq(4, 8).foreach { np =>
+      val a = ext.Similarity
+        .ivfKnnPrenorm(emb, anchors, 5, nlist = 16, nprobe = np,
+          cacheKey = key)
+        .select("q_id", "n_id", "rank")
+      val b = ext.Similarity
+        .ivfKnn(emb, anchors, 5, nlist = 16, nprobe = np, cacheKey = key)
+        .select("q_id", "n_id", "rank")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"prenorm and window IVF diverge at nprobe=$np")
+    }
+  }
+
   // ---- trip-envelope DataSourceV2 ------------------------------------------
 
   test("trip-envelope DSv2: roundtrips the sink's lines, prunes the " +
