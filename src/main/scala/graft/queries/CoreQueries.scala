@@ -695,6 +695,76 @@ object CoreQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
+    // third format): events — including the props JSON column, whose
+    // embedded quotes and braces force the writer's quoting path —
+    // write as headered CSV under a fresh temp dir and read back with
+    // an explicit schema; the oracle reads the ORIGINAL parquet, so any
+    // quote/escape/precision loss through the text roundtrip
+    // hash-fails. Doubles roundtrip exactly (Java shortest-repr print,
+    // exact parse); timestamps travel as integer micros.
+    "q61_csv_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("q61-csv").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("event_id BIGINT, us BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("us").as("us_min"),
+          max("us").as("us_max"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"),
+          sum(length(col("props")).cast("long")).as("props_len"),
+          countDistinct("props").as("props_card"))
+        .orderBy("event_type")
+    }),
+
+    // q62 — declarative DATA-QUALITY audit (the DQ-ruleset operator
+    // every lakehouse ingestion gate runs; no single query row covered
+    // it): referential integrity (orders→customer, lineitem→orders),
+    // primary-key duplication, and domain checks, one independent
+    // distributed aggregate per rule, emitted as a (rule, violations)
+    // table. Each rule anchors on its base table via a constant group,
+    // so an empty lake emits zero rows (the suite contract) while a
+    // clean nonempty lake emits every rule with 0.
+    "q62_fk_quality_audit" -> ((s, dir) => {
+      def rule(name: String, viol: DataFrame): DataFrame =
+        viol.groupBy(lit(1).as("one"))
+          .agg(sum("viol").as("n_violations"))
+          .select(lit(name).as("rule"), col("n_violations"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val r1 = rule("lineitem_nonpositive_qty",
+        l.select(when(col("l_quantity") <= 0, 1L).otherwise(0L)
+          .as("viol")))
+      val r2 = rule("lineitem_orphan_orderkey",
+        l.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select(when(col("o_orderkey").isNull, 1L).otherwise(0L)
+            .as("viol")))
+      val r3 = rule("orders_dup_pk",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+          .select(when(col("cnt") > 1, col("cnt")).otherwise(0L)
+            .as("viol")))
+      val r4 = rule("orders_nonpositive_total",
+        o.select(when(col("o_totalprice") <= 0, 1L).otherwise(0L)
+          .as("viol")))
+      val r5 = rule("orders_orphan_custkey",
+        o.select(col("o_custkey"))
+          .join(broadcast(c.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select(when(col("c_custkey").isNull, 1L).otherwise(0L)
+            .as("viol")))
+      r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+        .orderBy("rule")
+    }),
+
     // q57 — the DSv2 envelope SOURCE (completing S3's loop: the
     // reference's JSON-lines trip envelope was write-only until now).
     // Full roundtrip: trips assemble per user (qc1's tpoint assembly),
@@ -1963,6 +2033,54 @@ object CoreQueries {
         |  LIMIT 2) l ON TRUE
         |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
         .stripMargin,
+
+    // the CSV roundtrip must be lossless: the oracle reads the original
+    // parquet, so quote/escape/precision loss hash-fails
+    "q61_csv_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(epoch_us(ts)) AS us_min, max(epoch_us(ts)) AS us_max,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli,
+        |  CAST(sum(strlen(props)) AS BIGINT) AS props_len,
+        |  CAST(count(DISTINCT props) AS BIGINT) AS props_card
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // the same five rules recomputed relationally; each anchors on its
+    // base table via a constant group
+    "q62_fk_quality_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_nonpositive_qty' AS rule,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM lineitem GROUP BY rule
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_orderkey' AS rule,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY rule
+        |  UNION ALL
+        |  SELECT 'orders_dup_pk' AS rule,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_violations
+        |  FROM (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM orders GROUP BY o_orderkey)
+        |  GROUP BY rule
+        |  UNION ALL
+        |  SELECT 'orders_nonpositive_total' AS rule,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders GROUP BY rule
+        |  UNION ALL
+        |  SELECT 'orders_orphan_custkey' AS rule,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders o LEFT JOIN customer c
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY rule)
+        |ORDER BY rule""".stripMargin,
 
     // the map roundtrip must preserve GROUP BY + HAVING semantics
     "q60_map_roundtrip" ->

@@ -7276,6 +7276,63 @@ object ExtQueries {
             .otherwise(lit(0L)).as("strength_milli"))
     }),
 
+    // VOCABULARY COVERAGE / OOV RATE — the number a tokenizer build
+    // reports first: with a top-K frequency vocabulary (K = 30 — the
+    // budget is the knob), what fraction of each source's token stream
+    // falls out of vocabulary? The vocab is a TakeOrdered heap
+    // broadcast against one token scan; per-source exact ppm.
+    "qx90_vocab_oov" -> ((s, dir) => {
+      val tok = graft.Materialize.cut(docsWithToks(s, dir)
+        .select(col("source"), explode(col("toks")).as("t")))
+      val vocab = broadcast(tok.groupBy("t")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("t")).limit(30)
+        .select(col("t"), lit(true).as("inv")))
+      tok.join(vocab, Seq("t"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_tokens"))
+        .orderBy("source")
+    }),
+
+    // INTERRUPTED TIME SERIES — the causal-impact shape (did the thing
+    // we shipped on day d* change the level or the trend?): the
+    // intervention day is the deterministic midpoint of the observed
+    // span, each segment gets a closed-form OLS of daily counts on
+    // RECENTERED days (exact BIGINT num/den — the qz30 discipline;
+    // recentering keeps Σxy inside the exact envelope), and the two
+    // rows report n/slope/mean per segment. BIGINT envelope: n·Σxy
+    // with x ≤ span days — exact to ~10¹² events/day at decade spans.
+    "qz65_interrupted_ts" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("y"))
+      val b = broadcast(daily.agg(min("day").as("d0"),
+        max("day").as("d1")))
+      daily.crossJoin(b)
+        .withColumn("cut", expr("(d0 + d1 + 1) div 2"))
+        .withColumn("segment",
+          when(col("day") < col("cut"), "pre").otherwise("post"))
+        .withColumn("x", col("day") - col("d0"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("segment"), col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .as("slope_den"),
+          expr("(1000 * sy) div n_days").as("mean_milli"))
+        .withColumn("slope",
+          when(col("slope_den") =!= 0,
+            col("slope_num").cast("double") /
+              col("slope_den").cast("double")).otherwise(lit(0.0)))
+        .orderBy("segment")
+    }),
+
     // DYNAMIC RANGE — the p95−p5 spread of each asset's sample bytes
     // (a narrow range means over-compressed or near-silent audio; the
     // loudness/clipping gauges can't separate those): exact type-1
@@ -8816,6 +8873,52 @@ object ExtQueries {
         |    THEN greatest(0, 1000 - (1000 * ss_rem) // ss_detr)
         |    ELSE 0 END AS BIGINT) AS strength_milli
         |FROM ss""".stripMargin,
+
+    // top-30 vocab via the same total order, left-join OOV marking
+    "qx90_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |v AS (
+        |  SELECT t FROM (
+        |    SELECT t, count(*) AS n FROM tok GROUP BY t
+        |    ORDER BY n DESC, t LIMIT 30)),
+        |m AS (
+        |  SELECT tok.source,
+        |    CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok LEFT JOIN v ON v.t = tok.t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  (1000000 * CAST(sum(oov) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS oov_ppm
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // midpoint cut, recentered closed-form OLS per segment
+    "qz65_interrupted_ts" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |seg AS (
+        |  SELECT CASE WHEN day < (d0 + d1 + 1) // 2 THEN 'pre'
+        |    ELSE 'post' END AS segment, day - d0 AS x, y
+        |  FROM daily CROSS JOIN b),
+        |a AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM seg GROUP BY segment)
+        |SELECT segment, n_days,
+        |  n_days * sxy - sx * sy AS slope_num,
+        |  n_days * sxx - sx * sx AS slope_den,
+        |  (1000 * sy) // n_days AS mean_milli,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0
+        |    THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |    ELSE 0.0 END AS slope
+        |FROM a ORDER BY segment""".stripMargin,
 
     // per-doc byte-domain histogram (≤ 256 buckets), type-1 percentiles
     "qm22_dynamic_range" ->
