@@ -695,6 +695,26 @@ object CoreQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // q63 — TIME-INTERVAL window frame (the one frame type the window
+    // family still lacked: q45 is rows/rank, the day-grain windows use
+    // integer RANGE — this is RANGE BETWEEN INTERVAL over an actual
+    // TIMESTAMP ordering): per event, how many of the SAME USER's
+    // events fall in the trailing hour — the rate-limit / burst gauge
+    // a sessionizer reads per row. Expressed in SQL (the frame syntax
+    // is the surface); user-partitioned, so nothing global. The count
+    // includes ties at the frame edge identically in both engines
+    // (RANGE is value-based, inclusive bounds).
+    "q63_interval_frame" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("q63_events")
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS n_trailing_1h
+          |FROM q63_events
+          |ORDER BY event_id""".stripMargin)
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -2033,6 +2053,15 @@ object CoreQueries {
         |  LIMIT 2) l ON TRUE
         |ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
         .stripMargin,
+
+    // the same value-based interval frame natively
+    "q63_interval_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_trailing_1h
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     // the CSV roundtrip must be lossless: the oracle reads the original
     // parquet, so quote/escape/precision loss hash-fails

@@ -7276,6 +7276,27 @@ object ExtQueries {
             .otherwise(lit(0L)).as("strength_milli"))
     }),
 
+    // ENGAGEMENT-DEPTH DISTRIBUTION — how many users were active on
+    // exactly k distinct days (the histogram-of-histograms a
+    // stickiness model fits; qz34's WAU ratio is one point of this
+    // curve): user-grain distinct-day counts, then a k-grain rollup —
+    // bounded by the calendar span however many users exist.
+    "qz66_active_days_hist" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT)").as("day"))
+        .groupBy("user_id").agg(countDistinct("day").as("k"))
+      val tot = broadcast(u.groupBy(lit(1).as("one"))
+        .agg(count(lit(1)).as("n_users")).drop("one")
+        .select(col("n_users")))
+      u.groupBy("k").agg(count(lit(1)).as("n"))
+        .crossJoin(tot)
+        .select(col("k").as("active_days"), col("n"),
+          expr("(1000000 * n) div n_users").as("share_ppm"))
+        .orderBy("active_days")
+    }),
+
     // VOCABULARY COVERAGE / OOV RATE — the number a tokenizer build
     // reports first: with a top-K frequency vocabulary (K = 30 — the
     // budget is the knob), what fraction of each source's token stream
@@ -8873,6 +8894,18 @@ object ExtQueries {
         |    THEN greatest(0, 1000 - (1000 * ss_rem) // ss_detr)
         |    ELSE 0 END AS BIGINT) AS strength_milli
         |FROM ss""".stripMargin,
+
+    // user-grain distinct-day counts, k-grain rollup, exact ppm
+    "qz66_active_days_hist" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(DISTINCT CAST(CAST(ts AS DATE)
+        |    - DATE '1970-01-01' AS BIGINT)) AS BIGINT) AS k
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u)
+        |SELECT k AS active_days, CAST(count(*) AS BIGINT) AS n,
+        |  (1000000 * CAST(count(*) AS BIGINT)) // n_users AS share_ppm
+        |FROM u CROSS JOIN t
+        |GROUP BY k, n_users ORDER BY active_days""".stripMargin,
 
     // top-30 vocab via the same total order, left-join OOV marking
     "qx90_vocab_oov" ->
