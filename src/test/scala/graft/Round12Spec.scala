@@ -282,6 +282,62 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("qz65 interrupted time series: a planted level shift at the " +
+    "midpoint yields flat slopes and the shifted post mean " +
+    "(hand-computed closed-form OLS)") {
+    // 8 days: 10,10,10,10 then 30,30,30,30 — cut = (d0+d1+1) div 2 is
+    // the 5th day, segments are exactly the two plateaus
+    val dir = plantDays(Seq(10, 10, 10, 10, 30, 30, 30, 30))
+    val out = queries.ExtQueries.queries("qz65_interrupted_ts")(
+      spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val pre = out("pre"); val post = out("post")
+    assert(pre.getLong(1) == 4 && post.getLong(1) == 4)
+    // flat plateaus: slope numerators are exactly zero
+    assert(pre.getLong(2) == 0L && post.getLong(2) == 0L,
+      s"expected zero slope numerators: $pre / $post")
+    assert(pre.getLong(4) == 10_000L && post.getLong(4) == 30_000L)
+  }
+
+  test("q62 data-quality audit: a clean lake reports every rule at " +
+    "zero violations") {
+    val out = SparkEntry.queries("q62_fk_quality_audit")(spark, sfDir)
+      .collect()
+    assert(out.length == 5, out.mkString(";"))
+    out.foreach(r => assert(r.getLong(1) == 0L,
+      s"fixture lake should be clean: $r"))
+  }
+
+  test("qz66 engagement depth: histogram masses sum to the user count " +
+    "and shares to ~1e6 ppm") {
+    val out = SparkEntry.queries("qz66_active_days_hist")(spark, sfDir)
+      .collect()
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == users)
+    val ppm = out.map(_.getLong(2)).sum
+    // floor-division shares: within one ppm-unit per bucket of 1e6
+    assert(ppm <= 1_000_000L && ppm > 1_000_000L - out.length,
+      s"ppm sum $ppm")
+  }
+
+  test("q63 interval frame: the trailing-hour count at a planted " +
+    "burst matches the hand count, ties at the frame edge included") {
+    val t0 = 19_700L * DayUs
+    val H = 3_600_000_000L
+    // user 1: events at 0s, +30min, +60min (exactly 1h after the
+    // first — RANGE is inclusive, so it counts all three), +3h
+    val dir = plantEvents(Seq(
+      (1L, t0, 1L, "view", 0.0),
+      (2L, t0 + H / 2, 1L, "view", 0.0),
+      (3L, t0 + H, 1L, "view", 0.0),
+      (4L, t0 + 3 * H, 1L, "view", 0.0)))
+    val out = SparkEntry.queries("q63_interval_frame")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L),
+      s"got $out")
+  }
+
   test("qe37 norm outliers: one exploded-norm vector per label lands " +
     "above the Tukey fence") {
     val base = (0 until 40).map { i =>
