@@ -777,7 +777,9 @@ object CoreQueries {
           .as("viol")))
       val r5 = rule("orders_orphan_custkey",
         o.select(col("o_custkey"))
-          .join(broadcast(c.select(col("c_custkey"))),
+          // customer is SF-proportional (150k rows per SF) — like r2's
+          // lineitem→orders probe, the join is left to AQE (q39 rule)
+          .join(c.select(col("c_custkey")),
             col("o_custkey") === col("c_custkey"), "left")
           .select(when(col("c_custkey").isNull, 1L).otherwise(0L)
             .as("viol")))
@@ -1263,7 +1265,10 @@ object CoreQueries {
         .join(rOther,
           col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
         .groupBy("sk").agg(count(lit(1)).as("numwait"))
-        .join(broadcast(Tables.supplier(s, dir)),
+        // supplier is SF-proportional (10k rows PER scale factor) — no
+        // static broadcast hint (the q39 rule): AQE picks BHJ at test
+        // SFs and SMJ at scale. Round13Spec pins the absence.
+        .join(Tables.supplier(s, dir),
           col("sk") === col("s_suppkey"))
         .select(col("s_name"), col("numwait"))
         .orderBy(desc("numwait"), col("s_name"))

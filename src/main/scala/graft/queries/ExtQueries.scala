@@ -1454,6 +1454,7 @@ object ExtQueries {
       val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
       emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           col("label").as("n_label"))
+        // BROADCAST BOUND (query-anchors): 20 query rows (vec_id < 20)
         .crossJoin(broadcast(qs))
         .where(col("q_id") =!= col("n_id") &&
           col("n_label") =!= col("q_label"))
@@ -1822,6 +1823,7 @@ object ExtQueries {
         .where(col("term").isin(qterms: _*))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // BROADCAST BOUND (fixed-k): df rows exist only for the fixed query-term list
       val scored = tf.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(stats))
         .withColumn("score",
@@ -2272,6 +2274,7 @@ object ExtQueries {
         .where(col("term").isin(qterms: _*))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // BROADCAST BOUND (fixed-k): df rows exist only for the fixed query-term list
       val sparse = tf.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(stats))
         .withColumn("score",
@@ -2399,6 +2402,7 @@ object ExtQueries {
       val top = tf.orderBy(desc("c"), col("term")).limit(20)
         .select(col("term"), col("c").as("exact_n"))
       tb.join(broadcast(top), "term")
+        // BROADCAST BOUND (sketch-table): 4x1024 CMS counter grid + top-20 exact heads
         .join(broadcast(counters), Seq("i", "b"))
         .groupBy("term", "exact_n")
         .agg(min(col("cnt")).as("cms_n"))
@@ -2677,11 +2681,13 @@ object ExtQueries {
             pos(0, col("gk")).as("p0"), pos(1, col("gk")).as("p1"),
             pos(2, col("gk")).as("p2")))
       val bloomHits = corp
+        // BROADCAST BOUND (sketch-table): distinct bloom bit positions <= filter width; benchKeys is the fixed eval-suite surrogate
         .join(broadcast(bitsFor(0)), Seq("p0"), "left_semi")
         .join(broadcast(bitsFor(1)), Seq("p1"), "left_semi")
         .join(broadcast(bitsFor(2)), Seq("p2"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
       val exactHits = corp
+        // BROADCAST BOUND (benchmark-set): distinct grams of the fixed eval-suite surrogate
         .join(broadcast(benchKeys), Seq("gk"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
       corp.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -2821,6 +2827,7 @@ object ExtQueries {
     "qe14_label_centroids" -> ((s, dir) => {
       val cent = labelCentroids(s, dir)
       val mem = Tables.embeddings(s, dir)
+        // BROADCAST BOUND (fit-state): labels x dim centroid frame
         .join(broadcast(cent), Seq("label"))
         .select(col("label"), ccos(col("embedding"), col("cvec")).as("cos"))
       mem.groupBy("label").agg(
@@ -3494,6 +3501,7 @@ object ExtQueries {
     "qe23_centroid_outliers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val mem = Tables.embeddings(s, dir)
+        // BROADCAST BOUND (fit-state): labels x dim centroid frame
         .join(broadcast(labelCentroids(s, dir)), Seq("label"))
         .select(col("label"), col("vec_id"),
           ccos(col("embedding"), col("cvec")).as("cos"))
@@ -3517,6 +3525,7 @@ object ExtQueries {
       val cent = labelCentroids(s, dir)
       val a = cent.select(col("label").as("la"), col("cvec").as("va"))
       val b = cent.select(col("label").as("lb"), col("cvec").as("vb"))
+      // BROADCAST BOUND (fit-state): labels x dim centroid frame
       a.crossJoin(broadcast(b)).where(col("la") < col("lb"))
         .select(col("la"), col("lb"), ccos(col("va"), col("vb")).as("cos"))
         .orderBy("la", "lb")
@@ -4511,6 +4520,7 @@ object ExtQueries {
         .select("g").distinct().withColumn("hit", lit(1L))
       val corpus = docs.where(col("doc_id") % 97 =!= 0)
       val hits = grams13(corpus)
+        // BROADCAST BOUND (benchmark-set): fixed eval-suite surrogate (the 1/97 sample stands in for a constant-size benchmark)
         .join(broadcast(bench), Seq("g"), "left")
         .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -5286,6 +5296,7 @@ object ExtQueries {
           cut(col("embedding")).as("ne"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+        // BROADCAST BOUND (query-anchors): 20 probe rows (vec_id < 20)
         c.crossJoin(broadcast(q))
           .where(col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
@@ -5911,6 +5922,7 @@ object ExtQueries {
       val w = Window.partitionBy("cell")
         .orderBy(desc("ccos"), col("tgt"))
       val best = cents
+        // BROADCAST BOUND (fit-state): nlist x dim centroid table
         .crossJoin(broadcast(cents.select(col("cell").as("tgt"),
           col("c_emb").as("t_emb"))))
         .where(col("cell") =!= col("tgt"))
@@ -6403,6 +6415,7 @@ object ExtQueries {
       def leg(same: Boolean) = emb
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
           col("label").as("n_label"))
+        // BROADCAST BOUND (query-anchors): 100 anchor rows (vec_id < 100)
         .crossJoin(broadcast(anchors))
         .where(col("n_id") =!= col("a_id") &&
           (if (same) col("n_label") === col("a_label")
@@ -6450,6 +6463,7 @@ object ExtQueries {
       val wq = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
       val cand = graft.Materialize.cut(emb
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        // BROADCAST BOUND (query-anchors): 4 query rows (vec_id < 4)
         .crossJoin(broadcast(q))
         .where(col("n_id") =!= col("q_id"))
         .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
@@ -6457,6 +6471,7 @@ object ExtQueries {
         .where(col("rk") <= 8)
         .select(col("q_id"), col("n_id"), col("n_emb"), col("cos")))
       val pc = graft.Materialize.cut(cand.as("x")
+        // BROADCAST BOUND (anchor-top-k): shortlist capped at 8 rows per q_id, 4 q_ids
         .join(broadcast(cand.select(col("q_id"), col("n_id").as("b"),
           col("n_emb").as("b_emb")).as("y")), Seq("q_id"))
         .where(col("n_id") =!= col("b"))
@@ -6471,12 +6486,14 @@ object ExtQueries {
         // the selected set is ≤ |queries|·steps rows and the per-step
         // max frame ≤ |queries|·shortlist — broadcast them so the
         // greedy epilogue never shuffles the candidate frames
+        // BROADCAST BOUND (anchor-top-k): selected set <= |queries|*steps; max frame <= |queries|*shortlist
         val rem = cand.join(broadcast(sel.select("q_id", "n_id")),
           Seq("q_id", "n_id"), "left_anti")
         val mx = pc.join(
             broadcast(sel.select(col("q_id"), col("n_id").as("b"))),
             Seq("q_id", "b"))
           .groupBy("q_id", "a").agg(max("cab").as("mx"))
+        // BROADCAST BOUND (anchor-top-k): per-q_id argmax over the <= |q|*8 remainder
         val pick = rem.join(broadcast(mx), rem("q_id") === mx("q_id") &&
             rem("n_id") === mx("a"))
           .select(rem("q_id"), col("n_id"), col("cos"),
@@ -6677,6 +6694,7 @@ object ExtQueries {
       val votes = top5
         .join(lab.select(col("vec_id").as("n_id"),
           col("label").as("n_label")), Seq("n_id"))
+        // BROADCAST BOUND (query-anchors): vec_id < 100 literal anchor set
         .join(broadcast(lab.where(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("label").as("a_label"))),
           Seq("q_id"))
@@ -7097,6 +7115,7 @@ object ExtQueries {
         .groupBy("q_id").agg(count(lit(1)).as("n_rec"))
       g.groupBy("q_id").agg(count(lit(1)).as("n_edges"))
         .join(rec, Seq("q_id"), "left")
+        // BROADCAST BOUND (query-anchors): the 100-vector literal fence (vec_id < 100)
         .join(broadcast(fence.select(col("vec_id").as("q_id"),
           col("label"))), "q_id")
         .groupBy("label")
@@ -7126,6 +7145,7 @@ object ExtQueries {
       val halfC = halfCentroidsFor(s, dir).zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toDF("cell_b", "cb_emb")
       val b = emb.select(col("vec_id"), col("embedding"))
+        // BROADCAST BOUND (fit-state): 16xdim refit centroids, a driver-built seq
         .crossJoin(broadcast(halfC))
         .withColumn("cc", Similarity.cosine(col("embedding"),
           col("cb_emb")))
