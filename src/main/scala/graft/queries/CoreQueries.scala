@@ -37,6 +37,10 @@ object CoreQueries {
   private val partStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q64's year-partitioned fact layout, keyed by dir
+  private val dppStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
@@ -713,6 +717,75 @@ object CoreQueries {
           |    AS BIGINT) AS n_trailing_1h
           |FROM q63_events
           |ORDER BY event_id""".stripMargin)
+    }),
+
+    // q64 — DYNAMIC partition pruning (q56 covers STATIC pruning; this
+    // is the join-triggered variant that matters most at a 100 TB star
+    // join): the fact is staged partitioned by ship YEAR with NO static
+    // predicate on the partition column anywhere — the pruning value
+    // set exists only inside the filtered orders dim, so Catalyst must
+    // inject a DynamicPruningExpression subquery into the fact scan
+    // (reusing the semi join's broadcast: zero extra passes). At scale
+    // this is the difference between reading 2 of 7 year partitions
+    // and reading all of them. Round13Spec pins `dynamicpruning` in
+    // the fact scan's PartitionFilters; the oracle recomputes from the
+    // raw table, so over- OR under-pruning hash-fails.
+    "q64_dynamic_partition_prune" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+      // partitionBy of an empty frame emits no files (q56 rule): the
+      // empty landing zone returns the typed empty result directly
+      if (li.isEmpty)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "yr BIGINT, n BIGINT, qty_milli BIGINT"))
+      else {
+        val staged = Option(dppStage.get(dir)).getOrElse {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-dpp").toString
+          li.write.mode("overwrite").partitionBy("yr").parquet(d)
+          dppStage.putIfAbsent(dir, d)
+          d
+        }
+        val dim = Tables.orders(s, dir)
+          .where(col("o_orderdate") <
+            lit("1997-01-01").cast("timestamp"))
+          .select(year(col("o_orderdate")).cast("long").as("yr"))
+        // explicit schema keeps the inferred partition column BIGINT
+        // (inference would type the dir values INT and the join would
+        // cast, blocking the pruner's partition-column match)
+        s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, yr BIGINT")
+          .parquet(staged)
+          .join(dim, Seq("yr"), "left_semi")
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity") * 1000).cast("long"))
+              .as("qty_milli"))
+          .orderBy("yr")
+      }
+    }),
+
+    // q65 — VARIANT ingest + shredded access (Spark 4's semi-structured
+    // type — the shape a 100 TB JSON lake actually stores, vs qz62's
+    // per-access get_json_object string path): parse_json runs ONCE in
+    // the scan-stage projection (Round13Spec pins a single parse_json
+    // site below the aggregate), then every field access is a typed
+    // variant_get over the binary-encoded value — including a missing
+    // path, which must yield NULL, not an error. The DuckDB twin
+    // recomputes both paths from the raw JSON text.
+    "q65_variant_props" -> ((s, dir) => {
+      val parsed = Tables.events(s, dir)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+      parsed.select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.missing", "bigint").as("m"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("k_min"),
+          max("k").as("k_max"), sum("k").as("k_sum"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("event_type")
     }),
 
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
@@ -2156,6 +2229,33 @@ object CoreQueries {
         |  CAST(sum(vm) AS BIGINT) AS v_milli
         |FROM f JOIN d USING (user_id)
         |GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    // dynamic-pruning detector: the IN-subquery the DPP join encodes;
+    // over- or under-pruned fact partitions change the rollup
+    "q64_dynamic_partition_prune" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+        |    AS qty_milli
+        |FROM lineitem
+        |WHERE year(l_shipdate) IN (
+        |  SELECT year(o_orderdate) FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    // VARIANT twin: both paths recomputed from the raw JSON text; the
+    // missing path must be NULL in both engines
+    "q65_variant_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

@@ -159,6 +159,39 @@ class Round13Spec extends SparkTestBase {
         s"$expectedCensus — re-audit the new/moved sites and update both")
   }
 
+  // ---- q64: dynamic partition pruning fires --------------------------------
+
+  test("q64 fact scan carries a DynamicPruningExpression in its " +
+    "PartitionFilters — the pruning set exists only inside the filtered " +
+    "orders dim, so a plan without it reads all 7 year partitions") {
+    val df = SparkEntry.queries("q64_dynamic_partition_prune")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning predicate in the q64 fact scan:\n$plan")
+    // and the pruning must be subquery/broadcast-reuse, not a static
+    // partition filter smuggled in: no literal year anywhere in the scan
+    assert(!plan.contains("yr#" + "x = 199"), plan)
+  }
+
+  // ---- q65: VARIANT parse once, below the aggregate -------------------------
+
+  test("q65 parses JSON to VARIANT exactly once, in the scan-stage " +
+    "projection — the agg consumes typed variant_get columns, never " +
+    "re-parsing text per access") {
+    val df = SparkEntry.queries("q65_variant_props")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // parse_json prints as a static_invoke of VariantExpressionEvalUtils
+    val needle = "VariantExpressionEvalUtils.parseJson"
+    val n = needle.r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one parse_json site, got $n:\n$plan")
+    // tree prints top-down: the aggregate must print BEFORE the
+    // parse_json projection (i.e. the parse sits below it)
+    assert(plan.indexOf("HashAggregate") >= 0 &&
+      plan.indexOf("HashAggregate") < plan.indexOf(needle), plan)
+    // and the typed accesses are variant_get over the parsed column
+    assert("variant_get".r.findAllIn(plan).size == 2, plan)
+  }
+
   // ---- q44 / q62: the r12 weak marks are gone ------------------------------
 
   test("q44 and q62 carry NO static join hint anywhere in the analyzed " +
