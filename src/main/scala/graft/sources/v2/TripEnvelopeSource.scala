@@ -6,12 +6,15 @@ import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
   StructField, StructType}
@@ -19,17 +22,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-/** DataSourceV2 READ connector for the JSON-lines trip envelope — the
-  * inverse of [[graft.sources.TripSink.writeJsonLines]] and of the
-  * reference's file sink (`meos/examples/04_to_file.rs:131-144`, one
-  * `{"id":…,"vt":…,"json":<payload>}` object per line). This closes the
-  * S3 source/sink loop as a FIRST-CLASS TABLE instead of the
-  * `spark.read.json` shortcut in [[graft.sources.TripSource]]: Catalyst
-  * plans against it like any v2 table, with
+/** DataSourceV2 connector for the JSON-lines trip envelope — both
+  * directions of the reference's file sink
+  * (`meos/examples/04_to_file.rs:131-144`, one `{"id":…,"vt":…,
+  * "json":<payload>}` object per line).
+  *
+  * READ side (closes S3's source loop as a FIRST-CLASS TABLE instead of
+  * the `spark.read.json` shortcut in [[graft.sources.TripSource]]):
+  * Catalyst plans against it like any v2 table, with
   *
   *  - COLUMN PRUNING pushed into the scan ([[SupportsPushDownRequiredColumns]]
-  *    — `SELECT id FROM envelope` never materializes the hex payload,
-  *    which dominates the bytes);
+  *    — `SELECT id FROM envelope` never emits the hex payload, and the
+  *    streaming parser SKIPS the payload token without materializing the
+  *    string);
   *  - PARTITION PLANNING at file grain: the sink writes one line file
   *    per task, so read parallelism mirrors write parallelism and each
   *    [[InputPartition]] streams one file — no driver funnel, no
@@ -39,8 +44,20 @@ import org.apache.spark.util.SerializableConfiguration
   *    same connector reads file://, hdfs:// or s3a:// URIs on a real
   *    cluster.
   *
+  * WRITE side (the v2 twin of [[graft.sources.TripSink.writeJsonLines]],
+  * byte-identical output — TripSinkSpec pins it): each task streams its
+  * partition to one hidden temp file and RENAMES it visible on task
+  * commit (rename is atomic per file on HDFS/local; readers ignore
+  * dot/underscore names, so an aborted attempt is never visible).
+  * `mode("overwrite")` maps to [[SupportsTruncate]]: visible files are
+  * cleared once, driver-side, before tasks launch. No driver funnel —
+  * rows never leave their executor.
+  *
   * Registered as format `"trip-envelope"` (and by class name). Usage:
-  * `spark.read.format("trip-envelope").load(path)`. */
+  * `spark.read.format("trip-envelope").load(path)` /
+  * `df.write.format("trip-envelope").mode("overwrite").save(path)`
+  * (columns must be id BIGINT, vt INT, json STRING — v2 writes resolve
+  * by name). */
 class TripEnvelopeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "trip-envelope"
 
@@ -52,6 +69,15 @@ class TripEnvelopeSource extends TableProvider with DataSourceRegister {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "trip-envelope requires a path: spark.read.format(...).load(path)")
+    // supportsExternalMetadata lets a caller pass .schema(...) to skip
+    // inferSchema — but the envelope is a FIXED wire format, so a
+    // mismatched external schema must fail HERE, at planning time, not
+    // as a per-row "unknown envelope field" in some executor
+    val want = TripEnvelopeTable.schema
+    require(schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      want.fields.map(f => (f.name, f.dataType))),
+      s"trip-envelope has the fixed wire schema ${want.catalogString}; " +
+        s"got ${schema.catalogString}")
     new TripEnvelopeTable(path)
   }
 
@@ -67,13 +93,17 @@ object TripEnvelopeTable {
     StructField("json", StringType)))
 }
 
-class TripEnvelopeTable(path: String) extends Table with SupportsRead {
+class TripEnvelopeTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"trip_envelope($path)"
   override def schema(): StructType = TripEnvelopeTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new TripEnvelopeScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TripEnvelopeWriteBuilder(path, info)
 }
 
 class TripEnvelopeScanBuilder(path: String)
@@ -118,22 +148,33 @@ case class TripEnvelopeInputPartition(file: String) extends InputPartition
 class TripEnvelopeReaderFactory(fields: Array[String],
                                 conf: SerializableConfiguration)
     extends PartitionReaderFactory {
+  // field projection resolved ONCE here, not per row: slot index of each
+  // envelope field in the pruned output row, or -1 when pruned away
+  private val idSlot = fields.indexOf("id")
+  private val vtSlot = fields.indexOf("vt")
+  private val jsonSlot = fields.indexOf("json")
+  require(fields.forall(Set("id", "vt", "json")),
+    s"unknown envelope field(s): ${fields.mkString(",")}")
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new TripEnvelopeReader(
-      partition.asInstanceOf[TripEnvelopeInputPartition].file, fields,
-      conf)
+      partition.asInstanceOf[TripEnvelopeInputPartition].file,
+      fields.length, idSlot, vtSlot, jsonSlot, conf)
 }
 
 /** Streams one envelope file line by line; each line is parsed with
-  * Jackson (already on Spark's classpath) and projected onto the pruned
-  * read schema. Malformed lines fail loudly — the envelope is a wire
-  * format, not a lake of unknowns. */
-class TripEnvelopeReader(file: String, fields: Array[String],
+  * Jackson's STREAMING API (already on Spark's classpath) so a pruned
+  * payload field is token-skipped, never materialized as a String —
+  * `SELECT id` pays parse cost proportional to the 20-byte head of each
+  * line, not the multi-KB hex payload. Malformed lines fail loudly —
+  * the envelope is a wire format, not a lake of unknowns. */
+class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
+                         vtSlot: Int, jsonSlot: Int,
                          conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  private val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
+  private val factory =
+    new com.fasterxml.jackson.core.JsonFactory()
   private val in = {
     val p = new HPath(java.net.URI.create(file))
     val fs = p.getFileSystem(conf.value)
@@ -150,15 +191,128 @@ class TripEnvelopeReader(file: String, fields: Array[String],
   }
 
   override def get(): InternalRow = {
-    val node = mapper.readTree(line)
-    InternalRow.fromSeq(fields.toSeq.map {
-      case "id" => node.get("id").asLong()
-      case "vt" => node.get("vt").asInt()
-      case "json" => UTF8String.fromString(node.get("json").asText())
-      case other =>
-        throw new IllegalArgumentException(s"unknown envelope field $other")
-    })
+    import com.fasterxml.jackson.core.JsonToken
+    val row = new Array[Any](width)
+    val p = factory.createParser(line)
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        s"malformed envelope line: $line")
+      var tok = p.nextToken()
+      while (tok == JsonToken.FIELD_NAME) {
+        val name = p.currentName()
+        p.nextToken()
+        name match {
+          case "id" =>
+            if (idSlot >= 0) row(idSlot) = p.getLongValue
+          case "vt" =>
+            if (vtSlot >= 0) row(vtSlot) = p.getIntValue
+          case "json" =>
+            if (jsonSlot >= 0)
+              row(jsonSlot) = UTF8String.fromString(p.getText)
+            else p.skipChildren() // pruned: skip, never materialize
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown envelope field $other")
+        }
+        tok = p.nextToken()
+      }
+    } finally p.close()
+    InternalRow.fromSeq(row.toSeq)
   }
 
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------------
+// write side
+// ---------------------------------------------------------------------------
+
+class TripEnvelopeWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TripEnvelopeBatchWrite(path, doTruncate)
+  }
+}
+
+class TripEnvelopeBatchWrite(path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    else if (truncate) {
+      // overwrite = clear VISIBLE files once, driver-side, before any
+      // task launches (hidden temp files of a dead attempt go too)
+      fs.listStatus(root).filter(_.isFile)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    new TripEnvelopeWriterFactory(path,
+      new SerializableConfiguration(conf))
+  }
+  // per-task rename-on-commit already made files visible; the driver
+  // commit only has to exist. An aborted job leaves only dot-files,
+  // which every reader ignores.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class TripEnvelopeWriterFactory(path: String,
+                                conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new TripEnvelopeDataWriter(path, partitionId, taskId, conf)
+}
+
+private case class TripEnvelopeCommit(file: String)
+    extends WriterCommitMessage
+
+/** One task = one line file (mirroring the legacy text sink's layout and
+  * the read side's file-grain parallelism). Bytes are produced by the
+  * same Jackson generator family `to_json` uses, so each line is
+  * byte-identical to [[graft.sources.TripSink.envelope]]'s output. */
+class TripEnvelopeDataWriter(path: String, partitionId: Int, taskId: Long,
+                             conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val visible = new HPath(path,
+    f"part-$partitionId%05d-$taskId.txt")
+  private val temp = new HPath(path,
+    f".part-$partitionId%05d-$taskId.txt.inprogress")
+  private val fs = visible.getFileSystem(conf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(temp, true),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private val factory = new com.fasterxml.jackson.core.JsonFactory()
+
+  override def write(record: InternalRow): Unit = {
+    val sw = new java.io.StringWriter(64)
+    val g = factory.createGenerator(sw)
+    g.writeStartObject()
+    g.writeNumberField("id", record.getLong(0))
+    g.writeNumberField("vt", record.getInt(1))
+    g.writeStringField("json", record.getUTF8String(2).toString)
+    g.writeEndObject()
+    g.close()
+    out.write(sw.toString)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    require(fs.rename(temp, visible),
+      s"trip-envelope: rename $temp -> $visible failed")
+    TripEnvelopeCommit(visible.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(temp, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -25,6 +25,38 @@ class TripSinkSpec extends SparkTestBase {
     assert(parsed.select("id", "vt", "json").count() == 2)
   }
 
+  test("DSv2 envelope write is byte-identical to the legacy text sink, " +
+    "mode(overwrite) truncates, and a pruned v2 read round-trips it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tripsink-v2").toString
+    val legacy = base + "/legacy"
+    val v2 = base + "/v2"
+    val df = Seq((367000001L, 70, "01ABCD"), (367000002L, 0, "01EF00"),
+      (5L, 1, "DEAD\"BEEF\\u")) // payload with chars that need escaping
+      .toDF("id", "vt", "json")
+    TripSink.writeJsonLines(df, col("id"), col("vt"), col("json"), legacy)
+    // first write gets truncated away by the second — overwrite works
+    df.limit(1).write.format("trip-envelope").mode("overwrite").save(v2)
+    df.write.format("trip-envelope").mode("overwrite").save(v2)
+    val a = spark.read.text(legacy).as[String].collect().sorted
+    val b = spark.read.text(v2).as[String].collect().sorted
+    assert(a.sameElements(b),
+      s"v2 bytes diverge from the legacy sink:\n${a.mkString("\n")}\n--\n" +
+        b.mkString("\n"))
+    // pruned v2 read: ReadSchema drops the payload
+    val pruned = spark.read.format("trip-envelope").load(v2).select("id")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<id:bigint>"))
+    assert(pruned.as[Long].collect().sorted.sameElements(
+      Array(5L, 367000001L, 367000002L)))
+    // an external .schema(...) that mismatches the wire schema fails at
+    // planning time, not per-row in an executor (ADVICE r12)
+    intercept[IllegalArgumentException] {
+      spark.read.format("trip-envelope")
+        .schema("id BIGINT, wrong STRING").load(v2).count()
+    }
+  }
+
   test("jdbc upsert statement matches the reference's merge-on-conflict " +
     "shape (ais_to_db.rs:155-162)") {
     val sql = TripSink.upsertStatement("ais.trips", "MMSI", "trip")
