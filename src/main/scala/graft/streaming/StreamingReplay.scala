@@ -41,6 +41,33 @@ object StreamingReplay {
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       (String, Timestamp)]()
 
+  // shared checkpoint ROOT for every replay query: Spark's default temp
+  // checkpoints land under java.io.tmpdir, which on this harness is a
+  // real ext4 disk — and a trigger-once replay's cost is DOMINATED by
+  // state-store delta + offset/commit-log fsyncs, not data. One root on
+  // tmpfs (/dev/shm) when available cuts that per-row constant; each
+  // query gets its own subdir (runSeq-unique names) and the whole root
+  // dies with the JVM (shutdown hook). A real deployment sets a durable
+  // checkpointLocation per query — this root is harness scratch, the
+  // replay never restarts a query from it.
+  private lazy val ckptRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft-ckpt")
+      else java.nio.file.Files.createTempDirectory("graft-ckpt")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(base.toFile)
+    }
+    base.toString
+  }
+
+  private def ckptFor(table: String): String = s"$ckptRoot/$table"
+
   private def micros(t: Timestamp): Long = Times.micros(t)
 
   /** Write `chunks` as ONE parquet file each into a fresh temp dir with
@@ -117,8 +144,7 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
         val entry = (writeChunks(spark, chunks, "qs1-replay"), sentTs)
-        stageCache.putIfAbsent(cacheKey, entry)
-        entry
+        Option(stageCache.putIfAbsent(cacheKey, entry)).getOrElse(entry)
       }
 
     val table = s"qs1_replay_${runSeq.incrementAndGet()}"
@@ -127,12 +153,15 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
       .as[EventIn]
-    // 8 state stores is ~2× faster for this small replay and exactly what
-    // a real deployment tunes via checkpointed state — not semantics
-    val q = withStatePartitions(spark, 8) {
+    // 2 state stores: a replay's cost is per-store-per-batch commit
+    // machinery, not data (r13 A/B: 8→2 cut qs3 1.9→1.45 s, qs16
+    // 2.3→1.75 s; 1 loses the last parallelism win). Partition count is
+    // a deployment tuning the checkpoint carries — not semantics
+    val q = withStatePartitions(spark, 2) {
       StreamingAssembly.assembleGapSessions(stream, gapSec)
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     // the returned frame holds the resolved memory-sink plan; dropping
@@ -203,8 +232,7 @@ object StreamingReplay {
         tagged.slice(k, 2 * k).toSeq, tagged.drop(2 * k).toSeq)
         .filter(_.nonEmpty)
       val d = writeChunks(spark, chunks, "qs2-replay")
-      asofStageCache.putIfAbsent(dir, d)
-      d
+      Option(asofStageCache.putIfAbsent(dir, d)).getOrElse(d)
     }
 
     val table = s"qs2_replay_${runSeq.incrementAndGet()}"
@@ -213,10 +241,11 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
       .as[Tagged]
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       StreamingAsof.enrich(stream, maxBuffer = 1 << 20)
         .writeStream.outputMode(StreamingAsof.outputMode)
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -255,8 +284,7 @@ object StreamingReplay {
           docs.slice(k, 2 * k).toSeq,
           docs.drop(2 * k).toSeq).filter(_.nonEmpty)
         val d = writeChunks(spark, chunks, prefix)
-        docsStageCache.putIfAbsent(dir, d)
-        Some(d)
+        Some(Option(docsStageCache.putIfAbsent(dir, d)).getOrElse(d))
       }
     }
   }
@@ -289,12 +317,13 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       // 365-day horizon ≫ any replayed table's synthesized span (1 s per
       // doc_id): nothing evicts, so streaming == global batch dedup
       StreamingDedup.dedupByFingerprint(stream, "ts", "365 days")
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -345,8 +374,7 @@ object StreamingReplay {
         val chunks = Seq(docs.slice(0, k).toSeq, docs.slice(k, 2 * k).toSeq,
           (docs.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
         val entry = (writeChunks(spark, chunks, "qs5-replay"), sentTs)
-        topTermsStageCache.putIfAbsent(dir, entry)
-        entry
+        Option(topTermsStageCache.putIfAbsent(dir, entry)).getOrElse(entry)
       }
 
     val table = s"qs5_replay_${runSeq.incrementAndGet()}"
@@ -354,11 +382,12 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       StreamingTopTerms.topTerms(stream, "ts",
           watermarkDelay = "1 hour", windowDur = "2 minutes", k = 5)
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -409,7 +438,7 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .where(col("doc_id") % 97 =!= 0)
         .withColumn("toks", graft.ext.Text.tokens(col("text")))
@@ -422,7 +451,8 @@ object StreamingReplay {
         .dropDuplicatesWithinWatermark("doc_id")
         .select(col("doc_id"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -474,8 +504,7 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
         val entry = (writeChunks(spark, chunks, "qs7-replay"), sentTs)
-        swStageCache.putIfAbsent(cacheKey, entry)
-        entry
+        Option(swStageCache.putIfAbsent(cacheKey, entry)).getOrElse(entry)
       }
 
     val table = s"qs7_replay_${runSeq.incrementAndGet()}"
@@ -483,14 +512,15 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"),
           session_window(col("ts"), s"$gapSec seconds"))
         .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -540,8 +570,8 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) ++ sentinels).toSeq).filter(_.nonEmpty)
         val entry = (writeChunks(spark, chunks, "ssj-replay"), sentTs)
-        joinStageCache.putIfAbsent((dir, windowSec), entry)
-        Some(entry)
+        Some(Option(joinStageCache.putIfAbsent((dir, windowSec), entry))
+          .getOrElse(entry))
       }
     }
   }
@@ -597,12 +627,13 @@ object StreamingReplay {
     // micro-batch is 4× an aggregation's — halving partitions halves
     // the commit constant at this replay size with identical semantics
     // (state is key-hashed; the emitted set is partition-count-free)
-    val q = withStatePartitions(spark, 4) {
+    val q = withStatePartitions(spark, 2) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -657,12 +688,13 @@ object StreamingReplay {
     // micro-batch is 4× an aggregation's — halving partitions halves
     // the commit constant at this replay size with identical semantics
     // (state is key-hashed; the emitted set is partition-count-free)
-    val q = withStatePartitions(spark, 4) {
+    val q = withStatePartitions(spark, 2) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "left_outer")
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -715,12 +747,13 @@ object StreamingReplay {
     // micro-batch is 4× an aggregation's — halving partitions halves
     // the commit constant at this replay size with identical semantics
     // (state is key-hashed; the emitted set is partition-count-free)
-    val q = withStatePartitions(spark, 4) {
+    val q = withStatePartitions(spark, 2) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "left_semi")
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -769,12 +802,13 @@ object StreamingReplay {
     // micro-batch is 4× an aggregation's — halving partitions halves
     // the commit constant at this replay size with identical semantics
     // (state is key-hashed; the emitted set is partition-count-free)
-    val q = withStatePartitions(spark, 4) {
+    val q = withStatePartitions(spark, 2) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "full_outer")
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -816,8 +850,8 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           (ev.drop(2 * k) :+ sentinel).toSeq).filter(_.nonEmpty)
         val entry = (writeChunks(spark, chunks, "qs3-replay"), sentTs)
-        windowStageCache.putIfAbsent(dir, entry)
-        Some(entry)
+        Some(Option(windowStageCache.putIfAbsent(dir, entry))
+          .getOrElse(entry))
       }
     }
   }
@@ -859,14 +893,15 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000)).as("v_milli"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -922,8 +957,7 @@ object StreamingReplay {
         }
         val entry = (staged(ev.filter(_.event_id % 2 == 0), "qs20-a"),
           staged(ev.filter(_.event_id % 2 != 0), "qs20-b"), sentTs)
-        unionStageCache.putIfAbsent(dir, entry)
-        entry
+        Option(unionStageCache.putIfAbsent(dir, entry)).getOrElse(entry)
       }
 
     val table = s"qs20_replay_${runSeq.incrementAndGet()}"
@@ -932,13 +966,14 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(d)
       .withColumn("src", lit(tag))
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       source(dirA, "a").unionByName(source(dirB, "b"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("src"))
         .agg(count(lit(1)).as("n"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table)
@@ -985,13 +1020,12 @@ object StreamingReplay {
       val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
         ev.drop(2 * k).toSeq).filter(_.nonEmpty)
       val d = writeChunks(spark, chunks, "qs21-replay")
-      completeStageCache.putIfAbsent(dir, d)
-      d
+      Option(completeStageCache.putIfAbsent(dir, d)).getOrElse(d)
     }
 
     val table = s"qs21_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       spark.readStream.option("maxFilesPerTrigger", "1")
         .schema(schema).parquet(srcDirStr)
         .groupBy("event_type")
@@ -1000,7 +1034,8 @@ object StreamingReplay {
         .orderBy(col("n").desc, col("event_type"))
         .limit(3)
         .writeStream.outputMode(OutputMode.Complete())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -1037,20 +1072,20 @@ object StreamingReplay {
       val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
         ev.drop(2 * k).toSeq).filter(_.nonEmpty)
       val d = writeChunks(spark, chunks, "qs21-replay")
-      completeStageCache.putIfAbsent(dir, d)
-      d
+      Option(completeStageCache.putIfAbsent(dir, d)).getOrElse(d)
     }
 
     val table = s"qs22_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       spark.readStream.option("maxFilesPerTrigger", "1")
         .schema(schema).parquet(srcDirStr)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
         .writeStream.outputMode(OutputMode.Update())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table)
@@ -1091,7 +1126,7 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
@@ -1099,7 +1134,8 @@ object StreamingReplay {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000)).as("v_milli"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -1140,7 +1176,7 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -1148,7 +1184,8 @@ object StreamingReplay {
           sum(floor(col("value") * 1000)).as("v_milli"))
         .writeStream.outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     // AvailableNow terminates on its own once the staged files drain
     try q.awaitTermination() finally q.stop()
@@ -1192,7 +1229,7 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
@@ -1202,7 +1239,8 @@ object StreamingReplay {
         .agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"),
           sum("vm").as("v_milli"), max("n").as("max_cell"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -1255,8 +1293,8 @@ object StreamingReplay {
         val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
           ev.drop(2 * k).toSeq).filter(_.nonEmpty)
         val entry = writeChunks(spark, chunks, "tws-replay")
-        twsStageCache.putIfAbsent(dir, entry)
-        Some(entry)
+        Some(Option(twsStageCache.putIfAbsent(dir, entry))
+          .getOrElse(entry))
       }
     }
   }
@@ -1292,14 +1330,15 @@ object StreamingReplay {
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 2) {
         stream.groupByKey(_.user_id)
           .transformWithState(new RunningCountProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
             OutputMode.Update())
           .toDF("user_id", "n_running")
           .writeStream.outputMode(OutputMode.Update())
-          .format("memory").queryName(table).start()
+          .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
       }
     }
     try q.processAllAvailable() finally q.stop()
@@ -1335,14 +1374,15 @@ object StreamingReplay {
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 2) {
         stream.groupByKey(_.user_id)
           .transformWithState(new TypeCountProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
             OutputMode.Update())
           .toDF("user_id", "event_type", "n_running")
           .writeStream.outputMode(OutputMode.Update())
-          .format("memory").queryName(table).start()
+          .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
       }
     }
     try q.processAllAvailable() finally q.stop()
@@ -1378,14 +1418,15 @@ object StreamingReplay {
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 2) {
         stream.groupByKey(_.user_id)
           .transformWithState(new LastEventsProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
             OutputMode.Update())
           .toDF("user_id", "n_running", "ids")
           .writeStream.outputMode(OutputMode.Update())
-          .format("memory").queryName(table).start()
+          .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
       }
     }
     try q.processAllAvailable() finally q.stop()
@@ -1430,7 +1471,7 @@ object StreamingReplay {
       .withWatermark("ts", "0 seconds")
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 2) {
         stream.groupByKey(_.user_id)
           .transformWithState(
             new IdleSessionProcessor(gapSec * 1000L),
@@ -1438,7 +1479,8 @@ object StreamingReplay {
             OutputMode.Append())
           .toDF("user_id", "n_events")
           .writeStream.outputMode(OutputMode.Append())
-          .format("memory").queryName(table).start()
+          .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
       }
     }
     try q.processAllAvailable() finally q.stop()
@@ -1500,8 +1542,8 @@ object StreamingReplay {
       val chunks = Seq(ev.slice(0, k).toSeq, ev.slice(k, 2 * k).toSeq,
         ev.drop(2 * k).toSeq, Seq(sentinel)).filter(_.nonEmpty)
       val entry = writeChunks(spark, chunks, "qs15-replay")
-      timerStageCache.putIfAbsent((dir, gapSec), entry)
-      entry
+      Option(timerStageCache.putIfAbsent((dir, gapSec), entry))
+        .getOrElse(entry)
     }
 
     val table = s"qs15_replay_${runSeq.incrementAndGet()}"
@@ -1512,7 +1554,7 @@ object StreamingReplay {
       .withWatermark("ts", "0 seconds")
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 2) {
         stream.groupByKey(_.user_id)
           .transformWithState(
             new GapSessionTimerProcessor(gapSec * 1000L),
@@ -1520,7 +1562,8 @@ object StreamingReplay {
             OutputMode.Append())
           .toDF("user_id", "n", "t0_us", "t1_us", "xmin", "xmax")
           .writeStream.outputMode(OutputMode.Append())
-          .format("memory").queryName(table).start()
+          .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
       }
     }
     try q.processAllAvailable() finally q.stop()
@@ -1574,8 +1617,7 @@ object StreamingReplay {
       val chunks = Seq(evs.slice(0, k).toSeq, evs.slice(k, 2 * k).toSeq,
         evs.drop(2 * k).toSeq).filter(_.nonEmpty)
       val d = writeChunks(spark, chunks, "qs16-replay")
-      fbStageCache.putIfAbsent(dir, d)
-      d
+      Option(fbStageCache.putIfAbsent(dir, d)).getOrElse(d)
     }
 
     // fresh in-memory Derby per run — bench re-runs must not accumulate
@@ -1604,6 +1646,8 @@ object StreamingReplay {
       .option("maxFilesPerTrigger", "1")
       .schema(schema).parquet(srcDirStr)
     val q = stream.writeStream
+      .option("checkpointLocation",
+        ckptFor(s"qs16_fb_${runSeq.incrementAndGet()}"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // per-batch per-key rollup: partitions carry DISJOINT keys, so
         // concurrent MERGE connections never collide on a fresh insert
@@ -1677,12 +1721,13 @@ object StreamingReplay {
     // micro-batch is 4× an aggregation's — halving partitions halves
     // the commit constant at this replay size with identical semantics
     // (state is key-hashed; the emitted set is partition-count-free)
-    val q = withStatePartitions(spark, 4) {
+    val q = withStatePartitions(spark, 2) {
       clicks.join(purch, expr(
         "c_user = p_user AND p_ts >= c_ts AND " +
           s"p_ts <= c_ts + interval $windowSec seconds"), "right_outer")
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
@@ -1762,8 +1807,7 @@ object StreamingReplay {
         adopt(dataTmp, base, "data")
         adopt(sentTmp, base + 10000L, "sent")
         val entry = (srcDir.toString, sentTs)
-        distStageCache.putIfAbsent(dir, entry)
-        entry
+        Option(distStageCache.putIfAbsent(dir, entry)).getOrElse(entry)
       }
 
     val table = s"qs23_replay_${runSeq.incrementAndGet()}"
@@ -1771,14 +1815,15 @@ object StreamingReplay {
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "8")
       .schema(schema).parquet(srcDirStr)
-    val q = withStatePartitions(spark, 8) {
+    val q = withStatePartitions(spark, 2) {
       stream
         .withWatermark("ts", "365 days")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000)).as("v_milli"))
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(table).start()
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
     }
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
