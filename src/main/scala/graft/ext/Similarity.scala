@@ -182,6 +182,13 @@ object Similarity {
   def lastFittedCentroidsFloat: Option[Seq[Seq[Float]]] =
     lastFitKey.flatMap(centroidCache.get).map(_.map(_.map(_.toFloat)))
 
+  /** Same, by EXPLICIT cache key — for a twin whose query captured its
+    * own fit key at run time (qe36's pair rule, ADVICE r12): immune to
+    * other fit-cached queries moving the `lastFitKey` global between
+    * the query run and the oracle read. */
+  def fittedCentroidsFloatFor(key: String): Option[Seq[Seq[Float]]] =
+    centroidCache.get(key).map(_.map(_.map(_.toFloat)))
+
   /** IVF ANN: a coarse quantizer (REAL k-means now — [[kmeansCentroids]],
     * replacing the round-1 first-nlist-vectors stub) assigns every vector
     * to its nearest cell centroid; queries probe the `nprobe` nearest

@@ -221,7 +221,11 @@ object ExtQueries {
   // clobber the lastFitKey that qe4/qe7/qe11/…'s twins read)
   private val halfCentCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
-  @volatile private var lastHalfKey: Option[String] = None
+  // BOTH twin inputs captured as ONE key pair when qe36 runs —
+  // (serving-fit cache key, half-corpus dir). Two independent "last
+  // fit" globals could mix dirs if another fit-cached query ran on a
+  // different dir between qe36 and the oracle read (ADVICE r12).
+  @volatile private var lastQe36Keys: Option[(String, String)] = None
 
   private def halfCentroidsFor(s: SparkSession, dir: String)
       : Seq[Seq[Float]] = {
@@ -229,12 +233,8 @@ object ExtQueries {
     val c = halfCentCache.getOrElseUpdate(dir,
       Similarity.kmeansCentroids(
         emb.where(col("vec_id") % 2 === 0), 16, 5))
-    lastHalfKey = Some(dir)
     c.map(_.map(_.toFloat))
   }
-
-  private def lastFittedHalfCentroids: Option[Seq[Seq[Float]]] =
-    lastHalfKey.flatMap(halfCentCache.get).map(_.map(_.map(_.toFloat)))
 
   /** Shared by qe14/qe23/qe24: the per-label round-9 mean centroid as a
     * position-sorted DOUBLE array — one definition so the three
@@ -7142,6 +7142,7 @@ object ExtQueries {
       val emb = Tables.embeddings(s, dir)
       val key = Some(s"$dir|nlist=16|iters=5")
       val full = Similarity.cellAssignments(emb, 16, cacheKey = key)
+      lastQe36Keys = Some((key.get, dir))
       val halfC = halfCentroidsFor(s, dir).zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toDF("cell_b", "cb_emb")
       val b = emb.select(col("vec_id"), col("embedding"))
@@ -8505,8 +8506,9 @@ object ExtQueries {
 
   def oracle: Map[String, String] = staticOracle ++
     (for {
-      a <- Similarity.lastFittedCentroidsFloat
-      b <- lastFittedHalfCentroids
+      (servKey, halfDir) <- lastQe36Keys
+      a <- Similarity.fittedCentroidsFloatFor(servKey)
+      b <- halfCentCache.get(halfDir).map(_.map(_.map(_.toFloat)))
     } yield Map("qe36_centroid_drift" -> qe36Sql(a, b)))
       .getOrElse(Map.empty) ++
     Similarity.lastFittedCentroidsFloat
