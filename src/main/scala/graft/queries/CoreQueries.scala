@@ -796,6 +796,34 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // q66 — GROUPING SETS with grouping_id (q24 covers ROLLUP, q31
+    // CUBE; this is the ARBITRARY set list + the gid column a report
+    // layer keys on): three explicit grouping sets over (event_type,
+    // dow) in ONE Expand pass — at scale that is one shuffle producing
+    // all three aggregates instead of three scans. No () grand-total
+    // set, so an empty lake emits zero rows (the suite contract).
+    // NULLS FIRST is explicit: Spark's ASC default, DuckDB's is LAST.
+    "q66_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("q66_events")
+      s.sql(
+        """WITH e AS (
+          |  SELECT event_type,
+          |    CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7
+          |      AS BIGINT) AS dow,
+          |    CAST(floor(value * 1000) AS BIGINT) AS vm
+          |  FROM q66_events)
+          |SELECT event_type, dow,
+          |  CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT)
+          |    AS gid,
+          |  CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT)
+          |    AS v_milli
+          |FROM e
+          |GROUP BY GROUPING SETS ((event_type, dow), (event_type),
+          |  (dow))
+          |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST"""
+          .stripMargin)
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -2276,6 +2304,24 @@ object CoreQueries {
         |    CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical set list; DuckDB's date subtraction spells the dow
+    "q66_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+        |      AS dow,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT event_type, dow,
+        |  CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT)
+        |    AS gid,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(vm) AS BIGINT)
+        |    AS v_milli
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+        |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST"""
+        .stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

@@ -7302,6 +7302,95 @@ object ExtQueries {
     // stickiness model fits; qz34's WAU ratio is one point of this
     // curve): user-grain distinct-day counts, then a k-grain rollup —
     // bounded by the calendar span however many users exist.
+    // SIGN-BIT QUANTIZED ANN — the 4th compression leg of the similarity
+    // family (SQ8 qe10 = 4×, PQ qe8 = 32×; sign quantization = 64× for
+    // this corpus: ONE bit per dimension, the 64-dim vector becomes two
+    // 32-bit signatures in two BIGINTs). Candidate generation is a
+    // popcount-Hamming scan over 16 bytes/vector (the narrow pass a
+    // 100 TB index can afford to run exhaustively), top-32 by
+    // (hamming, n_id) shortlist, exact-cosine re-rank to top-5. Packing
+    // is 2×32 bits, not 1×64 — DuckDB's `<<` refuses shift 63 into the
+    // sign bit, and the split keeps both twins in positive-BIGINT land.
+    "qe40_sign_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def sig(off: Int) =
+        s"aggregate(transform(slice(embedding, ${off + 1}, 32), " +
+          "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
+      val emb = Tables.embeddings(s, dir)
+      val c = emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"),
+        expr(sig(0)).as("n_lo"), expr(sig(32)).as("n_hi"))
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          expr(sig(0)).as("q_lo"), expr(sig(32)).as("q_hi"))
+      val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+      val wC = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+      // BROADCAST BOUND (query-anchors): 20 query rows (vec_id < 20)
+      c.crossJoin(broadcast(q))
+        .where(col("q_id") =!= col("n_id"))
+        .withColumn("hamming", expr(
+          "CAST(bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi) AS BIGINT)"))
+        .withColumn("hrk", row_number().over(wH))
+        .where(col("hrk") <= 32)
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(wC).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("rank"), col("hamming"),
+          col("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // TOKEN CHUNKER ACCOUNTING — the RAG/pretraining text splitter as a
+    // lake-wide op: fixed 64-token windows at stride 48 (16-token
+    // overlap), chunk starts at 0, 48, 96, … < n_toks, last chunk
+    // truncated. The chunk COUNTS and duplicated-token mass (what the
+    // overlap costs the token budget) per source — all exact integer
+    // arithmetic; the chunk enumeration itself is a row-local HOF over
+    // sequence(), so the op is one narrow map + an enum-grain rollup
+    // (nothing corpus-proportional ever shuffles).
+    "qx91_token_chunking" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") >= 1)
+        .withColumn("n_chunks", expr("(n + 47) div 48"))
+        .withColumn("chunk_toks", expr(
+          "aggregate(sequence(0L, n_chunks - 1), CAST(0 AS BIGINT), " +
+            "(a, k) -> a + least(CAST(64 AS BIGINT), n - k * 48))"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"),
+          sum("n_chunks").as("n_chunks"),
+          sum("chunk_toks").as("chunk_toks"))
+        .withColumn("overlap_ppm",
+          expr("(1000000 * (chunk_toks - n_toks)) div n_toks"))
+        .orderBy("source")),
+
+    // COHORT RETENTION TRIANGLE — the week-cohort × age retention
+    // matrix (qz58's LTV curves are the value view; this is the
+    // classic activity view every growth dashboard leads with): cohort
+    // = a user's first active epoch-week, activity at (cohort, age)
+    // grain, retention as exact ppm of the cohort's size. Two
+    // user-grain aggregates + one calendar-bounded rollup; the (user,
+    // week) distinct is the only corpus-grain shuffle.
+    "qz67_retention_triangle" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT) div 7").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("c_wk"))
+      val act = uw.join(cohort, "user_id")
+        .groupBy(col("c_wk"), (col("wk") - col("c_wk")).as("age"))
+        .agg(count(lit(1)).as("n_active"))
+      val size = cohort.groupBy("c_wk").agg(count(lit(1)).as("n_cohort"))
+      act.join(size, "c_wk")
+        .select(col("c_wk").as("cohort_wk"), col("age"), col("n_active"),
+          col("n_cohort"),
+          expr("(1000000 * n_active) div n_cohort").as("ret_ppm"))
+        .orderBy("cohort_wk", "age")
+    }),
+
     "qz66_active_days_hist" -> ((s, dir) => {
       val u = Tables.events(s, dir)
         .select(col("user_id"),
@@ -8918,6 +9007,78 @@ object ExtQueries {
         |FROM ss""".stripMargin,
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
+    // sign-bit signatures as 2×32-bit BIGINTs, popcount-Hamming
+    // shortlist (top-32 by hamming, n_id), exact-cosine re-rank
+    "qe40_sign_ann" ->
+      (s"""WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(range(32), i ->
+        |      CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS lo,
+        |    list_reduce(list_transform(range(32), i ->
+        |      CASE WHEN embedding[CAST(i + 33 AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS hi
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    q.embedding AS qe, c.embedding AS ce,
+        |    CAST(bit_count(xor(q.lo, c.lo)) +
+        |         bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+        |  FROM s q JOIN s c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |h AS (
+        |  SELECT * FROM d WINDOW wh AS (PARTITION BY q_id
+        |    ORDER BY hamming, n_id)
+        |  QUALIFY row_number() OVER wh <= 32),
+        |r AS (
+        |  SELECT q_id, n_id, hamming,
+        |    ${cosSql("qe", "ce")} AS cos FROM h)
+        |SELECT q_id, n_id, CAST(row_number() OVER wc AS BIGINT) AS rank,
+        |  hamming, cos
+        |FROM r WINDOW wc AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |QUALIFY row_number() OVER wc <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+
+    // same 64/48 chunk enumeration as a list fold
+    "qx91_token_chunking" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT source, n, (n + 47) // 48 AS n_chunks,
+        |    list_reduce(list_transform(range((n + 47) // 48),
+        |      k -> least(CAST(64 AS BIGINT), n - k * 48)),
+        |      (a, b) -> a + b) AS chunk_toks
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_toks,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(chunk_toks) AS BIGINT) AS chunk_toks,
+        |  (1000000 * (CAST(sum(chunk_toks) AS BIGINT)
+        |    - CAST(sum(n) AS BIGINT))) // CAST(sum(n) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // first-active-week cohorts, (cohort, age) activity, exact ppm
+    "qz67_retention_triangle" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+        |      AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS c_wk FROM uw GROUP BY user_id),
+        |a AS (
+        |  SELECT c.c_wk, uw.wk - c.c_wk AS age,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT c_wk, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM c GROUP BY c_wk)
+        |SELECT a.c_wk AS cohort_wk, a.age, a.n_active, sz.n_cohort,
+        |  (1000000 * a.n_active) // sz.n_cohort AS ret_ppm
+        |FROM a JOIN sz USING (c_wk) ORDER BY cohort_wk, age""".stripMargin,
+
     "qz66_active_days_hist" ->
       """WITH u AS (
         |  SELECT user_id, CAST(count(DISTINCT CAST(CAST(ts AS DATE)
