@@ -41,6 +41,10 @@ object CoreQueries {
   private val dppStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q68's blob-directory staging, keyed by dir
+  private val binStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // q57's envelope roundtrip dir and q61's CSV roundtrip dir, keyed by
   // dir — a bench med3 run re-measures the READ side against one staged
   // write instead of leaking three temp dirs per session (ADVICE r12)
@@ -822,6 +826,70 @@ object CoreQueries {
           |  (dow))
           |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST"""
           .stripMargin)
+    }),
+
+    // q67 — per-group top-k as a first-class row (every leaderboard /
+    // "top N per category" report): rank window + rk <= 3 filter. The
+    // SCALE point is the plan, not the query: Catalyst rewrites the
+    // filtered rank window into WindowGroupLimit, which prunes to k
+    // rows per group MAP-SIDE before the window's shuffle — the
+    // difference between shuffling 3·|groups| rows and the whole
+    // aggregate. Round13Spec pins the WindowGroupLimit node.
+    "q67_group_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(desc("n"), col("user_id"))
+      Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy("event_type", "rk")
+    }),
+
+    // q68 — BINARY-FILE ingest (the way an image/audio lake actually
+    // lands: a directory of opaque blobs, no schema): blobs staged one
+    // file per document (executor-side writes — on a cluster the same
+    // code targets shared storage), read back through Spark's
+    // `binaryFile` format, identity gated via size + md5 against the
+    // source table the blobs came from — a dropped, truncated, or
+    // bit-flipped file hash-fails. The read is file-grain parallel and
+    // column-pruned (selecting only length/path never loads content).
+    "q68_binary_file_ingest" -> ((s, dir) => {
+      val blobs = Tables.documents(s, dir)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      if (blobs.isEmpty)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, nbytes BIGINT, blob_md5 STRING"))
+      else {
+        val staged = Option(binStage.get(dir)).getOrElse {
+          val d = java.nio.file.Files
+            .createTempDirectory("q68-bin").toString
+          blobs.foreachPartition {
+            rows: Iterator[org.apache.spark.sql.Row] =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(d,
+                    f"doc_${r.getLong(0)}%08d.bin"),
+                  r.getString(1).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+              }
+          }
+          binStage.putIfAbsent(dir, d)
+          d
+        }
+        s.read.format("binaryFile").load(staged)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+              .cast("long").as("doc_id"),
+            col("length").as("nbytes"),
+            md5(col("content")).as("blob_md5"))
+          .orderBy("doc_id")
+      }
     }),
 
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
@@ -2322,6 +2390,28 @@ object CoreQueries {
         |GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
         |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST"""
         .stripMargin,
+
+    // QUALIFY spells the same filtered rank window
+    "q67_group_topk" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v_milli
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n, v_milli,
+        |  CAST(row_number() OVER w AS BIGINT) AS rk
+        |FROM a WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY n DESC, user_id)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY event_type, rk""".stripMargin,
+
+    // blob identity recomputed from the table the files came from
+    "q68_binary_file_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |  md5(text) AS blob_md5
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

@@ -7391,6 +7391,27 @@ object ExtQueries {
         .orderBy("cohort_wk", "age")
     }),
 
+    // DEDUP SURVIVORSHIP ACCOUNTING — the op a curation pipeline runs
+    // AFTER cluster detection (qx11 finds the clusters; something must
+    // pick survivors and book the savings): canonical = the cluster id
+    // itself (min doc_id — deterministic, no tie ambiguity), savings =
+    // the losers' bytes, rolled up per source. One doc-grain join onto
+    // the shared cluster machinery; the rollup is enum-grain.
+    "qx92_dedup_survivorship" -> ((s, dir) => {
+      val cl = Dedup.minhashClusters(Tables.documents(s, dir))
+      cl.join(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_survivors"),
+          sum("n_chars").as("chars_total"),
+          sum(when(!col("keeper"), col("n_chars")).otherwise(0L))
+            .as("chars_removed"))
+        .withColumn("removed_ppm",
+          expr("(1000000 * chars_removed) div chars_total"))
+        .orderBy("source")
+    }),
+
     "qz66_active_days_hist" -> ((s, dir) => {
       val u = Tables.events(s, dir)
         .select(col("user_id"),
@@ -9007,6 +9028,25 @@ object ExtQueries {
         |FROM ss""".stripMargin,
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
+    // the shared qx11 cluster chain + per-source survivor accounting
+    "qx92_dedup_survivorship" ->
+      (ShingleCte + ClusterChainCte +
+        s""",
+          |j AS (
+          |  SELECT d.source, d.n_chars, c.cluster, d.doc_id
+          |  FROM documents d JOIN clus c USING (doc_id))
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_survivors,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          |  CAST(sum(CASE WHEN doc_id = cluster THEN 0 ELSE n_chars END)
+          |    AS BIGINT) AS chars_removed,
+          |  (1000000 * CAST(sum(CASE WHEN doc_id = cluster THEN 0
+          |    ELSE n_chars END) AS BIGINT))
+          |    // CAST(sum(n_chars) AS BIGINT) AS removed_ppm
+          |FROM j GROUP BY source ORDER BY source""".stripMargin)
+        .replace("WITH tok AS", "WITH RECURSIVE tok AS"),
+
     // sign-bit signatures as 2×32-bit BIGINTs, popcount-Hamming
     // shortlist (top-32 by hamming, n_id), exact-cosine re-rank
     "qe40_sign_ann" ->

@@ -192,6 +192,16 @@ class Round13Spec extends SparkTestBase {
     assert("variant_get".r.findAllIn(plan).size == 2, plan)
   }
 
+  // ---- q67: filtered rank window plans as WindowGroupLimit ------------------
+
+  test("q67's rank<=3 filter rewrites to WindowGroupLimit — per-group " +
+    "top-k prunes map-side BEFORE the window shuffle, so the exchange " +
+    "carries ~3·|groups| rows, not the whole aggregate") {
+    val plan = SparkEntry.queries("q67_group_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   // ---- q44 / q62: the r12 weak marks are gone ------------------------------
 
   test("q44 and q62 carry NO static join hint anywhere in the analyzed " +
