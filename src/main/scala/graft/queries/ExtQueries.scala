@@ -227,6 +227,38 @@ object ExtQueries {
   // different dir between qe36 and the oracle read (ADVICE r12).
   @volatile private var lastQe36Keys: Option[(String, String)] = None
 
+  /** qe40/qe41 shared core: sign-bit signatures (2×32-bit BIGINTs),
+    * popcount-Hamming top-32 shortlist, exact-cosine top-5 re-rank for
+    * the 20 anchor queries. Columns (q_id, n_id, rank, hamming, cos). */
+  private def signAnnTop5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sig(off: Int) =
+      s"aggregate(transform(slice(embedding, ${off + 1}, 32), " +
+        "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), " +
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
+    val emb = Tables.embeddings(s, dir)
+    val c = emb.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"),
+      expr(sig(0)).as("n_lo"), expr(sig(32)).as("n_hi"))
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        expr(sig(0)).as("q_lo"), expr(sig(32)).as("q_hi"))
+    val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+    val wC = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    // BROADCAST BOUND (query-anchors): 20 query rows (vec_id < 20)
+    c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi) AS BIGINT)"))
+      .withColumn("hrk", row_number().over(wH))
+      .where(col("hrk") <= 32)
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("rank"), col("hamming"),
+        col("cos"))
+  }
+
   private def halfCentroidsFor(s: SparkSession, dir: String)
       : Seq[Seq[Float]] = {
     val emb = Tables.embeddings(s, dir)
@@ -7311,34 +7343,25 @@ object ExtQueries {
     // (hamming, n_id) shortlist, exact-cosine re-rank to top-5. Packing
     // is 2×32 bits, not 1×64 — DuckDB's `<<` refuses shift 63 into the
     // sign bit, and the split keeps both twins in positive-BIGINT land.
-    "qe40_sign_ann" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      def sig(off: Int) =
-        s"aggregate(transform(slice(embedding, ${off + 1}, 32), " +
-          "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), " +
-          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
+    "qe40_sign_ann" -> ((s, dir) =>
+      signAnnTop5(s, dir).orderBy("q_id", "rank")),
+
+    // SIGN-ANN ACCURACY — the qe35/qe17 discipline for the new leg:
+    // per anchor, how many of the exact cosine top-5 does the
+    // Hamming-shortlisted sign index recover? Exact recall in ppm —
+    // the number that decides whether 64× compression is shippable
+    // for a given corpus.
+    "qe41_sign_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val c = emb.select(col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"),
-        expr(sig(0)).as("n_lo"), expr(sig(32)).as("n_hi"))
-      val q = emb.where(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          expr(sig(0)).as("q_lo"), expr(sig(32)).as("q_hi"))
-      val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
-      val wC = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
-      // BROADCAST BOUND (query-anchors): 20 query rows (vec_id < 20)
-      c.crossJoin(broadcast(q))
-        .where(col("q_id") =!= col("n_id"))
-        .withColumn("hamming", expr(
-          "CAST(bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi) AS BIGINT)"))
-        .withColumn("hrk", row_number().over(wH))
-        .where(col("hrk") <= 32)
-        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
-        .withColumn("rank", row_number().over(wC).cast("long"))
-        .where(col("rank") <= 5)
-        .select(col("q_id"), col("n_id"), col("rank"), col("hamming"),
-          col("cos"))
-        .orderBy("q_id", "rank")
+      val ann = signAnnTop5(s, dir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 20), 5)
+        .select("q_id", "n_id")
+        .join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hits) div 5"))
+        .orderBy("q_id")
     }),
 
     // TOKEN CHUNKER ACCOUNTING — the RAG/pretraining text splitter as a
@@ -7389,6 +7412,31 @@ object ExtQueries {
           col("n_cohort"),
           expr("(1000000 * n_active) div n_cohort").as("ret_ppm"))
         .orderBy("cohort_wk", "age")
+    }),
+
+    // COMPOSED PIPELINE #9 — dedup THEN chunk (the order every
+    // pretraining data pipeline runs them in, because chunking dup
+    // content wastes the token budget twice): cluster survivors only
+    // (qx92's canonical rule) flow into the 64/48 chunker accounting
+    // (qx91) — one composed plan, one composed twin. The cluster chain
+    // is the only heavy stage; the chunker adds a row-local fold.
+    "qp9_chunked_curation" -> ((s, dir) => {
+      val keep = Dedup.minhashClusters(Tables.documents(s, dir))
+        .where(col("keeper")).select("doc_id")
+      Tables.documents(s, dir)
+        .join(keep, Seq("doc_id"), "left_semi")
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") >= 1)
+        .withColumn("n_chunks", expr("(n + 47) div 48"))
+        .withColumn("chunk_toks", expr(
+          "aggregate(sequence(0L, n_chunks - 1), CAST(0 AS BIGINT), " +
+            "(a, k) -> a + least(CAST(64 AS BIGINT), n - k * 48))"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"), sum("n").as("n_toks"),
+          sum("n_chunks").as("n_chunks"),
+          sum("chunk_toks").as("chunk_toks"))
+        .orderBy("source")
     }),
 
     // DEDUP SURVIVORSHIP ACCOUNTING — the op a curation pipeline runs
@@ -7557,6 +7605,39 @@ object ExtQueries {
         "(a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)"
     }.mkString("[", ",\n", "]")
   }
+
+  /** qe40/qe41 shared twin chain: sign signatures → Hamming shortlist →
+    * cosine re-rank, ending in `ann` (q_id, n_id, rank, hamming, cos). */
+  private lazy val SignAnnCte =
+    s"""WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(range(32), i ->
+      |      CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+      |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS lo,
+      |    list_reduce(list_transform(range(32), i ->
+      |      CASE WHEN embedding[CAST(i + 33 AS INT)] > 0
+      |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS hi
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    q.embedding AS qe, c.embedding AS ce,
+      |    CAST(bit_count(xor(q.lo, c.lo)) +
+      |         bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+      |  FROM s q JOIN s c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |h AS (
+      |  SELECT * FROM d WINDOW wh AS (PARTITION BY q_id
+      |    ORDER BY hamming, n_id)
+      |  QUALIFY row_number() OVER wh <= 32),
+      |r AS (
+      |  SELECT q_id, n_id, hamming,
+      |    ${cosSql("qe", "ce")} AS cos FROM h),
+      |ann AS (
+      |  SELECT q_id, n_id, CAST(row_number() OVER wc AS BIGINT) AS rank,
+      |    hamming, cos
+      |  FROM r WINDOW wc AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+      |  QUALIFY row_number() OVER wc <= 5)""".stripMargin
 
   private val ShingleCte =
     """WITH tok AS (
@@ -9028,6 +9109,29 @@ object ExtQueries {
         |FROM ss""".stripMargin,
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
+    // cluster chain → keepers → the qx91 chunk fold, composed
+    "qp9_chunked_curation" ->
+      (ShingleCte + ClusterChainCte +
+        """,
+          |keepers AS (SELECT doc_id FROM clus WHERE doc_id = cluster),
+          |kd AS (
+          |  SELECT d.source,
+          |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n
+          |  FROM documents d JOIN keepers USING (doc_id)
+          |  WHERE len(string_split(d.text, ' ')) >= 1),
+          |ck AS (
+          |  SELECT source, n, (n + 47) // 48 AS n_chunks,
+          |    list_reduce(list_transform(range((n + 47) // 48),
+          |      k -> least(CAST(64 AS BIGINT), n - k * 48)),
+          |      (a, b) -> a + b) AS chunk_toks
+          |  FROM kd)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+          |  CAST(sum(n) AS BIGINT) AS n_toks,
+          |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+          |  CAST(sum(chunk_toks) AS BIGINT) AS chunk_toks
+          |FROM ck GROUP BY source ORDER BY source""".stripMargin)
+        .replace("WITH tok AS", "WITH RECURSIVE tok AS"),
+
     // the shared qx11 cluster chain + per-source survivor accounting
     "qx92_dedup_survivorship" ->
       (ShingleCte + ClusterChainCte +
@@ -9050,35 +9154,30 @@ object ExtQueries {
     // sign-bit signatures as 2×32-bit BIGINTs, popcount-Hamming
     // shortlist (top-32 by hamming, n_id), exact-cosine re-rank
     "qe40_sign_ann" ->
-      (s"""WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    list_reduce(list_transform(range(32), i ->
-        |      CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS lo,
-        |    list_reduce(list_transform(range(32), i ->
-        |      CASE WHEN embedding[CAST(i + 33 AS INT)] > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS hi
-        |  FROM embeddings),
-        |d AS (
+      (SignAnnCte + """
+        |SELECT q_id, n_id, rank, hamming, cos
+        |FROM ann ORDER BY q_id, rank""".stripMargin),
+
+    // exact top-5 LEFT JOIN the sign-index top-5; recall in exact ppm
+    "qe41_sign_recall" ->
+      (SignAnnCte + s""",
+        |ex AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |    q.embedding AS qe, c.embedding AS ce,
-        |    CAST(bit_count(xor(q.lo, c.lo)) +
-        |         bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
-        |  FROM s q JOIN s c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
-        |h AS (
-        |  SELECT * FROM d WINDOW wh AS (PARTITION BY q_id
-        |    ORDER BY hamming, n_id)
-        |  QUALIFY row_number() OVER wh <= 32),
-        |r AS (
-        |  SELECT q_id, n_id, hamming,
-        |    ${cosSql("qe", "ce")} AS cos FROM h)
-        |SELECT q_id, n_id, CAST(row_number() OVER wc AS BIGINT) AS rank,
-        |  hamming, cos
-        |FROM r WINDOW wc AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
-        |QUALIFY row_number() OVER wc <= 5
-        |ORDER BY q_id, rank""".stripMargin),
+        |    ${cosSql("q.embedding", "c.embedding")} AS cos
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |ex5 AS (
+        |  SELECT q_id, n_id FROM ex
+        |  WINDOW we AS (PARTITION BY q_id ORDER BY cos DESC, n_id)
+        |  QUALIFY row_number() OVER we <= 5)
+        |SELECT e.q_id,
+        |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  (1000000 * CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT)) // 5 AS recall_ppm
+        |FROM ex5 e LEFT JOIN ann a
+        |  ON e.q_id = a.q_id AND e.n_id = a.n_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin),
 
     // same 64/48 chunk enumeration as a list fold
     "qx91_token_chunking" ->
