@@ -892,6 +892,54 @@ object CoreQueries {
       }
     }),
 
+    // q69 — NULL-SAFE join (<=>): the equality that treats NULL as a
+    // value (one bucket) instead of three-valued unknown — what every
+    // SCD/merge key comparison needs when keys can be absent. Both
+    // sides derive a nullable key (NULLIF collapses one residue class
+    // to NULL); the plain `=` join would DROP the null rows silently —
+    // the twin (IS NOT DISTINCT FROM) hash-fails if the null bucket is
+    // missing or mis-joined. Null-safe equality hash-partitions like
+    // any key (NULL is one partition), so the join stays a plain
+    // shuffled equi-join at scale — no range/cross fallback.
+    "q69_null_safe_join" -> ((s, dir) => {
+      val a = Tables.events(s, dir)
+        .select(expr("NULLIF(user_id % 10, 0)").as("k"),
+          col("event_id"))
+        .groupBy("k").agg(count(lit(1)).as("n_events"))
+      val b = Tables.orders(s, dir)
+        .select(expr("NULLIF(o_custkey % 10, 0)").as("k"),
+          col("o_orderkey"))
+        .groupBy("k").agg(count(lit(1)).as("n_orders"))
+      a.join(b, a("k") <=> b("k"), "full_outer")
+        .select(coalesce(a("k"), b("k")).as("k"),
+          col("n_events"), col("n_orders"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // q70 — UNION BY NAME across a schema drift (the q53 mergeSchema
+    // story for the UNION path): generation 2 adds a column generation
+    // 1 lacks; allowMissingColumns nulls it for the old rows instead
+    // of failing or (worse) binding by POSITION. The twin is the
+    // explicit NULL-padded UNION ALL. Scale shape: a union is free
+    // (no shuffle) — only the rollup shuffles.
+    "q70_union_by_name" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val gen1 = ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+      val gen2 = ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L))
+            .as("n_gen1"),
+          sum("v_milli").as("v_milli"),
+          sum(coalesce(col("user_id"), lit(0L))).as("user_sum"))
+        .orderBy("event_type")
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -1035,6 +1083,14 @@ object CoreQueries {
     "qs24_stream_right_outer" -> ((s, dir) =>
       graft.streaming.StreamingReplay
         .streamStreamRightOuterReplay(s, dir)),
+
+    // qs25 — twenty-fifth streaming path: transformWithState
+    // bootstrapped from INITIAL STATE (the store-migration path: seed
+    // per-key state from a batch snapshot, stream only the delta).
+    // Per-user totals equal the full batch count iff the seed landed.
+    "qs25_tws_initial_state" -> ((s, dir) =>
+      graft.streaming.StreamingReplay
+        .transformWithInitialStateReplay(s, dir)),
 
     // q55 — BUCKETED co-located join (S9): the layout answer to the
     // shuffle question — both sides written bucketed-and-sorted by the
@@ -2412,6 +2468,50 @@ object CoreQueries {
         |  md5(text) AS blob_md5
         |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // full per-user counts, restricted to users with >= 1 event in the
+    // stream half of the same deterministic (ts, event_id) split — a
+    // seed that failed to land undercounts and hash-fails
+    "qs25_tws_initial_state" ->
+      """WITH r AS (
+        |  SELECT user_id, row_number() OVER (ORDER BY ts, event_id)
+        |    AS rn, count(*) OVER () AS n
+        |  FROM events),
+        |su AS (SELECT DISTINCT user_id FROM r WHERE rn > n // 2)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events e JOIN su USING (user_id)
+        |GROUP BY e.user_id ORDER BY user_id""".stripMargin,
+
+    // IS NOT DISTINCT FROM spells <=>; the NULL bucket must join
+    "q69_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT NULLIF(user_id % 10, 0) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT NULLIF(o_custkey % 10, 0) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS k, n_events, n_orders
+        |FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    // the explicit NULL-padded UNION ALL the by-name union desugars to
+    "q70_union_by_name" ->
+      """WITH u AS (
+        |  SELECT event_id, CAST(NULL AS BIGINT) AS user_id, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT)
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gen1,
+        |  CAST(sum(vm) AS BIGINT) AS v_milli,
+        |  CAST(sum(coalesce(user_id, 0)) AS BIGINT) AS user_sum
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

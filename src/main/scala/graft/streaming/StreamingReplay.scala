@@ -1350,6 +1350,81 @@ object StreamingReplay {
       .orderBy("user_id")
   }
 
+  // qs25's (seed counts, stream chunk dir) staging, keyed by dir
+  private val initStateStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[(Long, Long)], String)]()
+
+  /** qs25: transformWithState bootstrapped from INITIAL STATE — the
+    * store-migration path (seed per-key state from a batch snapshot,
+    * then stream only the delta). The first half of the time-ordered
+    * events becomes per-user seed counts handed to the query as a
+    * `KeyValueGroupedDataset` initial state; the second half replays
+    * as micro-batches. The per-user MAX running count equals the FULL
+    * batch count (both halves) if and only if `handleInitialState`
+    * actually seeded the RocksDB store — a dropped or double-applied
+    * seed hash-fails against the twin, which recomputes the same
+    * deterministic (ts, event_id) split in SQL. Output covers users
+    * with at least one streamed event (seed-only keys never emit —
+    * the API contract; the twin restricts identically). */
+  def transformWithInitialStateReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+
+    val staged = Option(initStateStageCache.get(dir)).orElse {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[WEvent].collect().sortBy(e => (micros(e.ts), e.event_id))
+      if (ev.isEmpty) None
+      else {
+        val k = ev.length / 2
+        val seed = ev.take(k).groupBy(_.user_id)
+          .map { case (u, rows) => (u, rows.length.toLong) }.toSeq
+        val rest = ev.drop(k)
+        val c = math.max(rest.length / 2, 1)
+        val chunks = Seq(rest.slice(0, c).toSeq, rest.drop(c).toSeq)
+          .filter(_.nonEmpty)
+        val entry = (seed, writeChunks(spark, chunks, "qs25-replay"))
+        Some(Option(initStateStageCache.putIfAbsent(dir, entry))
+          .getOrElse(entry))
+      }
+    }
+    val (seed, srcDirStr) = staged.getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT"))
+    }
+
+    val table = s"qs25_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(srcDirStr)
+      .as[WEvent]
+    val init = spark.createDataset(seed).groupByKey(_._1).mapValues(_._2)
+    val q = withRocksDBProvider(spark) {
+      withStatePartitions(spark, 2) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(new SeededCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update(), init)
+          .toDF("user_id", "n_running")
+          .writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(table)
+          .option("checkpointLocation", ckptFor(table)).start()
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.groupBy("user_id")
+      .agg(max("n_running").as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** qs13: [[transformWithStateReplay]]'s harness with a MapState
     * processor — per-(user, event_type) running counters inside one
     * grouping key's state (the keyed-sub-state surface ValueState
@@ -2059,6 +2134,37 @@ class TypeCountProcessor
       touched += e.event_type
     }
     touched.iterator.map(t => (key, t, counts.getValue(t)))
+  }
+}
+
+/** qs25's processor: [[RunningCountProcessor]] with INITIAL STATE —
+  * the snapshot-bootstrap path a production migration runs (seed the
+  * store from a batch table, then stream the delta). handleInitialState
+  * only SEEDS (no emission — exactly the API contract); the running
+  * count thereafter includes the seed, so the per-user max equals the
+  * full batch count if and only if the seed actually landed. */
+class SeededCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, StreamingReplay.WEvent, (Long, Long), Long] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+    TTLConfig, TimerValues, ValueState}
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initialState: Long,
+      timerValues: TimerValues): Unit =
+    count.update(initialState)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[StreamingReplay.WEvent],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
   }
 }
 
