@@ -7439,6 +7439,58 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // DELETION-SWEEP AUDIT — the right-to-be-forgotten costing every
+    // compliance pipeline runs BEFORE the rewrite: given a subject
+    // predicate (residue class 97 as the deterministic stand-in for a
+    // deletion list), how many rows must go per table — including the
+    // CASCADE through orders→lineitem, which at scale is a key
+    // semi-join against the fact table, not a scan-and-filter (the
+    // deleted-order keys ride the join's own shuffle). Constant-group
+    // anchors per rule: an empty lake emits zero rows (q62's contract).
+    "qz68_deletion_sweep" -> ((s, dir) => {
+      def rule(name: String, viol: DataFrame): DataFrame =
+        viol.groupBy(lit(1).as("one"))
+          .agg(sum("hit").as("n_rows"))
+          .select(lit(name).as("tbl"), col("n_rows"))
+      val o = Tables.orders(s, dir)
+      val r1 = rule("events",
+        Tables.events(s, dir).select(
+          when(col("user_id") % 97 === 0, 1L).otherwise(0L).as("hit")))
+      val r2 = rule("orders",
+        o.select(when(col("o_custkey") % 97 === 0, 1L).otherwise(0L)
+          .as("hit")))
+      val r3 = rule("lineitem",
+        Tables.lineitem(s, dir).select(col("l_orderkey"))
+          .join(o.where(col("o_custkey") % 97 === 0)
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select(when(col("o_orderkey").isNotNull, 1L).otherwise(0L)
+            .as("hit")))
+      r1.unionAll(r2).unionAll(r3).orderBy("tbl")
+    }),
+
+    // CLUSTER-SAFE EVAL SPLIT — the leakage-safe train/val/test
+    // assignment: splitting by DOC hash puts near-duplicates of a
+    // training doc into the eval set (the classic leaked-eval bug);
+    // splitting by CLUSTER id keeps every near-dup family in ONE
+    // split. Assignment is the deterministic md5 residue of the
+    // cluster id (80/10/10); the gate reports per-split doc AND
+    // cluster masses — a family straddling splits would shift both.
+    "qx93_cluster_safe_split" -> ((s, dir) => {
+      val cl = Dedup.minhashClusters(Tables.documents(s, dir))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(CAST(cluster AS STRING)), 1, " +
+            "15), 16, 10) AS BIGINT) % 10"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") < 9, "val").otherwise("test"))
+      cl.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"),
+          sum(when(!col("keeper"), 1L).otherwise(0L)).as("n_dup_members"))
+        .orderBy("split")
+    }),
+
     // DEDUP SURVIVORSHIP ACCOUNTING — the op a curation pipeline runs
     // AFTER cluster detection (qx11 finds the clusters; something must
     // pick survivors and book the savings): canonical = the cluster id
@@ -9109,6 +9161,52 @@ object ExtQueries {
         |FROM ss""".stripMargin,
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
+    // per-table deletion masses; lineitem cascades through orders
+    "qz68_deletion_sweep" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS tbl,
+        |    CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rows
+        |  FROM events GROUP BY tbl
+        |  UNION ALL
+        |  SELECT 'orders' AS tbl,
+        |    CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY tbl
+        |  UNION ALL
+        |  SELECT 'lineitem' AS tbl,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_rows
+        |  FROM lineitem l LEFT JOIN (
+        |    SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0) o
+        |    ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY tbl)
+        |ORDER BY tbl""".stripMargin,
+
+    // same cluster chain; the 60-bit md5 fold is the shared hash rule
+    "qx93_cluster_safe_split" ->
+      (ShingleCte + ClusterChainCte +
+        """,
+          |asg AS (
+          |  SELECT doc_id, cluster,
+          |    CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val'
+          |      ELSE 'test' END AS split,
+          |    (doc_id <> cluster) AS dup_member
+          |  FROM (
+          |    SELECT doc_id, cluster,
+          |      list_reduce(list_transform(range(1, 16),
+          |        j -> CAST(strpos('0123456789abcdef',
+          |          substr(md5(CAST(cluster AS VARCHAR)),
+          |            CAST(j AS INT), 1)) - 1 AS BIGINT)),
+          |        (x, y) -> x * 16 + y) % 10 AS h
+          |    FROM clus))
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+          |  CAST(sum(CASE WHEN dup_member THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dup_members
+          |FROM asg GROUP BY split ORDER BY split""".stripMargin)
+        .replace("WITH tok AS", "WITH RECURSIVE tok AS"),
+
     // cluster chain → keepers → the qx91 chunk fold, composed
     "qp9_chunked_curation" ->
       (ShingleCte + ClusterChainCte +
