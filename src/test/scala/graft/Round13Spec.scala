@@ -202,6 +202,19 @@ class Round13Spec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  // ---- q69: null-safe equality is still an equi-join ------------------------
+
+  test("q69's <=> condition plans as a hash-partitionable join (NULL is " +
+    "one bucket), never a nested-loop fallback") {
+    val plan = SparkEntry.queries("q69_null_safe_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
   // ---- q44 / q62: the r12 weak marks are gone ------------------------------
 
   test("q44 and q62 carry NO static join hint anywhere in the analyzed " +
