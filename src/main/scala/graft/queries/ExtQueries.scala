@@ -7439,6 +7439,62 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // PSI DISTRIBUTION DRIFT — the population-stability index between
+    // the two halves of the observed span (the ML-ops drift gauge next
+    // to qz59's mean-shift monitor: PSI sees MIX changes a volume
+    // monitor can't): per event type present in both halves, the PSI
+    // term (p_pre − p_post)·ln(p_pre/p_post), shares as one double
+    // division each, the ln rounded to 9 (the qx28 ulp-portability
+    // rule). Type-grain rollup — nothing corpus-proportional shuffles.
+    "qz69_psi_drift" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT)").as("day"))
+      val b = broadcast(d.agg(min("day").as("d0"), max("day").as("d1")))
+      val ct = d.crossJoin(b)
+        .withColumn("seg",
+          when(col("day") < expr("(d0 + d1 + 1) div 2"), "pre")
+            .otherwise("post"))
+        .groupBy("event_type", "seg").agg(count(lit(1)).as("n"))
+      val tot = ct.groupBy("seg").agg(sum("n").as("t"))
+      val w = ct.join(tot, "seg")
+      val pre = w.where(col("seg") === "pre")
+        .select(col("event_type"), col("n").as("n_pre"),
+          col("t").as("t_pre"))
+      val post = w.where(col("seg") === "post")
+        .select(col("event_type"), col("n").as("n_post"),
+          col("t").as("t_post"))
+      pre.join(post, "event_type")
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          expr("round((CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE) " +
+            "- CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE)) * " +
+            "ln((CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE)) / " +
+            "(CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE))), 9)")
+            .as("psi_term"))
+        .orderBy("event_type")
+    }),
+
+    // CONTEXT-LENGTH TRUNCATION PLAN — before picking a training
+    // context length, what does each candidate L cost: docs over L and
+    // the token mass a hard truncation discards, exact ppm. One narrow
+    // map exploded over the three candidate lengths; L-grain rollup.
+    "qx94_truncation_plan" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(size(Text.tokens(col("text"))).cast("long").as("n"))
+        .select(explode(array(lit(128L), lit(512L), lit(2048L)))
+          .as("max_len"), col("n"))
+        .groupBy("max_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > col("max_len"), 1L).otherwise(0L))
+            .as("docs_over"),
+          sum("n").as("n_toks"),
+          sum(greatest(col("n") - col("max_len"), lit(0L)))
+            .as("tokens_lost"))
+        .withColumn("lost_ppm",
+          expr("(1000000 * tokens_lost) div n_toks"))
+        .orderBy("max_len")),
+
     // DELETION-SWEEP AUDIT — the right-to-be-forgotten costing every
     // compliance pipeline runs BEFORE the rewrite: given a subject
     // predicate (residue class 97 as the deterministic stand-in for a
@@ -9161,6 +9217,52 @@ object ExtQueries {
         |FROM ss""".stripMargin,
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
+    // same midpoint cut, shares as one division each, ln rounded to 9
+    "qz69_psi_drift" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |ct AS (
+        |  SELECT event_type,
+        |    CASE WHEN day < (d0 + d1 + 1) // 2 THEN 'pre' ELSE 'post'
+        |      END AS seg, CAST(count(*) AS BIGINT) AS n
+        |  FROM d CROSS JOIN b GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(n) AS BIGINT) AS t FROM ct
+        |  GROUP BY seg),
+        |w AS (SELECT ct.event_type, ct.seg, ct.n, tot.t
+        |  FROM ct JOIN tot USING (seg)),
+        |pre AS (SELECT event_type, n AS n_pre, t AS t_pre FROM w
+        |  WHERE seg = 'pre'),
+        |post AS (SELECT event_type, n AS n_post, t AS t_post FROM w
+        |  WHERE seg = 'post')
+        |SELECT event_type, n_pre, n_post,
+        |  round((CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE)
+        |    - CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE)) *
+        |    ln((CAST(n_pre AS DOUBLE) / CAST(t_pre AS DOUBLE)) /
+        |    (CAST(n_post AS DOUBLE) / CAST(t_post AS DOUBLE))), 9)
+        |    AS psi_term
+        |FROM pre JOIN post USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // the same three candidate lengths unnested
+    "qx94_truncation_plan" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (SELECT max_len, n FROM d
+        |  CROSS JOIN (SELECT unnest([CAST(128 AS BIGINT),
+        |    CAST(512 AS BIGINT), CAST(2048 AS BIGINT)]) AS max_len))
+        |SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_over,
+        |  CAST(sum(n) AS BIGINT) AS n_toks,
+        |  CAST(sum(greatest(n - max_len, 0)) AS BIGINT) AS tokens_lost,
+        |  (1000000 * CAST(sum(greatest(n - max_len, 0)) AS BIGINT))
+        |    // CAST(sum(n) AS BIGINT) AS lost_ppm
+        |FROM x GROUP BY max_len ORDER BY max_len""".stripMargin,
+
     // per-table deletion masses; lineitem cascades through orders
     "qz68_deletion_sweep" ->
       """SELECT * FROM (

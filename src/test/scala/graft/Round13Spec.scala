@@ -35,7 +35,7 @@ class Round13Spec extends SparkTestBase {
 
   private val expectedCensus = Map(
     "src/main/scala/graft/queries/CoreQueries.scala" -> 6,
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 85) // +qe40 anchors
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 86) // qe40 anchors + qz69 span agg
 
   private def balancedArg(text: String, start: Int): String = {
     var depth = 1
