@@ -57,6 +57,22 @@ class TripSinkSpec extends SparkTestBase {
     }
   }
 
+  test("envelope reader ignores dot/underscore files — an aborted v2 " +
+    "write attempt's .inprogress temp file is never visible to a scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tripsink-abort").toString
+    Seq((1L, 1, "AA")).toDF("id", "vt", "json")
+      .write.format("trip-envelope").mode("overwrite").save(dir)
+    // plant what a dead task attempt leaves behind
+    Files.write(java.nio.file.Paths.get(dir, ".part-99999-7.txt.inprogress"),
+      """{"id":999,"vt":9,"json":"FF"}""".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"),
+      Array.emptyByteArray)
+    val back = spark.read.format("trip-envelope").load(dir)
+      .select("id").as[Long].collect()
+    assert(back.toSeq == Seq(1L), back.toSeq.toString)
+  }
+
   test("jdbc upsert statement matches the reference's merge-on-conflict " +
     "shape (ais_to_db.rs:155-162)") {
     val sql = TripSink.upsertStatement("ais.trips", "MMSI", "trip")
