@@ -7439,6 +7439,48 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // TOKEN-BUDGET WATER-FILLING — the allocation a data-mixture
+    // curator actually runs (qx22's proportional rebalance has no
+    // caps): give every source an equal share of a token budget, but
+    // never more than it has. The textbook form iterates on the water
+    // level; here it is CLOSED-FORM over the sorted per-source caps —
+    // k* = max k with prefix_k + (n−k)·cap_k ≤ T, level = (T −
+    // prefix_k*) div (n − k*) — one bounded window pass + two one-row
+    // aggregates, all exact integers (the floor leaves ≤ n−k* tokens
+    // unallocated, stated). Budget T = half the corpus tokens.
+    "qz70_budget_waterfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val caps = Tables.documents(s, dir)
+        .select(col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("cap"))
+      val tot = broadcast(caps.agg(sum("cap").as("total"),
+        count(lit(1)).as("n_src")))
+      // GLOBAL-WINDOW BOUND (label-vocab): one row per source — the
+      // frame is the source vocabulary however large the corpus
+      val w = Window.orderBy("cap", "source")
+      val ranked = caps.crossJoin(tot)
+        .withColumn("budget", expr("total div 2"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum("cap").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("feasible",
+          col("prefix") + (col("n_src") - col("k")) * col("cap")
+            <= col("budget"))
+      val fit = broadcast(ranked.agg(
+        coalesce(max(when(col("feasible"), col("k"))), lit(0L))
+          .as("kstar"),
+        coalesce(max(when(col("feasible"), col("prefix"))), lit(0L))
+          .as("prefix0")))
+      ranked.crossJoin(fit)
+        .withColumn("level",
+          expr("(budget - prefix0) div (n_src - kstar)"))
+        .select(col("source"), col("cap"),
+          least(col("cap"), col("level")).as("alloc"),
+          (col("cap") <= col("level")).as("fully_kept"))
+        .orderBy("source")
+    }),
+
     // PSI DISTRIBUTION DRIFT — the population-stability index between
     // the two halves of the observed span (the ML-ops drift gauge next
     // to qz59's mean-shift monitor: PSI sees MIX changes a volume
@@ -9217,6 +9259,32 @@ object ExtQueries {
         |FROM ss""".stripMargin,
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
+    // the same closed-form water level over sorted caps
+    "qz70_budget_waterfill" ->
+      """WITH caps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_src FROM caps),
+        |ranked AS (
+        |  SELECT source, cap, total // 2 AS budget, n_src,
+        |    CAST(row_number() OVER w AS BIGINT) AS k,
+        |    CAST(sum(cap) OVER w AS BIGINT) AS prefix
+        |  FROM caps CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY cap, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fit AS (
+        |  SELECT coalesce(max(CASE WHEN prefix + (n_src - k) * cap
+        |      <= budget THEN k END), 0) AS kstar,
+        |    coalesce(max(CASE WHEN prefix + (n_src - k) * cap
+        |      <= budget THEN prefix END), 0) AS prefix0
+        |  FROM ranked)
+        |SELECT source, cap,
+        |  least(cap, (budget - prefix0) // (n_src - kstar)) AS alloc,
+        |  cap <= (budget - prefix0) // (n_src - kstar) AS fully_kept
+        |FROM ranked CROSS JOIN fit ORDER BY source""".stripMargin,
+
     // same midpoint cut, shares as one division each, ln rounded to 9
     "qz69_psi_drift" ->
       """WITH d AS (

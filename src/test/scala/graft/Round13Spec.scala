@@ -35,7 +35,7 @@ class Round13Spec extends SparkTestBase {
 
   private val expectedCensus = Map(
     "src/main/scala/graft/queries/CoreQueries.scala" -> 6,
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 86) // qe40 anchors + qz69 span agg
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 88) // qe40 anchors + qz69 span agg + qz70 tot/fit
 
   private def balancedArg(text: String, start: Int): String = {
     var depth = 1

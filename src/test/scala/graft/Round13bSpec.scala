@@ -141,6 +141,30 @@ class Round13bSpec extends SparkTestBase {
     assert(pr.getLong(4) == 164L, "chunk_toks = 52 + 112")
   }
 
+  // ---- qz70: water level by hand ---------------------------------------------
+
+  test("qz70 water-filling: caps {10, 20, 100} with budget 65 fill the " +
+    "two small sources and cap the big one at the hand-computed level") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("r13wf").toString
+    Seq((1L, words(10), "srcA"), (2L, words(20), "srcB"),
+      (3L, words(100), "srcC"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // total 130, T = 65; sorted caps [10, 20, 100]: k*=2 (30 + 1·20 ≤ 65),
+    // level = (65 − 30) div 1 = 35 → allocs [10, 20, 35], Σ = 65
+    val out = queries.ExtQueries.queries("qz70_budget_waterfill")(
+      spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("srcA", 10L, 10L, true),
+      ("srcB", 20L, 20L, true),
+      ("srcC", 100L, 35L, false)), out.toSeq.toString)
+  }
+
   // ---- q66: grouping-set invariants on the real lake -------------------------
 
   test("q66 grouping sets: one Expand pass; the three set totals agree " +
