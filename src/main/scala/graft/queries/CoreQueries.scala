@@ -940,6 +940,90 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // q71 — CDC CHANGELOG APPLY (latest-wins + tombstones): the batch
+    // half of every lake-ingest story — a keyed changelog of
+    // upserts (U) and deletes (D) collapsed to the live snapshot. The
+    // changelog is derived deterministically from events (key =
+    // event_id residue, version order = (ts, event_id), every 10th
+    // version a tombstone); apply = keep each key's LAST version,
+    // drop keys whose last op is D. Plan point: the rank-1 filter
+    // rewrites to WindowGroupLimit, so each key is pruned to ONE row
+    // per map partition BEFORE the shuffle — the latest-wins pass
+    // shuffles ~|keys|·|partitions| rows, not |changelog|; the version
+    // count is a separate partial agg (map-side combine) JOINED back at
+    // key grain, never a count window riding the full row shuffle
+    // (probe: that variant moved the whole 213 MB changelog at 100×;
+    // this one moves 3 MB). Round13cSpec pins the node. The q62
+    // empty-lake contract holds: no changelog → no snapshot.
+    "q71_cdc_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val log = Tables.events(s, dir)
+        .select((col("event_id") % 4096L).as("k"),
+          unix_micros(col("ts")).as("tus"), col("event_id"),
+          when(col("event_id") % 10L === 7L, lit("D"))
+            .otherwise(lit("U")).as("op"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+      val counts = log.groupBy("k").agg(count(lit(1)).as("n_versions"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("tus").desc, col("event_id").desc)
+      log
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1 && col("op") === "U")
+        .join(counts, "k")
+        .select(col("k"), col("v_milli"), col("tus").as("last_tus"),
+          col("n_versions"))
+        .orderBy("k")
+    }),
+
+    // q72 — TIME-WEIGHTED AVERAGE (the MEOS twavg family): the
+    // temporal aggregate that weights each observation by how LONG it
+    // held, not how often it was sampled — the defining scalar of a
+    // tfloat sequence (irregularly-sampled sensors make the plain mean
+    // a lie). Per user over the q12-deduped posit sequence: step-
+    // interpolation TWA (value holds until the next posit), linear-
+    // interpolation TWA (trapezoid), total variation (the 1-D
+    // cumulative-length analog), and duration. Float discipline =
+    // qz31: values quantized to milli-BIGINT, every Σ v·Δt is integer
+    // (order-independent across engines), the TWA itself is ONE double
+    // division at the end. Scale shape: one shuffle on user_id; the
+    // dedupe filter and the interval lead ride the SAME partitioning
+    // (q08's consecutive-dedup rule), and the final rollup is a
+    // partial agg over that co-partitioned stream.
+    "q72_twavg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val wIv = Window.partitionBy("user_id").orderBy(col("tus"))
+      val posits = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+      posits
+        .withColumn("t2", lead("tus", 1).over(wIv))
+        .withColumn("v2", lead("vm", 1).over(wIv))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_posits"),
+          (max("tus") - min("tus")).as("duration_us"),
+          sum(when(col("t2").isNotNull,
+            (col("t2") - col("tus")) * col("vm"))).as("step_num"),
+          sum(when(col("t2").isNotNull,
+            (col("t2") - col("tus")) * (col("vm") + col("v2"))))
+            .as("lin_num2"),
+          sum(when(col("t2").isNotNull, abs(col("v2") - col("vm"))))
+            .as("tv_milli"))
+        .where(col("duration_us") > 0L)
+        .select(col("user_id"), col("n_posits"), col("duration_us"),
+          col("tv_milli"),
+          (col("step_num").cast("double") /
+            col("duration_us").cast("double")).as("twavg_step_milli"),
+          (col("lin_num2").cast("double") /
+            (col("duration_us") * 2L).cast("double"))
+            .as("twavg_lin_milli"))
+        .orderBy("user_id")
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -1091,6 +1175,22 @@ object CoreQueries {
     "qs25_tws_initial_state" -> ((s, dir) =>
       graft.streaming.StreamingReplay
         .transformWithInitialStateReplay(s, dir)),
+
+    // qs27 — twenty-seventh streaming path: the DSv2 envelope
+    // connector's STREAMING read (its third direction after q57's
+    // batch write→read): sink-committed line files drained under a
+    // maxFilesPerBatch rate limit, WKB-decoded in-stream; the emitted
+    // set must equal the batch q57 rollup exactly.
+    "qs27_envelope_stream" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.envelopeStreamReplay(s, dir)),
+
+    // qs26 — twenty-sixth streaming path: the parquet FILE SINK (the
+    // lake-ingest job every production stream ends in) with its
+    // `_spark_metadata` exactly-once manifest under the hash gate — a
+    // planted orphan part file in the sink dir hash-fails any read
+    // path that trusts the listing over the manifest.
+    "qs26_file_sink" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.fileSinkReplay(s, dir)),
 
     // q55 — BUCKETED co-located join (S9): the layout answer to the
     // shuffle question — both sides written bucketed-and-sorted by the
@@ -2482,6 +2582,22 @@ object CoreQueries {
         |FROM events e JOIN su USING (user_id)
         |GROUP BY e.user_id ORDER BY user_id""".stripMargin,
 
+    // the streamed envelope set must equal q57's batch rollup — each
+    // committed line exactly once across the rate-limited micro-batches
+    "qs27_envelope_stream" ->
+      """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
+        |       min(epoch_us(ts)) AS t0_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // every purchase row delivered exactly once through the file sink;
+    // the decoy orphan (user -999) must be invisible to the read-back
+    "qs26_file_sink" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // IS NOT DISTINCT FROM spells <=>; the NULL bucket must join
     "q69_null_safe_join" ->
       """WITH a AS (
@@ -2512,6 +2628,60 @@ object CoreQueries {
         |  CAST(sum(vm) AS BIGINT) AS v_milli,
         |  CAST(sum(coalesce(user_id, 0)) AS BIGINT) AS user_sum
         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // latest version per key by (ts, event_id); keys whose last op is
+    // a tombstone vanish from the snapshot
+    "q71_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT event_id % 4096 AS k, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN event_id % 10 = 7 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events),
+        |r AS (
+        |  SELECT k, op, v_milli, tus,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY tus DESC, event_id DESC) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT)
+        |      AS n_versions
+        |  FROM log)
+        |SELECT k, v_milli, tus AS last_tus, n_versions
+        |FROM r WHERE rk = 1 AND op = 'U'
+        |ORDER BY k""".stripMargin,
+
+    // step/linear TWA over the deduped posit sequence; integer Σ v·Δt
+    // numerators, one double division each (the qz31 discipline)
+    "q72_twavg" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm FROM d
+        |  WHERE pt IS NULL OR pt <> tus),
+        |iv AS (
+        |  SELECT user_id, tus, vm,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS t2,
+        |    lead(vm)  OVER (PARTITION BY user_id ORDER BY tus) AS v2
+        |  FROM p),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_posits,
+        |    max(tus) - min(tus) AS duration_us,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL
+        |      THEN (t2 - tus) * vm END) AS BIGINT) AS step_num,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL
+        |      THEN (t2 - tus) * (vm + v2) END) AS BIGINT) AS lin_num2,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL
+        |      THEN abs(v2 - vm) END) AS BIGINT) AS tv_milli
+        |  FROM iv GROUP BY user_id)
+        |SELECT user_id, n_posits, duration_us, tv_milli,
+        |  CAST(step_num AS DOUBLE) / CAST(duration_us AS DOUBLE)
+        |    AS twavg_step_milli,
+        |  CAST(lin_num2 AS DOUBLE) / CAST(duration_us * 2 AS DOUBLE)
+        |    AS twavg_lin_milli
+        |FROM g WHERE duration_us > 0
+        |ORDER BY user_id""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

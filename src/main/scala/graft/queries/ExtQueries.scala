@@ -7481,6 +7481,106 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // JOIN-FANOUT forecast — price a join BEFORE paying for it: per-key
+    // multiplicity histograms of both sides met at KEY grain (two
+    // partial aggs + one key-grain full-outer join — the join itself is
+    // never materialized), rolled up by decimal magnitude of the
+    // per-key output cardinality a·b. Σ a·b is the exact row count the
+    // real join would emit; the top bucket is the skew mass that decides
+    // salting (qz26) vs a plain shuffle. Bucket 0 = keys present on one
+    // side only (they emit nothing inner, null-pad outer). All integer;
+    // the magnitude bucket is the BIGINT's decimal digit count — no
+    // floating log on either engine.
+    "qz71_join_fanout" -> ((s, dir) => {
+      val a = Tables.events(s, dir)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("a"))
+      val b = Tables.orders(s, dir)
+        .select((col("o_custkey") % 200L).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("b"))
+      a.join(b, Seq("k"), "full_outer")
+        .select(coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+        .withColumn("outn", col("a") * col("b"))
+        .withColumn("bucket", when(col("outn") === 0L, lit(0L))
+          .otherwise(length(col("outn").cast("string")).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"),
+          sum("outn").as("out_rows"),
+          sum("a").as("left_rows"), sum("b").as("right_rows"))
+        .orderBy("bucket")
+    }),
+
+    // K-ANONYMITY risk audit — the privacy gate BEFORE an export (the
+    // prevention-side twin of qz68's right-to-be-forgotten costing):
+    // documents bucketed by the quasi-identifier tuple (lang, source,
+    // length-KB band); a QI class smaller than k re-identifies its
+    // members by elimination. Output: class-size bands with class and
+    // row masses — the "suppress or generalize" decision table. QI
+    // classes are vocabulary-bounded (langs × sources × length bands),
+    // so everything after the one corpus-grain rollup is tiny.
+    "qz72_k_anonymity" -> ((s, dir) => {
+      val cls = Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 1000").as("len_kb"))
+        .groupBy("lang", "source", "len_kb")
+        .agg(count(lit(1)).as("sz"))
+      cls
+        .withColumn("band_lo",
+          when(col("sz") === 1L, 1L).when(col("sz") <= 4L, 2L)
+            .when(col("sz") <= 9L, 5L).otherwise(10L))
+        .withColumn("band",
+          when(col("band_lo") === 1L, "unique")
+            .when(col("band_lo") === 2L, "2-4")
+            .when(col("band_lo") === 5L, "5-9").otherwise("10+"))
+        .groupBy("band_lo", "band")
+        .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"))
+        .orderBy("band_lo")
+    }),
+
+    // WINSORIZATION plan — outlier clamping at EXACT p1/p99 (the value-
+    // cleanup step before any mean-based monitor like qz59 trusts the
+    // column): quantiles by the qx18/qz31 distinct-value histogram rule
+    // (rank r = ceil(q·n), value = first level whose cumulative count
+    // reaches r), then the clamp is priced, not applied — clipped row
+    // masses and the Σ before/after in exact milli units. One corpus-
+    // grain rollup to the value histogram; the ordered pass runs at
+    // distinct-LEVEL grain.
+    "qz73_winsorize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(floor(col("value") * 1000).cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      // GLOBAL-WINDOW BOUND (distinct-value): milli-quantized purchase
+      // levels (the qz31 histogram rule); coarsen the grid if a corpus
+      // ever approaches row-grain distinctness
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = broadcast(hist.agg(sum("c").as("n")))
+      val cum = hist.crossJoin(tot)
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("r01", expr("(n + 99) div 100"))
+        .withColumn("r99", expr("(99 * n + 99) div 100"))
+      val qtl = broadcast(cum.agg(
+        min(when(col("cum") >= col("r01"), col("v"))).as("p01"),
+        min(when(col("cum") >= col("r99"), col("v"))).as("p99"),
+        first(col("n")).as("n")))
+      hist.crossJoin(qtl)
+        .agg(first(col("n")).as("n_rows"),
+          first(col("p01")).as("p01_milli"),
+          first(col("p99")).as("p99_milli"),
+          coalesce(sum(when(col("v") < col("p01"), col("c"))), lit(0L))
+            .as("clipped_lo"),
+          coalesce(sum(when(col("v") > col("p99"), col("c"))), lit(0L))
+            .as("clipped_hi"),
+          sum(col("v") * col("c")).as("sum_milli"),
+          sum(greatest(col("p01"), least(col("p99"), col("v")))
+            * col("c")).as("winsor_sum_milli"))
+        // empty-lake contract: the global agg's one null row (no
+        // purchases at all) drops, matching the twin's GROUP BY
+        .where(col("n_rows").isNotNull)
+    }),
+
     // PSI DISTRIBUTION DRIFT — the population-stability index between
     // the two halves of the observed span (the ML-ops drift gauge next
     // to qz59's mean-shift monitor: PSI sees MIX changes a volume
@@ -9260,6 +9360,75 @@ object ExtQueries {
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
     // the same closed-form water level over sorted caps
+    // two per-key multiplicity rollups met at key grain; the join the
+    // forecast prices is never executed
+    "qz71_join_fanout" ->
+      """WITH a AS (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS a
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT o_custkey % 200 AS k, CAST(count(*) AS BIGINT) AS b
+        |  FROM orders GROUP BY 1),
+        |keyed AS (
+        |  SELECT coalesce(a.a, 0) AS a, coalesce(b.b, 0) AS b,
+        |    coalesce(a.a, 0) * coalesce(b.b, 0) AS outn
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT CASE WHEN outn = 0 THEN 0
+        |    ELSE length(CAST(outn AS VARCHAR)) END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(outn) AS BIGINT) AS out_rows,
+        |  CAST(sum(a) AS BIGINT) AS left_rows,
+        |  CAST(sum(b) AS BIGINT) AS right_rows
+        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // QI class sizes → size-band masses
+    "qz72_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT lang, source, n_chars // 1000 AS len_kb,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1, 2, 3),
+        |banded AS (
+        |  SELECT sz,
+        |    CASE WHEN sz = 1 THEN 1 WHEN sz <= 4 THEN 2
+        |         WHEN sz <= 9 THEN 5 ELSE 10 END AS band_lo,
+        |    CASE WHEN sz = 1 THEN 'unique' WHEN sz <= 4 THEN '2-4'
+        |         WHEN sz <= 9 THEN '5-9' ELSE '10+' END AS band
+        |  FROM cls)
+        |SELECT band_lo, band, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows
+        |FROM banded GROUP BY band_lo, band
+        |ORDER BY band_lo""".stripMargin,
+
+    // exact histogram quantiles at rank ceil(q·n), then the priced clamp
+    "qz73_winsorize" ->
+      """WITH hist AS (
+        |  SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+        |cum AS (
+        |  SELECT v, c, n,
+        |    CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    (n + 99) // 100 AS r01, (99 * n + 99) // 100 AS r99
+        |  FROM hist CROSS JOIN tot),
+        |qtl AS (
+        |  SELECT min(CASE WHEN cum >= r01 THEN v END) AS p01,
+        |    min(CASE WHEN cum >= r99 THEN v END) AS p99,
+        |    CAST(min(n) AS BIGINT) AS n
+        |  FROM cum)
+        |SELECT n AS n_rows, p01 AS p01_milli, p99 AS p99_milli,
+        |  CAST(coalesce(sum(CASE WHEN v < p01 THEN c END), 0)
+        |    AS BIGINT) AS clipped_lo,
+        |  CAST(coalesce(sum(CASE WHEN v > p99 THEN c END), 0)
+        |    AS BIGINT) AS clipped_hi,
+        |  CAST(sum(v * c) AS BIGINT) AS sum_milli,
+        |  CAST(sum(greatest(p01, least(p99, v)) * c) AS BIGINT)
+        |    AS winsor_sum_milli
+        |FROM hist CROSS JOIN qtl
+        |GROUP BY n, p01, p99""".stripMargin,
+
     "qz70_budget_waterfill" ->
       """WITH caps AS (
         |  SELECT source,

@@ -99,25 +99,32 @@ class TripEnvelopeTable(path: String)
   override def schema(): StructType = TripEnvelopeTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new TripEnvelopeScanBuilder(path)
+      : ScanBuilder = new TripEnvelopeScanBuilder(path,
+        options.getInt("maxFilesPerBatch", Int.MaxValue))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TripEnvelopeWriteBuilder(path, info)
 }
 
-class TripEnvelopeScanBuilder(path: String)
+class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = TripEnvelopeTable.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TripEnvelopeScan(path, required)
+  override def build(): Scan =
+    new TripEnvelopeScan(path, required, maxFilesPerBatch)
 }
 
-class TripEnvelopeScan(path: String, required: StructType)
+class TripEnvelopeScan(path: String, required: StructType,
+                       maxFilesPerBatch: Int = Int.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch)
   override def description(): String =
     s"TripEnvelope $path ReadSchema: ${required.catalogString}"
 
@@ -221,6 +228,86 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
   }
 
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------------
+// streaming read side
+// ---------------------------------------------------------------------------
+
+/** Offset for the envelope micro-batch stream: the admitted-prefix
+  * LENGTH of the name-ordered file list. */
+case class TripEnvelopeOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** MicroBatchStream over an envelope directory — the connector's third
+  * direction (batch read / batch write / STREAMING read), so a landing
+  * prefix of sink-committed line files can feed Structured Streaming
+  * directly.
+  *
+  * Offset model: offsets index the NAME-ORDERED visible file list, so an
+  * offset is reconstructible from a listing alone — a restart replans
+  * `(start, end]` from the same sorted listing without any side log.
+  * That is sound because (a) committed files are IMMUTABLE (the write
+  * side renames a hidden temp into place, so a file is complete the
+  * moment it is visible, and aborted attempts never surface) and (b)
+  * arrivals are name-monotonic (the sink's `part-%05d` task numbering;
+  * any producer whose names sort after existing ones qualifies — the
+  * FileStreamSource landing convention). `maxFilesPerBatch` bounds each
+  * admission — the rate-limit knob that keeps a cold start from reading
+  * the whole landing zone as one giant micro-batch. */
+class TripEnvelopeMicroBatchStream(path: String, required: StructType,
+                                   maxFilesPerBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // planning-time state only (driver): the admitted name-sorted prefix
+  private var admitted: Vector[String] = Vector.empty
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private def listSorted(): Vector[String] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf.value)
+    if (!fs.exists(root)) Vector.empty
+    else fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toUri.toString)
+      .sorted.toVector
+  }
+
+  override def initialOffset(): Offset = TripEnvelopeOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val all = listSorted()
+    val take = math.min(all.length.toLong,
+      admitted.length.toLong + maxFilesPerBatch)
+    admitted = all.take(take.toInt)
+    TripEnvelopeOffset(admitted.length.toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[TripEnvelopeOffset].n.toInt
+    val e = end.asInstanceOf[TripEnvelopeOffset].n.toInt
+    // restart path: the admitted prefix is rebuilt from the listing —
+    // name order makes indices stable across driver restarts
+    if (admitted.length < e) admitted = listSorted().take(e)
+    require(admitted.length >= e,
+      s"envelope stream lost files: offset $e, listing ${admitted.length}")
+    admitted.slice(s, e)
+      .map(f => TripEnvelopeInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TripEnvelopeReaderFactory(required.fieldNames, conf)
+
+  override def deserializeOffset(json: String): Offset =
+    TripEnvelopeOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 // ---------------------------------------------------------------------------

@@ -915,6 +915,123 @@ object StreamingReplay {
       .orderBy("day", "event_type")
   }
 
+  // staged OUTPUT of the parquet file-sink replay, keyed by dir
+  private val fileSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replay events(dir) through the streaming parquet FILE SINK — the
+    * production lake-ingest job (readStream → stateless transform →
+    * `writeStream.format("parquet")`) and the exactly-once story the
+    * memory-sink rows can't check: the sink commits each micro-batch by
+    * appending to the `_spark_metadata` manifest, and a BATCH read of
+    * the sink directory trusts the MANIFEST, never the listing. After
+    * the run the replay plants a DECOY part file (the orphan a crashed
+    * task attempt leaves behind) in the output dir; a read-back that
+    * honored the listing would count the decoy's rows and hash-fail —
+    * so the oracle gate covers both the sink's delivery (every purchase
+    * row exactly once across 3 micro-batches) and the manifest's abort
+    * invisibility (declared as `qs26_file_sink`). */
+  def fileSinkReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outDir = Option(fileSinkCache.get(dir)).getOrElse {
+      stagedWindowChunks(spark, dir) match {
+        case None => // suite-wide contract: empty input → empty output
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, n BIGINT, v_milli BIGINT"))
+        case Some((srcDirStr, _)) =>
+          val out = java.nio.file.Files
+            .createTempDirectory("qs26-sink").toString
+          val table = s"qs26_replay_${runSeq.incrementAndGet()}"
+          val schema =
+            implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+          val q = spark.readStream
+            .option("maxFilesPerTrigger", "1")
+            .schema(schema).parquet(srcDirStr)
+            .where(col("event_type") === "purchase") // drops sentinel too
+            .select(col("user_id"), col("event_id"),
+              floor(col("value") * 1000).cast("long").as("v_milli"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckptFor(table))
+            .outputMode(OutputMode.Append()).start()
+          try q.processAllAvailable() finally q.stop()
+          // the decoy: schema-identical rows under a part-file name the
+          // listing would pick up — only the manifest keeps it invisible
+          val decoyTmp = java.nio.file.Files
+            .createTempDirectory("qs26-decoy")
+          spark.range(1).select(lit(-999L).as("user_id"),
+            lit(-1L).as("event_id"), lit(1000000L).as("v_milli"))
+            .coalesce(1).write.mode("overwrite").parquet(decoyTmp.toString)
+          val part = new java.io.File(decoyTmp.toString).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, java.nio.file.Paths
+            .get(out, "part-00042-decoy-c000.snappy.parquet"))
+          decoyTmp.toFile.listFiles().foreach(_.delete())
+          java.nio.file.Files.delete(decoyTmp)
+          Option(fileSinkCache.putIfAbsent(dir, out)).getOrElse(out)
+      }
+    }
+    spark.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v_milli").as("v_milli"))
+      .orderBy("user_id")
+  }
+
+  // staged envelope dir for the DSv2 streaming read, keyed by dir
+  private val envStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stream-read the DSv2 trip envelope — the connector's THIRD
+    * direction (q57 gates batch write → batch read; this row gates
+    * batch write → STREAMING read): trips assembled from events(dir)
+    * land as sink-committed line files, then
+    * `readStream.format("trip-envelope")` drains them under
+    * `maxFilesPerBatch=3` (several micro-batches, the rate-limited
+    * cold-start path), each envelope decoded back through the WKB codec
+    * in-stream. The emitted set must equal the batch q57 rollup — an
+    * envelope line delivered zero or two times hash-fails (declared as
+    * `qs27_envelope_stream`). */
+  def envelopeStreamReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meos.{Assembly, MeosFunctions, NativeExpressions}
+    val staged = Option(envStreamCache.get(dir)).getOrElse {
+      val asm = Assembly.tpointAssemble()
+      val trips = graft.Tables.events(spark, dir)
+        .withColumn("y", length(col("props")).cast("double"))
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+          col("y")).as("st"))
+        .select(col("user_id").as("id"), lit(1).as("vt"),
+          NativeExpressions.tgeompointAsHexWkb(
+            Assembly.tpointVal(col("st"))).as("json"))
+      val d = java.nio.file.Files
+        .createTempDirectory("qs27-envelope").toString
+      trips.write.format("trip-envelope").mode("overwrite").save(d)
+      Option(envStreamCache.putIfAbsent(dir, d)).getOrElse(d)
+    }
+
+    val table = s"qs27_replay_${runSeq.incrementAndGet()}"
+    val q = spark.readStream.format("trip-envelope")
+      .option("maxFilesPerBatch", "3")
+      .load(staged)
+      .select(col("id").as("user_id"),
+        NativeExpressions.tgeompointFromHexWkb(col("json")).as("trip"))
+      .select(col("user_id"),
+        MeosFunctions.tgeompointNumInstants(col("trip"))
+          .cast("long").as("n"),
+        unix_micros(MeosFunctions.tgeompointStartTs(col("trip")))
+          .as("t0_us"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(table)
+      .option("checkpointLocation", ckptFor(table)).start()
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+    sunk.orderBy("user_id")
+  }
+
   // staged input for the two-source union replay, keyed by dir
   private val unionStageCache =
     new java.util.concurrent.ConcurrentHashMap[String,

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-value fixtures + plan pins for the late round-13 batch
+  * (q71/q72/qs26/qz71/qz72/qz73) — the Round12Spec §2.25 discipline:
+  * every new operator gets a planted input whose answer is computable
+  * by hand, so the DuckDB hash gate is backed by a human-checked
+  * expected value, not just cross-engine agreement. */
+class Round13cSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r13cev").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def plantOrders(rows: Seq[(Long, Long)], dir: String): String = {
+    rows.toDF("o_orderkey", "o_custkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("O").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+        timestamp_micros(lit(0L)).as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  private def plantDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r13cdoc").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- q71: CDC changelog apply by hand ------------------------------------
+
+  test("q71 cdc apply: latest version wins, a trailing tombstone kills " +
+    "the key, a tombstone overwritten by a later upsert survives") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      // key 5: two upserts — the later ts (event 4101 @ 20s) wins
+      (5L, 10L * S, 1L, "click", 1.111),
+      (4101L, 20L * S, 1L, "click", 2.222),
+      // key 7: single version, op D (7 % 10 == 7) → key absent
+      (7L, 10L * S, 1L, "click", 3.333),
+      // key 17: upsert at 10s, tombstone (4113 % 10 = 3 → U! pick ids
+      // carefully) — use 9233 % 10 = 3 → U … we want LAST = D: event 17
+      // (op D) at the LATER ts kills the earlier upsert 4113
+      (4113L, 10L * S, 1L, "click", 4.444),
+      (17L, 30L * S, 1L, "click", 5.555),
+      // key 33: tombstone at 10s (8129 % 10 ≠ 7 … use 4097? 4097 % 4096
+      // = 1 — keys must collide mod 4096) — event 33 itself is U
+      // (33 % 10 = 3); partner 4129 (% 4096 = 33, % 10 = 9 → U)
+      (33L, 10L * S, 1L, "click", 6.0),
+      (4129L, 40L * S, 1L, "click", 7.25)))
+    val out = queries.CoreQueries.queries("q71_cdc_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (5L, 2222L, 20L * S, 2L),    // floor(2.222·1000) = 2222
+      (33L, 7250L, 40L * S, 2L)),  // 7.25 → 7250
+      out.toSeq.toString)
+    // keys 7 and 17 (last op D) must be absent
+    assert(!out.map(_._1).toSet.exists(Set(7L, 17L)), out.toSeq.toString)
+  }
+
+  test("q71 plan: the latest-wins rank filter runs as WindowGroupLimit " +
+    "— each key pruned to one row map-side before the shuffle") {
+    val p = queries.CoreQueries.queries("q71_cdc_apply")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  // ---- q72: time-weighted average by hand -----------------------------------
+
+  test("q72 twavg: step/linear TWA, total variation and duration over a " +
+    "hand trajectory; a duplicate-ts posit is dropped by first-event-id") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      // user 1: (0s, 1.0) (10s, 3.0) (30s, 2.0) — the worked example
+      (1L, 0L, 1L, "click", 1.0),
+      (2L, 10L * S, 1L, "click", 3.0),
+      // duplicate ts with HIGHER event_id: must be ignored (q12 rule)
+      (9L, 10L * S, 1L, "click", 99.0),
+      (3L, 30L * S, 1L, "click", 2.0)))
+    val out = queries.CoreQueries.queries("q72_twavg")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // step: (1000·10M + 3000·20M) / 30M = 70e9 / 30e6
+    // linear: (4000·10M + 5000·20M) / 60M = 140e9 / 60e6
+    // tv: |3000−1000| + |2000−3000| = 3000
+    assert(out.toSeq == Seq(
+      (1L, 3L, 30L * S, 3000L, 70e9 / 30e6, 140e9 / 60e6)),
+      out.toSeq.toString)
+  }
+
+  test("q72 plan: dedupe window, interval lead and the user rollup ride " +
+    "ONE shuffle — a single hash exchange on user_id") {
+    val p = queries.CoreQueries.queries("q72_twavg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n$p")
+  }
+
+  // ---- qz71: join-fanout forecast by hand -----------------------------------
+
+  test("qz71 join fanout: per-key a·b rolled up by decimal magnitude; " +
+    "one-sided keys land in bucket 0") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 1L * S, 1L, "click", 1.0), (2L, 2L * S, 1L, "click", 1.0),
+      (3L, 3L * S, 1L, "click", 1.0),                    // user 1: a=3
+      (4L, 4L * S, 2L, "click", 1.0), (5L, 5L * S, 2L, "click", 1.0)))
+    plantOrders(Seq((1L, 1L), (2L, 201L),                // k=1: b=2
+      (3L, 2L),                                          // k=2: b=1
+      (4L, 55L)), dir)                                   // k=55: right-only
+    val out = queries.ExtQueries.queries("qz71_join_fanout")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // key 1: 3·2=6, key 2: 2·1=2 → bucket 1 (1 digit): keys 2, rows 8
+    // key 55: right-only → bucket 0: keys 1, rows 0, right mass 1
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 1L),
+      (1L, 2L, 8L, 5L, 3L)), out.toSeq.toString)
+  }
+
+  // ---- qz72: k-anonymity bands by hand ---------------------------------------
+
+  test("qz72 k-anonymity: a unique QI class and a 5-member class band " +
+    "correctly with exact masses") {
+    val dir = plantDocs(Seq(
+      (1L, "a" * 10), (2L, "b" * 20), (3L, "c" * 30), (4L, "d" * 40),
+      (5L, "e" * 50),                  // five docs in (en, src0, 0 KB)
+      (6L, "f" * 1500)))               // one doc in (en, src0, 1 KB)
+    val out = queries.ExtQueries.queries("qz72_k_anonymity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "unique", 1L, 1L),
+      (5L, "5-9", 1L, 5L)), out.toSeq.toString)
+  }
+
+  // ---- qz73: winsorization plan by hand ---------------------------------------
+
+  test("qz73 winsorize: exact p1/p99 at rank ceil(q·n) over 200 levels, " +
+    "clipped masses and the clamped sum priced exactly") {
+    val S = 1_000_000L
+    val dir = plantEvents((1L to 200L).map(i =>
+      (i, i * S, 1L, "purchase", i.toDouble)))
+    val out = queries.ExtQueries.queries("qz73_winsorize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // n=200: r01 = ceil(2) = 2 → p01 = 2000; r99 = ceil(198) → 198000
+    // clipped: 1 below (v=1000), 2 above (199000, 200000)
+    // sum = 1000·Σ1..200 = 20_100_000
+    // winsor = sum + (2000−1000) − (199000−198000) − (200000−198000)
+    assert(out.toSeq == Seq(
+      (200L, 2000L, 198000L, 1L, 2L, 20_100_000L, 20_098_000L)),
+      out.toSeq.toString)
+  }
+
+  // ---- qs26: file sink exactly-once + decoy invisibility ---------------------
+
+  test("qs26 file sink: every purchase row lands exactly once through " +
+    "the manifest-committed sink; the planted orphan part file is " +
+    "invisible to the read-back") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 1L * S, 1L, "purchase", 1.5),
+      (2L, 2L * S, 1L, "purchase", 2.5),
+      (3L, 3L * S, 2L, "purchase", 3.0),
+      (4L, 4L * S, 2L, "click", 9.9)))   // non-purchase: filtered
+    val out = queries.CoreQueries.queries("qs26_file_sink")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // decoy user −999 absent ⇒ the batch read honored _spark_metadata
+    assert(out.toSeq == Seq((1L, 2L, 4000L), (2L, 1L, 3000L)),
+      out.toSeq.toString)
+  }
+}

@@ -23,7 +23,7 @@ import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfprobe1"
-R = 10  # replication factor
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10  # replication factor
 
 import os
 os.makedirs(out, exist_ok=True)
