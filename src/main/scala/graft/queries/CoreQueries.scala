@@ -1024,6 +1024,75 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q73 — POINT-IN-TIME lookup against the SCD2 dimension (qz50's
+    // consumer — the warehouse pattern every versioned-dim join runs):
+    // for each purchase, the state the user was in the INSTANT BEFORE
+    // the purchase (version with vf ≤ t−1 ≤ vt; the version at t
+    // itself would tautologically read 'purchase'). LEFT join: a
+    // user's first-ever event has no prior version → 'none'. Scale
+    // shape: an equi-join on user_id with a range residual — versions
+    // per user are bounded by that user's type-change count, so the
+    // per-key fanout is small and the join stays a plain shuffled
+    // hash/merge join (no interval machinery needed).
+    "q73_scd2_lookup" -> ((s, dir) => {
+      val dim = ExtQueries.queries("qz50_scd2_intervals")(s, dir)
+        .select(col("user_id").as("d_uid"), col("ver"),
+          col("event_type").as("prior_state"), col("vf_us"),
+          col("vt_us"))
+      val probes = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      probes.join(dim,
+          probes("user_id") === dim("d_uid") &&
+            dim("vf_us") <= probes("p_us") - 1L &&
+            (dim("vt_us").isNull ||
+              probes("p_us") - 1L <= dim("vt_us")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("p_us"),
+          coalesce(col("prior_state"), lit("none")).as("prior_state"),
+          coalesce(col("ver"), lit(0L)).as("prior_ver"))
+        .orderBy("event_id")
+    }),
+
+    // q74 — TIME ABOVE THRESHOLD (the MEOS atValues/duration family,
+    // q72's restriction sibling): per user under step interpolation,
+    // how long the value HELD above X, how often it CROSSED X, and the
+    // share of the observed span spent above — the alarm-dwell query
+    // every sensor fleet runs. Same float discipline and same
+    // one-shuffle shape as q72 (dedupe + lead + rollup co-partitioned
+    // on user_id); the share is ONE double division.
+    "q74_at_threshold" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val X = 245000L // milli threshold (mid-range of the value domain)
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val wIv = Window.partitionBy("user_id").orderBy(col("tus"))
+      val posits = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+      posits
+        .withColumn("t2", lead("tus", 1).over(wIv))
+        .withColumn("v2", lead("vm", 1).over(wIv))
+        .groupBy("user_id")
+        .agg((max("tus") - min("tus")).as("duration_us"),
+          coalesce(sum(when(col("t2").isNotNull && col("vm") > X,
+            col("t2") - col("tus"))), lit(0L)).as("above_us"),
+          coalesce(sum(when(col("t2").isNotNull &&
+            ((col("vm") > X) =!= (col("v2") > X)), 1L)
+            .otherwise(when(col("t2").isNotNull, 0L))), lit(0L))
+            .as("n_crossings"))
+        .where(col("duration_us") > 0L)
+        .select(col("user_id"), col("duration_us"), col("above_us"),
+          col("n_crossings"),
+          (col("above_us").cast("double") /
+            col("duration_us").cast("double")).as("share_above"))
+        .orderBy("user_id")
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -2680,6 +2749,76 @@ object CoreQueries {
         |    AS twavg_step_milli,
         |  CAST(lin_num2 AS DOUBLE) / CAST(duration_us * 2 AS DOUBLE)
         |    AS twavg_lin_milli
+        |FROM g WHERE duration_us > 0
+        |ORDER BY user_id""".stripMargin,
+
+    // the qz50 interval CTE joined as-of the instant BEFORE each
+    // purchase; first-ever events fall through the left join to 'none'
+    "q73_scd2_lookup" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR event_type <> lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS ver
+        |  FROM m),
+        |v AS (
+        |  SELECT user_id, ver, min(event_type) AS event_type,
+        |    CAST(min(us) AS BIGINT) AS vf_us
+        |  FROM r GROUP BY user_id, ver),
+        |dim AS (
+        |  SELECT user_id AS d_uid, ver, event_type AS prior_state,
+        |    vf_us,
+        |    lead(vf_us) OVER (PARTITION BY user_id ORDER BY ver) - 1
+        |      AS vt_us
+        |  FROM v),
+        |probes AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.p_us,
+        |  coalesce(d.prior_state, 'none') AS prior_state,
+        |  coalesce(d.ver, 0) AS prior_ver
+        |FROM probes p LEFT JOIN dim d
+        |  ON p.user_id = d.d_uid AND d.vf_us <= p.p_us - 1
+        |  AND (d.vt_us IS NULL OR p.p_us - 1 <= d.vt_us)
+        |ORDER BY event_id""".stripMargin,
+
+    // step-interpolation dwell above X over the deduped posit sequence
+    "q74_at_threshold" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm FROM d
+        |  WHERE pt IS NULL OR pt <> tus),
+        |iv AS (
+        |  SELECT user_id, tus, vm,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS t2,
+        |    lead(vm)  OVER (PARTITION BY user_id ORDER BY tus) AS v2
+        |  FROM p),
+        |g AS (
+        |  SELECT user_id,
+        |    max(tus) - min(tus) AS duration_us,
+        |    CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL AND vm > 245000
+        |      THEN t2 - tus END), 0) AS BIGINT) AS above_us,
+        |    CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL
+        |      AND (vm > 245000) <> (v2 > 245000) THEN 1
+        |      WHEN t2 IS NOT NULL THEN 0 END), 0) AS BIGINT)
+        |      AS n_crossings
+        |  FROM iv GROUP BY user_id)
+        |SELECT user_id, duration_us, above_us, n_crossings,
+        |  CAST(above_us AS DOUBLE) / CAST(duration_us AS DOUBLE)
+        |    AS share_above
         |FROM g WHERE duration_us > 0
         |ORDER BY user_id""".stripMargin,
 

@@ -7481,6 +7481,59 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // COMPOSED PIPELINE #10 — the PRIVACY EXPORT: what actually ships
+    // when a lake leaves the building. Three stages in ONE plan:
+    // (1) the qx63 PII staging (the corpus is clean, so the gate input
+    // carries a deterministic email/URL/UUID/order appendix per doc);
+    // (2) the qz72 k-anonymity gate — QI classes (lang, source,
+    // length-KB) smaller than 5 are SUPPRESSED, not generalized;
+    // (3) the survivors scrubbed (sequential class masking, counts =
+    // the redaction audit) and rolled into a per-source export
+    // manifest: docs in / suppressed / out, clean chars, masked-PII
+    // mass. Scale shape: the class rollup is vocabulary-bounded and
+    // broadcast; the scrub is a narrow codegen'd projection fused into
+    // the survivors' scan.
+    "qp10_privacy_export" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val staged = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"), col("source"),
+        expr("n_chars div 1000").as("len_kb"),
+        concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.com see http://"), col("source"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" session "),
+          substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+          substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+          substring(h, 21, 12),
+          lit(" order #"), (col("doc_id") * 37).cast("string"))
+          .as("t0"))
+      val cls = staged.groupBy("lang", "source", "len_kb")
+        .agg(count(lit(1)).as("sz"))
+      // BROADCAST BOUND (enum-group): one row per QI class — langs ×
+      // sources × length-KB bands, a vocabulary however large the corpus
+      val gated = staged.join(broadcast(cls),
+        Seq("lang", "source", "len_kb"))
+      val outMass = gated.where(col("sz") >= 5L)
+        .select(col("source"), Text.scrubPii(col("t0")).as("p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_out"),
+          sum(length(col("p.text")).cast("long")).as("chars_out"),
+          sum(col("p.n_email") + col("p.n_url") + col("p.n_uuid") +
+            col("p.n_num")).as("pii_masked"))
+      staged.groupBy("source").agg(count(lit(1)).as("docs_in"))
+        .join(gated.where(col("sz") < 5L).groupBy("source")
+          .agg(count(lit(1)).as("docs_suppressed")), Seq("source"),
+          "left")
+        .join(outMass, Seq("source"), "left")
+        .select(col("source"), col("docs_in"),
+          coalesce(col("docs_suppressed"), lit(0L))
+            .as("docs_suppressed"),
+          coalesce(col("docs_out"), lit(0L)).as("docs_out"),
+          coalesce(col("chars_out"), lit(0L)).as("chars_out"),
+          coalesce(col("pii_masked"), lit(0L)).as("pii_masked"))
+        .orderBy("source")
+    }),
+
     // JOIN-FANOUT forecast — price a join BEFORE paying for it: per-key
     // multiplicity histograms of both sides met at KEY grain (two
     // partial aggs + one key-grain full-outer join — the join itself is
@@ -9360,6 +9413,72 @@ object ExtQueries {
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
     // the same closed-form water level over sorted caps
+    // the qx63 staging/scrub chain gated by the qz72 class-size rule,
+    // rolled into the per-source export manifest
+    "qp10_privacy_export" ->
+      """WITH staged AS (
+        |  SELECT doc_id, lang, source, n_chars // 1000 AS len_kb,
+        |    text || ' contact ' || source ||
+        |    '@example.com see http://' || source || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) || ' session ' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 21, 12) ||
+        |    ' order #' || CAST(doc_id * 37 AS VARCHAR) AS t0
+        |  FROM documents),
+        |cls AS (
+        |  SELECT lang, source, len_kb, CAST(count(*) AS BIGINT) AS sz
+        |  FROM staged GROUP BY 1, 2, 3),
+        |gated AS (
+        |  SELECT s.*, c.sz FROM staged s
+        |  JOIN cls c USING (lang, source, len_kb)),
+        |s1 AS (SELECT source, sz,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  regexp_replace(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM gated WHERE sz >= 5),
+        |s2 AS (SELECT source, sz, n_email,
+        |  CAST(len(regexp_extract_all(t1, 'https?://[^\s]+'))
+        |    AS BIGINT) AS n_url,
+        |  regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT source, sz, n_email, n_url,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-' ||
+        |    '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')) AS BIGINT) AS n_uuid,
+        |  regexp_replace(t2,
+        |    '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-' ||
+        |    '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<UUID>', 'g') AS t3
+        |  FROM s2),
+        |s4 AS (SELECT source, sz, n_email, n_url, n_uuid,
+        |  CAST(len(regexp_extract_all(t3, '[0-9]{2,}')) AS BIGINT)
+        |    AS n_num,
+        |  regexp_replace(t3, '[0-9]{2,}', '<NUM>', 'g') AS t4 FROM s3),
+        |outm AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs_out,
+        |    CAST(sum(len(t4)) AS BIGINT) AS chars_out,
+        |    CAST(sum(n_email + n_url + n_uuid + n_num) AS BIGINT)
+        |      AS pii_masked
+        |  FROM s4 GROUP BY source),
+        |inm AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs_in
+        |  FROM staged GROUP BY source),
+        |supp AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs_suppressed
+        |  FROM gated WHERE sz < 5 GROUP BY source)
+        |SELECT i.source, i.docs_in,
+        |  coalesce(s.docs_suppressed, 0) AS docs_suppressed,
+        |  coalesce(o.docs_out, 0) AS docs_out,
+        |  coalesce(o.chars_out, 0) AS chars_out,
+        |  coalesce(o.pii_masked, 0) AS pii_masked
+        |FROM inm i LEFT JOIN supp s USING (source)
+        |LEFT JOIN outm o USING (source)
+        |ORDER BY source""".stripMargin,
+
     // two per-key multiplicity rollups met at key grain; the join the
     // forecast prices is never executed
     "qz71_join_fanout" ->

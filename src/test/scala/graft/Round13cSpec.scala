@@ -168,6 +168,66 @@ class Round13cSpec extends SparkTestBase {
       out.toSeq.toString)
   }
 
+  // ---- q73: SCD2 point-in-time lookup by hand --------------------------------
+
+  test("q73 scd2 lookup: each purchase reads the version valid the " +
+    "instant before it; a first-ever purchase reads 'none'") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 10L * S, 1L, "click", 1.0),
+      (2L, 20L * S, 1L, "purchase", 1.0),
+      (3L, 30L * S, 1L, "purchase", 1.0),
+      (4L, 40L * S, 1L, "view", 1.0),
+      (5L, 50L * S, 1L, "purchase", 1.0),
+      (10L, 5L * S, 2L, "purchase", 1.0)))
+    val out = queries.CoreQueries.queries("q73_scd2_lookup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (2L, 1L, 20L * S, "click", 1L),     // v1 click [10s, 20s)
+      (3L, 1L, 30L * S, "purchase", 2L),  // v2 purchase [20s, 40s)
+      (5L, 1L, 50L * S, "view", 3L),      // v3 view [40s, 50s)
+      (10L, 2L, 5L * S, "none", 0L)),     // first-ever event
+      out.toSeq.toString)
+  }
+
+  // ---- q74: time above threshold by hand --------------------------------------
+
+  test("q74 at-threshold: step-interpolation dwell above X, crossing " +
+    "count and share over a hand trajectory") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 0L, 1L, "click", 100.0),
+      (2L, 10L * S, 1L, "click", 300.0),
+      (3L, 20L * S, 1L, "click", 200.0),
+      (4L, 40L * S, 1L, "click", 250.0),
+      (5L, 50L * S, 1L, "click", 240.0)))
+    val out = queries.CoreQueries.queries("q74_at_threshold")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // above X=245: [10s,20s) at 300 and [40s,50s) at 250 → 20 s of 50 s;
+    // crossings: 100→300, 300→200, 200→250, 250→240 = 4
+    assert(out.toSeq == Seq((1L, 50L * S, 20L * S, 4L, 0.4)),
+      out.toSeq.toString)
+  }
+
+  // ---- qp10: privacy export pipeline by hand -----------------------------------
+
+  test("qp10 privacy export: the unique QI class is suppressed, " +
+    "survivors are scrubbed, and the manifest masses are exact") {
+    val dir = plantDocs(Seq(
+      (1L, "a" * 10), (2L, "b" * 20), (3L, "c" * 30), (4L, "d" * 40),
+      (5L, "e" * 50),                 // class (en, src0, 0 KB): size 5
+      (6L, "f" * 1500)))              // class (en, src0, 1 KB): unique
+    val out = queries.ExtQueries.queries("qp10_privacy_export")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // each survivor's scrub: 1 email + 1 URL + 1 UUID + 1 number = 4;
+    // scrubbed appendix is 54 chars, so chars_out = (10+…+50) + 5·54
+    assert(out.toSeq == Seq(("src0", 6L, 1L, 5L, 420L, 20L)),
+      out.toSeq.toString)
+  }
+
   // ---- qs26: file sink exactly-once + decoy invisibility ---------------------
 
   test("qs26 file sink: every purchase row lands exactly once through " +
