@@ -7481,6 +7481,83 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // PARQUET LAYOUT audit — the storage-health check a 100 TB lake
+    // runs before anything else: per row group, rows and compressed/
+    // uncompressed byte masses straight from the FOOTERS (row-group
+    // sizing decides scan parallelism, predicate-skipping granularity
+    // and memory per task; a lake of 100 MB groups and a lake of 1 MB
+    // groups read very differently). Metadata-grain by nature: the
+    // driver reads footers only (a planner's file-listing posture),
+    // never data — the frame is |files × row groups| however big the
+    // lake. The twin reads the SAME files through DuckDB's
+    // parquet_metadata, so both engines must agree bit-for-bit on the
+    // physical layout.
+    "qz75_parquet_layout" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val conf = s.sessionState.newHadoopConf()
+      val out = LayoutTables.flatMap { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath).sortBy(_.getName).toSeq
+          else Seq(p)
+        var rg = -1L
+        files.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toList.map { b =>
+            rg += 1
+            (t, rg, b.getRowCount, b.getCompressedSize,
+              b.getTotalByteSize)
+          } finally r.close()
+        }
+      }
+      lastLayoutDir = Some(dir)
+      import s.implicits._
+      out.toDF("tbl", "row_group", "n_rows", "comp_bytes",
+        "uncomp_bytes").orderBy("tbl", "row_group")
+    }),
+
+    // WATERMARK-SIZING audit — how late does data actually arrive,
+    // i.e. what delay should `withWatermark` carry before the qs rows'
+    // settings are anything but a guess. The corpus's ingest order is
+    // perfectly time-sorted (driver generator), so arrival skew is
+    // STAGED like qx63 stages PII: 4 ingest shards, shard i delivering
+    // i·2 h late — then the audit measures each event against the
+    // watermark the previous arrival-DAYS established (exactly the
+    // batch-boundary watermark Structured Streaming computes). Shape =
+    // qz47's calendar-carry rule: per-day max (partial agg), one
+    // day-grain running max, lateness histogram at hour grain. All
+    // integer; shares in ppm.
+    "qz74_watermark_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("us"),
+          (col("event_id") % 4L).as("shard"))
+        .withColumn("arr_day",
+          expr("(us + shard * 7200000000) div 86400000000"))
+      val dayMax = ev.groupBy("arr_day").agg(max("us").as("dmax"))
+      // GLOBAL-WINDOW BOUND (calendar): one row per observed arrival
+      // day — span-bounded at any corpus scale
+      val w = Window.orderBy("arr_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dayMax.withColumn("wm", max("dmax").over(w))
+        .select("arr_day", "wm")
+      val lat = ev.join(carry, Seq("arr_day"))
+        .select(expr("greatest(0, coalesce(wm - us, 0)) div 3600000000")
+          .as("late_h"))
+      val tot = broadcast(lat.agg(count(lit(1)).as("total")))
+      lat.groupBy("late_h").agg(count(lit(1)).as("n"))
+        .crossJoin(tot)
+        .select(col("late_h"), col("n"),
+          expr("n * 1000000 div total").as("ppm"))
+        .orderBy("late_h")
+    }),
+
     // COMPOSED PIPELINE #10 — the PRIVACY EXPORT: what actually ships
     // when a lake leaves the building. Three stages in ONE plan:
     // (1) the qx63 PII staging (the corpus is clean, so the gate input
@@ -8998,7 +9075,30 @@ object ExtQueries {
        |FROM t JOIN m ON m.cell = t.cell ORDER BY t.cell""".stripMargin
   }
 
+  /** qz75's dir capture for its metadata twin (the qe36 single-global
+    * rule: ONE key, captured when the query runs). */
+  @volatile private var lastLayoutDir: Option[String] = None
+
+  private val LayoutTables =
+    Seq("events", "documents", "embeddings", "lineitem", "orders")
+
+  /** DuckDB twin of qz75: the SAME files' footers through
+    * `parquet_metadata` — per row group, rows and the column-chunk
+    * compressed/uncompressed sums. */
+  private def qz75Sql(dir: String): String =
+    LayoutTables.map { t =>
+      s"""SELECT '$t' AS tbl, CAST(row_group_id AS BIGINT) AS row_group,
+         |  CAST(min(row_group_num_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(total_compressed_size) AS BIGINT) AS comp_bytes,
+         |  CAST(sum(total_uncompressed_size) AS BIGINT) AS uncomp_bytes
+         |FROM parquet_metadata('$dir/$t.parquet')
+         |GROUP BY row_group_id""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY tbl, row_group")
+
   def oracle: Map[String, String] = staticOracle ++
+    lastLayoutDir.map(d =>
+      Map("qz75_parquet_layout" -> qz75Sql(d))).getOrElse(Map.empty) ++
     (for {
       (servKey, halfDir) <- lastQe36Keys
       a <- Similarity.fittedCentroidsFloatFor(servKey)
@@ -9413,6 +9513,31 @@ object ExtQueries {
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
     // the same closed-form water level over sorted caps
+    // the staged 4-shard arrival clock, the day-grain watermark carry,
+    // and the hour-grain lateness histogram
+    "qz74_watermark_audit" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us, event_id % 4 AS shard
+        |  FROM events),
+        |e2 AS (
+        |  SELECT us,
+        |    (us + shard * 7200000000) // 86400000000 AS arr_day
+        |  FROM ev),
+        |dm AS (SELECT arr_day, max(us) AS dmax FROM e2 GROUP BY 1),
+        |carry AS (
+        |  SELECT arr_day, max(dmax) OVER (ORDER BY arr_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM dm),
+        |lat AS (
+        |  SELECT greatest(0, coalesce(wm - us, 0)) // 3600000000
+        |    AS late_h
+        |  FROM e2 JOIN carry USING (arr_day)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lat)
+        |SELECT late_h, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) * 1000000 // total AS BIGINT) AS ppm
+        |FROM lat CROSS JOIN tot
+        |GROUP BY late_h, total ORDER BY late_h""".stripMargin,
+
     // the qx63 staging/scrub chain gated by the qz72 class-size rule,
     // rolled into the per-source export manifest
     "qp10_privacy_export" ->

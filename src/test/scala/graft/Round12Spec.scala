@@ -23,7 +23,7 @@ class Round12Spec extends SparkTestBase {
     "calendar", "label-vocab", "inherent-global-report")
 
   private val expectedSites = Map(
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 30, // +qz70 (label-vocab), +qz73 (distinct-value)
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 31, // +qz70 (label-vocab), +qz73 (distinct-value), +qz74 (calendar)
     "src/main/scala/graft/queries/CoreQueries.scala" -> 1,
     "src/main/scala/graft/ext/Models.scala" -> 1)
 

@@ -228,6 +228,47 @@ class Round13cSpec extends SparkTestBase {
       out.toSeq.toString)
   }
 
+  // ---- qz74: watermark audit by hand -------------------------------------------
+
+  test("qz74 watermark audit: a shard-delayed event lands behind the " +
+    "previous arrival-day's max and books its lateness; on-time mass " +
+    "books zero") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      // shard 0 (event_id % 4 == 0): ts 23:00 day 0 → arrives day 0
+      (4L, 82800L * S, 1L, "click", 1.0),
+      // shard 1: ts 22:00 day 0 + 2 h delay → arrives day 1, and the
+      // day-0 watermark (23:00) makes it 1 h late
+      (1L, 79200L * S, 1L, "click", 1.0),
+      // shard 0: ts 01:00 day 1 → arrives day 1, ahead of the carry
+      (8L, 90000L * S, 1L, "click", 1.0)))
+    val out = queries.ExtQueries.queries("qz74_watermark_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 666666L),
+      (1L, 1L, 333333L)), out.toSeq.toString)
+  }
+
+  // ---- qz75: parquet layout vs the engine's own row counts ----------------------
+
+  test("qz75 parquet layout: footer row masses equal the engine's row " +
+    "counts per table (the byte masses are gated bit-for-bit by the " +
+    "parquet_metadata twin)") {
+    val out = queries.ExtQueries.queries("qz75_parquet_layout")(
+      spark, sfDir).collect()
+    val byTbl = out.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(2)).sum }
+    for (t <- Seq("events", "documents", "embeddings", "lineitem",
+        "orders")) {
+      val want =
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else spark.read.parquet(s"$sfDir/$t.parquet").count()
+      assert(byTbl(t) == want, s"$t: footer ${byTbl(t)} != scan $want")
+    }
+    assert(out.forall(r => r.getLong(3) > 0L && r.getLong(4) > 0L),
+      "zero byte masses")
+  }
+
   // ---- qs26: file sink exactly-once + decoy invisibility ---------------------
 
   test("qs26 file sink: every purchase row lands exactly once through " +
