@@ -53,6 +53,10 @@ object CoreQueries {
   private val csvStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q75's staged JSONL-with-planted-corruption dir, keyed by dir
+  private val jsonStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
@@ -1091,6 +1095,117 @@ object CoreQueries {
           (col("above_us").cast("double") /
             col("duration_us").cast("double")).as("share_above"))
         .orderBy("user_id")
+    }),
+
+    // q75 — CORRUPT-RECORD handling (the ingestion surface q57's
+    // fail-loud envelope deliberately lacks): a landing zone is never
+    // clean, and PERMISSIVE mode with columnNameOfCorruptRecord is how
+    // a lake ingests anyway — good rows parse, bad LINES land whole in
+    // the corrupt column for the quarantine path. Staged per dir:
+    // events as JSONL plus one file of 7 planted bad lines (broken
+    // JSON syntax — field-level TYPE mismatches are nulled in place by
+    // the lenient parser, a different contract than line quarantine,
+    // so the plant stays at the unambiguous syntax class). The rollup
+    // books good mass per type
+    // and the quarantine mass under '__corrupt__' — a reader that
+    // drops bad lines silently, or double-parses a good one,
+    // hash-fails.
+    "q75_corrupt_records" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("us", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("vm", LongType),
+        StructField("_bad", StringType)))
+      val ev = Tables.events(s, dir)
+      if (ev.isEmpty) { // empty-lake contract: nothing staged, no rows
+        ev.select(col("event_type"), lit(0L).as("n"),
+          lit(0L).as("v_milli")).where(lit(false))
+      } else {
+        val path = Option(jsonStage.get(dir)).getOrElse {
+          val d = java.nio.file.Files
+            .createTempDirectory("q75-jsonl").toString
+          ev.select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("user_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("vm"))
+            .write.mode("overwrite").json(d)
+          val bad = Seq(
+            """{"event_id": 1, "us": 1,""", // truncated object
+            """not json at all""",
+            """{"event_id"}""",
+            """[1, 2""",
+            """{"event_id": "x" "us": 2}""", // missing comma
+            """{{""",
+            """"unterminated""")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, "zz-quarantine.json"),
+            bad.mkString("\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          Option(jsonStage.putIfAbsent(dir, d)).getOrElse(d)
+        }
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(path)
+          // one pass: quarantined lines fold into a '__corrupt__' type
+          // (a corrupt-column-only filter is restricted by the JSON
+          // reader anyway — this projection references data columns)
+          .select(when(col("_bad").isNotNull, lit("__corrupt__"))
+            .otherwise(col("event_type")).as("event_type"),
+            when(col("_bad").isNotNull, lit(0L)).otherwise(col("vm"))
+              .as("vm"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vm").as("v_milli"))
+          .orderBy("event_type")
+      }
+    }),
+
+    // q76 — TEMPORAL AND (the MEOS tand/tintersects shape): for fixed
+    // user pairs, how long BOTH trajectories held above X
+    // simultaneously — the synchronized-boolean algebra q74's
+    // single-entity dwell can't express. Merge both users' posits into
+    // one pair timeline, forward-fill each side's current value
+    // (step interpolation), and integrate over the synchronized span
+    // (rows where both sides have a value). Shape: everything
+    // partitions by pair_id — the per-pair timeline is two entities'
+    // posits by construction, and scaling to millions of pairs is the
+    // same plan with more partitions.
+    "q76_temporal_and" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val X = 245000L
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val posits = Tables.events(s, dir)
+        .where(col("user_id").isin(1L, 2L, 3L, 4L))
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("pair_id", expr("(user_id + 1) div 2"))
+        .withColumn("side", col("user_id") % 2L)
+      val wT = Window.partitionBy("pair_id")
+        .orderBy(col("tus"), col("user_id"), col("event_id"))
+      val wFill = wT.rowsBetween(Window.unboundedPreceding, 0)
+      posits
+        .withColumn("av", last(when(col("side") === 1L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .withColumn("bv", last(when(col("side") === 0L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .where(col("av").isNotNull && col("bv").isNotNull)
+        .withColumn("t2", lead("tus", 1).over(wT))
+        .groupBy("pair_id")
+        .agg(
+          coalesce(sum(when(col("t2").isNotNull &&
+            col("av") > X && col("bv") > X,
+            col("t2") - col("tus"))), lit(0L)).as("both_above_us"),
+          coalesce(sum(when(col("t2").isNotNull &&
+            (col("av") > X || col("bv") > X),
+            col("t2") - col("tus"))), lit(0L)).as("any_above_us"),
+          (max("tus") - min("tus")).as("span_us"))
+        .where(col("span_us") > 0L)
+        .orderBy("pair_id")
     }),
 
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
@@ -2821,6 +2936,56 @@ object CoreQueries {
         |    AS share_above
         |FROM g WHERE duration_us > 0
         |ORDER BY user_id""".stripMargin,
+
+    // good mass per type + the 9 planted bad lines under '__corrupt__'
+    "q75_corrupt_records" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS v_milli
+        |FROM events GROUP BY event_type
+        |UNION ALL SELECT '__corrupt__', 7, 0
+        |ORDER BY event_type""".stripMargin,
+
+    // merged pair timeline, IGNORE NULLS forward fills, synchronized
+    // integration
+    "q76_temporal_and" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events WHERE user_id IN (1, 2, 3, 4)),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus, user_id, event_id,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER w AS av,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER w AS bv
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY pair_id
+        |    ORDER BY tus, user_id, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT pair_id, tus, av, bv,
+        |    lead(tus) OVER (PARTITION BY pair_id
+        |      ORDER BY tus, user_id, event_id) AS t2
+        |  FROM f WHERE av IS NOT NULL AND bv IS NOT NULL),
+        |h AS (
+        |  SELECT pair_id,
+        |    CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL AND av > 245000
+        |      AND bv > 245000 THEN t2 - tus END), 0) AS BIGINT)
+        |      AS both_above_us,
+        |    CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL
+        |      AND (av > 245000 OR bv > 245000) THEN t2 - tus END), 0)
+        |      AS BIGINT) AS any_above_us,
+        |    max(tus) - min(tus) AS span_us
+        |  FROM g GROUP BY pair_id)
+        |SELECT pair_id, both_above_us, any_above_us, span_us
+        |FROM h WHERE span_us > 0 ORDER BY pair_id""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

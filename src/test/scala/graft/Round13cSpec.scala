@@ -228,6 +228,41 @@ class Round13cSpec extends SparkTestBase {
       out.toSeq.toString)
   }
 
+  // ---- q75: corrupt-record quarantine by hand ------------------------------------
+
+  test("q75 corrupt records: good lines roll up per type, the 7 planted " +
+    "broken lines land whole in the quarantine row") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 1L * S, 1L, "click", 1.5),
+      (2L, 2L * S, 1L, "click", 2.5),
+      (3L, 3L * S, 2L, "purchase", 3.0)))
+    val out = queries.CoreQueries.queries("q75_corrupt_records")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("__corrupt__", 7L, 0L),
+      ("click", 2L, 4000L),
+      ("purchase", 1L, 3000L)), out.toSeq.toString)
+  }
+
+  // ---- q76: temporal AND by hand ---------------------------------------------------
+
+  test("q76 temporal and: synchronized both-above/any-above dwell over " +
+    "two hand trajectories (X = 245)") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 0L, 1L, "click", 300.0),        // u1: 300 until 20 s
+      (3L, 20L * S, 1L, "click", 100.0),   // u1: 100 from 20 s
+      (2L, 10L * S, 2L, "click", 260.0),   // u2: 260 from 10 s
+      (4L, 30L * S, 2L, "click", 250.0)))
+    val out = queries.CoreQueries.queries("q76_temporal_and")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // sync span [10 s, 30 s]; both>245 on [10,20) only; any on [10,30)
+    assert(out.toSeq == Seq((1L, 10L * S, 20L * S, 20L * S)),
+      out.toSeq.toString)
+  }
+
   // ---- qz74: watermark audit by hand -------------------------------------------
 
   test("qz74 watermark audit: a shard-delayed event lands behind the " +
