@@ -7481,6 +7481,81 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // FILTERED vector search — the production retrieval mode every
+    // vector store ships (predicate + similarity, "nearest within my
+    // class"): top-5 by cosine among corpus vectors sharing the
+    // probe's LABEL, self excluded. Shape: the predicate is an
+    // equi-join key, so the candidate set prunes to one class BEFORE
+    // any distance math (the filtered-search analog of an IVF cell),
+    // and the per-probe rank filter prunes map-side
+    // (WindowGroupLimit). Exact by construction — the baseline any
+    // filtered-IVF leg would be graded against.
+    "qe42_filtered_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      // BROADCAST BOUND (query-anchors): the probe set is the query
+      // workload — FENCED (the qe3 rule: vec_id < 2000 is inert at the
+      // sf0.01 gate and caps the anchor count at any SF, so the
+      // exact-baseline surface never scales with the corpus)
+      val probes = broadcast(emb.where(
+          col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("label").as("want")))
+      val cands = emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("label"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(desc("cos"), col("n_id"))
+      cands.join(probes,
+          col("label") === col("want") && col("n_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("label").cast("long").as("label"),
+          col("n_id"), col("rank").cast("long").as("rank"), col("cos"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // SPLIT-LEAKAGE validation — the number that PROVES qx93's point:
+    // over the same near-dup pair set (co-cluster pairs from the
+    // shared qx11 chain), how many pairs straddle two splits under (a)
+    // the cluster-hash policy and (b) the naive doc-hash policy.
+    // Cluster-hash reads 0 BY CONSTRUCTION (both endpoints share the
+    // cluster, hence the bucket); doc-hash leaks ~proportional to the
+    // cross-bucket mass — eval twins of training docs. Pairs live at
+    // cluster grain (band-capped sizes), never corpus².
+    "qx95_split_leakage" -> ((s, dir) => {
+      def b(k: String) = expr("CAST(conv(substring(md5(CAST(" + k +
+        " AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
+      def sp(c: Column) = when(c < 8, "train")
+        .when(c < 9, "val").otherwise("test")
+      // NO pair expansion: cross-split pairs per cluster are the k²
+      // identity (n² − Σ k_split²)/2 over per-(cluster, split) counts —
+      // the 100× probe showed explicit pairing going quadratic in
+      // cluster size (484 s); this form is one doc-grain rollup. The
+      // twin pair-expands at the sf0.01 gate (25k pairs) — the identity
+      // and the expansion count the same set.
+      val t = graft.Materialize.cut(
+        Dedup.minhashClusters(Tables.documents(s, dir))
+          .withColumn("cs", sp(b("cluster")))
+          .withColumn("ds", sp(b("doc_id")))
+          .select(col("cluster"), col("cs"), col("ds")))
+      def sumSq(key: String) = t.groupBy("cluster", key)
+        .agg(count(lit(1)).as("k"))
+        .groupBy("cluster")
+        .agg(sum("k").as("n"), sum(col("k") * col("k")).as("sk2"))
+      sumSq("ds").withColumnRenamed("sk2", "sd2")
+        .join(sumSq("cs").select(col("cluster"), col("sk2").as("sc2"),
+          col("n").as("n2")), "cluster")
+        .agg(sum(expr("n * (n - 1) div 2")).as("n_pairs"),
+          sum(expr("(n * n - sc2) div 2")).as("cross_cluster_split"),
+          sum(expr("(n * n - sd2) div 2")).as("cross_doc_split"))
+        .where(col("n_pairs") > 0L)
+        .select(col("n_pairs"), col("cross_cluster_split"),
+          col("cross_doc_split"),
+          expr("(1000000 * cross_doc_split) div n_pairs")
+            .as("doc_leak_ppm"))
+    }),
+
     // PARQUET LAYOUT audit — the storage-health check a 100 TB lake
     // runs before anything else: per row group, rows and compressed/
     // uncompressed byte masses straight from the FOOTERS (row-group
@@ -7493,33 +7568,39 @@ object ExtQueries {
     // parquet_metadata, so both engines must agree bit-for-bit on the
     // physical layout.
     "qz75_parquet_layout" -> ((s, dir) => {
-      import scala.jdk.CollectionConverters._
-      val conf = s.sessionState.newHadoopConf()
-      val out = LayoutTables.flatMap { t =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
-        val fs = p.getFileSystem(conf)
-        val files =
-          if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).filter(st => st.isFile &&
-              st.getPath.getName.endsWith(".parquet"))
-              .map(_.getPath).sortBy(_.getName).toSeq
-          else Seq(p)
-        var rg = -1L
-        files.flatMap { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(f, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.toList.map { b =>
-            rg += 1
-            (t, rg, b.getRowCount, b.getCompressedSize,
-              b.getTotalByteSize)
-          } finally r.close()
-        }
-      }
+      val out = footerRows(s, dir)
       lastLayoutDir = Some(dir)
       import s.implicits._
       out.toDF("tbl", "row_group", "n_rows", "comp_bytes",
         "uncomp_bytes").orderBy("tbl", "row_group")
+    }),
+
+    // PARTITION-COUNT advisor — qz75's consumer: given the footers'
+    // byte/row masses and a 128 MB target file size, how many files
+    // SHOULD each table occupy, how many rows per file, and is the
+    // current row-group grain too fine to scan efficiently (< 8 MB
+    // average — the small-groups smell that turns a 100 TB scan into
+    // open/seek thrash). Same metadata-grain driver posture and the
+    // same bit-exact parquet_metadata twin; all arithmetic integer.
+    "qz76_partition_advisor" -> ((s, dir) => {
+      val out = footerRows(s, dir)
+      lastAdvisorDir = Some(dir)
+      import s.implicits._
+      out.toDF("tbl", "row_group", "n_rows", "comp_bytes",
+        "uncomp_bytes")
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"),
+          sum("comp_bytes").as("comp_bytes"))
+        .where(col("comp_bytes") > 0L)
+        .select(col("tbl"), col("n_groups"), col("n_rows"),
+          col("comp_bytes"),
+          expr("(comp_bytes + 134217727) div 134217728")
+            .as("files_target"),
+          expr("n_rows div ((comp_bytes + 134217727) div 134217728)")
+            .as("rows_per_file"),
+          expr("comp_bytes div n_groups < 8388608")
+            .as("too_granular"))
+        .orderBy("tbl")
     }),
 
     // WATERMARK-SIZING audit — how late does data actually arrive,
@@ -9075,12 +9156,45 @@ object ExtQueries {
        |FROM t JOIN m ON m.cell = t.cell ORDER BY t.cell""".stripMargin
   }
 
-  /** qz75's dir capture for its metadata twin (the qe36 single-global
-    * rule: ONE key, captured when the query runs). */
+  /** qz75's / qz76's dir captures for their metadata twins (the qe36
+    * single-global rule: each query owns ONE key, captured when it
+    * runs — never shared, never cross-mutated). */
   @volatile private var lastLayoutDir: Option[String] = None
+  @volatile private var lastAdvisorDir: Option[String] = None
 
   private val LayoutTables =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
+
+  /** Shared footer walk for qz75/qz76: per (table, row group), rows and
+    * compressed/uncompressed byte masses. Driver-side by nature —
+    * footers are metadata (a planner's file-listing posture), bounded
+    * by |files × row groups| at any corpus scale. */
+  private def footerRows(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    LayoutTables.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).sortBy(_.getName).toSeq
+        else Seq(p)
+      var rg = -1L
+      files.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toList.map { b =>
+          rg += 1
+          (t, rg, b.getRowCount, b.getCompressedSize,
+            b.getTotalByteSize)
+        } finally r.close()
+      }
+    }
+  }
 
   /** DuckDB twin of qz75: the SAME files' footers through
     * `parquet_metadata` — per row group, rows and the column-chunk
@@ -9096,9 +9210,37 @@ object ExtQueries {
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY tbl, row_group")
 
+  /** DuckDB twin of qz76: the same footer masses rolled to per-table
+    * advice with identical integer arithmetic. */
+  private def qz76Sql(dir: String): String = {
+    val union = LayoutTables.map { t =>
+      s"""SELECT '$t' AS tbl, row_group_id,
+         |  CAST(min(row_group_num_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(total_compressed_size) AS BIGINT) AS comp
+         |FROM parquet_metadata('$dir/$t.parquet')
+         |GROUP BY row_group_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |$union
+       |),
+       |a AS (
+       |  SELECT tbl, CAST(count(*) AS BIGINT) AS n_groups,
+       |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       |    CAST(sum(comp) AS BIGINT) AS comp_bytes
+       |  FROM g GROUP BY tbl)
+       |SELECT tbl, n_groups, n_rows, comp_bytes,
+       |  (comp_bytes + 134217727) // 134217728 AS files_target,
+       |  n_rows // ((comp_bytes + 134217727) // 134217728)
+       |    AS rows_per_file,
+       |  comp_bytes // n_groups < 8388608 AS too_granular
+       |FROM a WHERE comp_bytes > 0 ORDER BY tbl""".stripMargin
+  }
+
   def oracle: Map[String, String] = staticOracle ++
     lastLayoutDir.map(d =>
       Map("qz75_parquet_layout" -> qz75Sql(d))).getOrElse(Map.empty) ++
+    lastAdvisorDir.map(d =>
+      Map("qz76_partition_advisor" -> qz76Sql(d))).getOrElse(Map.empty) ++
     (for {
       (servKey, halfDir) <- lastQe36Keys
       a <- Similarity.fittedCentroidsFloatFor(servKey)
@@ -9513,6 +9655,69 @@ object ExtQueries {
 
     // user-grain distinct-day counts, k-grain rollup, exact ppm
     // the same closed-form water level over sorted caps
+    // label-equijoin candidates, the shared cosine fold, per-probe rank
+    "qe42_filtered_knn" ->
+      (s"""WITH p AS (
+          |  SELECT vec_id AS q_id, embedding AS q_emb, label AS want
+          |  FROM embeddings
+          |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
+          |c AS (
+          |  SELECT vec_id AS n_id, embedding AS n_emb, label
+          |  FROM embeddings),
+          |j AS (
+          |  SELECT q_id, CAST(label AS BIGINT) AS label, n_id,
+          |    ${cosSql("q_emb", "n_emb")} AS cos
+          |  FROM c JOIN p ON label = want AND n_id <> q_id),
+          |r AS (
+          |  SELECT q_id, label, n_id, cos,
+          |    CAST(row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+          |  FROM j)
+          |SELECT q_id, label, n_id, rank, cos
+          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // the same co-cluster pair set judged under both split policies;
+    // the cluster-hash arm must read zero
+    "qx95_split_leakage" ->
+      ((ShingleCte + ClusterChainCte +
+        """,
+          |asg AS (
+          |  SELECT doc_id, cluster,
+          |    list_reduce(list_transform(range(1, 16),
+          |      j -> CAST(strpos('0123456789abcdef',
+          |        substr(md5(CAST(cluster AS VARCHAR)),
+          |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
+          |      (x, y) -> x * 16 + y) % 10 AS cb,
+          |    list_reduce(list_transform(range(1, 16),
+          |      j -> CAST(strpos('0123456789abcdef',
+          |        substr(md5(CAST(doc_id AS VARCHAR)),
+          |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
+          |      (x, y) -> x * 16 + y) % 10 AS db
+          |  FROM clus),
+          |t AS (
+          |  SELECT doc_id, cluster,
+          |    CASE WHEN cb < 8 THEN 'train' WHEN cb < 9 THEN 'val'
+          |      ELSE 'test' END AS cs,
+          |    CASE WHEN db < 8 THEN 'train' WHEN db < 9 THEN 'val'
+          |      ELSE 'test' END AS ds
+          |  FROM asg),
+          |pr AS (
+          |  SELECT a.cs AS si_c, b.cs AS sj_c, a.ds AS si_d,
+          |    b.ds AS sj_d
+          |  FROM t a JOIN t b
+          |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+          |g AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(CASE WHEN si_c <> sj_c THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS cross_cluster_split,
+          |    CAST(sum(CASE WHEN si_d <> sj_d THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS cross_doc_split
+          |  FROM pr)
+          |SELECT n_pairs, cross_cluster_split, cross_doc_split,
+          |  (1000000 * cross_doc_split) // n_pairs AS doc_leak_ppm
+          |FROM g WHERE n_pairs > 0""".stripMargin)
+        .replace("WITH tok AS", "WITH RECURSIVE tok AS")),
+
     // the staged 4-shard arrival clock, the day-grain watermark carry,
     // and the hour-grain lateness histogram
     "qz74_watermark_audit" ->

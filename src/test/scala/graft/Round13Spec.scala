@@ -35,7 +35,7 @@ class Round13Spec extends SparkTestBase {
 
   private val expectedCensus = Map(
     "src/main/scala/graft/queries/CoreQueries.scala" -> 6,
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 92) // qe40 anchors + qz69 span agg + qz70 tot/fit + qz73 tot/qtl + qz74 tot (one-row aggs) + qp10 cls (marked enum-group)
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 93) // qe40 anchors + qz69 span agg + qz70 tot/fit + qz73 tot/qtl + qz74 tot (one-row aggs) + qp10 cls (marked enum-group) + qe42 probes (marked query-anchors)
 
   private def balancedArg(text: String, start: Int): String = {
     var depth = 1

@@ -32,6 +32,14 @@ class Round13cSpec extends SparkTestBase {
     dir
   }
 
+  private def plantEmbeddings(rows: Seq[(Long, Seq[Float], Int)])
+      : String = {
+    val dir = java.nio.file.Files.createTempDirectory("r13cemb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   private def plantDocs(rows: Seq[(Long, String)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("r13cdoc").toString
     rows.toDF("doc_id", "text")
@@ -302,6 +310,76 @@ class Round13cSpec extends SparkTestBase {
     }
     assert(out.forall(r => r.getLong(3) > 0L && r.getLong(4) > 0L),
       "zero byte masses")
+  }
+
+  // ---- qe42: filtered kNN by hand --------------------------------------------------
+
+  test("qe42 filtered knn: candidates prune to the probe's label " +
+    "before ranking — an other-label twin of the best hit never " +
+    "appears") {
+    val dir = plantEmbeddings(Seq(
+      (0L, Seq(1.0f, 0.0f), 0),    // probe (vec_id % 50 == 0), label 0
+      (1L, Seq(1.0f, 0.0f), 0),    // same label, cos 1
+      (2L, Seq(0.0f, 1.0f), 0),    // same label, cos 0
+      (3L, Seq(1.0f, 0.0f), 1)))   // other label: excluded by filter
+    val out = queries.ExtQueries.queries("qe42_filtered_knn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L, 1L, 1.0),
+      (0L, 0L, 2L, 2L, 0.0)), out.toSeq.toString)
+  }
+
+  // ---- qx95: split leakage by hand ---------------------------------------------------
+
+  test("qx95 split leakage: the cluster-hash policy leaks ZERO pairs " +
+    "by construction; the doc-hash policy leaks exactly the " +
+    "cross-bucket pair mass") {
+    // two exact-dup pairs → two co-cluster pairs
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine ten"
+    val dir = plantDocs(Seq(
+      (1L, t1), (2L, t1), (3L, t2), (4L, t2), (5L, "lone doc no twin")))
+    val out = queries.ExtQueries.queries("qx95_split_leakage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // doc-hash buckets via the same md5-prefix fold, computed
+    // independently here
+    def bucket(k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 10
+    }
+    def sp(b: Long) = if (b < 8) "train" else if (b < 9) "val" else "test"
+    val crossDoc = Seq((1L, 2L), (3L, 4L))
+      .count { case (i, j) => sp(bucket(i)) != sp(bucket(j)) }.toLong
+    assert(out.toSeq ==
+      Seq((2L, 0L, crossDoc, crossDoc * 1000000L / 2L)),
+      s"${out.toSeq} crossDoc=$crossDoc")
+  }
+
+  // ---- qz76: partition advisor consistency --------------------------------------------
+
+  test("qz76 partition advisor: footer row masses equal the scans', " +
+    "and the 128 MB advice is arithmetically consistent (byte masses " +
+    "are gated bit-for-bit by the parquet_metadata twin)") {
+    val out = queries.ExtQueries.queries("qz76_partition_advisor")(
+      spark, sfDir).collect()
+    for (r <- out) {
+      val (tbl, groups, rows, comp, files, rpf, gran) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))
+      val want =
+        if (tbl == "events") Tables.events(spark, sfDir).count()
+        else spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+      assert(rows == want, s"$tbl rows")
+      assert(files == (comp + 134217727L) / 134217728L, s"$tbl files")
+      assert(rpf == rows / files, s"$tbl rpf")
+      assert(gran == (comp / groups < 8388608L), s"$tbl gran")
+    }
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("documents", "embeddings", "events", "lineitem", "orders"))
   }
 
   // ---- qs26: file sink exactly-once + decoy invisibility ---------------------
