@@ -1208,6 +1208,40 @@ object CoreQueries {
         .orderBy("pair_id")
     }),
 
+    // q77 — DEAD-BAND trajectory simplification (the MEOS `simplify`
+    // family in its sequential form): keep a posit only when it moves
+    // more than ε from the LAST KEPT value — the compression every
+    // telemetry lake runs before storing raw sensor streams. The
+    // "last kept" state makes this a FOLD, not a window (each keep
+    // decision depends on the previous keep decision), so it runs as
+    // one HOF `aggregate` over the q12-assembled per-user value
+    // sequence — row-local after the assembly shuffle, and the twin is
+    // the same fold as a DuckDB list_reduce over an identically-
+    // ordered list. ε = 50.000 in milli units; the first posit is
+    // always kept (the sentinel init).
+    "q77_deadband_simplify" -> ((s, dir) => {
+      val asm = Assembly.tfloatAssembleSalted(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      asm
+        .withColumn("vm",
+          expr("transform(s.v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .select(col("k").as("user_id"), col("s.n").as("n_in"),
+          expr("""aggregate(vm,
+            named_struct('lastv', CAST(-1000000000000000 AS BIGINT),
+                         'n', CAST(0 AS BIGINT),
+                         'sum', CAST(0 AS BIGINT)),
+            (acc, v) -> IF(abs(v - acc.lastv) > 50000,
+              named_struct('lastv', v, 'n', acc.n + 1L,
+                           'sum', acc.sum + v),
+              acc))""").as("st"))
+        .select(col("user_id"), col("n_in"), col("st.n").as("n_kept"),
+          col("st.sum").as("kept_milli_sum"),
+          expr("(1000000 * (n_in - st.n)) div n_in")
+            .as("dropped_ppm"))
+        .orderBy("user_id")
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -2986,6 +3020,44 @@ object CoreQueries {
         |  FROM g GROUP BY pair_id)
         |SELECT pair_id, both_above_us, any_above_us, span_us
         |FROM h WHERE span_us > 0 ORDER BY pair_id""".stripMargin,
+
+    // the same fold spelled as a RECURSIVE walk, one position per
+    // iteration (struct-accumulator list_reduce folds misfold on
+    // column data in DuckDB v1.0.0 — scalar folds and this recursion
+    // are both exact; validated element-for-element against an
+    // independent reference fold)
+    "q77_deadband_simplify" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id) AS rn
+        |  FROM events),
+        |ordered AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+        |  FROM d WHERE rn = 1),
+        |sz AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_in
+        |  FROM ordered GROUP BY user_id),
+        |walk(user_id, i, lastv, n, s) AS (
+        |  SELECT user_id, i, v, CAST(1 AS BIGINT), v
+        |  FROM ordered WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.i,
+        |    CASE WHEN abs(o.v - w.lastv) > 50000 THEN o.v
+        |      ELSE w.lastv END,
+        |    w.n + CASE WHEN abs(o.v - w.lastv) > 50000 THEN 1
+        |      ELSE 0 END,
+        |    w.s + CASE WHEN abs(o.v - w.lastv) > 50000 THEN o.v
+        |      ELSE 0 END
+        |  FROM walk w JOIN ordered o
+        |    ON o.user_id = w.user_id AND o.i = w.i + 1)
+        |SELECT w.user_id AS user_id, z.n_in, w.n AS n_kept,
+        |  w.s AS kept_milli_sum,
+        |  (1000000 * (z.n_in - w.n)) // z.n_in AS dropped_ppm
+        |FROM walk w JOIN sz z
+        |  ON w.user_id = z.user_id AND w.i = z.n_in
+        |ORDER BY w.user_id""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

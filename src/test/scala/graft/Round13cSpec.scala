@@ -382,6 +382,26 @@ class Round13cSpec extends SparkTestBase {
       Seq("documents", "embeddings", "events", "lineitem", "orders"))
   }
 
+  // ---- q77: dead-band simplification by hand -----------------------------------------
+
+  test("q77 dead-band: the fold keeps the first posit and every move " +
+    "beyond epsilon from the LAST KEPT value; a duplicate-ts posit is " +
+    "deduped first") {
+    val S = 1_000_000L
+    val dir = plantEvents(Seq(
+      (1L, 10L * S, 1L, "click", 100.0),   // keep (first)
+      (2L, 20L * S, 1L, "click", 120.0),   // Δ20 ≤ 50: drop
+      (9L, 20L * S, 1L, "click", 999.0),   // dup ts, higher id: deduped
+      (3L, 30L * S, 1L, "click", 200.0),   // Δ100 > 50: keep
+      (4L, 40L * S, 1L, "click", 210.0),   // Δ10 from 200: drop
+      (5L, 50L * S, 1L, "click", 140.0)))  // Δ60 from 200: keep
+    val out = queries.CoreQueries.queries("q77_deadband_simplify")(
+      spark, dir).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 5L, 3L, 440000L, 400000L)),
+      out.toSeq.toString)
+  }
+
   // ---- qs26: file sink exactly-once + decoy invisibility ---------------------
 
   test("qs26 file sink: every purchase row lands exactly once through " +
