@@ -79,17 +79,26 @@ object Materialize {
     * executor loss — acceptable for scratch frames inside one query,
     * wrong for state that must survive a superstep boundary, which is
     * why eager cuts always checkpoint). */
-  /** `serialized` applies ONLY to localCheckpoint cuts (no checkpoint
-    * dir configured — the test/bench/single-JVM posture): it swaps the
-    * block storage to MEMORY_AND_DISK_SER. With a checkpoint dir set,
-    * reliable-checkpoint reads come from the checkpoint files, so the
-    * flag has nothing to change (see the inline note below). */
+  /** `serialized` swaps the block storage to MEMORY_AND_DISK_SER on
+    * both block-manager-backed paths — the default persist cut and the
+    * localCheckpoint cut (no checkpoint dir configured). For a WIDE
+    * frame (per-doc token arrays, embedding columns) consumed a
+    * handful of times, object-per-row storage is the block-manager hog
+    * (header + array wrapper per row) and the spill-sensitivity lever
+    * behind the r13 qe31/qx81 driver-sidecar inflation; SER batches
+    * shrink the footprint at the cost of one deserialize per read.
+    * With a checkpoint dir set, reliable-checkpoint reads come from
+    * the checkpoint files, so the flag has nothing to change (see the
+    * inline note below). */
   def cut(df: DataFrame, eager: Boolean = false,
           checkpoint: Boolean = false,
           serialized: Boolean = false): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (!eager && !checkpoint && lazyCutsPersist) {
-      val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = df.persist(
+        if (serialized)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persistedCuts.add(out)
       out
     } else {

@@ -1259,8 +1259,11 @@ object CoreQueries {
           .select(col("event_id"), unix_micros(col("ts")).as("us"),
             col("user_id"), col("event_type"), col("value"), col("props"))
           .write.mode("overwrite").option("header", "true").csv(d)
-        csvStage.putIfAbsent(dir, d)
-        d
+        // return the putIfAbsent WINNER (the StreamingReplay pattern):
+        // a racing loser otherwise hands its own dir to this caller
+        // while every later caller reads the winner's — divergent
+        // inputs across concurrent callers plus a leaked temp dir
+        Option(csvStage.putIfAbsent(dir, d)).getOrElse(d)
       }
       s.read.option("header", "true")
         .schema("event_id BIGINT, us BIGINT, user_id BIGINT, " +
@@ -1350,8 +1353,8 @@ object CoreQueries {
         val d = java.nio.file.Files
           .createTempDirectory("q57-envelope").toString
         trips.write.format("trip-envelope").mode("overwrite").save(d)
-        envStage.putIfAbsent(dir, d)
-        d
+        // winner-return, matching csvStage above and StreamingReplay
+        Option(envStage.putIfAbsent(dir, d)).getOrElse(d)
       }
       s.read.format("trip-envelope").load(path)
         .select(col("id").as("user_id"),
@@ -2971,7 +2974,8 @@ object CoreQueries {
         |FROM g WHERE duration_us > 0
         |ORDER BY user_id""".stripMargin,
 
-    // good mass per type + the 9 planted bad lines under '__corrupt__'
+    // good mass per type + the 7 planted bad lines under '__corrupt__'
+    // (the literal 7 below must track the `bad` Seq in the q75 plant)
     "q75_corrupt_records" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)

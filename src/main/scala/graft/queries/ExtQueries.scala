@@ -5827,10 +5827,15 @@ object ExtQueries {
       // lightweight count job), so no task ever sees more than its
       // slice; the id order — (df asc, t asc), all PPJoin needs — and
       // the assigned ranks are identical to the window's.
+      // all three cuts SER (r13 `weak` fix): `fp`/`base` carry every
+      // doc's sorted token array — object-per-row block storage of
+      // those wide frames was the spill-sensitivity footprint the
+      // driver sidecar inflated two rounds running
       val fp = graft.Materialize.cut(docsWithToks(s, dir)
         .select(col("doc_id"),
           array_sort(array_distinct(col("toks"))).as("td"))
-        .withColumn("f", md5(concat_ws(" ", col("td")))))
+        .withColumn("f", md5(concat_ws(" ", col("td")))),
+        serialized = true)
       val sets = fp.groupBy("f")
         .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
       val repToks = fp.select(col("doc_id"), col("td"))
@@ -5839,18 +5844,19 @@ object ExtQueries {
       // cut: zipWithIndex is eager (its offset-count job runs at plan
       // time) and an RDD-derived frame re-computes per consumer — the
       // checkpoint makes the dict pipeline run once, not three times
-      val dict = graft.Materialize.cut {
+      val dict = graft.Materialize.cut({
         import s.implicits._
         g.groupBy("t").agg(count(lit(1)).as("df"))
           .orderBy("df", "t").select(col("t")).as[String]
           .rdd.zipWithIndex()
           .map { case (t, i) => (t, i + 1L) }
           .toDF("t", "tid")
-      }
+      }, serialized = true)
       val base = graft.Materialize.cut(g.join(dict, "t")
         .groupBy("f")
         .agg(sort_array(collect_list(col("tid"))).as("ts"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n")),
+        serialized = true)
       val pre = base.select(col("f"), col("n"),
         posexplode(slice(col("ts"), lit(1),
           (col("n") - expr("(950 * n + 999) div 1000") + 1L)
@@ -6493,6 +6499,14 @@ object ExtQueries {
       val q = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val wq = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+      // ONE cut for the whole query (r13 `weak` fix): only the
+      // corpus-grain shortlist scan is worth materializing — and SER,
+      // since each row carries an embedding array and the driver-box
+      // inflation tracked exactly the wide-cut block footprint. The
+      // pairwise-cos frame `pc` below derives from this ≤32-row cached
+      // frame by a broadcast self-join, so recomputing it per greedy
+      // step costs nothing; a second materialization only added
+      // block-manager pressure.
       val cand = graft.Materialize.cut(emb
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
         // BROADCAST BOUND (query-anchors): 4 query rows (vec_id < 4)
@@ -6501,14 +6515,15 @@ object ExtQueries {
         .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
         .withColumn("rk", row_number().over(wq))
         .where(col("rk") <= 8)
-        .select(col("q_id"), col("n_id"), col("n_emb"), col("cos")))
-      val pc = graft.Materialize.cut(cand.as("x")
+        .select(col("q_id"), col("n_id"), col("n_emb"), col("cos")),
+        serialized = true)
+      val pc = cand.as("x")
         // BROADCAST BOUND (anchor-top-k): shortlist capped at 8 rows per q_id, 4 q_ids
         .join(broadcast(cand.select(col("q_id"), col("n_id").as("b"),
           col("n_emb").as("b_emb")).as("y")), Seq("q_id"))
         .where(col("n_id") =!= col("b"))
         .select(col("q_id"), col("n_id").as("a"), col("b"),
-          Similarity.cosine(col("n_emb"), col("b_emb")).as("cab")))
+          Similarity.cosine(col("n_emb"), col("b_emb")).as("cab"))
       val wm = Window.partitionBy("q_id").orderBy(desc("mmr"), col("n_id"))
       var sel = cand.withColumn("rk1",
           row_number().over(wq)).where(col("rk1") === 1)
