@@ -264,6 +264,15 @@ class TripEnvelopeMicroBatchStream(path: String, required: StructType,
 
   // planning-time state only (driver): the admitted name-sorted prefix
   private var admitted: Vector[String] = Vector.empty
+  // Monotonic floor: the largest offset this driver has SEEN — raised by
+  // deserializeOffset (checkpoint recovery hands the committed offset
+  // through here) and planInputPartitions. After a driver restart
+  // `admitted` is empty; without the floor, latestOffset() would derive
+  // the next offset from that empty prefix and return maxFilesPerBatch —
+  // an offset REGRESSION below the checkpointed commit, which Spark
+  // would commit and then replan, re-delivering already-committed files
+  // (breaking exactly-once restart soundness).
+  private var floor: Long = 0L
   private val conf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
 
@@ -282,9 +291,17 @@ class TripEnvelopeMicroBatchStream(path: String, required: StructType,
 
   override def latestOffset(): Offset = {
     val all = listSorted()
-    val take = math.min(all.length.toLong,
-      admitted.length.toLong + maxFilesPerBatch)
+    // restart path: rebuild the admitted prefix from the listing up to
+    // the floor before admitting more (immutable files + name-monotonic
+    // arrivals make the sorted listing's prefix stable, so the rebuilt
+    // prefix is the same file set the pre-restart driver admitted)
+    val base = math.max(admitted.length.toLong, floor)
+    require(all.length.toLong >= base,
+      s"envelope stream lost files: committed offset $base, " +
+        s"listing ${all.length}")
+    val take = math.min(all.length.toLong, base + maxFilesPerBatch)
     admitted = all.take(take.toInt)
+    floor = math.max(floor, admitted.length.toLong)
     TripEnvelopeOffset(admitted.length.toLong)
   }
 
@@ -297,6 +314,7 @@ class TripEnvelopeMicroBatchStream(path: String, required: StructType,
     if (admitted.length < e) admitted = listSorted().take(e)
     require(admitted.length >= e,
       s"envelope stream lost files: offset $e, listing ${admitted.length}")
+    floor = math.max(floor, e.toLong)
     admitted.slice(s, e)
       .map(f => TripEnvelopeInputPartition(f): InputPartition).toArray
   }
@@ -304,8 +322,11 @@ class TripEnvelopeMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new TripEnvelopeReaderFactory(required.fieldNames, conf)
 
-  override def deserializeOffset(json: String): Offset =
-    TripEnvelopeOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    floor = math.max(floor, n)
+    TripEnvelopeOffset(n)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
