@@ -7605,18 +7605,15 @@ object ExtQueries {
     // uncompressed byte masses straight from the FOOTERS (row-group
     // sizing decides scan parallelism, predicate-skipping granularity
     // and memory per task; a lake of 100 MB groups and a lake of 1 MB
-    // groups read very differently). Metadata-grain by nature: the
-    // driver reads footers only (a planner's file-listing posture),
-    // never data — the frame is |files × row groups| however big the
-    // lake. The twin reads the SAME files through DuckDB's
-    // parquet_metadata, so both engines must agree bit-for-bit on the
-    // physical layout.
+    // groups read very differently). Metadata-grain by nature — footers
+    // only, never data — but the PARSE is distributed one task per
+    // file (see footerFrame): at lake scale |files| is millions and a
+    // driver-side footer walk is the bottleneck. The twin reads the
+    // SAME files through DuckDB's parquet_metadata, so both engines
+    // must agree bit-for-bit on the physical layout.
     "qz75_parquet_layout" -> ((s, dir) => {
-      val out = footerRows(s, dir)
       lastLayoutDir = Some(dir)
-      import s.implicits._
-      out.toDF("tbl", "row_group", "n_rows", "comp_bytes",
-        "uncomp_bytes").orderBy("tbl", "row_group")
+      footerFrame(s, dir).orderBy("tbl", "row_group")
     }),
 
     // PARTITION-COUNT advisor — qz75's consumer: given the footers'
@@ -7627,11 +7624,8 @@ object ExtQueries {
     // open/seek thrash). Same metadata-grain driver posture and the
     // same bit-exact parquet_metadata twin; all arithmetic integer.
     "qz76_partition_advisor" -> ((s, dir) => {
-      val out = footerRows(s, dir)
       lastAdvisorDir = Some(dir)
-      import s.implicits._
-      out.toDF("tbl", "row_group", "n_rows", "comp_bytes",
-        "uncomp_bytes")
+      footerFrame(s, dir)
         .groupBy("tbl")
         .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"),
           sum("comp_bytes").as("comp_bytes"))
@@ -9209,60 +9203,128 @@ object ExtQueries {
   private val LayoutTables =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
 
-  /** Shared footer walk for qz75/qz76: per (table, row group), rows and
-    * compressed/uncompressed byte masses. Driver-side by nature —
-    * footers are metadata (a planner's file-listing posture), bounded
-    * by |files × row groups| at any corpus scale. */
-  private def footerRows(s: SparkSession, dir: String)
-      : Seq[(String, Long, Long, Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    val conf = s.sessionState.newHadoopConf()
-    LayoutTables.flatMap { t =>
+  /** Shared footer walk for qz75/qz76, DISTRIBUTED (VERDICT r13 #3):
+    * per (table, row group), rows and compressed/uncompressed byte
+    * masses. The driver does only the LISTING (a planner's posture);
+    * each footer PARSE — the per-file open/seek/read that dominates at
+    * lake scale, where |files| is millions — runs in its own task.
+    * Row groups are numbered globally per table across name-sorted
+    * files, exactly like the old driver walk, but WITHOUT a one-task
+    * window: `parallelize` splits the sorted file list into contiguous
+    * slices, a first (tiny: |partitions|×|tables| rows collected) pass
+    * counts row groups per slice, and the per-slice base offsets make
+    * the renumbering embarrassingly parallel. The footers are parsed
+    * twice (offset pass + emit pass) — metadata-sized reads, cheaper
+    * than caching the parse across two jobs. */
+  private def footerFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val files: Seq[(String, String)] = LayoutTables.flatMap { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
-      val fs = p.getFileSystem(conf)
-      val files =
+      val fs = p.getFileSystem(conf.value)
+      val fl =
         if (fs.getFileStatus(p).isDirectory)
           fs.listStatus(p).filter(st => st.isFile &&
             st.getPath.getName.endsWith(".parquet"))
             .map(_.getPath).sortBy(_.getName).toSeq
         else Seq(p)
-      var rg = -1L
-      files.flatMap { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(f, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.toList.map { b =>
-          rg += 1
-          (t, rg, b.getRowCount, b.getCompressedSize,
-            b.getTotalByteSize)
-        } finally r.close()
-      }
+      fl.map(f => (t, f.toString))
     }
+    val nPart = math.min(math.max(files.size, 1),
+      s.sparkContext.defaultParallelism)
+    val perFile = s.sparkContext.parallelize(files, nPart)
+      .map { case (t, path) =>
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        // byte masses as COLUMN-CHUNK sums, not RowGroup.total_byte_size:
+        // that thrift field is writer-dependent (pyarrow writes the
+        // chunk-sum, DuckDB writes page-header-inclusive sizes), while
+        // the per-chunk total_uncompressed_size is what every footer
+        // reader — including the parquet_metadata twin — agrees on
+        val blocks =
+          try r.getFooter.getBlocks.asScala.toList.map { b =>
+            val cols = b.getColumns.asScala
+            (b.getRowCount,
+              cols.map(_.getTotalSize).sum,
+              cols.map(_.getTotalUncompressedSize).sum)
+          } finally r.close()
+        (t, blocks)
+      }
+    // per-slice per-table row-group counts → base offsets (the only
+    // driver-side state: |partitions| × |tables| longs)
+    val sliceCounts = perFile.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (t, bs) =>
+        m(t) = m.getOrElse(t, 0L) + bs.length
+      }
+      Iterator((pid, m.toMap))
+    }.collect().sortBy(_._1)
+    val base = {
+      val run = scala.collection.mutable.Map.empty[String, Long]
+      val b = Map.newBuilder[(Int, String), Long]
+      for ((pid, m) <- sliceCounts; t <- LayoutTables; c <- m.get(t)) {
+        b += (((pid, t), run.getOrElse(t, 0L)))
+        run(t) = run.getOrElse(t, 0L) + c
+      }
+      b.result()
+    }
+    perFile.mapPartitionsWithIndex { (pid, it) =>
+      val off = scala.collection.mutable.Map.empty[String, Long]
+      it.flatMap { case (t, bs) =>
+        val start = off.getOrElse(t, base.getOrElse((pid, t), 0L))
+        off(t) = start + bs.length
+        bs.zipWithIndex.map { case ((n, c, u), i) =>
+          (t, start + i, n, c, u)
+        }
+      }
+    }.toDF("tbl", "row_group", "n_rows", "comp_bytes", "uncomp_bytes")
   }
+
+  /** A table's parquet_metadata() source path: the bare file, or a
+    * glob when the table is laid out as a DIRECTORY of part files
+    * (ADVICE r13: the bare path would fail or collapse per-file
+    * row_group_id values under GROUP BY). */
+  private def metaPath(dir: String, t: String): String =
+    if (new java.io.File(s"$dir/$t.parquet").isDirectory)
+      s"$dir/$t.parquet/*.parquet"
+    else s"$dir/$t.parquet"
+
+  /** One table's footer rows through `parquet_metadata`, keyed by
+    * (file_name, row_group_id) and renumbered globally across
+    * name-sorted files — mirroring footerFrame's numbering exactly. */
+  private def metaGroupsSql(dir: String, t: String): String =
+    s"""SELECT '$t' AS tbl,
+       |  CAST(row_number() OVER (ORDER BY file_name, row_group_id)
+       |    - 1 AS BIGINT) AS row_group,
+       |  n_rows, comp_bytes, uncomp_bytes
+       |FROM (
+       |  SELECT file_name, row_group_id,
+       |    CAST(min(row_group_num_rows) AS BIGINT) AS n_rows,
+       |    CAST(sum(total_compressed_size) AS BIGINT) AS comp_bytes,
+       |    CAST(sum(total_uncompressed_size) AS BIGINT) AS uncomp_bytes
+       |  FROM parquet_metadata('${metaPath(dir, t)}')
+       |  GROUP BY file_name, row_group_id)""".stripMargin
 
   /** DuckDB twin of qz75: the SAME files' footers through
     * `parquet_metadata` — per row group, rows and the column-chunk
     * compressed/uncompressed sums. */
   private def qz75Sql(dir: String): String =
-    LayoutTables.map { t =>
-      s"""SELECT '$t' AS tbl, CAST(row_group_id AS BIGINT) AS row_group,
-         |  CAST(min(row_group_num_rows) AS BIGINT) AS n_rows,
-         |  CAST(sum(total_compressed_size) AS BIGINT) AS comp_bytes,
-         |  CAST(sum(total_uncompressed_size) AS BIGINT) AS uncomp_bytes
-         |FROM parquet_metadata('$dir/$t.parquet')
-         |GROUP BY row_group_id""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-      "\n) ORDER BY tbl, row_group")
+    LayoutTables.map(t =>
+      s"SELECT tbl, row_group, n_rows, comp_bytes, uncomp_bytes FROM (\n" +
+        metaGroupsSql(dir, t) + "\n)")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY tbl, row_group")
 
   /** DuckDB twin of qz76: the same footer masses rolled to per-table
     * advice with identical integer arithmetic. */
   private def qz76Sql(dir: String): String = {
     val union = LayoutTables.map { t =>
-      s"""SELECT '$t' AS tbl, row_group_id,
-         |  CAST(min(row_group_num_rows) AS BIGINT) AS n_rows,
-         |  CAST(sum(total_compressed_size) AS BIGINT) AS comp
-         |FROM parquet_metadata('$dir/$t.parquet')
-         |GROUP BY row_group_id""".stripMargin
+      s"""SELECT tbl, n_rows, comp_bytes AS comp FROM (
+         |${metaGroupsSql(dir, t)}
+         |)""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH g AS (
        |$union

@@ -40,6 +40,47 @@ class Round14Spec extends SparkTestBase {
     assert(offsetOf(restarted.latestOffset()) == 9L)
   }
 
+  test("qz75 distributed footer walk: global per-table row-group " +
+    "numbering over multi-file directory layouts matches a driver walk") {
+    import scala.jdk.CollectionConverters._
+    val d = Files.createTempDirectory("r14-layout").toString
+    // stage every layout table as a DIRECTORY of part files so the
+    // one-task-per-file parse and its base-offset renumbering are
+    // actually exercised (the sf dirs are single-file)
+    val tables = Seq("events", "documents", "embeddings", "lineitem",
+      "orders")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").repartition(3)
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    val out = SparkEntry.queries("qz75_parquet_layout")(spark, d)
+      .collect()
+    val conf = spark.sessionState.newHadoopConf()
+    tables.foreach { t =>
+      val rows = out.filter(_.getString(0) == t)
+      // contiguous global numbering 0..n-1 per table
+      assert(rows.map(_.getLong(1)).sorted.sameElements(
+        rows.indices.map(_.toLong)), s"$t: non-contiguous row groups")
+      // driver-walk twin: same (row_group → n_rows) assignment
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      val files = fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName)
+      val want = files.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.asScala.toList.map(b =>
+          (b.getRowCount, b.getColumns.asScala.map(_.getTotalSize).sum))
+        finally r.close()
+      }.zipWithIndex.map { case ((n, c), i) => (i.toLong, n, c) }
+      val got = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(got.sameElements(want), s"$t: footer rows diverge")
+    }
+  }
+
   test("MicroBatchStream restart: planInputPartitions also raises the " +
     "floor, and lost files past the floor fail fast") {
     val dir = plantEnvelopeDir(5)
