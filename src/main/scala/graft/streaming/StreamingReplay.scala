@@ -66,7 +66,15 @@ object StreamingReplay {
     base.toString
   }
 
-  private def ckptFor(table: String): String = s"$ckptRoot/$table"
+  /** Each query's scratch checkpoint dir, addressed through the
+    * checksum-free `rawckpt://` scheme (see [[RawCkptFs]]): the
+    * per-micro-batch WAL/state-delta constant halves when each tiny
+    * checkpoint write stops being two files (payload + .crc sidecar).
+    * Scoped to this root only — sources/sinks stay on default file://. */
+  private def ckptFor(table: String): String = {
+    RawCkptFs.register(org.apache.spark.sql.SparkSession.active)
+    s"rawckpt://$ckptRoot/$table"
+  }
 
   private def micros(t: Timestamp): Long = Times.micros(t)
 
