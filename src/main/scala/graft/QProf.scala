@@ -16,6 +16,44 @@ object QProf {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val explain = args.contains("--explain")
+    // --pressure: run every query under INDUCED DISK PRESSURE — a
+    // background writer hammering the same disk the block manager
+    // spills/persists to (spark.local.dir, i.e. java.io.tmpdir here).
+    // This is the testable form of the driver-box condition under which
+    // the r12/r13 sidecars selectively inflated the Materialize-heavy
+    // queries (qe31/qx81): an idle-box QProf can't reproduce
+    // block-manager I/O contention, a saturating writer can. The writer
+    // streams 64 MB bursts with fsync, ~200-400 MB/s sustained.
+    val pressure = args.contains("--pressure")
+    @volatile var stopPressure = false
+    val pressureThread = if (!pressure) None else Some {
+      val t = new Thread(() => {
+        val buf = new Array[Byte](1 << 20)
+        new java.util.Random(42).nextBytes(buf)
+        val tmp = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        var i = 0L
+        while (!stopPressure) {
+          val f = tmp.resolve(s"qprof-pressure-$i.bin")
+          val ch = java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            var j = 0
+            while (j < 64 && !stopPressure) {
+              ch.write(java.nio.ByteBuffer.wrap(buf)); j += 1
+            }
+            ch.force(false)
+          } finally ch.close()
+          java.nio.file.Files.deleteIfExists(f)
+          i += 1
+        }
+      }, "qprof-pressure")
+      t.setDaemon(true)
+      t.start()
+      println("[pressure writer ON: 64MB fsync bursts to tmpdir]")
+      t
+    }
     // shuffle accounting across each run's stages (scale-probe signal:
     // shuffle bytes should scale ~linearly with input or better)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong()
@@ -52,6 +90,8 @@ object QProf {
         Materialize.releaseAll(spark) // same per-query hygiene as Bench
       }
     }
+    stopPressure = true
+    pressureThread.foreach(_.join(3000))
     spark.stop()
   }
 }
