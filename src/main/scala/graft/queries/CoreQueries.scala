@@ -1242,6 +1242,82 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q78 — DOUGLAS–PEUCKER trajectory simplification (MEOS's flagship
+    // simplifier; q77 covers the dead-band form): keep the points whose
+    // SYNCHRONIZED deviation from the endpoint chord exceeds ε,
+    // recursing on the split — the max-deviation criterion that
+    // preserves SHAPE where the dead-band preserves only step changes.
+    // Spark-first spelling: DP's recursion is DEPTH-BOUNDED to 10
+    // doublings (≤1024 segments per trajectory — the production cap a
+    // dashboard/thumbnail pipeline wants anyway; MEOS's unbounded
+    // recursion is the D→∞ limit), so each level is ONE codegen-plan
+    // pass of higher-order array functions over the q12-assembled
+    // sequences: flatten(transform(segs, split-or-finalize)) with the
+    // argmax as an `aggregate` fold over the segment interior. No
+    // shuffle beyond the salted assembly envelope; per-level work is
+    // O(n) per user, total O(n·D). Integer-exact throughout: the MEOS
+    // tfloat deviation |v_i − lerp(t_i)| > ε is cross-multiplied by the
+    // chord's Δt — dev = |Δv_i·Δt_seg − Δv_seg·Δt_i| vs ε·Δt_seg in
+    // (milli-value × relative-ms) units, products bounded by
+    // |v|·span_ms ≲ 10¹⁶ ≪ 2⁶³. Ties at the argmax break to the
+    // smallest index (strict `>` in the fold; the twin's row_number
+    // orders dev DESC, i). The DuckDB twin replays the identical
+    // bounded recursion as a worklist recursive CTE (splits fan out
+    // two rows per level; kept set = distinct endpoints of every
+    // segment ever enqueued — parents' endpoints are inherited by
+    // children, so that union equals the final segments' endpoints).
+    // ε = 250 milli-units.
+    "q78_dp_simplify" -> ((s, dir) => {
+      val asm = Assembly.tfloatAssembleSalted(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      // dev(i) for segment g over arrays vm/tm (both 1-based via
+      // element_at); shared text so fold-compare and fold-update agree
+      def dev(i: String) =
+        s"""abs((element_at(vm, $i) - element_at(vm, g.lo)) *
+           |     (element_at(tm, g.hi) - element_at(tm, g.lo)) -
+           |     (element_at(vm, g.hi) - element_at(vm, g.lo)) *
+           |     (element_at(tm, $i) - element_at(tm, g.lo)))"""
+          .stripMargin.replaceAll("\n", " ")
+      val step =
+        s"""flatten(transform(segs, g ->
+           |  IF(g.fin OR g.hi - g.lo < 2,
+           |    array(named_struct('lo', g.lo, 'hi', g.hi, 'fin', true)),
+           |    aggregate(sequence(g.lo + 1, g.hi - 1),
+           |      named_struct('bd', CAST(-1 AS BIGINT), 'bi', 0),
+           |      (a, i) -> IF(${dev("i")} > a.bd,
+           |        named_struct('bd', ${dev("i")}, 'bi', i), a),
+           |      a -> IF(a.bd > 250 * (element_at(tm, g.hi) -
+           |                            element_at(tm, g.lo)),
+           |        array(named_struct('lo', g.lo, 'hi', a.bi,
+           |                           'fin', false),
+           |              named_struct('lo', a.bi, 'hi', g.hi,
+           |                           'fin', false)),
+           |        array(named_struct('lo', g.lo, 'hi', g.hi,
+           |                           'fin', true)))))))"""
+          .stripMargin.replaceAll("\n", " ")
+      val base = asm
+        .withColumn("vm",
+          expr("transform(s.v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .withColumn("tm",
+          expr("transform(s.t, t -> (t - element_at(s.t, 1)) div 1000)"))
+        .withColumn("n", col("s.n"))
+        .withColumn("segs", expr(
+          "array(named_struct('lo', 1, 'hi', CAST(n AS INT), " +
+            "'fin', n <= 2))"))
+      (1 to 10).foldLeft(base)((d, _) => d.withColumn("segs", expr(step)))
+        .withColumn("kept", expr(
+          "array_distinct(flatten(transform(segs, g -> " +
+            "array(g.lo, g.hi))))"))
+        .select(col("k").as("user_id"), col("n").as("n_in"),
+          expr("CAST(size(kept) AS BIGINT)").as("n_kept"),
+          expr("aggregate(kept, CAST(0 AS BIGINT), " +
+            "(a, i) -> a + element_at(vm, i))").as("kept_milli_sum"))
+        .withColumn("dropped_ppm",
+          expr("(1000000 * (n_in - n_kept)) div n_in"))
+        .orderBy("user_id")
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -3062,6 +3138,68 @@ object CoreQueries {
         |FROM walk w JOIN sz z
         |  ON w.user_id = z.user_id AND w.i = z.n_in
         |ORDER BY w.user_id""".stripMargin,
+
+    // q78 — the identical depth-bounded DP recursion as a WORKLIST
+    // recursive CTE: each level fans a splitting segment into two rows
+    // (the kk∈{1,2} cross join), the argmax is the rk=1 window row
+    // (dev DESC, i — same smallest-index tie-break as the Spark fold's
+    // strict >), and lvl <= 10 caps the recursion exactly where the
+    // Spark side stops applying its level step. Kept set = distinct
+    // endpoints of every enqueued segment.
+    "q78_dp_simplify" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id) AS rn
+        |  FROM events),
+        |ordered AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+        |  FROM dd WHERE rn = 1),
+        |pt AS (
+        |  SELECT user_id, CAST(i AS INT) AS i, v,
+        |    (us - min(us) OVER (PARTITION BY user_id)) // 1000 AS tm
+        |  FROM ordered),
+        |sz AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM pt GROUP BY user_id),
+        |walk(lvl, user_id, lo, hi) AS (
+        |  SELECT 1, user_id, CAST(1 AS INT), CAST(n AS INT) FROM sz
+        |  UNION ALL
+        |  SELECT lvl + 1, user_id, lo2, hi2 FROM (
+        |    SELECT w.lvl, w.user_id,
+        |      CASE WHEN two.kk = 1 THEN w.lo ELSE p.i END AS lo2,
+        |      CASE WHEN two.kk = 1 THEN p.i ELSE w.hi END AS hi2,
+        |      abs((p.v - a.v) * (b.tm - a.tm)
+        |        - (b.v - a.v) * (p.tm - a.tm)) AS dev,
+        |      (b.tm - a.tm) AS dt,
+        |      row_number() OVER (PARTITION BY w.user_id, w.lo, w.hi,
+        |          two.kk
+        |        ORDER BY abs((p.v - a.v) * (b.tm - a.tm)
+        |          - (b.v - a.v) * (p.tm - a.tm)) DESC, p.i) AS rk
+        |    FROM walk w
+        |    JOIN pt a ON a.user_id = w.user_id AND a.i = w.lo
+        |    JOIN pt b ON b.user_id = w.user_id AND b.i = w.hi
+        |    JOIN pt p ON p.user_id = w.user_id
+        |      AND p.i > w.lo AND p.i < w.hi
+        |    CROSS JOIN (SELECT 1 AS kk UNION ALL SELECT 2) two
+        |    WHERE w.lvl <= 10
+        |  ) WHERE rk = 1 AND dev > 250 * dt),
+        |kept AS (
+        |  SELECT DISTINCT user_id, i FROM (
+        |    SELECT user_id, lo AS i FROM walk
+        |    UNION ALL SELECT user_id, hi AS i FROM walk)),
+        |agg AS (
+        |  SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(p.v) AS BIGINT) AS kept_milli_sum
+        |  FROM kept q JOIN pt p
+        |    ON p.user_id = q.user_id AND p.i = q.i
+        |  GROUP BY p.user_id)
+        |SELECT z.user_id, z.n AS n_in, a.n_kept, a.kept_milli_sum,
+        |  (1000000 * (z.n - a.n_kept)) // z.n AS dropped_ppm
+        |FROM agg a JOIN sz z ON a.user_id = z.user_id
+        |ORDER BY z.user_id""".stripMargin,
 
     // partition-misroute detector: same slice off the raw table
     "q56_partition_prune" ->

@@ -7600,6 +7600,44 @@ object ExtQueries {
             .as("doc_leak_ppm"))
     }),
 
+    // EVAL DECONTAMINATION — the standard train-vs-benchmark n-gram
+    // pass (GPT-3 appendix C / Gopher / Llama posture): flag every
+    // corpus doc sharing a 13-gram with a benchmark item, so it can be
+    // dropped from training before it inflates eval scores. The eval
+    // frame here is deterministic (every 31st doc donates ALL its
+    // distinct 13-grams, the way a real pass indexes every n-gram of
+    // the benchmark's passages), standing in for an external eval set.
+    // Scale shape = qx41's delta-vs-index with the index on
+    // the EVAL side: the eval frame is benchmark-sized (thousands of
+    // items, never corpus-sized) and BROADCASTS; the corpus side is one
+    // linear scan exploding distinct 60-bit gram keys (the qx16 hash
+    // discipline — md5-prefix BIGINTs, no string shuffles) probed
+    // against it map-side. Self-hits are excluded (the donor doc
+    // trivially contains its own gram); what remains is true
+    // contamination — replicas and quoters of benchmark text.
+    "qx96_eval_decontam" -> ((s, dir) => {
+      val hs = graft.Materialize.cut(Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 13)
+        .select(col("doc_id"),
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 13)
+            .as("hs")))
+      val ev = hs.where(col("doc_id") % 31 === 0)
+        .select(col("doc_id").as("eval_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+      // BROADCAST BOUND (eval-index): a real benchmark is a small
+      // fixed text set however big the corpus — the 31st-doc slice
+      // stands in for it; a deployment broadcasts the actual eval set
+      hs.select(col("doc_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+        .join(broadcast(ev), "h")
+        .where(col("doc_id") =!= col("eval_id"))
+        .groupBy("doc_id")
+        .agg(countDistinct("eval_id").as("n_eval_hits"),
+          countDistinct("h").as("n_gram_hits"))
+        .orderBy("doc_id")
+    }),
+
     // PARQUET LAYOUT audit — the storage-health check a 100 TB lake
     // runs before anything else: per row group, rows and compressed/
     // uncompressed byte masses straight from the FOOTERS (row-group
@@ -9823,6 +9861,34 @@ object ExtQueries {
           |  (1000000 * cross_doc_split) // n_pairs AS doc_leak_ppm
           |FROM g WHERE n_pairs > 0""".stripMargin)
         .replace("WITH tok AS", "WITH RECURSIVE tok AS")),
+
+    // the same 60-bit gram keys (qx16's md5-prefix fold), eval = all
+    // distinct 13-grams of every 31st doc, self-hits excluded
+    "qx96_eval_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 13),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 12),
+        |    i -> list_reduce(toks[i+1:i+13], (a, b) -> a || ' ' || b)))
+        |    AS g
+        |  FROM tok),
+        |gh AS (
+        |  SELECT DISTINCT doc_id, list_reduce(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM g),
+        |ev AS (
+        |  SELECT DISTINCT doc_id AS eval_id, h
+        |  FROM gh WHERE doc_id % 31 = 0),
+        |hits AS (
+        |  SELECT gh.doc_id, ev.eval_id, gh.h
+        |  FROM gh JOIN ev USING (h) WHERE gh.doc_id <> ev.eval_id)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_gram_hits
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the staged 4-shard arrival clock, the day-grain watermark carry,
     // and the hour-grain lateness histogram

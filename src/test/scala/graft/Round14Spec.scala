@@ -23,6 +23,55 @@ class Round14Spec extends SparkTestBase {
       o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o.json().toLong
 
+  test("qx96 eval decontamination: a planted verbatim 13-gram is " +
+    "flagged, a 12-token overlap is not, self-hits are excluded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("r14-decontam").toString
+    val w = (1 to 20).map("w" + _)
+    val donor = w.mkString(" ")                      // doc 62: % 31 == 0
+    val hit = ("p1 p2 " + w.slice(2, 15).mkString(" ") +
+      " p3 p4 p5 p6").trim                           // 13 verbatim tokens
+    val miss = ("p1 p2 " + w.slice(2, 14).mkString(" ") +
+      " zz p3 p4 p5 p6").trim                        // only 12 in a row
+    Seq((62L, donor), (5L, hit), (7L, miss))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("qx96_eval_decontam")(spark, d).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) ==
+      ((5L, 1L, 1L)))
+  }
+
+  test("q78 Douglas-Peucker: hand trajectory simplifies to the " +
+    "hand-computed kept set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1, eps = 250 milli: points (t_ms, v) = (0,0.0), (1000,1.0),
+    // (2000,0.0), (3000,0.05), (4000,0.1).
+    // Root chord (1,5): max dev at i=2 (3.9e6 > 1.0e6) -> split.
+    // (2,5): max dev at i=3 (2.1e6 > 0.75e6) -> split.
+    // (3,5): dev at i=4 = |50*2000 - 100*1000| = 0 -> final.
+    // Kept {1,2,3,5}: n_kept 4, milli sum 0+1000+0+100 = 1100,
+    // dropped_ppm = 1000000*1 // 5 = 200000.
+    val d = Files.createTempDirectory("r14-dp").toString
+    Seq(
+      (1L, 0L, 1L, 0.0), (1L, 1000L, 2L, 1.0), (1L, 2000L, 3L, 0.0),
+      (1L, 3000L, 4L, 0.05), (1L, 4000L, 5L, 0.1))
+      .toDF("user_id", "ms", "event_id", "value")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_id"), col("value"),
+        lit("x").as("event_type"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q78_dp_simplify")(spark, d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 5L, 4L, 1100L, 200000L)))
+  }
+
   test("MicroBatchStream restart: latestOffset never regresses below a " +
     "checkpoint-recovered committed offset (ADVICE r13)") {
     spark.sparkContext.setLogLevel("ERROR") // touch the session first
