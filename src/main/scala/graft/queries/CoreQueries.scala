@@ -1208,6 +1208,130 @@ object CoreQueries {
         .orderBy("pair_id")
     }),
 
+    // q79 — PERIOD-SET restriction (MEOS atTime/atPeriodSet,
+    // `meos/src/temp.rs`'s Temporal values restricted to time windows):
+    // clip each user's step-interpolated value sequence to a two-window
+    // period set anchored at the corpus start (days [2,5) ∪ [8,11) —
+    // the "only count activity inside the campaign windows" query).
+    // Per user: posits inside the set, their milli mass, and the
+    // step-dwell duration with segments CLIPPED at window boundaries
+    // (a segment straddling a boundary contributes exactly its overlap
+    // — the atPeriod semantics, not a posit filter). The anchor is a
+    // one-row global-min agg broadcast to the scan (never collected);
+    // every quantity is integer µs/milli, so the twin is exact. Scale:
+    // one pass + one per-user window; the period arithmetic is
+    // row-local.
+    "q79_at_period" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val g = broadcast(Tables.events(s, dir)
+        .agg(min(unix_micros(col("ts"))).as("g0")))
+      val day = 86400000000L
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("t2", lead("tus", 1).over(wSeq))
+        .crossJoin(g)
+        .withColumn("p0", col("g0") + lit(2L * day))
+        .withColumn("p1", col("g0") + lit(5L * day))
+        .withColumn("p2", col("g0") + lit(8L * day))
+        .withColumn("p3", col("g0") + lit(11L * day))
+        .withColumn("inp",
+          (col("tus") >= col("p0") && col("tus") < col("p1")) ||
+            (col("tus") >= col("p2") && col("tus") < col("p3")))
+        .withColumn("ov", expr(
+          "greatest(0L, least(t2, p1) - greatest(tus, p0)) + " +
+            "greatest(0L, least(t2, p3) - greatest(tus, p2))"))
+        .groupBy("user_id")
+        .agg(sum(when(col("inp"), 1L).otherwise(0L)).as("n_in_period"),
+          sum(when(col("inp"), col("vm")).otherwise(0L))
+            .as("milli_in_period"),
+          coalesce(sum(when(col("t2").isNotNull, col("ov"))), lit(0L))
+            .as("retained_us"))
+        .orderBy("user_id")
+    }),
+
+    // q80 — NEAREST-APPROACH distance + instant (MEOS
+    // nearestApproachDistance/Instant for synchronized temporal
+    // values): for each q76 pair, the minimum |a − b| over the merged
+    // step-synchronized timeline and the FIRST instant achieving it.
+    // Same forward-fill synchronization as q76 (the tand machinery);
+    // the argmin is one more window-free aggregate — min over a struct
+    // (dist, tus) gives both the distance and its earliest instant in
+    // a single exact integer pass.
+    "q80_nearest_approach" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val posits = Tables.events(s, dir)
+        .where(col("user_id").isin(1L, 2L, 3L, 4L))
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("pair_id", expr("(user_id + 1) div 2"))
+        .withColumn("side", col("user_id") % 2L)
+      val wT = Window.partitionBy("pair_id")
+        .orderBy(col("tus"), col("user_id"), col("event_id"))
+      val wFill = wT.rowsBetween(Window.unboundedPreceding, 0)
+      posits
+        .withColumn("av", last(when(col("side") === 1L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .withColumn("bv", last(when(col("side") === 0L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .where(col("av").isNotNull && col("bv").isNotNull)
+        .withColumn("d", abs(col("av") - col("bv")))
+        .groupBy("pair_id")
+        .agg(min(struct(col("d"), col("tus"))).as("na"),
+          count(lit(1)).as("n_sync"))
+        .select(col("pair_id"), col("na.d").as("nad_milli"),
+          col("na.tus").as("nai_us"), col("n_sync"))
+        .orderBy("pair_id")
+    }),
+
+    // q81 — Z-ORDER layout audit: the multi-dimensional-clustering
+    // check a 100 TB table runs before committing to a sort key. A
+    // single-column sort bounds ONE dimension per file; a Z-ordered
+    // (bit-interleaved) layout bounds EVERY interleaved dimension, so
+    // min/max file skipping works for predicates on any of them. This
+    // audit normalizes two dims (event time, value) to 8 bits each
+    // against one broadcast global-bounds row, interleaves them into a
+    // 16-bit Z-value, buckets the table into 256 Z-cells (the
+    // would-be files), and reports each cell's row count and per-dim
+    // min/max spans plus the bounding-cell area — the numbers that
+    // decide whether the rewrite pays. All integer; the twin states
+    // the identical shift/mask interleave.
+    "q81_zorder_audit" -> ((s, dir) => {
+      val b = broadcast(Tables.events(s, dir).agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"),
+        min(floor(col("value") * 1000).cast("long")).as("v0"),
+        max(floor(col("value") * 1000).cast("long")).as("v1")))
+      val z = (0 until 8).map(i =>
+        s"shiftleft(shiftright(d1, $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(shiftright(d2, $i) & 1, ${2 * i})")
+        .mkString(" + ")
+      Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("tus"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .crossJoin(b)
+        .withColumn("d1", expr("(tus - t0) * 256 div (t1 - t0 + 1)"))
+        .withColumn("d2", expr("(vm - v0) * 256 div (v1 - v0 + 1)"))
+        .withColumn("zb", expr(s"($z) div 256"))
+        .groupBy("zb")
+        .agg(count(lit(1)).as("n"),
+          min("d1").as("d1_min"), max("d1").as("d1_max"),
+          min("d2").as("d2_min"), max("d2").as("d2_max"))
+        .withColumn("cell_area", expr(
+          "(d1_max - d1_min + 1) * (d2_max - d2_min + 1)"))
+        .orderBy("zb")
+    }),
+
     // q77 — DEAD-BAND trajectory simplification (the MEOS `simplify`
     // family in its sequential form): keep a posit only when it moves
     // more than ε from the LAST KEPT value — the compression every
@@ -3100,6 +3224,101 @@ object CoreQueries {
         |  FROM g GROUP BY pair_id)
         |SELECT pair_id, both_above_us, any_above_us, span_us
         |FROM h WHERE span_us > 0 ORDER BY pair_id""".stripMargin,
+
+    // q79 — the same dedupe + lead segments, clipped to the two
+    // corpus-anchored windows with identical greatest/least arithmetic
+    "q79_at_period" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm,
+        |    lead(tus) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS t2
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |g AS (SELECT min(epoch_us(ts)) AS g0 FROM events),
+        |e AS (
+        |  SELECT user_id, tus, vm, t2,
+        |    g0 + 2 * 86400000000 AS p0, g0 + 5 * 86400000000 AS p1,
+        |    g0 + 8 * 86400000000 AS p2, g0 + 11 * 86400000000 AS p3
+        |  FROM p CROSS JOIN g)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN (tus >= p0 AND tus < p1)
+        |    OR (tus >= p2 AND tus < p3) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_period,
+        |  CAST(sum(CASE WHEN (tus >= p0 AND tus < p1)
+        |    OR (tus >= p2 AND tus < p3) THEN vm ELSE 0 END) AS BIGINT)
+        |    AS milli_in_period,
+        |  CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL THEN
+        |    greatest(0, least(t2, p1) - greatest(tus, p0)) +
+        |    greatest(0, least(t2, p3) - greatest(tus, p2)) END), 0)
+        |    AS BIGINT) AS retained_us
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q80 — q76's synchronized timeline; the argmin is the exact
+    // two-step min (min dist, then earliest instant at that dist)
+    "q80_nearest_approach" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events WHERE user_id IN (1, 2, 3, 4)),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus, user_id, event_id,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER w AS av,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER w AS bv
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY pair_id
+        |    ORDER BY tus, user_id, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT pair_id, tus, abs(av - bv) AS dist
+        |  FROM f WHERE av IS NOT NULL AND bv IS NOT NULL),
+        |m AS (
+        |  SELECT pair_id, min(dist) AS nad_milli,
+        |    CAST(count(*) AS BIGINT) AS n_sync
+        |  FROM g GROUP BY pair_id)
+        |SELECT m.pair_id, m.nad_milli,
+        |  min(g.tus) AS nai_us, m.n_sync
+        |FROM m JOIN g ON g.pair_id = m.pair_id
+        |  AND g.dist = m.nad_milli
+        |GROUP BY m.pair_id, m.nad_milli, m.n_sync
+        |ORDER BY m.pair_id""".stripMargin,
+
+    // q81 — identical normalize + shift/mask interleave + cell rollup
+    "q81_zorder_audit" -> {
+      val z = (0 until 8).map(i =>
+        s"(((d1 >> $i) & 1) << ${2 * i + 1}) + " +
+          s"(((d2 >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+         |    min(CAST(floor(value * 1000) AS BIGINT)) AS v0,
+         |    max(CAST(floor(value * 1000) AS BIGINT)) AS v1
+         |  FROM events),
+         |e AS (
+         |  SELECT (epoch_us(ts) - t0) * 256 // (t1 - t0 + 1) AS d1,
+         |    (CAST(floor(value * 1000) AS BIGINT) - v0) * 256
+         |      // (v1 - v0 + 1) AS d2
+         |  FROM events CROSS JOIN b),
+         |c AS (SELECT ($z) // 256 AS zb, d1, d2 FROM e)
+         |SELECT zb, CAST(count(*) AS BIGINT) AS n,
+         |  min(d1) AS d1_min, max(d1) AS d1_max,
+         |  min(d2) AS d2_min, max(d2) AS d2_max,
+         |  (max(d1) - min(d1) + 1) * (max(d2) - min(d2) + 1)
+         |    AS cell_area
+         |FROM c GROUP BY zb ORDER BY zb""".stripMargin
+    },
 
     // the same fold spelled as a RECURSIVE walk, one position per
     // iteration (struct-accumulator list_reduce folds misfold on

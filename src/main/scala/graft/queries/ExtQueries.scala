@@ -7600,6 +7600,55 @@ object ExtQueries {
             .as("doc_leak_ppm"))
     }),
 
+    // COMPOSED PIPELINE #11: BENCHMARK-SAFE TRAINING EXPORT — the
+    // end-to-end export a training run actually consumes: (1) drop
+    // every doc contaminated against the eval index (qx96's gate),
+    // (2) keep only dedup survivors (the staged qx11 cluster table),
+    // (3) hash-split the survivors (qx93's md5 rule; survivors are
+    // their own cluster reps, so the doc hash IS the cluster hash),
+    // (4) book the 64/48 chunk-window token mass (qx91/qp9 arithmetic)
+    // per (split, source). Each stage is the already-probed production
+    // shape; the composition adds one broadcast anti-join and enum-
+    // grain rollups.
+    "qp11_safe_export" -> ((s, dir) => {
+      val hs = graft.Materialize.cut(Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 13)
+        .select(col("doc_id"),
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 13)
+            .as("hs")))
+      val ev = hs.where(col("doc_id") % 31 === 0)
+        .select(col("doc_id").as("eval_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+      // BROADCAST BOUND (eval-index): benchmark-sized (see qx96)
+      val contaminated = hs.select(col("doc_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+        .join(broadcast(ev), "h")
+        .where(col("doc_id") =!= col("eval_id"))
+        .select("doc_id").distinct()
+      Tables.documents(s, dir)
+        .join(stagedClusters(s, dir).where(col("keeper"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, " +
+            "15), 16, 10) AS BIGINT) % 10"))
+        .withColumn("split", when(col("b") < 8, "train")
+          .when(col("b") < 9, "val").otherwise("test"))
+        .select(col("split"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") >= 1)
+        .withColumn("n_chunks", expr("(n + 47) div 48"))
+        .withColumn("chunk_toks", expr(
+          "aggregate(sequence(0L, n_chunks - 1), CAST(0 AS BIGINT), " +
+            "(a, k) -> a + least(CAST(64 AS BIGINT), n - k * 48))"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_toks"),
+          sum("n_chunks").as("n_chunks"),
+          sum("chunk_toks").as("chunk_toks"))
+        .orderBy("split", "source")
+    }),
+
     // EVAL DECONTAMINATION — the standard train-vs-benchmark n-gram
     // pass (GPT-3 appendix C / Gopher / Llama posture): flag every
     // corpus doc sharing a 13-gram with a benchmark item, so it can be
@@ -7676,6 +7725,37 @@ object ExtQueries {
             .as("rows_per_file"),
           expr("comp_bytes div n_groups < 8388608")
             .as("too_granular"))
+        .orderBy("tbl")
+    }),
+
+    // COMPACTION PLANNER — the small-files rewrite plan itself (qz76
+    // says how many files a table SHOULD have; this says which files
+    // merge into which output): greedy name-order coalescing, bin =
+    // running-bytes-before ÷ 128 MB — the deterministic bin-packing
+    // every lake compactor (OPTIMIZE/rewriteDataFiles) runs. Bytes are
+    // footer column-chunk sums (the payload mass being rewritten,
+    // identical in both engines). The walk is file-grain distributed
+    // ([[fileBytesFrame]]): one parse task per file, prefix sums from
+    // per-slice subtotals — no one-task window even at millions of
+    // files. Output per table: files, planned bins, total/max-bin
+    // bytes, and the mean bin fill in ppm of the target.
+    "qz77_compaction_plan" -> ((s, dir) => {
+      lastCompactionDir = Some(dir)
+      val tgt = 134217728L
+      fileBytesFrame(s, dir)
+        // a 0-row part file has NO row groups, so the twin's
+        // parquet_metadata never sees it — drop it here too (it also
+        // needs no compaction I/O; empty-lake contract: 0 output rows)
+        .where(col("bytes") > 0L)
+        .withColumn("bin", expr(s"cum_before div ${tgt}L"))
+        .groupBy("tbl", "bin")
+        .agg(count(lit(1)).as("nf"), sum("bytes").as("bin_bytes"))
+        .groupBy("tbl")
+        .agg(sum("nf").as("n_files"), count(lit(1)).as("n_bins"),
+          sum("bin_bytes").as("total_bytes"),
+          max("bin_bytes").as("max_bin_bytes"))
+        .withColumn("fill_ppm",
+          expr(s"(1000000 * total_bytes) div (n_bins * ${tgt}L)"))
         .orderBy("tbl")
     }),
 
@@ -9237,6 +9317,7 @@ object ExtQueries {
     * runs — never shared, never cross-mutated). */
   @volatile private var lastLayoutDir: Option[String] = None
   @volatile private var lastAdvisorDir: Option[String] = None
+  @volatile private var lastCompactionDir: Option[String] = None
 
   private val LayoutTables =
     Seq("events", "documents", "embeddings", "lineitem", "orders")
@@ -9346,6 +9427,66 @@ object ExtQueries {
        |  FROM parquet_metadata('${metaPath(dir, t)}')
        |  GROUP BY file_name, row_group_id)""".stripMargin
 
+  /** qz77's file-grain walk: per (table, file-in-name-order), the
+    * compressed payload bytes (column-chunk sums — the quantity a
+    * compaction pass bins on, identical in both engines) plus the
+    * running per-table byte total BEFORE this file. Same distributed
+    * posture as [[footerFrame]] — driver lists, one task per file
+    * parses, per-slice subtotals give exact prefix sums with no
+    * one-task window. */
+  private def fileBytesFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val files: Seq[(String, Long, String)] = LayoutTables.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf.value)
+      val fl =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).sortBy(_.getName).toSeq
+        else Seq(p)
+      fl.zipWithIndex.map { case (f, i) => (t, i.toLong, f.toString) }
+    }
+    val nPart = math.min(math.max(files.size, 1),
+      s.sparkContext.defaultParallelism)
+    val perFile = s.sparkContext.parallelize(files, nPart)
+      .map { case (t, fidx, path) =>
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val bytes =
+          try r.getFooter.getBlocks.asScala.iterator
+            .flatMap(_.getColumns.asScala).map(_.getTotalSize).sum
+          finally r.close()
+        (t, fidx, bytes)
+      }
+    val sliceSums = perFile.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (t, _, b) => m(t) = m.getOrElse(t, 0L) + b }
+      Iterator((pid, m.toMap))
+    }.collect().sortBy(_._1)
+    val base = {
+      val run = scala.collection.mutable.Map.empty[String, Long]
+      val b = Map.newBuilder[(Int, String), Long]
+      for ((pid, m) <- sliceSums; t <- LayoutTables; c <- m.get(t)) {
+        b += (((pid, t), run.getOrElse(t, 0L)))
+        run(t) = run.getOrElse(t, 0L) + c
+      }
+      b.result()
+    }
+    perFile.mapPartitionsWithIndex { (pid, it) =>
+      val off = scala.collection.mutable.Map.empty[String, Long]
+      it.map { case (t, fidx, b) =>
+        val before = off.getOrElse(t, base.getOrElse((pid, t), 0L))
+        off(t) = before + b
+        (t, fidx, b, before)
+      }
+    }.toDF("tbl", "fidx", "bytes", "cum_before")
+  }
+
   /** DuckDB twin of qz75: the SAME files' footers through
     * `parquet_metadata` — per row group, rows and the column-chunk
     * compressed/uncompressed sums. */
@@ -9380,11 +9521,49 @@ object ExtQueries {
        |FROM a WHERE comp_bytes > 0 ORDER BY tbl""".stripMargin
   }
 
+  /** DuckDB twin of qz77: per-file column-chunk byte sums through
+    * `parquet_metadata`, name-ordered prefix sums, the identical
+    * bin = cum_before // 128 MB packing and per-table rollup. */
+  private def qz77Sql(dir: String): String = {
+    val union = LayoutTables.map { t =>
+      s"""SELECT '$t' AS tbl, file_name,
+         |  CAST(sum(total_compressed_size) AS BIGINT) AS bytes
+         |FROM parquet_metadata('${metaPath(dir, t)}')
+         |GROUP BY file_name""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |$union
+       |),
+       |c AS (
+       |  SELECT tbl, bytes,
+       |    coalesce(sum(bytes) OVER (PARTITION BY tbl
+       |      ORDER BY file_name
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM f),
+       |b AS (
+       |  SELECT tbl, cum_before // 134217728 AS bin,
+       |    CAST(count(*) AS BIGINT) AS nf,
+       |    CAST(sum(bytes) AS BIGINT) AS bin_bytes
+       |  FROM c GROUP BY tbl, bin),
+       |a AS (
+       |  SELECT tbl, CAST(sum(nf) AS BIGINT) AS n_files,
+       |    CAST(count(*) AS BIGINT) AS n_bins,
+       |    CAST(sum(bin_bytes) AS BIGINT) AS total_bytes,
+       |    CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes
+       |  FROM b GROUP BY tbl)
+       |SELECT tbl, n_files, n_bins, total_bytes, max_bin_bytes,
+       |  (1000000 * total_bytes) // (n_bins * 134217728) AS fill_ppm
+       |FROM a ORDER BY tbl""".stripMargin
+  }
+
   def oracle: Map[String, String] = staticOracle ++
     lastLayoutDir.map(d =>
       Map("qz75_parquet_layout" -> qz75Sql(d))).getOrElse(Map.empty) ++
     lastAdvisorDir.map(d =>
       Map("qz76_partition_advisor" -> qz76Sql(d))).getOrElse(Map.empty) ++
+    lastCompactionDir.map(d =>
+      Map("qz77_compaction_plan" -> qz77Sql(d))).getOrElse(Map.empty) ++
     (for {
       (servKey, halfDir) <- lastQe36Keys
       a <- Similarity.fittedCentroidsFloatFor(servKey)
@@ -9860,6 +10039,59 @@ object ExtQueries {
           |SELECT n_pairs, cross_cluster_split, cross_doc_split,
           |  (1000000 * cross_doc_split) // n_pairs AS doc_leak_ppm
           |FROM g WHERE n_pairs > 0""".stripMargin)
+        .replace("WITH tok AS", "WITH RECURSIVE tok AS")),
+
+    // decontam gate + cluster survivors + doc-hash split + chunk
+    // arithmetic, composed from the qx96/qx93/qp9 twin pieces
+    "qp11_safe_export" ->
+      ((ShingleCte + ClusterChainCte +
+        """,
+          |keepers AS (SELECT doc_id FROM clus WHERE doc_id = cluster),
+          |tok13 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 13),
+          |g13 AS (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks) - 12),
+          |    i -> list_reduce(toks[i+1:i+13], (a, b) -> a || ' ' || b)))
+          |    AS g
+          |  FROM tok13),
+          |gh13 AS (
+          |  SELECT DISTINCT doc_id, list_reduce(list_transform(
+          |      range(1, 16),
+          |    i -> CAST(strpos('0123456789abcdef',
+          |      substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+          |    (a, b) -> a * 16 + b) AS h
+          |  FROM g13),
+          |ev AS (
+          |  SELECT DISTINCT doc_id AS eval_id, h
+          |  FROM gh13 WHERE doc_id % 31 = 0),
+          |cont AS (
+          |  SELECT DISTINCT gh13.doc_id FROM gh13 JOIN ev USING (h)
+          |  WHERE gh13.doc_id <> ev.eval_id),
+          |kd AS (
+          |  SELECT d.doc_id, d.source,
+          |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+          |    list_reduce(list_transform(range(1, 16),
+          |      j -> CAST(strpos('0123456789abcdef',
+          |        substr(md5(CAST(d.doc_id AS VARCHAR)),
+          |          CAST(j AS INT), 1)) - 1 AS BIGINT)),
+          |      (x, y) -> x * 16 + y) % 10 AS b
+          |  FROM documents d
+          |  JOIN keepers USING (doc_id)
+          |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)
+          |    AND len(string_split(d.text, ' ')) >= 1),
+          |ck AS (
+          |  SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+          |      ELSE 'test' END AS split, source, n,
+          |    (n + 47) // 48 AS n_chunks,
+          |    list_reduce(list_transform(range((n + 47) // 48),
+          |      k -> least(CAST(64 AS BIGINT), n - k * 48)),
+          |      (a, b) -> a + b) AS chunk_toks
+          |  FROM kd)
+          |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n) AS BIGINT) AS n_toks,
+          |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+          |  CAST(sum(chunk_toks) AS BIGINT) AS chunk_toks
+          |FROM ck GROUP BY split, source
+          |ORDER BY split, source""".stripMargin)
         .replace("WITH tok AS", "WITH RECURSIVE tok AS")),
 
     // the same 60-bit gram keys (qx16's md5-prefix fold), eval = all
