@@ -21,7 +21,7 @@ object StreamProf {
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val p = e.progress
         println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durMs=${p.durationMs}")
+          s"durMs=${p.durationMs} evTime=${p.eventTime}")
         p.stateOperators.foreach(so =>
           println(s"    state op=${so.operatorName} commit=${so.commitTimeMs}ms " +
             s"update=${so.allUpdatesTimeMs}ms removal=${so.allRemovalsTimeMs}ms " +

@@ -1294,6 +1294,119 @@ object CoreQueries {
         .orderBy("pair_id")
     }),
 
+    // q82 — GRID RESAMPLING (MEOS tsample: snap a step sequence to a
+    // regular instant grid): each user's value sequence sampled at
+    // every whole hour inside the user's own span — the query that
+    // turns irregular telemetry into the fixed-rate series a model or
+    // dashboard consumes. Spelling: union the posits with per-user
+    // hour-grid markers (one sequence() per user, span-bounded) and
+    // one forward-fill window ordered (tus, marker-last) — the sample
+    // at grid instant g is the last value ≤ g, posits at exactly g
+    // included. Rolled per user: samples, milli mass, min/max. All
+    // integer.
+    "q82_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hour = 3600000000L
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val posits = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .select(col("user_id"), col("tus"), col("vm"), lit(0L).as("isg"))
+      val grid = posits.groupBy("user_id")
+        .agg(min("tus").as("t0"), max("tus").as("t1"))
+        .where(expr(s"t1 div ${hour}L >= (t0 + ${hour - 1}L) div ${hour}L"))
+        .select(col("user_id"), explode(expr(
+          s"sequence((t0 + ${hour - 1}L) div ${hour}L, t1 div ${hour}L)"))
+          .as("hh"))
+        .select(col("user_id"), (col("hh") * hour).as("tus"),
+          lit(null).cast("long").as("vm"), lit(1L).as("isg"))
+      val wFill = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("isg"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      posits.union(grid)
+        .withColumn("sv", last(when(col("isg") === 0L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .where(col("isg") === 1L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_samples"), sum("sv").as("milli_sum"),
+          min("sv").as("v_min"), max("sv").as("v_max"))
+        .orderBy("user_id")
+    }),
+
+    // q83 — CROSS-KEY TEMPORAL SUM at day grain (the MEOS tagg family:
+    // aggregate a SET of temporal values into one): the day-end
+    // system-wide state — how many users have a defined value as of
+    // each day's close, and their summed value — i.e. the daily
+    // snapshot table a fleet dashboard reads. Scale-correct spelling:
+    // per (user, day-posted) last value (one struct-max agg, partial
+    // map-side), then the qz47 calendar-carry — a per-user window over
+    // DAY-grain rows (span-bounded at any corpus size) forward-fills
+    // users across silent days from a users × span-days grid, and the
+    // final rollup is day-grain.
+    "q83_temporal_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = 86400000000L
+      val b = broadcast(Tables.events(s, dir).agg(
+        (min(unix_micros(col("ts"))) / day).cast("long").as("d0"),
+        (max(unix_micros(col("ts"))) / day).cast("long").as("d1")))
+      val lastPerDay = Tables.events(s, dir)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / day).cast("long").as("d"),
+          unix_micros(col("ts")).as("tus"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("user_id", "d")
+        .agg(max(struct(col("tus"), col("event_id"), col("vm")))
+          .getField("vm").as("vm"))
+      val grid = Tables.events(s, dir).select(col("user_id")).distinct()
+        .crossJoin(b)
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1)")).as("d"))
+      // GLOBAL-WINDOW BOUND (calendar): day-grain rows per user —
+      // span-bounded however big the corpus
+      val wFill = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(lastPerDay, Seq("user_id", "d"), "left")
+        .withColumn("cv", last("vm", ignoreNulls = true).over(wFill))
+        .where(col("cv").isNotNull)
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_users"), sum("cv").as("milli_sum"))
+        .orderBy("d")
+    }),
+
+    // q85 — PATH LENGTH (MEOS length/cumulativeLength for tgeompoint):
+    // per-user travelled Euclidean distance over the (value,
+    // props-length) plane — the q57 tpoint's own coordinates. Each
+    // step's length is one per-row double sqrt FLOORED to micro units
+    // (the qe29 rule: cross-row sums stay in BIGINT, so partial
+    // aggregation cannot reorder float math); per user: steps, total
+    // micro-length, longest step.
+    "q85_path_length" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("value").as("x"),
+          length(col("props")).cast("double").as("y"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("px", lag("x", 1).over(wSeq))
+        .withColumn("py", lag("y", 1).over(wSeq))
+        .where(col("px").isNotNull)
+        .withColumn("step_micro", expr(
+          "CAST(floor(1000000 * sqrt((x - px) * (x - px) + " +
+            "(y - py) * (y - py))) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum("step_micro").as("len_micro"),
+          max("step_micro").as("max_step_micro"))
+        .orderBy("user_id")
+    }),
+
     // q81 — Z-ORDER layout audit: the multi-dimensional-clustering
     // check a 100 TB table runs before committing to a sort key. A
     // single-column sort bounds ONE dimension per file; a Z-ordered
@@ -1779,6 +1892,11 @@ object CoreQueries {
     // emitted set equals the batch left join, so its SQL oracles it.
     "qs9_stream_outer" -> ((s, dir) =>
       graft.streaming.StreamingReplay.streamStreamOuterReplay(s, dir)),
+
+    // qs28 — 28th streaming row: CHAINED STATEFUL OPERATORS (interval
+    // join → windowed agg in one query; see streamJoinThenWindowReplay)
+    "qs28_join_then_window" -> ((s, dir) =>
+      graft.streaming.StreamingReplay.streamJoinThenWindowReplay(s, dir)),
 
     // qs10 — tenth streaming path under the hash gate: the SLIDING
     // window aggregation (1h windows every 15min — each event
@@ -3295,6 +3413,94 @@ object CoreQueries {
         |GROUP BY m.pair_id, m.nad_milli, m.n_sync
         |ORDER BY m.pair_id""".stripMargin,
 
+    // q82 — posits ∪ hour-grid markers, one IGNORE NULLS fill, grid
+    // rows rolled per user
+    "q82_resample" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm FROM d WHERE pt IS NULL OR pt <> tus),
+        |sp AS (
+        |  SELECT user_id, min(tus) AS t0, max(tus) AS t1
+        |  FROM p GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series((t0 + 3599999999) // 3600000000,
+        |      t1 // 3600000000)) AS hh
+        |  FROM sp),
+        |u AS (
+        |  SELECT user_id, tus, vm, 0 AS isg FROM p
+        |  UNION ALL
+        |  SELECT user_id, hh * 3600000000, NULL, 1 FROM g),
+        |f AS (
+        |  SELECT user_id, isg,
+        |    last_value(CASE WHEN isg = 0 THEN vm END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, isg
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+        |  FROM u)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(sv) AS BIGINT) AS milli_sum,
+        |  CAST(min(sv) AS BIGINT) AS v_min,
+        |  CAST(max(sv) AS BIGINT) AS v_max
+        |FROM f WHERE isg = 1 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // q83 — per-(user, day) last value, users × span-days calendar
+    // carry, day-grain rollup
+    "q83_temporal_sum" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0,
+        |    max(epoch_us(ts)) // 86400000000 AS d1
+        |  FROM events),
+        |lp AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    row_number() OVER (PARTITION BY user_id,
+        |        epoch_us(ts) // 86400000000
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |ld AS (SELECT user_id, d, vm FROM lp WHERE rn = 1),
+        |g AS (
+        |  SELECT u.user_id, unnest(generate_series(b.d0, b.d1)) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN b),
+        |f AS (
+        |  SELECT g.user_id, g.d,
+        |    last_value(ld.vm IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |  FROM g LEFT JOIN ld ON ld.user_id = g.user_id AND ld.d = g.d)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cv) AS BIGINT) AS milli_sum
+        |FROM f WHERE cv IS NOT NULL GROUP BY d ORDER BY d""".stripMargin,
+
+    // q85 — per-step double sqrt floored to micro BIGINTs, exact sums
+    "q85_path_length" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    value AS x, CAST(len(props) AS DOUBLE) AS y,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, x, y,
+        |    lag(x) OVER w AS px, lag(y) OVER w AS py
+        |  FROM d WHERE pt IS NULL OR pt <> tus
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(floor(1000000 * sqrt((x - px) * (x - px) +
+        |      (y - py) * (y - py))) AS BIGINT) AS step_micro
+        |  FROM p WHERE px IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+        |  CAST(sum(step_micro) AS BIGINT) AS len_micro,
+        |  CAST(max(step_micro) AS BIGINT) AS max_step_micro
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // q81 — identical normalize + shift/mask interleave + cell rollup
     "q81_zorder_audit" -> {
       val z = (0 until 8).map(i =>
@@ -3564,6 +3770,19 @@ object CoreQueries {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         |WHERE a.event_type = 'click'
         |ORDER BY c_id, p_id NULLS FIRST""".stripMargin,
+
+    // the chained join→window pipeline's emitted set = the batch join
+    // rolled into epoch-aligned 6 h buckets of the click time
+    "qs28_join_then_window" ->
+      """SELECT (epoch_us(a.ts) // 21600000000) * 21600000000 AS w_us,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT)
+        |    AS dt_sum_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |WHERE a.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // qs9's mirror: every purchase once, null click side when no
     // in-window click exists

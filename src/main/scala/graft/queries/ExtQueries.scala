@@ -7664,6 +7664,32 @@ object ExtQueries {
     // against it map-side. Self-hits are excluded (the donor doc
     // trivially contains its own gram); what remains is true
     // contamination — replicas and quoters of benchmark text.
+    // EVAL-ITEM CONTAMINATION REPORT — qx96's other deliverable, at
+    // the BENCHMARK's grain: for each eval item, how many corpus docs
+    // quote it and with how many distinct grams — the report that
+    // decides which benchmark items must be retired (their answers are
+    // in the training set) vs which corpus docs to drop. Same eval
+    // broadcast, same linear corpus probe; only the rollup key flips.
+    "qx97_eval_item_report" -> ((s, dir) => {
+      val hs = graft.Materialize.cut(Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) >= 13)
+        .select(col("doc_id"),
+          graft.meos.NativeExpressions.shingleHashes(col("toks"), 13)
+            .as("hs")))
+      val ev = hs.where(col("doc_id") % 31 === 0)
+        .select(col("doc_id").as("eval_id"),
+          explode(array_distinct(col("hs"))).as("h"))
+      // BROADCAST BOUND (eval-index): benchmark-sized (see qx96)
+      hs.select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
+        .join(broadcast(ev), "h")
+        .where(col("doc_id") =!= col("eval_id"))
+        .groupBy("eval_id")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          countDistinct("h").as("n_grams"))
+        .orderBy("eval_id")
+    }),
+
     "qx96_eval_decontam" -> ((s, dir) => {
       val hs = graft.Materialize.cut(Tables.documents(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
@@ -10121,6 +10147,33 @@ object ExtQueries {
         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits,
         |  CAST(count(DISTINCT h) AS BIGINT) AS n_gram_hits
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // qx96's hit set rolled to the eval-item grain
+    "qx97_eval_item_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 13),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks) - 12),
+        |    i -> list_reduce(toks[i+1:i+13], (a, b) -> a || ' ' || b)))
+        |    AS g
+        |  FROM tok),
+        |gh AS (
+        |  SELECT DISTINCT doc_id, list_reduce(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM g),
+        |ev AS (
+        |  SELECT DISTINCT doc_id AS eval_id, h
+        |  FROM gh WHERE doc_id % 31 = 0),
+        |hits AS (
+        |  SELECT gh.doc_id, ev.eval_id, gh.h
+        |  FROM gh JOIN ev USING (h) WHERE gh.doc_id <> ev.eval_id)
+        |SELECT eval_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_grams
+        |FROM hits GROUP BY eval_id ORDER BY eval_id""".stripMargin,
 
     // the staged 4-shard arrival clock, the day-grain watermark carry,
     // and the hour-grain lateness histogram

@@ -715,6 +715,87 @@ object StreamingReplay {
       .orderBy(col("c_id"), col("p_id"))
   }
 
+  /** CHAINED STATEFUL OPERATORS — the stream-stream interval join
+    * feeding a DOWNSTREAM windowed aggregation inside one streaming
+    * query (multiple stateful operators per query, the Spark 3.4+
+    * capability the qs family hadn't exercised: every prior arm runs
+    * exactly one stateful op). Declared as `qs28_join_then_window`:
+    * clicks ⋈ purchases under the 6 h attribution window, then the
+    * joined pairs roll into 6 h tumbling event-time windows keyed on
+    * the CLICK time — per window, pair count and summed click-to-
+    * purchase latency, emitted in Append mode when the watermark
+    * passes each window's end. The qs9 posture makes it exact: finite
+    * 1 h delay (join state is bounded by the range condition, window
+    * state by the watermark) + the far-future sentinel pair per source
+    * driving the final eviction batch past every real window end, so
+    * the emitted set equals the batch join + GROUP BY. */
+  def streamJoinThenWindowReplay(spark: SparkSession, dir: String,
+                                 windowSec: Long = 21600L): DataFrame = {
+    import spark.implicits._
+
+    // Sentinels one attribution window FARTHER out than the qs8/qs9
+    // staging: watermark PROPAGATION through the chained join delays
+    // the downstream operator's watermark by the join's max event-time
+    // range (the engine must assume a buffered click can still pair
+    // 6 h later), so the agg's effective watermark is wm − windowSec.
+    // The qs8 sentinel (maxUs + windowSec + 2 h) leaves the last two
+    // real windows unflushed; maxUs + 2·windowSec + 3 h clears every
+    // real window end (≤ maxUs + windowSec) with the 1 h delay and the
+    // join hold both subtracted.
+    val (srcDirStr, sentTs) =
+      stagedJoinChunks(spark, dir, 2 * windowSec + 3600L)
+      .getOrElse {
+        return spark.createDataFrame( // empty input → empty output
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "w_us BIGINT, n_pairs BIGINT, dt_sum_us BIGINT"))
+      }
+
+    val table = s"qs28_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    def side(t: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(schema).parquet(srcDirStr)
+        .where(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_ts")
+    val purch = side("purchase", "p_id", "p_user", "p_ts")
+    // NO sentinel filter inside the streaming plan: a `c_user >= 0`
+    // predicate here gets PUSHED BELOW the watermark nodes (and
+    // inferred onto p_user through the equi-join constraint), deleting
+    // the sentinel rows before they can advance either side's
+    // watermark — the whole replay then never flushes its last
+    // windows. The sentinel pair flows through instead; its window
+    // starts ≥ maxUs + 9 h, provably past every real window start, and
+    // is dropped from the SUNK result below.
+    val q = withStatePartitions(spark, 2) {
+      clicks.join(purch, expr(
+        "c_user = p_user AND p_ts >= c_ts AND " +
+          s"p_ts <= c_ts + interval $windowSec seconds"))
+        .groupBy(window(col("c_ts"), s"$windowSec seconds"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .as("dt_sum_us"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table)
+    spark.catalog.dropTempView(table)
+
+    sunk
+      .select(unix_micros(col("window.start")).as("w_us"),
+        col("n_pairs"), col("dt_sum_us"))
+      // drop the sentinel pair's own window: it starts after sentTs −
+      // windowSec ≥ maxUs + 9 h, while every real window starts ≤ maxUs
+      .where(col("w_us") <
+        unix_micros(lit(sentTs)) - lit(windowSec * 1000000L))
+      .orderBy("w_us")
+  }
+
   /** The stream-stream LEFT SEMI interval join — "which clicks converted
     * within the window", WITHOUT duplicating a click per purchase (qs8's
     * inner join emits every pair; attribution rollups usually want the
