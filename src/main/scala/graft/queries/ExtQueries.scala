@@ -7620,7 +7620,7 @@ object ExtQueries {
       val ev = hs.where(col("doc_id") % 31 === 0)
         .select(col("doc_id").as("eval_id"),
           explode(array_distinct(col("hs"))).as("h"))
-      // BROADCAST BOUND (eval-index): benchmark-sized (see qx96)
+      // BROADCAST BOUND (benchmark-set): benchmark-sized (see qx96)
       val contaminated = hs.select(col("doc_id"),
           explode(array_distinct(col("hs"))).as("h"))
         .join(broadcast(ev), "h")
@@ -7680,7 +7680,7 @@ object ExtQueries {
       val ev = hs.where(col("doc_id") % 31 === 0)
         .select(col("doc_id").as("eval_id"),
           explode(array_distinct(col("hs"))).as("h"))
-      // BROADCAST BOUND (eval-index): benchmark-sized (see qx96)
+      // BROADCAST BOUND (benchmark-set): benchmark-sized (see qx96)
       hs.select(col("doc_id"), explode(array_distinct(col("hs"))).as("h"))
         .join(broadcast(ev), "h")
         .where(col("doc_id") =!= col("eval_id"))
@@ -7700,7 +7700,7 @@ object ExtQueries {
       val ev = hs.where(col("doc_id") % 31 === 0)
         .select(col("doc_id").as("eval_id"),
           explode(array_distinct(col("hs"))).as("h"))
-      // BROADCAST BOUND (eval-index): a real benchmark is a small
+      // BROADCAST BOUND (benchmark-set): a real benchmark is a small
       // fixed text set however big the corpus — the 31st-doc slice
       // stands in for it; a deployment broadcasts the actual eval set
       hs.select(col("doc_id"),

@@ -114,7 +114,14 @@ object StreamingReplay {
   private def withStatePartitions[A](spark: SparkSession, n: Int)
                                     (body: => A): A = {
     val keys = Seq("spark.sql.shuffle.partitions" -> n.toString,
-      "spark.sql.streaming.minBatchesToRetain" -> "2")
+      "spark.sql.streaming.minBatchesToRetain" -> "2",
+      // Spark 4.1's checkpoint FILE CHECKSUMS (one .crc companion per
+      // state delta/snapshot, written through the file manager) exist
+      // to catch corruption on durable storage across restarts; these
+      // replay checkpoints are same-JVM scratch that is never restored
+      // (class doc), so the per-store-per-batch companion write is
+      // pure constant — the same reasoning as the rawckpt:// scheme
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
     val saved = keys.map { case (k, _) =>
       k -> scala.util.Try(spark.conf.get(k)).toOption }
     try { keys.foreach { case (k, v) => spark.conf.set(k, v) }; body }

@@ -34,8 +34,11 @@ class Round13Spec extends SparkTestBase {
     "fixed-k", "one-row-agg", "post-limit", "fixed-dim")
 
   private val expectedCensus = Map(
-    "src/main/scala/graft/queries/CoreQueries.scala" -> 6,
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 93) // qe40 anchors + qz69 span agg + qz70 tot/fit + qz73 tot/qtl + qz74 tot (one-row aggs) + qp10 cls (marked enum-group) + qe42 probes (marked query-anchors)
+    // r14: +3 one-row bound aggs (q79 anchor, q81/q83 global bounds)
+    "src/main/scala/graft/queries/CoreQueries.scala" -> 9,
+    // r14: +3 eval-index broadcasts (qx96/qx97/qp11, marked
+    // benchmark-set); the qe31 fusion kept both its marked sites
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 96) // qe40 anchors + qz69 span agg + qz70 tot/fit + qz73 tot/qtl + qz74 tot (one-row aggs) + qp10 cls (marked enum-group) + qe42 probes (marked query-anchors)
 
   private def balancedArg(text: String, start: Int): String = {
     var depth = 1

@@ -23,6 +23,32 @@ class Round14Spec extends SparkTestBase {
       o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o.json().toLong
 
+  test("rawckpt scheme: replay checkpoints write through the raw local " +
+    "FS — offset/commit/state files exist, no .crc sidecars") {
+    SparkEntry.queries("qs1_stream_replay")(spark, sfDir).count()
+    val shm = new java.io.File("/dev/shm")
+    val tmp = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    // only the STREAMING replay roots (they hold *_replay_* query
+    // dirs) — Materialize's reliable RDD checkpoints share the name
+    // prefix in test JVMs and legitimately keep Hadoop sidecars
+    val roots = (Option(shm.listFiles()).getOrElse(Array.empty) ++
+      Option(tmp.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-ckpt") &&
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.contains("_replay_")))
+    assert(roots.nonEmpty, "no replay checkpoint root found")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val files = roots.flatMap(walk)
+    assert(files.nonEmpty, "checkpoint root is empty — nothing committed")
+    val crcs = files.filter(_.getName.endsWith(".crc"))
+    assert(crcs.isEmpty,
+      s"checksum sidecars written through rawckpt://: ${crcs.take(3)}")
+  }
+
   test("qx96 eval decontamination: a planted verbatim 13-gram is " +
     "flagged, a 12-token overlap is not, self-hits are excluded") {
     import org.apache.spark.sql.functions._
