@@ -57,6 +57,30 @@ object CoreQueries {
   private val jsonStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The per-dir staged DSv2 envelope (q57's v2-written trips) — shared
+    * by q57 (full read-back) and q84 (pushed-filter read). The v2 write
+    * (per-task rename-commit, bytes pinned identical to the legacy text
+    * sink by TripSinkSpec) feeds the v2 reads; staged once per dir
+    * (ADVICE r12: no temp-dir leak across bench legs; winner-return on
+    * the race). */
+  private def stagedEnvelope(s: SparkSession, dir: String): String =
+    Option(envStage.get(dir)).getOrElse {
+      import graft.meos.{Assembly, NativeExpressions}
+      val asm = Assembly.tpointAssemble()
+      val trips = Tables.events(s, dir)
+        .withColumn("y", length(col("props")).cast("double"))
+        .groupBy("user_id")
+        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+          col("y")).as("st"))
+        .select(col("user_id").as("id"), lit(1).as("vt"),
+          NativeExpressions.tgeompointAsHexWkb(
+            Assembly.tpointVal(col("st"))).as("json"))
+      val d = java.nio.file.Files
+        .createTempDirectory("q57-envelope").toString
+      trips.write.format("trip-envelope").mode("overwrite").save(d)
+      Option(envStage.putIfAbsent(dir, d)).getOrElse(d)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
@@ -1648,33 +1672,39 @@ object CoreQueries {
     // the oracle recomputes from events, so a connector that drops,
     // truncates, splits, or misparses a single line hash-fails.
     "q57_trip_envelope_scan" -> ((s, dir) => {
-      import graft.meos.{Assembly, MeosFunctions, NativeExpressions}
-      val asm = Assembly.tpointAssemble()
-      val trips = Tables.events(s, dir)
-        .withColumn("y", length(col("props")).cast("double"))
-        .groupBy("user_id")
-        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
-          col("y")).as("st"))
-        .select(col("user_id").as("id"), lit(1).as("vt"),
-          NativeExpressions.tgeompointAsHexWkb(
-            Assembly.tpointVal(col("st"))).as("json"))
-      // BOTH directions through the DSv2 connector now: the v2 write
-      // (per-task rename-commit, bytes pinned identical to the legacy
-      // text sink by TripSinkSpec) feeds the v2 read. Staged once per
-      // dir (ADVICE r12: no temp-dir leak across bench legs).
-      val path = Option(envStage.get(dir)).getOrElse {
-        val d = java.nio.file.Files
-          .createTempDirectory("q57-envelope").toString
-        trips.write.format("trip-envelope").mode("overwrite").save(d)
-        // winner-return, matching csvStage above and StreamingReplay
-        Option(envStage.putIfAbsent(dir, d)).getOrElse(d)
-      }
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      val path = stagedEnvelope(s, dir)
       s.read.format("trip-envelope").load(path)
         .select(col("id").as("user_id"),
           NativeExpressions.tgeompointFromHexWkb(col("json")).as("trip"),
           col("json"))
         .where(NativeExpressions.tgeompointAsHexWkb(col("trip"))
           === col("json"))
+        .select(col("user_id"),
+          MeosFunctions.tgeompointNumInstants(col("trip"))
+            .cast("long").as("n"),
+          unix_micros(MeosFunctions.tgeompointStartTs(col("trip")))
+            .as("t0_us"))
+        .orderBy("user_id")
+    }),
+
+    // q84 — DSv2 FILTER PUSHDOWN on the envelope connector (its 4th
+    // capability: batch read, batch write, streaming read, and now
+    // predicate pushdown + reported statistics): an id-range predicate
+    // is accepted by the ScanBuilder and evaluated INSIDE the reader,
+    // which token-walks only the ~20-byte line head of a non-matching
+    // row — the multi-KB WKB payload of a filtered-out trip is never
+    // parsed, materialized, or even skipped token-by-token. The plan
+    // shows the pushed range in the scan description (Round14Spec
+    // pins it); correctness = the decoded survivors equal the
+    // events-derived rollup under the same predicate.
+    "q84_envelope_pushdown" -> ((s, dir) => {
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      val path = stagedEnvelope(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .where(col("id") >= 30L && col("id") < 100L)
+        .select(col("id").as("user_id"),
+          NativeExpressions.tgeompointFromHexWkb(col("json")).as("trip"))
         .select(col("user_id"),
           MeosFunctions.tgeompointNumInstants(col("trip"))
             .cast("long").as("n"),
@@ -3015,6 +3045,13 @@ object CoreQueries {
       """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
         |       min(epoch_us(ts)) AS t0_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the pushed id range replayed as a plain predicate on the source
+    "q84_envelope_pushdown" ->
+      """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
+        |       min(epoch_us(ts)) AS t0_us
+        |FROM events WHERE user_id >= 30 AND user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the distributed-ingest replay must emit exactly qs3's set through
     // unordered executor-written files

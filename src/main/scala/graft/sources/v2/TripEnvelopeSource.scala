@@ -11,7 +11,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
@@ -108,29 +111,83 @@ class TripEnvelopeTable(path: String)
     new TripEnvelopeWriteBuilder(path, info)
 }
 
+/** Scan builder with COLUMN PRUNING and FILTER PUSHDOWN: the connector
+  * accepts `id` comparison filters and evaluates them INSIDE the
+  * reader, where the id is the first ~20 bytes of each line — a
+  * filtered scan never materializes (or even token-walks) the multi-KB
+  * payload of a non-matching row. Only exactly-evaluable predicates
+  * are accepted (id bounds + IsNotNull on any wire field, which is
+  * vacuously true for this format); everything else stays post-scan. */
 class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = TripEnvelopeTable.schema
+  private var idLo: Long = Long.MinValue
+  private var idHi: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo("id", v) => longOf(v).isDefined
+      case GreaterThan("id", v) => longOf(v).isDefined
+      case GreaterThanOrEqual("id", v) => longOf(v).isDefined
+      case LessThan("id", v) => longOf(v).isDefined
+      case LessThanOrEqual("id", v) => longOf(v).isDefined
+      // wire fields are never null — vacuously true, fully handled
+      case IsNotNull("id" | "vt" | "json") => true
+      case _ => false
+    }
+    ok.foreach {
+      case EqualTo("id", v) =>
+        val x = longOf(v).get
+        idLo = math.max(idLo, x); idHi = math.min(idHi, x)
+      case GreaterThan("id", v) =>
+        idLo = math.max(idLo, longOf(v).get + 1)
+      case GreaterThanOrEqual("id", v) =>
+        idLo = math.max(idLo, longOf(v).get)
+      case LessThan("id", v) =>
+        idHi = math.min(idHi, longOf(v).get - 1)
+      case LessThanOrEqual("id", v) =>
+        idHi = math.min(idHi, longOf(v).get)
+      case _ => ()
+    }
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new TripEnvelopeScan(path, required, maxFilesPerBatch)
+    new TripEnvelopeScan(path, required, maxFilesPerBatch, idLo, idHi)
 }
 
 class TripEnvelopeScan(path: String, required: StructType,
-                       maxFilesPerBatch: Int = Int.MaxValue)
-    extends Scan with Batch {
+                       maxFilesPerBatch: Int = Int.MaxValue,
+                       idLo: Long = Long.MinValue,
+                       idHi: Long = Long.MaxValue)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch)
-  override def description(): String =
-    s"TripEnvelope $path ReadSchema: ${required.catalogString}"
+    new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch,
+      idLo, idHi)
+  override def description(): String = {
+    val f =
+      if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
+      else s" PushedFilters: [id in [$idLo, $idHi]]"
+    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f"
+  }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side FILE LISTING only (metadata, never data): one
-    // partition per line file, sorted for deterministic task numbering
+  private def visibleFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
@@ -138,22 +195,43 @@ class TripEnvelopeScan(path: String, required: StructType,
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-      .map(st =>
-        TripEnvelopeInputPartition(st.getPath.toUri.toString)
-          : InputPartition)
+  }
+
+  /** Planner statistics from the LISTING only: total visible bytes. A
+    * real sizeInBytes lets Catalyst/AQE make honest broadcast and
+    * coalesce decisions for envelope joins instead of assuming the
+    * conservative default (= "never broadcastable"). */
+  override def estimateStatistics(): Statistics = {
+    val bytes = visibleFiles().map(_.getLen).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side FILE LISTING only (metadata, never data): one
+    // partition per line file, sorted for deterministic task numbering
+    visibleFiles().map(st =>
+      TripEnvelopeInputPartition(st.getPath.toUri.toString)
+        : InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new TripEnvelopeReaderFactory(required.fieldNames, conf)
+    new TripEnvelopeReaderFactory(required.fieldNames, conf, idLo, idHi)
   }
 }
 
 case class TripEnvelopeInputPartition(file: String) extends InputPartition
 
 class TripEnvelopeReaderFactory(fields: Array[String],
-                                conf: SerializableConfiguration)
+                                conf: SerializableConfiguration,
+                                idLo: Long = Long.MinValue,
+                                idHi: Long = Long.MaxValue)
     extends PartitionReaderFactory {
   // field projection resolved ONCE here, not per row: slot index of each
   // envelope field in the pruned output row, or -1 when pruned away
@@ -167,7 +245,7 @@ class TripEnvelopeReaderFactory(fields: Array[String],
       : PartitionReader[InternalRow] =
     new TripEnvelopeReader(
       partition.asInstanceOf[TripEnvelopeInputPartition].file,
-      fields.length, idSlot, vtSlot, jsonSlot, conf)
+      fields.length, idSlot, vtSlot, jsonSlot, conf, idLo, idHi)
 }
 
 /** Streams one envelope file line by line; each line is parsed with
@@ -178,7 +256,9 @@ class TripEnvelopeReaderFactory(fields: Array[String],
   * the envelope is a wire format, not a lake of unknowns. */
 class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
                          vtSlot: Int, jsonSlot: Int,
-                         conf: SerializableConfiguration)
+                         conf: SerializableConfiguration,
+                         idLo: Long = Long.MinValue,
+                         idHi: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val factory =
     new com.fasterxml.jackson.core.JsonFactory()
@@ -189,11 +269,39 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
       new java.io.InputStreamReader(fs.open(p),
         java.nio.charset.StandardCharsets.UTF_8))
   }
+  private val filtered = idLo != Long.MinValue || idHi != Long.MaxValue
   private var line: String = _
+
+  /** Pushed-filter check: token-walk only as far as the id field (the
+    * ~20-byte line head on sink-written files), never touching the
+    * payload of a non-matching row. */
+  private def idMatches(l: String): Boolean = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = factory.createParser(l)
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        s"malformed envelope line: $l")
+      var tok = p.nextToken()
+      while (tok == JsonToken.FIELD_NAME) {
+        val name = p.currentName()
+        p.nextToken()
+        if (name == "id") {
+          val v = p.getLongValue
+          return v >= idLo && v <= idHi
+        }
+        p.skipChildren()
+        tok = p.nextToken()
+      }
+      throw new IllegalArgumentException(
+        s"envelope line without id: $l")
+    } finally p.close()
+  }
 
   override def next(): Boolean = {
     line = in.readLine()
-    while (line != null && line.isEmpty) line = in.readLine()
+    while (line != null &&
+      (line.isEmpty || (filtered && !idMatches(line))))
+      line = in.readLine()
     line != null
   }
 
@@ -258,7 +366,9 @@ case class TripEnvelopeOffset(n: Long)
   * admission — the rate-limit knob that keeps a cold start from reading
   * the whole landing zone as one giant micro-batch. */
 class TripEnvelopeMicroBatchStream(path: String, required: StructType,
-                                   maxFilesPerBatch: Int)
+                                   maxFilesPerBatch: Int,
+                                   idLo: Long = Long.MinValue,
+                                   idHi: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -320,7 +430,7 @@ class TripEnvelopeMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TripEnvelopeReaderFactory(required.fieldNames, conf)
+    new TripEnvelopeReaderFactory(required.fieldNames, conf, idLo, idHi)
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong

@@ -23,6 +23,42 @@ class Round14Spec extends SparkTestBase {
       o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o.json().toLong
 
+  test("q84 envelope filter pushdown: the id range reaches the scan, " +
+    "unpushable predicates stay post-scan, statistics are reported") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("r14-envpush").toString + "/env"
+    Seq((10L, 1, "AA"), (42L, 1, "BB"), (99L, 1, "CC"), (150L, 1, "DD"))
+      .toDF("id", "vt", "json")
+      .write.format("trip-envelope").mode("overwrite").save(d)
+    val pushed = spark.read.format("trip-envelope").load(d)
+      .where(col("id") >= 30L && col("id") < 100L)
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [id in [30, 99]]"),
+      s"pushed range missing from scan description:\n$plan")
+    // the pushed filter is exact: no duplicate post-scan Filter on id
+    // bounds survives (Spark drops handled filters), and the result is
+    // the matching rows only
+    assert(pushed.select("id").as[Long].collect().sorted
+      .sameElements(Array(42L, 99L)))
+    // a payload predicate is NOT pushable — it must stay post-scan and
+    // still evaluate correctly
+    val mixed = spark.read.format("trip-envelope").load(d)
+      .where(col("id") >= 30L && col("json") === "BB")
+    assert(mixed.select("id").as[Long].collect().sameElements(Array(42L)))
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("Filter"),
+      s"payload predicate vanished from the post-scan plan:\n$mixedPlan")
+    // reported statistics: the listing's byte total reaches the planner
+    val scanStats = spark.read.format("trip-envelope").load(d)
+      .queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length).sum
+    assert(scanStats.sizeInBytes == BigInt(onDisk),
+      s"stats ${scanStats.sizeInBytes} != on-disk $onDisk")
+  }
+
   test("rawckpt scheme: replay checkpoints write through the raw local " +
     "FS — offset/commit/state files exist, no .crc sidecars") {
     SparkEntry.queries("qs1_stream_replay")(spark, sfDir).count()
