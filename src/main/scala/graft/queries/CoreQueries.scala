@@ -1431,6 +1431,41 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q86 — SPEED (MEOS speed/maxSpeed for temporal values): the
+    // per-step rate of change |Δv|/Δt over each user's deduped
+    // sequence, as exact integers — step speed in milli-units per
+    // second = (|Δv_milli| · 1e6) div Δt_µs (Δt > 0 after the dup-ts
+    // dedupe). Per user: steps, max speed, the FIRST instant the max
+    // is reached (min-over-struct argmax, q80's rule), and the
+    // time-weighted mean numerator Σ|Δv| over Σ Δt stated as one
+    // division in ppm of a milli-unit/s.
+    "q86_speed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("p2", lag("tus", 1).over(wSeq))
+        .withColumn("pv", lag("vm", 1).over(wSeq))
+        .where(col("p2").isNotNull)
+        .withColumn("sp",
+          expr("(abs(vm - pv) * 1000000L) div (tus - p2)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          min(struct((-col("sp")).as("ns"), col("tus"))).as("mx"),
+          sum(abs(col("vm") - col("pv"))).as("dv_milli"),
+          sum(col("tus") - col("p2")).as("dt_us"))
+        .select(col("user_id"), col("n_steps"),
+          (-col("mx.ns")).as("max_speed"),
+          col("mx.tus").as("max_at_us"),
+          expr("(dv_milli * 1000000L) div dt_us").as("mean_speed"))
+        .orderBy("user_id")
+    }),
+
     // q81 — Z-ORDER layout audit: the multi-dimensional-clustering
     // check a 100 TB table runs before committing to a sort key. A
     // single-column sort bounds ONE dimension per file; a Z-ordered
@@ -1711,6 +1746,19 @@ object CoreQueries {
           unix_micros(MeosFunctions.tgeompointStartTs(col("trip")))
             .as("t0_us"))
         .orderBy("user_id")
+    }),
+
+    // q87 — DSv2 AGGREGATE PUSHDOWN on the envelope (the connector's
+    // 5th capability): COUNT(*) under a pushed id range — the reader
+    // emits one partial count per line file without parsing any
+    // payload (only the ~20-byte id head, for the filter), and Spark
+    // sums the partials. The "how many trips landed" operational
+    // query costs a line scan, not a JSON parse of the lake.
+    "q87_envelope_count" -> ((s, dir) => {
+      val path = stagedEnvelope(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .where(col("id") < 100L)
+        .selectExpr("count(*) AS n_env")
     }),
 
     // qs23 — twenty-third streaming path: the DISTRIBUTED-ingest
@@ -3046,6 +3094,12 @@ object CoreQueries {
         |       min(epoch_us(ts)) AS t0_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // one envelope line per user; the pushed COUNT over the id range
+    // replayed as a distinct-user count
+    "q87_envelope_count" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_env
+        |FROM events WHERE user_id < 100""".stripMargin,
+
     // the pushed id range replayed as a plain predicate on the source
     "q84_envelope_pushdown" ->
       """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
@@ -3537,6 +3591,39 @@ object CoreQueries {
         |  CAST(sum(step_micro) AS BIGINT) AS len_micro,
         |  CAST(max(step_micro) AS BIGINT) AS max_step_micro
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q86 — same dedupe + lag steps; the argmax is the min over
+    // (−speed, instant)
+    "q86_speed" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm,
+        |    lag(tus) OVER w AS p2, lag(vm) OVER w AS pv
+        |  FROM d WHERE pt IS NULL OR pt <> tus
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |st AS (
+        |  SELECT user_id, tus,
+        |    (abs(vm - pv) * 1000000) // (tus - p2) AS sp,
+        |    abs(vm - pv) AS dv, tus - p2 AS dt
+        |  FROM p WHERE p2 IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+        |    CAST(max(sp) AS BIGINT) AS max_speed,
+        |    CAST(sum(dv) AS BIGINT) AS dv_milli,
+        |    CAST(sum(dt) AS BIGINT) AS dt_us
+        |  FROM st GROUP BY user_id)
+        |SELECT m.user_id, m.n_steps, m.max_speed,
+        |  min(st.tus) AS max_at_us,
+        |  (m.dv_milli * 1000000) // m.dt_us AS mean_speed
+        |FROM m JOIN st ON st.user_id = m.user_id
+        |  AND st.sp = m.max_speed
+        |GROUP BY m.user_id, m.n_steps, m.max_speed, m.dv_milli, m.dt_us
+        |ORDER BY m.user_id""".stripMargin,
 
     // q81 — identical normalize + shift/mask interleave + cell rollup
     "q81_zorder_audit" -> {

@@ -120,14 +120,33 @@ class TripEnvelopeTable(path: String)
   * vacuously true for this format); everything else stays post-scan. */
 class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = TripEnvelopeTable.schema
   private var idLo: Long = Long.MinValue
   private var idHi: Long = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT(*) pushdown (partial — Spark sums the per-partition
+    * counts): an ungrouped count over the envelope never parses a
+    * line beyond the id head (or at all, when no id filter is
+    * pushed) — the "how many trips landed" operational query costs
+    * a line scan, not a JSON parse of every payload. Anything other
+    * than a bare COUNT(*) is declined and planned normally. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    val ok = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   private def longOf(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
@@ -166,25 +185,34 @@ class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TripEnvelopeScan(path, required, maxFilesPerBatch, idLo, idHi)
+    new TripEnvelopeScan(path, required, maxFilesPerBatch, idLo, idHi,
+      countPushed)
 }
 
 class TripEnvelopeScan(path: String, required: StructType,
                        maxFilesPerBatch: Int = Int.MaxValue,
                        idLo: Long = Long.MinValue,
-                       idHi: Long = Long.MaxValue)
+                       idHi: Long = Long.MaxValue,
+                       countPushed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countPushed)
+      StructType(Seq(StructField("count(*)", LongType)))
+    else required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!countPushed,
+      "aggregate pushdown is a batch-only capability")
     new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch,
       idLo, idHi)
+  }
   override def description(): String = {
     val f =
       if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
       else s" PushedFilters: [id in [$idLo, $idHi]]"
-    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f"
+    val a = if (countPushed) " PushedAggregation: [COUNT(*)]" else ""
+    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f$a"
   }
 
   private def visibleFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
@@ -222,7 +250,39 @@ class TripEnvelopeScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    new TripEnvelopeReaderFactory(required.fieldNames, conf, idLo, idHi)
+    if (countPushed)
+      new TripEnvelopeCountReaderFactory(conf, idLo, idHi)
+    else
+      new TripEnvelopeReaderFactory(required.fieldNames, conf, idLo, idHi)
+  }
+}
+
+/** Pushed-COUNT(*) reader: one partial-count row per line file. With
+  * no pushed id bounds this is a pure line count — no JSON parse at
+  * all; with bounds, only the ~20-byte id head of each line is
+  * token-walked. */
+class TripEnvelopeCountReaderFactory(conf: SerializableConfiguration,
+                                     idLo: Long, idHi: Long)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TripEnvelopeInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val inner = new TripEnvelopeReader(file, 0, -1, -1, -1,
+        conf, idLo, idHi)
+      private var emitted = false
+      private var n = 0L
+      override def next(): Boolean = {
+        if (emitted) return false
+        while (inner.next()) n += 1
+        true
+      }
+      override def get(): InternalRow = {
+        emitted = true
+        InternalRow(n)
+      }
+      override def close(): Unit = inner.close()
+    }
   }
 }
 

@@ -26,9 +26,12 @@ class EmptyInputSpec extends SparkTestBase {
   // on empty tables it still (correctly) encodes all golden cases.
   // qz46 is ANALYZE: a profile of an empty table is one row PER COLUMN
   // with n_rows = 0 (that's what a planner wants to read), not 0 rows.
+  // q87 is an UNGROUPED count — "zero trips landed" is one row of 0,
+  // the correct empty-lake answer for a COUNT(*)
   private val literalDriven = Map(
     "qc2_codec_golden" -> 10L,
-    "qz46_table_profile" -> 5L)
+    "qz46_table_profile" -> 5L,
+    "q87_envelope_count" -> 1L)
 
   test("every declared query executes on empty tables and returns 0 rows") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -49,6 +49,22 @@ class Round14Spec extends SparkTestBase {
     val mixedPlan = mixed.queryExecution.executedPlan.toString
     assert(mixedPlan.contains("Filter"),
       s"payload predicate vanished from the post-scan plan:\n$mixedPlan")
+    // COUNT(*) pushdown: the scan flips to partial-count rows (one per
+    // file), the description says so, and the summed result is exact
+    val counted = spark.read.format("trip-envelope").load(d)
+      .where(col("id") >= 30L && col("id") < 100L)
+      .selectExpr("count(*) AS n")
+    val cPlan = counted.queryExecution.executedPlan.toString
+    assert(cPlan.contains("PushedAggregation: [COUNT(*)]"),
+      s"count pushdown did not fire:\n$cPlan")
+    assert(counted.as[Long].collect().sameElements(Array(2L)))
+    // unfiltered count: pure line count, still exact
+    val all = spark.read.format("trip-envelope").load(d)
+      .selectExpr("count(*) AS n")
+    assert(all.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(all.as[Long].collect().sameElements(Array(4L)))
+
     // reported statistics: the listing's byte total reaches the planner
     val scanStats = spark.read.format("trip-envelope").load(d)
       .queryExecution.optimizedPlan.stats
