@@ -1431,6 +1431,32 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q88 — RECURSIVE CTE (the Spark 4 SQL surface itself: WITH
+    // RECURSIVE landed in Spark 4.x; every prior recursion in this
+    // repo ran driver-side supersteps or HOF folds): the canonical
+    // hierarchy walk — users form a binary org tree (parent = id DIV
+    // 2, root 1), each node weighted by its event count, and the
+    // recursion climbs every user's ancestor chain accumulating depth
+    // and the path's event mass. Iterations are bounded by the tree
+    // depth (log₂ of the max id — 8 at the gate, ~40 at any realistic
+    // id space), and each step is one keyed join, so the recursion is
+    // depth-bounded relational work, not a driver loop. The twin runs
+    // the same recursion in DuckDB's dialect.
+    "q88_recursive_cte" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .createOrReplaceTempView("q88_cnt")
+      s.sql("""WITH RECURSIVE walk(user_id, anc, depth, path_n) AS (
+        |  SELECT user_id, user_id, 0, n FROM q88_cnt
+        |  UNION ALL
+        |  SELECT w.user_id, w.anc DIV 2, w.depth + 1,
+        |    w.path_n + coalesce(c.n, CAST(0 AS BIGINT))
+        |  FROM walk w LEFT JOIN q88_cnt c ON c.user_id = w.anc DIV 2
+        |  WHERE w.anc > 1)
+        |SELECT user_id, CAST(depth AS BIGINT) AS depth, path_n
+        |FROM walk WHERE anc = 1 ORDER BY user_id""".stripMargin)
+    }),
+
     // q86 — SPEED (MEOS speed/maxSpeed for temporal values): the
     // per-step rate of change |Δv|/Δt over each user's deduped
     // sequence, as exact integers — step speed in milli-units per
@@ -3591,6 +3617,22 @@ object CoreQueries {
         |  CAST(sum(step_micro) AS BIGINT) AS len_micro,
         |  CAST(max(step_micro) AS BIGINT) AS max_step_micro
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q88 — the identical ancestor-chain recursion, DuckDB dialect
+    "q88_recursive_cte" ->
+      """WITH RECURSIVE cnt AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |walk(user_id, anc, depth, path_n) AS (
+        |  SELECT user_id, user_id, 0, n FROM cnt
+        |  UNION ALL
+        |  SELECT w.user_id, w.anc // 2, w.depth + 1,
+        |    w.path_n + coalesce(c.n, 0)
+        |  FROM walk w LEFT JOIN cnt c ON c.user_id = w.anc // 2
+        |  WHERE w.anc > 1)
+        |SELECT user_id, CAST(depth AS BIGINT) AS depth,
+        |  CAST(path_n AS BIGINT) AS path_n
+        |FROM walk WHERE anc = 1 ORDER BY user_id""".stripMargin,
 
     // q86 — same dedupe + lag steps; the argmax is the min over
     // (−speed, instant)
