@@ -1763,7 +1763,7 @@ object CoreQueries {
       import graft.meos.{MeosFunctions, NativeExpressions}
       val path = stagedEnvelope(s, dir)
       s.read.format("trip-envelope").load(path)
-        .where(col("id") >= 30L && col("id") < 100L)
+        .where(col("id") >= 3L && col("id") < 100L)
         .select(col("id").as("user_id"),
           NativeExpressions.tgeompointFromHexWkb(col("json")).as("trip"))
         .select(col("user_id"),
@@ -3130,7 +3130,7 @@ object CoreQueries {
     "q84_envelope_pushdown" ->
       """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
         |       min(epoch_us(ts)) AS t0_us
-        |FROM events WHERE user_id >= 30 AND user_id < 100
+        |FROM events WHERE user_id >= 3 AND user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the distributed-ingest replay must emit exactly qs3's set through
