@@ -55,6 +55,13 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val spillMem = new java.util.concurrent.atomic.AtomicLong()
     val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+    // peak single-stage execution memory + block-manager evictions
+    // (VERDICT r14 #1b: per-query JVM telemetry INTO the sidecar, so a
+    // selective driver-box inflation is adjudicable from data — GC
+    // pressure, spill, eviction, or external contention each leave a
+    // distinct signature)
+    val peakExec = new java.util.concurrent.atomic.AtomicLong()
+    val evictions = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -62,6 +69,18 @@ object Bench {
             : Unit = {
           spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
           spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+          peakExec.getAndAccumulate(
+            sc.stageInfo.taskMetrics.peakExecutionMemory, math.max)
+        }
+        override def onBlockUpdated(
+            bu: org.apache.spark.scheduler.SparkListenerBlockUpdated)
+            : Unit = {
+          // a cached block transitioning to no-storage without an
+          // unpersist is an EVICTION (memory pressure pushed it out)
+          val info = bu.blockUpdatedInfo
+          if (!info.storageLevel.isValid &&
+              info.blockId.isRDD) evictions.incrementAndGet()
+          ()
         }
       })
     val gcBeans =
@@ -84,8 +103,17 @@ object Bench {
       (infos.length, infos.map(_.memSize).sum >> 20)
     }
 
-    def runOnce(name: String): (Double, Double) = {
+    /** One timed run: (seconds, cpu%, gcMs, spillMemMB, spillDiskMB,
+      * peakExecMB, evictions) — every counter read BEFORE the
+      * harness-hygiene releaseAll so unpersists don't masquerade as
+      * evictions. */
+    case class RunTel(t: Double, cpuPct: Double, gcMs: Long,
+                      spillMemMb: Long, spillDiskMb: Long,
+                      peakExecMb: Long, evicted: Long)
+    def runOnce(name: String): RunTel = {
       spillMem.set(0L); spillDisk.set(0L)
+      peakExec.set(0L); evictions.set(0L)
+      val gc0 = gcCumMs
       val cpu0 = procCpuNs
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -96,32 +124,39 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       val cpuPct = (procCpuNs - cpu0) / 1e9 / math.max(t, 1e-9) /
         Runtime.getRuntime.availableProcessors * 100.0
+      val tel = RunTel(t, cpuPct, gcCumMs - gc0, spillMem.get >> 20,
+        spillDisk.get >> 20, peakExec.get >> 20, evictions.get)
       // free lineage-cut blocks the query pinned (outside the timed span —
       // it's harness hygiene, not query work): without this, 70 queries ×
       // 3 runs of leaked localCheckpoint blocks squat in the block manager
       // and evict later queries' shuffle state, inflating the tail of the
       // suite ~2-3× over each query's true steady-state time
       Materialize.releaseAll(spark)
-      (t, cpuPct)
+      tel
     }
 
     try SparkEntry.queries("q01_scan_project")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
+    val telemetry =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[RunTel]]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val runs = (1 to 3).map { i =>
-        val (t, cpuPct) = runOnce(name)
+        val r = runOnce(name)
         // all three runs + spill/cpu attribution, not just the median:
         // an inflated run with spill bytes is memory pressure, one with
         // collapsed cpu% is external contention, high-cpu slow is real
-        // query growth (listener lag means a run's last stages may
-        // attribute to the next line — read coarsely)
-        System.err.println(f"[bench-runs] $name r$i $t%.2f " +
-          f"cpu=$cpuPct%.0f%% spillMemMB=${spillMem.get >> 20} " +
-          f"spillDiskMB=${spillDisk.get >> 20}")
-        t
+        // query growth, a gcMs spike is heap pressure (listener lag
+        // means a run's last stages may attribute to the next line —
+        // read coarsely)
+        System.err.println(f"[bench-runs] $name r$i ${r.t}%.2f " +
+          f"cpu=${r.cpuPct}%.0f%% gcMs=${r.gcMs} " +
+          f"spillMemMB=${r.spillMemMb} spillDiskMB=${r.spillDiskMb} " +
+          f"peakExecMB=${r.peakExecMb} evicted=${r.evicted}")
+        r
       }
+      telemetry(name) = runs
       // between queries (outside any timed span): give the cleaner a GC
       // so this query's shuffle/broadcast state is gone before the next
       // query is timed — without it the suite tail measures cleanup debt,
@@ -132,7 +167,7 @@ object Bench {
         s"cachedMB=$cachedMb codeCacheMB=$codeCacheMb gcCumMs=$gcCumMs " +
         s"heapMB=${(Runtime.getRuntime.totalMemory -
           Runtime.getRuntime.freeMemory) >> 20}")
-      name -> runs.sorted.apply(1) // median of 3
+      name -> runs.map(_.t).sorted.apply(1) // median of 3
     }
     // round-1 comparability: one single-shot `.count()` pass per query —
     // the methodology BENCH_r01 recorded (count lets Catalyst prune
@@ -186,6 +221,24 @@ object Bench {
     fullJson ++= s"""  "n_queries": ${results.size},\n  "queries": {\n"""
     fullJson ++= results.map { case (k, v) => s"""    "$k": ${f2(v)}""" }
       .mkString(",\n")
+    fullJson ++= "\n  },\n"
+    // per-query, per-run JVM telemetry (VERDICT r14 #1b): with this in
+    // the committed sidecar, a driver-window inflation is adjudicable
+    // from data — t[] up with gc_ms[] up = heap pressure, with
+    // spill_mb[] up = memory pressure, with cpu_pct[] collapsed =
+    // external contention, evictions > 0 = block-manager displacement
+    fullJson ++= "  \"telemetry\": {\n"
+    fullJson ++= telemetry.map { case (k, runs) =>
+      def arr[A](f: RunTel => A): String =
+        runs.map(f).mkString("[", ",", "]")
+      s"""    "$k": {"t": ${arr(r => f2(r.t))}, """ +
+        s""""cpu_pct": ${arr(r => r.cpuPct.round)}, """ +
+        s""""gc_ms": ${arr(_.gcMs)}, """ +
+        s""""spill_mem_mb": ${arr(_.spillMemMb)}, """ +
+        s""""spill_disk_mb": ${arr(_.spillDiskMb)}, """ +
+        s""""peak_exec_mb": ${arr(_.peakExecMb)}, """ +
+        s""""evicted_blocks": ${arr(_.evicted)}}"""
+    }.mkString(",\n")
     fullJson ++= "\n  }\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       fullJson.toString.getBytes("UTF-8"))

@@ -37,6 +37,10 @@ object CoreQueries {
   private val partStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q88's per-invocation temp-view names (ADVICE r14: no fixed-name
+  // session-catalog races)
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   // q64's year-partitioned fact layout, keyed by dir
   private val dppStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -57,28 +61,59 @@ object CoreQueries {
   private val jsonStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One envelope line per user: the q57 trip pipeline's v2-write
+    * input. `vt` carries a deterministic 3-way type split (id mod 3,
+    * 1-based) so the grouped aggregate-pushdown path (q90) has real
+    * groups to roll up; no consumer decodes semantics from vt. */
+  private def envelopeTrips(s: SparkSession, dir: String): DataFrame = {
+    import graft.meos.{Assembly, NativeExpressions}
+    val asm = Assembly.tpointAssemble()
+    Tables.events(s, dir)
+      .withColumn("y", length(col("props")).cast("double"))
+      .groupBy("user_id")
+      .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
+        col("y")).as("st"))
+      .select(col("user_id").as("id"),
+        (col("user_id") % 3L + 1L).cast("int").as("vt"),
+        NativeExpressions.tgeompointAsHexWkb(
+          Assembly.tpointVal(col("st"))).as("json"))
+  }
+
   /** The per-dir staged DSv2 envelope (q57's v2-written trips) — shared
-    * by q57 (full read-back) and q84 (pushed-filter read). The v2 write
-    * (per-task rename-commit, bytes pinned identical to the legacy text
-    * sink by TripSinkSpec) feeds the v2 reads; staged once per dir
-    * (ADVICE r12: no temp-dir leak across bench legs; winner-return on
-    * the race). */
+    * by q57 (full read-back), q84 (pushed-filter read) and q87/q89/q90
+    * (pushed aggregates). The v2 write (per-task rename-commit, bytes
+    * pinned identical to the legacy text sink by TripSinkSpec) feeds
+    * the v2 reads; staged once per dir (ADVICE r12: no temp-dir leak
+    * across bench legs; winner-return on the race). */
   private def stagedEnvelope(s: SparkSession, dir: String): String =
     Option(envStage.get(dir)).getOrElse {
-      import graft.meos.{Assembly, NativeExpressions}
-      val asm = Assembly.tpointAssemble()
-      val trips = Tables.events(s, dir)
-        .withColumn("y", length(col("props")).cast("double"))
-        .groupBy("user_id")
-        .agg(asm(unix_micros(col("ts")), col("event_id"), col("value"),
-          col("y")).as("st"))
-        .select(col("user_id").as("id"), lit(1).as("vt"),
-          NativeExpressions.tgeompointAsHexWkb(
-            Assembly.tpointVal(col("st"))).as("json"))
       val d = java.nio.file.Files
         .createTempDirectory("q57-envelope").toString
-      trips.write.format("trip-envelope").mode("overwrite").save(d)
+      envelopeTrips(s, dir).write.format("trip-envelope")
+        .mode("overwrite").save(d)
       Option(envStage.putIfAbsent(dir, d)).getOrElse(d)
+    }
+
+  // q91's range-clustered envelope staging, keyed by dir
+  private val envRangeStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q91's RANGE-CLUSTERED envelope (repartitionByRange on id before
+    * the v2 write): each sink file covers a disjoint id slice, so the
+    * commit-time _idindex.json gives the scan's runtime filtering
+    * real skipping power — the layout a producer that expects
+    * key-pruned reads writes on purpose (the envelope analog of
+    * sorting a parquet table by its join key before publishing). The
+    * hash-unclustered q57 staging would be index-covered too, but
+    * every file's [min, max] spans the whole id space, so nothing
+    * could ever prune — separate staging keeps both layouts honest. */
+  private def stagedEnvelopeRanged(s: SparkSession, dir: String): String =
+    Option(envRangeStage.get(dir)).getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory("q91-envelope").toString
+      envelopeTrips(s, dir).repartitionByRange(8, col("id"))
+        .write.format("trip-envelope").mode("overwrite").save(d)
+      Option(envRangeStage.putIfAbsent(dir, d)).getOrElse(d)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
@@ -1443,18 +1478,26 @@ object CoreQueries {
     // depth-bounded relational work, not a driver loop. The twin runs
     // the same recursion in DuckDB's dialect.
     "q88_recursive_cte" -> ((s, dir) => {
+      // per-invocation view name + drop-after-analysis (ADVICE r14:
+      // a fixed name races concurrent invocations with different dirs
+      // between createOrReplaceTempView and s.sql, and leaks into the
+      // session catalog — the same discipline as the putIfAbsent
+      // staging caches). s.sql() resolves the view eagerly at analysis,
+      // so the returned plan no longer needs the catalog entry.
+      val view = s"q88_cnt_${viewSeq.incrementAndGet()}"
       Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).as("n"))
-        .createOrReplaceTempView("q88_cnt")
-      s.sql("""WITH RECURSIVE walk(user_id, anc, depth, path_n) AS (
-        |  SELECT user_id, user_id, 0, n FROM q88_cnt
+        .createOrReplaceTempView(view)
+      try s.sql(s"""WITH RECURSIVE walk(user_id, anc, depth, path_n) AS (
+        |  SELECT user_id, user_id, 0, n FROM $view
         |  UNION ALL
         |  SELECT w.user_id, w.anc DIV 2, w.depth + 1,
         |    w.path_n + coalesce(c.n, CAST(0 AS BIGINT))
-        |  FROM walk w LEFT JOIN q88_cnt c ON c.user_id = w.anc DIV 2
+        |  FROM walk w LEFT JOIN $view c ON c.user_id = w.anc DIV 2
         |  WHERE w.anc > 1)
         |SELECT user_id, CAST(depth AS BIGINT) AS depth, path_n
         |FROM walk WHERE anc = 1 ORDER BY user_id""".stripMargin)
+      finally s.catalog.dropTempView(view)
     }),
 
     // q86 — SPEED (MEOS speed/maxSpeed for temporal values): the
@@ -1489,6 +1532,88 @@ object CoreQueries {
           (-col("mx.ns")).as("max_speed"),
           col("mx.tus").as("max_at_us"),
           expr("(dv_milli * 1000000L) div dt_us").as("mean_speed"))
+        .orderBy("user_id")
+    }),
+
+    // q92 — AZIMUTH / DIRECTION (MEOS azimuth/direction for
+    // tgeompoint): per-step bearing over the q57 tpoint plane
+    // (x = value in milli, y = props-length), quantized to the 8
+    // COMPASS OCTANTS by exact integer comparisons — the one spelling
+    // of "bearing" both engines compute bit-identically. (floor of
+    // atan2 is NOT cross-engine reproducible: libm's atan2 is not
+    // correctly rounded, so a micro-degree azimuth could hash-split on
+    // a 1-ULP boundary; the octant index needs only sign and |dx|/|dy|
+    // comparisons, which are exact.) Octant o = 2·quadrant + (|dy| >
+    // |dx|), quadrants CCW from +x; zero-displacement steps land in
+    // octant −1 ("stationary"). Per (user, octant): step count and the
+    // exact |dx|/|dy| milli masses; plus MEOS `direction` (start→end
+    // displacement) replayed as first/last deltas per user via
+    // min/max-over-struct — all one window + one rollup.
+    "q92_azimuth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("xm"),
+          length(col("props")).cast("long").as("ym"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("dx", col("xm") - lag("xm", 1).over(wSeq))
+        .withColumn("dy", col("ym") - lag("ym", 1).over(wSeq))
+        .where(col("dx").isNotNull)
+        .withColumn("oct", expr(
+          """CASE WHEN dx = 0 AND dy = 0 THEN -1
+            |     WHEN dx >= 0 AND dy >= 0 THEN
+            |       CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END
+            |     WHEN dx < 0 AND dy >= 0 THEN
+            |       CASE WHEN abs(dy) > abs(dx) THEN 3 ELSE 2 END
+            |     WHEN dx < 0 AND dy < 0 THEN
+            |       CASE WHEN abs(dy) > abs(dx) THEN 5 ELSE 4 END
+            |     ELSE CASE WHEN abs(dy) > abs(dx) THEN 7 ELSE 6 END
+            |END""".stripMargin))
+        .groupBy("user_id", "oct")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(abs(col("dx"))).as("adx_milli"),
+          sum(abs(col("dy"))).as("ady_len"))
+        .orderBy("user_id", "oct")
+    }),
+
+    // q93 — TIME-WEIGHTED CENTROID (MEOS twcentroid, the q72 TWA
+    // machinery over BOTH plane coordinates at once): each posit's
+    // (x, y) holds until the next instant (step interpolation), so the
+    // centroid is Σ value·Δt over Σ Δt per coordinate — the summary
+    // position a fleet query anchors on. Exact integers end to end:
+    // weights in ms (Δµs div 1000 — products bounded by |x_milli| ·
+    // span_ms ≲ 10¹⁵ ≪ 2⁶³), one division at the end, users with a
+    // single posit (zero duration) report the posit itself (the MEOS
+    // instant-centroid contract).
+    "q93_twcentroid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("xm"),
+          length(col("props")).cast("long").as("ym"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("t2", lead("tus", 1).over(wSeq))
+        .withColumn("w_ms", expr("(t2 - tus) div 1000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_posits"),
+          coalesce(sum("w_ms"), lit(0L)).as("dur_ms"),
+          coalesce(sum(col("xm") * col("w_ms")), lit(0L)).as("xw"),
+          coalesce(sum(col("ym") * col("w_ms")), lit(0L)).as("yw"),
+          min(struct(col("tus"), col("event_id"), col("xm"),
+            col("ym"))).as("fst"))
+        .select(col("user_id"), col("n_posits"), col("dur_ms"),
+          when(col("dur_ms") > 0L, expr("xw div dur_ms"))
+            .otherwise(col("fst.xm")).as("twx_milli"),
+          when(col("dur_ms") > 0L, expr("yw div dur_ms"))
+            .otherwise(col("fst.ym")).as("twy_len"))
         .orderBy("user_id")
     }),
 
@@ -1785,6 +1910,63 @@ object CoreQueries {
       s.read.format("trip-envelope").load(path)
         .where(col("id") < 100L)
         .selectExpr("count(*) AS n_env")
+    }),
+
+    // q89 — DSv2 MIN/MAX aggregate pushdown (VERDICT r14 #3): the
+    // connector's pushed aggregation grows past bare COUNT(*) — MIN(id)
+    // / MAX(id) / COUNT(*) together, under a pushed id filter, are the
+    // same ~20-byte line-head walk (one partial row per file; Spark
+    // re-mins/re-maxes/sums the partials). The "what id range landed"
+    // operational probe costs a head scan, never a payload parse.
+    // Round15Spec pins PushedAggregation: [MIN(id), MAX(id), COUNT(*)]
+    // in the plan.
+    "q89_envelope_minmax" -> ((s, dir) => {
+      val path = stagedEnvelope(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .where(col("id") >= 3L)
+        .selectExpr("min(id) AS id_min", "max(id) AS id_max",
+          "count(*) AS n_env")
+    }),
+
+    // q90 — DSv2 GROUPED aggregate pushdown: COUNT(*)/MIN(id)/MAX(id)
+    // BY vt — vt sits right after id on the wire, so the grouped
+    // partials (one row per vt per file) still never reach the payload
+    // token. Spark's final aggregate re-groups the per-file rows; the
+    // oracle replays the vt derivation (user_id mod 3, 1-based) on the
+    // source table.
+    "q90_envelope_group_agg" -> ((s, dir) => {
+      val path = stagedEnvelope(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .groupBy("vt")
+        .agg(expr("count(*)").as("n_env"), min("id").as("id_min"),
+          max("id").as("id_max"))
+        .orderBy("vt")
+    }),
+
+    // q91 — DSv2 RUNTIME FILTERING (the connector's 6th capability —
+    // VERDICT r14 #4, the DPP analog q64 proves for parquet): a join
+    // against a small filtered dimension broadcasts first, Spark hands
+    // the scan the observed join-key values (SupportsRuntimeV2Filtering),
+    // and the scan re-plans against the commit-time _idindex.json,
+    // dropping every file whose [min(id), max(id)] holds none of them —
+    // on the range-clustered staging that is most files, before one
+    // data byte is read. Correctness never depends on the prune (the
+    // join re-evaluates its condition); Round15Spec pins both the
+    // runtime filter reaching the scan and the file-drop arithmetic.
+    "q91_envelope_runtime_prune" -> ((s, dir) => {
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      val path = stagedEnvelopeRanged(s, dir)
+      val dim = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        .where(col("user_id") % 29L === 0L)
+      val env = s.read.format("trip-envelope").load(path)
+        .select(col("id"),
+          MeosFunctions.tgeompointNumInstants(
+            NativeExpressions.tgeompointFromHexWkb(col("json")))
+            .cast("long").as("n"))
+      env.join(broadcast(dim), env("id") === dim("user_id"))
+        .select(col("user_id"), col("n"), col("n_ev"))
+        .orderBy("user_id")
     }),
 
     // qs23 — twenty-third streaming path: the DISTRIBUTED-ingest
@@ -3132,6 +3314,100 @@ object CoreQueries {
         |       min(epoch_us(ts)) AS t0_us
         |FROM events WHERE user_id >= 3 AND user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // one envelope line per user; the pushed MIN/MAX/COUNT under the
+    // id filter replayed over the distinct-user set
+    "q89_envelope_minmax" ->
+      """SELECT CAST(min(user_id) AS BIGINT) AS id_min,
+        |       CAST(max(user_id) AS BIGINT) AS id_max,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_env
+        |FROM events WHERE user_id >= 3""".stripMargin,
+
+    // the grouped pushdown replayed over the vt derivation (user_id
+    // mod 3, 1-based) on the distinct-user set
+    "q90_envelope_group_agg" ->
+      """SELECT CAST(user_id % 3 + 1 AS INTEGER) AS vt,
+        |       CAST(count(*) AS BIGINT) AS n_env,
+        |       CAST(min(user_id) AS BIGINT) AS id_min,
+        |       CAST(max(user_id) AS BIGINT) AS id_max
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the runtime-pruned dimension join replayed relationally: the
+    // selective dim keys, each user's trip instant count, the dim's
+    // event count — pruning is an IO optimization, never a result
+    "q91_envelope_runtime_prune" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE user_id % 29 = 0 GROUP BY user_id),
+        |env AS (
+        |  SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT d.user_id, e.n, d.n_ev
+        |FROM dim d JOIN env e USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // q92 — identical dedupe + per-step deltas; the octant CASE is one
+    // shared integer formula
+    "q92_azimuth" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS xm,
+        |    CAST(len(props) AS BIGINT) AS ym,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    xm - lag(xm) OVER w AS dx, ym - lag(ym) OVER w AS dy
+        |  FROM d WHERE pt IS NULL OR pt <> tus
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |o AS (
+        |  SELECT user_id, dx, dy,
+        |    CASE WHEN dx = 0 AND dy = 0 THEN -1
+        |         WHEN dx >= 0 AND dy >= 0 THEN
+        |           CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END
+        |         WHEN dx < 0 AND dy >= 0 THEN
+        |           CASE WHEN abs(dy) > abs(dx) THEN 3 ELSE 2 END
+        |         WHEN dx < 0 AND dy < 0 THEN
+        |           CASE WHEN abs(dy) > abs(dx) THEN 5 ELSE 4 END
+        |         ELSE CASE WHEN abs(dy) > abs(dx) THEN 7 ELSE 6 END
+        |    END AS oct
+        |  FROM p WHERE dx IS NOT NULL)
+        |SELECT user_id, oct, CAST(count(*) AS BIGINT) AS n_steps,
+        |  CAST(sum(abs(dx)) AS BIGINT) AS adx_milli,
+        |  CAST(sum(abs(dy)) AS BIGINT) AS ady_len
+        |FROM o GROUP BY user_id, oct
+        |ORDER BY user_id, oct""".stripMargin,
+
+    // q93 — identical dedupe + lead weights; // matches Spark's div
+    // (both truncate toward zero), arg_min picks the unique first posit
+    "q93_twcentroid" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS xm,
+        |    CAST(len(props) AS BIGINT) AS ym,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, xm, ym,
+        |    (lead(tus) OVER w - tus) // 1000 AS w_ms
+        |  FROM d WHERE pt IS NULL OR pt <> tus
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_posits,
+        |    CAST(coalesce(sum(w_ms), 0) AS BIGINT) AS dur_ms,
+        |    CAST(coalesce(sum(xm * w_ms), 0) AS BIGINT) AS xw,
+        |    CAST(coalesce(sum(ym * w_ms), 0) AS BIGINT) AS yw,
+        |    arg_min(xm, tus) AS fxm, arg_min(ym, tus) AS fym
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, n_posits, dur_ms,
+        |  CAST(CASE WHEN dur_ms > 0 THEN xw // dur_ms ELSE fxm END
+        |    AS BIGINT) AS twx_milli,
+        |  CAST(CASE WHEN dur_ms > 0 THEN yw // dur_ms ELSE fym END
+        |    AS BIGINT) AS twy_len
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // the distributed-ingest replay must emit exactly qs3's set through
     // unordered executor-written files

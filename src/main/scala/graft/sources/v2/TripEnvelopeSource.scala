@@ -126,39 +126,72 @@ class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
   private var idLo: Long = Long.MinValue
   private var idHi: Long = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
+  private var pushedAgg: Option[PushedEnvAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) pushdown (partial — Spark sums the per-partition
-    * counts): an ungrouped count over the envelope never parses a
-    * line beyond the id head (or at all, when no id filter is
-    * pushed) — the "how many trips landed" operational query costs
-    * a line scan, not a JSON parse of every payload. Anything other
-    * than a bare COUNT(*) is declined and planned normally. */
+  /** Aggregate pushdown (partial — Spark finalizes over the
+    * per-partition rows: COUNT partials re-sum, MIN/MAX re-min/max,
+    * grouped partials re-group): any combination of COUNT(*),
+    * MIN(id), MAX(id), optionally GROUP BY vt. None of these parse a
+    * line beyond the id/vt head — the "how many trips landed / what
+    * id range / per-type volume" operational queries cost a line
+    * scan, not a JSON parse of every payload. Anything else
+    * (aggregates over the payload, other group keys) is declined and
+    * planned normally. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    val ok = agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countPushed = true
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expression,
+      NamedReference}
+    def named(e: Expression, f: String): Boolean = e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array(f))
+      case _ => false
+    }
+    val groupOk = agg.groupByExpressions().isEmpty ||
+      (agg.groupByExpressions().length == 1 &&
+        named(agg.groupByExpressions()(0), "vt"))
+    val fns = agg.aggregateExpressions().map {
+      case _: CountStar => PushedEnvAgg.Count
+      case m: Min if named(m.column, "id") => PushedEnvAgg.MinId
+      case m: Max if named(m.column, "id") => PushedEnvAgg.MaxId
+      case _ => -1
+    }
+    val ok = groupOk && fns.nonEmpty && !fns.contains(-1)
+    if (ok) pushedAgg = Some(PushedEnvAgg(
+      agg.groupByExpressions().nonEmpty, fns.toSeq))
     ok
   }
 
+  /** Exact-integral values only (ADVICE r14): `Number.longValue()`
+    * silently truncates a fractional comparand (id > 10.5 would push as
+    * id > 10 — and because a pushed filter is reported fully handled,
+    * Spark drops the post-scan copy, so truncation would return WRONG
+    * rows, not just extra ones). Catalyst normally folds comparisons on
+    * a LongType column to Long literals, so declining the exotic types
+    * costs nothing; they stay post-scan and evaluate correctly. */
   private def longOf(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
-    case _ => None
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case s: java.lang.Short => Some(s.longValue())
+    case b: java.lang.Byte => Some(b.longValue())
+    case _ => None // fractional / decimal / string: decline the push
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
       case EqualTo("id", v) => longOf(v).isDefined
-      case GreaterThan("id", v) => longOf(v).isDefined
+      // strict bounds at the Long extremes would overflow the ±1
+      // half-open adjustment below (GreaterThan(id, Long.MaxValue)
+      // wrapped idLo to Long.MinValue — an empty range silently turned
+      // into a full scan, ADVICE r14). Decline; Spark keeps the filter
+      // post-scan and evaluates it exactly (to zero rows).
+      case GreaterThan("id", v) => longOf(v).exists(_ != Long.MaxValue)
       case GreaterThanOrEqual("id", v) => longOf(v).isDefined
-      case LessThan("id", v) => longOf(v).isDefined
+      case LessThan("id", v) => longOf(v).exists(_ != Long.MinValue)
       case LessThanOrEqual("id", v) => longOf(v).isDefined
       // wire fields are never null — vacuously true, fully handled
       case IsNotNull("id" | "vt" | "json") => true
@@ -186,23 +219,56 @@ class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
 
   override def build(): Scan =
     new TripEnvelopeScan(path, required, maxFilesPerBatch, idLo, idHi,
-      countPushed)
+      pushedAgg)
+}
+
+/** A pushed envelope aggregation: optional GROUP BY vt plus the agg
+  * list in Spark's declared order (so the partial-row schema zips
+  * positionally with what the final aggregate expects). Functions are
+  * small ints so the spec travels to executors without class baggage. */
+case class PushedEnvAgg(groupByVt: Boolean, fns: Seq[Int]) {
+  def describe: String = {
+    val names = fns.map {
+      case PushedEnvAgg.Count => "COUNT(*)"
+      case PushedEnvAgg.MinId => "MIN(id)"
+      case PushedEnvAgg.MaxId => "MAX(id)"
+    }
+    s"PushedAggregation: [${names.mkString(", ")}]" +
+      (if (groupByVt) " PushedGroupBy: [vt]" else "")
+  }
+}
+object PushedEnvAgg {
+  val Count = 0
+  val MinId = 1
+  val MaxId = 2
 }
 
 class TripEnvelopeScan(path: String, required: StructType,
                        maxFilesPerBatch: Int = Int.MaxValue,
                        idLo: Long = Long.MinValue,
                        idHi: Long = Long.MaxValue,
-                       countPushed: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+                       agg: Option[PushedEnvAgg] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  private def aggPushed: Boolean = agg.isDefined
+  private def groupByVt: Boolean = agg.exists(_.groupByVt)
+
   override def readSchema(): StructType =
-    if (countPushed)
-      StructType(Seq(StructField("count(*)", LongType)))
-    else required
+    agg match {
+      case Some(a) =>
+        val g = if (a.groupByVt)
+          Seq(StructField("vt", IntegerType)) else Nil
+        StructType(g ++ a.fns.map {
+          case PushedEnvAgg.Count => StructField("count(*)", LongType)
+          case PushedEnvAgg.MinId => StructField("min(id)", LongType)
+          case PushedEnvAgg.MaxId => StructField("max(id)", LongType)
+        })
+      case None => required
+    }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!countPushed,
+    require(!aggPushed,
       "aggregate pushdown is a batch-only capability")
     new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch,
       idLo, idHi)
@@ -211,8 +277,55 @@ class TripEnvelopeScan(path: String, required: StructType,
     val f =
       if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
       else s" PushedFilters: [id in [$idLo, $idHi]]"
-    val a = if (countPushed) " PushedAggregation: [COUNT(*)]" else ""
+    val a = agg.map(" " + _.describe).getOrElse("")
     s"TripEnvelope $path ReadSchema: ${required.catalogString}$f$a"
+  }
+
+  // ---- runtime filtering (capability #6): at execution time — after
+  // a DPP subquery materializes the join's build side — Spark hands
+  // the scan the observed join-key values, and the scan re-plans its
+  // partitions against the commit-time id index, DROPPING whole files
+  // whose [min(id), max(id)] contains none of them. The envelope
+  // analog of parquet DPP (q64): file-grain pruning from metadata
+  // only, no data read. Conservative by contract: a file missing from
+  // the index (legacy text-sink output, foreign producers) is never
+  // pruned, and the join re-evaluates its own condition, so pruning
+  // can only skip provably-unmatchable IO.
+  private var runtimeIds: Option[Set[Long]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("id"))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal,
+      NamedReference}
+    // accept IN / = on id; anything else is ignored (runtime filters
+    // are advisory pruning hints, never a correctness obligation)
+    val sets = predicates.flatMap { p =>
+      val isIdRef = p.children().headOption.exists {
+        case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+      if ((p.name() == "IN" || p.name() == "=") && isIdRef) {
+        val vs = p.children().drop(1).map {
+          case l: Literal[_] => l.value match {
+            case v: java.lang.Long => Some(v.longValue())
+            case v: java.lang.Integer => Some(v.longValue())
+            case _ => None
+          }
+          case _ => None
+        }
+        if (vs.nonEmpty && vs.forall(_.isDefined))
+          Some(vs.flatten.toSet)
+        else None
+      } else None
+    }
+    if (sets.nonEmpty)
+      runtimeIds = Some(sets.reduce(_ intersect _))
   }
 
   private def visibleFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
@@ -225,63 +338,207 @@ class TripEnvelopeScan(path: String, required: StructType,
       .sortBy(_.getPath.getName)
   }
 
-  /** Planner statistics from the LISTING only: total visible bytes. A
-    * real sizeInBytes lets Catalyst/AQE make honest broadcast and
-    * coalesce decisions for envelope joins instead of assuming the
-    * conservative default (= "never broadcastable"). */
+  /** Planner statistics from metadata only: total visible bytes from
+    * the listing, row count from the commit-time id index when it
+    * covers every visible file. A real sizeInBytes lets Catalyst/AQE
+    * make honest broadcast and coalesce decisions for envelope joins
+    * instead of assuming the conservative default (= "never
+    * broadcastable"); a real numRows feeds join reorder. */
   override def estimateStatistics(): Statistics = {
-    val bytes = visibleFiles().map(_.getLen).sum
+    val files = visibleFiles()
+    val index = TripEnvelopeIdIndex.read(path)
+    val bytes = files.map(_.getLen).sum
+    val rows =
+      if (files.nonEmpty && files.forall(f => index.contains(f.getPath.getName)))
+        java.util.OptionalLong.of(
+          files.map(f => index(f.getPath.getName)._3).sum)
+      else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side FILE LISTING only (metadata, never data): one
-    // partition per line file, sorted for deterministic task numbering
-    visibleFiles().map(st =>
+    // partition per line file, sorted for deterministic task numbering.
+    // When the directory carries a commit-time id index (_idindex.json,
+    // written by the v2 sink), files whose [min(id), max(id)] cannot
+    // intersect the pushed id range — or, after [[filter]], cannot
+    // contain any runtime join-key value — are dropped HERE, before a
+    // single data byte is read. Unindexed files are always kept.
+    val index = TripEnvelopeIdIndex.read(path)
+    val parts = visibleFiles().filter { st =>
+      index.get(st.getPath.getName) match {
+        case Some((mn, mx, _)) =>
+          val rangeOk = mx >= idLo && mn <= idHi && mn <= mx
+          rangeOk && runtimeIds.forall(ids =>
+            ids.exists(v => v >= mn && v <= mx))
+        case None => true
+      }
+    }.map(st =>
       TripEnvelopeInputPartition(st.getPath.toUri.toString)
         : InputPartition)
+    // pushed-aggregate contract over an EMPTY file set (ADVICE r14):
+    // zero partitions means zero partial rows, and Spark finalizes a
+    // partially-pushed COUNT as SUM of partials — NULL, not 0. One
+    // synthetic partition (empty-string sentinel; its reader emits a
+    // single all-zeros partial) keeps the ungrouped aggregate exact.
+    // Grouped pushdown is naturally correct with zero partials (no
+    // groups exist), so the sentinel is ungrouped-only.
+    if (parts.isEmpty && aggPushed && !groupByVt)
+      Array(TripEnvelopeInputPartition(""))
+    else parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    if (countPushed)
-      new TripEnvelopeCountReaderFactory(conf, idLo, idHi)
-    else
-      new TripEnvelopeReaderFactory(required.fieldNames, conf, idLo, idHi)
+    agg match {
+      case Some(a) =>
+        new TripEnvelopeAggReaderFactory(conf, idLo, idHi, a)
+      case None =>
+        new TripEnvelopeReaderFactory(required.fieldNames, conf,
+          idLo, idHi)
+    }
   }
 }
 
-/** Pushed-COUNT(*) reader: one partial-count row per line file. With
-  * no pushed id bounds this is a pure line count — no JSON parse at
-  * all; with bounds, only the ~20-byte id head of each line is
-  * token-walked. */
-class TripEnvelopeCountReaderFactory(conf: SerializableConfiguration,
-                                     idLo: Long, idHi: Long)
+/** The commit-time per-file id index: `_idindex.json` in the envelope
+  * directory maps each sink-written file name to its exact
+  * [min(id), max(id), rows] — the file-skipping metadata parquet gets
+  * from footers, at one JSON object per FILE (not per row group; the
+  * envelope is a line format with no internal structure to index).
+  * Written atomically (hidden temp + rename) on driver commit, merged
+  * with any existing index so appends extend rather than clobber.
+  * Readers treat it as advisory: a missing index, or a file the index
+  * doesn't cover, disables pruning for exactly that file. */
+object TripEnvelopeIdIndex {
+  val FileName = "_idindex.json"
+
+  def read(dir: String): Map[String, (Long, Long, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new HPath(dir, FileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    try {
+      import com.fasterxml.jackson.core.JsonToken
+      val parser = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8))
+      require(parser.nextToken() == JsonToken.START_OBJECT,
+        s"malformed $FileName")
+      val b = Map.newBuilder[String, (Long, Long, Long)]
+      var tok = parser.nextToken()
+      while (tok == JsonToken.FIELD_NAME) {
+        val name = parser.currentName()
+        require(parser.nextToken() == JsonToken.START_ARRAY,
+          s"malformed $FileName entry for $name")
+        parser.nextToken(); val mn = parser.getLongValue
+        parser.nextToken(); val mx = parser.getLongValue
+        parser.nextToken(); val n = parser.getLongValue
+        require(parser.nextToken() == JsonToken.END_ARRAY,
+          s"malformed $FileName entry for $name")
+        b += name -> ((mn, mx, n))
+        tok = parser.nextToken()
+      }
+      b.result()
+    } finally in.close()
+  }
+
+  /** Merge `entries` into the directory's index and publish it with a
+    * rename (single-writer per job commit; concurrent jobs last-write-
+    * win, and a lost entry only disables pruning for that file). */
+  def write(dir: String,
+            entries: Map[String, (Long, Long, Long)]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf)
+    val merged = (read(dir) ++ entries).toSeq.sortBy(_._1)
+    val tmp = new HPath(dir, s".$FileName.inprogress")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write(merged.map { case (f, (mn, mx, n)) =>
+        val g = new java.io.StringWriter(32)
+        val j = new com.fasterxml.jackson.core.JsonFactory()
+          .createGenerator(g)
+        j.writeString(f); j.close()
+        s"${g.toString}:[$mn,$mx,$n]"
+      }.mkString("{", ",", "}"))
+    } finally out.close()
+    fs.delete(new HPath(dir, FileName), false)
+    require(fs.rename(tmp, new HPath(dir, FileName)),
+      s"trip-envelope: publishing $FileName failed")
+  }
+}
+
+/** Pushed-aggregate reader: one partial row per line file (or one
+  * row per vt group in that file, when GROUP BY vt is pushed). With
+  * no pushed id bounds and no grouping, COUNT is a pure line count —
+  * no JSON parse at all; otherwise only the ~20-byte id/vt head of
+  * each line is token-walked. The payload is never parsed. */
+class TripEnvelopeAggReaderFactory(conf: SerializableConfiguration,
+                                   idLo: Long, idHi: Long,
+                                   agg: PushedEnvAgg)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TripEnvelopeInputPartition].file
     new PartitionReader[InternalRow] {
-      private val inner = new TripEnvelopeReader(file, 0, -1, -1, -1,
-        conf, idLo, idHi)
-      private var emitted = false
-      private var n = 0L
+      // (count, min, max) per vt group — or under key 0 when ungrouped
+      private val acc =
+        new java.util.TreeMap[Int, Array[Long]]()
+      private var rows: Iterator[InternalRow] = _
+      private var row: InternalRow = _
+
+      private def accumulate(): Unit = {
+        // empty-string sentinel (empty directory, ungrouped): no file
+        // to read — the single all-zeros partial is emitted below
+        if (file.nonEmpty) {
+          val needVt = agg.groupByVt
+          val trackId = agg.fns.exists(_ != PushedEnvAgg.Count)
+          val inner = new TripEnvelopeReader(file,
+            if (needVt) 1 else 0, -1,
+            if (needVt) 0 else -1, -1, conf, idLo, idHi,
+            needId = trackId)
+          try while (inner.next()) {
+            // the head-only walk: vt sits right after id on the wire,
+            // so even the grouped read never reaches the payload token
+            val vt = if (needVt) inner.get().getInt(0) else 0
+            val a = acc.computeIfAbsent(vt,
+              _ => Array(0L, Long.MaxValue, Long.MinValue))
+            a(0) += 1
+            if (trackId) {
+              val id = inner.lastId
+              if (id < a(1)) a(1) = id
+              if (id > a(2)) a(2) = id
+            }
+          } finally inner.close()
+        }
+        if (acc.isEmpty && !agg.groupByVt)
+          acc.put(0, Array(0L, Long.MaxValue, Long.MinValue))
+        import scala.jdk.CollectionConverters._
+        rows = acc.entrySet().iterator().asScala.map { e =>
+          val a = e.getValue
+          val aggVals: Seq[Any] = agg.fns.map {
+            case PushedEnvAgg.Count => a(0)
+            case PushedEnvAgg.MinId => if (a(0) == 0L) null else a(1)
+            case PushedEnvAgg.MaxId => if (a(0) == 0L) null else a(2)
+          }
+          InternalRow.fromSeq(
+            (if (agg.groupByVt) Seq(e.getKey) else Nil) ++ aggVals)
+        }
+      }
+
       override def next(): Boolean = {
-        if (emitted) return false
-        while (inner.next()) n += 1
-        true
+        if (rows == null) accumulate()
+        if (rows.hasNext) { row = rows.next(); true } else false
       }
-      override def get(): InternalRow = {
-        emitted = true
-        InternalRow(n)
-      }
-      override def close(): Unit = inner.close()
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
     }
   }
 }
@@ -318,7 +575,8 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
                          vtSlot: Int, jsonSlot: Int,
                          conf: SerializableConfiguration,
                          idLo: Long = Long.MinValue,
-                         idHi: Long = Long.MaxValue)
+                         idHi: Long = Long.MaxValue,
+                         needId: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val factory =
     new com.fasterxml.jackson.core.JsonFactory()
@@ -329,8 +587,15 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
       new java.io.InputStreamReader(fs.open(p),
         java.nio.charset.StandardCharsets.UTF_8))
   }
-  private val filtered = idLo != Long.MinValue || idHi != Long.MaxValue
+  // `needId` (aggregate pushdown's MIN/MAX leg): run the head walk on
+  // every line even without pushed bounds, so [[lastId]] is populated
+  private val filtered =
+    idLo != Long.MinValue || idHi != Long.MaxValue || needId
   private var line: String = _
+
+  /** The id of the line [[next]] last admitted — only meaningful when
+    * the head walk runs (pushed bounds or `needId`). */
+  var lastId: Long = 0L
 
   /** Pushed-filter check: token-walk only as far as the id field (the
     * ~20-byte line head on sink-written files), never touching the
@@ -347,6 +612,7 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
         p.nextToken()
         if (name == "id") {
           val v = p.getLongValue
+          lastId = v
           return v >= idLo && v <= idHi
         }
         p.skipChildren()
@@ -369,22 +635,30 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
     import com.fasterxml.jackson.core.JsonToken
     val row = new Array[Any](width)
     val p = factory.createParser(line)
+    // early exit once every requested slot is filled: a head-only
+    // projection (SELECT id / SELECT vt — including the aggregate
+    // reader's grouped walk) stops tokenizing BEFORE the payload
+    // field, so the multi-KB hex string is never even scanned
+    var remaining = width
     try {
       require(p.nextToken() == JsonToken.START_OBJECT,
         s"malformed envelope line: $line")
       var tok = p.nextToken()
-      while (tok == JsonToken.FIELD_NAME) {
+      while (tok == JsonToken.FIELD_NAME && remaining > 0) {
         val name = p.currentName()
         p.nextToken()
         name match {
           case "id" =>
-            if (idSlot >= 0) row(idSlot) = p.getLongValue
+            if (idSlot >= 0) { row(idSlot) = p.getLongValue
+              remaining -= 1 }
           case "vt" =>
-            if (vtSlot >= 0) row(vtSlot) = p.getIntValue
+            if (vtSlot >= 0) { row(vtSlot) = p.getIntValue
+              remaining -= 1 }
           case "json" =>
-            if (jsonSlot >= 0)
+            if (jsonSlot >= 0) {
               row(jsonSlot) = UTF8String.fromString(p.getText)
-            else p.skipChildren() // pruned: skip, never materialize
+              remaining -= 1
+            } else p.skipChildren() // pruned: skip, never materialize
           case other =>
             throw new IllegalArgumentException(
               s"unknown envelope field $other")
@@ -533,9 +807,17 @@ class TripEnvelopeBatchWrite(path: String, truncate: Boolean)
       new SerializableConfiguration(conf))
   }
   // per-task rename-on-commit already made files visible; the driver
-  // commit only has to exist. An aborted job leaves only dot-files,
-  // which every reader ignores.
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // commit publishes the id index (file → [min, max, rows]) that the
+  // read side's static and runtime pruning consume. Data visibility
+  // never depends on it — a crash between renames and here just means
+  // an unindexed (never-pruned) directory.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case TripEnvelopeCommit(f, mn, mx, n) =>
+        new HPath(f).getName -> ((mn, mx, n))
+    }.toMap
+    if (entries.nonEmpty) TripEnvelopeIdIndex.write(path, entries)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -547,7 +829,8 @@ class TripEnvelopeWriterFactory(path: String,
     new TripEnvelopeDataWriter(path, partitionId, taskId, conf)
 }
 
-private case class TripEnvelopeCommit(file: String)
+private case class TripEnvelopeCommit(file: String, idMin: Long,
+                                      idMax: Long, rows: Long)
     extends WriterCommitMessage
 
 /** One task = one line file (mirroring the legacy text sink's layout and
@@ -566,12 +849,21 @@ class TripEnvelopeDataWriter(path: String, partitionId: Int, taskId: Long,
     new java.io.OutputStreamWriter(fs.create(temp, true),
       java.nio.charset.StandardCharsets.UTF_8))
   private val factory = new com.fasterxml.jackson.core.JsonFactory()
+  // exact per-file id bounds, carried to the driver commit for the
+  // directory's _idindex.json (the read side's file-skipping metadata)
+  private var idMin = Long.MaxValue
+  private var idMax = Long.MinValue
+  private var rows = 0L
 
   override def write(record: InternalRow): Unit = {
+    val id = record.getLong(0)
+    if (id < idMin) idMin = id
+    if (id > idMax) idMax = id
+    rows += 1
     val sw = new java.io.StringWriter(64)
     val g = factory.createGenerator(sw)
     g.writeStartObject()
-    g.writeNumberField("id", record.getLong(0))
+    g.writeNumberField("id", id)
     g.writeNumberField("vt", record.getInt(1))
     g.writeStringField("json", record.getUTF8String(2).toString)
     g.writeEndObject()
@@ -584,7 +876,9 @@ class TripEnvelopeDataWriter(path: String, partitionId: Int, taskId: Long,
     out.close()
     require(fs.rename(temp, visible),
       s"trip-envelope: rename $temp -> $visible failed")
-    TripEnvelopeCommit(visible.toString)
+    // an empty task's [MaxValue, MinValue] is an empty range — the
+    // index prunes its (zero-line) file from every read, correctly
+    TripEnvelopeCommit(visible.toString, idMin, idMax, rows)
   }
 
   override def abort(): Unit = {

@@ -28,10 +28,13 @@ class EmptyInputSpec extends SparkTestBase {
   // with n_rows = 0 (that's what a planner wants to read), not 0 rows.
   // q87 is an UNGROUPED count — "zero trips landed" is one row of 0,
   // the correct empty-lake answer for a COUNT(*)
+  // q89 likewise: one row of (NULL, NULL, 0) — the ungrouped-aggregate
+  // empty-input contract
   private val literalDriven = Map(
     "qc2_codec_golden" -> 10L,
     "qz46_table_profile" -> 5L,
-    "q87_envelope_count" -> 1L)
+    "q87_envelope_count" -> 1L,
+    "q89_envelope_minmax" -> 1L)
 
   test("every declared query executes on empty tables and returns 0 rows") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
