@@ -12,12 +12,34 @@ import org.apache.spark.sql.streaming.OutputMode
   * same DuckDB hash gate as every batch operator (declared as
   * `qs1_stream_replay`, oracled by the q36 gap-split SQL).
   *
-  * Shape: events → 3 sequential parquet chunks (deterministic mod-times +
-  * maxFilesPerTrigger=1 → 3 micro-batches in event-time order) →
+  * Shape: events → 3 sequential parquet chunks (deterministic mod-times;
+  * maxFilesPerTrigger=2 → 2 micro-batches in event-time order) →
   * [[StreamingAssembly.assembleGapSessions]] (watermark +
   * flatMapGroupsWithState) → memory sink → q36's per-segment rollup.
   * A far-future sentinel per user in the last chunk closes every open
   * tail via the in-batch gap rule, so the emitted set is total.
+  *
+  * MICRO-BATCH COUNT (VERDICT r14 #2): every arm reads its 3 staged
+  * chunks at maxFilesPerTrigger=2 (2 data batches + the watermark's
+  * no-data flush batch), down from 1 (3–4 batches) — after rawckpt://
+  * and the fileChecksum cut took the checkpoint I/O, the family's
+  * remaining floor was ~0.4 s of planning/state-commit machinery PER
+  * BATCH, so one fewer batch per arm is the honest lever left. This is
+  * sound because every arm's emitted SET is chunking-invariant by
+  * construction, each for a pinned reason in its scaladoc: chunks are
+  * slices of ONE global (event-time, id) order, so merging adjacent
+  * slices (a) preserves delivery order, (b) can only RAISE no
+  * intermediate watermark above what the later slice's own batch would
+  * set (the entering watermark of the FINAL batch is identical:
+  * max(chunks 0∪1) = max(chunk 1) under ordered slicing), and (c)
+  * leaves the final sentinel-driven watermark — which alone decides
+  * Append finalization, outer-join null emission, and timer firing —
+  * unchanged; stateful processors sort per-key rows in-batch, so
+  * in-batch merge order is already the exercised path. The two arms
+  * whose STORY is per-batch stay at 1: qs26 (the file sink's
+  * exactly-once manifest across multiple commits) and the
+  * idle-session spec harness (Round9bSpec's planted timer fixture).
+  * qs27's DSv2 arm keeps its own maxFilesPerBatch=3 rate-limit story.
   *
   * The driver-side collect here is the REPLAY HARNESS, not the operator:
   * chunking a batch table into deterministic micro-batch files needs the
@@ -79,8 +101,8 @@ object StreamingReplay {
   private def micros(t: Timestamp): Long = Times.micros(t)
 
   /** Write `chunks` as ONE parquet file each into a fresh temp dir with
-    * strictly increasing mod-times — with maxFilesPerTrigger=1 the file
-    * source replays them as sequential micro-batches in this order. */
+    * strictly increasing mod-times — the file source admits them in
+    * this order, maxFilesPerTrigger files per micro-batch. */
   private def writeChunks[T](spark: SparkSession, chunks: Seq[Seq[T]],
                              prefix: String)(
       implicit enc: org.apache.spark.sql.Encoder[T]): String = {
@@ -165,7 +187,7 @@ object StreamingReplay {
     val table = s"qs1_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[EventIn]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .as[EventIn]
     // 2 state stores: a replay's cost is per-store-per-batch commit
@@ -253,7 +275,7 @@ object StreamingReplay {
     val table = s"qs2_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[Tagged]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .as[Tagged]
     val q = withStatePartitions(spark, 2) {
@@ -330,7 +352,7 @@ object StreamingReplay {
     val table = s"qs4_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[DDoc]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       // 365-day horizon ≫ any replayed table's synthesized span (1 s per
@@ -395,7 +417,7 @@ object StreamingReplay {
     val table = s"qs5_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[DDoc]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       StreamingTopTerms.topTerms(stream, "ts",
@@ -451,7 +473,7 @@ object StreamingReplay {
     val table = s"qs6_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[DDoc]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       stream
@@ -525,7 +547,7 @@ object StreamingReplay {
     val table = s"qs7_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[EventIn]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       stream
@@ -628,7 +650,7 @@ object StreamingReplay {
     // each projecting its side — exactly how a deployment would tail two
     // topics; each source advances one file per micro-batch
     def side(t: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .where(col("event_type") === t)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -689,7 +711,7 @@ object StreamingReplay {
     val table = s"qs9_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     def side(t: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .where(col("event_type") === t)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -761,7 +783,7 @@ object StreamingReplay {
     val table = s"qs28_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     def side(t: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .where(col("event_type") === t)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -829,7 +851,7 @@ object StreamingReplay {
     val table = s"qs18_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     def side(t: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .where(col("event_type") === t)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -884,7 +906,7 @@ object StreamingReplay {
     val table = s"qs11_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     def side(t: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .where(col("event_type") === t)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -987,7 +1009,7 @@ object StreamingReplay {
     val table = s"qs3_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       stream
@@ -1176,7 +1198,7 @@ object StreamingReplay {
     val table = s"qs20_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     def source(d: String, tag: String) = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(d)
       .withColumn("src", lit(tag))
     val q = withStatePartitions(spark, 2) {
@@ -1239,7 +1261,7 @@ object StreamingReplay {
     val table = s"qs21_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val q = withStatePartitions(spark, 2) {
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -1291,7 +1313,7 @@ object StreamingReplay {
     val table = s"qs22_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val q = withStatePartitions(spark, 2) {
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -1337,7 +1359,7 @@ object StreamingReplay {
     val table = s"qs10_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       stream
@@ -1387,7 +1409,7 @@ object StreamingReplay {
     val table = s"qs19_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       stream
@@ -1440,7 +1462,7 @@ object StreamingReplay {
     val table = s"qs17_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = withStatePartitions(spark, 2) {
       stream
@@ -1539,7 +1561,7 @@ object StreamingReplay {
     val table = s"qs12_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
@@ -1613,7 +1635,7 @@ object StreamingReplay {
     val table = s"qs25_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val init = spark.createDataset(seed).groupByKey(_._1).mapValues(_._2)
@@ -1658,7 +1680,7 @@ object StreamingReplay {
     val table = s"qs13_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
@@ -1702,7 +1724,7 @@ object StreamingReplay {
     val table = s"qs14_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .as[WEvent]
     val q = withRocksDBProvider(spark) {
@@ -1837,7 +1859,7 @@ object StreamingReplay {
     val table = s"qs15_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
       .withWatermark("ts", "0 seconds")
       .as[WEvent]
@@ -1931,7 +1953,7 @@ object StreamingReplay {
         |  VALUES (?, ?, ?, ?)""".stripMargin
     val schema = implicitly[org.apache.spark.sql.Encoder[FbEv]].schema
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .schema(schema).parquet(srcDirStr)
     val q = stream.writeStream
       .option("checkpointLocation",
@@ -1995,7 +2017,7 @@ object StreamingReplay {
     val table = s"qs24_replay_${runSeq.incrementAndGet()}"
     val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
     def side(t: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.option("maxFilesPerTrigger", "1")
+      spark.readStream.option("maxFilesPerTrigger", "2")
         .schema(schema).parquet(srcDirStr)
         .where(col("event_type") === t)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
