@@ -1969,6 +1969,56 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q94 — DSv2 LIMIT pushdown (the connector's 7th capability):
+    // LIMIT reaches the scan as a partial pushdown — each reader caps
+    // its admitted lines, and with the id index covering every file
+    // the scan plans only the name-order FILE PREFIX whose indexed row
+    // counts cover the limit (a LIMIT 10 over a million-file landing
+    // zone opens one file). A bare LIMIT's row SET is nondeterministic
+    // by SQL semantics, so the gate is the one deterministic
+    // consequence: the count under a limit covering a KNOWN slice.
+    // Round15Spec pins PushedLimit in the plan, the per-reader cap,
+    // and the file-prefix arithmetic directly.
+    "q94_envelope_limit" -> ((s, dir) => {
+      val path = stagedEnvelope(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .limit(7).selectExpr("count(*) AS n_limited")
+    }),
+
+    // q95 — WHEN-TRUE restriction (MEOS whenTrue/atValues for tbool
+    // over a tfloat predicate): the period set where `value > 250.0`
+    // holds under step semantics — each posit's truth holds until the
+    // next instant — rolled per user as: posits true, total true µs
+    // (closed segments only), and the number of MAXIMAL true runs
+    // (the period-set cardinality, via a lag-based run-start counter).
+    // The trailing open segment contributes no duration (unbounded
+    // upper — the MEOS contract for a final instant), only its posit
+    // count and possibly a run start. All integer/exact.
+    "q95_when_true" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("c", (col("vm") > 250000L).cast("long"))
+        .withColumn("pc", lag("c", 1).over(wSeq))
+        .withColumn("t2", lead("tus", 1).over(wSeq))
+        .withColumn("run_start",
+          when(col("c") === 1L &&
+            (col("pc").isNull || col("pc") === 0L), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_true"),
+          coalesce(sum(when(col("c") === 1L && col("t2").isNotNull,
+            col("t2") - col("tus"))), lit(0L)).as("true_us"),
+          sum("run_start").as("n_periods"))
+        .where(col("n_true") > 0L)
+        .orderBy("user_id")
+    }),
+
     // qs23 — twenty-third streaming path: the DISTRIBUTED-ingest
     // staging (no driver collect anywhere between the source table and
     // the streaming query — the production path; the other qs rows'
@@ -3314,6 +3364,38 @@ object CoreQueries {
         |       min(epoch_us(ts)) AS t0_us
         |FROM events WHERE user_id >= 3 AND user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the limited count's one deterministic consequence: min(limit,
+    // table size) — one envelope line per user
+    "q94_envelope_limit" ->
+      """SELECT CAST(least(7, count(DISTINCT user_id)) AS BIGINT)
+        |  AS n_limited FROM events""".stripMargin,
+
+    // q95 — identical dedupe + step-truth windows; closed-segment
+    // durations and lag-based run starts
+    "q95_when_true" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN vm > 250000 THEN 1 ELSE 0 END AS c,
+        |    lag(CASE WHEN vm > 250000 THEN 1 ELSE 0 END) OVER w AS pc,
+        |    lead(tus) OVER w AS t2
+        |  FROM d WHERE pt IS NULL OR pt <> tus
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |a AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_true,
+        |    CAST(coalesce(sum(CASE WHEN c = 1 AND t2 IS NOT NULL
+        |      THEN t2 - tus END), 0) AS BIGINT) AS true_us,
+        |    CAST(sum(CASE WHEN c = 1 AND (pc IS NULL OR pc = 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_periods
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, n_true, true_us, n_periods
+        |FROM a WHERE n_true > 0 ORDER BY user_id""".stripMargin,
 
     // one envelope line per user; the pushed MIN/MAX/COUNT under the
     // id filter replayed over the distinct-user set

@@ -121,15 +121,29 @@ class TripEnvelopeTable(path: String)
 class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = TripEnvelopeTable.schema
   private var idLo: Long = Long.MinValue
   private var idHi: Long = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedEnvAgg] = None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown (PARTIAL — `isPartiallyPushed` stays true, so
+    * Spark keeps the global limit): each reader stops after `limit`
+    * admitted lines, and — when the id index covers every visible file
+    * and no filter is pushed — the scan plans only the NAME-ORDER
+    * PREFIX of files whose indexed row counts cover the limit. A
+    * `LIMIT 10` over a million-file landing zone opens one file, not a
+    * million. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
 
   /** Aggregate pushdown (partial — Spark finalizes over the
     * per-partition rows: COUNT partials re-sum, MIN/MAX re-min/max,
@@ -219,7 +233,7 @@ class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
 
   override def build(): Scan =
     new TripEnvelopeScan(path, required, maxFilesPerBatch, idLo, idHi,
-      pushedAgg)
+      pushedAgg, limit)
 }
 
 /** A pushed envelope aggregation: optional GROUP BY vt plus the agg
@@ -247,7 +261,8 @@ class TripEnvelopeScan(path: String, required: StructType,
                        maxFilesPerBatch: Int = Int.MaxValue,
                        idLo: Long = Long.MinValue,
                        idHi: Long = Long.MaxValue,
-                       agg: Option[PushedEnvAgg] = None)
+                       agg: Option[PushedEnvAgg] = None,
+                       limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private def aggPushed: Boolean = agg.isDefined
@@ -268,8 +283,8 @@ class TripEnvelopeScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!aggPushed,
-      "aggregate pushdown is a batch-only capability")
+    require(!aggPushed && limit.isEmpty,
+      "aggregate/limit pushdown are batch-only capabilities")
     new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch,
       idLo, idHi)
   }
@@ -278,7 +293,8 @@ class TripEnvelopeScan(path: String, required: StructType,
       if (idLo == Long.MinValue && idHi == Long.MaxValue) ""
       else s" PushedFilters: [id in [$idLo, $idHi]]"
     val a = agg.map(" " + _.describe).getOrElse("")
-    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f$a"
+    val l = limit.map(n => s" PushedLimit: $n").getOrElse("")
+    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f$a$l"
   }
 
   // ---- runtime filtering (capability #6): at execution time — after
@@ -369,7 +385,7 @@ class TripEnvelopeScan(path: String, required: StructType,
     // contain any runtime join-key value — are dropped HERE, before a
     // single data byte is read. Unindexed files are always kept.
     val index = TripEnvelopeIdIndex.read(path)
-    val parts = visibleFiles().filter { st =>
+    val kept = visibleFiles().filter { st =>
       index.get(st.getPath.getName) match {
         case Some((mn, mx, _)) =>
           val rangeOk = mx >= idLo && mn <= idHi && mn <= mx
@@ -377,7 +393,26 @@ class TripEnvelopeScan(path: String, required: StructType,
             ids.exists(v => v >= mn && v <= mx))
         case None => true
       }
-    }.map(st =>
+    }
+    // pushed-LIMIT file prefix: with NO row filtering in play (every
+    // admitted line counts toward the limit) and exact indexed row
+    // counts for every kept file, the name-order prefix covering
+    // `limit` rows is provably sufficient — a LIMIT 10 over a
+    // million-file landing zone opens one file
+    val unfiltered = idLo == Long.MinValue && idHi == Long.MaxValue &&
+      runtimeIds.isEmpty
+    val chosen = limit match {
+      case Some(l) if unfiltered &&
+          kept.forall(st => index.contains(st.getPath.getName)) =>
+        var need = l.toLong
+        kept.takeWhile { st =>
+          val take = need > 0
+          need -= index(st.getPath.getName)._3
+          take
+        }
+      case _ => kept
+    }
+    val parts = chosen.map(st =>
       TripEnvelopeInputPartition(st.getPath.toUri.toString)
         : InputPartition)
     // pushed-aggregate contract over an EMPTY file set (ADVICE r14):
@@ -400,7 +435,7 @@ class TripEnvelopeScan(path: String, required: StructType,
         new TripEnvelopeAggReaderFactory(conf, idLo, idHi, a)
       case None =>
         new TripEnvelopeReaderFactory(required.fieldNames, conf,
-          idLo, idHi)
+          idLo, idHi, limit.getOrElse(Int.MaxValue))
     }
   }
 }
@@ -548,7 +583,8 @@ case class TripEnvelopeInputPartition(file: String) extends InputPartition
 class TripEnvelopeReaderFactory(fields: Array[String],
                                 conf: SerializableConfiguration,
                                 idLo: Long = Long.MinValue,
-                                idHi: Long = Long.MaxValue)
+                                idHi: Long = Long.MaxValue,
+                                rowCap: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   // field projection resolved ONCE here, not per row: slot index of each
   // envelope field in the pruned output row, or -1 when pruned away
@@ -562,7 +598,8 @@ class TripEnvelopeReaderFactory(fields: Array[String],
       : PartitionReader[InternalRow] =
     new TripEnvelopeReader(
       partition.asInstanceOf[TripEnvelopeInputPartition].file,
-      fields.length, idSlot, vtSlot, jsonSlot, conf, idLo, idHi)
+      fields.length, idSlot, vtSlot, jsonSlot, conf, idLo, idHi,
+      rowCap = rowCap)
 }
 
 /** Streams one envelope file line by line; each line is parsed with
@@ -576,7 +613,8 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
                          conf: SerializableConfiguration,
                          idLo: Long = Long.MinValue,
                          idHi: Long = Long.MaxValue,
-                         needId: Boolean = false)
+                         needId: Boolean = false,
+                         rowCap: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
   private val factory =
     new com.fasterxml.jackson.core.JsonFactory()
@@ -623,11 +661,17 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
     } finally p.close()
   }
 
+  private var admitted = 0
+
   override def next(): Boolean = {
+    // pushed-LIMIT cap (partial pushdown — Spark still applies the
+    // global limit): this reader never admits more than rowCap lines
+    if (admitted >= rowCap) { line = null; return false }
     line = in.readLine()
     while (line != null &&
       (line.isEmpty || (filtered && !idMatches(line))))
       line = in.readLine()
+    if (line != null) admitted += 1
     line != null
   }
 

@@ -34,7 +34,8 @@ class EmptyInputSpec extends SparkTestBase {
     "qc2_codec_golden" -> 10L,
     "qz46_table_profile" -> 5L,
     "q87_envelope_count" -> 1L,
-    "q89_envelope_minmax" -> 1L)
+    "q89_envelope_minmax" -> 1L,
+    "q94_envelope_limit" -> 1L)
 
   test("every declared query executes on empty tables and returns 0 rows") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

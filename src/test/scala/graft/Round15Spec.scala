@@ -164,6 +164,33 @@ class Round15Spec extends SparkTestBase {
     assert(scan2.toBatch.planInputPartitions().length == 4)
   }
 
+  test("limit pushdown (capability #7): PushedLimit reaches the scan, " +
+    "the indexed file PREFIX covers it, and totals stay exact") {
+    val rows = (0L until 80L).map(i => (i, 1, s"P$i"))
+    val d = writeEnvelope(rows, parts = 4)
+    // file-prefix arithmetic: 5 rows over 4 indexed 20-row files = 1
+    val b = new TripEnvelopeScanBuilder(d, Int.MaxValue)
+    assert(b.pushLimit(5))
+    assert(b.build().toBatch.planInputPartitions().length == 1)
+    // a pushed filter disables the prefix shortcut (admitted rows no
+    // longer equal file rows) — all intersecting files stay planned
+    val b2 = new TripEnvelopeScanBuilder(d, Int.MaxValue)
+    b2.pushFilters(Array(
+      GreaterThanOrEqual("id", java.lang.Long.valueOf(30L))))
+    assert(b2.pushLimit(5))
+    assert(b2.build().toBatch.planInputPartitions().length > 1)
+    // end-to-end: the plan carries the limit; a covering limit returns
+    // every row exactly once (partial pushdown + Spark's global limit)
+    val q = spark.read.format("trip-envelope").load(d).limit(1000)
+      .selectExpr("count(*) AS n")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedLimit: 1000"))
+    assert(q.collect()(0).getLong(0) == 80L)
+    val small = spark.read.format("trip-envelope").load(d).limit(7)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(small == 7L)
+  }
+
   test("q91 end-to-end: DPP injects the runtime filter into the " +
     "envelope scan and the joined result is exact") {
     val df = SparkEntry.queries("q91_envelope_runtime_prune")(spark, sfDir)
