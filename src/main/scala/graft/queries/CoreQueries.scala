@@ -1765,6 +1765,61 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q96 — STOPS detection (MEOS stops for temporal values): the
+    // maximal anchor-runs where the value stays within ε of the run's
+    // FIRST posit for at least minDur — the "vessel at berth / sensor
+    // flatline" detector that length/speed/simplify don't give. (MEOS
+    // proper uses a run-diameter test; the anchor spelling is the
+    // sequential fold every telemetry stack ships, and it is exactly
+    // expressible in BOTH engines.) A run breaks at the first posit
+    // farther than ε from the anchor; its duration is last-in-run −
+    // first-in-run; runs ≥ minDur count as stops. Fold state rides one
+    // HOF aggregate over the q12-assembled sequence (row-local after
+    // the assembly shuffle); the twin replays the identical fold as a
+    // one-position-per-iteration recursive CTE (the q77 template — the
+    // oracle's DuckDB misfolds struct-accumulator list_reduce on
+    // column data). ε = 100.000 milli-units, minDur = 6 h. All BIGINT.
+    "q96_stops" -> ((s, dir) => {
+      val asm = Assembly.tfloatAssembleSalted(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      val eps = 100000L
+      val minDur = 21600000000L
+      def closed(d: String) = s"IF($d >= ${minDur}L, $d, 0L)"
+      asm
+        .withColumn("vm",
+          expr("transform(s.v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .withColumn("st", expr(
+          s"""aggregate(
+             |  zip_with(slice(s.t, 2, size(s.t) - 1),
+             |           slice(vm, 2, size(vm) - 1),
+             |    (tt, vv) -> named_struct('tt', tt, 'vv', vv)),
+             |  named_struct('a', element_at(vm, 1),
+             |    't0', element_at(s.t, 1), 'pt', element_at(s.t, 1),
+             |    'nst', CAST(0 AS BIGINT), 'tot', CAST(0 AS BIGINT),
+             |    'lng', CAST(0 AS BIGINT)),
+             |  (acc, x) -> IF(abs(x.vv - acc.a) <= ${eps}L,
+             |    named_struct('a', acc.a, 't0', acc.t0, 'pt', x.tt,
+             |      'nst', acc.nst, 'tot', acc.tot, 'lng', acc.lng),
+             |    named_struct('a', x.vv, 't0', x.tt, 'pt', x.tt,
+             |      'nst', acc.nst +
+             |        IF(acc.pt - acc.t0 >= ${minDur}L, 1L, 0L),
+             |      'tot', acc.tot + ${closed("(acc.pt - acc.t0)")},
+             |      'lng', greatest(acc.lng,
+             |        ${closed("(acc.pt - acc.t0)")}))),
+             |  acc -> named_struct(
+             |    'nst', acc.nst + IF(acc.pt - acc.t0 >= ${minDur}L,
+             |      1L, 0L),
+             |    'tot', acc.tot + ${closed("(acc.pt - acc.t0)")},
+             |    'lng', greatest(acc.lng,
+             |      ${closed("(acc.pt - acc.t0)")})))"""
+            .stripMargin.replaceAll("\n", " ")))
+        .select(col("k").as("user_id"), col("s.n").as("n_posits"),
+          col("st.nst").as("n_stops"), col("st.tot").as("stop_us"),
+          col("st.lng").as("longest_us"))
+        .orderBy("user_id")
+    }),
+
     // q61 — CSV sink/source ROUNDTRIP (q52's ORC discipline for the
     // third format): events — including the props JSON column, whose
     // embedded quotes and braces force the writer's quoting path —
@@ -1956,14 +2011,20 @@ object CoreQueries {
     "q91_envelope_runtime_prune" -> ((s, dir) => {
       import graft.meos.{MeosFunctions, NativeExpressions}
       val path = stagedEnvelopeRanged(s, dir)
+      // the watchlist dimension: a mod-29 key sample CAPPED at 64 —
+      // the broadcast is bounded BY CONSTRUCTION however many users
+      // exist (the production shape: runtime pruning presumes a small
+      // build side; an unbounded entity-grain dim must not broadcast)
       val dim = Tables.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
         .where(col("user_id") % 29L === 0L)
+        .orderBy("user_id").limit(64)
       val env = s.read.format("trip-envelope").load(path)
         .select(col("id"),
           MeosFunctions.tgeompointNumInstants(
             NativeExpressions.tgeompointFromHexWkb(col("json")))
             .cast("long").as("n"))
+      // BROADCAST BOUND (post-limit): ≤ 64 rows of two BIGINTs
       env.join(broadcast(dim), env("id") === dim("user_id"))
         .select(col("user_id"), col("n"), col("n_ev"))
         .orderBy("user_id")
@@ -3421,7 +3482,8 @@ object CoreQueries {
     "q91_envelope_runtime_prune" ->
       """WITH dim AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
-        |  FROM events WHERE user_id % 29 = 0 GROUP BY user_id),
+        |  FROM events WHERE user_id % 29 = 0 GROUP BY user_id
+        |  ORDER BY user_id LIMIT 64),
         |env AS (
         |  SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n
         |  FROM events GROUP BY user_id)
@@ -4055,6 +4117,54 @@ object CoreQueries {
     // column data in DuckDB v1.0.0 — scalar folds and this recursion
     // are both exact; validated element-for-element against an
     // independent reference fold)
+    // q96 — the identical anchor fold, one position per iteration (the
+    // q77 recursive-CTE template: v1.0.0 misfolds struct-accumulator
+    // list_reduce on column data); pt carries the previous posit's t,
+    // the final row closes the open run
+    "q96_stops" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id) AS rn
+        |  FROM events),
+        |ordered AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+        |  FROM d WHERE rn = 1),
+        |sz AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ordered GROUP BY user_id),
+        |walk(user_id, i, a, t0, pt, nst, tot, lng) AS (
+        |  SELECT user_id, i, v, t, t, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM ordered WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.i,
+        |    CASE WHEN abs(o.v - w.a) <= 100000 THEN w.a ELSE o.v END,
+        |    CASE WHEN abs(o.v - w.a) <= 100000 THEN w.t0 ELSE o.t END,
+        |    o.t,
+        |    w.nst + CASE WHEN abs(o.v - w.a) > 100000
+        |      AND w.pt - w.t0 >= 21600000000 THEN 1 ELSE 0 END,
+        |    w.tot + CASE WHEN abs(o.v - w.a) > 100000
+        |      AND w.pt - w.t0 >= 21600000000
+        |      THEN w.pt - w.t0 ELSE 0 END,
+        |    greatest(w.lng, CASE WHEN abs(o.v - w.a) > 100000
+        |      AND w.pt - w.t0 >= 21600000000
+        |      THEN w.pt - w.t0 ELSE 0 END)
+        |  FROM walk w JOIN ordered o
+        |    ON o.user_id = w.user_id AND o.i = w.i + 1)
+        |SELECT w.user_id, z.n AS n_posits,
+        |  CAST(w.nst + CASE WHEN w.pt - w.t0 >= 21600000000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_stops,
+        |  CAST(w.tot + CASE WHEN w.pt - w.t0 >= 21600000000
+        |    THEN w.pt - w.t0 ELSE 0 END AS BIGINT) AS stop_us,
+        |  CAST(greatest(w.lng, CASE WHEN w.pt - w.t0 >= 21600000000
+        |    THEN w.pt - w.t0 ELSE 0 END) AS BIGINT) AS longest_us
+        |FROM walk w JOIN sz z
+        |  ON w.user_id = z.user_id AND w.i = z.n
+        |ORDER BY w.user_id""".stripMargin,
+
     "q77_deadband_simplify" ->
       """WITH RECURSIVE d AS (
         |  SELECT user_id, ts, value,

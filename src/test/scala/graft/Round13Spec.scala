@@ -35,7 +35,8 @@ class Round13Spec extends SparkTestBase {
 
   private val expectedCensus = Map(
     // r14: +3 one-row bound aggs (q79 anchor, q81/q83 global bounds)
-    "src/main/scala/graft/queries/CoreQueries.scala" -> 9,
+    // r15: +1 — q91's DPP build side (marked post-limit: ≤64 rows)
+    "src/main/scala/graft/queries/CoreQueries.scala" -> 10,
     // r14: +3 eval-index broadcasts (qx96/qx97/qp11, marked
     // benchmark-set); the qe31 fusion kept both its marked sites
     "src/main/scala/graft/queries/ExtQueries.scala" -> 96) // qe40 anchors + qz69 span agg + qz70 tot/fit + qz73 tot/qtl + qz74 tot (one-row aggs) + qp10 cls (marked enum-group) + qe42 probes (marked query-anchors)
