@@ -1765,6 +1765,117 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q97 — AT-EXTREMES restriction (MEOS atMin/atMax): the instants
+    // where each user's value attains its minimum / maximum — per
+    // user: the extremes themselves, how many posits attain each, and
+    // the FIRST instant attaining each (the MEOS startTimestamp of
+    // the restricted value). One per-user window pass (min/max over
+    // the partition) + one rollup with conditional aggregates — no
+    // self-join, no second scan. All integer.
+    "q97_at_extremes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val wU = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("vmin", min("vm").over(wU))
+        .withColumn("vmax", max("vm").over(wU))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_posits"),
+          min("vm").as("v_min"), max("vm").as("v_max"),
+          sum(when(col("vm") === col("vmin"), 1L).otherwise(0L))
+            .as("n_at_min"),
+          min(when(col("vm") === col("vmin"), col("tus")))
+            .as("first_min_us"),
+          sum(when(col("vm") === col("vmax"), 1L).otherwise(0L))
+            .as("n_at_max"),
+          min(when(col("vm") === col("vmax"), col("tus")))
+            .as("first_max_us"))
+        .orderBy("user_id")
+    }),
+
+    // q98 — TEMPORAL MERGE (MEOS merge/temporal_app): each q80 pair's
+    // two step sequences merged into ONE — the union of both sides'
+    // posits with the documented tie rule at a shared instant (the
+    // LOWER user id wins; MEOS proper errors on conflicting values —
+    // a lake merge needs a total rule instead). Per pair: merged
+    // instant count, span, milli mass, and how many instants each
+    // side contributed. One (pair, tus)-grain dedupe window + one
+    // rollup; everything partitions by pair. All integer.
+    "q98_temporal_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val wPair = Window.partitionBy("pair_id", "tus")
+        .orderBy("user_id", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("pair_id", expr("(user_id + 1) div 2"))
+        .withColumn("rn", row_number().over(wPair))
+        .where(col("rn") === 1)
+        .groupBy("pair_id")
+        .agg(count(lit(1)).as("n_merged"),
+          min("tus").as("t0_us"), max("tus").as("t1_us"),
+          sum("vm").as("milli_sum"),
+          sum(when(col("user_id") % 2L === 1L, 1L).otherwise(0L))
+            .as("n_from_odd"),
+          sum(when(col("user_id") % 2L === 0L, 1L).otherwise(0L))
+            .as("n_from_even"))
+        .orderBy("pair_id")
+    }),
+
+    // q99 — TEMPORAL COMPARISON (MEOS temporal_lt/eq/gt → tbool →
+    // duration rollup): for each q80 pair, the time each side spends
+    // BELOW / EQUAL-TO / ABOVE the other on the step-synchronized
+    // timeline — q80's forward-fill synchronization, then one
+    // conditional-duration rollup over the closed sync segments
+    // (trailing open segment contributes no duration). The pairwise
+    // form q95's fixed-threshold whenTrue doesn't cover. All integer.
+    "q99_temporal_compare" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val posits = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("pair_id", expr("(user_id + 1) div 2"))
+        .withColumn("side", col("user_id") % 2L)
+      val wT = Window.partitionBy("pair_id")
+        .orderBy(col("tus"), col("user_id"), col("event_id"))
+      val wFill = wT.rowsBetween(Window.unboundedPreceding, 0)
+      posits
+        .withColumn("av", last(when(col("side") === 1L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .withColumn("bv", last(when(col("side") === 0L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .where(col("av").isNotNull && col("bv").isNotNull)
+        .withColumn("t2", lead("tus", 1).over(
+          Window.partitionBy("pair_id")
+            .orderBy(col("tus"), col("user_id"), col("event_id"))))
+        .withColumn("dur", col("t2") - col("tus"))
+        .groupBy("pair_id")
+        .agg(count(lit(1)).as("n_sync"),
+          coalesce(sum(when(col("av") < col("bv"), col("dur"))), lit(0L))
+            .as("lt_us"),
+          coalesce(sum(when(col("av") === col("bv"), col("dur"))),
+            lit(0L)).as("eq_us"),
+          coalesce(sum(when(col("av") > col("bv"), col("dur"))), lit(0L))
+            .as("gt_us"))
+        .orderBy("pair_id")
+    }),
+
     // q96 — STOPS detection (MEOS stops for temporal values): the
     // maximal anchor-runs where the value stays within ε of the run's
     // FIRST posit for at least minDur — the "vessel at berth / sensor
@@ -4117,6 +4228,94 @@ object CoreQueries {
     // column data in DuckDB v1.0.0 — scalar folds and this recursion
     // are both exact; validated element-for-element against an
     // independent reference fold)
+    // q97 — same dedupe; per-user window extremes + conditional rollup
+    "q97_at_extremes" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm,
+        |    min(vm) OVER (PARTITION BY user_id) AS vmin,
+        |    max(vm) OVER (PARTITION BY user_id) AS vmax
+        |  FROM d WHERE pt IS NULL OR pt <> tus)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_posits,
+        |  CAST(min(vm) AS BIGINT) AS v_min,
+        |  CAST(max(vm) AS BIGINT) AS v_max,
+        |  CAST(sum(CASE WHEN vm = vmin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_at_min,
+        |  min(CASE WHEN vm = vmin THEN tus END) AS first_min_us,
+        |  CAST(sum(CASE WHEN vm = vmax THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_at_max,
+        |  min(CASE WHEN vm = vmax THEN tus END) AS first_max_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q98 — same dedupe; (pair, instant) dedupe keeps the lower user
+    "q98_temporal_merge" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |m AS (
+        |  SELECT pair_id, user_id, tus, vm,
+        |    row_number() OVER (PARTITION BY pair_id, tus
+        |      ORDER BY user_id, event_id) AS rn
+        |  FROM p)
+        |SELECT pair_id, CAST(count(*) AS BIGINT) AS n_merged,
+        |  min(tus) AS t0_us, max(tus) AS t1_us,
+        |  CAST(sum(vm) AS BIGINT) AS milli_sum,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_from_odd,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_from_even
+        |FROM m WHERE rn = 1
+        |GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+
+    // q99 — q80's forward-fill synchronization; closed-segment
+    // conditional durations
+    "q99_temporal_compare" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus, user_id, event_id,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER w AS av,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER w AS bv
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY pair_id
+        |    ORDER BY tus, user_id, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT pair_id, tus, av, bv,
+        |    lead(tus) OVER (PARTITION BY pair_id
+        |      ORDER BY tus, user_id, event_id) - tus AS dur
+        |  FROM f WHERE av IS NOT NULL AND bv IS NOT NULL)
+        |SELECT pair_id, CAST(count(*) AS BIGINT) AS n_sync,
+        |  CAST(coalesce(sum(CASE WHEN av < bv THEN dur END), 0)
+        |    AS BIGINT) AS lt_us,
+        |  CAST(coalesce(sum(CASE WHEN av = bv THEN dur END), 0)
+        |    AS BIGINT) AS eq_us,
+        |  CAST(coalesce(sum(CASE WHEN av > bv THEN dur END), 0)
+        |    AS BIGINT) AS gt_us
+        |FROM g GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+
     // q96 — the identical anchor fold, one position per iteration (the
     // q77 recursive-CTE template: v1.0.0 misfolds struct-accumulator
     // list_reduce on column data); pt carries the previous posit's t,
