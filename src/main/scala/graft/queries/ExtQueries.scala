@@ -5881,6 +5881,73 @@ object ExtQueries {
         .orderBy("n_members")
     }),
 
+    // CONTEXT-WINDOW PACKING — the GPT-style concat-and-chunk training
+    // layout: documents concatenated in doc_id order, chunked into
+    // 2048-token context windows; per window, how many docs touch it,
+    // how many start in it, how many straddle a boundary, and the
+    // token fill (= 2048 except the ragged tail). The numbers that
+    // size a packing run (attention-mask fragmentation, cross-doc
+    // leakage exposure, padding waste). Shape: the global token
+    // prefix-sum runs as the TWO-LEVEL pattern — in-bucket running
+    // sums (doc_id div 65536 buckets) + a bucket-grain carry — so no
+    // task ever holds more than a bucket; each doc then explodes to
+    // the windows it overlaps (rows ∝ tokens/2048, output grain). All
+    // integer.
+    "qx99_context_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 2048L
+      val withB = docsWithToks(s, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+        .withColumn("b", expr("doc_id div 65536"))
+      val wIn = Window.partitionBy("b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // GLOBAL-WINDOW BOUND (bucket-grain): one row per 65536 docs —
+      // the carry window holds |docs|/65536 rows (15k at a billion
+      // docs); a deeper corpus adds a third level, same pattern
+      val wB = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = withB.groupBy("b").agg(sum("n_toks").as("btot"))
+        .withColumn("carry", coalesce(sum("btot").over(wB), lit(0L)))
+      withB
+        .withColumn("inb", coalesce(sum("n_toks").over(wIn), lit(0L)))
+        .join(carry.select("b", "carry"), "b")
+        .withColumn("cum0", col("carry") + col("inb"))
+        .withColumn("w0", expr(s"cum0 div ${L}L"))
+        .withColumn("w1", expr(s"(cum0 + n_toks - 1) div ${L}L"))
+        .select(col("doc_id"), col("n_toks"), col("cum0"), col("w0"),
+          col("w1"), explode(expr("sequence(w0, w1)")).as("window_id"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w0") === col("window_id"), 1L).otherwise(0L))
+            .as("n_starts"),
+          sum(when(col("w0") =!= col("w1"), 1L).otherwise(0L))
+            .as("n_crossers"),
+          sum(least(col("cum0") + col("n_toks"),
+            (col("window_id") + 1L) * L) -
+            greatest(col("cum0"), col("window_id") * L)).as("n_tokens"))
+        .orderBy("window_id")
+    }),
+
+    // INTRA-DOC REPETITION — Gopher's within-document duplication
+    // gate at the 3-gram grain (qx62/qx11 are corpus-level; nothing
+    // measured repetition INSIDE one document): per doc, total vs
+    // distinct token-trigrams and the duplicate fraction in ppm — the
+    // "same paragraph pasted 40 times" detector. Entirely row-local
+    // (one HOF pass per doc, no shuffle beyond the scan); the twin
+    // reuses the shared shingle CTE spelling.
+    "qx100_intra_dup" -> ((s, dir) =>
+      docsWithToks(s, dir)
+        .withColumn("tri", expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+            "element_at(toks, i), element_at(toks, i + 1), " +
+            "element_at(toks, i + 2)))"))
+        .select(col("doc_id"),
+          size(col("tri")).cast("long").as("n_tri"),
+          size(array_distinct(col("tri"))).cast("long").as("n_distinct"))
+        .withColumn("dup_ppm",
+          expr("(1000000 * (n_tri - n_distinct)) div n_tri"))
+        .orderBy("doc_id")),
+
     // CC LABEL TABLE off the distributed min-label loop (VERDICT r14
     // #5): qz48 hash-gates the loop's cluster SIZES (stable under
     // label renaming); this row gates the LABELS THEMSELVES — every
@@ -10882,6 +10949,46 @@ object ExtQueries {
         |FROM sz GROUP BY n_members
         |ORDER BY n_members""".stripMargin)
       .replace("WITH tok AS", "WITH RECURSIVE tok AS"),
+
+    // qx99 — the identical concat-and-chunk arithmetic; DuckDB's
+    // single global window is the ground truth for the two-level
+    // distributed prefix sum
+    "qx99_context_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum0
+        |  FROM tok),
+        |e AS (
+        |  SELECT doc_id, n_toks, cum0, cum0 // 2048 AS w0,
+        |    (cum0 + n_toks - 1) // 2048 AS w1
+        |  FROM c),
+        |x AS (
+        |  SELECT doc_id, n_toks, cum0, w0, w1,
+        |    unnest(range(w0, w1 + 1)) AS window_id
+        |  FROM e)
+        |SELECT window_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN w0 = window_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_starts,
+        |  CAST(sum(CASE WHEN w0 <> w1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_crossers,
+        |  CAST(sum(least(cum0 + n_toks, (window_id + 1) * 2048) -
+        |    greatest(cum0, window_id * 2048)) AS BIGINT) AS n_tokens
+        |FROM x GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    // qx100 — the shared trigram spelling at doc grain
+    "qx100_intra_dup" -> (ShingleCte +
+      """
+        |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+        |  CAST((1000000 * (len(s) - len(list_distinct(s)))) // len(s)
+        |    AS BIGINT) AS dup_ppm
+        |FROM sh ORDER BY doc_id""".stripMargin),
 
     // qx98 — the same staging and recursive closure as qz48, emitted
     // at LABEL grain: node → min reachable doc_id

@@ -19,11 +19,14 @@ class Round12Spec extends SparkTestBase {
   // per-file site COUNT is pinned, so a new global window fails this spec
   // until its bound is named and the count consciously updated.
 
+  // bucket-grain (r15): a two-level prefix sum's CARRY window — one row
+  // per fixed-size doc bucket (÷65536), so the single task holds
+  // |docs|/65536 rows; a deeper corpus adds a third level, same pattern
   private val allowedClasses = Set("post-limit", "distinct-value",
-    "calendar", "label-vocab", "inherent-global-report")
+    "calendar", "label-vocab", "inherent-global-report", "bucket-grain")
 
   private val expectedSites = Map(
-    "src/main/scala/graft/queries/ExtQueries.scala" -> 31, // +qz70 (label-vocab), +qz73 (distinct-value), +qz74 (calendar)
+    "src/main/scala/graft/queries/ExtQueries.scala" -> 32, // +qz70 (label-vocab), +qz73 (distinct-value), +qz74 (calendar); r15 +qx99 (bucket-grain)
     "src/main/scala/graft/queries/CoreQueries.scala" -> 1,
     "src/main/scala/graft/ext/Models.scala" -> 1)
 
