@@ -5933,17 +5933,18 @@ object ExtQueries {
     // measured repetition INSIDE one document): per doc, total vs
     // distinct token-trigrams and the duplicate fraction in ppm — the
     // "same paragraph pasted 40 times" detector. Entirely row-local
-    // (one HOF pass per doc, no shuffle beyond the scan); the twin
-    // reuses the shared shingle CTE spelling.
+    // (one fused native pass per doc — the codegen'd shingleHashes
+    // 60-bit md5-prefix keys, no gram strings materialized; distinct
+    // counts over the keys are cross-engine exact because the twin
+    // computes the IDENTICAL key function, so even a collision
+    // collides in both engines); no shuffle beyond the scan.
     "qx100_intra_dup" -> ((s, dir) =>
       docsWithToks(s, dir)
-        .withColumn("tri", expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
-            "element_at(toks, i), element_at(toks, i + 1), " +
-            "element_at(toks, i + 2)))"))
+        .withColumn("h", graft.meos.NativeExpressions
+          .shingleHashes(col("toks"), 3))
         .select(col("doc_id"),
-          size(col("tri")).cast("long").as("n_tri"),
-          size(array_distinct(col("tri"))).cast("long").as("n_distinct"))
+          size(col("h")).cast("long").as("n_tri"),
+          size(array_distinct(col("h"))).cast("long").as("n_distinct"))
         .withColumn("dup_ppm",
           expr("(1000000 * (n_tri - n_distinct)) div n_tri"))
         .orderBy("doc_id")),
@@ -10981,12 +10982,17 @@ object ExtQueries {
         |    greatest(cum0, window_id * 2048)) AS BIGINT) AS n_tokens
         |FROM x GROUP BY window_id ORDER BY window_id""".stripMargin,
 
-    // qx100 — the shared trigram spelling at doc grain
+    // qx100 — the shared trigram spelling at doc grain; distinct is
+    // counted over the SAME md5-prefix key the native expression
+    // computes (15 hex digits = the 60-bit key), so even a hash
+    // collision collides in both engines
     "qx100_intra_dup" -> (ShingleCte +
       """
         |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tri,
-        |  CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
-        |  CAST((1000000 * (len(s) - len(list_distinct(s)))) // len(s)
+        |  CAST(len(list_distinct(list_transform(s,
+        |    g -> substr(md5(g), 1, 15)))) AS BIGINT) AS n_distinct,
+        |  CAST((1000000 * (len(s) - len(list_distinct(list_transform(s,
+        |    g -> substr(md5(g), 1, 15)))))) // len(s)
         |    AS BIGINT) AS dup_ppm
         |FROM sh ORDER BY doc_id""".stripMargin),
 
