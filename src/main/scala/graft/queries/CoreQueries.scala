@@ -2226,6 +2226,16 @@ object CoreQueries {
     "qs27_envelope_stream" -> ((s, dir) =>
       graft.streaming.StreamingReplay.envelopeStreamReplay(s, dir)),
 
+    // qs29 — twenty-ninth streaming path: STREAM-STATIC join with the
+    // DSv2 envelope as the STATIC side — each micro-batch's plan runs
+    // a v2 scan with column pruning and a PUSHED id filter (the
+    // connector capabilities under the streaming planner, which no
+    // other arm exercises); stateless enrichment, set equals the
+    // batch join.
+    "qs29_env_static_enrich" -> ((s, dir) =>
+      graft.streaming.StreamingReplay
+        .envelopeStaticEnrichReplay(s, dir)),
+
     // qs26 — twenty-sixth streaming path: the parquet FILE SINK (the
     // lake-ingest job every production stream ends in) with its
     // `_spark_metadata` exactly-once manifest under the hash gate — a
@@ -3536,6 +3546,19 @@ object CoreQueries {
         |       min(epoch_us(ts)) AS t0_us
         |FROM events WHERE user_id >= 3 AND user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the stream-static enrich replayed relationally: per user under
+    // the pushed id range, event count + the trip's instant count
+    "qs29_env_static_enrich" ->
+      """WITH env AS (
+        |  SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n_inst
+        |  FROM events WHERE user_id < 120 GROUP BY user_id),
+        |ev AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.n_ev, v.n_inst
+        |FROM ev e JOIN env v USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // the limited count's one deterministic consequence: min(limit,
     // table size) — one envelope line per user

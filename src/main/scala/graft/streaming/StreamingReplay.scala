@@ -1112,9 +1112,12 @@ object StreamingReplay {
     * in-stream. The emitted set must equal the batch q57 rollup — an
     * envelope line delivered zero or two times hash-fails (declared as
     * `qs27_envelope_stream`). */
-  def envelopeStreamReplay(spark: SparkSession, dir: String): DataFrame = {
-    import graft.meos.{Assembly, MeosFunctions, NativeExpressions}
-    val staged = Option(envStreamCache.get(dir)).getOrElse {
+  /** The qs27/qs29 shared envelope staging: one v2-written line file
+    * set per dir (winner-return on the race, the standing pattern). */
+  private def stagedEnvelopeDir(spark: SparkSession, dir: String)
+      : String =
+    Option(envStreamCache.get(dir)).getOrElse {
+      import graft.meos.{Assembly, NativeExpressions}
       val asm = Assembly.tpointAssemble()
       val trips = graft.Tables.events(spark, dir)
         .withColumn("y", length(col("props")).cast("double"))
@@ -1129,6 +1132,10 @@ object StreamingReplay {
       trips.write.format("trip-envelope").mode("overwrite").save(d)
       Option(envStreamCache.putIfAbsent(dir, d)).getOrElse(d)
     }
+
+  def envelopeStreamReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meos.{MeosFunctions, NativeExpressions}
+    val staged = stagedEnvelopeDir(spark, dir)
 
     val table = s"qs27_replay_${runSeq.incrementAndGet()}"
     val q = spark.readStream.format("trip-envelope")
@@ -1148,6 +1155,57 @@ object StreamingReplay {
     val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
     spark.catalog.dropTempView(table)
     sunk.orderBy("user_id")
+  }
+
+  /** qs29: STREAM-STATIC join with the DSv2 ENVELOPE as the static
+    * side — the capability interplay no other arm runs: inside each
+    * micro-batch's plan, the static side is a full v2 scan of the
+    * envelope table with COLUMN PRUNING and a PUSHED id filter
+    * (`id < 120` reaches the connector's reader, which head-walks
+    * non-matching lines), joined stateless to the replayed event
+    * stream. The emitted set equals the batch join — per (matched)
+    * user, event count and the trip's instant count — so the SQL join
+    * twin oracles both the delivery and the in-stream v2 read.
+    * Sentinel rows (user_id −1) can't match any envelope id and drop
+    * in the join. */
+  def envelopeStaticEnrichReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.meos.{MeosFunctions, NativeExpressions}
+
+    val (srcDirStr, _) = stagedWindowChunks(spark, dir).getOrElse {
+      return spark.createDataFrame( // empty input → empty output
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_ev BIGINT, n_inst BIGINT"))
+    }
+    val envDir = stagedEnvelopeDir(spark, dir)
+    val stat = spark.read.format("trip-envelope").load(envDir)
+      .where(col("id") < 120L) // pushed into the v2 reader
+      .select(col("id"),
+        MeosFunctions.tgeompointNumInstants(
+          NativeExpressions.tgeompointFromHexWkb(col("json")))
+          .cast("long").as("n_inst"))
+
+    val table = s"qs29_replay_${runSeq.incrementAndGet()}"
+    val schema = implicitly[org.apache.spark.sql.Encoder[WEvent]].schema
+    val q = withStatePartitions(spark, 2) {
+      spark.readStream.option("maxFilesPerTrigger", "2")
+        .schema(schema).parquet(srcDirStr)
+        .select(col("user_id"), col("event_id"))
+        .join(stat, col("user_id") === col("id")) // stateless enrich
+        .select(col("user_id"), col("event_id"), col("n_inst"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(table)
+        .option("checkpointLocation", ckptFor(table)).start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.table(table) // see gapSessionsReplay: unpin the view
+    spark.catalog.dropTempView(table)
+
+    sunk.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"), max("n_inst").as("n_inst"))
+      .orderBy("user_id")
   }
 
   // staged input for the two-source union replay, keyed by dir
