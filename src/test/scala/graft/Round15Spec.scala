@@ -200,6 +200,26 @@ class Round15Spec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("append-merge: a second batch write EXTENDS _idindex.json — " +
+    "the first write's entries survive and totals stay exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("r15-env-append").toString + "/env"
+    Seq((1L, 1, "AA"), (2L, 1, "BB")).toDF("id", "vt", "json")
+      .coalesce(1).write.format("trip-envelope").mode("append").save(d)
+    val idx1 = TripEnvelopeIdIndex.read(d)
+    Seq((100L, 1, "CC")).toDF("id", "vt", "json")
+      .coalesce(1).write.format("trip-envelope").mode("append").save(d)
+    val idx2 = TripEnvelopeIdIndex.read(d)
+    assert(idx1.keySet.subsetOf(idx2.keySet),
+      s"append clobbered the index: $idx1 -> $idx2")
+    assert(idx2.values.map(_._3).sum == 3L)
+    // and the merged index still serves exact pruning + reads
+    val out = spark.read.format("trip-envelope").load(d)
+      .where(col("id") >= 50L).select("id").collect().map(_.getLong(0))
+    assert(out.sameElements(Array(100L)))
+  }
+
   test("unindexed files are never pruned: a foreign line file joins " +
     "the scan regardless of pushed ranges") {
     import org.apache.spark.sql.functions._
