@@ -2157,6 +2157,25 @@ object CoreQueries {
         .limit(7).selectExpr("count(*) AS n_limited")
     }),
 
+    // q101 — DSv2 TOP-N pushdown (the connector's 8th capability):
+    // ORDER BY id LIMIT k reaches the scan — each reader keeps only
+    // its k best lines by id from the head walk (fully parsing just
+    // those), and on the range-clustered staging the id index proves
+    // the ranges DISJOINT, so the scan plans only the range-order
+    // file prefix covering k (one file here). Deterministic because
+    // id is unique; Spark re-sorts/re-limits the partial survivors.
+    "q101_envelope_topn" -> ((s, dir) => {
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      val path = stagedEnvelopeRanged(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .orderBy("id").limit(7)
+        .select(col("id").as("user_id"),
+          MeosFunctions.tgeompointNumInstants(
+            NativeExpressions.tgeompointFromHexWkb(col("json")))
+            .cast("long").as("n"))
+        .orderBy("user_id")
+    }),
+
     // q95 — WHEN-TRUE restriction (MEOS whenTrue/atValues for tbool
     // over a tfloat predicate): the period set where `value > 250.0`
     // holds under step semantics — each posit's truth holds until the
@@ -3565,6 +3584,13 @@ object CoreQueries {
     "q94_envelope_limit" ->
       """SELECT CAST(least(7, count(DISTINCT user_id)) AS BIGINT)
         |  AS n_limited FROM events""".stripMargin,
+
+    // the pushed top-7 by id, replayed over the per-user rollup
+    // (id is unique, so the set is deterministic)
+    "q101_envelope_topn" ->
+      """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id LIMIT 7""".stripMargin,
 
     // q95 — identical dedupe + step-truth windows; closed-segment
     // durations and lag-based run starts

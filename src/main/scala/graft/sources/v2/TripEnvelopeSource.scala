@@ -122,13 +122,42 @@ class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = TripEnvelopeTable.schema
   private var idLo: Long = Long.MinValue
   private var idHi: Long = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedEnvAgg] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None // (ascending, k)
+
+  // both SupportsPushDownLimit and SupportsPushDownTopN default this to
+  // true; Scala requires the diamond to be resolved explicitly — and
+  // PARTIAL is exactly this connector's contract for both (readers cap
+  // or k-best per file, Spark applies the global limit / final sort)
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown (PARTIAL — Spark re-sorts and re-limits): a single
+    * ORDER BY id (either direction; id is never null so null ordering
+    * is moot) with LIMIT k. Each reader keeps only its k best lines by
+    * id from the head walk and fully parses just those; on an
+    * id-DISJOINT layout the scan additionally plans only the range-
+    * order file prefix covering k rows. Anything else (payload sort
+    * keys, multi-key orders) is declined and planned normally. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      SortDirection}
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (ok) topN = Some(
+      (orders(0).direction() == SortDirection.ASCENDING, l))
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -233,7 +262,7 @@ class TripEnvelopeScanBuilder(path: String, maxFilesPerBatch: Int)
 
   override def build(): Scan =
     new TripEnvelopeScan(path, required, maxFilesPerBatch, idLo, idHi,
-      pushedAgg, limit)
+      pushedAgg, limit, topN)
 }
 
 /** A pushed envelope aggregation: optional GROUP BY vt plus the agg
@@ -262,7 +291,8 @@ class TripEnvelopeScan(path: String, required: StructType,
                        idLo: Long = Long.MinValue,
                        idHi: Long = Long.MaxValue,
                        agg: Option[PushedEnvAgg] = None,
-                       limit: Option[Int] = None)
+                       limit: Option[Int] = None,
+                       topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private def aggPushed: Boolean = agg.isDefined
@@ -283,8 +313,8 @@ class TripEnvelopeScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!aggPushed && limit.isEmpty,
-      "aggregate/limit pushdown are batch-only capabilities")
+    require(!aggPushed && limit.isEmpty && topN.isEmpty,
+      "aggregate/limit/topN pushdown are batch-only capabilities")
     new TripEnvelopeMicroBatchStream(path, required, maxFilesPerBatch,
       idLo, idHi)
   }
@@ -294,7 +324,10 @@ class TripEnvelopeScan(path: String, required: StructType,
       else s" PushedFilters: [id in [$idLo, $idHi]]"
     val a = agg.map(" " + _.describe).getOrElse("")
     val l = limit.map(n => s" PushedLimit: $n").getOrElse("")
-    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f$a$l"
+    val t = topN.map { case (asc, k) =>
+      s" PushedTopN: [id ${if (asc) "ASC" else "DESC"}] LIMIT $k"
+    }.getOrElse("")
+    s"TripEnvelope $path ReadSchema: ${required.catalogString}$f$a$l$t"
   }
 
   // ---- runtime filtering (capability #6): at execution time — after
@@ -401,15 +434,35 @@ class TripEnvelopeScan(path: String, required: StructType,
     // million-file landing zone opens one file
     val unfiltered = idLo == Long.MinValue && idHi == Long.MaxValue &&
       runtimeIds.isEmpty
-    val chosen = limit match {
-      case Some(l) if unfiltered &&
-          kept.forall(st => index.contains(st.getPath.getName)) =>
-        var need = l.toLong
-        kept.takeWhile { st =>
-          val take = need > 0
-          need -= index(st.getPath.getName)._3
-          take
-        }
+    val allIndexed =
+      kept.forall(st => index.contains(st.getPath.getName))
+    def prefixCovering(files: Array[org.apache.hadoop.fs.FileStatus],
+                       rows: Long) = {
+      var need = rows
+      files.takeWhile { st =>
+        val take = need > 0
+        need -= index(st.getPath.getName)._3
+        take
+      }
+    }
+    val chosen = (limit, topN) match {
+      case (Some(l), _) if unfiltered && allIndexed =>
+        prefixCovering(kept, l.toLong)
+      // pushed TopN over an id-DISJOINT layout (checkable from the
+      // index): the k best ids live in the range-order file prefix —
+      // sort kept files by their id range (min asc for ASC, max desc
+      // for DESC) and plan only the prefix covering k rows. Ranges
+      // that overlap disable the shortcut (a best id could hide in
+      // any of them); readers still cap their per-file k-best.
+      case (_, Some((asc, k))) if unfiltered && allIndexed && {
+          val rs = kept.map(st => index(st.getPath.getName))
+            .sortBy(_._1)
+          rs.zip(rs.drop(1)).forall { case (a, b) => a._2 < b._1 }
+        } =>
+        val ordered =
+          if (asc) kept.sortBy(st => index(st.getPath.getName)._1)
+          else kept.sortBy(st => -index(st.getPath.getName)._2)
+        prefixCovering(ordered, k.toLong)
       case _ => kept
     }
     val parts = chosen.map(st =>
@@ -430,10 +483,13 @@ class TripEnvelopeScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    agg match {
-      case Some(a) =>
+    (agg, topN) match {
+      case (Some(a), _) =>
         new TripEnvelopeAggReaderFactory(conf, idLo, idHi, a)
-      case None =>
+      case (None, Some((asc, k))) =>
+        new TripEnvelopeTopNReaderFactory(required.fieldNames, conf,
+          idLo, idHi, asc, k)
+      case _ =>
         new TripEnvelopeReaderFactory(required.fieldNames, conf,
           idLo, idHi, limit.getOrElse(Int.MaxValue))
     }
@@ -675,14 +731,28 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
     line != null
   }
 
-  override def get(): InternalRow = {
+  /** The admitted line's raw text (TopN readers buffer it). */
+  private[v2] def currentLine: String = line
+
+  override def get(): InternalRow =
+    TripEnvelopeLineParser.parse(factory, line, width, idSlot, vtSlot,
+      jsonSlot)
+
+  override def close(): Unit = in.close()
+}
+
+private[v2] object TripEnvelopeLineParser {
+  /** One envelope line → pruned InternalRow. Early exit once every
+    * requested slot is filled: a head-only projection (SELECT id /
+    * SELECT vt — including the aggregate reader's grouped walk) stops
+    * tokenizing BEFORE the payload field, so the multi-KB hex string
+    * is never even scanned. */
+  def parse(factory: com.fasterxml.jackson.core.JsonFactory,
+            line: String, width: Int, idSlot: Int, vtSlot: Int,
+            jsonSlot: Int): InternalRow = {
     import com.fasterxml.jackson.core.JsonToken
     val row = new Array[Any](width)
     val p = factory.createParser(line)
-    // early exit once every requested slot is filled: a head-only
-    // projection (SELECT id / SELECT vt — including the aggregate
-    // reader's grouped walk) stops tokenizing BEFORE the payload
-    // field, so the multi-KB hex string is never even scanned
     var remaining = width
     try {
       require(p.nextToken() == JsonToken.START_OBJECT,
@@ -712,8 +782,69 @@ class TripEnvelopeReader(file: String, width: Int, idSlot: Int,
     } finally p.close()
     InternalRow.fromSeq(row.toSeq)
   }
+}
 
-  override def close(): Unit = in.close()
+/** Pushed-TopN reader: one k-best buffer per line file — the head walk
+  * tracks each admitted line's id, a bounded heap keeps the k best by
+  * id (smallest for ASC, largest for DESC), and only the k SURVIVORS
+  * are ever fully parsed. Partial pushdown: Spark re-sorts and
+  * re-limits the per-file survivors, so emit order is free. Memory is
+  * k lines per open reader, however big the file. */
+class TripEnvelopeTopNReaderFactory(fields: Array[String],
+                                    conf: SerializableConfiguration,
+                                    idLo: Long, idHi: Long,
+                                    asc: Boolean, k: Int)
+    extends PartitionReaderFactory {
+  private val idSlot = fields.indexOf("id")
+  private val vtSlot = fields.indexOf("vt")
+  private val jsonSlot = fields.indexOf("json")
+  require(fields.forall(Set("id", "vt", "json")),
+    s"unknown envelope field(s): ${fields.mkString(",")}")
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TripEnvelopeInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val factory = new com.fasterxml.jackson.core.JsonFactory()
+      private var kept: Iterator[String] = _
+      private var row: InternalRow = _
+
+      private def select(): Unit = {
+        // heap root = the WORST of the current k-best: largest id for
+        // ASC (evict it when a smaller arrives), smallest for DESC
+        val heap = new java.util.PriorityQueue[(Long, String)](
+          math.max(k, 1),
+          (a: (Long, String), b: (Long, String)) =>
+            if (asc) java.lang.Long.compare(b._1, a._1)
+            else java.lang.Long.compare(a._1, b._1))
+        val inner = new TripEnvelopeReader(file, 0, -1, -1, -1, conf,
+          idLo, idHi, needId = true)
+        try while (inner.next()) {
+          if (heap.size < k) heap.add((inner.lastId, inner.currentLine))
+          else {
+            val worst = heap.peek()._1
+            val better =
+              if (asc) inner.lastId < worst else inner.lastId > worst
+            if (better) { heap.poll(); heap.add((inner.lastId,
+              inner.currentLine)) }
+          }
+        } finally inner.close()
+        import scala.jdk.CollectionConverters._
+        kept = heap.iterator().asScala.map(_._2).toVector.iterator
+      }
+
+      override def next(): Boolean = {
+        if (kept == null) select()
+        if (kept.hasNext) {
+          row = TripEnvelopeLineParser.parse(factory, kept.next(),
+            fields.length, idSlot, vtSlot, jsonSlot)
+          true
+        } else false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -191,6 +191,60 @@ class Round15Spec extends SparkTestBase {
     assert(small == 7L)
   }
 
+  test("topN pushdown (capability #8): per-reader k-best by id, the " +
+    "disjoint-range file prefix, and overlap disables the shortcut") {
+    import org.apache.spark.sql.connector.expressions.{Expressions,
+      SortDirection}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0L until 80L).map(i => (i, 1, s"P$i"))
+    val d = writeEnvelope(rows, parts = 4) // disjoint id ranges
+    def order(asc: Boolean) = Array(Expressions.sort(
+      Expressions.column("id"),
+      if (asc) SortDirection.ASCENDING else SortDirection.DESCENDING))
+    // ASC prefix: 5 best ids live in the first range file
+    val b = new TripEnvelopeScanBuilder(d, Int.MaxValue)
+    assert(b.pushTopN(order(asc = true), 5))
+    assert(b.build().toBatch.planInputPartitions().length == 1)
+    // DESC prefix: the LAST range file
+    val b2 = new TripEnvelopeScanBuilder(d, Int.MaxValue)
+    assert(b2.pushTopN(order(asc = false), 5))
+    assert(b2.build().toBatch.planInputPartitions().length == 1)
+    // end-to-end both directions: plan pin + exact rows
+    val asc3 = spark.read.format("trip-envelope").load(d)
+      .orderBy("id").limit(3)
+    assert(asc3.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [id ASC] LIMIT 3"))
+    assert(asc3.select("id").as[Long].collect().sorted
+      .sameElements(Array(0L, 1L, 2L)))
+    val desc3 = spark.read.format("trip-envelope").load(d)
+      .orderBy(desc("id")).limit(3)
+    assert(desc3.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [id DESC] LIMIT 3"))
+    assert(desc3.select("id").as[Long].collect().sorted
+      .sameElements(Array(77L, 78L, 79L)))
+    // OVERLAPPING ranges (two appends): the prefix shortcut must
+    // disable — a best id could hide in either file — but per-reader
+    // k-best still returns the exact set
+    val d2 = Files.createTempDirectory("r15-env-ov").toString + "/env"
+    (0L until 40L).map(i => (i, 1, s"A$i")).toDF("id", "vt", "json")
+      .coalesce(1).write.format("trip-envelope").mode("append").save(d2)
+    (20L until 60L).map(i => (i + 1000L, 1, s"B$i"))
+      .toDF("id", "vt", "json").coalesce(1)
+      .write.format("trip-envelope").mode("append").save(d2)
+    // make ranges overlap: third file spanning both
+    (30L to 1030L by 500L).map(i => (i, 1, s"C$i"))
+      .toDF("id", "vt", "json").coalesce(1)
+      .write.format("trip-envelope").mode("append").save(d2)
+    val b3 = new TripEnvelopeScanBuilder(d2, Int.MaxValue)
+    assert(b3.pushTopN(order(asc = true), 2))
+    assert(b3.build().toBatch.planInputPartitions().length == 3,
+      "overlapping ranges must plan every file")
+    val top2 = spark.read.format("trip-envelope").load(d2)
+      .orderBy("id").limit(2).select("id").as[Long].collect().sorted
+    assert(top2.sameElements(Array(0L, 1L)))
+  }
+
   test("q91 end-to-end: DPP injects the runtime filter into the " +
     "envelope scan and the joined result is exact") {
     val df = SparkEntry.queries("q91_envelope_runtime_prune")(spark, sfDir)
