@@ -1876,6 +1876,79 @@ object CoreQueries {
         .orderBy("pair_id")
     }),
 
+    // q102 — the ONE-PASS TRAJECTORY FEATURE TABLE: the production
+    // shape for MEOS-style feature extraction — q86's speed extremes,
+    // q96's stop detection, and q77's dead-band compression computed
+    // from a SINGLE q12 assembly (one scan, one salted shuffle, every
+    // per-step feature a row-local HOF over the assembled arrays)
+    // instead of three separate window queries over three scans. The
+    // twin joins the three proven CTE spellings on user_id, so each
+    // feature stays individually oracle-exact inside the composition.
+    // Same constants as the source queries (speed in milli-units/s;
+    // stops ε = 100.000 milli / 6 h; dead-band ε = 50.000 milli).
+    "q102_trajectory_features" -> ((s, dir) => {
+      val asm = Assembly.tfloatAssembleSalted(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      val eps = 100000L
+      val minDur = 21600000000L
+      def closed(d: String) = s"IF($d >= ${minDur}L, $d, 0L)"
+      asm
+        .withColumn("vm",
+          expr("transform(s.v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .withColumn("steps", expr(
+          """zip_with(slice(s.t, 2, size(s.t) - 1),
+            |         slice(vm, 2, size(vm) - 1),
+            |  (tt, vv) -> named_struct('tt', tt, 'vv', vv))"""
+            .stripMargin.replaceAll("\n", " ")))
+        // q86's rates: one fold carrying (prev t, prev v, max, Σ|Δv|,
+        // ΣΔt) — max_speed 0 for single-posit users (no steps)
+        .withColumn("sp", expr(
+          """aggregate(steps,
+            |  named_struct('pt', element_at(s.t, 1),
+            |    'pv', element_at(vm, 1), 'mx', CAST(0 AS BIGINT),
+            |    'dv', CAST(0 AS BIGINT), 'dt', CAST(0 AS BIGINT)),
+            |  (acc, x) -> named_struct('pt', x.tt, 'pv', x.vv,
+            |    'mx', greatest(acc.mx,
+            |      (abs(x.vv - acc.pv) * 1000000L) div (x.tt - acc.pt)),
+            |    'dv', acc.dv + abs(x.vv - acc.pv),
+            |    'dt', acc.dt + (x.tt - acc.pt)))"""
+            .stripMargin.replaceAll("\n", " ")))
+        // q96's stops: the identical anchor fold
+        .withColumn("st", expr(
+          s"""aggregate(steps,
+             |  named_struct('a', element_at(vm, 1),
+             |    't0', element_at(s.t, 1), 'pt', element_at(s.t, 1),
+             |    'nst', CAST(0 AS BIGINT), 'tot', CAST(0 AS BIGINT)),
+             |  (acc, x) -> IF(abs(x.vv - acc.a) <= ${eps}L,
+             |    named_struct('a', acc.a, 't0', acc.t0, 'pt', x.tt,
+             |      'nst', acc.nst, 'tot', acc.tot),
+             |    named_struct('a', x.vv, 't0', x.tt, 'pt', x.tt,
+             |      'nst', acc.nst +
+             |        IF(acc.pt - acc.t0 >= ${minDur}L, 1L, 0L),
+             |      'tot', acc.tot + ${closed("(acc.pt - acc.t0)")})),
+             |  acc -> named_struct(
+             |    'nst', acc.nst + IF(acc.pt - acc.t0 >= ${minDur}L,
+             |      1L, 0L),
+             |    'tot', acc.tot + ${closed("(acc.pt - acc.t0)")}))"""
+            .stripMargin.replaceAll("\n", " ")))
+        // q77's dead-band keep count
+        .withColumn("kb", expr(
+          """aggregate(vm,
+            |  named_struct('lastv', CAST(-1000000000000000 AS BIGINT),
+            |    'n', CAST(0 AS BIGINT)),
+            |  (acc, v) -> IF(abs(v - acc.lastv) > 50000,
+            |    named_struct('lastv', v, 'n', acc.n + 1L), acc))"""
+            .stripMargin.replaceAll("\n", " ")))
+        .select(col("k").as("user_id"), col("s.n").as("n_posits"),
+          col("sp.mx").as("max_speed"),
+          when(col("sp.dt") > 0L, expr("(sp.dv * 1000000L) div sp.dt"))
+            .otherwise(0L).as("mean_speed"),
+          col("st.nst").as("n_stops"), col("st.tot").as("stop_us"),
+          col("kb.n").as("n_kept"))
+        .orderBy("user_id")
+    }),
+
     // q96 — STOPS detection (MEOS stops for temporal values): the
     // maximal anchor-runs where the value stays within ε of the run's
     // FIRST posit for at least minDur — the "vessel at berth / sensor
@@ -4364,6 +4437,85 @@ object CoreQueries {
         |  CAST(coalesce(sum(CASE WHEN av > bv THEN dur END), 0)
         |    AS BIGINT) AS gt_us
         |FROM g GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+
+    // q102 — the three proven per-feature spellings (q86 windows, q96
+    // walk, q77 walk) joined on user_id; single-posit users carry 0
+    // speeds via the left join
+    "q102_trajectory_features" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id) AS rn
+        |  FROM events),
+        |ordered AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+        |  FROM d WHERE rn = 1),
+        |sz AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ordered GROUP BY user_id),
+        |sp AS (
+        |  SELECT user_id,
+        |    CAST(max((abs(v - pv) * 1000000) // (t - p2)) AS BIGINT)
+        |      AS max_speed,
+        |    CAST(sum(abs(v - pv)) AS BIGINT) AS dv,
+        |    CAST(sum(t - p2) AS BIGINT) AS dt
+        |  FROM (SELECT user_id, t, v, lag(t) OVER w AS p2,
+        |          lag(v) OVER w AS pv
+        |        FROM ordered
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY i)) x
+        |  WHERE p2 IS NOT NULL GROUP BY user_id),
+        |walk(user_id, i, a, t0, pt, nst, tot) AS (
+        |  SELECT user_id, i, v, t, t, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM ordered WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.i,
+        |    CASE WHEN abs(o.v - w.a) <= 100000 THEN w.a ELSE o.v END,
+        |    CASE WHEN abs(o.v - w.a) <= 100000 THEN w.t0 ELSE o.t END,
+        |    o.t,
+        |    w.nst + CASE WHEN abs(o.v - w.a) > 100000
+        |      AND w.pt - w.t0 >= 21600000000 THEN 1 ELSE 0 END,
+        |    w.tot + CASE WHEN abs(o.v - w.a) > 100000
+        |      AND w.pt - w.t0 >= 21600000000
+        |      THEN w.pt - w.t0 ELSE 0 END
+        |  FROM walk w JOIN ordered o
+        |    ON o.user_id = w.user_id AND o.i = w.i + 1),
+        |stops AS (
+        |  SELECT w.user_id,
+        |    CAST(w.nst + CASE WHEN w.pt - w.t0 >= 21600000000
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n_stops,
+        |    CAST(w.tot + CASE WHEN w.pt - w.t0 >= 21600000000
+        |      THEN w.pt - w.t0 ELSE 0 END AS BIGINT) AS stop_us
+        |  FROM walk w JOIN sz z
+        |    ON w.user_id = z.user_id AND w.i = z.n),
+        |walk2(user_id, i, lastv, nk) AS (
+        |  SELECT user_id, i, v, CAST(1 AS BIGINT)
+        |  FROM ordered WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.i,
+        |    CASE WHEN abs(o.v - w.lastv) > 50000 THEN o.v
+        |      ELSE w.lastv END,
+        |    w.nk + CASE WHEN abs(o.v - w.lastv) > 50000 THEN 1
+        |      ELSE 0 END
+        |  FROM walk2 w JOIN ordered o
+        |    ON o.user_id = w.user_id AND o.i = w.i + 1),
+        |keepf AS (
+        |  SELECT w.user_id, w.nk AS n_kept
+        |  FROM walk2 w JOIN sz z
+        |    ON w.user_id = z.user_id AND w.i = z.n)
+        |SELECT z.user_id, z.n AS n_posits,
+        |  CAST(coalesce(sp.max_speed, 0) AS BIGINT) AS max_speed,
+        |  CAST(CASE WHEN coalesce(sp.dt, 0) > 0
+        |    THEN (sp.dv * 1000000) // sp.dt ELSE 0 END AS BIGINT)
+        |    AS mean_speed,
+        |  stops.n_stops, stops.stop_us, keepf.n_kept
+        |FROM sz z
+        |LEFT JOIN sp ON sp.user_id = z.user_id
+        |JOIN stops ON stops.user_id = z.user_id
+        |JOIN keepf ON keepf.user_id = z.user_id
+        |ORDER BY z.user_id""".stripMargin,
 
     // q96 — the identical anchor fold, one position per iteration (the
     // q77 recursive-CTE template: v1.0.0 misfolds struct-accumulator
