@@ -62,6 +62,15 @@ object Bench {
     // distinct signature)
     val peakExec = new java.util.concurrent.atomic.AtomicLong()
     val evictions = new java.util.concurrent.atomic.AtomicLong()
+    // scan-side telemetry (VERDICT r15 #2 — make the qx81 cold-page-
+    // cache theory testable from the sidecar): bytes READ per run (all
+    // sources, incl. the per-dir parquet stagings) from task input
+    // metrics, and the summed FileSourceScan "scan time" metric from
+    // each executed plan — a run whose t inflates WITH scan_ms while
+    // input_mb stays flat is re-reading the same bytes slower, the
+    // cold-cache signature; flat scan_ms pins the inflation elsewhere.
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong()
+    val scanMs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -71,17 +80,57 @@ object Bench {
           spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
           peakExec.getAndAccumulate(
             sc.stageInfo.taskMetrics.peakExecutionMemory, math.max)
+          inputBytes.addAndGet(
+            sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
         }
         override def onBlockUpdated(
             bu: org.apache.spark.scheduler.SparkListenerBlockUpdated)
             : Unit = {
-          // a cached block transitioning to no-storage without an
-          // unpersist is an EVICTION (memory pressure pushed it out)
+          // a cached block transitioning to no-storage while its RDD is
+          // STILL REGISTERED as persistent is an EVICTION (memory
+          // pressure pushed out a block the engine still wants). The
+          // still-registered gate (ADVICE r15) filters unpersist bleed:
+          // ContextCleaner/releaseAll deregister the RDD from
+          // getPersistentRDDs BEFORE the async block removals land, so
+          // a previous query's cleanup arriving inside the next timed
+          // run no longer masquerades as block-manager pressure.
+          // (Racy by nature — listener events are async — but the race
+          // window only UNDER-counts cleanup noise, never real
+          // evictions of a live cache.)
           val info = bu.blockUpdatedInfo
-          if (!info.storageLevel.isValid &&
-              info.blockId.isRDD) evictions.incrementAndGet()
+          if (!info.storageLevel.isValid && info.blockId.isRDD &&
+              info.blockId.asRDDId.exists(r => spark.sparkContext
+                .getPersistentRDDs.contains(r.rddId)))
+            evictions.incrementAndGet()
           ()
         }
+      })
+    // summed "scan time" over every executed plan's file scans (AQE
+    // stages included) — registered once; values drain into scanMs and
+    // runOnce resets the counter per timed span. Listener delivery is
+    // async (same coarse-read caveat as the stage listener above).
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Unit = {
+          p.metrics.get("scanTime").foreach(m => scanMs.addAndGet(m.value))
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => walk(q.plan)
+            case r: org.apache.spark.sql.execution.exchange
+                .ReusedExchangeExec => walk(r.child)
+            case _ => ()
+          }
+          p.children.foreach(walk)
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = walk(qe.executedPlan)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
       })
     val gcBeans =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -109,10 +158,12 @@ object Bench {
       * evictions. */
     case class RunTel(t: Double, cpuPct: Double, gcMs: Long,
                       spillMemMb: Long, spillDiskMb: Long,
-                      peakExecMb: Long, evicted: Long)
+                      peakExecMb: Long, evicted: Long,
+                      inputMb: Long, scanMs: Long)
     def runOnce(name: String): RunTel = {
       spillMem.set(0L); spillDisk.set(0L)
       peakExec.set(0L); evictions.set(0L)
+      inputBytes.set(0L); scanMs.set(0L)
       val gc0 = gcCumMs
       val cpu0 = procCpuNs
       val t0 = System.nanoTime()
@@ -125,7 +176,8 @@ object Bench {
       val cpuPct = (procCpuNs - cpu0) / 1e9 / math.max(t, 1e-9) /
         Runtime.getRuntime.availableProcessors * 100.0
       val tel = RunTel(t, cpuPct, gcCumMs - gc0, spillMem.get >> 20,
-        spillDisk.get >> 20, peakExec.get >> 20, evictions.get)
+        spillDisk.get >> 20, peakExec.get >> 20, evictions.get,
+        inputBytes.get >> 20, scanMs.get)
       // free lineage-cut blocks the query pinned (outside the timed span —
       // it's harness hygiene, not query work): without this, 70 queries ×
       // 3 runs of leaked localCheckpoint blocks squat in the block manager
@@ -153,7 +205,8 @@ object Bench {
         System.err.println(f"[bench-runs] $name r$i ${r.t}%.2f " +
           f"cpu=${r.cpuPct}%.0f%% gcMs=${r.gcMs} " +
           f"spillMemMB=${r.spillMemMb} spillDiskMB=${r.spillDiskMb} " +
-          f"peakExecMB=${r.peakExecMb} evicted=${r.evicted}")
+          f"peakExecMB=${r.peakExecMb} evicted=${r.evicted} " +
+          f"inputMB=${r.inputMb} scanMs=${r.scanMs}")
         r
       }
       telemetry(name) = runs
@@ -227,6 +280,10 @@ object Bench {
     // from data — t[] up with gc_ms[] up = heap pressure, with
     // spill_mb[] up = memory pressure, with cpu_pct[] collapsed =
     // external contention, evictions > 0 = block-manager displacement
+    // (gated on still-registered RDDs, so unpersist bleed from the
+    // previous query's async cleanup is not counted — ADVICE r15),
+    // scan_ms[] up with input_mb[] flat = the same bytes re-read
+    // slower (the cold-page-cache signature, VERDICT r15 #2)
     fullJson ++= "  \"telemetry\": {\n"
     fullJson ++= telemetry.map { case (k, runs) =>
       def arr[A](f: RunTel => A): String =
@@ -237,7 +294,9 @@ object Bench {
         s""""spill_mem_mb": ${arr(_.spillMemMb)}, """ +
         s""""spill_disk_mb": ${arr(_.spillDiskMb)}, """ +
         s""""peak_exec_mb": ${arr(_.peakExecMb)}, """ +
-        s""""evicted_blocks": ${arr(_.evicted)}}"""
+        s""""evicted_blocks": ${arr(_.evicted)}, """ +
+        s""""input_mb": ${arr(_.inputMb)}, """ +
+        s""""scan_ms": ${arr(_.scanMs)}}"""
     }.mkString(",\n")
     fullJson ++= "\n  }\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),

@@ -1610,9 +1610,17 @@ object CoreQueries {
           min(struct(col("tus"), col("event_id"), col("xm"),
             col("ym"))).as("fst"))
         .select(col("user_id"), col("n_posits"), col("dur_ms"),
-          when(col("dur_ms") > 0L, expr("xw div dur_ms"))
+          // positive-operand OFFSET trick (the qz51/qz63 discipline,
+          // ADVICE r15): xw can go negative with negative values, and
+          // DuckDB // floors while Spark div truncates toward zero —
+          // shifting the numerator by OFF·dur_ms makes it provably
+          // positive (|xm| ≤ 10⁷ milli by construction), where the two
+          // semantics coincide. OFF·dur_ms ≤ 10⁷·2.6·10⁹ ≪ 2⁶³.
+          when(col("dur_ms") > 0L,
+            expr("(xw + 10000000L * dur_ms) div dur_ms - 10000000L"))
             .otherwise(col("fst.xm")).as("twx_milli"),
-          when(col("dur_ms") > 0L, expr("yw div dur_ms"))
+          when(col("dur_ms") > 0L,
+            expr("(yw + 10000000L * dur_ms) div dur_ms - 10000000L"))
             .otherwise(col("fst.ym")).as("twy_len"))
         .orderBy("user_id")
     }),
@@ -3757,8 +3765,11 @@ object CoreQueries {
         |FROM o GROUP BY user_id, oct
         |ORDER BY user_id, oct""".stripMargin,
 
-    // q93 — identical dedupe + lead weights; // matches Spark's div
-    // (both truncate toward zero), arg_min picks the unique first posit
+    // q93 — identical dedupe + lead weights; the OFFSET-shifted
+    // integer division (DuckDB // FLOORS where Spark div truncates —
+    // they agree only on positive operands, so both engines divide the
+    // shifted-positive numerator; ADVICE r15), arg_min picks the
+    // unique first posit
     "q93_twcentroid" ->
       """WITH d AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id,
@@ -3780,10 +3791,12 @@ object CoreQueries {
         |    arg_min(xm, tus) AS fxm, arg_min(ym, tus) AS fym
         |  FROM p GROUP BY user_id)
         |SELECT user_id, n_posits, dur_ms,
-        |  CAST(CASE WHEN dur_ms > 0 THEN xw // dur_ms ELSE fxm END
-        |    AS BIGINT) AS twx_milli,
-        |  CAST(CASE WHEN dur_ms > 0 THEN yw // dur_ms ELSE fym END
-        |    AS BIGINT) AS twy_len
+        |  CAST(CASE WHEN dur_ms > 0
+        |    THEN (xw + 10000000 * dur_ms) // dur_ms - 10000000
+        |    ELSE fxm END AS BIGINT) AS twx_milli,
+        |  CAST(CASE WHEN dur_ms > 0
+        |    THEN (yw + 10000000 * dur_ms) // dur_ms - 10000000
+        |    ELSE fym END AS BIGINT) AS twy_len
         |FROM a ORDER BY user_id""".stripMargin,
 
     // the distributed-ingest replay must emit exactly qs3's set through

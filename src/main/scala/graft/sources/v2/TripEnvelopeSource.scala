@@ -394,14 +394,31 @@ class TripEnvelopeScan(path: String, required: StructType,
     * instead of assuming the conservative default (= "never
     * broadcastable"); a real numRows feeds join reorder. */
   override def estimateStatistics(): Statistics = {
-    val files = visibleFiles()
+    // POST-pushdown stats (ADVICE r15): this Scan already carries its
+    // pushed id bounds / limit / TopN, and Catalyst/AQE read these
+    // numbers as the scan's OUTPUT cardinality for join planning —
+    // reporting the full listing when a filter was pushed over-reports
+    // and can veto a broadcast that would fit. Files whose indexed
+    // [min, max] cannot intersect the pushed range contribute neither
+    // bytes nor rows; a pushed limit / TopN k caps the row estimate
+    // (both readers admit at most that many per file, and the global
+    // cut is tighter still). Unindexed files stay fully counted —
+    // pruning facts only ever come from the index.
     val index = TripEnvelopeIdIndex.read(path)
+    val files = visibleFiles().filter { f =>
+      index.get(f.getPath.getName) match {
+        case Some((mn, mx, _)) => mx >= idLo && mn <= idHi && mn <= mx
+        case None => true
+      }
+    }
     val bytes = files.map(_.getLen).sum
     val rows =
-      if (files.nonEmpty && files.forall(f => index.contains(f.getPath.getName)))
-        java.util.OptionalLong.of(
-          files.map(f => index(f.getPath.getName)._3).sum)
-      else java.util.OptionalLong.empty()
+      if (files.nonEmpty && files.forall(f => index.contains(f.getPath.getName))) {
+        val full = files.map(f => index(f.getPath.getName)._3).sum
+        val capped = (limit.map(_.toLong) ++ topN.map(_._2.toLong))
+          .foldLeft(full)(math.min)
+        java.util.OptionalLong.of(capped)
+      } else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -446,7 +463,13 @@ class TripEnvelopeScan(path: String, required: StructType,
       }
     }
     val chosen = (limit, topN) match {
-      case (Some(l), _) if unfiltered && allIndexed =>
+      // (Some(l), None), not (Some(l), _): Spark pushes either a limit
+      // or a TopN, never both — but if both were ever set, the
+      // createReaderFactory below picks the TopN reader, and a
+      // name-order prefix is NOT guaranteed to contain the k best ids
+      // (wrong rows). Tighten the match so the limit prefix can never
+      // pair with the TopN reader (ADVICE r15, defensive).
+      case (Some(l), None) if unfiltered && allIndexed =>
         prefixCovering(kept, l.toLong)
       // pushed TopN over an id-DISJOINT layout (checkable from the
       // index): the k best ids live in the range-order file prefix —
