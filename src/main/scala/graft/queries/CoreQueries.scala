@@ -2291,6 +2291,224 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // q103 — LINEAR when-true restriction (VERDICT r15 #3: the
+    // reference's default sequence interpolation is LINEAR —
+    // `/root/reference/meos/src/tseq.rs:59` — and MEOS whenTrue over a
+    // linear tfloat returns sub-instant threshold CROSSINGS, where
+    // q95's step leg holds each posit's truth until the next). Per
+    // user over the deduped posit sequence against c = 250.000 milli:
+    // within a segment (t1,v1)→(t2,v2) the interpolated value exceeds
+    // c for dt·(v1−c)/(v1−v2) µs (leaving) or dt·(v2−c)/(v2−v1) µs
+    // (entering) — EXACT cross-multiplied BIGINTs floored to the µs
+    // grid, no float anywhere, so the twin matches bit-for-bit (every
+    // division's operands are positive by its CASE guard, where DuckDB
+    // // and Spark div agree). Rolled up: true duration, maximal
+    // true-run count (initial-true + upward crossings — a posit
+    // touching c exactly splits a run, the MEOS open-period contract),
+    // crossing counts both ways, and the first upward crossing instant
+    // t1 + dt·(c−v1)/(v2−v1). Bounds: dt·|v−c| ≤ 2.6·10¹²·1.2·10⁶ ≈
+    // 3·10¹⁸ < 2⁶³. Same one-shuffle shape as q95.
+    "q103_linear_when_true" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = 250000L
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("t2", lead("tus", 1).over(wSeq))
+        .withColumn("v2", lead("vm", 1).over(wSeq))
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("true_seg", expr(
+          s"""CASE WHEN t2 IS NULL THEN 0L
+             |  WHEN vm > ${c}L AND v2 > ${c}L THEN t2 - tus
+             |  WHEN vm > ${c}L THEN
+             |    ((t2 - tus) * (vm - ${c}L)) div (vm - v2)
+             |  WHEN v2 > ${c}L THEN
+             |    ((t2 - tus) * (v2 - ${c}L)) div (v2 - vm)
+             |  ELSE 0L END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("up", expr(s"CASE WHEN t2 IS NOT NULL AND " +
+          s"vm <= ${c}L AND v2 > ${c}L THEN 1L ELSE 0L END"))
+        .withColumn("dn", expr(s"CASE WHEN t2 IS NOT NULL AND " +
+          s"vm > ${c}L AND v2 <= ${c}L THEN 1L ELSE 0L END"))
+        .withColumn("up_t", expr(s"CASE WHEN t2 IS NOT NULL AND " +
+          s"vm <= ${c}L AND v2 > ${c}L THEN tus + " +
+          s"((${c}L - vm) * (t2 - tus)) div (v2 - vm) END"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_posits"),
+          coalesce(sum("true_seg"), lit(0L)).as("true_us_lin"),
+          (coalesce(sum("up"), lit(0L)) +
+            max(when(col("rn") === 1 && col("vm") > c, 1L)
+              .otherwise(0L))).as("n_periods_lin"),
+          coalesce(sum("up"), lit(0L)).as("n_up"),
+          coalesce(sum("dn"), lit(0L)).as("n_down"),
+          min("up_t").as("first_up_us"))
+        .orderBy("user_id")
+    }),
+
+    // q104 — LINEAR temporal comparison (the linear leg of q99's
+    // temporal_lt/eq/gt, VERDICT r15 #3): both sides of each pair
+    // interpolate LINEARLY, so within a merged segment [t1, t2] (no
+    // posit of either side strictly inside) the difference d(t) =
+    // a(t) − b(t) is itself linear and the lt/gt durations split at
+    // one exact crossing. Exactness without floats: with side-a
+    // bracket (pa, na) and Da = na.t − pa.t, the endpoint numerators
+    // N = (a·Da)·Db − (b·Db)·Da are integers in DECIMAL(38,0) (≤
+    // ~1.2·10⁶·(2.6·10¹²)² ≈ 10³¹ — HUGEINT on the twin side), and the
+    // crossing-split duration dt·(−N1)/(N2−N1) REDUCES: N2−N1 =
+    // dt·S with S = Δva·Db − Δvb·Da, so the duration is (−N1) div S —
+    // dt cancels, keeping every product inside 38 digits. Every
+    // division's operands are positive under its CASE guard (floor =
+    // truncate). eq duration is nonzero only when the difference is
+    // identically zero across the segment (N1 = N2 = 0); touching
+    // crossings are measure-zero, the MEOS contract. Scale shape: one
+    // shuffle on user_id for the dedupe, one on pair_id for the merged
+    // timeline; all four bracket fills ride TWO frame specs of the
+    // same pair window (one window exec each).
+    "q104_linear_compare" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val posits = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("pair_id", expr("(user_id + 1) div 2"))
+        .withColumn("side", col("user_id") % 2L)
+      val wOrd = Window.partitionBy("pair_id")
+        .orderBy(col("tus"), col("user_id"), col("event_id"))
+      val wPrev = Window.partitionBy("pair_id").orderBy(col("tus"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("pair_id").orderBy(col("tus"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      def prevOf(sd: Long, c: String) =
+        last(when(col("side") === sd, col(c)), ignoreNulls = true)
+          .over(wPrev)
+      def nextOf(sd: Long, c: String) =
+        first(when(col("side") === sd, col(c)), ignoreNulls = true)
+          .over(wNext)
+      val dec = "DECIMAL(38,0)"
+      // endpoint numerator of (a − b) over the common denominator
+      // Da·Db, at instant `at`: a's exact value·Da is pa_v·Da +
+      // Δva·(at − pa_t) — an integer because merged instants bracket
+      // inside both segments
+      def num(at: String) =
+        s"""((CAST(pa_v AS $dec) * (na_t - pa_t) +
+           |  CAST(na_v - pa_v AS $dec) * ($at - pa_t)) * (nb_t - pb_t) -
+           | (CAST(pb_v AS $dec) * (nb_t - pb_t) +
+           |  CAST(nb_v - pb_v AS $dec) * ($at - pb_t)) * (na_t - pa_t))"""
+          .stripMargin.replaceAll("\n", " ")
+      posits
+        .withColumn("pa_t", prevOf(1L, "tus"))
+        .withColumn("pa_v", prevOf(1L, "vm"))
+        .withColumn("pb_t", prevOf(0L, "tus"))
+        .withColumn("pb_v", prevOf(0L, "vm"))
+        .withColumn("na_t", nextOf(1L, "tus"))
+        .withColumn("na_v", nextOf(1L, "vm"))
+        .withColumn("nb_t", nextOf(0L, "tus"))
+        .withColumn("nb_v", nextOf(0L, "vm"))
+        .withColumn("t2", lead("tus", 1).over(wOrd))
+        .where(col("pa_t").isNotNull && col("pb_t").isNotNull &&
+          col("na_t").isNotNull && col("nb_t").isNotNull &&
+          col("t2").isNotNull)
+        .withColumn("dt", col("t2") - col("tus"))
+        .withColumn("n1", expr(num("tus")))
+        .withColumn("n2", expr(num("t2")))
+        .withColumn("ss", expr(
+          s"CAST(na_v - pa_v AS $dec) * (nb_t - pb_t) - " +
+            s"CAST(nb_v - pb_v AS $dec) * (na_t - pa_t)"))
+        .withColumn("lt_seg", expr(
+          """CASE WHEN n1 < 0 AND n2 < 0 THEN dt
+            |  WHEN n1 < 0 AND n2 >= 0 THEN (-n1) div ss
+            |  WHEN n1 >= 0 AND n2 < 0 THEN (-n2) div (-ss)
+            |  ELSE 0L END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("gt_seg", expr(
+          """CASE WHEN n1 > 0 AND n2 > 0 THEN dt
+            |  WHEN n1 > 0 AND n2 <= 0 THEN n1 div (-ss)
+            |  WHEN n1 <= 0 AND n2 > 0 THEN n2 div ss
+            |  ELSE 0L END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("eq_seg",
+          expr("CASE WHEN n1 = 0 AND n2 = 0 THEN dt ELSE 0L END"))
+        .groupBy("pair_id")
+        .agg(count(lit(1)).as("n_seg"),
+          sum("lt_seg").as("lt_us"), sum("eq_seg").as("eq_us"),
+          sum("gt_seg").as("gt_us"),
+          sum(expr("CASE WHEN n1 < 0 AND n2 > 0 THEN 1L ELSE 0L END"))
+            .as("n_up"),
+          sum(expr("CASE WHEN n1 > 0 AND n2 < 0 THEN 1L ELSE 0L END"))
+            .as("n_down"))
+        .orderBy("pair_id")
+    }),
+
+    // q105 — TEMPORAL DISTANCE + tdwithin (VERDICT r15 #4, the MEOS
+    // tdistance/tdwithin interaction family; the STBox spatiotemporal
+    // predicates — `/root/reference/meos/src/stbox.rs:83-93` — are the
+    // bounding-box stage of exactly these joins): over q80's pair
+    // plane, the pairwise distance tfloat |a(t) − b(t)| on the step-
+    // synchronized timeline, rolled per pair as its extremes (q80
+    // gives only the min), its duration-weighted mean (integer Σ d·Δt
+    // numerator, ONE double division — the q72 discipline; Σ ≤
+    // max_d·span ≈ 3·10¹⁸ < 2⁶³), and the tdwithin(ε = 100.000 milli)
+    // period set — maximal-run count + closed-segment duration, the
+    // q95 run machinery on the merged timeline. The interaction
+    // detector: "how long were these two within ε of each other, in
+    // how many encounters". Scale shape: pair-partitioned windows
+    // only — no cross-pair traffic; the rollup rides the pair_id
+    // partitioning.
+    "q105_tdwithin" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val eps = 100000L
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+      val posits = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("pt", lag("tus", 1).over(wSeq))
+        .where(col("pt").isNull || col("pt") =!= col("tus"))
+        .withColumn("pair_id", expr("(user_id + 1) div 2"))
+        .withColumn("side", col("user_id") % 2L)
+      val wT = Window.partitionBy("pair_id")
+        .orderBy(col("tus"), col("user_id"), col("event_id"))
+      val wFill = wT.rowsBetween(Window.unboundedPreceding, 0)
+      posits
+        .withColumn("av", last(when(col("side") === 1L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .withColumn("bv", last(when(col("side") === 0L, col("vm")),
+          ignoreNulls = true).over(wFill))
+        .where(col("av").isNotNull && col("bv").isNotNull)
+        .withColumn("d", abs(col("av") - col("bv")))
+        .withColumn("t2", lead("tus", 1).over(wT))
+        .withColumn("dur", col("t2") - col("tus"))
+        .withColumn("w", (col("d") <= eps).cast("long"))
+        .withColumn("pw", lag("w", 1).over(wT))
+        .withColumn("run_start",
+          when(col("w") === 1L &&
+            (col("pw").isNull || col("pw") === 0L), 1L).otherwise(0L))
+        .groupBy("pair_id")
+        .agg(count(lit(1)).as("n_sync"),
+          min("d").as("d_min_milli"), max("d").as("d_max_milli"),
+          coalesce(sum(when(col("t2").isNotNull, col("dur"))), lit(0L))
+            .as("dur_us"),
+          coalesce(sum(when(col("t2").isNotNull,
+            col("d") * col("dur"))), lit(0L)).as("dnum"),
+          sum("run_start").as("n_within"),
+          coalesce(sum(when(col("w") === 1L && col("t2").isNotNull,
+            col("dur"))), lit(0L)).as("within_us"))
+        .where(col("dur_us") > 0L)
+        .select(col("pair_id"), col("n_sync"), col("d_min_milli"),
+          col("d_max_milli"), col("dur_us"),
+          (col("dnum").cast("double") / col("dur_us").cast("double"))
+            .as("mean_d_milli"),
+          col("n_within"), col("within_us"))
+        .orderBy("pair_id")
+    }),
+
     // qs23 — twenty-third streaming path: the DISTRIBUTED-ingest
     // staging (no driver collect anywhere between the source table and
     // the streaming query — the production path; the other qs rows'
@@ -3698,6 +3916,180 @@ object CoreQueries {
         |  FROM p GROUP BY user_id)
         |SELECT user_id, n_true, true_us, n_periods
         |FROM a WHERE n_true > 0 ORDER BY user_id""".stripMargin,
+
+    // q103 — identical dedupe + segment windows; every crossing split
+    // is the same positive-operand cross-multiplied integer division
+    "q103_linear_when_true" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, vm,
+        |    lead(tus) OVER w AS t2, lead(vm) OVER w AS v2,
+        |    row_number() OVER w AS rn
+        |  FROM d WHERE pt IS NULL OR pt <> tus
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN t2 IS NULL THEN 0
+        |      WHEN vm > 250000 AND v2 > 250000 THEN t2 - tus
+        |      WHEN vm > 250000 THEN
+        |        ((t2 - tus) * (vm - 250000)) // (vm - v2)
+        |      WHEN v2 > 250000 THEN
+        |        ((t2 - tus) * (v2 - 250000)) // (v2 - vm)
+        |      ELSE 0 END AS true_seg,
+        |    CASE WHEN t2 IS NOT NULL AND vm <= 250000 AND v2 > 250000
+        |      THEN 1 ELSE 0 END AS up,
+        |    CASE WHEN t2 IS NOT NULL AND vm > 250000 AND v2 <= 250000
+        |      THEN 1 ELSE 0 END AS dn,
+        |    CASE WHEN t2 IS NOT NULL AND vm <= 250000 AND v2 > 250000
+        |      THEN tus + ((250000 - vm) * (t2 - tus)) // (v2 - vm)
+        |      END AS up_t,
+        |    CASE WHEN rn = 1 AND vm > 250000 THEN 1 ELSE 0 END AS it
+        |  FROM p)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_posits,
+        |  CAST(coalesce(sum(true_seg), 0) AS BIGINT) AS true_us_lin,
+        |  CAST(coalesce(sum(up), 0) + max(it) AS BIGINT)
+        |    AS n_periods_lin,
+        |  CAST(coalesce(sum(up), 0) AS BIGINT) AS n_up,
+        |  CAST(coalesce(sum(dn), 0) AS BIGINT) AS n_down,
+        |  CAST(min(up_t) AS BIGINT) AS first_up_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q104 — the same merged-timeline brackets (RANGE frames + IGNORE
+    // NULLS fills) and the same dt-cancelled endpoint-numerator
+    // arithmetic, in HUGEINT where Spark carries DECIMAL(38,0)
+    "q104_linear_compare" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus,
+        |    last_value(CASE WHEN side = 1 THEN tus END IGNORE NULLS)
+        |      OVER wp AS pa_t,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER wp AS pa_v,
+        |    last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+        |      OVER wp AS pb_t,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER wp AS pb_v,
+        |    first_value(CASE WHEN side = 1 THEN tus END IGNORE NULLS)
+        |      OVER wn AS na_t,
+        |    first_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER wn AS na_v,
+        |    first_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+        |      OVER wn AS nb_t,
+        |    first_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER wn AS nb_v,
+        |    lead(tus) OVER wo AS t2
+        |  FROM p
+        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY tus
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY pair_id ORDER BY tus
+        |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY pair_id ORDER BY tus, user_id, event_id)),
+        |g AS (
+        |  SELECT pair_id, t2 - tus AS dt,
+        |    (CAST(pa_v AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_v - pa_v AS HUGEINT) * (tus - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_v AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_v - pb_v AS HUGEINT) * (tus - pb_t)) *
+        |      (na_t - pa_t) AS n1,
+        |    (CAST(pa_v AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_v - pa_v AS HUGEINT) * (t2 - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_v AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_v - pb_v AS HUGEINT) * (t2 - pb_t)) *
+        |      (na_t - pa_t) AS n2,
+        |    CAST(na_v - pa_v AS HUGEINT) * (nb_t - pb_t) -
+        |    CAST(nb_v - pb_v AS HUGEINT) * (na_t - pa_t) AS ss
+        |  FROM f
+        |  WHERE pa_t IS NOT NULL AND pb_t IS NOT NULL
+        |    AND na_t IS NOT NULL AND nb_t IS NOT NULL
+        |    AND t2 IS NOT NULL),
+        |h AS (
+        |  SELECT pair_id, n1, n2,
+        |    CASE WHEN n1 < 0 AND n2 < 0 THEN dt
+        |      WHEN n1 < 0 AND n2 >= 0 THEN CAST((-n1) // ss AS BIGINT)
+        |      WHEN n1 >= 0 AND n2 < 0 THEN CAST((-n2) // (-ss) AS BIGINT)
+        |      ELSE 0 END AS lt_seg,
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN dt
+        |      WHEN n1 > 0 AND n2 <= 0 THEN CAST(n1 // (-ss) AS BIGINT)
+        |      WHEN n1 <= 0 AND n2 > 0 THEN CAST(n2 // ss AS BIGINT)
+        |      ELSE 0 END AS gt_seg,
+        |    CASE WHEN n1 = 0 AND n2 = 0 THEN dt ELSE 0 END AS eq_seg
+        |  FROM g)
+        |SELECT pair_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(sum(lt_seg) AS BIGINT) AS lt_us,
+        |  CAST(sum(eq_seg) AS BIGINT) AS eq_us,
+        |  CAST(sum(gt_seg) AS BIGINT) AS gt_us,
+        |  CAST(sum(CASE WHEN n1 < 0 AND n2 > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_up,
+        |  CAST(sum(CASE WHEN n1 > 0 AND n2 < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_down
+        |FROM h GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+
+    // q105 — q80's fill + q95's run machinery on the pair timeline;
+    // HUGEINT guards the Σ d·Δt numerator, one shared double division
+    "q105_tdwithin" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus, user_id, event_id,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER w AS av,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER w AS bv
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY pair_id
+        |    ORDER BY tus, user_id, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT pair_id, tus, abs(av - bv) AS d,
+        |    lead(tus) OVER wt - tus AS dur,
+        |    CASE WHEN abs(av - bv) <= 100000 THEN 1 ELSE 0 END AS w,
+        |    lag(CASE WHEN abs(av - bv) <= 100000 THEN 1 ELSE 0 END)
+        |      OVER wt AS pw
+        |  FROM f WHERE av IS NOT NULL AND bv IS NOT NULL
+        |  WINDOW wt AS (PARTITION BY pair_id
+        |    ORDER BY tus, user_id, event_id)),
+        |a AS (
+        |  SELECT pair_id, CAST(count(*) AS BIGINT) AS n_sync,
+        |    CAST(min(d) AS BIGINT) AS d_min_milli,
+        |    CAST(max(d) AS BIGINT) AS d_max_milli,
+        |    CAST(coalesce(sum(CASE WHEN dur IS NOT NULL THEN dur END),
+        |      0) AS BIGINT) AS dur_us,
+        |    CAST(coalesce(sum(CASE WHEN dur IS NOT NULL
+        |      THEN d * dur END), 0) AS BIGINT) AS dnum,
+        |    CAST(sum(CASE WHEN w = 1 AND (pw IS NULL OR pw = 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+        |    CAST(coalesce(sum(CASE WHEN w = 1 AND dur IS NOT NULL
+        |      THEN dur END), 0) AS BIGINT) AS within_us
+        |  FROM g GROUP BY pair_id)
+        |SELECT pair_id, n_sync, d_min_milli, d_max_milli, dur_us,
+        |  CAST(dnum AS DOUBLE) / CAST(dur_us AS DOUBLE)
+        |    AS mean_d_milli,
+        |  n_within, within_us
+        |FROM a WHERE dur_us > 0 ORDER BY pair_id""".stripMargin,
 
     // one envelope line per user; the pushed MIN/MAX/COUNT under the
     // id filter replayed over the distinct-user set

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 pins: the LINEAR-interpolation restriction/comparison
+  * family's exact rational crossing arithmetic (VERDICT r15 #3) and the
+  * q105 distance/tdwithin rollup (VERDICT r15 #4), each against a
+  * hand-computed trajectory whose crossings are exact decimals. */
+class Round16Spec extends SparkTestBase {
+
+  /** One fixture lake shared by the suite: crafted per-user value
+    * ramps whose 250.0-threshold crossings are hand-computable. */
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("r16-linear").toString
+    Seq(
+      // user 1 — every q103 branch: below → above → exactly-c →
+      // above → below (c = 250.0)
+      (1L, 1L, 0L, 100.0), (2L, 1L, 1000000L, 300.0),
+      (3L, 1L, 2000000L, 250.0), (4L, 1L, 3000000L, 400.0),
+      (5L, 1L, 4000000L, 200.0),
+      // user 2 — single posit above c (initial-true, no segments)
+      (6L, 2L, 0L, 300.0),
+      // user 3 — never true
+      (7L, 3L, 0L, 100.0), (8L, 3L, 1000000L, 200.0),
+      // users 5/6 = pair 3 — a ramps 0→400 while b holds 200: one
+      // exact upward crossing of (a − b) at t = 2 s
+      (9L, 5L, 0L, 0.0), (10L, 5L, 4000000L, 400.0),
+      (11L, 6L, 0L, 200.0), (12L, 6L, 4000000L, 200.0),
+      // users 7/8 = pair 4 — identically equal sides (eq duration)
+      (13L, 7L, 0L, 100.0), (14L, 7L, 2000000L, 100.0),
+      (15L, 8L, 0L, 100.0), (16L, 8L, 2000000L, 100.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("t"))
+      .withColumn("props", lit("ab"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q103 crossing truth table: hand segments split at the exact " +
+    "rational crossings; a touch of c splits a maximal run") {
+    val out = SparkEntry.queries("q103_linear_when_true")(
+      spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    // user 1 by hand: seg1 (100→300): dt·(v2−c)/(v2−v1) = 10⁶·50/200 =
+    // 250000 µs, up at 0 + 150·10⁶/200 = 750000; seg2 (300→250): full
+    // 10⁶ (touches c exactly at its end), down; seg3 (250→400): 10⁶,
+    // up at t=2·10⁶ exactly (the touch splits runs: 2 periods, not 1);
+    // seg4 (400→200): 10⁶·150/200 = 750000, down. Σ true = 3·10⁶ µs.
+    // user 5's ramp 0→400 crosses c at (250·10³)·4·10⁶ / 400·10³ =
+    // 2.5·10⁶ exactly, true for 4·10⁶·150/400 = 1.5·10⁶ µs; users
+    // 6/7/8 never exceed c.
+    assert(out.toSeq === Seq(
+      (1L, 5L, 3000000L, 2L, 2L, 2L, 750000L),
+      (2L, 1L, 0L, 1L, 0L, 0L, -1L),
+      (3L, 2L, 0L, 0L, 0L, 0L, -1L),
+      (5L, 2L, 1500000L, 1L, 1L, 0L, 2500000L),
+      (6L, 2L, 0L, 0L, 0L, 0L, -1L),
+      (7L, 2L, 0L, 0L, 0L, 0L, -1L),
+      (8L, 2L, 0L, 0L, 0L, 0L, -1L)))
+  }
+
+  test("q104 linear compare: the ramp-vs-constant pair splits lt/gt " +
+    "at the exact midpoint; identical sides accrue eq time") {
+    val out = SparkEntry.queries("q104_linear_compare")(
+      spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // pair 3: a(t) = 100 milli/µs · t meets b = 200000 milli at
+    // t = 2·10⁶ exactly → lt = gt = 2·10⁶ µs, one upward crossing.
+    // (n_seg counts merged-timeline rows; the tie row at t = 0
+    // contributes a dt = 0 segment.) pair 4: identical sides → the
+    // whole 2·10⁶ µs is eq, no crossings.
+    assert(out.toSeq === Seq(
+      (3L, 2L, 2000000L, 0L, 2000000L, 1L, 0L),
+      (4L, 2L, 0L, 2000000L, 0L, 0L, 0L)))
+  }
+
+  test("q105 tdwithin: step distance extremes, duration-weighted " +
+    "mean, and the within-eps period set on the merged timeline") {
+    val out = SparkEntry.queries("q105_tdwithin")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7)))
+    // pair 1 (users 1/2, b = one posit at 300): step distances
+    // 200000, 0, 50000, 100000, 100000 over 1-s holds → mean = Σ d·Δt
+    // / 4·10⁶ = 87500; the within-run (d ≤ 100000) starts at the
+    // second synced instant and covers the 3 closed segments. pair 3
+    // under STEP semantics: d = |a − b| = 200000 milli at every synced
+    // instant (a holds 0 until its next posit), so min = max = mean =
+    // 200000 and nothing is within eps = 100000. pair 4: identical
+    // sides → d ≡ 0, one maximal within-run covering the whole
+    // 2·10⁶ µs.
+    assert(out.toSeq === Seq(
+      (1L, 5L, 0L, 200000L, 4000000L, 87500.0, 1L, 3000000L),
+      (3L, 3L, 200000L, 200000L, 4000000L, 200000.0, 0L, 0L),
+      (4L, 3L, 0L, 0L, 2000000L, 0.0, 1L, 2000000L)))
+  }
+}
