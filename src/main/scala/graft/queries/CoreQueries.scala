@@ -116,7 +116,64 @@ object CoreQueries {
       Option(envRangeStage.putIfAbsent(dir, d)).getOrElse(d)
     }
 
+  // q106's one-id-per-file envelope staging, keyed by dir
+  private val envKeyedStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q106's SINGLE-ID-PER-FILE envelope (one range partition per trip
+    * id before the v2 write — the entity-per-file landing layout a
+    * per-trip producer writes on purpose): the commit-time
+    * `_idindex.json` then proves min == max for every file, which is
+    * exactly the evidence the scan's reported KeyGroupedPartitioning
+    * (capability #9) requires. envelopeTrips is one row per id, so
+    * range-partitioning into |ids| partitions lands one id per task =
+    * one id per sink file; if range sampling ever co-located two ids,
+    * the scan simply declines to report and the query plans normally —
+    * the optimization degrades, correctness never does. */
+  private def stagedEnvelopeKeyed(s: SparkSession, dir: String): String =
+    Option(envKeyedStage.get(dir)).getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory("q106-envelope").toString
+      val trips = envelopeTrips(s, dir)
+      val n = math.max(trips.count().toInt, 1)
+      trips.repartitionByRange(n, col("id"))
+        .write.format("trip-envelope").mode("overwrite").save(d)
+      Option(envKeyedStage.putIfAbsent(dir, d)).getOrElse(d)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
+    // q106 — DSv2 REPORTED PARTITIONING (the connector's 9th
+    // capability — VERDICT r15 #5, the connector analog of q55's
+    // bucketed no-shuffle join): on the one-id-per-file staging the
+    // commit-time id index proves every file single-id, the scan
+    // reports KeyGroupedPartitioning(identity(id)) with each
+    // partition carrying its id as the partition key, and this
+    // id-grouped aggregation plans with ZERO exchange — the partial
+    // and final aggregates fuse over the scan's own partitions
+    // (Round16Spec pins the exchange-free plan and the multi-id
+    // fallback). At 100 TB this is the difference between a metadata
+    // no-op and re-shuffling a whole landing zone to answer "per
+    // entity, how much landed".
+    "q106_envelope_keyed_agg" -> ((s, dir) => {
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      // exec-side key-grouped planning is conf-gated; setting it here
+      // is sticky for the session but inert elsewhere — no other scan
+      // in the suite reports a partitioning, and the parquet/CSV legs
+      // ride the v1 file-source path
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val path = stagedEnvelopeKeyed(s, dir)
+      s.read.format("trip-envelope").load(path)
+        .select(col("id"),
+          MeosFunctions.tgeompointNumInstants(
+            NativeExpressions.tgeompointFromHexWkb(col("json")))
+            .cast("long").as("n"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_lines"), sum("n").as("n_posits"))
+        .select(col("id").as("user_id"), col("n_lines"),
+          col("n_posits"))
+        .orderBy("user_id")
+    }),
+
     // q01 — S1/S2/P1/P6: scan, project, rename, null-default
     "q01_scan_project" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
@@ -4090,6 +4147,14 @@ object CoreQueries {
         |    AS mean_d_milli,
         |  n_within, within_us
         |FROM a WHERE dur_us > 0 ORDER BY pair_id""".stripMargin,
+
+    // one envelope line per user on the keyed staging; the assembly
+    // dedupes by instant, so n_posits is the distinct-ts count
+    "q106_envelope_keyed_agg" ->
+      """SELECT user_id, CAST(1 AS BIGINT) AS n_lines,
+        |       CAST(count(DISTINCT ts) AS BIGINT) AS n_posits
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // one envelope line per user; the pushed MIN/MAX/COUNT under the
     // id filter replayed over the distinct-user set

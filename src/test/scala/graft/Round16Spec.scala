@@ -102,4 +102,60 @@ class Round16Spec extends SparkTestBase {
       (3L, 3L, 200000L, 200000L, 4000000L, 200000.0, 0L, 0L),
       (4L, 3L, 0L, 0L, 2000000L, 0.0, 1L, 2000000L)))
   }
+
+  private def writeEnvelope(rows: Seq[(Long, Int, String)],
+                            parts: Int): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("r16-env").toString + "/env"
+    val df = rows.toDF("id", "vt", "json")
+    (if (parts > 1) df.repartitionByRange(parts, df("id")) else
+      df.coalesce(1))
+      .write.format("trip-envelope").mode("overwrite").save(d)
+    d
+  }
+
+  test("capability #9: single-id files report KeyGroupedPartitioning " +
+    "— an id-grouped aggregate plans with ZERO exchange and stays " +
+    "correct; a multi-id file falls back to normal (shuffled) " +
+    "planning") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val rows = Seq((1L, 1, "AA"), (2L, 1, "BB"), (3L, 2, "CC"),
+      (4L, 2, "DD"))
+    // one id per file (the index proves min == max for all four)
+    val keyed = writeEnvelope(rows, parts = 4)
+    val agg = spark.read.format("trip-envelope").load(keyed)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"keyed id-grouped aggregate must not shuffle:\n$plan")
+    assert(agg.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // all four ids in ONE file: min < max → no report → normal plan
+    val flat = writeEnvelope(rows, parts = 1)
+    val agg2 = spark.read.format("trip-envelope").load(flat)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    assert(agg2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a multi-id layout must fall back to shuffled aggregation")
+    assert(agg2.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("capability #9 composes with pruning and pushed id bounds: " +
+    "the keyed scan under a pushed filter keeps the exchange-free " +
+    "aggregate over the surviving files only") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val keyed = writeEnvelope(Seq((1L, 1, "AA"), (2L, 1, "BB"),
+      (3L, 2, "CC"), (4L, 2, "DD")), parts = 4)
+    val agg = spark.read.format("trip-envelope").load(keyed)
+      .where(col("id") >= 3L)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pushed-bound keyed aggregate must not shuffle:\n$plan")
+    assert(agg.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 1L), (4L, 1L)))
+  }
 }
