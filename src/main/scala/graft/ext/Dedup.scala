@@ -106,6 +106,7 @@ object Dedup {
       }
       val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
       graft.Materialize.release(spark, eBlocks)
+      lastSupersteps.set(0)
       return spark.createDataset(labels).toDF("node", "cluster")
     }
     var (labels, labelBlocks) = graft.Materialize.cutTracked(
@@ -122,12 +123,36 @@ object Dedup {
     var i = 0
     var prevSum = checksum(labels)
     while (!converged && i < maxIter) {
+      // POINTER JUMPING (round-16; the planted-chain probe showed
+      // plain min-propagation needs DIAMETER supersteps — the
+      // partition-local contraction leaves a cross-partition chain of
+      // per-slice roots whose depth scales with the partition count,
+      // and a deep graph exhausts maxIter UNCONVERGED): each superstep
+      // first relabels THROUGH the label table (cluster ← label of the
+      // node `cluster` names — a monotone min, since label(x) ≤ x
+      // always), which roughly halves every node's distance to its
+      // component root, then hops one edge as before. Jump + hop
+      // converges in O(log diameter) rounds — 2000-deep chains finish
+      // in ≲10 supersteps where the hop-only loop needed the full
+      // depth. ADAPTIVE: the first 3 rounds hop plainly — real dup
+      // graphs (star-shaped clusters) converge there and never pay
+      // the jump join — and only a loop still unconverged at round 3
+      // (the deep-graph signature) escalates to jumping. The jump is
+      // a self-join of the CUT label frame (both sides read
+      // materialized blocks — no recompute), so each round still pays
+      // exactly one checkpoint; the left join's coalesce guards a
+      // missing root row, which cannot occur (every cluster value is
+      // a node id present in the label table).
+      val jumped = if (i < 3) labels else labels.as("x")
+        .join(labels.select(col("node").as("cluster"),
+          col("cluster").as("c2")).as("y"), Seq("cluster"), "left")
+        .select(col("node"),
+          coalesce(col("c2"), col("cluster")).as("cluster"))
       val viaNeighbors = e
-        .join(labels, e("b") === labels("node"))
+        .join(jumped, e("b") === jumped("node"))
         .select(e("a").as("node"), col("cluster"))
       val (next, nextBlocks) = graft.Materialize.cutTracked(
-        labels.select(col("node"), col("cluster"))
-          .union(viaNeighbors)
+        jumped.union(viaNeighbors)
           .groupBy("node").agg(min("cluster").as("cluster")))
       val nextSum = checksum(next)
       // `next` is eagerly materialized → the previous generation's blocks
@@ -140,9 +165,17 @@ object Dedup {
       prevSum = nextSum
       i += 1
     }
+    lastSupersteps.set(i)
     graft.Materialize.release(spark, eBlocks)
     labels
   }
+
+  /** Superstep count of the last [[connectedComponents]] distributed
+    * loop in this JVM (0 for driver-finished graphs) — a probe/spec
+    * diagnostic, not an API: the scale contract is O(log diameter)
+    * rounds, and this is what pins it. */
+  private[graft] val lastSupersteps =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Delta dedup against an already-ingested corpus — the snapshot-
     * ingestion posture: a new dump dedups against the EXISTING corpus's

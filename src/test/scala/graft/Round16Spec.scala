@@ -103,6 +103,28 @@ class Round16Spec extends SparkTestBase {
       (4L, 3L, 0L, 0L, 2000000L, 0.0, 1L, 2000000L)))
   }
 
+  test("connected components: a 2000-deep planted chain (forced onto " +
+    "the distributed loop) converges to the exact min labels in " +
+    "O(log diameter) supersteps, not O(diameter)") {
+    import spark.implicits._
+    // chain 0–1–2–…–2000 spread over 8 partitions: the partition-local
+    // contraction leaves a ~8-root cross-partition chain, and a second
+    // planted chain 100000–100001–…–102000 keeps the edge count above
+    // any driver-finish shortcut ambition (we force the loop anyway)
+    val edges = ((0L until 2000L).map(i => (i, i + 1)) ++
+      (100000L until 102000L).map(i => (i, i + 1)))
+      .toDF("d1", "d2").repartition(8)
+    val got = graft.ext.Dedup
+      .connectedComponents(edges, maxIter = 20, driverFinishEdges = 0L)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((0L, 2001L), (100000L, 2001L)),
+      "both chains must fully converge to their min-node label")
+    val steps = graft.ext.Dedup.lastSupersteps.get()
+    assert(steps <= 14,
+      s"pointer jumping must keep supersteps logarithmic, got $steps")
+  }
+
   private def writeEnvelope(rows: Seq[(Long, Int, String)],
                             parts: Int): String = {
     import spark.implicits._
