@@ -76,7 +76,19 @@ object QProf {
         df.write.format("noop").mode("overwrite").save()
         println(s"=== $q ===")
         println(df.queryExecution.executedPlan.toString)
-      } else for (r <- 1 to 2) {
+      } else for (r <- 1 to (if (args.contains("--dropcache")) 3 else 2)) {
+        // --dropcache (VERDICT r15 #2's testable form of the qx81
+        // cold-page-cache theory): drop the OS page cache before the
+        // LAST run, so run2 = warm steady state and run3 = the same
+        // bytes re-read from disk — the delta IS the page-cache
+        // dependence of the staged-parquet design, measured, not
+        // theorized. Root-only (dev box); failures are non-fatal.
+        if (r == 3) {
+          import scala.sys.process._
+          ("sync" :: Nil).!
+          ("sh" :: "-c" :: "echo 3 > /proc/sys/vm/drop_caches" :: Nil).!
+          println(s"[$q: page cache dropped before run3]")
+        }
         shufWrite.set(0L); shufRead.set(0L)
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
