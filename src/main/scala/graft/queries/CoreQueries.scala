@@ -116,6 +116,78 @@ object CoreQueries {
       Option(envRangeStage.putIfAbsent(dir, d)).getOrElse(d)
     }
 
+  /** The LINEAR pair-comparison segment frame shared by q104/q107: per
+    * merged-timeline segment [t1, t2] of each pair (no posit of either
+    * side strictly inside), the endpoint numerators of a(t) − b(t)
+    * over the common denominator Da·Db, all in DECIMAL(38,0).
+    *
+    * Brackets come from four RANGE-frame IGNORE-NULLS fills over TWO
+    * frame specs of the pair window (one window exec each): prev =
+    * last side posit at tus ≤ t, next = first side posit at tus > t —
+    * so the side's segment containing [t1, t2] is unique and both
+    * endpoint numerators share its denominator. Columns: pair_id, dt,
+    * n1, n2, ss = (n2 − n1)/dt (the dt-cancelled crossing
+    * denominator), dadb = Da·Db (the value-scale denominator).
+    * Magnitudes: |n| ≤ ~1.2·10⁶·(2.6·10¹²)² ≈ 10³¹ ≪ 10³⁸. */
+  private def pairLinearSegments(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("event_id"))
+    val posits = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .withColumn("pt", lag("tus", 1).over(wSeq))
+      .where(col("pt").isNull || col("pt") =!= col("tus"))
+      .withColumn("pair_id", expr("(user_id + 1) div 2"))
+      .withColumn("side", col("user_id") % 2L)
+    val wOrd = Window.partitionBy("pair_id")
+      .orderBy(col("tus"), col("user_id"), col("event_id"))
+    val wPrev = Window.partitionBy("pair_id").orderBy(col("tus"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("pair_id").orderBy(col("tus"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    def prevOf(sd: Long, c: String) =
+      last(when(col("side") === sd, col(c)), ignoreNulls = true)
+        .over(wPrev)
+    def nextOf(sd: Long, c: String) =
+      first(when(col("side") === sd, col(c)), ignoreNulls = true)
+        .over(wNext)
+    val dec = "DECIMAL(38,0)"
+    // endpoint numerator of (a − b) over the common denominator
+    // Da·Db, at instant `at`: a's exact value·Da is pa_v·Da +
+    // Δva·(at − pa_t) — an integer because merged instants bracket
+    // inside both segments
+    def num(at: String) =
+      s"""((CAST(pa_v AS $dec) * (na_t - pa_t) +
+         |  CAST(na_v - pa_v AS $dec) * ($at - pa_t)) * (nb_t - pb_t) -
+         | (CAST(pb_v AS $dec) * (nb_t - pb_t) +
+         |  CAST(nb_v - pb_v AS $dec) * ($at - pb_t)) * (na_t - pa_t))"""
+        .stripMargin.replaceAll("\n", " ")
+    posits
+      .withColumn("pa_t", prevOf(1L, "tus"))
+      .withColumn("pa_v", prevOf(1L, "vm"))
+      .withColumn("pb_t", prevOf(0L, "tus"))
+      .withColumn("pb_v", prevOf(0L, "vm"))
+      .withColumn("na_t", nextOf(1L, "tus"))
+      .withColumn("na_v", nextOf(1L, "vm"))
+      .withColumn("nb_t", nextOf(0L, "tus"))
+      .withColumn("nb_v", nextOf(0L, "vm"))
+      .withColumn("t2", lead("tus", 1).over(wOrd))
+      .where(col("pa_t").isNotNull && col("pb_t").isNotNull &&
+        col("na_t").isNotNull && col("nb_t").isNotNull &&
+        col("t2").isNotNull)
+      .withColumn("dt", col("t2") - col("tus"))
+      .withColumn("n1", expr(num("tus")))
+      .withColumn("n2", expr(num("t2")))
+      .withColumn("ss", expr(
+        s"CAST(na_v - pa_v AS $dec) * (nb_t - pb_t) - " +
+          s"CAST(nb_v - pb_v AS $dec) * (na_t - pa_t)"))
+      .withColumn("dadb", expr(
+        s"CAST(na_t - pa_t AS $dec) * (nb_t - pb_t)"))
+  }
+
   // q106's one-id-per-file envelope staging, keyed by dir
   private val envKeyedStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2434,60 +2506,8 @@ object CoreQueries {
     // shuffle on user_id for the dedupe, one on pair_id for the merged
     // timeline; all four bracket fills ride TWO frame specs of the
     // same pair window (one window exec each).
-    "q104_linear_compare" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wSeq = Window.partitionBy("user_id")
-        .orderBy(col("tus"), col("event_id"))
-      val posits = Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-          col("event_id"),
-          floor(col("value") * 1000).cast("long").as("vm"))
-        .withColumn("pt", lag("tus", 1).over(wSeq))
-        .where(col("pt").isNull || col("pt") =!= col("tus"))
-        .withColumn("pair_id", expr("(user_id + 1) div 2"))
-        .withColumn("side", col("user_id") % 2L)
-      val wOrd = Window.partitionBy("pair_id")
-        .orderBy(col("tus"), col("user_id"), col("event_id"))
-      val wPrev = Window.partitionBy("pair_id").orderBy(col("tus"))
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy("pair_id").orderBy(col("tus"))
-        .rangeBetween(1L, Window.unboundedFollowing)
-      def prevOf(sd: Long, c: String) =
-        last(when(col("side") === sd, col(c)), ignoreNulls = true)
-          .over(wPrev)
-      def nextOf(sd: Long, c: String) =
-        first(when(col("side") === sd, col(c)), ignoreNulls = true)
-          .over(wNext)
-      val dec = "DECIMAL(38,0)"
-      // endpoint numerator of (a − b) over the common denominator
-      // Da·Db, at instant `at`: a's exact value·Da is pa_v·Da +
-      // Δva·(at − pa_t) — an integer because merged instants bracket
-      // inside both segments
-      def num(at: String) =
-        s"""((CAST(pa_v AS $dec) * (na_t - pa_t) +
-           |  CAST(na_v - pa_v AS $dec) * ($at - pa_t)) * (nb_t - pb_t) -
-           | (CAST(pb_v AS $dec) * (nb_t - pb_t) +
-           |  CAST(nb_v - pb_v AS $dec) * ($at - pb_t)) * (na_t - pa_t))"""
-          .stripMargin.replaceAll("\n", " ")
-      posits
-        .withColumn("pa_t", prevOf(1L, "tus"))
-        .withColumn("pa_v", prevOf(1L, "vm"))
-        .withColumn("pb_t", prevOf(0L, "tus"))
-        .withColumn("pb_v", prevOf(0L, "vm"))
-        .withColumn("na_t", nextOf(1L, "tus"))
-        .withColumn("na_v", nextOf(1L, "vm"))
-        .withColumn("nb_t", nextOf(0L, "tus"))
-        .withColumn("nb_v", nextOf(0L, "vm"))
-        .withColumn("t2", lead("tus", 1).over(wOrd))
-        .where(col("pa_t").isNotNull && col("pb_t").isNotNull &&
-          col("na_t").isNotNull && col("nb_t").isNotNull &&
-          col("t2").isNotNull)
-        .withColumn("dt", col("t2") - col("tus"))
-        .withColumn("n1", expr(num("tus")))
-        .withColumn("n2", expr(num("t2")))
-        .withColumn("ss", expr(
-          s"CAST(na_v - pa_v AS $dec) * (nb_t - pb_t) - " +
-            s"CAST(nb_v - pb_v AS $dec) * (na_t - pa_t)"))
+    "q104_linear_compare" -> ((s, dir) =>
+      pairLinearSegments(s, dir)
         .withColumn("lt_seg", expr(
           """CASE WHEN n1 < 0 AND n2 < 0 THEN dt
             |  WHEN n1 < 0 AND n2 >= 0 THEN (-n1) div ss
@@ -2508,8 +2528,50 @@ object CoreQueries {
             .as("n_up"),
           sum(expr("CASE WHEN n1 > 0 AND n2 < 0 THEN 1L ELSE 0L END"))
             .as("n_down"))
-        .orderBy("pair_id")
-    }),
+        .orderBy("pair_id")),
+
+    // q107 — LINEAR tdwithin (q105's interaction detector under
+    // q103/q104's LINEAR semantics, closing the interpolation matrix:
+    // when-true step/linear, compare step/linear, tdwithin
+    // step/LINEAR): the duration where |a(t) − b(t)| ≤ ε with both
+    // sides linearly interpolated. On a merged segment the difference
+    // numerator N(t) is linear over the common denominator Da·Db, so
+    // "within" is ONE interval — the intersection of the two
+    // half-line conditions N ≤ E and N ≥ −E (E = ε·Da·Db), and
+    // duration(within) = dur(N≤E) + dur(N≥−E) − dt by inclusion-
+    // exclusion (their union is always the whole segment). Each
+    // half-line duration splits at one exact crossing with the same
+    // dt-cancelled positive-operand integer division as q104; the
+    // per-segment floors can undershoot the exact rational by 1 µs,
+    // so the greatest(0, ·) clamp keeps an empty intersection at 0 —
+    // identically in both engines. Per pair: within duration, fully-
+    // within and partially-within segment counts.
+    "q107_linear_tdwithin" -> ((s, dir) =>
+      pairLinearSegments(s, dir)
+        .withColumn("ee", expr("CAST(100000 AS DECIMAL(38,0)) * dadb"))
+        .withColumn("dle", expr(
+          """CASE WHEN n1 <= ee AND n2 <= ee THEN dt
+            |  WHEN n1 <= ee AND n2 > ee THEN (ee - n1) div ss
+            |  WHEN n1 > ee AND n2 <= ee THEN (ee - n2) div (-ss)
+            |  ELSE 0L END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("dge", expr(
+          """CASE WHEN n1 >= -ee AND n2 >= -ee THEN dt
+            |  WHEN n1 >= -ee AND n2 < -ee THEN (n1 + ee) div (-ss)
+            |  WHEN n1 < -ee AND n2 >= -ee THEN (n2 + ee) div ss
+            |  ELSE 0L END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("w_seg", greatest(lit(0L),
+          expr("dle + dge - dt")))
+        .withColumn("full_in", expr(
+          "CASE WHEN abs(n1) <= ee AND abs(n2) <= ee THEN 1L " +
+            "ELSE 0L END"))
+        .groupBy("pair_id")
+        .agg(count(lit(1)).as("n_seg"),
+          sum("w_seg").as("within_us_lin"),
+          sum("full_in").as("n_full"),
+          sum(expr("CASE WHEN w_seg > 0 AND " +
+            "NOT (abs(n1) <= ee AND abs(n2) <= ee) THEN 1L " +
+            "ELSE 0L END")).as("n_partial"))
+        .orderBy("pair_id")),
 
     // q105 — TEMPORAL DISTANCE + tdwithin (VERDICT r15 #4, the MEOS
     // tdistance/tdwithin interaction family; the STBox spatiotemporal
@@ -4105,6 +4167,95 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN n1 > 0 AND n2 < 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_down
         |FROM h GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+
+    // q107 — the q104 segment CTE + the two half-line durations with
+    // the same dt-cancelled divisions; greatest(0, ·) clamps the
+    // floored inclusion-exclusion identically in both engines
+    "q107_linear_tdwithin" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus,
+        |    last_value(CASE WHEN side = 1 THEN tus END IGNORE NULLS)
+        |      OVER wp AS pa_t,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER wp AS pa_v,
+        |    last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+        |      OVER wp AS pb_t,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER wp AS pb_v,
+        |    first_value(CASE WHEN side = 1 THEN tus END IGNORE NULLS)
+        |      OVER wn AS na_t,
+        |    first_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER wn AS na_v,
+        |    first_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+        |      OVER wn AS nb_t,
+        |    first_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER wn AS nb_v,
+        |    lead(tus) OVER wo AS t2
+        |  FROM p
+        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY tus
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY pair_id ORDER BY tus
+        |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY pair_id ORDER BY tus, user_id, event_id)),
+        |g AS (
+        |  SELECT pair_id, t2 - tus AS dt,
+        |    (CAST(pa_v AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_v - pa_v AS HUGEINT) * (tus - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_v AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_v - pb_v AS HUGEINT) * (tus - pb_t)) *
+        |      (na_t - pa_t) AS n1,
+        |    (CAST(pa_v AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_v - pa_v AS HUGEINT) * (t2 - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_v AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_v - pb_v AS HUGEINT) * (t2 - pb_t)) *
+        |      (na_t - pa_t) AS n2,
+        |    CAST(na_v - pa_v AS HUGEINT) * (nb_t - pb_t) -
+        |    CAST(nb_v - pb_v AS HUGEINT) * (na_t - pa_t) AS ss,
+        |    CAST(100000 AS HUGEINT) * (na_t - pa_t) *
+        |      (nb_t - pb_t) AS ee
+        |  FROM f
+        |  WHERE pa_t IS NOT NULL AND pb_t IS NOT NULL
+        |    AND na_t IS NOT NULL AND nb_t IS NOT NULL
+        |    AND t2 IS NOT NULL),
+        |h AS (
+        |  SELECT pair_id, dt, n1, n2, ee,
+        |    CASE WHEN n1 <= ee AND n2 <= ee THEN dt
+        |      WHEN n1 <= ee AND n2 > ee THEN
+        |        CAST((ee - n1) // ss AS BIGINT)
+        |      WHEN n1 > ee AND n2 <= ee THEN
+        |        CAST((ee - n2) // (-ss) AS BIGINT)
+        |      ELSE 0 END AS dle,
+        |    CASE WHEN n1 >= -ee AND n2 >= -ee THEN dt
+        |      WHEN n1 >= -ee AND n2 < -ee THEN
+        |        CAST((n1 + ee) // (-ss) AS BIGINT)
+        |      WHEN n1 < -ee AND n2 >= -ee THEN
+        |        CAST((n2 + ee) // ss AS BIGINT)
+        |      ELSE 0 END AS dge
+        |  FROM g),
+        |k AS (
+        |  SELECT pair_id,
+        |    greatest(0, dle + dge - dt) AS w_seg,
+        |    CASE WHEN abs(n1) <= ee AND abs(n2) <= ee THEN 1
+        |      ELSE 0 END AS full_in
+        |  FROM h)
+        |SELECT pair_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(sum(w_seg) AS BIGINT) AS within_us_lin,
+        |  CAST(sum(full_in) AS BIGINT) AS n_full,
+        |  CAST(sum(CASE WHEN w_seg > 0 AND full_in = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_partial
+        |FROM k GROUP BY pair_id ORDER BY pair_id""".stripMargin,
 
     // q105 — q80's fill + q95's run machinery on the pair timeline;
     // HUGEINT guards the Σ d·Δt numerator, one shared double division

@@ -31,7 +31,13 @@ class Round16Spec extends SparkTestBase {
       (11L, 6L, 0L, 200.0), (12L, 6L, 4000000L, 200.0),
       // users 7/8 = pair 4 — identically equal sides (eq duration)
       (13L, 7L, 0L, 100.0), (14L, 7L, 2000000L, 100.0),
-      (15L, 8L, 0L, 100.0), (16L, 8L, 2000000L, 100.0))
+      (15L, 8L, 0L, 100.0), (16L, 8L, 2000000L, 100.0),
+      // users 9/10 = pair 5 — a ramps 400→0 against b = 200: the
+      // DECREASING difference exercises the dle exit branch (the one
+      // the increasing pair 3 never hits — a float cross-check on
+      // real data caught exactly that branch wrong once)
+      (17L, 9L, 0L, 400.0), (18L, 9L, 4000000L, 0.0),
+      (19L, 10L, 0L, 200.0), (20L, 10L, 4000000L, 200.0))
       .toDF("event_id", "user_id", "us", "value")
       .withColumn("ts", timestamp_micros(col("us")))
       .withColumn("event_type", lit("t"))
@@ -63,7 +69,11 @@ class Round16Spec extends SparkTestBase {
       (5L, 2L, 1500000L, 1L, 1L, 0L, 2500000L),
       (6L, 2L, 0L, 0L, 0L, 0L, -1L),
       (7L, 2L, 0L, 0L, 0L, 0L, -1L),
-      (8L, 2L, 0L, 0L, 0L, 0L, -1L)))
+      (8L, 2L, 0L, 0L, 0L, 0L, -1L),
+      // user 9's ramp 400→0: initially true, leaves c after
+      // 4·10⁶·150/400 = 1.5·10⁶ µs, one downward crossing
+      (9L, 2L, 1500000L, 1L, 0L, 1L, -1L),
+      (10L, 2L, 0L, 0L, 0L, 0L, -1L)))
   }
 
   test("q104 linear compare: the ramp-vs-constant pair splits lt/gt " +
@@ -77,9 +87,12 @@ class Round16Spec extends SparkTestBase {
     // (n_seg counts merged-timeline rows; the tie row at t = 0
     // contributes a dt = 0 segment.) pair 4: identical sides → the
     // whole 2·10⁶ µs is eq, no crossings.
+    // pair 5 mirrors pair 3 downward: gt for the first 2·10⁶ µs, lt
+    // after, one downward crossing.
     assert(out.toSeq === Seq(
       (3L, 2L, 2000000L, 0L, 2000000L, 1L, 0L),
-      (4L, 2L, 0L, 2000000L, 0L, 0L, 0L)))
+      (4L, 2L, 0L, 2000000L, 0L, 0L, 0L),
+      (5L, 2L, 2000000L, 0L, 2000000L, 0L, 1L)))
   }
 
   test("q105 tdwithin: step distance extremes, duration-weighted " +
@@ -97,10 +110,34 @@ class Round16Spec extends SparkTestBase {
     // 200000 and nothing is within eps = 100000. pair 4: identical
     // sides → d ≡ 0, one maximal within-run covering the whole
     // 2·10⁶ µs.
+    // pair 5 under step semantics: a HOLDS 400 until its 4-s posit,
+    // so d is a constant 200000 at every synced instant, like pair 3.
     assert(out.toSeq === Seq(
       (1L, 5L, 0L, 200000L, 4000000L, 87500.0, 1L, 3000000L),
       (3L, 3L, 200000L, 200000L, 4000000L, 200000.0, 0L, 0L),
-      (4L, 3L, 0L, 0L, 2000000L, 0.0, 1L, 2000000L)))
+      (4L, 3L, 0L, 0L, 2000000L, 0.0, 1L, 2000000L),
+      (5L, 3L, 200000L, 200000L, 4000000L, 200000.0, 0L, 0L)))
+  }
+
+  test("q107 linear tdwithin: the ramp-vs-constant pair is within " +
+    "eps exactly between the two |d| = eps crossings; identical " +
+    "sides are fully within everywhere") {
+    val out = SparkEntry.queries("q107_linear_tdwithin")(
+      spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // pair 3: d(t) = 100 milli/µs · t − 200000 sweeps −200000 →
+    // +200000 over 4 s; |d| ≤ 100000 exactly on [1 s, 3 s] → 2·10⁶ µs,
+    // one partially-within segment (the t = 0 tie row has dt = 0).
+    // pair 4: d ≡ 0 → both merged rows fully within (the tie row is a
+    // zero-length within segment), 2·10⁶ µs total.
+    // pair 5 (the DECREASING difference — the branch a real-data
+    // float cross-check caught wrong): d sweeps +200000 → −200000,
+    // within on the middle [1 s, 3 s] = 2·10⁶ µs.
+    assert(out.toSeq === Seq(
+      (3L, 2L, 2000000L, 0L, 1L),
+      (4L, 2L, 2000000L, 2L, 0L),
+      (5L, 2L, 2000000L, 0L, 1L)))
   }
 
   test("connected components: a 2000-deep planted chain (forced onto " +
