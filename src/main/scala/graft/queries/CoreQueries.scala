@@ -165,15 +165,18 @@ object CoreQueries {
          | (CAST(pb_v AS $dec) * (nb_t - pb_t) +
          |  CAST(nb_v - pb_v AS $dec) * ($at - pb_t)) * (na_t - pa_t))"""
         .stripMargin.replaceAll("\n", " ")
+    // ONE select for all 8 fills: withColumn chains interleave
+    // Projects between the Window nodes, which defeats window
+    // collapsing and plans EIGHT sequential O(n) window passes; a
+    // single projection groups them by frame spec — two Window
+    // operators over one sort (plan-audited)
     posits
-      .withColumn("pa_t", prevOf(1L, "tus"))
-      .withColumn("pa_v", prevOf(1L, "vm"))
-      .withColumn("pb_t", prevOf(0L, "tus"))
-      .withColumn("pb_v", prevOf(0L, "vm"))
-      .withColumn("na_t", nextOf(1L, "tus"))
-      .withColumn("na_v", nextOf(1L, "vm"))
-      .withColumn("nb_t", nextOf(0L, "tus"))
-      .withColumn("nb_v", nextOf(0L, "vm"))
+      .select(col("pair_id"), col("tus"), col("user_id"),
+        col("event_id"),
+        prevOf(1L, "tus").as("pa_t"), prevOf(1L, "vm").as("pa_v"),
+        prevOf(0L, "tus").as("pb_t"), prevOf(0L, "vm").as("pb_v"),
+        nextOf(1L, "tus").as("na_t"), nextOf(1L, "vm").as("na_v"),
+        nextOf(0L, "tus").as("nb_t"), nextOf(0L, "vm").as("nb_v"))
       .withColumn("t2", lead("tus", 1).over(wOrd))
       .where(col("pa_t").isNotNull && col("pb_t").isNotNull &&
         col("na_t").isNotNull && col("nb_t").isNotNull &&
