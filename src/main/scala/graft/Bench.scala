@@ -109,7 +109,10 @@ object Bench {
     // stages included) — registered once; values drain into scanMs and
     // runOnce resets the counter per timed span. Listener delivery is
     // async (same coarse-read caveat as the stage listener above).
-    spark.listenerManager.register(
+    // SPARK_GRAFT_SCANTEL=off drops it (A/B lever for harness-overhead
+    // bisection).
+    if (sys.env.getOrElse("SPARK_GRAFT_SCANTEL", "on") != "off")
+      spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         private def walk(p: org.apache.spark.sql.execution.SparkPlan)
             : Unit = {
@@ -193,7 +196,14 @@ object Bench {
 
     val telemetry =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[RunTel]]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // SPARK_GRAFT_BENCH_FILTER: comma-separated name prefixes — run a
+    // suite SLICE for overhead bisection / targeted window re-checks
+    // (the driver never sets it; the full suite is the default)
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.isEmpty || nameFilter.exists(n.startsWith))
+    val results = selected.map { name =>
       val runs = (1 to 3).map { i =>
         val r = runOnce(name)
         // all three runs + spill/cpu attribution, not just the median:
@@ -231,7 +241,7 @@ object Bench {
     // on identical code). The per-query System.gc() matters here: this
     // pass previously skipped it and its tail drew a cleanup-debt
     // lottery — 96.8 s vs 154.5 s across two runs of identical code.
-    val r1Total = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val r1Total = selected.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => }
