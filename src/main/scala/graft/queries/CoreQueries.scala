@@ -225,7 +225,55 @@ object CoreQueries {
       Option(envKeyedStage.putIfAbsent(dir, d)).getOrElse(d)
     }
 
+  // q108's keyed DIMENSION staging (same 128 ids as q106's fact side,
+  // different payload), keyed by dir
+  private val envKeyedDimStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEnvelopeKeyedDim(s: SparkSession, dir: String)
+      : String =
+    Option(envKeyedDimStage.get(dir)).getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory("q108-envelope-dim").toString
+      val trips = envelopeTrips(s, dir).where(col("id") < 128L)
+        .select(col("id"), (col("vt") + 7).cast("int").as("vt"),
+          concat(lit("D"), col("id")).as("json"))
+      val n = math.max(trips.count().toInt, 1)
+      trips.repartitionByRange(n, col("id"))
+        .write.format("trip-envelope").mode("overwrite").save(d)
+      Option(envKeyedDimStage.putIfAbsent(dir, d)).getOrElse(d)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = q42 ++ Map(
+    // q108 — DSv2 STORAGE-PARTITIONED SORT-MERGE JOIN (capability #10
+    // composed with #9 — the FULL bucketed-and-sorted analog of q55's
+    // layout join, for the connector): both sides are single-id-per-
+    // file layouts over the same 128 trip ids, both scans report
+    // KeyGroupedPartitioning(identity(id)) AND ordering [id ASC]
+    // (honest per file: all rows share the id), so the merge-hinted
+    // equi-join plans with NO exchange and NO sort — Spark zips the
+    // co-located file partitions pairwise by partition key
+    // (Round16Spec pins the SortMergeJoin / zero-Exchange / zero-Sort
+    // plan). At 100 TB: joining two entity-aligned landing zones
+    // without re-shuffling either.
+    "q108_envelope_spj_join" -> ((s, dir) => {
+      import graft.meos.{MeosFunctions, NativeExpressions}
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val fact = s.read.format("trip-envelope")
+        .load(stagedEnvelopeKeyed(s, dir))
+        .select(col("id"),
+          MeosFunctions.tgeompointNumInstants(
+            NativeExpressions.tgeompointFromHexWkb(col("json")))
+            .cast("long").as("n"))
+      val dim = s.read.format("trip-envelope")
+        .load(stagedEnvelopeKeyedDim(s, dir))
+        .select(col("id"), col("vt").cast("long").as("vt_dim"),
+          col("json").as("label"))
+      fact.hint("merge").join(dim, "id")
+        .select(col("id").as("user_id"), col("n"), col("vt_dim"),
+          col("label"))
+        .orderBy("user_id")
+    }),
+
     // q106 — DSv2 REPORTED PARTITIONING (the connector's 9th
     // capability — VERDICT r15 #5, the connector analog of q55's
     // bucketed no-shuffle join): on the one-id-per-file staging the
@@ -4310,6 +4358,15 @@ object CoreQueries {
         |    AS mean_d_milli,
         |  n_within, within_us
         |FROM a WHERE dur_us > 0 ORDER BY pair_id""".stripMargin,
+
+    // the fact side's instant count joined to the synthesized dim
+    // payload — both derivable from events by construction
+    "q108_envelope_spj_join" ->
+      """SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n,
+        |       CAST(user_id % 3 + 1 + 7 AS BIGINT) AS vt_dim,
+        |       'D' || CAST(user_id AS VARCHAR) AS label
+        |FROM events WHERE user_id < 128 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     // one envelope line per user on the keyed staging; the assembly
     // dedupes by instant, so n_posits is the distinct-ts count

@@ -295,7 +295,8 @@ class TripEnvelopeScan(path: String, required: StructType,
                        topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private def aggPushed: Boolean = agg.isDefined
   private def groupByVt: Boolean = agg.exists(_.groupByVt)
 
@@ -353,6 +354,28 @@ class TripEnvelopeScan(path: String, required: StructType,
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  /** REPORTED ORDERING (capability #10, with #9 the full bucketed-AND-
+    * sorted analog of q55): on a single-id layout every partition's
+    * rows trivially share one id, so "ordered by id ASC" is honest by
+    * construction — and with both sides of an id equi-join reporting
+    * the same key-grouped partitioning and ordering, Spark plans a
+    * storage-partitioned SORT-MERGE join with NO exchange and NO sort
+    * (Round16Spec pins the plan). At 100 TB this is the
+    * entity-aligned join of two landing zones as a pure zip of
+    * co-located files. Same fallback contract as #9: any layout that
+    * can't prove the property reports nothing. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    keyedFiles() match {
+      case Some(_) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .sort(org.apache.spark.sql.connector.expressions.Expressions
+            .column("id"),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING))
+      case None => Array.empty
     }
 
   override def readSchema(): StructType =

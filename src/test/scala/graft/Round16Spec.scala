@@ -201,6 +201,33 @@ class Round16Spec extends SparkTestBase {
       Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("capability #10: two single-id layouts report partitioning AND " +
+    "ordering — a merge-hinted id equi-join plans as a storage-" +
+    "partitioned SortMergeJoin with ZERO exchange and ZERO sort") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val rows = Seq((1L, 1, "AA"), (2L, 1, "BB"), (3L, 2, "CC"),
+      (4L, 2, "DD"))
+    val left = writeEnvelope(rows, parts = 4)
+    val right = writeEnvelope(
+      rows.map { case (i, v, _) => (i, v + 7, s"D$i") }, parts = 4)
+    val a = spark.read.format("trip-envelope").load(left)
+      .select(col("id"), col("json").as("payload"))
+    val b = spark.read.format("trip-envelope").load(right)
+      .select(col("id"), col("json").as("label"))
+    val j = a.hint("merge").join(b, "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"the merge hint must yield a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"aligned keyed layouts must join without shuffling:\n$plan")
+    assert(!plan.contains("Sort ["),
+      s"reported ordering must elide both sort nodes:\n$plan")
+    assert(j.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "AA", "D1"), (2L, "BB", "D2"), (3L, "CC", "D3"),
+        (4L, "DD", "D4")))
+  }
+
   test("capability #9 composes with pruning and pushed id bounds: " +
     "the keyed scan under a pushed filter keeps the exchange-free " +
     "aggregate over the surviving files only") {
