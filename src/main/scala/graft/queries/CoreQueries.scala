@@ -129,7 +129,8 @@ object CoreQueries {
     * n1, n2, ss = (n2 − n1)/dt (the dt-cancelled crossing
     * denominator), dadb = Da·Db (the value-scale denominator).
     * Magnitudes: |n| ≤ ~1.2·10⁶·(2.6·10¹²)² ≈ 10³¹ ≪ 10³⁸. */
-  private def pairLinearSegments(s: SparkSession, dir: String)
+  private def pairLinearSegments(s: SparkSession, dir: String,
+                                 withY: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wSeq = Window.partitionBy("user_id")
@@ -137,7 +138,9 @@ object CoreQueries {
     val posits = Tables.events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_id"),
-        floor(col("value") * 1000).cast("long").as("vm"))
+        floor(col("value") * 1000).cast("long").as("vm"),
+        // the second plane coordinate (q80/q92/q93's convention)
+        length(col("props")).cast("long").as("ym"))
       .withColumn("pt", lag("tus", 1).over(wSeq))
       .where(col("pt").isNull || col("pt") =!= col("tus"))
       .withColumn("pair_id", expr("(user_id + 1) div 2"))
@@ -165,18 +168,31 @@ object CoreQueries {
          | (CAST(pb_v AS $dec) * (nb_t - pb_t) +
          |  CAST(nb_v - pb_v AS $dec) * ($at - pb_t)) * (na_t - pa_t))"""
         .stripMargin.replaceAll("\n", " ")
-    // ONE select for all 8 fills: withColumn chains interleave
+    // the y-coordinate numerator reuses the SAME brackets/denominators
+    // (the bracket TIMES are per-side, shared across coordinates);
+    // only the four value fills differ
+    def numY(at: String) =
+      s"""((CAST(pa_yv AS $dec) * (na_t - pa_t) +
+         |  CAST(na_yv - pa_yv AS $dec) * ($at - pa_t)) * (nb_t - pb_t) -
+         | (CAST(pb_yv AS $dec) * (nb_t - pb_t) +
+         |  CAST(nb_yv - pb_yv AS $dec) * ($at - pb_t)) * (na_t - pa_t))"""
+        .stripMargin.replaceAll("\n", " ")
+    // ONE select for all fills: withColumn chains interleave
     // Projects between the Window nodes, which defeats window
-    // collapsing and plans EIGHT sequential O(n) window passes; a
+    // collapsing and plans one sequential O(n) window pass PER FILL; a
     // single projection groups them by frame spec — two Window
     // operators over one sort (plan-audited)
-    posits
-      .select(col("pair_id"), col("tus"), col("user_id"),
-        col("event_id"),
-        prevOf(1L, "tus").as("pa_t"), prevOf(1L, "vm").as("pa_v"),
-        prevOf(0L, "tus").as("pb_t"), prevOf(0L, "vm").as("pb_v"),
-        nextOf(1L, "tus").as("na_t"), nextOf(1L, "vm").as("na_v"),
-        nextOf(0L, "tus").as("nb_t"), nextOf(0L, "vm").as("nb_v"))
+    val baseCols = Seq(col("pair_id"), col("tus"), col("user_id"),
+      col("event_id"),
+      prevOf(1L, "tus").as("pa_t"), prevOf(1L, "vm").as("pa_v"),
+      prevOf(0L, "tus").as("pb_t"), prevOf(0L, "vm").as("pb_v"),
+      nextOf(1L, "tus").as("na_t"), nextOf(1L, "vm").as("na_v"),
+      nextOf(0L, "tus").as("nb_t"), nextOf(0L, "vm").as("nb_v"))
+    val yCols = if (!withY) Nil else Seq(
+      prevOf(1L, "ym").as("pa_yv"), prevOf(0L, "ym").as("pb_yv"),
+      nextOf(1L, "ym").as("na_yv"), nextOf(0L, "ym").as("nb_yv"))
+    val segs = posits
+      .select(baseCols ++ yCols: _*)
       .withColumn("t2", lead("tus", 1).over(wOrd))
       .where(col("pa_t").isNotNull && col("pb_t").isNotNull &&
         col("na_t").isNotNull && col("nb_t").isNotNull &&
@@ -189,6 +205,10 @@ object CoreQueries {
           s"CAST(nb_v - pb_v AS $dec) * (na_t - pa_t)"))
       .withColumn("dadb", expr(
         s"CAST(na_t - pa_t AS $dec) * (nb_t - pb_t)"))
+    if (!withY) segs
+    else segs
+      .withColumn("ny1", expr(numY("tus")))
+      .withColumn("ny2", expr(numY("t2")))
   }
 
   // q106's one-id-per-file envelope staging, keyed by dir
@@ -2581,6 +2601,66 @@ object CoreQueries {
             .as("n_down"))
         .orderBy("pair_id")),
 
+    // q109 — LINEAR NEAREST APPROACH (MEOS nearestApproachDistance /
+    // nearestApproachInstant for linear-interp tpoint pairs — q80
+    // gives only the step-sampled minimum, which can MISS the true
+    // closest pass between posits): on each merged segment both
+    // 2-D relative displacements are linear, so d²(f) for f ∈ [0, 1]
+    // is a quadratic aa·f² + bb·f + cc with INTEGER coefficients once
+    // the endpoint displacements are quantized to the milli grid
+    // (dx = n div dadb via the positive-operand OFFSET — the engine-
+    // identical floor), and the interior minimum is the exact rational
+    // vertex (4·aa·cc − bb²)/(4·aa), floored — nonneg by Cauchy-
+    // Schwarz, every product ≤ ~2·10²⁷ ≪ 10³⁸ in DECIMAL/HUGEINT.
+    // Per pair: the squared nearest-approach distance (milli², exact —
+    // MEOS's sqrt is the only lost step, kept squared to stay oracle-
+    // able) and its floored instant, min over segments by (d², t).
+    // Same pair-partitioned shape as q104; y rides the same brackets.
+    "q109_linear_nad" -> ((s, dir) => {
+      val OFF = 10000000L
+      def q(n: String) =
+        s"CAST(($n + ${OFF}L * dadb) div dadb - ${OFF}L AS BIGINT)"
+      // y scaled ×1000 into milli so both axes share units (q93 keeps
+      // them separate; a DISTANCE must not): ny ≤ 10⁵ milli vs dx ~10⁶
+      pairLinearSegments(s, dir, withY = true)
+        .withColumn("dx1", expr(q("n1")))
+        .withColumn("dx2", expr(q("n2")))
+        .withColumn("dy1", expr(s"1000L * ${q("ny1")}"))
+        .withColumn("dy2", expr(s"1000L * ${q("ny2")}"))
+        .withColumn("aa", expr(
+          "(dx2 - dx1) * (dx2 - dx1) + (dy2 - dy1) * (dy2 - dy1)"))
+        .withColumn("bb", expr(
+          "2L * (dx1 * (dx2 - dx1) + dy1 * (dy2 - dy1))"))
+        .withColumn("cc", expr("dx1 * dx1 + dy1 * dy1"))
+        .withColumn("d2_seg", expr(
+          """CASE WHEN aa = 0L OR bb >= 0L THEN cc
+            |  WHEN -bb >= 2L * aa THEN dx2 * dx2 + dy2 * dy2
+            |  ELSE CAST((CAST(4L AS DECIMAL(38,0)) * aa * cc -
+            |    CAST(bb AS DECIMAL(38,0)) * bb) div (4L * aa)
+            |    AS BIGINT) END""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("t_seg", expr(
+          """CASE WHEN aa = 0L OR bb >= 0L THEN tus
+            |  WHEN -bb >= 2L * aa THEN t2
+            |  ELSE tus + CAST((CAST(dt AS DECIMAL(38,0)) * (-bb))
+            |    div (2L * aa) AS BIGINT) END"""
+            .stripMargin.replaceAll("\n", " ")))
+        .groupBy("pair_id")
+        .agg(count(lit(1)).as("n_seg"),
+          min(struct(col("d2_seg"), col("t_seg"))).as("na"),
+          // Σ of per-segment minima + interior-vertex count: a pair
+          // whose nad2 bottoms out at 0 still pins EVERY segment's
+          // branch arithmetic through these (an all-zero min column
+          // alone would let a broken vertex formula hide)
+          sum("d2_seg").as("sum_d2"),
+          sum(expr("CASE WHEN aa <> 0L AND bb < 0L AND " +
+            "-bb < 2L * aa THEN 1L ELSE 0L END")).as("n_interior"))
+        .select(col("pair_id"), col("n_seg"),
+          col("na.d2_seg").as("nad2_milli2"),
+          col("na.t_seg").as("nai_us"),
+          col("sum_d2"), col("n_interior"))
+        .orderBy("pair_id")
+    }),
+
     // q107 — LINEAR tdwithin (q105's interaction detector under
     // q103/q104's LINEAR semantics, closing the interpolation matrix:
     // when-true step/linear, compare step/linear, tdwithin
@@ -4218,6 +4298,130 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN n1 > 0 AND n2 < 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_down
         |FROM h GROUP BY pair_id ORDER BY pair_id""".stripMargin,
+
+    // q109 — the q104/q107 segment CTE widened with the y-value fills
+    // (same brackets); quantized displacements via the OFFSET floor,
+    // the exact quadratic vertex in HUGEINT, q80's min-then-instant
+    // tie pattern
+    "q109_linear_nad" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |    CAST(len(props) AS BIGINT) AS ym,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, tus, event_id, vm, ym,
+        |    (user_id + 1) // 2 AS pair_id, user_id % 2 AS side
+        |  FROM d WHERE pt IS NULL OR pt <> tus),
+        |f AS (
+        |  SELECT pair_id, tus,
+        |    last_value(CASE WHEN side = 1 THEN tus END IGNORE NULLS)
+        |      OVER wp AS pa_t,
+        |    last_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER wp AS pa_v,
+        |    last_value(CASE WHEN side = 1 THEN ym END IGNORE NULLS)
+        |      OVER wp AS pa_yv,
+        |    last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+        |      OVER wp AS pb_t,
+        |    last_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER wp AS pb_v,
+        |    last_value(CASE WHEN side = 0 THEN ym END IGNORE NULLS)
+        |      OVER wp AS pb_yv,
+        |    first_value(CASE WHEN side = 1 THEN tus END IGNORE NULLS)
+        |      OVER wn AS na_t,
+        |    first_value(CASE WHEN side = 1 THEN vm END IGNORE NULLS)
+        |      OVER wn AS na_v,
+        |    first_value(CASE WHEN side = 1 THEN ym END IGNORE NULLS)
+        |      OVER wn AS na_yv,
+        |    first_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+        |      OVER wn AS nb_t,
+        |    first_value(CASE WHEN side = 0 THEN vm END IGNORE NULLS)
+        |      OVER wn AS nb_v,
+        |    first_value(CASE WHEN side = 0 THEN ym END IGNORE NULLS)
+        |      OVER wn AS nb_yv,
+        |    lead(tus) OVER wo AS t2
+        |  FROM p
+        |  WINDOW wp AS (PARTITION BY pair_id ORDER BY tus
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY pair_id ORDER BY tus
+        |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY pair_id ORDER BY tus, user_id, event_id)),
+        |g AS (
+        |  SELECT pair_id, tus, t2, t2 - tus AS dt,
+        |    (CAST(pa_v AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_v - pa_v AS HUGEINT) * (tus - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_v AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_v - pb_v AS HUGEINT) * (tus - pb_t)) *
+        |      (na_t - pa_t) AS n1,
+        |    (CAST(pa_v AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_v - pa_v AS HUGEINT) * (t2 - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_v AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_v - pb_v AS HUGEINT) * (t2 - pb_t)) *
+        |      (na_t - pa_t) AS n2,
+        |    (CAST(pa_yv AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_yv - pa_yv AS HUGEINT) * (tus - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_yv AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_yv - pb_yv AS HUGEINT) * (tus - pb_t)) *
+        |      (na_t - pa_t) AS ny1,
+        |    (CAST(pa_yv AS HUGEINT) * (na_t - pa_t) +
+        |     CAST(na_yv - pa_yv AS HUGEINT) * (t2 - pa_t)) *
+        |      (nb_t - pb_t) -
+        |    (CAST(pb_yv AS HUGEINT) * (nb_t - pb_t) +
+        |     CAST(nb_yv - pb_yv AS HUGEINT) * (t2 - pb_t)) *
+        |      (na_t - pa_t) AS ny2,
+        |    CAST(na_t - pa_t AS HUGEINT) * (nb_t - pb_t) AS dadb
+        |  FROM f
+        |  WHERE pa_t IS NOT NULL AND pb_t IS NOT NULL
+        |    AND na_t IS NOT NULL AND nb_t IS NOT NULL
+        |    AND t2 IS NOT NULL),
+        |h AS (
+        |  SELECT pair_id, tus, t2, dt,
+        |    CAST((n1 + 10000000 * dadb) // dadb - 10000000
+        |      AS BIGINT) AS dx1,
+        |    CAST((n2 + 10000000 * dadb) // dadb - 10000000
+        |      AS BIGINT) AS dx2,
+        |    1000 * CAST((ny1 + 10000000 * dadb) // dadb - 10000000
+        |      AS BIGINT) AS dy1,
+        |    1000 * CAST((ny2 + 10000000 * dadb) // dadb - 10000000
+        |      AS BIGINT) AS dy2
+        |  FROM g),
+        |k AS (
+        |  SELECT pair_id,
+        |    CASE WHEN aa = 0 OR bb >= 0 THEN cc
+        |      WHEN -bb >= 2 * aa THEN dx2 * dx2 + dy2 * dy2
+        |      ELSE CAST((CAST(4 AS HUGEINT) * aa * cc -
+        |        CAST(bb AS HUGEINT) * bb) // (4 * aa) AS BIGINT)
+        |      END AS d2_seg,
+        |    CASE WHEN aa = 0 OR bb >= 0 THEN tus
+        |      WHEN -bb >= 2 * aa THEN t2
+        |      ELSE tus + CAST((CAST(dt AS HUGEINT) * (-bb))
+        |        // (2 * aa) AS BIGINT) END AS t_seg,
+        |    CASE WHEN aa <> 0 AND bb < 0 AND -bb < 2 * aa
+        |      THEN 1 ELSE 0 END AS interior
+        |  FROM (SELECT *,
+        |    (dx2 - dx1) * (dx2 - dx1) + (dy2 - dy1) * (dy2 - dy1)
+        |      AS aa,
+        |    2 * (dx1 * (dx2 - dx1) + dy1 * (dy2 - dy1)) AS bb,
+        |    dx1 * dx1 + dy1 * dy1 AS cc
+        |    FROM h)),
+        |m AS (
+        |  SELECT pair_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |    min(d2_seg) AS d2,
+        |    CAST(sum(d2_seg) AS BIGINT) AS sum_d2,
+        |    CAST(sum(interior) AS BIGINT) AS n_interior
+        |  FROM k GROUP BY pair_id)
+        |SELECT m.pair_id, m.n_seg,
+        |  CAST(m.d2 AS BIGINT) AS nad2_milli2,
+        |  CAST(min(k.t_seg) AS BIGINT) AS nai_us,
+        |  m.sum_d2, m.n_interior
+        |FROM m JOIN k ON k.pair_id = m.pair_id AND k.d2_seg = m.d2
+        |GROUP BY m.pair_id, m.n_seg, m.d2, m.sum_d2, m.n_interior
+        |ORDER BY m.pair_id""".stripMargin,
 
     // q107 — the q104 segment CTE + the two half-line durations with
     // the same dt-cancelled divisions; greatest(0, ·) clamps the

@@ -140,6 +140,24 @@ class Round16Spec extends SparkTestBase {
       (5L, 2L, 2000000L, 0L, 1L)))
   }
 
+  test("q109 linear nearest approach: the crossing ramps attain d = 0 " +
+    "at the exact interior vertex instant; constant-offset ties keep " +
+    "their endpoint minima") {
+    val out = SparkEntry.queries("q109_linear_nad")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // pair 3: the relative displacement sweeps −200000 → +200000 milli
+    // (y constant → dy ≡ 0), so the quadratic's interior vertex is
+    // exactly 0 at t = 2·10⁶; the t = 0 tie row contributes its
+    // endpoint cc = 200000² = 4·10¹⁰ to sum_d2. pair 4: identical
+    // sides → every segment 0 at its start. pair 5: the mirrored
+    // (decreasing) sweep, same vertex.
+    assert(out.toSeq === Seq(
+      (3L, 2L, 0L, 2000000L, 40000000000L, 1L),
+      (4L, 2L, 0L, 0L, 0L, 0L),
+      (5L, 2L, 0L, 2000000L, 40000000000L, 1L)))
+  }
+
   test("connected components: a 2000-deep planted chain (forced onto " +
     "the distributed loop) converges to the exact min labels in " +
     "O(log diameter) supersteps, not O(diameter)") {
