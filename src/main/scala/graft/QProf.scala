@@ -75,7 +75,81 @@ object QProf {
         // run once so AQE finalizes the plan (ReusedExchange etc. shows)
         df.write.format("noop").mode("overwrite").save()
         println(s"=== $q ===")
+        // `formatted` is what the round deliverables pin plan claims
+        // against (Exchange count, join strategy, PushedFilters); the
+        // executedPlan tree (post-AQE) follows for ReusedExchange/final
+        // stage shape, which formatted-on-the-logical-plan can't show.
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        println("--- executed (post-AQE) ---")
         println(df.queryExecution.executedPlan.toString)
+      } else if (args.contains("--jobs")) {
+        // Job-grain decomposition of one query: how many Spark jobs one
+        // noop run submits (each is a sequential driver round-trip —
+        // eager builder actions, AQE stage materializations, the final
+        // write), their summed wall, and the gap (= driver-side work:
+        // analysis, optimization, AQE re-planning, codegen lookups).
+        val nJobs = new java.util.concurrent.atomic.AtomicLong()
+        val jobMs = new java.util.concurrent.atomic.AtomicLong()
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val nStages = new java.util.concurrent.atomic.AtomicLong()
+        val nTasks = new java.util.concurrent.atomic.AtomicLong()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              nJobs.incrementAndGet()
+              starts.put(j.jobId, System.nanoTime())
+              if (args.contains("--jobtrace"))
+                println(s"  [job ${j.jobId}] stages=${j.stageInfos.map(si =>
+                  s"${si.name.takeWhile(_ != '(')}:${si.numTasks}")
+                  .mkString(",")} site=${Option(j.properties)
+                  .flatMap(p => Option(p.getProperty(
+                    "spark.job.description"))).getOrElse("-")}")
+            }
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              Option(starts.remove(j.jobId)).foreach(t0 =>
+                jobMs.addAndGet((System.nanoTime() - t0) / 1000000L))
+            }
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+                : Unit = {
+              nStages.incrementAndGet()
+              nTasks.addAndGet(sc.stageInfo.numTasks)
+            }
+          })
+        for (r <- 1 to 2) {
+          nJobs.set(0); jobMs.set(0); nStages.set(0); nTasks.set(0)
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, dir)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          df.write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // listener drain
+          println(f"$q jobs r$r wall=$t%.2fs build=$tBuild%.2fs " +
+            f"nJobs=${nJobs.get} jobMs=${jobMs.get} " +
+            f"nStages=${nStages.get} nTasks=${nTasks.get}")
+          Materialize.releaseAll(spark)
+        }
+      } else if (args.contains("--phases")) {
+        // Catalyst phase attribution (round-16 optimization evidence):
+        // wall time of one noop run split into analysis/optimization/
+        // physical-planning (QueryPlanningTracker) vs everything else
+        // (execution + codegen). Two runs — run1 pays first-touch
+        // codegen, run2 is the steady state the bench medians see.
+        for (r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, dir)
+          val tBuild = (System.nanoTime() - t0) / 1e9
+          df.write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          val ph = df.queryExecution.tracker.phases
+            .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }
+            .mkString(" ")
+          println(f"$q phases r$r wall=$t%.2fs build=$tBuild%.2fs $ph")
+          Materialize.releaseAll(spark)
+        }
       } else for (r <- 1 to (if (args.contains("--dropcache")) 3 else 2)) {
         // --dropcache (VERDICT r15 #2's testable form of the qx81
         // cold-page-cache theory): drop the OS page cache before the

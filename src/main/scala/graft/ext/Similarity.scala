@@ -866,6 +866,68 @@ object Similarity {
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** Fused cellCap SWEEP (round-16 plan-size reshape of qe25): the
+    * per-cap kept/dup COUNTS for several caps from ONE self-join pass,
+    * exploiting that [[semDedupImpl]]'s chunk counts are powers of two
+    * — nchunks(cap_small) is a multiple of nchunks(cap_big) for the
+    * same cell, so same-chunk under a finer cap IMPLIES same-chunk
+    * under every coarser cap, and the coarsest cap's candidate-pair
+    * set is a superset of every other cap's. One pair pass under the
+    * coarsest chunking carries each side's chunk hash; a per-cap
+    * residue test (h_i ≡ h_j mod nchunks_cap) classifies every pair
+    * for every cap; per-vector max-flags then aggregate to the same
+    * (cell_cap, n_kept, n_dups) rows the old three-leg union computed
+    * by running the full semDedup plan per cap (executed plan: 96
+    * Exchanges / 36 BNL joins → ~12 Exchanges). Results are identical
+    * by construction: the pair predicate (same cell, same chunk, j<i,
+    * cos≥tau) and the md5-residue chunk assignment are the exact
+    * semDedupImpl expressions. Empty-corpus contract preserved: the
+    * guarded sums go NULL on zero rows and the per-cap leg drops. */
+  def semDedupSweep(corpus: DataFrame, tau: Double, caps: Seq[Int],
+                    nlist: Int = 16, trainIters: Int = 5,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val centroids = centroidFrame(corpus,
+      centroidsFor(corpus, nlist, trainIters, cacheKey))
+    val a0 = graft.Materialize.cut(
+      assignCells(corpus, "i", "emb", probes = 1, centroids))
+    val sizes = a0.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    // nchunks for a cap, given cell_n on the row — textually the
+    // semDedupImpl expression (integer-only ceil-log2)
+    def nchunks(cap: Int) = expr(
+      s"""CASE WHEN (cell_n + ${cap - 1}) div $cap <= 1
+         |THEN 1L ELSE shiftleft(1L, length(bin(
+         |  (cell_n + ${cap - 1}) div $cap - 1))) END"""
+        .stripMargin)
+    val coarsest = caps.max
+    val withH = a0.join(broadcast(sizes), Seq("cell"))
+      .withColumn("h",
+        conv(substring(md5(col("i").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("chunk", col("h") % nchunks(coarsest))
+    val pairs = withH
+      .join(withH.select(col("cell"), col("chunk"), col("i").as("j"),
+        col("h").as("hj"), col("emb").as("j_emb")), Seq("cell", "chunk"))
+      .where(col("j") < col("i") &&
+        cosine(col("emb"), col("j_emb")) >= lit(tau))
+    // per-vector: dominated under cap c ⟺ some superset pair also
+    // matches residues mod nchunks_c (for the coarsest cap that is
+    // every pair, by construction of the join)
+    val capFlags = caps.map(c => max(when(col("h") % nchunks(c) ===
+      col("hj") % nchunks(c), 1L).otherwise(0L)).as(s"d$c"))
+    val flags = pairs.groupBy("i").agg(capFlags.head, capFlags.tail: _*)
+    val base = graft.Materialize.cut(
+      a0.select("i").join(flags, Seq("i"), "left"))
+    caps.sorted.map { c =>
+      base.agg(
+          sum(when(coalesce(col(s"d$c"), lit(0L)) === 0L, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(coalesce(col(s"d$c"), lit(0L))).as("n_dups"))
+        .select(lit(c.toLong).as("cell_cap"), col("n_kept"),
+          col("n_dups"))
+        .where(col("n_kept").isNotNull)
+    }.reduce(_ unionAll _).orderBy("cell_cap")
+  }
+
   /** SQ8 scalar-quantized ANN with exact re-rank — the third compression
     * quadrant next to PQ (qe8): each dimension is affinely quantized to
     * one byte against per-dimension corpus [min,max] bounds (256 B/vec →

@@ -507,13 +507,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("qe31 mmr: the shortlist build broadcasts the fenced query side " +
-    "and prunes map-side; the greedy epilogue never sort-merge joins") {
+  test("qe31 mmr: the greedy epilogue is ONE small declarative pass " +
+    "over the staged shortlist — broadcast joins only, no window, and " +
+    "the plan stays an order of magnitude below the old 4-step unroll " +
+    "(which re-planned the selected-set lineage into 318 Exchanges)") {
     val p = plan("qe31_mmr_rerank")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the shortlist top-8 window runs once inside the per-dir staging;
+    // the declared plan reads its parquet and must carry no Window at all
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window ["), p)
+    assert("Exchange".r.findAllIn(p).length <= 12, p)
   }
 
   test("qe32 triplet margins: both legs broadcast the fenced anchors " +
