@@ -18,14 +18,53 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted key order for run-to-run comparability.
   */
 object Bench {
+  /** Scale-adaptive AQE partition grain (guide §2 "make partitioning
+    * scale-adaptive — derive from input size — rather than a constant
+    * tuned for either local mode or the cluster"): AQE's bytes-based
+    * post-shuffle coalescing assumes cost ∝ bytes, so at bench data
+    * sizes (tiny shuffles of heavy-CPU rows — DECIMAL(38,0) segment
+    * math, token kernels) it coalesces CPU-dense stages onto 1-2 tasks
+    * and leaves 30 cores idle (measured: q109 3.1→1.1 s, qx81
+    * 4.7→1.9 s under a finer grain). Deriving the advisory from
+    * input-bytes/(2·cores) keeps ~2 waves of post-shuffle tasks per
+    * core at ANY scale; the clamps mean a 100 TB input lands on the
+    * guide §9 production value (256 MB) and a toy input never drops
+    * below 64 KB (scheduling overhead floor). minPartitionSize scales
+    * at advisory/4, capped at its 1 MB default. */
+  def derivedAqeGrain(inputDir: String, cores: Int): (Long, Long) = {
+    def dirBytes(d: java.io.File): Long =
+      Option(d.listFiles()).map(_.map(f =>
+        if (f.isDirectory) dirBytes(f) else f.length()).sum).getOrElse(0L)
+    val in = dirBytes(new java.io.File(inputDir))
+    val adv = math.min(math.max(in / (2L * math.max(cores, 1)),
+      64L << 10), 256L << 20)
+    (adv, math.min(adv / 4, 1L << 20))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (adv, minPart) = derivedAqeGrain(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // derived, not constant — see derivedAqeGrain; SPARK_GRAFT_AQE_GRAIN=off
+      // restores Spark defaults, =adv:min (bytes) pins explicit values
+      // (A/B levers for grain bisection)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_GRAIN", "on") match {
+          case "off" => (64L << 20).toString
+          case s if s.contains(":") => s.split(":")(0)
+          case _ => adv.toString
+        })
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_GRAIN", "on") match {
+          case "off" => (1L << 20).toString
+          case s if s.contains(":") => s.split(":")(1)
+          case _ => minPart.toString
+        })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // ContextCleaner reclaims finished queries' shuffle files and

@@ -9,12 +9,27 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` overrides the default sf0.1 input. */
 object QProf {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CONF: semicolon-separated extra session confs
+    // ("k=v;k=v") — the A/B lever for config experiments (AQE
+    // coalescing grain, codegen, etc.) without editing this file.
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .collect { case Array(k, v) => (k.trim, v.trim) }
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // same derived AQE grain as the bench session, so steady-state
+    // numbers here predict bench medians (override via SPARK_GRAFT_CONF)
+    val (adv, minPart) = Bench.derivedAqeGrain(dir, 32)
+    val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        adv.toString)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minPart.toString)
+      .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0)((b, kv) => b.config(kv._1, kv._2))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val explain = args.contains("--explain")
     // --pressure: run every query under INDUCED DISK PRESSURE — a
     // background writer hammering the same disk the block manager

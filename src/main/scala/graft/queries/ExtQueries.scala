@@ -91,11 +91,27 @@ object ExtQueries {
       .select(col("doc_id"),
         array_sort(array_distinct(col("toks"))).as("td"))
       .withColumn("f", md5(concat_ws(" ", col("td"))))
+    // dense BIGINT set ids (round-16 "narrower types" reshape, guide
+    // §2.3): every downstream join/distinct used to shuffle the 32-char
+    // md5 STRING as its key — ~6× the bytes of a long. The staging
+    // mints one fid per distinct fingerprint via the same DISTRIBUTED
+    // sorted zipWithIndex as the token dict (deterministic: f-order is
+    // total), and publishes fid-keyed facts; f itself never leaves the
+    // staging job. Output is unaffected: f was internal plumbing —
+    // pair orientation (fid1 < fid2 vs f1 < f2) is absorbed by the
+    // symmetric verify/report expressions (least/greatest, intersect).
+    def fidsOf(fp: DataFrame): DataFrame = {
+      import s.implicits._
+      fp.select(col("f")).distinct().orderBy("f").as[String]
+        .rdd.zipWithIndex()
+        .map { case (f, i) => (f, i + 1L) }
+        .toDF("f", "fid")
+    }
     def baseOf(fp: DataFrame): DataFrame = {
-      val sets = fp.groupBy("f").agg(min("doc_id").as("rep"))
+      val sets = fp.groupBy("fid").agg(min("doc_id").as("rep"))
       val g = fp.select(col("doc_id"), col("td"))
-        .join(sets.select(col("rep").as("doc_id"), col("f")), "doc_id")
-        .select(col("f"), explode(col("td")).as("t"))
+        .join(sets.select(col("rep").as("doc_id"), col("fid")), "doc_id")
+        .select(col("fid"), explode(col("td")).as("t"))
       // dense BIGINT token ids, rarest-first — the DISTRIBUTED sorted
       // zipWithIndex (per-partition offsets from one count job), not a
       // global row_number window: an unpartitioned window plans as ONE
@@ -106,13 +122,14 @@ object ExtQueries {
         .rdd.zipWithIndex()
         .map { case (t, i) => (t, i + 1L) }
         .toDF("t", "tid")
-      g.join(dict, "t").groupBy("f")
+      g.join(dict, "t").groupBy("fid")
         .agg(sort_array(collect_list(col("tid"))).as("ts"),
           count(lit(1)).as("n"))
     }
-    if (docs.isEmpty)
-      (fpOf(docs).select(col("doc_id"), col("f")), baseOf(fpOf(docs)))
-    else {
+    if (docs.isEmpty) {
+      val fpE = fpOf(docs).join(fidsOf(fpOf(docs)), Seq("f"))
+      (fpE.select(col("doc_id"), col("fid")), baseOf(fpE))
+    } else {
       val (fd, bd) = {
         // staged-footprint shrink (VERDICT r15 #2): the re-read facts
         // are zstd-compressed, and the published fp carries ONLY
@@ -130,11 +147,14 @@ object ExtQueries {
           .createTempDirectory("qx81-fpfull").toString
         fpOf(docs).write.mode("overwrite")
           .option("compression", "zstd").parquet(scratch)
-        // base derives from the STAGED full fp (one disk read), so the
-        // doc→rep collapse runs once, never from live lineage
-        baseOf(s.read.parquet(scratch)).write.mode("overwrite")
+        // fid-keyed full fp (one disk read of the scratch + the tiny
+        // fid dict join); base derives from it, so the doc→rep
+        // collapse runs once, never from live lineage
+        val scratchDf = s.read.parquet(scratch)
+        val fpFull = scratchDf.join(fidsOf(scratchDf), Seq("f"))
+        baseOf(fpFull).write.mode("overwrite")
           .option("compression", "zstd").parquet(b)
-        s.read.parquet(scratch).select(col("doc_id"), col("f"))
+        fpFull.select(col("doc_id"), col("fid"))
           .write.mode("overwrite")
           .option("compression", "zstd").parquet(f)
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
@@ -6121,17 +6141,17 @@ object ExtQueries {
       // lever) and every consumer below reads disk-stable columnar
       // bytes; the block manager holds NOTHING for this query
       val (fp, base) = stagedPpjoin(s, dir)
-      val sets = fp.groupBy("f")
+      val sets = fp.groupBy("fid")
         .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
-      val pre = base.select(col("f"), col("n"),
+      val pre = base.select(col("fid"), col("n"),
         posexplode(slice(col("ts"), lit(1),
           (col("n") - expr("(950 * n + 999) div 1000") + 1L)
             .cast("int"))))
-        .select(col("f"), col("n"),
+        .select(col("fid"), col("n"),
           (col("pos") + 1L).as("p"), col("col").as("tid"))
-      val cand = pre.select(col("f").as("f1"), col("tid"),
+      val cand = pre.select(col("fid").as("f1"), col("tid"),
           col("n").as("n1"), col("p").as("p1"))
-        .join(pre.select(col("f").as("f2"), col("tid"),
+        .join(pre.select(col("fid").as("f2"), col("tid"),
           col("n").as("n2"), col("p").as("p2")), "tid")
         .where(col("f1") < col("f2") &&
           lit(1000L) * least(col("n1"), col("n2")) >=
@@ -6141,9 +6161,9 @@ object ExtQueries {
             lit(950L) * (col("n1") + col("n2")))
         .select("f1", "f2", "n1", "n2").distinct()
       val repPairs = cand
-        .join(base.select(col("f").as("f1"), col("ts").as("t1")),
+        .join(base.select(col("fid").as("f1"), col("ts").as("t1")),
           Seq("f1"))
-        .join(base.select(col("f").as("f2"), col("ts").as("t2")),
+        .join(base.select(col("fid").as("f2"), col("ts").as("t2")),
           Seq("f2"))
         .withColumn("n_int",
           size(array_intersect(col("t1"), col("t2"))).cast("long"))
@@ -6158,16 +6178,16 @@ object ExtQueries {
       // Cross rows: (rep1, rep2, m1·m2 pairs); within rows (d1 = d2 =
       // rep): C(m, 2) identity pairs at J = 1000.
       val cross = repPairs
-        .join(sets.select(col("f").as("f1"), col("rep").as("r1"),
+        .join(sets.select(col("fid").as("f1"), col("rep").as("r1"),
           col("m").as("m1")), Seq("f1"))
-        .join(sets.select(col("f").as("f2"), col("rep").as("r2"),
+        .join(sets.select(col("fid").as("f2"), col("rep").as("r2"),
           col("m").as("m2")), Seq("f2"))
         .select(least(col("r1"), col("r2")).as("d1"),
           greatest(col("r1"), col("r2")).as("d2"),
           (col("m1") * col("m2")).as("n_pairs"),
           col("n_int"), col("jac_milli"))
       val within = sets.where(col("m") >= 2L)
-        .join(base.select(col("f"), col("n")), Seq("f"))
+        .join(base.select(col("fid"), col("n")), Seq("fid"))
         .select(col("rep").as("d1"), col("rep").as("d2"),
           expr("(m * (m - 1)) div 2").as("n_pairs"),
           col("n").as("n_int"), lit(1000L).as("jac_milli"))
