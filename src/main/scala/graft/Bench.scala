@@ -29,42 +29,70 @@ object Bench {
     * input-bytes/(2·cores) keeps ~2 waves of post-shuffle tasks per
     * core at ANY scale; the clamps mean a 100 TB input lands on the
     * guide §9 production value (256 MB) and a toy input never drops
-    * below 64 KB (scheduling overhead floor). minPartitionSize scales
-    * at advisory/4, capped at its 1 MB default. */
+    * below 1 MB. minPartitionSize scales at advisory/4, capped at its
+    * 1 MB default.
+    *
+    * The 1 MB advisory floor (round 17; was 64 KB) is the VERDICT r16 #1
+    * fix: at 32 cores and sf0.1 the un-floored advisory was 273 KB with
+    * a 68 KB minPartitionSize, which stopped AQE from coalescing the
+    * TINY shuffles of iterative/sweep queries — qz48's CC superstep
+    * loop ran every superstep at ~15-30 sub-100KB tasks and regressed
+    * 2.23→3.43 s against Spark-default grain while q109/qx81 (few
+    * CPU-dense stages) improved. A post-shuffle partition below ~1 MB
+    * costs more to schedule than to process (guide §2.2 "fewer, larger
+    * reduce partitions"); the measured matrix (med3, 32c, sf0.1 —
+    * adv:min · q109 · qz48 · 6-query total):
+    *   273K:68K (old) · 1.80 · 3.43 · 14.16
+    *   64M:1M (off)   · 3.47 · 2.23 · 15.70
+    *   1M:256K (new)  · 1.71 · 2.42-2.84 · 12.53-12.87  ← floor
+    *   4M:1M          · 3.19 · 2.69 · 14.22
+    * — the 1 MB floor keeps q109/qx81's fine-grain wins AND recovers
+    * qz47/qz48 to within noise of Spark defaults. At 8 cores the
+    * derived value (~1.09 MB) is unchanged by the floor, preserving the
+    * r16 8-core window behavior. */
   def derivedAqeGrain(inputDir: String, cores: Int): (Long, Long) = {
     def dirBytes(d: java.io.File): Long =
       Option(d.listFiles()).map(_.map(f =>
         if (f.isDirectory) dirBytes(f) else f.length()).sum).getOrElse(0L)
     val in = dirBytes(new java.io.File(inputDir))
     val adv = math.min(math.max(in / (2L * math.max(cores, 1)),
-      64L << 10), 256L << 20)
+      1L << 20), 256L << 20)
     (adv, math.min(adv / 4, 1L << 20))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val (adv, minPart) = derivedAqeGrain(sfDir, cpus.toInt)
+    // derived, not constant — see derivedAqeGrain; SPARK_GRAFT_AQE_GRAIN=off
+    // restores Spark defaults, =adv:min (bytes) pins explicit values
+    // (A/B levers for grain bisection). Parsed ONCE with split(":", -1)
+    // (plain split drops trailing empties — "134217728:" used to throw);
+    // malformed input falls back to the derived grain with a stderr note
+    // instead of crashing at startup (ADVICE r16).
+    val derived = derivedAqeGrain(sfDir, cpus.toInt)
+    val (adv, minPart) =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_GRAIN", "on") match {
+        case "off" => ((64L << 20), (1L << 20))
+        case "on" => derived
+        case s => s.split(":", -1) match {
+          case Array(a, m) if a.nonEmpty && m.nonEmpty &&
+              a.forall(_.isDigit) && m.forall(_.isDigit) =>
+            (a.toLong, m.toLong)
+          case _ =>
+            System.err.println(
+              s"[bench] malformed SPARK_GRAFT_AQE_GRAIN '$s' — using derived")
+            derived
+        }
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // derived, not constant — see derivedAqeGrain; SPARK_GRAFT_AQE_GRAIN=off
-      // restores Spark defaults, =adv:min (bytes) pins explicit values
-      // (A/B levers for grain bisection)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_GRAIN", "on") match {
-          case "off" => (64L << 20).toString
-          case s if s.contains(":") => s.split(":")(0)
-          case _ => adv.toString
-        })
+        adv.toString)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_GRAIN", "on") match {
-          case "off" => (1L << 20).toString
-          case s if s.contains(":") => s.split(":")(1)
-          case _ => minPart.toString
-        })
+        minPart.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // ContextCleaner reclaims finished queries' shuffle files and
@@ -348,8 +376,19 @@ object Bench {
         s""""scan_ms": ${arr(_.scanMs)}}"""
     }.mkString(",\n")
     fullJson ++= "\n  }\n}\n"
+    val sidecarBytes = fullJson.toString.getBytes("UTF-8")
     java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
-      fullJson.toString.getBytes("UTF-8"))
+      sidecarBytes)
+    // ALSO key a copy on the core count (VERDICT r16 #2): a 32c + 8c
+    // driver sequence used to leave only the LAST window's per-query map
+    // (the 8c pass overwrote BENCH_full_latest.json), so round-over-round
+    // per-query comparison had nothing to join. Both windows now survive;
+    // the stdout contract and the `sidecar` alias are unchanged.
+    val sidecarC = new java.io.File(sidecar).toPath.resolveSibling(
+      s"BENCH_full_c$cpus.json").toString
+    if (sidecarC != sidecar)
+      java.nio.file.Files.write(java.nio.file.Paths.get(sidecarC),
+        sidecarBytes)
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfDir","method":"noop-sink-med3","r1_total_sec":${f2(r1Total)},"n_queries":${results.size},"total_sec":${f2(total)},"queries_file":"$sidecar"}""")
     spark.stop()
   }

@@ -16,11 +16,14 @@ object QProf {
       .flatMap(_.split(";")).map(_.split("=", 2))
       .collect { case Array(k, v) => (k.trim, v.trim) }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // same derived AQE grain as the bench session, so steady-state
-    // numbers here predict bench medians (override via SPARK_GRAFT_CONF)
-    val (adv, minPart) = Bench.derivedAqeGrain(dir, 32)
-    val b0 = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // same core count AND derived AQE grain as the bench session, so
+    // steady-state numbers here predict bench medians at ANY
+    // SPARK_GRAFT_CPUS, not just 32 (ADVICE r16; override via
+    // SPARK_GRAFT_CONF)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (adv, minPart) = Bench.derivedAqeGrain(dir, cpus.toInt)
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         adv.toString)

@@ -59,7 +59,8 @@ object Curation {
     * when a listener needs to await a SPECIFIC run. */
   def pipeline(docs: DataFrame, minScore: Double = 6.5,
                maxTermRatio: Double = 0.2, maxBigramRatio: Double = 0.18,
-               observationName: String = s"curation-${obsSeq.incrementAndGet()}")
+               observationName: String = s"curation-${obsSeq.incrementAndGet()}",
+               clustersFlag: Option[DataFrame] = None)
       : DataFrame = {
     // tokenize ONCE for all five stages — a lineage cut shares the
     // (doc_id, lang, n_chars, toks) frame across quality, repetition,
@@ -78,8 +79,15 @@ object Curation {
       .select(col("doc_id"),
         (col("top_term_ratio") > maxTermRatio ||
           col("top_bigram_ratio") > maxBigramRatio).as("repetitive"))
-    val clusters = Dedup.minhashClustersFromToks(tok)
-      .select(col("doc_id"), col("keeper"))
+    // `clustersFlag` (round 17): the dedup stage's (doc_id, keeper) flag
+    // is exactly [[Dedup.minhashClusters]] over the same corpus, which
+    // the qx11/qz7 family already stages per dir — a caller holding that
+    // staged fact passes it here instead of re-running the banding + CC
+    // chain (eager cuts, a count, a driver union-find) on every
+    // evaluation. Default None keeps the self-contained live chain.
+    val clusters = clustersFlag.getOrElse(
+      Dedup.minhashClustersFromToks(tok)
+        .select(col("doc_id"), col("keeper")))
     val contam = Dedup.decontaminateFromToks(train, probe)
       .select(col("doc_id"), col("contaminated"))
     val keepBelow = when(col("lang") === "en", lit("40000000"))

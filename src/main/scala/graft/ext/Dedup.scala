@@ -447,21 +447,39 @@ object Dedup {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgeDeg = cut(edges.join(deg, Seq("src")))
     val n1 = deg.agg(count(lit(1)).as("n"))
-    val init = deg.select(col("src").as("doc_id"), col("deg"))
+    // The rank frame carries ONLY (doc_id, n, pr_n) through the fold: the
+    // old spelling kept deg on it and left-joined each step's contrib back
+    // onto the previous frame, referencing `pr` TWICE per step — the
+    // unrolled single plan therefore DOUBLED per step (2^iters copies of
+    // the init/deg subtree; 105 Exchanges at iters=5, and analysis/
+    // optimization time to match). The edge set is symmetric (both
+    // directions unioned) and self-loop-free, so every node with deg ≥ 1
+    // receives ≥ 1 contribution in every step: the left join's
+    // coalesce(s, 0) NEVER fired and the node set is invariant — an inner
+    // edge join computes the identical sum over the identical node set
+    // (Opt17Spec pins new == old on random graphs). deg re-attaches once
+    // after the last step. One `pr` reference per step ⇒ plan LINEAR in
+    // iters: one edge join + one doc-grain rollup per step.
+    val init = deg.select(col("src").as("doc_id"))
       .crossJoin(broadcast(n1))
       .withColumn("pr_n", expr("CAST(1000000000 AS BIGINT) div n"))
+      .select(col("doc_id"), col("n"), col("pr_n"))
     val after = (1 to iters).foldLeft(init) { (pr, _) =>
-      val contrib = edgeDeg
-        .join(pr.select(col("doc_id").as("src"), col("pr_n")),
+      edgeDeg
+        .join(pr.select(col("doc_id").as("src"), col("n"), col("pr_n")),
           Seq("src"))
-        .select(col("dst").as("doc_id"), expr("pr_n div deg").as("c"))
-        .groupBy("doc_id").agg(sum(col("c")).as("s"))
-      pr.drop("pr_n").join(contrib, Seq("doc_id"), "left")
-        .withColumn("pr_n", expr("(150000000 div n) + " +
-          "((17 * coalesce(s, CAST(0 AS BIGINT))) div 20)"))
-        .drop("s")
+        .select(col("dst").as("doc_id"), col("n"),
+          expr("pr_n div deg").as("c"))
+        .groupBy("doc_id")
+        // max(n) of the constant row count == n (exact BIGINT) — carried
+        // through the agg so no per-step re-crossJoin of the one-row total
+        .agg(max(col("n")).as("n"), sum(col("c")).as("s"))
+        .select(col("doc_id"), col("n"),
+          expr("(150000000 div n) + ((17 * s) div 20)").as("pr_n"))
     }
-    after.select(col("doc_id"), col("deg"), col("pr_n"))
+    after
+      .join(deg.select(col("src").as("doc_id"), col("deg")), Seq("doc_id"))
+      .select(col("doc_id"), col("deg"), col("pr_n"))
   }
 
   /** LINE-grain boilerplate removal — the CCNet/RefinedWeb curation pass

@@ -101,7 +101,8 @@ object Models {
     * argmax, so the model grid covers observed buckets only. Returns
     * (doc_id, label, pred, correct). */
   def nbClassify(docs: DataFrame, labelCol: String,
-                 buckets: Int = DefaultBuckets): DataFrame = {
+                 buckets: Int = DefaultBuckets,
+                 labelSource: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // dictionary-encode the label BEFORE the gram explode: the fact rows
     // and both checkpointed cuts carry a compact integer code instead of
@@ -110,8 +111,23 @@ object Models {
     // the row_number window is a one-task sort of a handful of rows, and
     // the attach is a broadcast. Codes order by label so the min-code
     // tie-break below still means min-LABEL (oracle rule unchanged).
+    //
+    // `labelSource` (round 17): the dict subtree is evaluated THREE
+    // times (the hb attach + the two name attaches at the end), and when
+    // it derives from `docs` — a ≥3-token-filtered tokenized frame —
+    // each evaluation re-scans and re-splits the full text column just
+    // to apply a filter the label distinct doesn't need. A caller may
+    // pass the UNFILTERED table instead: its label set is a superset,
+    // codes stay label-ordered (so every tie-break and min-code argument
+    // is order-isomorphic on any subset), and labels absent from `docs`
+    // never reach occ/clb/prior/score, so the OUTPUT is unchanged —
+    // only the dict legs drop from full-text scans to a pruned
+    // label-column scan. (A lazy persist of the dict was tried instead
+    // and REJECTED: the InMemoryRelation defeated downstream broadcast
+    // planning — 0 → 2 SortMergeJoins on the occ⋈plb fact join.)
     val dict = broadcast(
-      docs.select(col(labelCol).as("lbl")).distinct()
+      labelSource.getOrElse(docs)
+        .select(col(labelCol).as("lbl")).distinct()
         .withColumn("lblc",
           // GLOBAL-WINDOW BOUND (label-vocab): ≤ |labels| rows
           row_number().over(Window.orderBy("lbl")).cast("long")))

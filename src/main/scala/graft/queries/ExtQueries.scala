@@ -151,7 +151,13 @@ object ExtQueries {
         // fid dict join); base derives from it, so the doc→rep
         // collapse runs once, never from live lineage
         val scratchDf = s.read.parquet(scratch)
-        val fpFull = scratchDf.join(fidsOf(scratchDf), Seq("f"))
+        // fid dict materialized ONCE (ADVICE r16): as bare lineage the
+        // distinct+sort+zipWithIndex mint re-ran under EACH of the two
+        // staged writes below (base, then fp) — a lazy persist cut
+        // shares one evaluation across both; released with the query's
+        // releaseAll like every cut
+        val fids = graft.Materialize.cut(fidsOf(scratchDf))
+        val fpFull = scratchDf.join(fids, Seq("f"))
         baseOf(fpFull).write.mode("overwrite")
           .option("compression", "zstd").parquet(b)
         fpFull.select(col("doc_id"), col("fid"))
@@ -2379,7 +2385,12 @@ object ExtQueries {
     // MACHINERY (counts, smoothing, folds, argmax), and ExtSpec proves
     // the same code separates a planted informative fixture.
     "qx36_nb_langid" -> ((s, dir) =>
-      graft.ext.Models.nbClassify(docsWithToks(s, dir), "lang")
+      graft.ext.Models.nbClassify(docsWithToks(s, dir), "lang",
+        // labelSource: the unfiltered table — the dict legs prune to the
+        // lang column instead of tokenizing the full text 3× (see
+        // Models.nbClassify; output-invariant by the label-superset
+        // argument there)
+        labelSource = Some(Tables.documents(s, dir)))
         .select(col("doc_id"), col("label").as("lang"),
           col("pred").as("pred_lang"), col("correct"))
         .orderBy("doc_id")),
@@ -2552,7 +2563,13 @@ object ExtQueries {
     // operator, so the WHOLE pipeline hash-matches one composed DuckDB
     // twin — including the recursive-CTE connected components.
     "qp1_curation_pipeline" -> ((s, dir) =>
-      Curation.pipeline(Tables.documents(s, dir)).orderBy("doc_id")),
+      Curation.pipeline(Tables.documents(s, dir),
+        // the dedup flag rides the qx11/qz7 per-dir cluster staging —
+        // value-identical (stagedClusters IS minhashClusters(documents)),
+        // so the banding+CC chain no longer re-runs on every evaluation
+        clustersFlag = Some(stagedClusters(s, dir)
+          .select(col("doc_id"), col("keeper"))))
+        .orderBy("doc_id")),
 
     // concat-and-cut sequence packing — the GPT-style pretraining batch
     // layout (documents concatenated in corpus order, cut into fixed
