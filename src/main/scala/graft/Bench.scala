@@ -29,34 +29,36 @@ object Bench {
     * input-bytes/(2·cores) keeps ~2 waves of post-shuffle tasks per
     * core at ANY scale; the clamps mean a 100 TB input lands on the
     * guide §9 production value (256 MB) and a toy input never drops
-    * below 1 MB. minPartitionSize scales at advisory/4, capped at its
+    * below 512 KB. minPartitionSize scales at advisory/4, capped at its
     * 1 MB default.
     *
-    * The 1 MB advisory floor (round 17; was 64 KB) is the VERDICT r16 #1
-    * fix: at 32 cores and sf0.1 the un-floored advisory was 273 KB with
-    * a 68 KB minPartitionSize, which stopped AQE from coalescing the
-    * TINY shuffles of iterative/sweep queries — qz48's CC superstep
+    * The 512 KB advisory floor (round 17; was 64 KB) is the VERDICT r16
+    * #1 fix: at 32 cores and sf0.1 the un-floored advisory was 273 KB
+    * with a 68 KB minPartitionSize, which stopped AQE from coalescing
+    * the TINY shuffles of iterative/sweep queries — qz48's CC superstep
     * loop ran every superstep at ~15-30 sub-100KB tasks and regressed
     * 2.23→3.43 s against Spark-default grain while q109/qx81 (few
-    * CPU-dense stages) improved. A post-shuffle partition below ~1 MB
-    * costs more to schedule than to process (guide §2.2 "fewer, larger
-    * reduce partitions"); the measured matrix (med3, 32c, sf0.1 —
-    * adv:min · q109 · qz48 · 6-query total):
-    *   273K:68K (old) · 1.80 · 3.43 · 14.16
-    *   64M:1M (off)   · 3.47 · 2.23 · 15.70
-    *   1M:256K (new)  · 1.71 · 2.42-2.84 · 12.53-12.87  ← floor
-    *   4M:1M          · 3.19 · 2.69 · 14.22
-    * — the 1 MB floor keeps q109/qx81's fine-grain wins AND recovers
-    * qz47/qz48 to within noise of Spark defaults. At 8 cores the
-    * derived value (~1.09 MB) is unchanged by the floor, preserving the
-    * r16 8-core window behavior. */
+    * CPU-dense stages) improved. A post-shuffle partition below a few
+    * hundred KB costs more to schedule than to process (guide §2.2
+    * "fewer, larger reduce partitions"); the measured matrix (med3,
+    * 32c, sf0.1 — adv:min · q109 · qz48 · qx83 · qz47):
+    *   273K:68K (old)   · 1.80 · 3.43 · 1.41 · 1.65
+    *   64M:1M (off)     · 3.47 · 2.23 ·  —   · 1.78
+    *   1M:256K          · 1.58-1.71 · 2.42-2.84 · 2.06 · 1.64
+    *   512K:128K (new)  · 1.56-1.66 · 2.60-2.64 · 1.77 · 1.47-1.64
+    *   4M:1M            · 3.19 · 2.69 ·  —   · 1.71
+    * — 512 KB keeps the fine-grain wins of the CPU-dense refines
+    * (q109/qx81/qx83/qx61) AND recovers qz47/qz48 to at-or-under their
+    * r15 32-core times (2.75/1.96). At 8 cores the derived value
+    * (~1.09 MB) is unchanged by the floor, preserving the r16 8-core
+    * window behavior. */
   def derivedAqeGrain(inputDir: String, cores: Int): (Long, Long) = {
     def dirBytes(d: java.io.File): Long =
       Option(d.listFiles()).map(_.map(f =>
         if (f.isDirectory) dirBytes(f) else f.length()).sum).getOrElse(0L)
     val in = dirBytes(new java.io.File(inputDir))
     val adv = math.min(math.max(in / (2L * math.max(cores, 1)),
-      1L << 20), 256L << 20)
+      512L << 10), 256L << 20)
     (adv, math.min(adv / 4, 1L << 20))
   }
 
