@@ -78,6 +78,23 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedSimhashPairs(s: SparkSession, dir: String): DataFrame =
     stagedFact(simhashPairStage, "qx61-pairs", s, dir, simhashPairs)
+
+  /** Per-dir staged minhash banded-pair fact (d1, d2) — the default-cap
+    * `Dedup.bandedPairs` over the bands=4 signature, consumed by SIX
+    * queries (qz39, qz8, qz48, qx98, qx54, qx19_source_overlap) that
+    * each re-ran the band self-join per evaluation. The band-join
+    * OPERATOR stays priced live by qx11's cluster chain and the
+    * cap-variant rows (qx58 bandCap=3, qx18 bandCap=0); qx54's own
+    * slice(mh16, 1, 4) bands are value-identical to bands=4 (the
+    * position-prefixed kernel property the qx59 fusion is built on). */
+  private val bandedPairStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBandedPairs(s: SparkSession, dir: String): DataFrame =
+    stagedFact(bandedPairStage, "qx19-bandpairs", s, dir, (s, dir) => {
+      val sig = docsWithToks(s, dir).select(col("doc_id"),
+        explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band"))
+      Dedup.bandedPairs(sig).select("d1", "d2")
+    })
   private def stagedFact(
       memo: java.util.concurrent.ConcurrentHashMap[String, String],
       prefix: String, s: SparkSession, dir: String,
@@ -1246,13 +1263,9 @@ object ExtQueries {
     // shuffle (how distributed PageRank works) over the CAPPED pair
     // set (≤ cap×|sig|, never corpus²); nodes outside the graph are
     // excluded (their rank is the uniform floor by definition).
-    "qz8_dupgraph_pagerank" -> ((s, dir) => {
-      val sig = graft.Materialize.cut(
-        docsWithToks(s, dir).select(col("doc_id"),
-          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
-            .as("band")))
-      Dedup.pagerankNano(Dedup.bandedPairs(sig)).orderBy("doc_id")
-    }),
+    "qz8_dupgraph_pagerank" -> ((s, dir) =>
+      // pairs from the shared per-dir staged band-join fact (round 17)
+      Dedup.pagerankNano(stagedBandedPairs(s, dir)).orderBy("doc_id")),
 
     // GRADED ranking-quality eval — nDCG@10 / AP@10 / MRR of the IVF
     // approximate ranking (qe4's config at nprobe=4) against graded
@@ -2012,10 +2025,8 @@ object ExtQueries {
     // boilerplate band can't go quadratic); the rollup shuffles one row
     // per pair, grouped on a 20×20-bounded key space.
     "qx19_source_overlap" -> ((s, dir) => {
-      val sig = graft.Materialize.cut(
-        docsWithToks(s, dir).select(col("doc_id"),
-          explode(Text.lshBandsFromToks(col("toks"), bands = 4)).as("band")))
-      val pairs = Dedup.bandedPairs(sig)
+      // pairs from the shared per-dir staged band-join fact (round 17)
+      val pairs = stagedBandedPairs(s, dir)
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
@@ -3231,9 +3242,10 @@ object ExtQueries {
           Text.lshBandsFromToks(col("toks"), bands = 16).as("mh"),
           array_distinct(graft.meos.NativeExpressions
             .shingleHashes(col("toks"), 3)).as("shd")))
-      val sig = base.select(col("doc_id"),
-        explode(slice(col("mh"), 1, 4)).as("band"))
-      val pairs = Dedup.bandedPairs(sig)
+      // pairs from the shared per-dir staged band-join fact (round 17) —
+      // slice(mh16, 1, 4) bands are value-identical to bands=4 (the
+      // position-prefixed kernel property), so this IS the same pair set
+      val pairs = stagedBandedPairs(s, dir)
       val est = (aggregate(
         zip_with(col("mh1"), col("mh2"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -5324,12 +5336,11 @@ object ExtQueries {
     // every node's degree, so wedge volume is cap-bounded, never
     // degree². Integers end to end, one double for the ratio.
     "qz39_triangle_count" -> ((s, dir) => {
-      val sig = graft.Materialize.cut(
-        docsWithToks(s, dir).select(col("doc_id"),
-          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
-            .as("band")))
-      val pairs = graft.Materialize.cut(
-        Dedup.bandedPairs(sig).select("d1", "d2"))
+      // pairs from the shared per-dir staged band-join fact (round 17);
+      // the staged parquet is disk-stable, so the old lineage cut
+      // (which existed to share the self-join across the 4 consumers
+      // below) is no longer needed
+      val pairs = stagedBandedPairs(s, dir)
       val deg = pairs.select(col("d1").as("v"))
         .union(pairs.select(col("d2").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -6055,11 +6066,10 @@ object ExtQueries {
     // node-keyed shuffle; contraction collapses per-partition cliques
     // before the first exchange.
     "qz48_cc_histogram" -> ((s, dir) => {
-      val sig = graft.Materialize.cut(
-        docsWithToks(s, dir).select(col("doc_id"),
-          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
-            .as("band")))
-      val pairs = Dedup.bandedPairs(sig).select("d1", "d2")
+      // pairs from the shared per-dir staged band-join fact (round 17);
+      // the row's declared machinery — the forced distributed CC loop —
+      // is unchanged
+      val pairs = stagedBandedPairs(s, dir)
       Dedup.connectedComponents(pairs, driverFinishEdges = 0L)
         .groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
@@ -6145,11 +6155,10 @@ object ExtQueries {
     // individual label the distributed loop converges to is
     // oracle-exact, closing the dedup family's last spec-only core.
     "qx98_cc_labels" -> ((s, dir) => {
-      val sig = graft.Materialize.cut(
-        docsWithToks(s, dir).select(col("doc_id"),
-          explode(Text.lshBandsFromToks(col("toks"), bands = 4))
-            .as("band")))
-      val pairs = Dedup.bandedPairs(sig).select("d1", "d2")
+      // pairs from the shared per-dir staged band-join fact (round 17);
+      // the row's declared machinery — the forced distributed CC loop —
+      // is unchanged
+      val pairs = stagedBandedPairs(s, dir)
       Dedup.connectedComponents(pairs, driverFinishEdges = 0L)
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")

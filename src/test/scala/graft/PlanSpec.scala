@@ -287,10 +287,11 @@ class PlanSpec extends SparkTestBase {
   test("production LSH band join (qx19 and Dedup.bandedPairs, the " +
     "qx11/qp1 pair stage): the hot-band guard anti-joins the over-cap " +
     "bucket set BEFORE the self-join") {
-    // qx19's whole dataflow is one plan — the guard must sit in it
+    // round 17: qx19 reads the per-dir staged band-pair fact, so its own
+    // plan is the source rollup over a parquet scan of (d1, d2) — the
+    // guard now lives in the staging PRODUCER (asserted below via the
+    // verbatim bandedPairs plan); qx19's plan must stay join-sane
     val p19 = plan("qx19_source_overlap")
-    assert(p19.contains(s"> ${graft.ext.Dedup.DefaultBandCap}"), p19) // over-cap band set
-    assert(p19.contains("LeftAnti"), p19)
     assert(!p19.contains("CartesianProduct") &&
       !p19.contains("BroadcastNestedLoopJoin"), p19)
     // the qx11/qp1 candidate stage, asserted directly (their final plans
